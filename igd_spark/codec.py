@@ -1,0 +1,86 @@
+"""Delta + varint (LEB128) codec for posting blocks, numpy-vectorized.
+
+The reference stores fixed-width 16-byte records and freads whole tile blocks
+(src/igd_base.h:41-46, src/igd_search.c:470-474); offsets are reconstructed
+from per-tile counts by prefix sum (src/igd_base.c:291-303). Here a block is
+one Parquet row holding delta+varint-compressed doc_id gaps and varint tfs
+(BASELINE.json north_star), decoded with numpy inside Arrow UDF kernels —
+no per-value Python.
+
+Encoding: doc_ids must be strictly increasing within a block; stored as
+[first, gap1, gap2, ...] varints. tfs stored as plain varints.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+_MAX_VARINT_BYTES = 10
+
+
+def varint_encode(values: np.ndarray) -> bytes:
+    """LEB128-encode a uint64 array. Vectorized: one pass per byte position
+    (≤10 iterations), no per-value Python loop."""
+    v = np.ascontiguousarray(values, dtype=np.uint64)
+    if v.size == 0:
+        return b""
+    # bytes needed per value: 1 + floor(bits/7) for the part beyond 7 bits
+    nbytes = np.ones(v.size, dtype=np.int64)
+    tmp = v >> np.uint64(7)
+    while tmp.any():
+        nbytes += (tmp > 0).astype(np.int64)
+        tmp = tmp >> np.uint64(7)
+    ends = np.cumsum(nbytes)
+    starts = ends - nbytes
+    out = np.zeros(int(ends[-1]), dtype=np.uint8)
+    for j in range(int(nbytes.max())):
+        mask = nbytes > j
+        chunk = ((v[mask] >> np.uint64(7 * j)) & np.uint64(0x7F)).astype(np.uint8)
+        cont = (nbytes[mask] > j + 1).astype(np.uint8) << 7
+        out[starts[mask] + j] = chunk | cont
+    return out.tobytes()
+
+
+def varint_decode(buf: bytes) -> np.ndarray:
+    """Decode LEB128 buffer → uint64 array. Vectorized via reduceat."""
+    b = np.frombuffer(buf, dtype=np.uint8)
+    if b.size == 0:
+        return np.empty(0, dtype=np.uint64)
+    is_end = (b & 0x80) == 0
+    ends = np.flatnonzero(is_end)
+    starts = np.concatenate(([0], ends[:-1] + 1))
+    pos = np.arange(b.size, dtype=np.int64)
+    # position of each byte within its value
+    group_start = np.repeat(starts, ends - starts + 1)
+    within = pos - group_start
+    contrib = (b & 0x7F).astype(np.uint64) << (np.uint64(7) * within.astype(np.uint64))
+    return np.add.reduceat(contrib, starts)
+
+
+def encode_doc_ids(doc_ids: np.ndarray) -> bytes:
+    """Strictly-increasing int64 doc ids → delta varints [first, gaps...]."""
+    d = np.ascontiguousarray(doc_ids, dtype=np.int64)
+    if d.size == 0:
+        return b""
+    if d.size > 1 and not (np.diff(d) > 0).all():
+        raise ValueError("doc_ids must be strictly increasing within a block")
+    deltas = np.empty(d.size, dtype=np.uint64)
+    deltas[0] = np.uint64(d[0])
+    if d.size > 1:
+        deltas[1:] = np.diff(d).astype(np.uint64)
+    return varint_encode(deltas)
+
+
+def decode_doc_ids(buf: bytes) -> np.ndarray:
+    deltas = varint_decode(buf)
+    if deltas.size == 0:
+        return np.empty(0, dtype=np.int64)
+    return np.cumsum(deltas.astype(np.int64))
+
+
+def encode_tfs(tfs: np.ndarray) -> bytes:
+    return varint_encode(np.ascontiguousarray(tfs, dtype=np.uint64))
+
+
+def decode_tfs(buf: bytes) -> np.ndarray:
+    return varint_decode(buf).astype(np.int32)

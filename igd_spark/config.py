@@ -1,0 +1,63 @@
+"""Engine configuration.
+
+Analog of the reference's create/search CLI knobs (src/igd_create.c:436-501,
+src/igd_search.c:889-971): bin size `-b` → block_size, data type `-s` →
+store_positions, plus the Spark-specific partitioning knobs the reference
+doesn't need (it is single-process).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+
+@dataclass(frozen=True)
+class IndexConf:
+    """Build/query configuration.
+
+    block_size: postings per block — the analog of IGD's tile width ``nbp``
+        (default 16384 coordinate units, src/igd_create.c:450). A block bins
+        the *docID axis per term*: fixed-count rather than fixed-width because
+        posting lists are dense in rank, sparse in doc_id.
+    n_shards: number of term-hash range shards (analog of contigs as
+        independent coordinate spaces, src/igd_base.h:70-74). Physical
+        partition key of the segment table.
+    salt_df_threshold: postings count above which a term is "hot" and gets
+        salted across ``ceil(df / salt_df_threshold)`` sub-shards (capped at
+        ``max_salts``). Replaces IGD's interval-duplication across tiles
+        (src/igd_base.c:162-172): there, one record lands in many bins; here,
+        one heavy term's postings land in many shards, re-merged at query
+        time (the dedup analog of the first-tile-only rule,
+        src/igd_search.c:496-530, is the salt-union in the scorer).
+    k1, b: BM25 parameters, fixed per BASELINE.json north_star.
+    batch_rows: per-task SPIMI accumulator cap — analog of ``maxCount``
+        = 268,435,456 records (src/igd_base.h:37); bounds executor memory in
+        the block-packing kernel.
+    """
+
+    block_size: int = 128
+    n_shards: int = 32
+    salt_df_threshold: int = 262_144
+    max_salts: int = 16
+    k1: float = 1.2
+    b: float = 0.75
+    batch_rows: int = 4_000_000
+    # tokenizer spec shared with the oracle (FIXTURES.md §5): lowercase,
+    # split on non-alphanumeric runs, drop empties. No stemming/stopwords.
+    token_split_re: str = r"[^a-z0-9]+"
+    # doc id assignment: "dense" (row_number; exact, test scale) or "hash"
+    # (composite hash id; no global sort, 10^12-turn scale — SURVEY §7.3c).
+    doc_id_method: str = "dense"
+    turn_bits: int = 20  # hash method: low bits reserved for turn_idx
+
+    def validate(self) -> "IndexConf":
+        if self.block_size < 8 or self.block_size > 1 << 16:
+            raise ValueError("block_size out of range [8, 65536]")
+        if self.n_shards < 1:
+            raise ValueError("n_shards must be >= 1")
+        if self.doc_id_method not in ("dense", "hash"):
+            raise ValueError("doc_id_method must be 'dense' or 'hash'")
+        return self
+
+
+DEFAULT_CONF = IndexConf()

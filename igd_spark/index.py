@@ -1,0 +1,212 @@
+"""Persistent index: save/open/introspect — the `.igd` file + `_index.tsv`
+sidecar analog (src/igd_base.c:396-461, src/igd_create.c:90-111).
+
+On-disk layout (Parquet; in production these are Iceberg tables — the layout
+below is a self-describing stand-in since the sandbox has no Iceberg runtime;
+every table maps 1:1 to an Iceberg table with the same partition spec):
+
+    <path>/_meta.json      header: conf, corpus stats, schema version
+                           (the 12-byte nbp/gType/nCtg header analog,
+                           src/igd_base.c:408-410)
+    <path>/segments/       block rows, partitioned by shard, sorted within
+                           files by (term_id, salt, block_id)
+                           (the tile-block data section, src/igd_base.c:426-459)
+    <path>/dictionary/     (term, term_id, df, n_salts)
+                           (contig-name dict analog, src/igd_base.c:312-321)
+    <path>/doc_stats/      (doc_id, dl) (+ docmap columns when present)
+                           (_index.tsv analog)
+    <path>/_lineage/       per-stage + per-shard lineage & metrics JSON rows
+                           — the (i0,L0) resume cursor analog
+                           (src/igd_create.c:73-88); build resumes from the
+                           last committed stage.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from dataclasses import asdict
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from igd_spark.build import build_all
+from igd_spark.config import DEFAULT_CONF, IndexConf
+from igd_spark.corpus import assign_doc_ids
+
+SCHEMA_VERSION = 1
+_STAGES = ("doc_stats", "dictionary", "segments")
+
+
+def _lineage_path(path: str, stage: str) -> str:
+    return os.path.join(path, "_lineage", f"{stage}.json")
+
+
+def _write_lineage(path: str, stage: str, payload: dict) -> None:
+    os.makedirs(os.path.join(path, "_lineage"), exist_ok=True)
+    payload = {"stage": stage, "committed_at": time.time(), **payload}
+    with open(_lineage_path(path, stage), "w") as f:
+        json.dump(payload, f, indent=1)
+
+
+def _stage_done(path: str, stage: str) -> bool:
+    return os.path.exists(_lineage_path(path, stage))
+
+
+class InvertedIndex:
+    """Opened index handle — the iGD_t search-side struct analog: metadata in
+    RAM, data blocks streamed from storage (src/igd_base.h:96-105)."""
+
+    def __init__(self, spark: SparkSession, path: str, meta: dict):
+        self.spark = spark
+        self.path = path
+        self.meta = meta
+        self.conf = IndexConf(**meta["conf"])
+        self.n_docs: int = meta["corpus"]["n_docs"]
+        self.avgdl: float = meta["corpus"]["avgdl"]
+
+    # --- tables -----------------------------------------------------------
+    @property
+    def segments(self) -> DataFrame:
+        return self.spark.read.parquet(os.path.join(self.path, "segments"))
+
+    @property
+    def dictionary(self) -> DataFrame:
+        return self.spark.read.parquet(os.path.join(self.path, "dictionary"))
+
+    @property
+    def doc_stats(self) -> DataFrame:
+        return self.spark.read.parquet(os.path.join(self.path, "doc_stats"))
+
+    # --- introspection (A7 analog: IGDr get_nCtgs/get_binSize/get_binLen/
+    # get_binData, IGDr/R/IGDr.R:86-159) ------------------------------------
+    def n_shards(self) -> int:
+        return self.conf.n_shards
+
+    def block_size(self) -> int:
+        return self.conf.block_size
+
+    def term_df(self, term: str) -> int:
+        row = self.dictionary.filter(F.col("term") == term).select("df").collect()
+        return int(row[0]["df"]) if row else 0
+
+    def term_id(self, term: str) -> int:
+        row = self.dictionary.filter(F.col("term") == term).collect()
+        return int(row[0]["term_id"]) if row else 0
+
+    def block_len(self, term: str, block_id: int, salt: int = 0) -> int:
+        row = (
+            self.segments.filter(
+                (F.col("term") == term)
+                & (F.col("block_id") == block_id)
+                & (F.col("salt") == salt)
+            )
+            .select("n")
+            .collect()
+        )
+        return int(row[0]["n"]) if row else 0
+
+    def block_postings(self, term: str, block_id: int, salt: int = 0):
+        """Decoded (doc_ids, tfs) numpy arrays for one block — get_binData
+        analog (IGDr/src/igd_base.c:396-455)."""
+        from igd_spark import codec
+
+        rows = (
+            self.segments.filter(
+                (F.col("term") == term)
+                & (F.col("block_id") == block_id)
+                & (F.col("salt") == salt)
+            )
+            .select("doc_ids", "tfs")
+            .collect()
+        )
+        if not rows:
+            import numpy as np
+
+            return np.empty(0, dtype="int64"), np.empty(0, dtype="int32")
+        return (
+            codec.decode_doc_ids(bytes(rows[0]["doc_ids"])),
+            codec.decode_tfs(bytes(rows[0]["tfs"])),
+        )
+
+
+def build_index(
+    spark: SparkSession,
+    docs: DataFrame,
+    path: str,
+    conf: IndexConf = DEFAULT_CONF,
+    text_col: str = "text",
+    id_col: str | None = "doc_id",
+    resume: bool = False,
+) -> InvertedIndex:
+    """`igd create` analog. Stage-committed with lineage rows; with
+    resume=True, stages whose lineage marker exists are skipped — the
+    checkpointed batch loop of src/igd_create.c:50-88.
+
+    If id_col is None, stable doc ids are assigned from (conv_id, turn_idx)
+    per conf.doc_id_method (transcript path).
+    """
+    if not resume and os.path.exists(os.path.join(path, "_meta.json")):
+        # existing-db guard (B9, src/igd_create.c:480-482)
+        raise FileExistsError(f"index already exists at {path}; pass resume=True")
+    if id_col is None:
+        docs = assign_doc_ids(docs, conf)
+        id_col = "doc_id"
+    t0 = time.time()
+    parts = build_all(docs, conf=conf, text_col=text_col, id_col=id_col)
+
+    def commit(stage: str, df: DataFrame, writer) -> None:
+        if resume and _stage_done(path, stage):
+            return
+        n = writer(df)
+        _write_lineage(path, stage, {"rows": n, "secs": time.time() - t0})
+
+    commit(
+        "doc_stats",
+        parts["doc_stats"],
+        lambda df: _count_write(df, os.path.join(path, "doc_stats")),
+    )
+    commit(
+        "dictionary",
+        parts["dictionary"],
+        lambda df: _count_write(df, os.path.join(path, "dictionary")),
+    )
+
+    def write_segments(df: DataFrame) -> int:
+        out = os.path.join(path, "segments")
+        (
+            df.repartition(conf.n_shards, "shard")
+            .sortWithinPartitions("term_id", "salt", "block_id")
+            .write.mode("overwrite")
+            .partitionBy("shard")
+            .parquet(out)
+        )
+        return -1  # row count recorded separately to avoid a second job
+
+    commit("segments", parts["segments"], write_segments)
+
+    meta = {
+        "schema_version": SCHEMA_VERSION,
+        "conf": asdict(conf),
+        "corpus": parts["corpus"],
+        "built_secs": time.time() - t0,
+    }
+    with open(os.path.join(path, "_meta.json"), "w") as f:
+        json.dump(meta, f, indent=1)
+    return InvertedIndex(spark, path, meta)
+
+
+def _count_write(df: DataFrame, out: str) -> int:
+    df.write.mode("overwrite").parquet(out)
+    return -1
+
+
+def open_index(spark: SparkSession, path: str) -> InvertedIndex:
+    """`igd_py.open` analog (src_py/igd_base.c:161-222): load header metadata
+    once; block data stays on disk until queried."""
+    with open(os.path.join(path, "_meta.json")) as f:
+        meta = json.load(f)
+    if meta.get("schema_version") != SCHEMA_VERSION:
+        raise ValueError(f"unsupported index schema: {meta.get('schema_version')}")
+    return InvertedIndex(spark, path, meta)

@@ -1,0 +1,302 @@
+"""Query-side operators — the `igd search` analog (src/igd_search.c).
+
+Two scorers, required to be rank-identical:
+
+* exact_bm25_topk — index-free pure-DataFrame BM25 (join + hash agg + window
+  top-k). The semantic baseline; every plan node is Catalyst-optimized JVM
+  code. Analog of the reference's role as a counting engine: the hits[]
+  accumulation (src/igd_search.c:491) is the groupBy(query_id, doc_id) sum.
+
+* search — index-backed scorer: shard/row-group-pruned scan of the segment
+  table (tile pruning analog, src/igd_search.c:459-464), broadcast of query
+  terms (the reference streams queries one at a time, src/igd_search.c:708-714;
+  Spark inverts this: set-at-a-time, one pass for the whole query set), then a
+  per-query vectorized MaxScore/block-max kernel (block-max WAND family —
+  descendant of the reference's running-max early-exit, src/igd_search.c:790-812)
+  inside applyInPandas. Safe pruning: only provably sub-threshold docs are
+  skipped, so top-k is exactly the exact scorer's top-k.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from igd_spark import codec
+from igd_spark.config import DEFAULT_CONF, IndexConf
+from igd_spark.index import InvertedIndex
+from igd_spark.scoring import bm25_weight_col, idf_col
+from igd_spark.stats import corpus_stats, doc_stats, term_stats
+from igd_spark.tokenizer import postings, tokens_col
+
+TOPK_SCHEMA = T.StructType(
+    [
+        T.StructField("query_id", T.LongType(), False),
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("score", T.DoubleType(), False),
+    ]
+)
+
+
+def query_terms(queries: DataFrame, text_col: str = "query_text") -> DataFrame:
+    """(query_id, term) — distinct terms per query (duplicates score once,
+    shared convention with oracle + SQL)."""
+    return (
+        queries.select(
+            "query_id",
+            F.explode(F.array_distinct(tokens_col(F.col(text_col)))).alias("term"),
+        )
+        .filter(F.col("term") != "")
+        .distinct()
+    )
+
+
+def rank_topk(scored: DataFrame, k: int) -> DataFrame:
+    """(score desc, doc_id asc) top-k per query — the Q11 tie-break rule."""
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "doc_id", "score")
+    )
+
+
+def exact_bm25_topk(
+    docs: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    conf: IndexConf = DEFAULT_CONF,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_tf: int = 0,
+) -> DataFrame:
+    """Index-free BM25 top-k, pure DataFrame ops (SURVEY §7.2 M2).
+
+    Plan shape: postings ⋈(broadcast) query-terms → ⋈ doc_stats on doc_id →
+    partial+final hash agg on (query_id, doc_id) → window top-k. min_tf is
+    the value-threshold filter (src/igd_search.c:623-694 analog) pushed below
+    the aggregation.
+    """
+    post = postings(docs, text_col=text_col, id_col=id_col, conf=conf)
+    ds = doc_stats(docs, text_col=text_col, id_col=id_col, conf=conf)
+    cs = corpus_stats(ds).collect()[0]
+    n_docs, avgdl = int(cs["n_docs"]), float(cs["avgdl"])
+    qt = query_terms(queries)
+    ts = term_stats(post)
+    qt_df = qt.join(ts, "term", "inner").withColumn(  # unknown terms → 0 hits
+        "idf", idf_col(n_docs, "df")
+    )
+    scored = post.join(F.broadcast(qt_df.select("query_id", "term", "idf")), "term")
+    if min_tf > 0:
+        scored = scored.filter(F.col("tf") >= min_tf)
+    scored = scored.join(ds, "doc_id")
+    w = bm25_weight_col(F.col("idf"), "tf", "dl", float(avgdl), conf.k1, conf.b)
+    agg = scored.groupBy("query_id", "doc_id").agg(F.sum(w).alias("score"))
+    return rank_topk(agg, k)
+
+
+# --------------------------------------------------------------------------
+# Indexed scorer
+# --------------------------------------------------------------------------
+
+
+def _maxscore_kernel(k: int, min_tf: int, k1: float, b: float, avgdl: float):
+    """Per-query vectorized MaxScore with block-range pruning.
+
+    Safe (rank-identical) pruning: a doc/block is skipped only when its score
+    upper bound is STRICTLY below a proven lower bound of the k-th best final
+    score, so exact ties (broken by doc_id asc) survive.
+    """
+
+    def decode_block(row) -> tuple[np.ndarray, np.ndarray]:
+        d = codec.decode_doc_ids(bytes(row.doc_ids))
+        tf = codec.decode_tfs(bytes(row.tfs)).astype(np.float64)
+        dl = codec.decode_tfs(bytes(row.dls)).astype(np.float64)
+        if min_tf > 0:
+            m = tf >= min_tf
+            d, tf, dl = d[m], tf[m], dl[m]
+        w = tf * (k1 + 1.0) / (tf + k1 * (1.0 - b + b * dl / avgdl))
+        return d, w
+
+    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        qid = int(pdf["query_id"].iat[0])
+        # lists = (term_id, salt) groups, deterministic order
+        lists = []
+        for (tid, salt), g in pdf.groupby(["term_id", "salt"], sort=True):
+            g = g.sort_values("block_id")
+            idf = float(g["idf"].iat[0])
+            sigma = idf * float(g["ub_tf_dl"].max())
+            lists.append((sigma, int(tid), int(salt), idf, g))
+        if not lists:
+            return pd.DataFrame(columns=["query_id", "doc_id", "score"])
+        # order: sigma desc, then ids for determinism
+        lists.sort(key=lambda x: (-x[0], x[1], x[2]))
+
+        # --- bootstrap θ0: fully score the cheapest list (fewest postings)
+        costs = [int(g["n"].sum()) for (_, _, _, _, g) in lists]
+        bi = int(np.argmin(costs))
+        sig_b, _, _, idf_b, g_b = lists[bi]
+        boot_scores = []
+        for row in g_b.itertuples():
+            _, w = decode_block(row)
+            boot_scores.append(idf_b * w)
+        bs_all = np.concatenate(boot_scores) if boot_scores else np.empty(0)
+        theta = float(np.partition(bs_all, -k)[-k]) if bs_all.size >= k else 0.0
+
+        # --- split essential / non-essential (ascending-sigma prefix whose
+        # total is strictly below θ0 can be deferred)
+        sigmas = np.array([l[0] for l in lists])
+        asc = np.argsort(sigmas, kind="stable")  # ascending
+        csum = np.cumsum(sigmas[asc])
+        non_essential_pos = set()
+        for i, p in enumerate(asc):
+            if csum[i] < theta:
+                non_essential_pos.add(int(p))
+            else:
+                break
+        essential = [lists[i] for i in range(len(lists)) if i not in non_essential_pos]
+        deferred = [lists[i] for i in range(len(lists)) if i in non_essential_pos]
+
+        # --- phase 1: exact scores over essential lists (full decode —
+        # reported scores must be exact, so contribution-dropping skips are
+        # not allowed; pruning only ever ELIMINATES candidates)
+        all_ids, all_w = [], []
+        for sigma, tid, salt, idf, g in essential:
+            for row in g.itertuples():
+                d, w = decode_block(row)
+                all_ids.append(d)
+                all_w.append(idf * w)
+        if not all_ids:
+            return pd.DataFrame(columns=["query_id", "doc_id", "score"])
+        ids = np.concatenate(all_ids)
+        ws = np.concatenate(all_w)
+        uids, inv = np.unique(ids, return_inverse=True)
+        scores = np.bincount(inv, weights=ws, minlength=uids.size)
+
+        # --- phase 2: fold in deferred (hot) lists for surviving candidates
+        # process in descending sigma so θ tightens fastest
+        deferred.sort(key=lambda x: (-x[0], x[1], x[2]))
+        remaining = float(sum(l[0] for l in deferred))
+        for sigma, tid, salt, idf, g in deferred:
+            if uids.size > k:
+                kth = float(np.partition(scores, -k)[-k])
+                theta = max(theta, kth)
+                keep = scores + remaining >= theta
+                uids, scores = uids[keep], scores[keep]
+            # block-range pruning (exact, not heuristic): a block whose
+            # [first_doc, last_doc] contains no candidate contributes nothing
+            for row in g.itertuples():
+                lo = np.searchsorted(uids, row.first_doc, side="left")
+                hi = np.searchsorted(uids, row.last_doc, side="right")
+                if lo >= hi:
+                    continue
+                d, w = decode_block(row)
+                pos = np.searchsorted(uids[lo:hi], d)
+                valid = (pos < hi - lo)
+                pos_v = pos[valid]
+                hit = uids[lo:hi][pos_v] == d[valid]
+                tgt = lo + pos_v[hit]
+                np.add.at(scores, tgt, (idf * w)[valid][hit])
+            remaining -= sigma
+
+        order = np.lexsort((uids, -scores))[:k]
+        return pd.DataFrame(
+            {
+                "query_id": np.full(order.size, qid, dtype=np.int64),
+                "doc_id": uids[order],
+                "score": scores[order],
+            }
+        )
+
+    return kernel
+
+
+def search(
+    spark: SparkSession,
+    idx: InvertedIndex,
+    queries: DataFrame,
+    k: int = 10,
+    min_tf: int = 0,
+) -> DataFrame:
+    """Index-backed BM25 top-k → (query_id, rank, doc_id, score).
+
+    Physical plan: dictionary ⋈(broadcast queries) → term_id list → segment
+    scan pruned by shard partition values + term_id row-group min/max (the
+    files are sorted by term_id within each shard) → broadcast join to attach
+    (query_id, idf) → groupBy(query_id).applyInPandas(MaxScore kernel) →
+    ranks. One shuffle (by query_id) carrying only the pruned blocks.
+    """
+    conf = idx.conf
+    qt = query_terms(queries)
+    qdict = (
+        idx.dictionary.join(F.broadcast(qt), "term")
+        .withColumn("idf", idf_col(idx.n_docs, "df"))
+        .select("query_id", "term_id", "idf")
+    )
+    qrows = qdict.collect()  # tiny: |queries| × |terms|
+    if not qrows:
+        empty = spark.createDataFrame([], TOPK_SCHEMA)
+        return rank_topk(empty, k)
+    term_ids = sorted({r["term_id"] for r in qrows})
+    shards = sorted({tid % conf.n_shards for tid in term_ids})
+    qpdf = spark.createDataFrame(
+        [(int(r["query_id"]), int(r["term_id"]), float(r["idf"])) for r in qrows],
+        "query_id long, term_id long, idf double",
+    )
+    seg = idx.segments.filter(
+        F.col("shard").isin(shards) & F.col("term_id").isin(term_ids)
+    )
+    blocks = seg.join(F.broadcast(qpdf), "term_id")
+    kernel = _maxscore_kernel(k, min_tf, conf.k1, conf.b, idx.avgdl)
+    scored = blocks.groupBy("query_id").applyInPandas(kernel, schema=TOPK_SCHEMA)
+    return rank_topk(scored, k)
+
+
+def match_enumerate(
+    spark: SparkSession, idx: InvertedIndex, queries: DataFrame
+) -> DataFrame:
+    """Full-match enumeration (igd search -f analog, src/igd_search.c:537-620):
+    every (query_id, term, doc_id, tf) hit, no aggregation."""
+    qt = query_terms(queries)
+    qdict = idx.dictionary.join(F.broadcast(qt), "term").select(
+        "query_id", "term_id"
+    )
+    term_ids = [int(r["term_id"]) for r in qdict.select("term_id").distinct().collect()]
+    shards = sorted({tid % idx.conf.n_shards for tid in term_ids})
+    seg = idx.segments.filter(
+        F.col("shard").isin(shards) & F.col("term_id").isin(term_ids)
+    )
+    blocks = seg.join(F.broadcast(qdict), "term_id")
+
+    out_schema = T.StructType(
+        [
+            T.StructField("query_id", T.LongType(), False),
+            T.StructField("term", T.StringType(), False),
+            T.StructField("doc_id", T.LongType(), False),
+            T.StructField("tf", T.IntegerType(), False),
+        ]
+    )
+
+    def explode_blocks(it):
+        for pdf in it:
+            outs = []
+            for row in pdf.itertuples():
+                d = codec.decode_doc_ids(bytes(row.doc_ids))
+                tf = codec.decode_tfs(bytes(row.tfs))
+                outs.append(
+                    pd.DataFrame(
+                        {
+                            "query_id": np.full(d.size, row.query_id, dtype=np.int64),
+                            "term": row.term,
+                            "doc_id": d,
+                            "tf": tf.astype(np.int32),
+                        }
+                    )
+                )
+            if outs:
+                yield pd.concat(outs)
+
+    return blocks.mapInPandas(explode_blocks, schema=out_schema)

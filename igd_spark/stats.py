@@ -1,0 +1,50 @@
+"""Collection statistics — the analog of the reference's `_index.tsv` sidecar
+(`Index, File, Number of regions, Avg size`, src/igd_create.c:96-110; parsed by
+get_fileinfo, src/igd_base.c:235-267). nr/md there are per-dataset cardinality
+and mean width — exactly the doc-length / avgdl statistics BM25 needs.
+
+All three are plain hash aggregations with map-side partial aggregation
+(the distributed form of the reference's inline `nr[ig]++; avg[ig]+=en-st`
+accumulators, src/igd_create.c:70-72).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from igd_spark.config import DEFAULT_CONF, IndexConf
+from igd_spark.tokenizer import token_count_col
+
+
+def doc_stats(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    conf: IndexConf = DEFAULT_CONF,
+) -> DataFrame:
+    """(doc_id, dl) for EVERY document, including zero-token ones.
+
+    Computed straight off the docs table with an array-size expression —
+    no explode, no shuffle beyond the source partitioning.
+    """
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        token_count_col(F.col(text_col), conf.token_split_re).cast("int").alias("dl"),
+    )
+
+
+def corpus_stats(doc_stats_df: DataFrame) -> DataFrame:
+    """Single row (n_docs, avgdl). N counts all docs (empty included); avgdl =
+    total tokens / N — shared definition with oracle + SQL."""
+    return doc_stats_df.agg(
+        F.count("*").alias("n_docs"),
+        (F.sum("dl") / F.count("*")).cast("double").alias("avgdl"),
+    )
+
+
+def term_stats(postings_df: DataFrame) -> DataFrame:
+    """(term, df) — document frequency. One row per distinct term; at corpus
+    scale this is ~vocab-sized (millions), small enough to broadcast the
+    query-relevant slice at search time."""
+    return postings_df.groupBy("term").agg(F.count("*").cast("long").alias("df"))
