@@ -22,10 +22,27 @@ src_py/igd_py.pyx:21-44 create/open/search_1/search_n):
 """
 
 from igd_spark.config import IndexConf
+from igd_spark.cooccur import source_overlap_matrix, term_cooccurrence
 from igd_spark.corpus import assign_doc_ids, synth_transcripts
+from igd_spark.dedup import (
+    exact_dedup,
+    minhash_dedup_pairs,
+    minhash_signatures,
+    ngram_jaccard_pairs,
+    shingles,
+    simhash_dedup_pairs,
+)
 from igd_spark.index import InvertedIndex, build_index, open_index
 from igd_spark.search import exact_bm25_topk, match_enumerate, search
+from igd_spark.similarity import (
+    cosine_neardup_pairs,
+    cosine_topk,
+    cosine_topk_arrow,
+    lsh_ann_topk,
+    pick_anchors,
+)
 from igd_spark.stats import corpus_stats, doc_stats, term_stats
+from igd_spark.textstats import fingerprint, lang_id, simhash, text_stats
 from igd_spark.tokenizer import postings, tokens_col
 
 __all__ = [
@@ -34,13 +51,30 @@ __all__ = [
     "assign_doc_ids",
     "build_index",
     "corpus_stats",
+    "cosine_neardup_pairs",
+    "cosine_topk",
+    "cosine_topk_arrow",
     "doc_stats",
     "exact_bm25_topk",
+    "exact_dedup",
+    "fingerprint",
+    "lang_id",
+    "lsh_ann_topk",
     "match_enumerate",
+    "minhash_dedup_pairs",
+    "minhash_signatures",
+    "ngram_jaccard_pairs",
     "open_index",
+    "pick_anchors",
     "postings",
     "search",
+    "shingles",
+    "simhash",
+    "simhash_dedup_pairs",
+    "source_overlap_matrix",
     "synth_transcripts",
+    "term_cooccurrence",
     "term_stats",
+    "text_stats",
     "tokens_col",
 ]

@@ -1,0 +1,204 @@
+"""Deduplication operators — exact, n-gram Jaccard, MinHash+LSH, SimHash.
+
+These are the training-data-pipeline siblings of the reference's identity
+machinery: IGD dedups *physically duplicated* records at query time with the
+first-tile-only rule (src/igd_search.c:496-530); a 100 TB text pipeline dedups
+*semantically duplicated* documents at build time. All candidate generation
+is join-based (no O(n^2) cross products in the scale path): exact dedup hashes
+content, near-dup generators join on shared shingles / MinHash LSH bands /
+SimHash bands, so each shuffle key is a content bucket — the same
+"bin, then look only inside the bin" discipline as IGD's tile pruning
+(src/igd_search.c:459-464).
+
+Hashes are md5-derived (hashing.h60) so every operator has an exact DuckDB
+oracle. Everything is pyspark.sql built-ins — no Python UDFs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from igd_spark.hashing import h60_col, h60_seeded_col
+from igd_spark.textstats import hamming64, nonempty_tokens, simhash
+
+DEFAULT_SHINGLE_N = 5
+DEFAULT_N_HASHES = 16
+DEFAULT_BAND_ROWS = 4  # 16 hashes / 4 rows = 4 bands
+
+
+def exact_dedup(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """(doc_id, canonical_id, group_size, is_canonical) — exact dedup by
+    content hash; canonical = min doc_id per group. One shuffle on the
+    content hash (fine-grained key → no skew)."""
+    h = docs.select(F.col(id_col).alias("doc_id"), F.md5(F.coalesce(F.col(text_col), F.lit(""))).alias("chash"))
+    w = Window.partitionBy("chash")
+    return h.select(
+        "doc_id",
+        F.min("doc_id").over(w).alias("canonical_id"),
+        F.count("*").over(w).cast("long").alias("group_size"),
+    ).withColumn("is_canonical", (F.col("doc_id") == F.col("canonical_id")))
+
+
+def shingles(docs: DataFrame, n: int = DEFAULT_SHINGLE_N,
+             text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """(doc_id, shingle) — DISTINCT word n-grams per document (space-joined).
+    Docs with fewer than n tokens produce zero shingles."""
+    toks = nonempty_tokens(text_col)
+    sh = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.size(toks) - (n - 1), F.lit(0))),
+        lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+    )
+    return (
+        docs.select(F.col(id_col).alias("doc_id"), F.explode(sh).alias("shingle"))
+        .distinct()
+    )
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame,
+    threshold: float = 0.5,
+    n: int = DEFAULT_SHINGLE_N,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(doc_a, doc_b, jaccard) — exact n-gram Jaccard over candidate pairs
+    that share ≥1 shingle (join-generated, never all-pairs). jaccard =
+    |A∩B| / (|A|+|B|-|A∩B|), rounded to 6 dp; doc_a < doc_b."""
+    sh = shingles(docs, n=n, text_col=text_col, id_col=id_col)
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
+    b = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
+    inter = (
+        a.join(b, "shingle")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("inter"))
+    )
+    j = (
+        inter.join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n_sh", "na"), "doc_a")
+        .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n_sh", "nb"), "doc_b")
+        .select(
+            "doc_a", "doc_b",
+            F.round(F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter")), 6).alias("jaccard"),
+        )
+    )
+    return j.filter(F.col("jaccard") >= threshold)
+
+
+def minhash_signatures(
+    docs: DataFrame,
+    n_hashes: int = DEFAULT_N_HASHES,
+    n: int = DEFAULT_SHINGLE_N,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(doc_id, seed, mh) — long-format MinHash: mh = min over the doc's
+    shingles of h60('<seed>|' + shingle). Domain-separated seeding keeps the
+    oracle SQL arithmetic-free (no int64-overflowing mixers)."""
+    sh = shingles(docs, n=n, text_col=text_col, id_col=id_col)
+    seeded = sh.select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(0), F.lit(n_hashes - 1))).alias("seed"),
+        "shingle",
+    ).select(
+        "doc_id", "seed",
+        h60_col(F.concat(F.col("seed").cast("string"), F.lit("|"), F.col("shingle"))).alias("hv"),
+    )
+    return seeded.groupBy("doc_id", "seed").agg(F.min("hv").alias("mh"))
+
+
+def lsh_candidate_pairs(
+    sigs: DataFrame, band_rows: int = DEFAULT_BAND_ROWS
+) -> DataFrame:
+    """(doc_a, doc_b) — distinct pairs whose signatures collide in ≥1 LSH
+    band. Band key = concat of the band's mh values in seed order; the join
+    key is (band_id, band_sig) so only same-bucket docs ever meet — the
+    binning discipline of IGD's tile pruning, applied to content space."""
+    bands = (
+        sigs.withColumn("band_id", (F.col("seed") / band_rows).cast("int"))
+        .groupBy("doc_id", "band_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("seed", "mh"))),
+                    lambda x: x["mh"].cast("string"),
+                ),
+                ",",
+            ).alias("band_sig")
+        )
+    )
+    a = bands.select(F.col("doc_id").alias("doc_a"), "band_id", "band_sig")
+    b = bands.select(F.col("doc_id").alias("doc_b"), "band_id", "band_sig")
+    return (
+        a.join(b, ["band_id", "band_sig"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+
+
+def minhash_dedup_pairs(
+    docs: DataFrame,
+    threshold: float = 0.5,
+    n_hashes: int = DEFAULT_N_HASHES,
+    band_rows: int = DEFAULT_BAND_ROWS,
+    n: int = DEFAULT_SHINGLE_N,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(doc_a, doc_b, est_jaccard) — MinHash-LSH near-dup pairs: LSH bands
+    generate candidates, the estimate = fraction of agreeing hash slots,
+    filtered at `threshold`. Scale path of ngram_jaccard_pairs (candidate
+    count is bucket-bounded, not shingle-df-bounded)."""
+    sigs = minhash_signatures(docs, n_hashes=n_hashes, n=n, text_col=text_col, id_col=id_col)
+    cand = lsh_candidate_pairs(sigs, band_rows=band_rows)
+    sa = sigs.select(F.col("doc_id").alias("doc_a"), "seed", F.col("mh").alias("mh_a"))
+    sb = sigs.select(F.col("doc_id").alias("doc_b"), "seed", F.col("mh").alias("mh_b"))
+    est = (
+        cand.join(sa, "doc_a")
+        .join(sb, ["doc_b", "seed"])
+        .groupBy("doc_a", "doc_b")
+        .agg(
+            F.round(
+                F.sum(F.when(F.col("mh_a") == F.col("mh_b"), 1).otherwise(0)) / F.count("*"), 6
+            ).alias("est_jaccard")
+        )
+    )
+    return est.filter(F.col("est_jaccard") >= threshold)
+
+
+def simhash_dedup_pairs(
+    docs: DataFrame,
+    max_hamming: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_bands: int = 4,
+    bits: int = 32,
+) -> DataFrame:
+    """(doc_a, doc_b, hamming) — SimHash near-dup pairs with hamming ≤
+    max_hamming, candidates via band join: split the sketch into n_bands
+    bit-slices; any pair within hamming ≤ n_bands-1 shares ≥1 identical
+    slice (pigeonhole), so the band join is lossless for max_hamming <
+    n_bands. Never an all-pairs product."""
+    if max_hamming >= n_bands:
+        raise ValueError("pigeonhole soundness needs max_hamming < n_bands")
+    sh = simhash(docs, text_col=text_col, id_col=id_col, bits=bits)
+    slice_bits = bits // n_bands
+    mask = (1 << slice_bits) - 1
+    bands = sh.select(
+        "doc_id", "simhash",
+        F.explode(F.sequence(F.lit(0), F.lit(n_bands - 1))).alias("band_id"),
+    ).withColumn(
+        "band_val",
+        F.expr(f"shiftright(simhash, band_id * {slice_bits})").bitwiseAND(F.lit(mask)),
+    )
+    a = bands.select(F.col("doc_id").alias("doc_a"), F.col("simhash").alias("sh_a"), "band_id", "band_val")
+    b = bands.select(F.col("doc_id").alias("doc_b"), F.col("simhash").alias("sh_b"), "band_id", "band_val")
+    pairs = (
+        a.join(b, ["band_id", "band_val"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", hamming64("sh_a", "sh_b").cast("int").alias("hamming"))
+        .distinct()
+    )
+    return pairs.filter(F.col("hamming") <= max_hamming)

@@ -64,22 +64,19 @@ def rank_topk(scored: DataFrame, k: int) -> DataFrame:
     )
 
 
-def exact_bm25_topk(
+def bm25_scores(
     docs: DataFrame,
     queries: DataFrame,
-    k: int = 10,
     conf: IndexConf = DEFAULT_CONF,
     text_col: str = "text",
     id_col: str = "doc_id",
     min_tf: int = 0,
 ) -> DataFrame:
-    """Index-free BM25 top-k, pure DataFrame ops (SURVEY §7.2 M2).
-
-    Plan shape: postings ⋈(broadcast) query-terms → ⋈ doc_stats on doc_id →
-    partial+final hash agg on (query_id, doc_id) → window top-k. min_tf is
-    the value-threshold filter (src/igd_search.c:623-694 analog) pushed below
-    the aggregation.
-    """
+    """Unranked exact BM25 scores (query_id, doc_id, score), pure DataFrame
+    ops. Plan shape: postings ⋈(broadcast) query-terms → ⋈ doc_stats on
+    doc_id → partial+final hash agg on (query_id, doc_id). min_tf is the
+    value-threshold filter (src/igd_search.c:623-694 analog) pushed below
+    the aggregation."""
     post = postings(docs, text_col=text_col, id_col=id_col, conf=conf)
     ds = doc_stats(docs, text_col=text_col, id_col=id_col, conf=conf)
     cs = corpus_stats(ds).collect()[0]
@@ -94,8 +91,23 @@ def exact_bm25_topk(
         scored = scored.filter(F.col("tf") >= min_tf)
     scored = scored.join(ds, "doc_id")
     w = bm25_weight_col(F.col("idf"), "tf", "dl", float(avgdl), conf.k1, conf.b)
-    agg = scored.groupBy("query_id", "doc_id").agg(F.sum(w).alias("score"))
-    return rank_topk(agg, k)
+    return scored.groupBy("query_id", "doc_id").agg(F.sum(w).alias("score"))
+
+
+def exact_bm25_topk(
+    docs: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    conf: IndexConf = DEFAULT_CONF,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_tf: int = 0,
+) -> DataFrame:
+    """Index-free BM25 top-k (SURVEY §7.2 M2): bm25_scores + window top-k."""
+    return rank_topk(
+        bm25_scores(docs, queries, conf=conf, text_col=text_col, id_col=id_col, min_tf=min_tf),
+        k,
+    )
 
 
 # --------------------------------------------------------------------------

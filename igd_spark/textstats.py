@@ -1,0 +1,155 @@
+"""Text-analysis operators for large-scale training-data pipelines.
+
+These extend the reference's per-dataset statistics sidecar (`_index.tsv`:
+cardinality + mean width per dataset, src/igd_create.c:90-111) to the
+document axis: per-document token counts, quality ratios, a language-ID
+heuristic, order-sensitive fingerprints, and SimHash sketches.
+
+Every function is pure `pyspark.sql.functions` (JVM, whole-stage codegen —
+no Python in the hot path) and has an exactly-matching ANSI-SQL oracle in
+``__spark_entry__.py`` so the DuckDB gate hash-verifies values.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from igd_spark.hashing import h60_col
+from igd_spark.tokenizer import token_count_col, tokens_col
+
+# Language marker stopwords (disjoint across languages so votes are
+# unambiguous). The heuristic is deterministic, not a classifier: argmax of
+# marker hits, ties and zero-hit docs → 'und' (undetermined).
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "de": ("der", "die", "das", "und", "nicht", "ist"),
+    "en": ("the", "and", "of", "is", "was", "with"),
+    "es": ("el", "los", "las", "una", "pero", "como"),
+    "fr": ("le", "les", "des", "dans", "pour", "est"),
+}
+
+# Fixed English stopword list for the quality-score stopword ratio.
+QUALITY_STOPWORDS: tuple[str, ...] = (
+    "the", "a", "an", "and", "or", "of", "to", "in", "is", "it",
+)
+
+FP_MOD = 1 << 20  # fingerprint term-hash modulus: keeps sums in int64 range
+SIMHASH_BITS = 32
+
+
+def nonempty_tokens(text: Column | str) -> Column:
+    c = F.col(text) if isinstance(text, str) else text
+    return F.filter(tokens_col(c), lambda t: t != F.lit(""))
+
+
+def text_stats(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """(doc_id, n_chars, n_tokens, avg_token_len, alnum_ratio,
+    stopword_ratio, quality) — one row per doc, no shuffle."""
+    toks = nonempty_tokens(text_col)
+    n_tokens = F.size(toks)
+    n_chars = F.length(F.coalesce(F.col(text_col), F.lit("")))
+    tok_chars = F.aggregate(toks, F.lit(0), lambda acc, t: acc + F.length(t))
+    n_stop = F.size(F.filter(toks, lambda t: t.isin(*QUALITY_STOPWORDS)))
+    # alnum_ratio: fraction of characters that are alphanumeric or space
+    clean = F.regexp_replace(F.lower(F.coalesce(F.col(text_col), F.lit(""))), "[^a-z0-9 ]", "")
+    alnum_ratio = F.when(n_chars > 0, F.length(clean) / n_chars).otherwise(F.lit(0.0))
+    avg_tok = F.when(n_tokens > 0, tok_chars / n_tokens).otherwise(F.lit(0.0))
+    stop_ratio = F.when(n_tokens > 0, n_stop / n_tokens).otherwise(F.lit(0.0))
+    # fixed linear quality score in [0,1]-ish: rewards mid-length docs with
+    # clean characters and some function words (weights are part of the spec)
+    quality = (
+        F.lit(0.4) * F.least(n_tokens / F.lit(100.0), F.lit(1.0))
+        + F.lit(0.4) * alnum_ratio
+        + F.lit(0.2) * F.least(stop_ratio * F.lit(5.0), F.lit(1.0))
+    )
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        n_chars.cast("int").alias("n_chars"),
+        n_tokens.cast("int").alias("n_tokens"),
+        F.round(avg_tok, 6).cast("double").alias("avg_token_len"),
+        F.round(alnum_ratio, 6).cast("double").alias("alnum_ratio"),
+        F.round(stop_ratio, 6).cast("double").alias("stopword_ratio"),
+        F.round(quality, 6).cast("double").alias("quality"),
+    )
+
+
+def lang_id(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """(doc_id, lang_pred, votes) — marker-stopword vote, argmax with
+    (votes desc, lang asc) tie-break; zero votes → 'und'."""
+    marker_votes = []
+    for lang, markers in sorted(LANG_MARKERS.items()):
+        v = F.size(F.filter(nonempty_tokens(text_col), lambda t: t.isin(*markers)))
+        marker_votes.append(F.struct(v.alias("votes"), F.lit(lang).alias("lang")))
+    # array_max over structs orders by (votes, lang); we need max votes with
+    # lang ASC tie-break → compare (votes, reversed-lang) is messy; instead
+    # sort desc by votes then asc by lang via aggregate over a sorted array.
+    arr = F.array(*marker_votes)
+    best = F.aggregate(
+        arr,
+        F.struct(F.lit(-1).alias("votes"), F.lit("und").alias("lang")),
+        lambda acc, x: F.when(
+            (x["votes"] > acc["votes"])
+            | ((x["votes"] == acc["votes"]) & (x["lang"] < acc["lang"])),
+            x,
+        ).otherwise(acc),
+    )
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.when(best["votes"] > 0, best["lang"]).otherwise(F.lit("und")).alias("lang_pred"),
+        F.greatest(best["votes"], F.lit(0)).cast("int").alias("votes"),
+    )
+
+
+def fingerprint(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """(doc_id, fp) — order-sensitive positional fingerprint:
+    fp = Σ_pos (h60(token) mod 2^20) * (pos+1). Two docs with the same
+    multiset of tokens in different order get different fingerprints;
+    byte-identical docs always collide (the content-address the reference's
+    per-record identity lacked). Sum fits int64 for docs < ~2^43 tokens.
+    """
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(nonempty_tokens(text_col)).alias("pos", "token"),
+    )
+    contrib = (h60_col("token") % F.lit(FP_MOD)) * (F.col("pos") + 1)
+    return (
+        toks.groupBy("doc_id")
+        .agg(F.sum(contrib).alias("fp"))
+    )
+
+
+def simhash(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+            bits: int = SIMHASH_BITS) -> DataFrame:
+    """(doc_id, simhash) — tf-weighted SimHash over h60 term hashes.
+
+    bit_j(doc) = [ Σ_term tf * (2*((h60(term)>>j)&1) - 1) >= 0 ]
+    simhash    = Σ_j bit_j << j
+
+    Near-duplicate docs differ in few bits (hamming distance on the sketch).
+    Plan: explode tokens → (doc, term, tf) hash agg → explode bit axis →
+    hash agg by (doc, bit) → pivot-free bit packing by sum of shifts.
+    """
+    tf = (
+        docs.select(F.col(id_col).alias("doc_id"),
+                    F.explode(nonempty_tokens(text_col)).alias("term"))
+        .groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+        .withColumn("h", h60_col("term"))
+    )
+    bitsdf = tf.select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(0), F.lit(bits - 1))).alias("j"),
+        (F.col("tf") * (F.expr("shiftright(h, j)").bitwiseAND(F.lit(1)) * 2 - 1)).alias("c"),
+    )
+    bitvals = (
+        bitsdf.groupBy("doc_id", "j")
+        .agg(F.sum("c").alias("s"))
+        .select("doc_id", F.when(F.col("s") >= 0, F.expr("shiftleft(1L, j)")).otherwise(F.lit(0)).alias("bv"))
+    )
+    return bitvals.groupBy("doc_id").agg(F.sum("bv").alias("simhash"))
+
+
+def hamming64(a: Column | str, b: Column | str) -> Column:
+    """Hamming distance between two long sketches (bit_count of xor)."""
+    ca = F.col(a) if isinstance(a, str) else a
+    cb = F.col(b) if isinstance(b, str) else b
+    return F.bit_count(ca.bitwiseXOR(cb))
