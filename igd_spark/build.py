@@ -146,11 +146,17 @@ def build_all(
     text_col: str = "text",
     id_col: str = "doc_id",
 ) -> dict[str, DataFrame | dict]:
-    """Compute every index component as (lazy) DataFrames + collected corpus
-    stats. index.build_index() persists them with lineage/resume."""
+    """Compute every index component as DataFrames + collected corpus stats.
+    index.build_index() persists them with lineage/resume.
+
+    postings and doc_stats are .persist()ed: three downstream consumers
+    (stats sink, dictionary, segments) would otherwise re-run the tokenize +
+    (doc,term) shuffle once each — the reference pays this cost once too (its
+    ingest loop writes spill runs that the merge re-reads, src/igd_create.c:
+    50-88). Caller unpersists via the returned handles."""
     conf.validate()
-    post = postings(docs, text_col=text_col, id_col=id_col, conf=conf)
-    ds = doc_stats(docs, text_col=text_col, id_col=id_col, conf=conf)
+    post = postings(docs, text_col=text_col, id_col=id_col, conf=conf).persist()
+    ds = doc_stats(docs, text_col=text_col, id_col=id_col, conf=conf).persist()
     cs_row = corpus_stats(ds).collect()[0]
     n_docs, avgdl = int(cs_row["n_docs"]), float(cs_row["avgdl"])
     ts = term_stats(post)
@@ -176,4 +182,5 @@ def build_all(
         "dictionary": dictionary,
         "doc_stats": ds,
         "corpus": {"n_docs": n_docs, "avgdl": avgdl},
+        "_cached": [post, ds],
     }

@@ -144,7 +144,8 @@ def assign_doc_ids(
         F.pmod(F.xxhash64("conv_id"), F.lit(1 << (62 - conf.turn_bits))), conf.turn_bits
     )
     return docs.withColumn(
-        "doc_id", (conv_part + (F.col("turn_idx").cast("long") & F.lit(mask))).cast("long")
+        "doc_id",
+        (conv_part + F.col("turn_idx").cast("long").bitwiseAND(F.lit(mask).cast("long"))).cast("long"),
     )
 
 

@@ -65,15 +65,26 @@ class InvertedIndex:
         self.conf = IndexConf(**meta["conf"])
         self.n_docs: int = meta["corpus"]["n_docs"]
         self.avgdl: float = meta["corpus"]["avgdl"]
+        self._segments: DataFrame | None = None
+        self._dictionary: DataFrame | None = None
 
-    # --- tables -----------------------------------------------------------
+    # --- tables (DataFrame handles cached per index — the reference keeps
+    # the header/dictionary metadata resident for the handle's lifetime,
+    # src_py/igd_base.h:70-84; repeated searches must not re-resolve footers
+    # or re-scan the dictionary) --------------------------------------------
     @property
     def segments(self) -> DataFrame:
-        return self.spark.read.parquet(os.path.join(self.path, "segments"))
+        if self._segments is None:
+            self._segments = self.spark.read.parquet(os.path.join(self.path, "segments"))
+        return self._segments
 
     @property
     def dictionary(self) -> DataFrame:
-        return self.spark.read.parquet(os.path.join(self.path, "dictionary"))
+        if self._dictionary is None:
+            self._dictionary = self.spark.read.parquet(
+                os.path.join(self.path, "dictionary")
+            ).persist()
+        return self._dictionary
 
     @property
     def doc_stats(self) -> DataFrame:
@@ -185,6 +196,8 @@ def build_index(
         return -1  # row count recorded separately to avoid a second job
 
     commit("segments", parts["segments"], write_segments)
+    for cached in parts.get("_cached", []):
+        cached.unpersist()
 
     meta = {
         "schema_version": SCHEMA_VERSION,

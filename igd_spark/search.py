@@ -44,14 +44,12 @@ TOPK_SCHEMA = T.StructType(
 def query_terms(queries: DataFrame, text_col: str = "query_text") -> DataFrame:
     """(query_id, term) — distinct terms per query (duplicates score once,
     shared convention with oracle + SQL)."""
-    return (
-        queries.select(
-            "query_id",
-            F.explode(F.array_distinct(tokens_col(F.col(text_col)))).alias("term"),
-        )
-        .filter(F.col("term") != "")
-        .distinct()
-    )
+    return queries.select(
+        "query_id",
+        F.explode(F.array_distinct(tokens_col(F.col(text_col)))).alias("term"),
+    ).filter(F.col("term") != "")
+    # array_distinct already dedups within a query; no cross-row distinct
+    # (that would add a shuffle for rows that are already unique)
 
 
 def rank_topk(scored: DataFrame, k: int) -> DataFrame:
