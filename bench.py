@@ -80,7 +80,10 @@ def materialize_corpus(spark, sf: float) -> tuple[str, int]:
     if not os.path.exists(marker):
         n_convs = max(int(CONVS_PER_SF * sf), 200)
         log(f"materializing corpus: {n_convs} convs → {path}")
-        df = synth_transcripts_distributed(spark, n_convs=n_convs, seed=42, partitions=max(CPUS, 8))
+        # partitions pinned (NOT a function of CPUS): the per-partition seed
+        # scheme means the partition count determines content; scaling runs
+        # at different parallelism must read byte-identical input
+        df = synth_transcripts_distributed(spark, n_convs=n_convs, seed=42, partitions=64)
         df.write.mode("overwrite").parquet(path)
     spark_df = spark.read.parquet(path)
     return path, spark_df.count()

@@ -1,18 +1,24 @@
 """Segment build — the `igd create` analog (src/igd_create.c:25-121).
 
-Pipeline (SURVEY §3.1 mapping):
-  docs → postings (tokenize+count, JVM built-ins)            [ingest, B1]
-       → join doc lengths (dl denormalized into postings,
-         like gdata_t.value rides in every record,
-         src/igd_base.h:45)                                  [stats, B7]
-       → salt hot terms (replaces interval duplication +
-         first-tile dedup, src/igd_base.c:162-172)           [B4/skew]
-       → groupBy(term, salt).applyInPandas(pack)             [spill+merge,
+Pipeline (SURVEY §3.1 mapping), ONE shuffle total:
+  docs → postings_spimi (tokenize+count+dl per partition,
+         Arrow kernel, zero shuffle)                         [ingest, B1/B7]
+       → salt hot terms (broadcast join vs tiny Zipf-head
+         table; replaces interval duplication + first-tile
+         dedup, src/igd_base.c:162-172)                      [B4/skew]
+       → repartition(shard) + sortWithinPartitions(term_id,
+         salt, doc_id)                                       [spill+merge,
          B5/B6: Spark's shuffle IS igd_saveT's run spill;
-         the in-kernel np.sort IS the radix-sort finalize,
+         the partition sort IS the radix-sort finalize,
          src/igd_base.c:424-459]
-       → block rows (delta+varint doc gaps, varint tfs,
-         per-block score upper bound)                        [S7 sink]
+       → mapInPandas block packer over the sorted stream     [S7 sink]
+       → block rows (delta+varint doc gaps, varint tfs/dls,
+         per-block score upper bound)
+
+shard = (pmod(term_id, n_shards) + salt) % n_shards: a hot term's salted
+sub-lists land on *different* shards (true skew spreading, north_rule), yet
+the probe set is computable from (term_id, n_salts) alone — no shuffle-time
+lookup. Cold terms (salt 0) keep shard = term_id % n_shards.
 
 Block-max metadata: each block stores ``ub_tf_dl`` = max over its postings of
 tf*(k1+1)/(tf + k1*(1-b+b*dl/avgdl)). The query-time block max score is
@@ -34,12 +40,14 @@ from pyspark.sql import types as T
 
 from igd_spark import codec
 from igd_spark.config import DEFAULT_CONF, IndexConf
-from igd_spark.stats import corpus_stats, doc_stats, term_stats
-from igd_spark.tokenizer import postings
+from igd_spark.stats import corpus_stats, doc_stats
+from igd_spark.tokenizer import postings_spimi
 
 BLOCK_SCHEMA = T.StructType(
     [
         T.StructField("term", T.StringType(), False),
+        T.StructField("term_id", T.LongType(), False),
+        T.StructField("shard", T.IntegerType(), False),
         T.StructField("salt", T.IntegerType(), False),
         T.StructField("block_id", T.IntegerType(), False),
         T.StructField("n", T.IntegerType(), False),
@@ -57,25 +65,35 @@ BLOCK_SCHEMA = T.StructType(
 )
 
 
-def salted_postings(
-    post_dl: DataFrame, tstats: DataFrame, conf: IndexConf
-) -> DataFrame:
-    """Add ``salt`` to postings: hot terms (df > salt_df_threshold) are split
-    into ceil(df/threshold) sub-lists by doc_id modulus; cold terms get
-    salt 0. Hot-term table is tiny (Zipf head) → broadcast join; the
-    subsequent groupBy(term, salt) is therefore bounded per group — the
-    memory-bound SPIMI batch, maxCount analog (src/igd_base.h:37)."""
-    hot = (
-        tstats.filter(F.col("df") > conf.salt_df_threshold)
-        .select(
-            "term",
-            F.least(
-                F.ceil(F.col("df") / conf.salt_df_threshold).cast("int"),
-                F.lit(conf.max_salts),
-            ).alias("n_salts"),
-        )
+def shard_col(term_id, salt, n_shards: int):
+    """shard = (pmod(term_id, n) + salt) % n — salted sub-lists of a hot term
+    spread to consecutive shards; probe set computable driver-side."""
+    return F.pmod(F.pmod(term_id, F.lit(n_shards)) + salt, F.lit(n_shards)).cast("int")
+
+
+def shards_for(term_id: int, n_salts: int, n_shards: int) -> list[int]:
+    """Driver-side mirror of shard_col for query-time partition pruning."""
+    base = term_id % n_shards
+    return [(base + s) % n_shards for s in range(max(n_salts, 1))]
+
+
+def hot_terms(tstats: DataFrame, conf: IndexConf) -> DataFrame:
+    """(term, n_salts) for terms with df above the salting threshold — the
+    Zipf head. Tiny by construction → broadcast."""
+    return tstats.filter(F.col("df") > conf.salt_df_threshold).select(
+        "term",
+        F.least(
+            F.ceil(F.col("df") / conf.salt_df_threshold).cast("int"),
+            F.lit(conf.max_salts),
+        ).alias("n_salts"),
     )
-    out = post_dl.join(F.broadcast(hot), "term", "left")
+
+
+def salted_postings(post: DataFrame, hot: DataFrame, conf: IndexConf) -> DataFrame:
+    """Add ``salt``: hot terms split into n_salts sub-lists by doc_id mod;
+    cold terms salt 0. Bounds every (term, salt) group — the memory-bound
+    SPIMI batch, maxCount analog (src/igd_base.h:37)."""
+    out = post.join(F.broadcast(hot), "term", "left")
     return out.withColumn(
         "salt",
         F.when(
@@ -85,59 +103,91 @@ def salted_postings(
     ).drop("n_salts")
 
 
-def _pack_kernel(conf: IndexConf, avgdl: float):
+def _pack_stream_kernel(conf: IndexConf, avgdl: float):
+    """Partition-wide packer: consumes the (term_id, salt, doc_id)-sorted
+    posting stream in Arrow batches, emits block rows. Carries the trailing
+    (possibly incomplete) group across batch boundaries — the builder never
+    holds more than one Arrow batch + one term's sub-list in memory (the
+    reference's bounded-batch ingest, src/igd_create.c:50-88)."""
     k1, b, bs = conf.k1, conf.b, conf.block_size
+    cols = ["term", "term_id", "shard", "salt", "doc_id", "tf", "dl"]
 
-    def pack(pdf: pd.DataFrame) -> pd.DataFrame:
-        term = pdf["term"].iat[0]
-        salt = int(pdf["salt"].iat[0])
-        order = np.argsort(pdf["doc_id"].to_numpy(), kind="stable")
-        doc_ids = pdf["doc_id"].to_numpy()[order].astype(np.int64)
-        tfs = pdf["tf"].to_numpy()[order].astype(np.int64)
-        dls = pdf["dl"].to_numpy()[order].astype(np.int64)
-        w = tfs * (k1 + 1.0) / (
-            tfs + k1 * (1.0 - b + b * dls.astype(np.float64) / avgdl)
-        )
-        rows = []
-        for bi, lo in enumerate(range(0, len(doc_ids), bs)):
-            hi = min(lo + bs, len(doc_ids))
-            d, t, dl = doc_ids[lo:hi], tfs[lo:hi], dls[lo:hi]
+    def pack_group(g: pd.DataFrame, rows: list) -> None:
+        term = g["term"].iat[0]
+        tid = int(g["term_id"].iat[0])
+        shard = int(g["shard"].iat[0])
+        salt = int(g["salt"].iat[0])
+        d = g["doc_id"].to_numpy(dtype=np.int64)
+        t = g["tf"].to_numpy(dtype=np.int64)
+        dl = g["dl"].to_numpy(dtype=np.int64)
+        w = t * (k1 + 1.0) / (t + k1 * (1.0 - b + b * dl.astype(np.float64) / avgdl))
+        for bi, lo in enumerate(range(0, d.size, bs)):
+            hi = min(lo + bs, d.size)
             rows.append(
                 (
-                    term,
-                    salt,
-                    bi,
-                    int(hi - lo),
-                    int(d[0]),
-                    int(d[-1]),
-                    codec.encode_doc_ids(d),
-                    codec.encode_tfs(t),
-                    codec.encode_tfs(dl),
-                    int(t.max()),
+                    term, tid, shard, salt, bi, int(hi - lo),
+                    int(d[lo]), int(d[hi - 1]),
+                    codec.encode_doc_ids(d[lo:hi]),
+                    codec.encode_tfs(t[lo:hi]),
+                    codec.encode_tfs(dl[lo:hi]),
+                    int(t[lo:hi].max()),
                     float(w[lo:hi].max()),
                 )
             )
-        return pd.DataFrame(rows, columns=[f.name for f in BLOCK_SCHEMA.fields])
 
-    return pack
+    def kernel(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        pending: pd.DataFrame | None = None
+        names = [f.name for f in BLOCK_SCHEMA.fields]
+        for pdf in it:
+            if not len(pdf):
+                continue
+            cur = pdf[cols] if pending is None else pd.concat([pending, pdf[cols]])
+            tid = cur["term_id"].to_numpy()
+            salt = cur["salt"].to_numpy()
+            # start index of the last (term_id, salt) group — held back as
+            # the next batch may continue it
+            change = np.flatnonzero((tid[1:] != tid[:-1]) | (salt[1:] != salt[:-1])) + 1
+            if change.size == 0:
+                pending = cur
+                continue
+            last_start = int(change[-1])
+            complete, pending = cur.iloc[:last_start], cur.iloc[last_start:]
+            rows: list = []
+            bounds = [0, *change[:-1].tolist(), last_start]
+            for lo, hi in zip(bounds[:-1], bounds[1:]):
+                pack_group(complete.iloc[lo:hi], rows)
+            if rows:
+                yield pd.DataFrame(rows, columns=names)
+        if pending is not None and len(pending):
+            rows = []
+            tid = pending["term_id"].to_numpy()
+            salt = pending["salt"].to_numpy()
+            change = np.flatnonzero((tid[1:] != tid[:-1]) | (salt[1:] != salt[:-1])) + 1
+            bounds = [0, *change.tolist(), len(pending)]
+            for lo, hi in zip(bounds[:-1], bounds[1:]):
+                pack_group(pending.iloc[lo:hi], rows)
+            yield pd.DataFrame(rows, columns=[f.name for f in BLOCK_SCHEMA.fields])
+
+    return kernel
 
 
-def build_segments(
-    post_dl_salted: DataFrame, conf: IndexConf, avgdl: float
-) -> DataFrame:
-    """(term, salt, block rows) → segment DataFrame with shard + term_id.
-
-    shard = pmod(xxhash64(term), n_shards): the physical partition key
-    (contig analog, SURVEY §1.4). Salted sub-lists of one term share its
-    shard so a term's blocks stay partition-local; skew inside a shard is
-    bounded by salting + AQE.
-    """
-    packed = post_dl_salted.groupBy("term", "salt").applyInPandas(
-        _pack_kernel(conf, avgdl), schema=BLOCK_SCHEMA
+def build_segments(salted: DataFrame, conf: IndexConf, avgdl: float) -> DataFrame:
+    """Salted postings → block rows. THE one shuffle of the build: postings
+    repartition on shard, partition sort on (term_id, salt, doc_id) — Spark's
+    external sort plays the reference's per-tile radix sort
+    (src/igd_base.h:199-249) with spill handled by Tungsten."""
+    with_keys = salted.withColumn("term_id", F.xxhash64("term")).withColumn(
+        "shard", shard_col(F.col("term_id"), F.col("salt"), conf.n_shards)
     )
-    return packed.withColumn("term_id", F.xxhash64("term")).withColumn(
-        "shard", F.pmod(F.col("term_id"), F.lit(conf.n_shards)).cast("int")
+    stream = with_keys.repartition(conf.n_shards, "shard").sortWithinPartitions(
+        "term_id", "salt", "doc_id"
     )
+    packed = stream.mapInPandas(_pack_stream_kernel(conf, avgdl), schema=BLOCK_SCHEMA)
+    # block rows are tiny (~|postings|/block_size); order them so the
+    # partitioned write's required ordering on `shard` is satisfied by a
+    # sort that keeps (term_id, salt, block_id) runs intact for row-group
+    # min/max pruning at query time
+    return packed.sortWithinPartitions("shard", "term_id", "salt", "block_id")
 
 
 def build_all(
@@ -149,38 +199,34 @@ def build_all(
     """Compute every index component as DataFrames + collected corpus stats.
     index.build_index() persists them with lineage/resume.
 
-    postings and doc_stats are .persist()ed: three downstream consumers
-    (stats sink, dictionary, segments) would otherwise re-run the tokenize +
-    (doc,term) shuffle once each — the reference pays this cost once too (its
-    ingest loop writes spill runs that the merge re-reads, src/igd_create.c:
-    50-88). Caller unpersists via the returned handles."""
+    postings are .persist()ed: the dictionary and segment stages would
+    otherwise re-run the tokenize kernel once each — the reference pays this
+    cost once too (its ingest loop writes spill runs the merge re-reads,
+    src/igd_create.c:50-88). Caller unpersists via the returned handle."""
     conf.validate()
-    post = postings(docs, text_col=text_col, id_col=id_col, conf=conf).persist()
-    ds = doc_stats(docs, text_col=text_col, id_col=id_col, conf=conf).persist()
+    post = postings_spimi(docs, text_col=text_col, id_col=id_col, conf=conf).persist()
+    # materialize the cache NOW, in one deterministic job: the dictionary
+    # stage's broadcast-exchange thread and its main plan would otherwise
+    # race to populate it (each running the full tokenize kernel), and the
+    # segment stage could miss it entirely
+    post.count()
+    ds = doc_stats(docs, text_col=text_col, id_col=id_col, conf=conf)
     cs_row = corpus_stats(ds).collect()[0]
     n_docs, avgdl = int(cs_row["n_docs"]), float(cs_row["avgdl"])
-    ts = term_stats(post)
-    dictionary = ts.select(
+    ts = post.groupBy("term").agg(F.count("*").cast("long").alias("df"))
+    hot = hot_terms(ts, conf)
+    dictionary = ts.join(F.broadcast(hot), "term", "left").select(
         "term",
         F.xxhash64("term").alias("term_id"),
         "df",
-        F.when(
-            F.col("df") > conf.salt_df_threshold,
-            F.least(
-                F.ceil(F.col("df") / conf.salt_df_threshold).cast("int"),
-                F.lit(conf.max_salts),
-            ),
-        )
-        .otherwise(F.lit(1))
-        .alias("n_salts"),
+        F.coalesce(F.col("n_salts"), F.lit(1)).alias("n_salts"),
     )
-    post_dl = post.join(ds, "doc_id")  # denormalize dl into each posting
-    salted = salted_postings(post_dl, ts, conf)
+    salted = salted_postings(post, hot, conf)
     segments = build_segments(salted, conf, avgdl)
     return {
         "segments": segments,
         "dictionary": dictionary,
         "doc_stats": ds,
         "corpus": {"n_docs": n_docs, "avgdl": avgdl},
-        "_cached": [post, ds],
+        "_cached": [post],
     }

@@ -185,14 +185,11 @@ def build_index(
     )
 
     def write_segments(df: DataFrame) -> int:
+        # df arrives repartitioned by shard and sorted (shard, term_id, salt,
+        # block_id) from build_segments — the partitioned write adds no
+        # shuffle and keeps term runs intact for row-group min/max pruning
         out = os.path.join(path, "segments")
-        (
-            df.repartition(conf.n_shards, "shard")
-            .sortWithinPartitions("term_id", "salt", "block_id")
-            .write.mode("overwrite")
-            .partitionBy("shard")
-            .parquet(out)
-        )
+        df.write.mode("overwrite").partitionBy("shard").parquet(out)
         return -1  # row count recorded separately to avoid a second job
 
     commit("segments", parts["segments"], write_segments)

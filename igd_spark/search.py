@@ -244,14 +244,22 @@ def search(
     qdict = (
         idx.dictionary.join(F.broadcast(qt), "term")
         .withColumn("idf", idf_col(idx.n_docs, "df"))
-        .select("query_id", "term_id", "idf")
+        .select("query_id", "term_id", "idf", "n_salts")
     )
     qrows = qdict.collect()  # tiny: |queries| × |terms|
     if not qrows:
         empty = spark.createDataFrame([], TOPK_SCHEMA)
         return rank_topk(empty, k)
+    from igd_spark.build import shards_for
+
     term_ids = sorted({r["term_id"] for r in qrows})
-    shards = sorted({tid % conf.n_shards for tid in term_ids})
+    shards = sorted(
+        {
+            s
+            for r in qrows
+            for s in shards_for(int(r["term_id"]), int(r["n_salts"]), conf.n_shards)
+        }
+    )
     qpdf = spark.createDataFrame(
         [(int(r["query_id"]), int(r["term_id"]), float(r["idf"])) for r in qrows],
         "query_id long, term_id long, idf double",
@@ -270,12 +278,22 @@ def match_enumerate(
 ) -> DataFrame:
     """Full-match enumeration (igd search -f analog, src/igd_search.c:537-620):
     every (query_id, term, doc_id, tf) hit, no aggregation."""
+    from igd_spark.build import shards_for
+
     qt = query_terms(queries)
     qdict = idx.dictionary.join(F.broadcast(qt), "term").select(
-        "query_id", "term_id"
+        "query_id", "term_id", "n_salts"
     )
-    term_ids = [int(r["term_id"]) for r in qdict.select("term_id").distinct().collect()]
-    shards = sorted({tid % idx.conf.n_shards for tid in term_ids})
+    trows = qdict.select("term_id", "n_salts").distinct().collect()
+    term_ids = [int(r["term_id"]) for r in trows]
+    shards = sorted(
+        {
+            s
+            for r in trows
+            for s in shards_for(int(r["term_id"]), int(r["n_salts"]), idx.conf.n_shards)
+        }
+    )
+    qdict = qdict.drop("n_salts")
     seg = idx.segments.filter(
         F.col("shard").isin(shards) & F.col("term_id").isin(term_ids)
     )

@@ -56,6 +56,69 @@ def postings(
     return toks.groupBy("doc_id", "term").agg(F.count("*").cast("int").alias("tf"))
 
 
+def postings_spimi(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    conf: IndexConf = DEFAULT_CONF,
+) -> DataFrame:
+    """(doc_id, term, tf, dl) — SPIMI-style per-partition posting builder
+    (BASELINE.json north_star). tf and dl are doc-local quantities, so they
+    are computed entirely inside one Arrow-batched kernel with ZERO shuffle:
+    the JVM explode+groupBy path shuffles ~|postings| rows to aggregate
+    something each partition already knows. This is the exact structural
+    analog of the reference's in-memory per-batch tile accumulation before
+    any disk round-trip (igd_add + igd_saveT, src/igd_base.c:118-174,
+    333-364): the shuffle happens once, later, at segment packing.
+
+    Emits dl (doc token count) denormalized onto every posting — the
+    gdata_t.value-rides-in-every-record discipline (src/igd_base.h:45) —
+    so the segment packer never joins doc_stats.
+
+    Semantics identical to postings() (tested); tokenizer spec shared with
+    the oracle: lowercase, split on non-alphanum runs, drop empties.
+    """
+    import re
+
+    import pandas as pd
+
+    from pyspark.sql import types as T
+
+    split_re = re.compile(conf.token_split_re)
+    out_schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType(), False),
+            T.StructField("term", T.StringType(), False),
+            T.StructField("tf", T.IntegerType(), False),
+            T.StructField("dl", T.IntegerType(), False),
+        ]
+    )
+
+    def kernel(it):
+        for pdf in it:
+            if not len(pdf):
+                continue
+            texts = pdf[text_col].fillna("").str.lower()
+            toks = texts.str.split(split_re)
+            s = pd.DataFrame({"doc_id": pdf[id_col], "term": toks}).explode("term")
+            s = s[(s["term"].notna()) & (s["term"] != "")]
+            if not len(s):
+                continue
+            g = s.groupby(["doc_id", "term"], sort=False).size().reset_index(name="tf")
+            dl = g.groupby("doc_id", sort=False)["tf"].sum().rename("dl")
+            g = g.join(dl, on="doc_id")
+            yield pd.DataFrame(
+                {
+                    "doc_id": g["doc_id"].astype("int64"),
+                    "term": g["term"],
+                    "tf": g["tf"].astype("int32"),
+                    "dl": g["dl"].astype("int32"),
+                }
+            )
+
+    return docs.select(id_col, text_col).mapInPandas(kernel, schema=out_schema)
+
+
 def term_id_col(term: Column | str = "term") -> Column:
     """Dense-dictionary-free term id: 64-bit hash (SURVEY §2 B4 — replaces the
     khash string→int interning, src/igd_base.c:122-145, with a stateless hash
