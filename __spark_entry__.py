@@ -278,6 +278,21 @@ def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return extract_features(synth_media(_docs(spark, sf_dir)))
 
 
+def q_seqpare_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from igd_spark import query_doc_jaccard
+
+    return query_doc_jaccard(_docs(spark, sf_dir), _queries_df(spark)).select(
+        "query_id", "doc_id", F.round("sm", 6).alias("sm")
+    )
+
+
+def q_seqpare_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # per-source greedy 1:1 matching — not SQL-expressible (rows-only check)
+    from igd_spark import seqpare_scores
+
+    return seqpare_scores(_docs(spark, sf_dir), _queries_df(spark))
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: BM25 top-10 over the sf0.001 documents corpus."""
     return q_bm25_topk(spark, "/root/testdata/sf0.001")
@@ -307,6 +322,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_cosine_topk": q_embedding_cosine_topk,
         "embedding_neardup": q_embedding_neardup,
         "embedding_lsh_ann": q_embedding_lsh_ann,
+        "seqpare_pairs": q_seqpare_pairs,
+        "seqpare_scores": q_seqpare_scores,
         "media_frame_sample": q_media_frame_sample,
         "media_stats": q_media_stats,
         "media_features": q_media_features,
@@ -600,6 +617,20 @@ r AS (SELECT query_id, vec_id, cos,
              row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id ASC)::INT AS rank
       FROM s)
 SELECT query_id, rank, vec_id, cos FROM r WHERE rank <= {K}
+"""
+
+    sql["seqpare_pairs"] = f"""
+WITH {_TL}, {_TOKS}, {_QT},
+dterms AS (SELECT DISTINCT doc_id, term FROM toks),
+qsize AS (SELECT query_id, count(*) AS nq FROM qterms GROUP BY 1),
+dsize AS (SELECT doc_id, count(*) AS nd FROM dterms GROUP BY 1),
+inter AS (
+  SELECT qt.query_id, d.doc_id, count(*) AS inter
+  FROM qterms qt JOIN dterms d USING (term)
+  GROUP BY 1, 2)
+SELECT i.query_id, i.doc_id,
+       round(i.inter::DOUBLE / (q.nq + d.nd - i.inter), 6) AS sm
+FROM inter i JOIN qsize q USING (query_id) JOIN dsize d USING (doc_id)
 """
 
     sql["media_frame_sample"] = f"""

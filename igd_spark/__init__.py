@@ -33,7 +33,8 @@ from igd_spark.dedup import (
     simhash_dedup_pairs,
 )
 from igd_spark.index import InvertedIndex, build_index, open_index
-from igd_spark.search import exact_bm25_topk, match_enumerate, search
+from igd_spark.search import bm25_scores, exact_bm25_topk, match_enumerate, search
+from igd_spark.seqpare import query_doc_jaccard, seqpare_scores
 from igd_spark.similarity import (
     cosine_neardup_pairs,
     cosine_topk,
@@ -49,6 +50,7 @@ __all__ = [
     "IndexConf",
     "InvertedIndex",
     "assign_doc_ids",
+    "bm25_scores",
     "build_index",
     "corpus_stats",
     "cosine_neardup_pairs",
@@ -67,7 +69,9 @@ __all__ = [
     "open_index",
     "pick_anchors",
     "postings",
+    "query_doc_jaccard",
     "search",
+    "seqpare_scores",
     "shingles",
     "simhash",
     "simhash_dedup_pairs",

@@ -204,17 +204,19 @@ def build_all(
     cost once too (its ingest loop writes spill runs the merge re-reads,
     src/igd_create.c:50-88). Caller unpersists via the returned handle."""
     conf.validate()
+    spark = docs.sparkSession
     post = postings_spimi(docs, text_col=text_col, id_col=id_col, conf=conf).persist()
-    # materialize the cache NOW, in one deterministic job: the dictionary
-    # stage's broadcast-exchange thread and its main plan would otherwise
-    # race to populate it (each running the full tokenize kernel), and the
-    # segment stage could miss it entirely
-    post.count()
     ds = doc_stats(docs, text_col=text_col, id_col=id_col, conf=conf)
     cs_row = corpus_stats(ds).collect()[0]
     n_docs, avgdl = int(cs_row["n_docs"]), float(cs_row["avgdl"])
     ts = post.groupBy("term").agg(F.count("*").cast("long").alias("df"))
-    hot = hot_terms(ts, conf)
+    # collect the Zipf head ONCE (this job also deterministically populates
+    # the postings cache — no broadcast-exchange/main-plan race) and reuse it
+    # as a literal table in both the dictionary and the salting join
+    hot_rows = [
+        (r["term"], int(r["n_salts"])) for r in hot_terms(ts, conf).collect()
+    ]
+    hot = spark.createDataFrame(hot_rows, "term string, n_salts int")
     dictionary = ts.join(F.broadcast(hot), "term", "left").select(
         "term",
         F.xxhash64("term").alias("term_id"),

@@ -45,10 +45,15 @@ def shingles(docs: DataFrame, n: int = DEFAULT_SHINGLE_N,
     """(doc_id, shingle) — DISTINCT word n-grams per document (space-joined).
     Docs with fewer than n tokens produce zero shingles."""
     toks = nonempty_tokens(text_col)
-    sh = F.transform(
-        F.sequence(F.lit(1), F.greatest(F.size(toks) - (n - 1), F.lit(0))),
-        lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
-    )
+    # guard: sequence(1, 0) in Spark is DESCENDING [1, 0], so docs shorter
+    # than n tokens must short-circuit to an empty array, not an empty range
+    sh = F.when(
+        F.size(toks) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - (n - 1)),
+            lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
     return (
         docs.select(F.col(id_col).alias("doc_id"), F.explode(sh).alias("shingle"))
         .distinct()

@@ -173,17 +173,6 @@ def build_index(
         n = writer(df)
         _write_lineage(path, stage, {"rows": n, "secs": time.time() - t0})
 
-    commit(
-        "doc_stats",
-        parts["doc_stats"],
-        lambda df: _count_write(df, os.path.join(path, "doc_stats")),
-    )
-    commit(
-        "dictionary",
-        parts["dictionary"],
-        lambda df: _count_write(df, os.path.join(path, "dictionary")),
-    )
-
     def write_segments(df: DataFrame) -> int:
         # df arrives repartitioned by shard and sorted (shard, term_id, salt,
         # block_id) from build_segments — the partitioned write adds no
@@ -192,6 +181,17 @@ def build_index(
         df.write.mode("overwrite").partitionBy("shard").parquet(out)
         return -1  # row count recorded separately to avoid a second job
 
+    # sequential commits: measured faster than concurrent jobs here (slot
+    # contention between the pack shuffle and the sink scans), and the
+    # ordered lineage markers give a well-defined resume frontier
+    commit(
+        "doc_stats", parts["doc_stats"],
+        lambda df: _count_write(df, os.path.join(path, "doc_stats")),
+    )
+    commit(
+        "dictionary", parts["dictionary"],
+        lambda df: _count_write(df, os.path.join(path, "dictionary")),
+    )
     commit("segments", parts["segments"], write_segments)
     for cached in parts.get("_cached", []):
         cached.unpersist()

@@ -35,6 +35,7 @@ from igd_spark.tokenizer import postings, tokens_col
 TOPK_SCHEMA = T.StructType(
     [
         T.StructField("query_id", T.LongType(), False),
+        T.StructField("rank", T.IntegerType(), False),
         T.StructField("doc_id", T.LongType(), False),
         T.StructField("score", T.DoubleType(), False),
     ]
@@ -141,7 +142,7 @@ def _maxscore_kernel(k: int, min_tf: int, k1: float, b: float, avgdl: float):
             sigma = idf * float(g["ub_tf_dl"].max())
             lists.append((sigma, int(tid), int(salt), idf, g))
         if not lists:
-            return pd.DataFrame(columns=["query_id", "doc_id", "score"])
+            return pd.DataFrame(columns=["query_id", "rank", "doc_id", "score"])
         # order: sigma desc, then ids for determinism
         lists.sort(key=lambda x: (-x[0], x[1], x[2]))
 
@@ -180,7 +181,7 @@ def _maxscore_kernel(k: int, min_tf: int, k1: float, b: float, avgdl: float):
                 all_ids.append(d)
                 all_w.append(idf * w)
         if not all_ids:
-            return pd.DataFrame(columns=["query_id", "doc_id", "score"])
+            return pd.DataFrame(columns=["query_id", "rank", "doc_id", "score"])
         ids = np.concatenate(all_ids)
         ws = np.concatenate(all_w)
         uids, inv = np.unique(ids, return_inverse=True)
@@ -216,6 +217,7 @@ def _maxscore_kernel(k: int, min_tf: int, k1: float, b: float, avgdl: float):
         return pd.DataFrame(
             {
                 "query_id": np.full(order.size, qid, dtype=np.int64),
+                "rank": np.arange(1, order.size + 1, dtype=np.int32),
                 "doc_id": uids[order],
                 "score": scores[order],
             }
@@ -248,8 +250,7 @@ def search(
     )
     qrows = qdict.collect()  # tiny: |queries| × |terms|
     if not qrows:
-        empty = spark.createDataFrame([], TOPK_SCHEMA)
-        return rank_topk(empty, k)
+        return spark.createDataFrame([], TOPK_SCHEMA)
     from igd_spark.build import shards_for
 
     term_ids = sorted({r["term_id"] for r in qrows})
@@ -269,8 +270,9 @@ def search(
     )
     blocks = seg.join(F.broadcast(qpdf), "term_id")
     kernel = _maxscore_kernel(k, min_tf, conf.k1, conf.b, idx.avgdl)
-    scored = blocks.groupBy("query_id").applyInPandas(kernel, schema=TOPK_SCHEMA)
-    return rank_topk(scored, k)
+    # each group is a complete query: the kernel emits final ranked top-k
+    # directly — no post-shuffle window (one less exchange per search)
+    return blocks.groupBy("query_id").applyInPandas(kernel, schema=TOPK_SCHEMA)
 
 
 def match_enumerate(

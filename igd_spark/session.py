@@ -29,6 +29,10 @@ def get_spark(
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        # byte-based AQE coalescing measured faster here than forcing
+        # core-count partitions (Python-kernel groups are few and chunky);
+        # parallelismFirst (default true) already floors at cluster parallelism
+        .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "true")
         # skew-join handling for the Zipf term distribution (SURVEY §4)
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")

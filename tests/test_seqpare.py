@@ -1,0 +1,89 @@
+"""Seqpare analog (igd search -s, src/igd_search.c:253-451): Spark result vs
+a tiny pure-python oracle implementing the same pair-similarity + greedy 1:1
+matching + normalization."""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+
+from igd_spark import oracle
+from igd_spark.config import IndexConf
+from igd_spark.corpus import assign_doc_ids
+from igd_spark.seqpare import greedy_match, seqpare_scores
+
+
+def _py_seqpare(docs_rows, queries, n_q):
+    """docs_rows: [(doc_id, source, text)]. Oracle per-source scores."""
+    qsets = {qid: set(oracle.tokenize(t)) for qid, t in queries}
+    by_src: dict[str, list] = {}
+    sizes: dict[str, int] = {}
+    for doc_id, src, text in docs_rows:
+        sizes[src] = sizes.get(src, 0) + 1
+        dset = set(oracle.tokenize(text))
+        for qid, qs in qsets.items():
+            inter = len(qs & dset)
+            if inter:
+                sm = inter / (len(qs) + len(dset) - inter)
+                by_src.setdefault(src, []).append((qid, doc_id, sm))
+    out = {}
+    for src, nr in sizes.items():
+        matched = greedy_match(by_src.get(src, []))
+        s = sum(m[2] for m in matched)
+        out[src] = (nr, len(matched), round(s, 6), round(s / (n_q + nr - s), 6))
+    return out
+
+
+@pytest.fixture(scope="module")
+def sourced_docs(spark, tiny_pdf):
+    pdf = tiny_pdf.copy()
+    docs = spark.createDataFrame(pdf).withColumn(
+        "source", (pd and None) or None  # placeholder, replaced below
+    ) if False else None
+    # assign a source by conv bucket, deterministic
+    from pyspark.sql import functions as F
+
+    from igd_spark.corpus import TRANSCRIPT_SCHEMA
+
+    df = spark.createDataFrame(pdf, schema=TRANSCRIPT_SCHEMA)
+    df = assign_doc_ids(df, IndexConf())
+    df = df.withColumn(
+        "source", F.concat(F.lit("src"), (F.col("doc_id") % 4).cast("string"))
+    )
+    return df.cache()
+
+
+def test_seqpare_matches_python_oracle(spark, sourced_docs):
+    queries = [
+        (0, "error timeout"),
+        (1, "t00000 t00001"),
+        (2, "t00123 deploy t00007"),
+    ]
+    qdf = spark.createDataFrame(
+        pd.DataFrame(queries, columns=["query_id", "query_text"])
+    )
+    got = {
+        r["source"]: (r["n_docs"], r["n_matched"], r["sm_total"], r["score"])
+        for r in seqpare_scores(sourced_docs, qdf).collect()
+    }
+    rows = [
+        (r["doc_id"], r["source"], r["text"])
+        for r in sourced_docs.select("doc_id", "source", "text").collect()
+    ]
+    exp = _py_seqpare(rows, queries, n_q=len(queries))
+    # sources with zero overlapping pairs produce no Spark row — oracle
+    # entries with n_matched == 0 are allowed to be absent
+    for src, (nr, nm, s, score) in exp.items():
+        if nm == 0:
+            assert src not in got
+            continue
+        g = got[src]
+        assert g[0] == nr and g[1] == nm
+        assert abs(g[2] - s) < 1e-6 and abs(g[3] - score) < 1e-6
+
+
+def test_greedy_match_reference_semantics():
+    # repeated-global-max with row/col zeroing, ties (sm desc, q, d)
+    pairs = [(0, 10, 0.9), (0, 11, 0.8), (1, 10, 0.8), (1, 11, 0.7), (2, 12, 0.8)]
+    got = greedy_match(pairs)
+    assert got == [(0, 10, 0.9), (2, 12, 0.8), (1, 11, 0.7)]
