@@ -32,7 +32,7 @@ from igd_spark.dedup import (
     shingles,
     simhash_dedup_pairs,
 )
-from igd_spark.index import InvertedIndex, build_index, open_index
+from igd_spark.index import InvertedIndex, append_index, build_index, open_index
 from igd_spark.search import bm25_scores, exact_bm25_topk, match_enumerate, search
 from igd_spark.seqpare import query_doc_jaccard, seqpare_scores
 from igd_spark.similarity import (
@@ -49,6 +49,7 @@ from igd_spark.tokenizer import postings, tokens_col
 __all__ = [
     "IndexConf",
     "InvertedIndex",
+    "append_index",
     "assign_doc_ids",
     "bm25_scores",
     "build_index",

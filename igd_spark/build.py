@@ -60,7 +60,12 @@ BLOCK_SCHEMA = T.StructType(
         # billion-row doc_stats table at query time
         T.StructField("dls", T.BinaryType(), False),
         T.StructField("max_tf", T.IntegerType(), False),
+        T.StructField("min_dl", T.IntegerType(), False),
         T.StructField("ub_tf_dl", T.DoubleType(), False),
+        # the avgdl this block's ub_tf_dl was computed under: after an
+        # append changes corpus avgdl, the stored bound may be unsafe, and
+        # the scorer recomputes a looser bound from (max_tf, min_dl)
+        T.StructField("b_avgdl", T.DoubleType(), False),
     ]
 )
 
@@ -131,7 +136,9 @@ def _pack_stream_kernel(conf: IndexConf, avgdl: float):
                     codec.encode_tfs(t[lo:hi]),
                     codec.encode_tfs(dl[lo:hi]),
                     int(t[lo:hi].max()),
+                    int(dl[lo:hi].min()),
                     float(w[lo:hi].max()),
+                    float(avgdl),
                 )
             )
 
@@ -209,6 +216,7 @@ def build_all(
     ds = doc_stats(docs, text_col=text_col, id_col=id_col, conf=conf)
     cs_row = corpus_stats(ds).collect()[0]
     n_docs, avgdl = int(cs_row["n_docs"]), float(cs_row["avgdl"])
+    sum_dl = int(cs_row["sum_dl"])
     ts = post.groupBy("term").agg(F.count("*").cast("long").alias("df"))
     # collect the Zipf head ONCE (this job also deterministically populates
     # the postings cache — no broadcast-exchange/main-plan race) and reuse it
@@ -229,6 +237,6 @@ def build_all(
         "segments": segments,
         "dictionary": dictionary,
         "doc_stats": ds,
-        "corpus": {"n_docs": n_docs, "avgdl": avgdl},
+        "corpus": {"n_docs": n_docs, "avgdl": avgdl, "sum_dl": sum_dl},
         "_cached": [post],
     }

@@ -35,7 +35,7 @@ from igd_spark.build import build_all
 from igd_spark.config import DEFAULT_CONF, IndexConf
 from igd_spark.corpus import assign_doc_ids
 
-SCHEMA_VERSION = 1
+SCHEMA_VERSION = 2  # v2: blocks carry (min_dl, b_avgdl) for append-safe bounds
 _STAGES = ("doc_stats", "dictionary", "segments")
 
 
@@ -210,6 +210,87 @@ def build_index(
 def _count_write(df: DataFrame, out: str) -> int:
     df.write.mode("overwrite").parquet(out)
     return -1
+
+
+def append_index(
+    spark: SparkSession,
+    path: str,
+    new_docs: DataFrame,
+    text_col: str = "text",
+    id_col: str | None = "doc_id",
+) -> InvertedIndex:
+    """Incremental index maintenance — the reference's resumable batched
+    ingest (src/igd_create.c:50-88) lifted to a live-append capability.
+
+    New documents' segments are packed with the standard pipeline and
+    APPENDED to the same partitioned layout; collection statistics merge
+    additively (df' = df + df_delta, sum_dl' = sum_dl + sum_dl_delta,
+    n_docs' = n + n_delta) so BM25 scores after append equal a full rebuild.
+    Blocks record their build-time avgdl; after the merged avgdl shifts, the
+    scorer swaps their stored score bound for a safe (max_tf, min_dl) bound —
+    pruning stays rank-safe, only slightly looser, until a compaction rebuild.
+
+    Caller must supply doc_ids disjoint from the existing corpus (the hash
+    doc-id scheme guarantees this for new (conv_id, turn_idx) pairs;
+    audit_doc_ids() over the union is the paranoid check).
+    """
+    idx = open_index(spark, path)
+    conf = idx.conf
+    if id_col is None:
+        if conf.doc_id_method != "hash":
+            # dense ids restart at 0 per batch — only the stateless composite
+            # hash is append-safe (SURVEY §7.3c)
+            raise ValueError("append with auto ids requires doc_id_method='hash'")
+        new_docs = assign_doc_ids(new_docs, conf)
+        id_col = "doc_id"
+    t0 = time.time()
+    parts = build_all(new_docs, conf=conf, text_col=text_col, id_col=id_col)
+    delta = parts["corpus"]
+
+    # segments + doc_stats: plain partitioned appends
+    parts["segments"].write.mode("append").partitionBy("shard").parquet(
+        os.path.join(path, "segments")
+    )
+    parts["doc_stats"].write.mode("append").parquet(os.path.join(path, "doc_stats"))
+
+    # dictionary: additive df merge, n_salts = max (probe set must cover the
+    # union of physical salt values in old + new segments)
+    old_dict = idx.dictionary
+    new_dict = parts["dictionary"]
+    merged = (
+        old_dict.select("term", "df", "n_salts")
+        .unionByName(new_dict.select("term", "df", "n_salts"))
+        .groupBy("term")
+        .agg(F.sum("df").alias("df"), F.max("n_salts").alias("n_salts"))
+        .select("term", F.xxhash64("term").alias("term_id"), "df", "n_salts")
+    )
+    tmp_dict = os.path.join(path, "dictionary_new")
+    merged.write.mode("overwrite").parquet(tmp_dict)
+    old_dict.unpersist()
+    final_dict = os.path.join(path, "dictionary")
+    import shutil
+
+    shutil.rmtree(final_dict)
+    os.rename(tmp_dict, final_dict)
+    for cached in parts.get("_cached", []):
+        cached.unpersist()
+
+    n = idx.meta["corpus"]["n_docs"] + delta["n_docs"]
+    sum_dl = idx.meta["corpus"].get("sum_dl", 0) + delta["sum_dl"]
+    idx.meta["corpus"] = {
+        "n_docs": n,
+        "avgdl": (sum_dl / n) if n else 0.0,
+        "sum_dl": sum_dl,
+    }
+    idx.meta["appends"] = idx.meta.get("appends", 0) + 1
+    with open(os.path.join(path, "_meta.json"), "w") as f:
+        json.dump(idx.meta, f, indent=1)
+    _write_lineage(
+        path,
+        f"append_{idx.meta['appends']:04d}",
+        {"rows": delta["n_docs"], "secs": time.time() - t0},
+    )
+    return open_index(spark, path)
 
 
 def open_index(spark: SparkSession, path: str) -> InvertedIndex:

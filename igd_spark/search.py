@@ -132,6 +132,20 @@ def _maxscore_kernel(k: int, min_tf: int, k1: float, b: float, avgdl: float):
         w = tf * (k1 + 1.0) / (tf + k1 * (1.0 - b + b * dl / avgdl))
         return d, w
 
+    def block_ub(g: pd.DataFrame) -> float:
+        """Per-list score upper bound. Blocks whose stored ub was computed
+        under the CURRENT avgdl use it (tight); blocks built before an
+        append (different avgdl) get a safe bound from (max_tf, min_dl) —
+        f(tf, dl) is increasing in tf and decreasing in dl."""
+        stored_ok = np.isclose(g["b_avgdl"].to_numpy(dtype=np.float64), avgdl, rtol=1e-12)
+        ub = g["ub_tf_dl"].to_numpy(dtype=np.float64).copy()
+        if not stored_ok.all():
+            mt = g["max_tf"].to_numpy(dtype=np.float64)
+            md = g["min_dl"].to_numpy(dtype=np.float64)
+            loose = mt * (k1 + 1.0) / (mt + k1 * (1.0 - b + b * md / avgdl))
+            ub = np.where(stored_ok, ub, loose)
+        return float(ub.max())
+
     def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
         qid = int(pdf["query_id"].iat[0])
         # lists = (term_id, salt) groups, deterministic order
@@ -139,7 +153,7 @@ def _maxscore_kernel(k: int, min_tf: int, k1: float, b: float, avgdl: float):
         for (tid, salt), g in pdf.groupby(["term_id", "salt"], sort=True):
             g = g.sort_values("block_id")
             idf = float(g["idf"].iat[0])
-            sigma = idf * float(g["ub_tf_dl"].max())
+            sigma = idf * block_ub(g)
             lists.append((sigma, int(tid), int(salt), idf, g))
         if not lists:
             return pd.DataFrame(columns=["query_id", "rank", "doc_id", "score"])

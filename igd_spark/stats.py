@@ -40,6 +40,7 @@ def corpus_stats(doc_stats_df: DataFrame) -> DataFrame:
     return doc_stats_df.agg(
         F.count("*").alias("n_docs"),
         (F.sum("dl") / F.count("*")).cast("double").alias("avgdl"),
+        F.coalesce(F.sum("dl"), F.lit(0)).cast("long").alias("sum_dl"),
     )
 
 

@@ -1,0 +1,89 @@
+"""Incremental index maintenance: append_index and the Structured Streaming
+ingest must produce an index whose BM25 top-k is rank-identical to a scorer
+over the full corpus — including after avgdl shifts invalidate stored block
+bounds (the safe-bound fallback path)."""
+
+from __future__ import annotations
+
+import os
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from igd_spark import IndexConf, build_index, exact_bm25_topk, open_index, search
+from igd_spark.corpus import assign_doc_ids
+from igd_spark.index import append_index
+
+CONF = IndexConf(
+    block_size=32, n_shards=8, salt_df_threshold=64, max_salts=4, doc_id_method="hash"
+)
+
+
+def _queries(spark):
+    qs = [(0, "error timeout"), (1, "t00000"), (2, "t00123 t00007 deploy"), (3, "t00001 t00002")]
+    return spark.createDataFrame(pd.DataFrame(qs, columns=["query_id", "query_text"]))
+
+
+def _topk_key(df):
+    return sorted(
+        (r["query_id"], r["rank"], r["doc_id"], round(r["score"], 9)) for r in df.collect()
+    )
+
+
+@pytest.fixture(scope="module")
+def split_corpus(spark, tiny_docs):
+    docs = assign_doc_ids(tiny_docs, CONF).cache()
+    # deterministic half split by conversation
+    first = docs.filter(F.crc32(F.col("conv_id")) % 2 == 0).cache()
+    second = docs.filter(F.crc32(F.col("conv_id")) % 2 == 1).cache()
+    assert first.count() > 0 and second.count() > 0
+    return docs, first, second
+
+
+def test_append_matches_full_rebuild(spark, split_corpus, tmp_path):
+    docs, first, second = split_corpus
+    path = str(tmp_path / "idx")
+    build_index(spark, first, path, conf=CONF)
+    idx = append_index(spark, path, second)
+    queries = _queries(spark)
+    got = _topk_key(search(spark, idx, queries, k=10))
+    want = _topk_key(exact_bm25_topk(docs, queries, k=10, conf=CONF))
+    assert got == want
+    # merged corpus stats are exact (integer-additive)
+    assert idx.n_docs == docs.count()
+    # reopen picks up the merged meta
+    idx2 = open_index(spark, path)
+    assert idx2.meta["appends"] == 1
+    assert _topk_key(search(spark, idx2, queries, k=10)) == want
+
+
+def test_stream_append_matches_full_rebuild(spark, split_corpus, tmp_path):
+    docs, first, second = split_corpus
+    path = str(tmp_path / "sidx")
+    # base index on the first half; stream in the second half as file drops
+    build_index(spark, first, path, conf=CONF)
+    drops = str(tmp_path / "drops")
+    second.drop("doc_id").repartition(3).write.parquet(drops)
+
+    from igd_spark.streaming import stream_append, transcript_stream
+
+    stream = transcript_stream(spark, drops, max_files_per_trigger=1)
+    q = stream_append(stream, path, str(tmp_path / "ckpt"))
+    q.awaitTermination(120)
+    idx = open_index(spark, path)
+    assert idx.meta["appends"] >= 1
+
+    queries = _queries(spark)
+    got = _topk_key(search(spark, idx, queries, k=10))
+    want = _topk_key(exact_bm25_topk(docs, queries, k=10, conf=CONF))
+    assert got == want
+
+
+def test_append_rejects_dense_ids(spark, split_corpus, tmp_path):
+    _, first, second = split_corpus
+    dense_conf = IndexConf(block_size=32, n_shards=8, doc_id_method="dense")
+    path = str(tmp_path / "didx")
+    build_index(spark, first, path, conf=dense_conf)
+    with pytest.raises(ValueError, match="append"):
+        append_index(spark, path, second.drop("doc_id"), id_col=None)
