@@ -90,6 +90,17 @@ class InvertedIndex:
     def doc_stats(self) -> DataFrame:
         return self.spark.read.parquet(os.path.join(self.path, "doc_stats"))
 
+    def hot(self) -> "InvertedIndex":
+        """Pin the segment table in executor memory and materialize it —
+        steady-state serving mode (the reference keeps its whole block
+        directory resident and relies on the OS page cache for blocks,
+        src/igd_base.h:96-105; a long-lived Spark service does the same
+        with the storage layer). Returns self."""
+        self._segments = self.segments.persist()
+        self._segments.count()
+        self.dictionary.count()
+        return self
+
     # --- introspection (A7 analog: IGDr get_nCtgs/get_binSize/get_binLen/
     # get_binData, IGDr/R/IGDr.R:86-159) ------------------------------------
     def n_shards(self) -> int:
@@ -272,6 +283,10 @@ def append_index(
 
     shutil.rmtree(final_dict)
     os.rename(tmp_dict, final_dict)
+    # the caller's handle now points at replaced files — invalidate its
+    # cached DataFrames so accidental reuse re-resolves instead of failing
+    idx._dictionary = None
+    idx._segments = None
     for cached in parts.get("_cached", []):
         cached.unpersist()
 

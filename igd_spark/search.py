@@ -114,8 +114,23 @@ def exact_bm25_topk(
 # --------------------------------------------------------------------------
 
 
-def _maxscore_kernel(k: int, min_tf: int, k1: float, b: float, avgdl: float):
-    """Per-query vectorized MaxScore over whole posting lists.
+def _maxscore_kernel(
+    k: int,
+    min_tf: int,
+    k1: float,
+    b: float,
+    avgdl: float,
+    bucket_queries: dict[int, list[tuple[int, int, float]]],
+):
+    """Bucketed, per-query-vectorized MaxScore.
+
+    Each kernel call receives ONE bucket of queries: the deduplicated union
+    of their terms' posting blocks (a block travels the shuffle once per
+    bucket, not once per query) plus, via closure, the bucket's
+    (query_id, term_id, idf) mapping. Inside, every query runs the safe
+    MaxScore loop over its own lists; decode work is shared through a
+    task-local list cache (the reference's block cache,
+    src/igd_search.c:469-475, generalized).
 
     Safe (rank-identical) pruning: a doc is eliminated only when its score
     upper bound is provably below the k-th best final score, so exact ties
@@ -124,40 +139,32 @@ def _maxscore_kernel(k: int, min_tf: int, k1: float, b: float, avgdl: float):
     Decode strategy: varint framing is self-delimiting, so an entire
     (term, salt) list decodes in ONE numpy pass over the concatenation of
     its block buffers — per-block delta baselines are restored with a
-    segmented cumsum. Decoded (doc_ids, idf-free weights) are cached
-    task-locally (the reference's block cache, src/igd_search.c:469-475,
-    generalized): Zipf query batches hit the same hot lists from hundreds
-    of query groups in one task. Block-level IO pruning still happens a
-    level up (shard partitions + term_id row-group min/max at the scan);
-    once block rows have reached the kernel, full-list decode + one
-    searchsorted beats per-block lazy decode by ~10x in CPU.
+    segmented cumsum. Block-level IO pruning happens a level up (shard
+    partitions + term_id row-group min/max at the scan); once block rows
+    reach the kernel, full-list decode + one searchsorted beats per-block
+    lazy decode by ~10x in CPU.
     """
 
     _cache: dict = {}
     _cache_postings = [0]
     _CACHE_MAX_POSTINGS = 4_000_000  # ~64 MB of decoded arrays per task
 
-    def decode_list(g: pd.DataFrame) -> tuple[np.ndarray, np.ndarray]:
+    def decode_list(key, g: pd.DataFrame) -> tuple[np.ndarray, np.ndarray]:
         """(doc_ids, w) for one (term, salt) list given its block rows
         (sorted by block_id). d is NOT globally sorted when base+delta
         appends interleave — consumers must not assume sortedness."""
-        n_arr = g["n"].to_numpy(dtype=np.int64)
-        firsts = g["first_doc"].to_numpy(dtype=np.int64)
-        key = (
-            int(g["term_id"].iat[0]), int(g["salt"].iat[0]),
-            int(n_arr.sum()), int(firsts[0]), int(firsts[-1]), len(n_arr),
-        )
         hit = _cache.get(key)
         if hit is not None:
             return hit
+        n_arr = g["n"].to_numpy(dtype=np.int64)
         dbuf = b"".join(bytes(x) for x in g["doc_ids"])
         tbuf = b"".join(bytes(x) for x in g["tfs"])
         lbuf = b"".join(bytes(x) for x in g["dls"])
         vals = codec.varint_decode(dbuf).astype(np.int64)
         ends = np.cumsum(n_arr)
         # segmented cumsum: vals[start] is the absolute first doc of each
-        # block, the rest are gaps → cumsum minus the offset at each
-        # block start restores absolute ids per block
+        # block, the rest are gaps → cumsum minus the offset at each block
+        # start restores absolute ids per block
         c = np.cumsum(vals)
         seg_off = np.concatenate(([0], c[ends[:-1] - 1]))
         d = c - np.repeat(seg_off, n_arr)
@@ -188,25 +195,18 @@ def _maxscore_kernel(k: int, min_tf: int, k1: float, b: float, avgdl: float):
             ub = np.where(stored_ok, ub, loose)
         return float(ub.max())
 
-    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
-        qid = int(pdf["query_id"].iat[0])
-        # lists = (term_id, salt) groups, deterministic order
-        lists = []
-        for (tid, salt), g in pdf.groupby(["term_id", "salt"], sort=True):
-            g = g.sort_values("block_id", kind="stable")
-            idf = float(g["idf"].iat[0])
-            sigma = idf * list_ub(g)
-            lists.append((sigma, int(tid), int(salt), idf, g))
+    def score_one(qid: int, lists: list) -> pd.DataFrame | None:
+        """lists: [(sigma, term_id, salt, idf, key, g)] for this query."""
         if not lists:
-            return pd.DataFrame(columns=["query_id", "rank", "doc_id", "score"])
+            return None
         # order: sigma desc, then ids for determinism
         lists.sort(key=lambda x: (-x[0], x[1], x[2]))
 
         # --- bootstrap θ0: fully score the cheapest list (fewest postings)
-        costs = [int(g["n"].sum()) for (_, _, _, _, g) in lists]
+        costs = [int(g["n"].sum()) for (_, _, _, _, _, g) in lists]
         bi = int(np.argmin(costs))
-        _, _, _, idf_b, g_b = lists[bi]
-        _, w_b = decode_list(g_b)
+        _, _, _, idf_b, key_b, g_b = lists[bi]
+        _, w_b = decode_list(key_b, g_b)
         bs_all = idf_b * w_b
         theta = float(np.partition(bs_all, -k)[-k]) if bs_all.size >= k else 0.0
 
@@ -228,12 +228,12 @@ def _maxscore_kernel(k: int, min_tf: int, k1: float, b: float, avgdl: float):
         # reported scores must be exact, so contribution-dropping skips are
         # not allowed; pruning only ever ELIMINATES candidates)
         all_ids, all_w = [], []
-        for _, tid, salt, idf, g in essential:
-            d, w = decode_list(g)
+        for _, tid, salt, idf, key, g in essential:
+            d, w = decode_list(key, g)
             all_ids.append(d)
             all_w.append(idf * w)
         if not all_ids:
-            return pd.DataFrame(columns=["query_id", "rank", "doc_id", "score"])
+            return None
         ids = np.concatenate(all_ids)
         ws = np.concatenate(all_w)
         uids, inv = np.unique(ids, return_inverse=True)
@@ -243,13 +243,13 @@ def _maxscore_kernel(k: int, min_tf: int, k1: float, b: float, avgdl: float):
         # process in descending sigma so θ tightens fastest
         deferred.sort(key=lambda x: (-x[0], x[1], x[2]))
         remaining = float(sum(l[0] for l in deferred))
-        for sigma, tid, salt, idf, g in deferred:
+        for sigma, tid, salt, idf, key, g in deferred:
             if uids.size > k:
                 kth = float(np.partition(scores, -k)[-k])
                 theta = max(theta, kth)
                 keep = scores + remaining >= theta
                 uids, scores = uids[keep], scores[keep]
-            d, w = decode_list(g)
+            d, w = decode_list(key, g)
             pos = np.searchsorted(uids, d)
             valid = pos < uids.size
             pos_v = pos[valid]
@@ -267,6 +267,39 @@ def _maxscore_kernel(k: int, min_tf: int, k1: float, b: float, avgdl: float):
             }
         )
 
+    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(columns=["query_id", "rank", "doc_id", "score"])
+        if not len(pdf):
+            return empty
+        bucket = int(pdf["bucket"].iat[0])
+        # index this bucket's lists once: term_id → [(salt, key, g, ub)]
+        by_term: dict[int, list] = {}
+        for (tid, salt), g in pdf.groupby(["term_id", "salt"], sort=True):
+            g = g.sort_values("block_id", kind="stable")
+            n_arr = g["n"].to_numpy(dtype=np.int64)
+            firsts = g["first_doc"].to_numpy(dtype=np.int64)
+            key = (int(tid), int(salt), int(n_arr.sum()), int(firsts[0]),
+                   int(firsts[-1]), len(n_arr))
+            by_term.setdefault(int(tid), []).append((int(salt), key, g, list_ub(g)))
+        outs = []
+        for qid, tid, idf in bucket_queries.get(bucket, []):
+            lists = [
+                (idf * ubv, tid2, salt, idf, key, g)
+                for tid2 in [tid]
+                for (salt, key, g, ubv) in by_term.get(tid2, [])
+            ]
+            outs.append((qid, lists))
+        # merge lists of multi-term queries (entries above are per term)
+        per_query: dict[int, list] = {}
+        for qid, lists in outs:
+            per_query.setdefault(qid, []).extend(lists)
+        frames = []
+        for qid in sorted(per_query):
+            f = score_one(qid, per_query[qid])
+            if f is not None:
+                frames.append(f)
+        return pd.concat(frames) if frames else empty
+
     return kernel
 
 
@@ -276,14 +309,17 @@ def search(
     queries: DataFrame,
     k: int = 10,
     min_tf: int = 0,
+    n_buckets: int | None = None,
 ) -> DataFrame:
     """Index-backed BM25 top-k → (query_id, rank, doc_id, score).
 
     Physical plan: dictionary ⋈(broadcast queries) → term_id list → segment
     scan pruned by shard partition values + term_id row-group min/max (the
-    files are sorted by term_id within each shard) → broadcast join to attach
-    (query_id, idf) → groupBy(query_id).applyInPandas(MaxScore kernel) →
-    ranks. One shuffle (by query_id) carrying only the pruned blocks.
+    files are sorted by term_id within each shard) → join to DISTINCT
+    (bucket, term_id) pairs so each block is shuffled once per query BUCKET
+    (not once per query — Zipf query sets share hot terms heavily) →
+    groupBy(bucket).applyInPandas(MaxScore kernel; per-bucket query→term→idf
+    map rides in the closure) → final ranked top-k straight from the kernel.
     """
     conf = idx.conf
     qt = query_terms(queries)
@@ -305,18 +341,29 @@ def search(
             for s in shards_for(int(r["term_id"]), int(r["n_salts"]), conf.n_shards)
         }
     )
-    qpdf = spark.createDataFrame(
-        [(int(r["query_id"]), int(r["term_id"]), float(r["idf"])) for r in qrows],
-        "query_id long, term_id long, idf double",
+    n_queries = len({int(r["query_id"]) for r in qrows})
+    if n_buckets is None:
+        # enough buckets to parallelize, few enough that hot-term blocks
+        # dedup well within a bucket
+        n_buckets = max(1, min(n_queries, 2 * spark.sparkContext.defaultParallelism))
+    bucket_queries: dict[int, list[tuple[int, int, float]]] = {}
+    bucket_terms: set[tuple[int, int]] = set()
+    for r in qrows:
+        qid, tid, idf = int(r["query_id"]), int(r["term_id"]), float(r["idf"])
+        bkt = qid % n_buckets
+        bucket_queries.setdefault(bkt, []).append((qid, tid, idf))
+        bucket_terms.add((bkt, tid))
+    btdf = spark.createDataFrame(
+        sorted(bucket_terms), "bucket int, term_id long"
     )
     seg = idx.segments.filter(
         F.col("shard").isin(shards) & F.col("term_id").isin(term_ids)
     )
-    blocks = seg.join(F.broadcast(qpdf), "term_id")
-    kernel = _maxscore_kernel(k, min_tf, conf.k1, conf.b, idx.avgdl)
-    # each group is a complete query: the kernel emits final ranked top-k
-    # directly — no post-shuffle window (one less exchange per search)
-    return blocks.groupBy("query_id").applyInPandas(kernel, schema=TOPK_SCHEMA)
+    blocks = seg.join(F.broadcast(btdf), "term_id")
+    kernel = _maxscore_kernel(k, min_tf, conf.k1, conf.b, idx.avgdl, bucket_queries)
+    # each group is a complete bucket of queries: the kernel emits final
+    # ranked top-k directly — no post-shuffle window
+    return blocks.groupBy("bucket").applyInPandas(kernel, schema=TOPK_SCHEMA)
 
 
 def match_enumerate(
