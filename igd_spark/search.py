@@ -343,9 +343,12 @@ def search(
     )
     n_queries = len({int(r["query_id"]) for r in qrows})
     if n_buckets is None:
-        # enough buckets to parallelize, few enough that hot-term blocks
-        # dedup well within a bucket
-        n_buckets = max(1, min(n_queries, 2 * spark.sparkContext.defaultParallelism))
+        # target ~64 queries per bucket: block-dedup within a bucket
+        # dominates task parallelism (measured: at 32 cores, 16 buckets of
+        # 64 queries beat 64 buckets of 16 queries 2x — total decode work
+        # shrinks with bucket size, and work volume must NOT grow with the
+        # cluster size). Floor of 8 buckets keeps small batches parallel.
+        n_buckets = max(min(8, n_queries), -(-n_queries // 64))
     bucket_queries: dict[int, list[tuple[int, int, float]]] = {}
     bucket_terms: set[tuple[int, int]] = set()
     for r in qrows:
