@@ -258,6 +258,21 @@ def q_embedding_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_ann_topk(e, _emb_queries(spark, sf_dir), anchors, k=K)
 
 
+def q_embedding_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from igd_spark import pick_anchors
+    from igd_spark.similarity import ivf_ann_topk
+
+    e = _emb(spark, sf_dir)
+    anchors = pick_anchors(e, N_ANCHORS)
+    return ivf_ann_topk(e, _emb_queries(spark, sf_dir), anchors, k=K)
+
+
+def q_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from igd_spark.textstats import token_count_variants
+
+    return token_count_variants(_docs(spark, sf_dir))
+
+
 def q_media_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     from igd_spark.multimodal import frame_sample, synth_media
 
@@ -322,6 +337,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_cosine_topk": q_embedding_cosine_topk,
         "embedding_neardup": q_embedding_neardup,
         "embedding_lsh_ann": q_embedding_lsh_ann,
+        "embedding_ivf_ann": q_embedding_ivf_ann,
+        "token_counts": q_token_counts,
         "seqpare_pairs": q_seqpare_pairs,
         "seqpare_scores": q_seqpare_scores,
         "media_frame_sample": q_media_frame_sample,
@@ -631,6 +648,44 @@ inter AS (
 SELECT i.query_id, i.doc_id,
        round(i.inter::DOUBLE / (q.nq + d.nd - i.inter), 6) AS sm
 FROM inter i JOIN qsize q USING (query_id) JOIN dsize d USING (doc_id)
+"""
+
+    sql["embedding_ivf_ann"] = f"""
+WITH anc AS (SELECT vec_id AS anchor_id, embedding::DOUBLE[] AS av,
+                    list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]) / 2.0 AS hn
+             FROM embeddings WHERE vec_id < {N_ANCHORS}),
+e AS (SELECT vec_id, embedding::DOUBLE[] AS ev FROM embeddings),
+escore AS (
+  SELECT e.vec_id, anc.anchor_id,
+         row_number() OVER (PARTITION BY e.vec_id
+             ORDER BY round(list_dot_product(ev, av) - hn, 9) DESC, anchor_id ASC) AS rn
+  FROM e CROSS JOIN anc),
+ecell AS (SELECT vec_id, anchor_id AS cell FROM escore WHERE rn = 1),
+q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv FROM embeddings
+      WHERE vec_id < {N_EMB_QUERIES}),
+qscore AS (
+  SELECT q.query_id, anc.anchor_id,
+         row_number() OVER (PARTITION BY q.query_id
+             ORDER BY round(list_dot_product(qv, av) - hn, 9) DESC, anchor_id ASC) AS rn
+  FROM q CROSS JOIN anc),
+qcell AS (SELECT query_id, anchor_id AS cell FROM qscore WHERE rn = 1),
+s AS (
+  SELECT q.query_id, e.vec_id, {_EMB_COS} AS cos
+  FROM q JOIN qcell USING (query_id)
+  JOIN ecell ON ecell.cell = qcell.cell
+  JOIN e ON e.vec_id = ecell.vec_id),
+r AS (SELECT query_id, vec_id, cos,
+             row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id ASC)::INT AS rank
+      FROM s)
+SELECT query_id, rank, vec_id, cos FROM r WHERE rank <= {K}
+"""
+
+    sql["token_counts"] = r"""
+SELECT doc_id,
+       len(list_filter(regexp_split_to_array(coalesce(text, ''), '\s+'), x -> x <> ''))::INT AS n_ws,
+       len(regexp_extract_all(coalesce(text, ''), '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]+'))::INT AS n_bpeish,
+       len(list_filter(regexp_split_to_array(lower(coalesce(text, '')), '[^a-z0-9]+'), x -> x <> ''))::INT AS n_alnum
+FROM documents
 """
 
     sql["media_frame_sample"] = f"""

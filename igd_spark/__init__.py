@@ -39,6 +39,7 @@ from igd_spark.similarity import (
     cosine_neardup_pairs,
     cosine_topk,
     cosine_topk_arrow,
+    ivf_ann_topk,
     lsh_ann_topk,
     pick_anchors,
 )
@@ -61,6 +62,7 @@ __all__ = [
     "exact_bm25_topk",
     "exact_dedup",
     "fingerprint",
+    "ivf_ann_topk",
     "lang_id",
     "lsh_ann_topk",
     "match_enumerate",

@@ -153,6 +153,53 @@ def lsh_ann_topk(
     )
 
 
+def ivf_bucket_col(vec: Column, anchors: list[list[float]]) -> Column:
+    """IVF coarse quantization: bucket = argmin over anchors of the L2
+    distance (equivalently argmax of dot - |a|^2/2), ties broken by the
+    smallest anchor id (array_position returns the FIRST max). Linear-size
+    expression: a folded when/otherwise argmax duplicates subtrees
+    exponentially and stalls Catalyst."""
+    scores = []
+    for anc in anchors:
+        arr = F.array(*[F.lit(float(x)) for x in anc])
+        half_norm = F.lit(float(sum(x * x for x in anc) / 2.0))
+        scores.append(F.round(dot_col(vec, arr) - half_norm, 9))
+    sarr = F.array(*scores)
+    return (F.array_position(sarr, F.array_max(sarr)) - 1).cast("int")
+
+
+def ivf_ann_topk(
+    emb: DataFrame,
+    queries: DataFrame,
+    anchors: list[list[float]],
+    k: int = 10,
+    emb_id: str = "vec_id",
+    emb_col: str = "embedding",
+    q_id: str = "query_id",
+    q_col: str = "query_vec",
+) -> DataFrame:
+    """(query_id, rank, vec_id, cos) — IVF-style approximate top-k: corpus
+    vectors are coarse-quantized to their nearest anchor (inverted file);
+    each query probes only its own cell. At 100 TB the corpus is written
+    partitioned by cell → partition-pruned scan, 1/|anchors| of the data
+    (nprobe=1; more cells = recall knob)."""
+    e = emb.select(F.col(emb_id).alias("vec_id"), _dvec(emb_col).alias("ev")).withColumn(
+        "cell", ivf_bucket_col(F.col("ev"), anchors)
+    )
+    q = queries.select(F.col(q_id).alias("query_id"), _dvec(q_col).alias("qv")).withColumn(
+        "cell", ivf_bucket_col(F.col("qv"), anchors)
+    )
+    j = e.join(F.broadcast(q), "cell")
+    cos = dot_col(F.col("qv"), F.col("ev")) / (norm_col(F.col("qv")) * norm_col(F.col("ev")))
+    scored = j.select("query_id", "vec_id", F.round(cos, 6).alias("cos"))
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "vec_id", "cos")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Arrow/BLAS kernel — the physical hot path at scale
 # ---------------------------------------------------------------------------

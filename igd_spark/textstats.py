@@ -73,6 +73,27 @@ def text_stats(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") 
     )
 
 
+# BPE-ish pre-tokenizer: letter runs | digit runs | non-space symbol runs —
+# the word-boundary regex BPE vocabularies are trained over (no merges here;
+# counting pre-tokens approximates token budgets within a constant factor)
+BPEISH_RE = "[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]+"
+
+
+def token_count_variants(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """(doc_id, n_ws, n_bpeish, n_alnum) — three token-budget estimators:
+    whitespace split, BPE-ish pre-token regex, and the engine tokenizer.
+    Pure JVM expressions; used for training-data budgeting at scale."""
+    t = F.coalesce(F.col(text_col), F.lit(""))
+    ws = F.size(F.filter(F.split(t, "\\s+"), lambda x: x != F.lit("")))
+    bpeish = F.size(F.regexp_extract_all(t, F.lit(BPEISH_RE), 0))
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        ws.cast("int").alias("n_ws"),
+        bpeish.cast("int").alias("n_bpeish"),
+        F.size(nonempty_tokens(text_col)).cast("int").alias("n_alnum"),
+    )
+
+
 def lang_id(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """(doc_id, lang_pred, votes) — marker-stopword vote, argmax with
     (votes desc, lang asc) tie-break; zero votes → 'und'."""
