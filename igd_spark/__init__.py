@@ -32,7 +32,13 @@ from igd_spark.dedup import (
     shingles,
     simhash_dedup_pairs,
 )
-from igd_spark.index import InvertedIndex, append_index, build_index, open_index
+from igd_spark.index import (
+    InvertedIndex,
+    append_index,
+    build_index,
+    compact_index,
+    open_index,
+)
 from igd_spark.search import bm25_scores, exact_bm25_topk, match_enumerate, search
 from igd_spark.seqpare import query_doc_jaccard, seqpare_scores
 from igd_spark.similarity import (
@@ -54,6 +60,7 @@ __all__ = [
     "assign_doc_ids",
     "bm25_scores",
     "build_index",
+    "compact_index",
     "corpus_stats",
     "cosine_neardup_pairs",
     "cosine_topk",

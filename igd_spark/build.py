@@ -197,6 +197,92 @@ def build_segments(salted: DataFrame, conf: IndexConf, avgdl: float) -> DataFram
     return packed.sortWithinPartitions("shard", "term_id", "salt", "block_id")
 
 
+def _repack_stream_kernel(conf: IndexConf, avgdl: float):
+    """Compaction kernel: consumes EXISTING block rows sorted by
+    (term_id, salt, block_id), merges each (term, salt) list (base + append
+    deltas), re-sorts by doc_id, and re-packs fixed-size blocks with score
+    bounds under the CURRENT avgdl — the igd_save finalize pass
+    (src/igd_base.c:424-459) run as maintenance instead of initial build."""
+    k1, b, bs = conf.k1, conf.b, conf.block_size
+    names = [f.name for f in BLOCK_SCHEMA.fields]
+
+    def repack_group(g: pd.DataFrame, rows: list) -> None:
+        n_arr = g["n"].to_numpy(dtype=np.int64)
+        vals = codec.varint_decode(b"".join(bytes(x) for x in g["doc_ids"])).astype(np.int64)
+        ends = np.cumsum(n_arr)
+        c = np.cumsum(vals)
+        seg_off = np.concatenate(([0], c[ends[:-1] - 1]))
+        d = c - np.repeat(seg_off, n_arr)
+        t = codec.varint_decode(b"".join(bytes(x) for x in g["tfs"])).astype(np.int64)
+        dl = codec.varint_decode(b"".join(bytes(x) for x in g["dls"])).astype(np.int64)
+        order = np.argsort(d, kind="stable")
+        d, t, dl = d[order], t[order], dl[order]
+        w = t * (k1 + 1.0) / (t + k1 * (1.0 - b + b * dl.astype(np.float64) / avgdl))
+        term = g["term"].iat[0]
+        tid = int(g["term_id"].iat[0])
+        shard = int(g["shard"].iat[0])
+        salt = int(g["salt"].iat[0])
+        for bi, lo in enumerate(range(0, d.size, bs)):
+            hi = min(lo + bs, d.size)
+            rows.append(
+                (
+                    term, tid, shard, salt, bi, int(hi - lo),
+                    int(d[lo]), int(d[hi - 1]),
+                    codec.encode_doc_ids(d[lo:hi]),
+                    codec.encode_tfs(t[lo:hi]),
+                    codec.encode_tfs(dl[lo:hi]),
+                    int(t[lo:hi].max()),
+                    int(dl[lo:hi].min()),
+                    float(w[lo:hi].max()),
+                    float(avgdl),
+                )
+            )
+
+    def kernel(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = ["term", "term_id", "shard", "salt", "block_id", "n",
+                "first_doc", "doc_ids", "tfs", "dls"]
+        pending: pd.DataFrame | None = None
+        for pdf in it:
+            if not len(pdf):
+                continue
+            cur = pdf[cols] if pending is None else pd.concat([pending, pdf[cols]])
+            tid = cur["term_id"].to_numpy()
+            salt = cur["salt"].to_numpy()
+            change = np.flatnonzero((tid[1:] != tid[:-1]) | (salt[1:] != salt[:-1])) + 1
+            if change.size == 0:
+                pending = cur
+                continue
+            last_start = int(change[-1])
+            complete, pending = cur.iloc[:last_start], cur.iloc[last_start:]
+            rows: list = []
+            bounds = [0, *change[:-1].tolist(), last_start]
+            for lo, hi in zip(bounds[:-1], bounds[1:]):
+                repack_group(complete.iloc[lo:hi], rows)
+            if rows:
+                yield pd.DataFrame(rows, columns=names)
+        if pending is not None and len(pending):
+            rows = []
+            tid = pending["term_id"].to_numpy()
+            salt = pending["salt"].to_numpy()
+            change = np.flatnonzero((tid[1:] != tid[:-1]) | (salt[1:] != salt[:-1])) + 1
+            bounds = [0, *change.tolist(), len(pending)]
+            for lo, hi in zip(bounds[:-1], bounds[1:]):
+                repack_group(pending.iloc[lo:hi], rows)
+            yield pd.DataFrame(rows, columns=names)
+
+    return kernel
+
+
+def repack_segments(segments: DataFrame, conf: IndexConf, avgdl: float) -> DataFrame:
+    """Existing block rows → merged, re-blocked, bound-refreshed block rows
+    (same one-shuffle shape as build_segments)."""
+    stream = segments.repartition(conf.n_shards, "shard").sortWithinPartitions(
+        "term_id", "salt", "block_id"
+    )
+    packed = stream.mapInPandas(_repack_stream_kernel(conf, avgdl), schema=BLOCK_SCHEMA)
+    return packed.sortWithinPartitions("shard", "term_id", "salt", "block_id")
+
+
 def build_all(
     docs: DataFrame,
     conf: IndexConf = DEFAULT_CONF,

@@ -308,6 +308,34 @@ def append_index(
     return open_index(spark, path)
 
 
+def compact_index(spark: SparkSession, path: str) -> InvertedIndex:
+    """Merge append deltas into their base lists, re-sort by doc_id, re-pack
+    fixed-size blocks, and refresh every block-max bound under the current
+    merged avgdl — restores the tight-pruning invariant append_index trades
+    away. Stats tables are already exact (additive merges), so only the
+    segment layout is rewritten; one shuffle, same as a build."""
+    from igd_spark.build import repack_segments
+
+    idx = open_index(spark, path)
+    t0 = time.time()
+    new_seg = repack_segments(idx.segments, idx.conf, idx.avgdl)
+    tmp = os.path.join(path, "segments_compacted")
+    new_seg.write.mode("overwrite").partitionBy("shard").parquet(tmp)
+    final = os.path.join(path, "segments")
+    import shutil
+
+    shutil.rmtree(final)
+    os.rename(tmp, final)
+    idx.meta["appends"] = 0
+    idx.meta["compactions"] = idx.meta.get("compactions", 0) + 1
+    with open(os.path.join(path, "_meta.json"), "w") as f:
+        json.dump(idx.meta, f, indent=1)
+    _write_lineage(
+        path, f"compact_{idx.meta['compactions']:04d}", {"rows": -1, "secs": time.time() - t0}
+    )
+    return open_index(spark, path)
+
+
 def open_index(spark: SparkSession, path: str) -> InvertedIndex:
     """`igd_py.open` analog (src_py/igd_base.c:161-222): load header metadata
     once; block data stays on disk until queried."""

@@ -80,6 +80,42 @@ def test_stream_append_matches_full_rebuild(spark, split_corpus, tmp_path):
     assert got == want
 
 
+def test_compact_after_append(spark, split_corpus, tmp_path):
+    from igd_spark import compact_index
+
+    docs, first, second = split_corpus
+    path = str(tmp_path / "cidx")
+    build_index(spark, first, path, conf=CONF)
+    append_index(spark, path, second)
+    idx = compact_index(spark, path)
+    queries = _queries(spark)
+    got = _topk_key(search(spark, idx, queries, k=10))
+    want = _topk_key(exact_bm25_topk(docs, queries, k=10, conf=CONF))
+    assert got == want
+    # fragments merged: one block_id sequence per (term, salt), no dupes
+    from pyspark.sql import functions as F
+
+    dupes = (
+        idx.segments.groupBy("term", "salt", "block_id")
+        .count()
+        .filter(F.col("count") > 1)
+        .count()
+    )
+    assert dupes == 0
+    # every bound refreshed under the merged avgdl → tight pruning restored
+    stale = idx.segments.filter(F.abs(F.col("b_avgdl") - idx.avgdl) > 1e-9).count()
+    assert stale == 0
+    assert idx.meta["compactions"] == 1 and idx.meta["appends"] == 0
+    # doc ids strictly increasing within merged blocks
+    import numpy as np
+
+    from igd_spark import codec
+
+    for r in idx.segments.limit(200).collect():
+        d = codec.decode_doc_ids(bytes(r["doc_ids"]))
+        assert (np.diff(d) > 0).all()
+
+
 def test_append_rejects_dense_ids(spark, split_corpus, tmp_path):
     _, first, second = split_corpus
     dense_conf = IndexConf(block_size=32, n_shards=8, doc_id_method="dense")
