@@ -41,6 +41,9 @@ N_HASHES = 16
 BAND_ROWS = 4
 JACCARD_TH = 0.3
 EST_JACCARD_TH = 0.3
+MAX_SHINGLE_DF = 100  # hot-shingle cap exercised in BOTH engines
+COOC_MIN_TF = 2
+COOC_MINTF_MIN_DF = 50
 SIMHASH_BITS = 32
 SIMHASH_BANDS = 4
 MAX_HAMMING = 3
@@ -162,9 +165,17 @@ def q_term_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # shingle granularity: non-vacuous on corpora without verbatim dups
     from igd_spark import source_overlap_matrix
 
-    return source_overlap_matrix(_docs(spark, sf_dir))
+    return source_overlap_matrix(_docs(spark, sf_dir), granularity="shingle", shingle_n=SHINGLE_N)
+
+
+def q_term_cooccurrence_mintf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # value-filtered hitsmap (getMap_v analog): tf >= COOC_MIN_TF postings only
+    from igd_spark import term_cooccurrence
+
+    return term_cooccurrence(_docs(spark, sf_dir), min_df=COOC_MINTF_MIN_DF, min_tf=COOC_MIN_TF)
 
 
 def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -176,7 +187,9 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     from igd_spark import ngram_jaccard_pairs
 
-    return ngram_jaccard_pairs(_docs(spark, sf_dir), threshold=JACCARD_TH, n=SHINGLE_N)
+    return ngram_jaccard_pairs(
+        _docs(spark, sf_dir), threshold=JACCARD_TH, n=SHINGLE_N, max_shingle_df=MAX_SHINGLE_DF
+    )
 
 
 def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -245,9 +258,21 @@ def q_embedding_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # exact all-pairs baseline (oracle mode); the default API routes banded
     from igd_spark import cosine_neardup_pairs
 
-    return cosine_neardup_pairs(_emb(spark, sf_dir), threshold=COS_NEARDUP_TH)
+    return cosine_neardup_pairs(_emb(spark, sf_dir), threshold=COS_NEARDUP_TH, exact=True)
+
+
+def q_embedding_neardup_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # the scale path: sign-LSH band candidates + exact cosine verify; the
+    # oracle mirrors the banding, so the check is exact (not recall-fuzzy)
+    from igd_spark import pick_anchors
+    from igd_spark.similarity import cosine_neardup_banded
+
+    e = _emb(spark, sf_dir)
+    anchors = pick_anchors(e, N_ANCHORS)
+    return cosine_neardup_banded(e, anchors, threshold=COS_NEARDUP_TH, n_bands=4)
 
 
 def q_embedding_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -280,17 +305,19 @@ def q_media_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_media_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # Arrow-kernel metadata extraction; no SQL oracle (rows-only check)
+    # Arrow-kernel metadata extraction; oracle reconstructs the byte stream
+    # from hex(encode(text)) in SQL
     from igd_spark.multimodal import media_stats, synth_media
 
     return media_stats(synth_media(_docs(spark, sf_dir)))
 
 
 def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # stubbed-decode featurization; no SQL oracle (rows-only check)
-    from igd_spark.multimodal import extract_features, synth_media
+    # stubbed-decode featurization, LONG format (media_id, dim, value) so
+    # the rows can be canonicalized; value rounded to 6 dp in both engines
+    from igd_spark.multimodal import extract_features_long, synth_media
 
-    return extract_features(synth_media(_docs(spark, sf_dir)))
+    return extract_features_long(synth_media(_docs(spark, sf_dir)))
 
 
 def q_seqpare_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -324,6 +351,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_topk_indexed": q_bm25_topk_indexed,
         "match_enumerate": q_match_enumerate,
         "term_cooccurrence": q_term_cooccurrence,
+        "term_cooccurrence_mintf": q_term_cooccurrence_mintf,
         "source_overlap": q_source_overlap,
         "dedup_exact": q_dedup_exact,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
@@ -336,6 +364,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id": q_lang_id,
         "embedding_cosine_topk": q_embedding_cosine_topk,
         "embedding_neardup": q_embedding_neardup,
+        "embedding_neardup_banded": q_embedding_neardup_banded,
         "embedding_lsh_ann": q_embedding_lsh_ann,
         "embedding_ivf_ann": q_embedding_ivf_ann,
         "token_counts": q_token_counts,
@@ -463,10 +492,22 @@ FROM p2 a JOIN p2 b ON a.doc_id = b.doc_id AND a.term < b.term
 GROUP BY 1, 2
 """
 
-    sql["source_overlap"] = """
-WITH h AS (SELECT source AS src, md5(coalesce(text, '')) AS chash, doc_id FROM documents)
+    sql["source_overlap"] = f"""
+WITH {_TL}, {_SHINGLES},
+ssrc AS (SELECT DISTINCT d.source AS src, sh.shingle
+         FROM sh JOIN documents d USING (doc_id))
 SELECT a.src AS src_a, b.src AS src_b, count(*)::BIGINT AS n_shared
-FROM h a JOIN h b ON a.chash = b.chash AND a.doc_id < b.doc_id
+FROM ssrc a JOIN ssrc b ON a.shingle = b.shingle AND a.src < b.src
+GROUP BY 1, 2
+"""
+
+    sql["term_cooccurrence_mintf"] = f"""
+WITH {_TL}, {_TOKS}, {_POST},
+pv AS (SELECT doc_id, term FROM post WHERE tf >= {COOC_MIN_TF}),
+keep AS (SELECT term FROM pv GROUP BY term HAVING count(*) >= {COOC_MINTF_MIN_DF}),
+p2 AS (SELECT doc_id, term FROM pv WHERE term IN (SELECT term FROM keep))
+SELECT a.term AS term_a, b.term AS term_b, count(*)::BIGINT AS n_docs
+FROM p2 a JOIN p2 b ON a.doc_id = b.doc_id AND a.term < b.term
 GROUP BY 1, 2
 """
 
@@ -481,10 +522,12 @@ FROM h
 
     sql["dedup_ngram_jaccard"] = f"""
 WITH {_TL}, {_SHINGLES},
-sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
+keep AS (SELECT shingle FROM sh GROUP BY 1 HAVING count(*) <= {MAX_SHINGLE_DF}),
+shc AS (SELECT sh.doc_id, sh.shingle FROM sh JOIN keep USING (shingle)),
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM shc GROUP BY 1),
 inter AS (
   SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
-  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  FROM shc a JOIN shc b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
   GROUP BY 1, 2),
 j AS (
   SELECT doc_a, doc_b,
@@ -702,6 +745,104 @@ SELECT media_id, frame_idx,
 FROM f
 """
 
-    # media_stats / media_features: Arrow-kernel ops (sha1/entropy/histogram
-    # features) — intentionally no SQL oracle; driver records rows-only.
+    band_bits = 2  # 8 anchors / 4 bands
+    sql["embedding_neardup_banded"] = f"""
+WITH anc AS (SELECT vec_id AS anchor_id, embedding::DOUBLE[] AS av FROM embeddings
+             WHERE vec_id < {N_ANCHORS}),
+e AS (SELECT vec_id, embedding::DOUBLE[] AS ev FROM embeddings),
+bits AS (
+  SELECT e.vec_id, (anchor_id // {band_bits})::INT AS band_id,
+         CASE WHEN list_dot_product(ev, av) >= 0
+              THEN (1 << (anchor_id % {band_bits})::INT) ELSE 0 END AS bit
+  FROM e CROSS JOIN anc),
+bands AS (SELECT vec_id, band_id, sum(bit)::INT AS band_val FROM bits GROUP BY 1, 2),
+cand AS (
+  SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+  FROM bands a JOIN bands b
+    ON a.band_id = b.band_id AND a.band_val = b.band_val AND a.vec_id < b.vec_id),
+s AS (
+  SELECT c.vec_a, c.vec_b,
+         round(list_dot_product(ea.ev, eb.ev) / (sqrt(list_dot_product(ea.ev, ea.ev))
+               * sqrt(list_dot_product(eb.ev, eb.ev))), 6) AS cos
+  FROM cand c JOIN e ea ON ea.vec_id = c.vec_a JOIN e eb ON eb.vec_id = c.vec_b)
+SELECT vec_a, vec_b, cos FROM s WHERE cos >= {COS_NEARDUP_TH}
+"""
+
+    # media oracles: DuckDB has no blob byte accessor, so the byte stream is
+    # reconstructed from hex(encode(text)) — byte i = ('0x'||substr(hx,2i-1,2)).
+    # The Spark kernels hash/fold the SAME canonical bytes (md5 of uppercase
+    # hex; histogram of byte % 16), so the check is exact.
+    _MEDIA = (
+        "m AS (SELECT doc_id AS media_id, "
+        "(['image', 'audio', 'video'])[(doc_id % 3 + 1)::INT] AS media_type, "
+        "hex(encode(coalesce(text, ''))) AS hx FROM documents), "
+        "idx AS (SELECT media_id, hx, "
+        "unnest(generate_series(1, length(hx) // 2)) AS i FROM m), "
+        "mbytes AS (SELECT media_id, ('0x' || substr(hx, (2*i-1)::INT, 2))::INT AS b FROM idx)"
+    )
+
+    sql["media_stats"] = f"""
+WITH {_MEDIA},
+hist AS (SELECT media_id, b, count(*)::DOUBLE AS c FROM mbytes GROUP BY 1, 2),
+ent AS (SELECT media_id, log2(sum(c)) - sum(c * log2(c)) / sum(c) AS e
+        FROM hist GROUP BY 1)
+SELECT m.media_id, m.media_type, (length(m.hx) // 2)::INT AS n_bytes,
+       substr(md5(m.hx), 1, 8) AS md5_8,
+       coalesce(floor(ent.e * 1000 + 0.5), 0)::INT AS entropy_q
+FROM m LEFT JOIN ent USING (media_id)
+"""
+
+    sql["media_features"] = f"""
+WITH {_MEDIA},
+hist AS (SELECT media_id, (b % 16)::INT AS dim, count(*)::DOUBLE AS c
+         FROM mbytes GROUP BY 1, 2),
+nrm AS (SELECT media_id, sqrt(sum(c * c)) AS nrm FROM hist GROUP BY 1),
+dims AS (SELECT media_id, dim::INT AS dim
+         FROM m CROSS JOIN (SELECT unnest(generate_series(0, 15)) AS dim))
+SELECT d.media_id, d.dim, coalesce(round(h.c / n.nrm, 6), 0.0) AS value
+FROM dims d
+LEFT JOIN hist h USING (media_id, dim)
+LEFT JOIN nrm n ON n.media_id = d.media_id
+"""
+
+    # seqpare_scores: the greedy 1:1 matching IS SQL-expressible — one
+    # matched pair per recursion step (max n_q steps), accumulated in greedy
+    # order so the float total is bit-identical to the kernel's sequential
+    # sum. Mirrors igd_spark.seqpare.greedy_match / src/igd_search.c:397-448.
+    n_q_total = len(QUERY_SET)
+    sql["seqpare_scores"] = f"""
+WITH RECURSIVE {_TL}, {_TOKS}, {_QT},
+dterms AS (SELECT DISTINCT doc_id, term FROM toks),
+qsize AS (SELECT query_id, count(*) AS nq FROM qterms GROUP BY 1),
+dsize AS (SELECT doc_id, count(*) AS nd FROM dterms GROUP BY 1),
+inter AS (
+  SELECT qt.query_id, d.doc_id, count(*) AS inter
+  FROM qterms qt JOIN dterms d USING (term) GROUP BY 1, 2),
+rawpairs AS (
+  SELECT i.query_id AS q, i.doc_id AS d,
+         i.inter / (qs.nq + ds.nd - i.inter) AS sm, doc.source AS source
+  FROM inter i
+  JOIN qsize qs USING (query_id)
+  JOIN dsize ds ON ds.doc_id = i.doc_id
+  JOIN documents doc ON doc.doc_id = i.doc_id),
+srcsize AS (SELECT source, count(*)::BIGINT AS nr FROM documents GROUP BY 1),
+m(source, qs, ds, total, n) AS (
+  SELECT source, []::BIGINT[], []::BIGINT[], 0.0::DOUBLE, 0::BIGINT
+  FROM (SELECT DISTINCT source FROM rawpairs)
+  UNION ALL
+  SELECT source, list_append(qs, q), list_append(ds, d), total + sm, n + 1
+  FROM (
+    SELECT m.source, m.qs, m.ds, m.total, m.n, p.q, p.d, p.sm,
+           row_number() OVER (PARTITION BY m.source
+                              ORDER BY p.sm DESC, p.q ASC, p.d ASC) AS rn
+    FROM m JOIN rawpairs p ON p.source = m.source
+      AND NOT list_contains(m.qs, p.q) AND NOT list_contains(m.ds, p.d)
+  ) WHERE rn = 1),
+final AS (SELECT source, max(n) AS n FROM m GROUP BY 1)
+SELECT m.source, s.nr AS n_docs, m.n::BIGINT AS n_matched,
+       round(m.total, 6) AS sm_total,
+       round(m.total / ({n_q_total} + s.nr - m.total), 6) AS score
+FROM m JOIN final USING (source, n) JOIN srcsize s USING (source)
+"""
+
     return sql

@@ -20,6 +20,7 @@ from igd_spark.tokenizer import postings
 def term_cooccurrence(
     docs: DataFrame,
     min_df: int = 1,
+    min_tf: int = 0,
     text_col: str = "text",
     id_col: str = "doc_id",
     conf: IndexConf = DEFAULT_CONF,
@@ -29,8 +30,15 @@ def term_cooccurrence(
     guard: at corpus scale the matrix is only materialized for a bounded
     vocabulary slice; cold terms are pruned BEFORE the self-join, exactly
     like the -v value filter prunes before scanning, src/igd_search.c:644-656).
+
+    min_tf > 0 is the value-filtered hitsmap (getMap_v analog,
+    src/igd_search.c:829-886): only postings with tf ≥ min_tf participate,
+    pushed below the self-join like the reference's per-record value test.
     """
-    post = postings(docs, text_col=text_col, id_col=id_col, conf=conf).select("doc_id", "term")
+    post = postings(docs, text_col=text_col, id_col=id_col, conf=conf)
+    if min_tf > 0:
+        post = post.filter(F.col("tf") >= min_tf)
+    post = post.select("doc_id", "term")
     if min_df > 1:
         keep = post.groupBy("term").agg(F.count("*").alias("df")).filter(
             F.col("df") >= min_df
@@ -51,12 +59,42 @@ def source_overlap_matrix(
     source_col: str = "source",
     text_col: str = "text",
     id_col: str = "doc_id",
+    granularity: str = "shingle",
+    shingle_n: int = 5,
 ) -> DataFrame:
-    """(src_a, src_b, n_shared) — pairs of sources sharing byte-identical
-    document content (content-hash self-join; src_a ≤ src_b includes the
-    diagonal like the reference's hitsmap). The dataset×dataset matrix of
-    src/igd_search.c:1004-1017, with content hash replacing interval
-    overlap."""
+    """(src_a, src_b, n_shared) — dataset×dataset overlap matrix, the
+    src/igd_search.c:1004-1017 hitsmap analog with content identity replacing
+    interval overlap. src_a < src_b; self-join on a fine-grained content key,
+    never an unkeyed cross product.
+
+    granularity="shingle" (default): n_shared = number of distinct word
+    n-grams present in BOTH sources — detects cross-source boilerplate /
+    partial duplication even when no document is byte-identical.
+    granularity="exact": n_shared = number of cross-source document pairs
+    with byte-identical text (md5 self-join) — the strict mode; zero on
+    corpora without verbatim dups."""
+    if granularity == "shingle":
+        from igd_spark.dedup import shingles
+
+        sh = (
+            shingles(docs, n=shingle_n, text_col=text_col, id_col=id_col)
+            .join(
+                docs.select(F.col(id_col).alias("doc_id"), F.col(source_col).alias("src")),
+                "doc_id",
+            )
+            .select("src", "shingle")
+            .distinct()
+        )
+        a = sh.select(F.col("src").alias("src_a"), "shingle")
+        b = sh.select(F.col("src").alias("src_b"), "shingle")
+        return (
+            a.join(b, "shingle")
+            .filter(F.col("src_a") < F.col("src_b"))
+            .groupBy("src_a", "src_b")
+            .agg(F.count("*").cast("long").alias("n_shared"))
+        )
+    if granularity != "exact":
+        raise ValueError(granularity)
     h = docs.select(
         F.col(source_col).alias("src"),
         F.md5(F.coalesce(F.col(text_col), F.lit(""))).alias("chash"),
@@ -70,3 +108,10 @@ def source_overlap_matrix(
         .groupBy("src_a", "src_b")
         .agg(F.count("*").cast("long").alias("n_shared"))
     )
+
+
+def write_hitsmap_csv(matrix: DataFrame, path: str) -> None:
+    """Hitsmap CSV sink — the reference writes its N×N matrix as a CSV with
+    one row per dataset (src/igd_search.c:1004-1017). Single-header CSV via
+    the DataFrame writer; callers pass any (a, b, count) matrix DF."""
+    matrix.coalesce(1).write.mode("overwrite").option("header", True).csv(path)

@@ -66,11 +66,34 @@ def ngram_jaccard_pairs(
     n: int = DEFAULT_SHINGLE_N,
     text_col: str = "text",
     id_col: str = "doc_id",
+    max_shingle_df: int | None = None,
 ) -> DataFrame:
     """(doc_a, doc_b, jaccard) — exact n-gram Jaccard over candidate pairs
     that share ≥1 shingle (join-generated, never all-pairs). jaccard =
-    |A∩B| / (|A|+|B|-|A∩B|), rounded to 6 dp; doc_a < doc_b."""
+    |A∩B| / (|A|+|B|-|A∩B|), rounded to 6 dp; doc_a < doc_b.
+
+    max_shingle_df caps the document frequency of shingles admitted to the
+    similarity space: without it one boilerplate shingle shared by 10^6 docs
+    yields 10^12 candidate pairs (the scale-killer at 100 TB). Capped-space
+    semantics: BOTH the intersection and the set sizes exclude hot shingles,
+    so jaccard stays a true Jaccard over the reduced space (standard
+    stopword-shingle treatment; deterministic, oracle-expressible).
+
+    The shingle table is persisted + materialized: it feeds three plan
+    branches (sizes, both join sides), and broadcast-thread races otherwise
+    recompute the explode up to 3×.
+    """
     sh = shingles(docs, n=n, text_col=text_col, id_col=id_col)
+    if max_shingle_df is not None:
+        keep = (
+            sh.groupBy("shingle")
+            .agg(F.count("*").alias("sdf"))
+            .filter(F.col("sdf") <= max_shingle_df)
+            .select("shingle")
+        )
+        sh = sh.join(keep, "shingle")
+    sh = sh.persist()
+    sh.count()  # materialize before fan-out (see docstring)
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
     a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
     b = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
@@ -155,8 +178,14 @@ def minhash_dedup_pairs(
     """(doc_a, doc_b, est_jaccard) — MinHash-LSH near-dup pairs: LSH bands
     generate candidates, the estimate = fraction of agreeing hash slots,
     filtered at `threshold`. Scale path of ngram_jaccard_pairs (candidate
-    count is bucket-bounded, not shingle-df-bounded)."""
+    count is bucket-bounded, not shingle-df-bounded).
+
+    The signature table is persisted + materialized: it feeds the band join
+    and both estimate join sides — unpersisted, the expensive
+    shingle→seed-explode→min aggregation re-runs up to 3×."""
     sigs = minhash_signatures(docs, n_hashes=n_hashes, n=n, text_col=text_col, id_col=id_col)
+    sigs = sigs.persist()
+    sigs.count()  # materialize before fan-out
     cand = lsh_candidate_pairs(sigs, band_rows=band_rows)
     sa = sigs.select(F.col("doc_id").alias("doc_a"), "seed", F.col("mh").alias("mh_a"))
     sb = sigs.select(F.col("doc_id").alias("doc_b"), "seed", F.col("mh").alias("mh_b"))

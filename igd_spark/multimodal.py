@@ -37,17 +37,19 @@ MEDIA_STATS_SCHEMA = T.StructType(
         T.StructField("media_id", T.LongType(), False),
         T.StructField("media_type", T.StringType(), False),
         T.StructField("n_bytes", T.IntegerType(), False),
-        T.StructField("sha1_8", T.StringType(), False),
+        T.StructField("md5_8", T.StringType(), False),
         T.StructField("entropy_q", T.IntegerType(), False),  # quantized 0..8000 (milli-bits)
     ]
 )
 
 FEATURE_DIM = 16
 
+# float64 end-to-end: the per-dim values are verified against a DuckDB oracle
+# at 6 dp, and a float32 round-trip perturbs the 6th decimal
 FEATURE_SCHEMA = T.StructType(
     [
         T.StructField("media_id", T.LongType(), False),
-        T.StructField("feature", T.ArrayType(T.FloatType(), False), False),
+        T.StructField("feature", T.ArrayType(T.DoubleType(), False), False),
     ]
 )
 
@@ -73,9 +75,15 @@ def synth_media(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id")
 
 
 def media_stats(media: DataFrame) -> DataFrame:
-    """(media_id, media_type, n_bytes, sha1_8, entropy_q) via mapInPandas —
+    """(media_id, media_type, n_bytes, md5_8, entropy_q) via mapInPandas —
     one Arrow batch per call, numpy byte-histogram entropy, no per-row
-    Python beyond the hash call (hashlib releases the GIL on large inputs)."""
+    Python beyond the hash call (hashlib releases the GIL on large inputs).
+
+    Cross-engine spec (mirrored by the DuckDB oracle, which has no blob
+    byte access): md5_8 = md5 of the UPPERCASE hex of the payload bytes;
+    entropy (bits/byte) = log2(n) - sum(c*log2(c))/n over the positive
+    byte-histogram counts c; entropy_q = floor(entropy*1000 + 0.5)
+    (explicit half-up — python round() is half-even, SQL round is not)."""
 
     def kernel(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
@@ -83,21 +91,25 @@ def media_stats(media: DataFrame) -> DataFrame:
                 continue
             payloads = pdf["payload"]
             n_bytes = payloads.map(len).astype(np.int32)
-            sha = payloads.map(lambda b: hashlib.sha1(bytes(b)).hexdigest()[:8])
+            h8 = payloads.map(
+                lambda b: hashlib.md5(bytes(b).hex().upper().encode()).hexdigest()[:8]
+            )
             ents = np.zeros(len(pdf), dtype=np.int32)
             for i, b in enumerate(payloads):
                 arr = np.frombuffer(bytes(b), dtype=np.uint8)
                 if arr.size == 0:
                     continue
                 counts = np.bincount(arr, minlength=256).astype(np.float64)
-                p = counts[counts > 0] / arr.size
-                ents[i] = int(round(float(-(p * np.log2(p)).sum()) * 1000))
+                c = counts[counts > 0]
+                n = float(arr.size)
+                ent = float(np.log2(n) - (c * np.log2(c)).sum() / n)
+                ents[i] = int(np.floor(ent * 1000.0 + 0.5))
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"].astype(np.int64),
                     "media_type": pdf["media_type"],
                     "n_bytes": n_bytes,
-                    "sha1_8": sha,
+                    "md5_8": h8,
                     "entropy_q": ents,
                 }
             )
@@ -134,7 +146,7 @@ def extract_features(media: DataFrame, use_real_codec: bool = False) -> DataFram
         for pdf in it:
             if not len(pdf):
                 continue
-            feats = np.zeros((len(pdf), FEATURE_DIM), dtype=np.float32)
+            feats = np.zeros((len(pdf), FEATURE_DIM), dtype=np.float64)
             for i, (b, mt) in enumerate(zip(pdf["payload"], pdf["media_type"])):
                 raw = bytes(b)
                 if use_real_codec:
@@ -144,13 +156,28 @@ def extract_features(media: DataFrame, use_real_codec: bool = False) -> DataFram
                     arr = np.frombuffer(raw, dtype=np.uint8)
                 hist = np.bincount(arr % FEATURE_DIM, minlength=FEATURE_DIM).astype(np.float64)
                 n = np.linalg.norm(hist)
-                feats[i] = (hist / n if n > 0 else hist).astype(np.float32)
+                feats[i] = hist / n if n > 0 else hist
             yield pd.DataFrame(
                 {"media_id": pdf["media_id"].astype(np.int64), "feature": list(feats)}
             )
 
     return media.select("media_id", "media_type", "payload").mapInPandas(
         kernel, schema=FEATURE_SCHEMA
+    )
+
+
+def extract_features_long(media: DataFrame, use_real_codec: bool = False) -> DataFrame:
+    """(media_id, dim, value) — long-format featurization: posexplode of
+    extract_features with values rounded to 6 dp (F.round = half-up, same
+    as SQL round). This is the externally-verifiable shape — an
+    array<double> column defeats order-insensitive row canonicalization."""
+    f = extract_features(media, use_real_codec=use_real_codec)
+    return f.select(
+        "media_id", F.posexplode("feature").alias("dim", "value")
+    ).select(
+        "media_id",
+        F.col("dim").cast("int").alias("dim"),
+        F.round("value", 6).alias("value"),
     )
 
 

@@ -44,13 +44,18 @@ TOPK_SCHEMA = T.StructType(
 
 def query_terms(queries: DataFrame, text_col: str = "query_text") -> DataFrame:
     """(query_id, term) — distinct terms per query (duplicates score once,
-    shared convention with oracle + SQL)."""
-    return queries.select(
-        "query_id",
-        F.explode(F.array_distinct(tokens_col(F.col(text_col)))).alias("term"),
-    ).filter(F.col("term") != "")
-    # array_distinct already dedups within a query; no cross-row distinct
-    # (that would add a shuffle for rows that are already unique)
+    shared convention with oracle + SQL). The cross-row dropDuplicates also
+    covers a query_id appearing on multiple input rows — without it, shared
+    terms would double their BM25 contribution. The query side is always
+    tiny relative to the corpus, so the extra shuffle is noise."""
+    return (
+        queries.select(
+            "query_id",
+            F.explode(F.array_distinct(tokens_col(F.col(text_col)))).alias("term"),
+        )
+        .filter(F.col("term") != "")
+        .dropDuplicates(["query_id", "term"])
+    )
 
 
 def rank_topk(scored: DataFrame, k: int) -> DataFrame:

@@ -116,17 +116,26 @@ def seqpare_scores(
         matched = greedy_match(
             list(zip(pdf["query_id"].astype(int), pdf["doc_id"].astype(int), pdf["sm"]))
         )
-        s = float(np.sum([m[2] for m in matched])) if matched else 0.0
+        # sequential accumulation IN GREEDY ORDER — bit-identical to the
+        # oracle's recursive one-pair-per-step total (np.sum is pairwise)
+        s = 0.0
+        for m in matched:
+            s += float(m[2])
         nr = src_sizes.get(source, 0)
         denom = n_q + nr - s
+
+        def r6(x: float) -> float:
+            # half-up at 6 dp — python round() is half-even, SQL round isn't
+            return np.floor(x * 1e6 + 0.5) / 1e6
+
         return pd.DataFrame(
             [
                 (
                     source,
                     nr,
                     len(matched),
-                    round(s, 6),
-                    round(s / denom if denom > 0 else 0.0, 6),
+                    r6(s),
+                    r6(s / denom if denom > 0 else 0.0),
                 )
             ],
             columns=[f.name for f in SEQPARE_SCHEMA.fields],

@@ -82,14 +82,76 @@ def cosine_neardup_pairs(
     threshold: float = 0.95,
     emb_id: str = "vec_id",
     emb_col: str = "embedding",
+    exact: bool = False,
+    anchors: list[list[float]] | None = None,
+    n_bands: int = 4,
 ) -> DataFrame:
-    """(vec_a, vec_b, cos) — exact all-pairs cosine near-duplicates
-    (vec_a < vec_b, cos ≥ threshold). Exact baseline; the scale path is
-    lsh_ann_topk-style bucketing."""
+    """(vec_a, vec_b, cos) — cosine near-duplicates (vec_a < vec_b,
+    cos ≥ threshold).
+
+    Default (exact=False) routes through sign-LSH band candidates + exact
+    cosine verification (cosine_neardup_banded) — the 100 TB plan: candidate
+    count is bucket-bounded, no cartesian product anywhere. exact=True is
+    the all-pairs crossJoin baseline: O(n²), oracle/test mode only."""
+    if not exact:
+        if anchors is None:
+            anchors = pick_anchors(emb, 8, emb_id=emb_id, emb_col=emb_col)
+        return cosine_neardup_banded(
+            emb, anchors, threshold=threshold, n_bands=n_bands,
+            emb_id=emb_id, emb_col=emb_col,
+        )
     e = emb.select(F.col(emb_id).alias("vid"), _dvec(emb_col).alias("v"))
     a = e.select(F.col("vid").alias("vec_a"), F.col("v").alias("va"))
     b = e.select(F.col("vid").alias("vec_b"), F.col("v").alias("vb"))
     j = a.crossJoin(b).filter(F.col("vec_a") < F.col("vec_b"))
+    cos = dot_col(F.col("va"), F.col("vb")) / (norm_col(F.col("va")) * norm_col(F.col("vb")))
+    return j.select("vec_a", "vec_b", F.round(cos, 6).alias("cos")).filter(
+        F.col("cos") >= threshold
+    )
+
+
+def cosine_neardup_banded(
+    emb: DataFrame,
+    anchors: list[list[float]],
+    threshold: float = 0.95,
+    n_bands: int = 4,
+    emb_id: str = "vec_id",
+    emb_col: str = "embedding",
+) -> DataFrame:
+    """(vec_a, vec_b, cos) — banded sign-LSH near-dup pairs: the anchors'
+    sign bits are split into n_bands slices; any pair agreeing on ≥1 whole
+    slice becomes a candidate, then exact cosine verifies ≥ threshold.
+    Same "bin, then look only inside the bin" shape as IGD's tile pruning
+    (src/igd_search.c:459-464); deterministic, so an oracle can mirror the
+    banding exactly. Recall is probabilistic in general (more/shorter bands
+    = higher recall); precision is exact (candidates are verified)."""
+    n_anchors = len(anchors)
+    if n_anchors % n_bands:
+        raise ValueError("len(anchors) must be divisible by n_bands")
+    band_bits = n_anchors // n_bands
+    e = emb.select(F.col(emb_id).alias("vid"), _dvec(emb_col).alias("v"))
+    band_vals = []
+    for j in range(n_bands):
+        val = F.lit(0)
+        for i in range(band_bits):
+            anc = anchors[j * band_bits + i]
+            arr = F.array(*[F.lit(float(x)) for x in anc])
+            val = val + F.when(dot_col(F.col("v"), arr) >= 0, F.lit(1 << i)).otherwise(F.lit(0))
+        band_vals.append(val.cast("int"))
+    bands = e.select(
+        "vid", F.posexplode(F.array(*band_vals)).alias("band_id", "band_val")
+    )
+    a = bands.select(F.col("vid").alias("vec_a"), "band_id", "band_val")
+    b = bands.select(F.col("vid").alias("vec_b"), "band_id", "band_val")
+    cand = (
+        a.join(b, ["band_id", "band_val"])
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .select("vec_a", "vec_b")
+        .distinct()
+    )
+    va = e.select(F.col("vid").alias("vec_a"), F.col("v").alias("va"))
+    vb = e.select(F.col("vid").alias("vec_b"), F.col("v").alias("vb"))
+    j = cand.join(va, "vec_a").join(vb, "vec_b")
     cos = dot_col(F.col("va"), F.col("vb")) / (norm_col(F.col("va")) * norm_col(F.col("vb")))
     return j.select("vec_a", "vec_b", F.round(cos, 6).alias("cos")).filter(
         F.col("cos") >= threshold
@@ -241,12 +303,26 @@ def cosine_topk_arrow(
             Vn = V / np.linalg.norm(V, axis=1, keepdims=True)
             S = np.round(qn @ Vn.T, 6)  # (n_queries, batch)
             kk = min(k, S.shape[1])
-            # partial top-k per query within the batch
-            idx = np.argpartition(-S, kk - 1, axis=1)[:, :kk]
-            out_q = np.repeat(qids, kk)
-            out_v = vids[idx].ravel()
-            out_s = np.take_along_axis(S, idx, axis=1).ravel()
-            yield pd.DataFrame({"query_id": out_q, "vec_id": out_v, "cos": out_s})
+            # partial top-k per query within the batch with an explicit
+            # (cos desc, vec_id asc) tie-break: rows tied at the kk-th score
+            # must resolve to the SMALLER vec_id or the batch-local cut can
+            # drop a row the global top-k keeps
+            qs, vs, ss = [], [], []
+            for qi in range(S.shape[0]):
+                row = S[qi]
+                t = np.partition(row, -kk)[-kk]
+                cand = np.flatnonzero(row >= t)
+                order = cand[np.lexsort((vids[cand], -row[cand]))][:kk]
+                qs.append(np.full(order.size, qids[qi], dtype=np.int64))
+                vs.append(vids[order])
+                ss.append(row[order])
+            yield pd.DataFrame(
+                {
+                    "query_id": np.concatenate(qs),
+                    "vec_id": np.concatenate(vs),
+                    "cos": np.concatenate(ss),
+                }
+            )
 
     part = emb.select(emb_id, emb_col).mapInPandas(kernel, schema=_TOPK_PARTIAL_SCHEMA)
     w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("vec_id"))

@@ -165,13 +165,23 @@ def test_media_plumbing(spark, small_docs):
 
     m = synth_media(small_docs).cache()
     stats = {r["media_id"]: r for r in media_stats(m).collect()}
-    assert stats[0]["n_bytes"] == len("the quick brown fox jumps over the lazy dog again today")
-    want_sha = hashlib.sha1(b"the quick brown fox jumps over the lazy dog again today").hexdigest()[:8]
-    assert stats[0]["sha1_8"] == want_sha
+    payload = b"the quick brown fox jumps over the lazy dog again today"
+    assert stats[0]["n_bytes"] == len(payload)
+    # cross-engine spec: md5 of the UPPERCASE hex of the payload bytes
+    want_md5 = hashlib.md5(payload.hex().upper().encode()).hexdigest()[:8]
+    assert stats[0]["md5_8"] == want_md5
     assert stats[4]["n_bytes"] == 0 and stats[4]["entropy_q"] == 0
     feats = {r["media_id"]: r["feature"] for r in extract_features(m).collect()}
     assert len(feats[0]) == FEATURE_DIM
-    assert abs(float(np.linalg.norm(feats[0])) - 1.0) < 1e-5
+    assert abs(float(np.linalg.norm(feats[0])) - 1.0) < 1e-9
+    # long format: FEATURE_DIM rows per media, values match the array path
+    from igd_spark.multimodal import extract_features_long
+
+    long_rows = extract_features_long(m).collect()
+    assert len(long_rows) == FEATURE_DIM * m.count()
+    for r in long_rows:
+        if r["media_id"] == 0:
+            assert abs(r["value"] - round(float(feats[0][r["dim"]]), 6)) <= 1e-6
     frames = frame_sample(m, n_frames=4).collect()
     vids = {r["media_id"] for r in frames}
     assert vids == {2, 5}  # doc_id % 3 == 2 → video
