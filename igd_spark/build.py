@@ -183,10 +183,19 @@ def build_segments(salted: DataFrame, conf: IndexConf, avgdl: float) -> DataFram
     repartition on shard, partition sort on (term_id, salt, doc_id) — Spark's
     external sort plays the reference's per-tile radix sort
     (src/igd_base.h:199-249) with spill handled by Tungsten."""
+    from igd_spark.session import kernel_parallelism
+
     with_keys = salted.withColumn("term_id", F.xxhash64("term")).withColumn(
         "shard", shard_col(F.col("term_id"), F.col("salt"), conf.n_shards)
     )
-    stream = with_keys.repartition(conf.n_shards, "shard").sortWithinPartitions(
+    # partition count for the pack stage: n_shards on a cluster; capped on a
+    # local master (single memory bus — see session.kernel_parallelism). A
+    # (term_id, salt) group maps to exactly one shard, so hashing several
+    # shards into one partition keeps every group contiguous under the
+    # partition sort, and the partitionBy("shard") write still emits
+    # shard-pure files with intact term_id runs for row-group pruning.
+    n_parts = kernel_parallelism(salted.sparkSession, conf.n_shards)
+    stream = with_keys.repartition(n_parts, "shard").sortWithinPartitions(
         "term_id", "salt", "doc_id"
     )
     packed = stream.mapInPandas(_pack_stream_kernel(conf, avgdl), schema=BLOCK_SCHEMA)
@@ -276,7 +285,10 @@ def _repack_stream_kernel(conf: IndexConf, avgdl: float):
 def repack_segments(segments: DataFrame, conf: IndexConf, avgdl: float) -> DataFrame:
     """Existing block rows → merged, re-blocked, bound-refreshed block rows
     (same one-shuffle shape as build_segments)."""
-    stream = segments.repartition(conf.n_shards, "shard").sortWithinPartitions(
+    from igd_spark.session import kernel_parallelism
+
+    n_parts = kernel_parallelism(segments.sparkSession, conf.n_shards)
+    stream = segments.repartition(n_parts, "shard").sortWithinPartitions(
         "term_id", "salt", "block_id"
     )
     packed = stream.mapInPandas(_repack_stream_kernel(conf, avgdl), schema=BLOCK_SCHEMA)

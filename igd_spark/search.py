@@ -354,6 +354,12 @@ def search(
         # shrinks with bucket size, and work volume must NOT grow with the
         # cluster size). Floor of 8 buckets keeps small batches parallel.
         n_buckets = max(min(8, n_queries), -(-n_queries // 64))
+        # on a local (single-memory-bus) master, additionally cap the number
+        # of concurrent scoring kernels — more buckets than the DRAM knee
+        # only adds contention AND duplicates shared-block decode work
+        from igd_spark.session import kernel_parallelism
+
+        n_buckets = max(1, kernel_parallelism(spark, n_buckets))
     bucket_queries: dict[int, list[tuple[int, int, float]]] = {}
     bucket_terms: set[tuple[int, int]] = set()
     for r in qrows:

@@ -13,6 +13,42 @@ import os
 from pyspark.sql import SparkSession
 
 
+def local_cores(spark: SparkSession) -> int | None:
+    """Parsed N from a local[N] master; None on any non-local (cluster)
+    master. local[*] reports the machine's CPU count."""
+    m = spark.sparkContext.master
+    if not m.startswith("local"):
+        return None
+    import re
+
+    g = re.match(r"local\[(\d+|\*)\]", m)
+    if not g:
+        return None
+    return os.cpu_count() if g.group(1) == "*" else int(g.group(1))
+
+
+KERNEL_CAP_ENV = "IGD_LOCAL_KERNEL_CAP"
+DEFAULT_LOCAL_KERNEL_CAP = 10
+
+
+def kernel_parallelism(spark: SparkSession, natural: int) -> int:
+    """Task-count for memory-bandwidth-bound Arrow/numpy kernel stages.
+
+    On a real multi-executor cluster every executor brings its own memory
+    bus, so the natural (data-derived) partition count is right — this
+    returns `natural` untouched there. On a local[N] master all N task
+    slots share ONE memory bus: measured on this sandbox, the SPIMI/pack/
+    score kernels saturate DRAM near 8-10 concurrent workers and local[32]
+    runs the same job SLOWER than local[8] (BENCH.md core curve). So on
+    local masters the kernel stages are planned at min(natural, cap)
+    partitions — self-tuning the driver-visible local[32] bench without
+    touching the cluster plan. Override with $IGD_LOCAL_KERNEL_CAP."""
+    if local_cores(spark) is None:
+        return natural
+    cap = int(os.environ.get(KERNEL_CAP_ENV, str(DEFAULT_LOCAL_KERNEL_CAP)))
+    return max(1, min(natural, cap))
+
+
 def get_spark(
     cores: int | None = None,
     app: str = "igd_spark",

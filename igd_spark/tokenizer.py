@@ -116,7 +116,17 @@ def postings_spimi(
                 }
             )
 
-    return docs.select(id_col, text_col).mapInPandas(kernel, schema=out_schema)
+    src = docs.select(id_col, text_col)
+    # cap concurrent tokenize kernels on a single-memory-bus local master
+    # (coalesce = no shuffle, just fewer/fatter scan tasks); no-op on a
+    # cluster or when the scan is already narrower than the cap
+    from igd_spark.session import kernel_parallelism
+
+    n_in = src.rdd.getNumPartitions()
+    n_eff = kernel_parallelism(docs.sparkSession, n_in)
+    if n_eff < n_in:
+        src = src.coalesce(n_eff)
+    return src.mapInPandas(kernel, schema=out_schema)
 
 
 def term_id_col(term: Column | str = "term") -> Column:
