@@ -45,10 +45,11 @@ class IndexConf:
     # tokenizer spec shared with the oracle (FIXTURES.md §5): lowercase,
     # split on non-alphanumeric runs, drop empties. No stemming/stopwords.
     token_split_re: str = r"[^a-z0-9]+"
-    # doc id assignment: "dense" (row_number; exact, test scale) or "hash"
-    # (composite hash id; no global sort, 10^12-turn scale — SURVEY §7.3c).
-    doc_id_method: str = "dense"
-    turn_bits: int = 20  # hash method: low bits reserved for turn_idx
+    # doc id assignment: "hash" (default — stateless full-63-bit
+    # xxhash64(conv_id, turn_idx); no global sort, append-safe, the
+    # 10^12-turn scale path, SURVEY §7.3c) or "dense" (exact global rank
+    # via distributed range sort; compact ids, batch/test mode).
+    doc_id_method: str = "hash"
 
     def validate(self) -> "IndexConf":
         if self.block_size < 8 or self.block_size > 1 << 16:

@@ -128,25 +128,77 @@ def assign_doc_ids(
 ) -> DataFrame:
     """Stable docID under (conv_id, turn_idx) ordering → adds ``doc_id:long``.
 
-    dense: row_number over a global order — exact, rank-friendly, but a
-      single-partition window sort: correct at test scale, NOT the 10^12 path.
-    hash: composite (xxhash64(conv_id) << turn_bits | turn_idx) — stateless,
-      no global sort, stable under any partitioning; collisions audited by
-      audit_doc_ids(). This is the scale path (SURVEY §7.3c).
+    hash (default, the 10^12-turn path): doc_id = pmod(xxhash64(conv_id,
+      turn_idx), 2^63) — stateless, shuffle-free, stable under any
+      partitioning, append-safe. The FULL 63-bit positive space is used
+      (no conv/turn bit split): expected birthday collisions are n²/2^64,
+      i.e. ~5·10⁻⁴ at 10⁸ turns and a 5·10⁻⁸ *rate* at the 10^12-turn
+      target — audited by audit_doc_ids(); a detected collision is
+      remediated by re-keying the affected convs with a seed suffix or
+      falling back to dense. Blocks delta-encode doc ids, so sparse ids
+      cost only the first-gap varint per block.
+    dense: exact global rank over (conv_id, turn_idx) — compact ids
+      (tightest delta compression), via repartitionByRange + per-partition
+      offsets: a distributed range sort, NOT a single-partition window.
+      Not append-safe (each batch restarts at 0) — batch/test mode.
     """
     if conf.doc_id_method == "dense":
-        w = Window.orderBy("conv_id", "turn_idx")
-        return docs.withColumn("doc_id", F.row_number().over(w).cast("long") - 1)
-    mask = (1 << conf.turn_bits) - 1
+        return _assign_dense_ids(docs)
     if conf.doc_id_method != "hash":
         raise ValueError(conf.doc_id_method)
-    conv_part = F.shiftleft(
-        F.pmod(F.xxhash64("conv_id"), F.lit(1 << (62 - conf.turn_bits))), conf.turn_bits
-    )
     return docs.withColumn(
         "doc_id",
-        (conv_part + F.col("turn_idx").cast("long").bitwiseAND(F.lit(mask).cast("long"))).cast("long"),
+        F.pmod(F.xxhash64("conv_id", "turn_idx"), F.lit((1 << 63) - 1)).cast("long"),
     )
+
+
+def _assign_dense_ids(docs: DataFrame, n_parts: int | None = None) -> DataFrame:
+    """doc_id = global 0-based rank under the total order (conv_id,
+    turn_idx). Scalable dense assignment: range-repartition on the order
+    key, sort within partitions, then add each partition's cumulative row
+    offset to its local sequence — two jobs over the sorted data (count,
+    emit), no global single-partition sort. Ids are deterministic because
+    the order is total, regardless of where range boundaries land."""
+    spark = docs.sparkSession
+    if n_parts is None:
+        n_parts = max(docs.rdd.getNumPartitions(), 1)
+    ordered = (
+        docs.repartitionByRange(n_parts, "conv_id", "turn_idx")
+        .sortWithinPartitions("conv_id", "turn_idx")
+        .withColumn("_pid", F.spark_partition_id())
+        .persist()
+    )
+    counts = {
+        int(r["_pid"]): int(r["c"])
+        for r in ordered.groupBy("_pid").agg(F.count("*").alias("c")).collect()
+    }
+    offsets: dict[int, int] = {}
+    acc = 0
+    for pid in sorted(counts):
+        offsets[pid] = acc
+        acc += counts[pid]
+
+    out_schema = T.StructType(
+        [f for f in docs.schema.fields] + [T.StructField("doc_id", T.LongType(), False)]
+    )
+    cols = [f.name for f in docs.schema.fields]
+
+    def emit(it):
+        local = 0
+        for pdf in it:
+            if not len(pdf):
+                continue
+            base = offsets[int(pdf["_pid"].iat[0])]
+            out = pdf[cols].copy()
+            out["doc_id"] = np.arange(base + local, base + local + len(pdf), dtype=np.int64)
+            local += len(pdf)
+            yield out
+
+    result = ordered.mapInPandas(emit, schema=out_schema)
+    # note: `ordered` stays persisted until the caller's action completes;
+    # Spark evicts LRU — callers doing repeated builds can unpersist via
+    # spark.catalog.clearCache()
+    return result
 
 
 def audit_doc_ids(docs_with_ids: DataFrame) -> int:

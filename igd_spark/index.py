@@ -54,6 +54,43 @@ def _stage_done(path: str, stage: str) -> bool:
     return os.path.exists(_lineage_path(path, stage))
 
 
+_INPROGRESS = "_inprogress"
+
+
+def _begin_mutation(path: str, op: str, tag: str) -> None:
+    """Write the in-progress marker BEFORE the first mutating write, so a
+    crash mid-append/compact is detectable (open_index refuses a dirty
+    index instead of silently serving half-merged tables)."""
+    if os.path.exists(_lineage_path(path, _INPROGRESS)):
+        raise RuntimeError(
+            f"index at {path} has an unfinished mutation "
+            f"({_lineage_path(path, _INPROGRESS)}); repair or rebuild before mutating"
+        )
+    _write_lineage(path, _INPROGRESS, {"op": op, "tag": tag})
+
+
+def _end_mutation(path: str) -> None:
+    os.remove(_lineage_path(path, _INPROGRESS))
+
+
+def _swap_dir(final: str, tmp: str) -> None:
+    """Two-step rename swap: final → final_old, tmp → final, delete
+    final_old. A crash between the renames leaves either the old or the new
+    table present under a recoverable name — never a window with NO table
+    (the rmtree-then-rename it replaces had exactly that window). The
+    Iceberg-commit stand-in for this sandbox's plain-parquet layout."""
+    old = final + "_old"
+    if os.path.isdir(old):
+        import shutil
+
+        shutil.rmtree(old)
+    os.rename(final, old)
+    os.rename(tmp, final)
+    import shutil
+
+    shutil.rmtree(old)
+
+
 class InvertedIndex:
     """Opened index handle — the iGD_t search-side struct analog: metadata in
     RAM, data blocks streamed from storage (src/igd_base.h:96-105)."""
@@ -229,6 +266,7 @@ def append_index(
     new_docs: DataFrame,
     text_col: str = "text",
     id_col: str | None = "doc_id",
+    batch_tag: str | None = None,
 ) -> InvertedIndex:
     """Incremental index maintenance — the reference's resumable batched
     ingest (src/igd_create.c:50-88) lifted to a live-append capability.
@@ -244,7 +282,17 @@ def append_index(
     Caller must supply doc_ids disjoint from the existing corpus (the hash
     doc-id scheme guarantees this for new (conv_id, turn_idx) pairs;
     audit_doc_ids() over the union is the paranoid check).
+
+    batch_tag makes the append IDEMPOTENT for at-least-once callers
+    (Structured Streaming replays a micro-batch after a crash between the
+    append and the checkpoint commit): a tag whose applied-marker exists is
+    skipped. The marker is written after the data commit, so the remaining
+    duplicate window is a crash between the last table write and the marker
+    write — narrow, and detectable via the in-progress marker, which makes
+    open_index refuse the index until repaired.
     """
+    if batch_tag is not None and _stage_done(path, f"applied_{batch_tag}"):
+        return open_index(spark, path)
     idx = open_index(spark, path)
     conf = idx.conf
     if id_col is None:
@@ -257,6 +305,7 @@ def append_index(
     t0 = time.time()
     parts = build_all(new_docs, conf=conf, text_col=text_col, id_col=id_col)
     delta = parts["corpus"]
+    _begin_mutation(path, "append", batch_tag or f"append_{idx.meta.get('appends', 0) + 1}")
 
     # segments + doc_stats: plain partitioned appends
     parts["segments"].write.mode("append").partitionBy("shard").parquet(
@@ -278,11 +327,7 @@ def append_index(
     tmp_dict = os.path.join(path, "dictionary_new")
     merged.write.mode("overwrite").parquet(tmp_dict)
     old_dict.unpersist()
-    final_dict = os.path.join(path, "dictionary")
-    import shutil
-
-    shutil.rmtree(final_dict)
-    os.rename(tmp_dict, final_dict)
+    _swap_dir(os.path.join(path, "dictionary"), tmp_dict)
     # the caller's handle now points at replaced files — invalidate its
     # cached DataFrames so accidental reuse re-resolves instead of failing
     idx._dictionary = None
@@ -303,8 +348,11 @@ def append_index(
     _write_lineage(
         path,
         f"append_{idx.meta['appends']:04d}",
-        {"rows": delta["n_docs"], "secs": time.time() - t0},
+        {"rows": delta["n_docs"], "secs": time.time() - t0, "batch_tag": batch_tag},
     )
+    if batch_tag is not None:
+        _write_lineage(path, f"applied_{batch_tag}", {"rows": delta["n_docs"]})
+    _end_mutation(path)
     return open_index(spark, path)
 
 
@@ -321,11 +369,9 @@ def compact_index(spark: SparkSession, path: str) -> InvertedIndex:
     new_seg = repack_segments(idx.segments, idx.conf, idx.avgdl)
     tmp = os.path.join(path, "segments_compacted")
     new_seg.write.mode("overwrite").partitionBy("shard").parquet(tmp)
-    final = os.path.join(path, "segments")
-    import shutil
-
-    shutil.rmtree(final)
-    os.rename(tmp, final)
+    # marker covers only the swap (the tmp write is invisible to readers)
+    _begin_mutation(path, "compact", f"compact_{idx.meta.get('compactions', 0) + 1}")
+    _swap_dir(os.path.join(path, "segments"), tmp)
     idx.meta["appends"] = 0
     idx.meta["compactions"] = idx.meta.get("compactions", 0) + 1
     with open(os.path.join(path, "_meta.json"), "w") as f:
@@ -333,12 +379,25 @@ def compact_index(spark: SparkSession, path: str) -> InvertedIndex:
     _write_lineage(
         path, f"compact_{idx.meta['compactions']:04d}", {"rows": -1, "secs": time.time() - t0}
     )
+    _end_mutation(path)
     return open_index(spark, path)
 
 
-def open_index(spark: SparkSession, path: str) -> InvertedIndex:
+def open_index(
+    spark: SparkSession, path: str, allow_dirty: bool = False
+) -> InvertedIndex:
     """`igd_py.open` analog (src_py/igd_base.c:161-222): load header metadata
-    once; block data stays on disk until queried."""
+    once; block data stays on disk until queried. Refuses an index whose
+    in-progress mutation marker is present (a crash mid-append/compact) —
+    pass allow_dirty=True only for forensic inspection."""
+    if not allow_dirty and os.path.exists(_lineage_path(path, _INPROGRESS)):
+        with open(_lineage_path(path, _INPROGRESS)) as f:
+            info = json.load(f)
+        raise RuntimeError(
+            f"index at {path} has an unfinished {info.get('op')} "
+            f"(tag={info.get('tag')}); restore from the _old dir / re-run the "
+            "mutation, or open_index(..., allow_dirty=True) to inspect"
+        )
     with open(os.path.join(path, "_meta.json")) as f:
         meta = json.load(f)
     if meta.get("schema_version") != SCHEMA_VERSION:

@@ -125,17 +125,17 @@ def _maxscore_kernel(
     k1: float,
     b: float,
     avgdl: float,
-    bucket_queries: dict[int, list[tuple[int, int, float]]],
 ):
-    """Bucketed, per-query-vectorized MaxScore.
+    """Bucketed, per-query-vectorized MaxScore (cogrouped form).
 
     Each kernel call receives ONE bucket of queries: the deduplicated union
     of their terms' posting blocks (a block travels the shuffle once per
-    bucket, not once per query) plus, via closure, the bucket's
-    (query_id, term_id, idf) mapping. Inside, every query runs the safe
-    MaxScore loop over its own lists; decode work is shared through a
-    task-local list cache (the reference's block cache,
-    src/igd_search.c:469-475, generalized).
+    bucket, not once per query) cogrouped with the bucket's
+    (query_id, term_id, idf) rows — the query map arrives as DATA, not in
+    the closure, so a 10^6-query batch never materializes on the driver.
+    Inside, every query runs the safe MaxScore loop over its own lists;
+    decode work is shared through a task-local list cache (the reference's
+    block cache, src/igd_search.c:469-475, generalized).
 
     Safe (rank-identical) pruning: a doc is eliminated only when its score
     upper bound is provably below the k-th best final score, so exact ties
@@ -272,11 +272,10 @@ def _maxscore_kernel(
             }
         )
 
-    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+    def kernel(pdf: pd.DataFrame, qpdf: pd.DataFrame) -> pd.DataFrame:
         empty = pd.DataFrame(columns=["query_id", "rank", "doc_id", "score"])
-        if not len(pdf):
+        if not len(pdf) or not len(qpdf):
             return empty
-        bucket = int(pdf["bucket"].iat[0])
         # index this bucket's lists once: term_id → [(salt, key, g, ub)]
         by_term: dict[int, list] = {}
         for (tid, salt), g in pdf.groupby(["term_id", "salt"], sort=True):
@@ -286,18 +285,16 @@ def _maxscore_kernel(
             key = (int(tid), int(salt), int(n_arr.sum()), int(firsts[0]),
                    int(firsts[-1]), len(n_arr))
             by_term.setdefault(int(tid), []).append((int(salt), key, g, list_ub(g)))
-        outs = []
-        for qid, tid, idf in bucket_queries.get(bucket, []):
-            lists = [
-                (idf * ubv, tid2, salt, idf, key, g)
-                for tid2 in [tid]
-                for (salt, key, g, ubv) in by_term.get(tid2, [])
-            ]
-            outs.append((qid, lists))
-        # merge lists of multi-term queries (entries above are per term)
+        # merge lists of multi-term queries (qpdf rows are per (query, term))
         per_query: dict[int, list] = {}
-        for qid, lists in outs:
-            per_query.setdefault(qid, []).extend(lists)
+        for qid, tid, idf in zip(
+            qpdf["query_id"].astype(int), qpdf["term_id"].astype(int), qpdf["idf"]
+        ):
+            idf = float(idf)
+            per_query.setdefault(int(qid), []).extend(
+                (idf * ubv, int(tid), salt, idf, key, g)
+                for (salt, key, g, ubv) in by_term.get(int(tid), [])
+            )
         frames = []
         for qid in sorted(per_query):
             f = score_one(qid, per_query[qid])
@@ -323,30 +320,26 @@ def search(
     files are sorted by term_id within each shard) → join to DISTINCT
     (bucket, term_id) pairs so each block is shuffled once per query BUCKET
     (not once per query — Zipf query sets share hot terms heavily) →
-    groupBy(bucket).applyInPandas(MaxScore kernel; per-bucket query→term→idf
-    map rides in the closure) → final ranked top-k straight from the kernel.
+    cogrouped applyInPandas(MaxScore kernel) with the (bucket, query_id,
+    term_id, idf) map as a cogrouped DATAFRAME — the driver never holds the
+    per-query map, so batch size is unbounded. Final ranked top-k comes
+    straight from the kernel.
+
+    Driver-side footprint: only the DISTINCT query-term dictionary slice is
+    collected (for shard/term_id scan pruning) and only while it is small;
+    above _PRUNE_COLLECT_MAX terms the scan-prune lists are skipped and
+    pruning happens through the join alone.
     """
     conf = idx.conf
     qt = query_terms(queries)
+    n_queries = qt.select("query_id").distinct().count()
+    if n_queries == 0:
+        return spark.createDataFrame([], TOPK_SCHEMA)
     qdict = (
         idx.dictionary.join(F.broadcast(qt), "term")
         .withColumn("idf", idf_col(idx.n_docs, "df"))
         .select("query_id", "term_id", "idf", "n_salts")
     )
-    qrows = qdict.collect()  # tiny: |queries| × |terms|
-    if not qrows:
-        return spark.createDataFrame([], TOPK_SCHEMA)
-    from igd_spark.build import shards_for
-
-    term_ids = sorted({r["term_id"] for r in qrows})
-    shards = sorted(
-        {
-            s
-            for r in qrows
-            for s in shards_for(int(r["term_id"]), int(r["n_salts"]), conf.n_shards)
-        }
-    )
-    n_queries = len({int(r["query_id"]) for r in qrows})
     if n_buckets is None:
         # target ~64 queries per bucket: block-dedup within a bucket
         # dominates task parallelism (measured: at 32 cores, 16 buckets of
@@ -360,24 +353,42 @@ def search(
         from igd_spark.session import kernel_parallelism
 
         n_buckets = max(1, kernel_parallelism(spark, n_buckets))
-    bucket_queries: dict[int, list[tuple[int, int, float]]] = {}
-    bucket_terms: set[tuple[int, int]] = set()
-    for r in qrows:
-        qid, tid, idf = int(r["query_id"]), int(r["term_id"]), float(r["idf"])
-        bkt = qid % n_buckets
-        bucket_queries.setdefault(bkt, []).append((qid, tid, idf))
-        bucket_terms.add((bkt, tid))
-    btdf = spark.createDataFrame(
-        sorted(bucket_terms), "bucket int, term_id long"
-    )
-    seg = idx.segments.filter(
-        F.col("shard").isin(shards) & F.col("term_id").isin(term_ids)
-    )
-    blocks = seg.join(F.broadcast(btdf), "term_id")
-    kernel = _maxscore_kernel(k, min_tf, conf.k1, conf.b, idx.avgdl, bucket_queries)
+    bucket_expr = F.pmod(F.col("query_id"), F.lit(n_buckets)).cast("int")
+    qmap = qdict.withColumn("bucket", bucket_expr)
+    # bt gets its own bucket expression instance (not qmap's attribute):
+    # both cogroup sides descend from qdict, and reusing the same derived
+    # column makes the blocks-side join key ambiguous to the analyzer
+    bt = qdict.select(bucket_expr.alias("bucket"), "term_id").distinct()
+    from igd_spark.build import shards_for
+
+    # scan pruning: the distinct term slice is vocabulary-bounded (Zipf), so
+    # collecting it is cheap for any realistic batch; the guard keeps a
+    # pathological batch from flooding the driver — pruning then degrades
+    # gracefully to the join
+    _PRUNE_COLLECT_MAX = 100_000
+    trows = qmap.select("term_id", "n_salts").distinct().limit(_PRUNE_COLLECT_MAX + 1).collect()
+    seg = idx.segments
+    if not trows:
+        return spark.createDataFrame([], TOPK_SCHEMA)
+    if len(trows) <= _PRUNE_COLLECT_MAX:
+        term_ids = sorted({int(r["term_id"]) for r in trows})
+        shards = sorted(
+            {
+                s
+                for r in trows
+                for s in shards_for(int(r["term_id"]), int(r["n_salts"]), conf.n_shards)
+            }
+        )
+        seg = seg.filter(F.col("shard").isin(shards) & F.col("term_id").isin(term_ids))
+    blocks = seg.join(F.broadcast(bt), "term_id")
+    kernel = _maxscore_kernel(k, min_tf, conf.k1, conf.b, idx.avgdl)
     # each group is a complete bucket of queries: the kernel emits final
     # ranked top-k directly — no post-shuffle window
-    return blocks.groupBy("bucket").applyInPandas(kernel, schema=TOPK_SCHEMA)
+    return (
+        blocks.groupBy("bucket")
+        .cogroup(qmap.select("bucket", "query_id", "term_id", "idf").groupBy("bucket"))
+        .applyInPandas(kernel, schema=TOPK_SCHEMA)
+    )
 
 
 def match_enumerate(

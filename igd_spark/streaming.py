@@ -49,7 +49,12 @@ def stream_append(
         if batch_df.isEmpty():
             return
         spark = batch_df.sparkSession
-        append_index(spark, index_path, batch_df, id_col=None)
+        # batch_tag makes the replayed micro-batch (crash between append and
+        # checkpoint commit) a no-op instead of a silent double-append
+        append_index(
+            spark, index_path, batch_df, id_col=None,
+            batch_tag=f"stream_batch_{batch_id:08d}",
+        )
 
     writer = stream_docs.writeStream.foreachBatch(commit_batch).option(
         "checkpointLocation", checkpoint_dir

@@ -81,3 +81,43 @@ def test_blocks_sorted_and_sized(spark, tiny_docs, tmp_path):
         for doc in codec.decode_doc_ids(bytes(r["doc_ids"])):
             got.add((r["term"], int(doc)))
     assert got == want
+
+
+def test_dense_ids_are_global_rank(spark, tiny_docs):
+    """Dense doc_id must equal the exact 0-based global rank under
+    (conv_id, turn_idx) — computed distributed (range partitions +
+    offsets), verified against a driver-side sort."""
+    conf = IndexConf(doc_id_method="dense")
+    got = assign_doc_ids(tiny_docs, conf).select("conv_id", "turn_idx", "doc_id").collect()
+    want = sorted((r["conv_id"], r["turn_idx"]) for r in got)
+    for r in got:
+        assert r["doc_id"] == want.index((r["conv_id"], r["turn_idx"]))
+    assert sorted(r["doc_id"] for r in got) == list(range(len(got)))
+
+
+def test_hash_ids_no_collisions_at_1e7_convs(spark):
+    """Collision audit for the 63-bit hash id space at 10^7 conversations
+    (expected birthday collisions ~ (1e7)^2 / 2^64 ≈ 5e-6 — must be 0)."""
+    from igd_spark.corpus import audit_doc_ids
+
+    conf = IndexConf(doc_id_method="hash")
+    docs = spark.range(10_000_000).select(
+        F.concat(F.lit("conv"), F.col("id")).alias("conv_id"),
+        (F.col("id") % 7).cast("int").alias("turn_idx"),
+    )
+    assert audit_doc_ids(assign_doc_ids(docs, conf)) == 0
+
+
+def test_hash_ids_stable_and_roundtrip(spark, tiny_docs):
+    """Hash ids are stateless: identical across partitionings; per-turn
+    text equality holds through the id map (BASELINE.json input_hint)."""
+    from igd_spark.corpus import docid_roundtrip_check
+
+    conf = IndexConf(doc_id_method="hash")
+    a = {(r["conv_id"], r["turn_idx"]): r["doc_id"]
+         for r in assign_doc_ids(tiny_docs, conf).collect()}
+    b = {(r["conv_id"], r["turn_idx"]): r["doc_id"]
+         for r in assign_doc_ids(tiny_docs.repartition(13), conf).collect()}
+    assert a == b
+    assert all(v >= 0 for v in a.values())
+    assert docid_roundtrip_check(assign_doc_ids(tiny_docs, conf)) == 0

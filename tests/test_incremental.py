@@ -123,3 +123,39 @@ def test_append_rejects_dense_ids(spark, split_corpus, tmp_path):
     build_index(spark, first, path, conf=dense_conf)
     with pytest.raises(ValueError, match="append"):
         append_index(spark, path, second.drop("doc_id"), id_col=None)
+
+
+def test_append_batch_tag_idempotent(spark, split_corpus, tmp_path):
+    """Replaying an append with the same batch_tag (the Structured Streaming
+    crash-replay case) must be a no-op: stats and top-k unchanged."""
+    docs, first, second = split_corpus
+    path = str(tmp_path / "iidx")
+    build_index(spark, first, path, conf=CONF)
+    idx1 = append_index(spark, path, second, batch_tag="b0001")
+    n1, stats1 = idx1.n_docs, idx1.meta["corpus"]
+    queries = _queries(spark)
+    want = _topk_key(search(spark, idx1, queries, k=10))
+    # replay
+    idx2 = append_index(spark, path, second, batch_tag="b0001")
+    assert idx2.n_docs == n1 and idx2.meta["corpus"] == stats1
+    assert idx2.meta["appends"] == 1
+    assert _topk_key(search(spark, idx2, queries, k=10)) == want
+
+
+def test_open_refuses_dirty_index(spark, split_corpus, tmp_path):
+    """A crash mid-mutation leaves the in-progress marker; open_index must
+    refuse (not silently serve half-merged tables) unless allow_dirty."""
+    import json
+
+    _, first, _ = split_corpus
+    path = str(tmp_path / "dirty_idx")
+    build_index(spark, first, path, conf=CONF)
+    marker = os.path.join(path, "_lineage", "_inprogress.json")
+    with open(marker, "w") as f:
+        json.dump({"op": "append", "tag": "crashed"}, f)
+    with pytest.raises(RuntimeError, match="unfinished"):
+        open_index(spark, path)
+    idx = open_index(spark, path, allow_dirty=True)
+    assert idx.n_docs > 0
+    os.remove(marker)
+    open_index(spark, path)  # clean again
