@@ -125,6 +125,7 @@ def _maxscore_kernel(
     k1: float,
     b: float,
     avgdl: float,
+    stats: dict | None = None,
 ):
     """Bucketed, per-query-vectorized MaxScore (cogrouped form).
 
@@ -153,14 +154,14 @@ def _maxscore_kernel(
     _cache: dict = {}
     _cache_postings = [0]
     _CACHE_MAX_POSTINGS = 4_000_000  # ~64 MB of decoded arrays per task
+    _stats = stats if stats is not None else {}
+    _stats.setdefault("blocks_decoded", 0)
+    _stats.setdefault("blocks_skipped", 0)
 
-    def decode_list(key, g: pd.DataFrame) -> tuple[np.ndarray, np.ndarray]:
-        """(doc_ids, w) for one (term, salt) list given its block rows
-        (sorted by block_id). d is NOT globally sorted when base+delta
-        appends interleave — consumers must not assume sortedness."""
-        hit = _cache.get(key)
-        if hit is not None:
-            return hit
+    def _decode_rows(g: pd.DataFrame) -> tuple[np.ndarray, np.ndarray]:
+        """Uncached decode of a set of block rows (any subset of a list —
+        every block's first varint is an absolute doc id, so blocks decode
+        independently via the segmented cumsum)."""
         n_arr = g["n"].to_numpy(dtype=np.int64)
         dbuf = b"".join(bytes(x) for x in g["doc_ids"])
         tbuf = b"".join(bytes(x) for x in g["tfs"])
@@ -179,12 +180,51 @@ def _maxscore_kernel(
             m = tf >= min_tf
             d, tf, dl = d[m], tf[m], dl[m]
         w = tf * (k1 + 1.0) / (tf + k1 * (1.0 - b + b * dl / avgdl))
+        _stats["blocks_decoded"] += len(g)
+        return d, w
+
+    def decode_list(key, g: pd.DataFrame) -> tuple[np.ndarray, np.ndarray]:
+        """(doc_ids, w) for one FULL (term, salt) list, task-cached. d is
+        NOT globally sorted when base+delta appends interleave — consumers
+        must not assume sortedness."""
+        hit = _cache.get(key)
+        if hit is not None:
+            return hit
+        d, w = _decode_rows(g)
         if _cache_postings[0] + d.size > _CACHE_MAX_POSTINGS:
             _cache.clear()
             _cache_postings[0] = 0
         _cache[key] = (d, w)
         _cache_postings[0] += d.size
         return d, w
+
+    def decode_for_survivors(
+        key, g: pd.DataFrame, uids: np.ndarray
+    ) -> tuple[np.ndarray, np.ndarray]:
+        """Block-max skipping for the deferred fold (the true block-max use
+        of first_doc/last_doc, src/igd_search.c:790-812 descendant): only
+        blocks whose [first_doc, last_doc] range contains ≥1 surviving
+        candidate can change the final top-k — the rest are SKIPPED without
+        decoding. Exactness-preserving by construction (a skipped block
+        holds no surviving doc). Falls back to the cached full-list decode
+        when (a) the list is already cached, or (b) most blocks intersect
+        anyway (cache reuse across the bucket's queries beats a one-off
+        partial decode)."""
+        hit = _cache.get(key)
+        if hit is not None:
+            return hit
+        firsts = g["first_doc"].to_numpy(dtype=np.int64)
+        lasts = g["last_doc"].to_numpy(dtype=np.int64)
+        lo = np.searchsorted(uids, firsts, side="left")
+        hi = np.searchsorted(uids, lasts, side="right")
+        mask = lo < hi  # block range contains ≥1 survivor
+        n_hit = int(mask.sum())
+        if n_hit >= 0.5 * len(g):
+            return decode_list(key, g)
+        _stats["blocks_skipped"] += len(g) - n_hit
+        if n_hit == 0:
+            return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.float64)
+        return _decode_rows(g.iloc[np.flatnonzero(mask)])
 
     def list_ub(g: pd.DataFrame) -> float:
         """Score upper bound for a list. Blocks whose stored ub was computed
@@ -254,7 +294,7 @@ def _maxscore_kernel(
                 theta = max(theta, kth)
                 keep = scores + remaining >= theta
                 uids, scores = uids[keep], scores[keep]
-            d, w = decode_list(key, g)
+            d, w = decode_for_survivors(key, g, uids)
             pos = np.searchsorted(uids, d)
             valid = pos < uids.size
             pos_v = pos[valid]
