@@ -22,8 +22,13 @@ src_py/igd_py.pyx:21-44 create/open/search_1/search_n):
 """
 
 from igd_spark.config import IndexConf
-from igd_spark.cooccur import source_overlap_matrix, term_cooccurrence
-from igd_spark.corpus import assign_doc_ids, synth_transcripts
+from igd_spark.cooccur import source_overlap_matrix, term_cooccurrence, write_hitsmap_csv
+from igd_spark.corpus import (
+    assign_doc_ids,
+    create_from_files,
+    read_transcripts,
+    synth_transcripts,
+)
 from igd_spark.dedup import (
     exact_dedup,
     minhash_dedup_pairs,
@@ -39,9 +44,17 @@ from igd_spark.index import (
     compact_index,
     open_index,
 )
-from igd_spark.search import bm25_scores, exact_bm25_topk, match_enumerate, search
+from igd_spark.multimodal import extract_features, extract_features_long, media_stats
+from igd_spark.search import (
+    bm25_scores,
+    exact_bm25_topk,
+    match_enumerate,
+    search,
+    search_one,
+)
 from igd_spark.seqpare import query_doc_jaccard, seqpare_scores
 from igd_spark.similarity import (
+    cosine_neardup_banded,
     cosine_neardup_pairs,
     cosine_topk,
     cosine_topk_arrow,
@@ -62,17 +75,22 @@ __all__ = [
     "build_index",
     "compact_index",
     "corpus_stats",
+    "cosine_neardup_banded",
     "cosine_neardup_pairs",
     "cosine_topk",
     "cosine_topk_arrow",
+    "create_from_files",
     "doc_stats",
     "exact_bm25_topk",
     "exact_dedup",
+    "extract_features",
+    "extract_features_long",
     "fingerprint",
     "ivf_ann_topk",
     "lang_id",
     "lsh_ann_topk",
     "match_enumerate",
+    "media_stats",
     "minhash_dedup_pairs",
     "minhash_signatures",
     "ngram_jaccard_pairs",
@@ -80,7 +98,9 @@ __all__ = [
     "pick_anchors",
     "postings",
     "query_doc_jaccard",
+    "read_transcripts",
     "search",
+    "search_one",
     "seqpare_scores",
     "shingles",
     "simhash",
@@ -91,4 +111,5 @@ __all__ = [
     "term_stats",
     "text_stats",
     "tokens_col",
+    "write_hitsmap_csv",
 ]

@@ -123,6 +123,42 @@ def synth_transcripts_distributed(
     return pids.mapInPandas(gen, schema=TRANSCRIPT_SCHEMA)
 
 
+def read_transcripts(
+    spark: SparkSession,
+    paths: str | list[str],
+    fmt: str = "parquet",
+) -> DataFrame:
+    """File-list / glob / directory batch source — the create_igd_f analog
+    (src/igd_create.c:130-166: build from an explicit list of input files).
+    Accepts a single path/glob or an explicit list of paths; the reader
+    parallelizes across files and row groups, schema pinned to the
+    transcript shape (extra columns are dropped, missing ones error)."""
+    reader = spark.read.format(fmt)
+    if fmt == "parquet":
+        df = reader.load(paths if isinstance(paths, list) else [paths])
+    else:
+        df = reader.schema(TRANSCRIPT_SCHEMA).load(
+            paths if isinstance(paths, list) else [paths]
+        )
+    return df.select([f.name for f in TRANSCRIPT_SCHEMA.fields])
+
+
+def create_from_files(
+    spark: SparkSession,
+    paths: str | list[str],
+    index_path: str,
+    conf: IndexConf = DEFAULT_CONF,
+    fmt: str = "parquet",
+    resume: bool = False,
+):
+    """`igd create "<glob>" <out>` end-to-end: read the file list, assign
+    doc ids per conf.doc_id_method, build the index."""
+    from igd_spark.index import build_index
+
+    docs = read_transcripts(spark, paths, fmt=fmt)
+    return build_index(spark, docs, index_path, conf=conf, id_col=None, resume=resume)
+
+
 def assign_doc_ids(
     docs: DataFrame, conf: IndexConf = DEFAULT_CONF
 ) -> DataFrame:

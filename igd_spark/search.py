@@ -431,6 +431,20 @@ def search(
     )
 
 
+def search_one(
+    spark: SparkSession,
+    idx: InvertedIndex,
+    query_text: str,
+    k: int = 10,
+    min_tf: int = 0,
+) -> DataFrame:
+    """Single-query convenience — the search_1 analog (src_py/igd_py.pyx:31-38,
+    IGDr/R/IGDr.R:40-43): wraps the text in a one-row query set and drops the
+    query_id from the result. (rank, doc_id, score)."""
+    q = spark.createDataFrame([(0, query_text)], "query_id long, query_text string")
+    return search(spark, idx, q, k=k, min_tf=min_tf).select("rank", "doc_id", "score")
+
+
 def match_enumerate(
     spark: SparkSession, idx: InvertedIndex, queries: DataFrame
 ) -> DataFrame:

@@ -8,6 +8,7 @@ import json
 import os
 
 import pytest
+from pyspark.sql import functions as F
 
 from igd_spark import IndexConf, build_index, open_index, search
 from igd_spark.corpus import assign_doc_ids
@@ -78,3 +79,40 @@ def test_introspection(spark, built):
     # unknown term behaves like unknown contig (0 hits, src/igd_search.c:456-458)
     assert idx.term_df("zzz-unknown") == 0
     assert idx.block_len("zzz-unknown", 0) == 0
+
+
+def test_search_one_and_file_list_build(spark, tiny_docs, tmp_path):
+    """search_1 + create-from-file-list analogs (src_py/igd_py.pyx:31-38,
+    src/igd_create.c:130-166): a multi-file drop builds the same index a
+    single-table build does, and search_one == search on a 1-row set."""
+    from igd_spark import IndexConf, create_from_files, search, search_one
+
+    conf = IndexConf(block_size=32, n_shards=8)
+    drops = str(tmp_path / "drops")
+    tiny_docs.repartition(4).write.parquet(drops)
+    import glob as _glob
+
+    files = sorted(_glob.glob(drops + "/*.parquet"))
+    assert len(files) >= 2
+    idx = create_from_files(spark, files, str(tmp_path / "flidx"), conf=conf)
+    one = search_one(spark, idx, "error timeout", k=5).collect()
+    assert [r["rank"] for r in one] == list(range(1, len(one) + 1))
+    q = spark.createDataFrame([(0, "error timeout")], "query_id long, query_text string")
+    full = search(spark, idx, q, k=5).collect()
+    assert [(r["rank"], r["doc_id"], r["score"]) for r in sorted(one, key=lambda r: r["rank"])] == [
+        (r["rank"], r["doc_id"], r["score"]) for r in sorted(full, key=lambda r: r["rank"])
+    ]
+
+
+def test_hitsmap_csv_sink(spark, tiny_docs, tmp_path):
+    import glob as _glob
+
+    from igd_spark import term_cooccurrence, write_hitsmap_csv
+
+    m = term_cooccurrence(tiny_docs.withColumn("doc_id", F.monotonically_increasing_id()), min_df=20)
+    out = str(tmp_path / "hitsmap")
+    write_hitsmap_csv(m, out)
+    files = _glob.glob(out + "/*.csv")
+    assert len(files) == 1
+    header = open(files[0]).readline().strip().split(",")
+    assert header == ["term_a", "term_b", "n_docs"]
