@@ -117,10 +117,20 @@ class InvertedIndex:
 
     @property
     def dictionary(self) -> DataFrame:
+        """(term, term_id, df, n_salts) — logical dictionary view over the
+        base rows + any append deltas. Appends drop DELTA rows (term,
+        df_delta, n_salts) instead of rewriting the whole table (a per-
+        micro-batch O(vocab) shuffle at stream rates); the reader folds
+        them: df = Σ df, n_salts = max. Cached per handle; compact_index
+        consolidates the deltas physically."""
         if self._dictionary is None:
-            self._dictionary = self.spark.read.parquet(
-                os.path.join(self.path, "dictionary")
-            ).persist()
+            raw = self.spark.read.parquet(os.path.join(self.path, "dictionary"))
+            self._dictionary = (
+                raw.groupBy("term")
+                .agg(F.sum("df").alias("df"), F.max("n_salts").alias("n_salts"))
+                .select("term", F.xxhash64("term").alias("term_id"), "df", "n_salts")
+                .persist()
+            )
         return self._dictionary
 
     @property
@@ -313,23 +323,17 @@ def append_index(
     )
     parts["doc_stats"].write.mode("append").parquet(os.path.join(path, "doc_stats"))
 
-    # dictionary: additive df merge, n_salts = max (probe set must cover the
-    # union of physical salt values in old + new segments)
-    old_dict = idx.dictionary
-    new_dict = parts["dictionary"]
-    merged = (
-        old_dict.select("term", "df", "n_salts")
-        .unionByName(new_dict.select("term", "df", "n_salts"))
-        .groupBy("term")
-        .agg(F.sum("df").alias("df"), F.max("n_salts").alias("n_salts"))
-        .select("term", F.xxhash64("term").alias("term_id"), "df", "n_salts")
-    )
-    tmp_dict = os.path.join(path, "dictionary_new")
-    merged.write.mode("overwrite").parquet(tmp_dict)
-    old_dict.unpersist()
-    _swap_dir(os.path.join(path, "dictionary"), tmp_dict)
-    # the caller's handle now points at replaced files — invalidate its
-    # cached DataFrames so accidental reuse re-resolves instead of failing
+    # dictionary: append DELTA rows — no rewrite, no swap; the reader folds
+    # df additively and takes max(n_salts) (probe set must cover the union
+    # of physical salt values in old + new segments). O(delta vocab) per
+    # append instead of O(total vocab) — the stream-rate requirement.
+    parts["dictionary"].select("term", "term_id", "df", "n_salts").write.mode(
+        "append"
+    ).parquet(os.path.join(path, "dictionary"))
+    if idx._dictionary is not None:
+        idx._dictionary.unpersist()
+    # the caller's handle now points at grown tables — invalidate its cached
+    # DataFrames so accidental reuse re-resolves instead of serving stale
     idx._dictionary = None
     idx._segments = None
     for cached in parts.get("_cached", []):
@@ -360,8 +364,9 @@ def compact_index(spark: SparkSession, path: str) -> InvertedIndex:
     """Merge append deltas into their base lists, re-sort by doc_id, re-pack
     fixed-size blocks, and refresh every block-max bound under the current
     merged avgdl — restores the tight-pruning invariant append_index trades
-    away. Stats tables are already exact (additive merges), so only the
-    segment layout is rewritten; one shuffle, same as a build."""
+    away. Also folds the dictionary delta rows into one physical row per
+    term. Stats are already exact (additive merges); one shuffle per table,
+    same as a build."""
     from igd_spark.build import repack_segments
 
     idx = open_index(spark, path)
@@ -369,9 +374,14 @@ def compact_index(spark: SparkSession, path: str) -> InvertedIndex:
     new_seg = repack_segments(idx.segments, idx.conf, idx.avgdl)
     tmp = os.path.join(path, "segments_compacted")
     new_seg.write.mode("overwrite").partitionBy("shard").parquet(tmp)
-    # marker covers only the swap (the tmp write is invisible to readers)
+    tmp_dict = os.path.join(path, "dictionary_compacted")
+    idx.dictionary.write.mode("overwrite").parquet(tmp_dict)
+    idx.dictionary.unpersist()
+    idx._dictionary = None
+    # marker covers only the swaps (the tmp writes are invisible to readers)
     _begin_mutation(path, "compact", f"compact_{idx.meta.get('compactions', 0) + 1}")
     _swap_dir(os.path.join(path, "segments"), tmp)
+    _swap_dir(os.path.join(path, "dictionary"), tmp_dict)
     idx.meta["appends"] = 0
     idx.meta["compactions"] = idx.meta.get("compactions", 0) + 1
     with open(os.path.join(path, "_meta.json"), "w") as f:

@@ -159,3 +159,32 @@ def test_open_refuses_dirty_index(spark, split_corpus, tmp_path):
     assert idx.n_docs > 0
     os.remove(marker)
     open_index(spark, path)  # clean again
+
+
+def test_dictionary_deltas_fold_and_compact(spark, split_corpus, tmp_path):
+    """Appends drop dictionary DELTA rows (O(delta vocab), the stream-rate
+    path); the logical view folds them; compact consolidates physically."""
+    docs, first, second = split_corpus
+    path = str(tmp_path / "ddict")
+    build_index(spark, first, path, conf=CONF)
+    idx = append_index(spark, path, second)
+    # physical rows > logical terms (delta rows present)...
+    raw = spark.read.parquet(os.path.join(path, "dictionary"))
+    n_logical = idx.dictionary.count()
+    assert raw.count() > n_logical
+    # ...but the logical view folds df additively
+    from igd_spark.tokenizer import postings
+
+    want_df = {
+        r["term"]: r["cnt"]
+        for r in postings(docs, conf=CONF).groupBy("term").agg(
+            F.count("*").alias("cnt")).collect()
+    }
+    got_df = {r["term"]: r["df"] for r in idx.dictionary.collect()}
+    assert got_df == want_df
+    from igd_spark import compact_index
+
+    idx2 = compact_index(spark, path)
+    raw2 = spark.read.parquet(os.path.join(path, "dictionary"))
+    assert raw2.count() == idx2.dictionary.count() == n_logical
+    assert {r["term"]: r["df"] for r in idx2.dictionary.collect()} == want_df
