@@ -52,6 +52,10 @@ N_EMB_QUERIES = 5
 N_ANCHORS = 8
 COS_NEARDUP_TH = 0.3
 N_FRAMES = 4
+SESSION_GAP_MIN = 30
+IVF_NPROBE = 2
+MIN_QUALITY = 0.5
+CURATE_LANGS = ("en",)
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -292,6 +296,30 @@ def q_embedding_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_ann_topk(e, _emb_queries(spark, sf_dir), anchors, k=K)
 
 
+def q_embedding_ivf_ann_nprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # recall knob: probe the 2 nearest IVF cells per query
+    from igd_spark import pick_anchors
+    from igd_spark.similarity import ivf_ann_topk
+
+    e = _emb(spark, sf_dir)
+    anchors = pick_anchors(e, N_ANCHORS)
+    return ivf_ann_topk(e, _emb_queries(spark, sf_dir), anchors, k=K, nprobe=IVF_NPROBE)
+
+
+def q_corpus_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # composite dedup+lang+quality filter chain with deterministic reasons
+    from igd_spark.pipeline import curate
+
+    return curate(_docs(spark, sf_dir), min_quality=MIN_QUALITY, langs=CURATE_LANGS)
+
+
+def q_events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from igd_spark.events import sessionize
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return sessionize(ev, gap_minutes=SESSION_GAP_MIN)
+
+
 def q_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     from igd_spark.textstats import token_count_variants
 
@@ -367,6 +395,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_neardup_banded": q_embedding_neardup_banded,
         "embedding_lsh_ann": q_embedding_lsh_ann,
         "embedding_ivf_ann": q_embedding_ivf_ann,
+        "embedding_ivf_ann_nprobe": q_embedding_ivf_ann_nprobe,
+        "corpus_curate": q_corpus_curate,
+        "events_sessionize": q_events_sessionize,
         "token_counts": q_token_counts,
         "seqpare_pairs": q_seqpare_pairs,
         "seqpare_scores": q_seqpare_scores,
@@ -743,6 +774,98 @@ f AS (SELECT media_id, n_bytes, frame_idx::INT AS frame_idx
 SELECT media_id, frame_idx,
        floor(frame_idx * n_bytes / {N_FRAMES})::INT AS frame_offset
 FROM f
+"""
+
+    sql["embedding_ivf_ann_nprobe"] = f"""
+WITH anc AS (SELECT vec_id AS anchor_id, embedding::DOUBLE[] AS av,
+                    list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]) / 2.0 AS hn
+             FROM embeddings WHERE vec_id < {N_ANCHORS}),
+e AS (SELECT vec_id, embedding::DOUBLE[] AS ev FROM embeddings),
+escore AS (
+  SELECT e.vec_id, anc.anchor_id,
+         row_number() OVER (PARTITION BY e.vec_id
+             ORDER BY round(list_dot_product(ev, av) - hn, 9) DESC, anchor_id ASC) AS rn
+  FROM e CROSS JOIN anc),
+ecell AS (SELECT vec_id, anchor_id AS cell FROM escore WHERE rn = 1),
+q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv FROM embeddings
+      WHERE vec_id < {N_EMB_QUERIES}),
+qscore AS (
+  SELECT q.query_id, anc.anchor_id,
+         row_number() OVER (PARTITION BY q.query_id
+             ORDER BY round(list_dot_product(qv, av) - hn, 9) DESC, anchor_id ASC) AS rn
+  FROM q CROSS JOIN anc),
+qcell AS (SELECT query_id, anchor_id AS cell FROM qscore WHERE rn <= {IVF_NPROBE}),
+s AS (
+  SELECT q.query_id, e.vec_id, {_EMB_COS} AS cos
+  FROM q JOIN qcell USING (query_id)
+  JOIN ecell ON ecell.cell = qcell.cell
+  JOIN e ON e.vec_id = ecell.vec_id),
+r AS (SELECT query_id, vec_id, cos,
+             row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id ASC)::INT AS rank
+      FROM s)
+SELECT query_id, rank, vec_id, cos FROM r WHERE rank <= {K}
+"""
+
+    from igd_spark.textstats import LANG_MARKERS as _LM
+
+    _lang_rows = ", ".join(
+        "('{}', [{}])".format(lang, ", ".join(f"'{m}'" for m in markers))
+        for lang, markers in sorted(_LM.items())
+    )
+    _stop = ", ".join(
+        f"'{s}'" for s in ("the", "a", "an", "and", "or", "of", "to", "in", "is", "it")
+    )
+    _keep_langs = ", ".join(f"'{l}'" for l in CURATE_LANGS)
+    sql["corpus_curate"] = f"""
+WITH {_TL},
+h AS (SELECT doc_id, md5(coalesce(text, '')) AS chash FROM documents),
+dd AS (SELECT doc_id, doc_id = min(doc_id) OVER (PARTITION BY chash) AS is_canonical FROM h),
+langs(lang, markers) AS (VALUES {_lang_rows}),
+votes AS (
+  SELECT doc_id, lang,
+         len(list_filter(tl, x -> list_contains(markers, x)))::INT AS votes
+  FROM tldocs CROSS JOIN langs),
+best AS (
+  SELECT doc_id, lang, votes,
+         row_number() OVER (PARTITION BY doc_id ORDER BY votes DESC, lang ASC) AS rn
+  FROM votes),
+li AS (SELECT doc_id, CASE WHEN votes > 0 THEN lang ELSE 'und' END AS lang_pred
+       FROM best WHERE rn = 1),
+base AS (
+  SELECT d.doc_id, length(coalesce(doc.text, '')) AS n_chars, len(d.tl) AS n_tokens,
+         len(list_filter(d.tl, x -> list_contains([{_stop}], x))) AS n_stop,
+         length(regexp_replace(lower(coalesce(doc.text, '')), '[^a-z0-9 ]', '', 'g')) AS n_clean
+  FROM tldocs d JOIN documents doc USING (doc_id)),
+q AS (
+  SELECT doc_id,
+         round(0.4 * least(n_tokens / 100.0, 1.0)
+               + 0.4 * (CASE WHEN n_chars > 0 THEN n_clean::DOUBLE / n_chars ELSE 0.0 END)
+               + 0.2 * least((CASE WHEN n_tokens > 0 THEN n_stop::DOUBLE / n_tokens ELSE 0.0 END) * 5.0, 1.0),
+               6) AS quality
+  FROM base),
+v AS (
+  SELECT dd.doc_id,
+         CASE WHEN NOT dd.is_canonical THEN 'duplicate'
+              WHEN li.lang_pred NOT IN ({_keep_langs}) THEN 'lang'
+              WHEN q.quality < {MIN_QUALITY} THEN 'quality'
+              ELSE NULL END AS reason
+  FROM dd JOIN li USING (doc_id) JOIN q USING (doc_id))
+SELECT doc_id, reason IS NULL AS keep, reason FROM v
+"""
+
+    gap_us = SESSION_GAP_MIN * 60 * 1_000_000
+    sql["events_sessionize"] = f"""
+WITH ev AS (SELECT user_id, event_id, epoch_us(ts) AS ts_us, value FROM events),
+l AS (SELECT *, lag(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us, event_id) AS prev
+      FROM ev),
+s AS (SELECT *, CASE WHEN prev IS NULL OR ts_us - prev > {gap_us} THEN 1 ELSE 0 END AS is_new
+      FROM l),
+sid AS (SELECT *, sum(is_new) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+                                    ROWS UNBOUNDED PRECEDING)::INT AS session_id
+        FROM s)
+SELECT user_id, session_id, min(ts_us)::BIGINT AS start_us, max(ts_us)::BIGINT AS end_us,
+       count(*)::BIGINT AS n_events, round(sum(value), 6) AS sum_value
+FROM sid GROUP BY 1, 2
 """
 
     band_bits = 2  # 8 anchors / 4 bands

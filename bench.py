@@ -175,6 +175,9 @@ def main() -> None:
         "lang_id",
         "embedding_cosine_topk",
         "simhash_sketch",
+        "corpus_curate",
+        "events_sessionize",
+        "media_features",
     ):
         fn = em.queries()[name]
         t0 = time.perf_counter()

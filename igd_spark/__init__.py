@@ -44,7 +44,9 @@ from igd_spark.index import (
     compact_index,
     open_index,
 )
+from igd_spark.events import sessionize
 from igd_spark.multimodal import extract_features, extract_features_long, media_stats
+from igd_spark.pipeline import curate, curated_docs
 from igd_spark.search import (
     bm25_scores,
     exact_bm25_topk,
@@ -80,6 +82,8 @@ __all__ = [
     "cosine_topk",
     "cosine_topk_arrow",
     "create_from_files",
+    "curate",
+    "curated_docs",
     "doc_stats",
     "exact_bm25_topk",
     "exact_dedup",
@@ -102,6 +106,7 @@ __all__ = [
     "search",
     "search_one",
     "seqpare_scores",
+    "sessionize",
     "shingles",
     "simhash",
     "simhash_dedup_pairs",

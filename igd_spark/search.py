@@ -158,10 +158,14 @@ def _maxscore_kernel(
     _stats.setdefault("blocks_decoded", 0)
     _stats.setdefault("blocks_skipped", 0)
 
-    def _decode_rows(g: pd.DataFrame) -> tuple[np.ndarray, np.ndarray]:
+    def _decode_rows_segmented(
+        g: pd.DataFrame,
+    ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
         """Uncached decode of a set of block rows (any subset of a list —
         every block's first varint is an absolute doc id, so blocks decode
-        independently via the segmented cumsum)."""
+        independently via the segmented cumsum). Returns (d, w, lens) where
+        lens[i] = surviving postings of the i-th input row (post-min_tf),
+        so callers can split the concatenation back into per-block arrays."""
         n_arr = g["n"].to_numpy(dtype=np.int64)
         dbuf = b"".join(bytes(x) for x in g["doc_ids"])
         tbuf = b"".join(bytes(x) for x in g["tfs"])
@@ -178,9 +182,17 @@ def _maxscore_kernel(
         dl = codec.varint_decode(lbuf).astype(np.float64)
         if min_tf > 0:
             m = tf >= min_tf
+            starts = np.concatenate(([0], ends[:-1]))
+            lens = np.add.reduceat(m.astype(np.int64), starts)
             d, tf, dl = d[m], tf[m], dl[m]
+        else:
+            lens = n_arr
         w = tf * (k1 + 1.0) / (tf + k1 * (1.0 - b + b * dl / avgdl))
         _stats["blocks_decoded"] += len(g)
+        return d, w, lens
+
+    def _decode_rows(g: pd.DataFrame) -> tuple[np.ndarray, np.ndarray]:
+        d, w, _ = _decode_rows_segmented(g)
         return d, w
 
     def decode_list(key, g: pd.DataFrame) -> tuple[np.ndarray, np.ndarray]:
@@ -198,6 +210,8 @@ def _maxscore_kernel(
         _cache_postings[0] += d.size
         return d, w
 
+    _bcache: dict = {}  # list key → {block row idx → (d, w)} — per-BLOCK cache
+
     def decode_for_survivors(
         key, g: pd.DataFrame, uids: np.ndarray
     ) -> tuple[np.ndarray, np.ndarray]:
@@ -206,10 +220,15 @@ def _maxscore_kernel(
         blocks whose [first_doc, last_doc] range contains ≥1 surviving
         candidate can change the final top-k — the rest are SKIPPED without
         decoding. Exactness-preserving by construction (a skipped block
-        holds no surviving doc). Falls back to the cached full-list decode
-        when (a) the list is already cached, or (b) most blocks intersect
-        anyway (cache reuse across the bucket's queries beats a one-off
-        partial decode)."""
+        holds no surviving doc).
+
+        Partially-decoded blocks land in a per-BLOCK cache (the reference's
+        block cache, src/igd_search.c:469-475, at true block granularity):
+        across a bucket's queries each block of a shared hot list decodes
+        AT MOST once — without this, per-query partial decodes re-do the
+        hot list's work per query and forfeit the 10× shared-decode win.
+        Falls back to the full-list decode when the list is already cached
+        or most blocks intersect anyway."""
         hit = _cache.get(key)
         if hit is not None:
             return hit
@@ -224,7 +243,29 @@ def _maxscore_kernel(
         _stats["blocks_skipped"] += len(g) - n_hit
         if n_hit == 0:
             return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.float64)
-        return _decode_rows(g.iloc[np.flatnonzero(mask)])
+        blocks = _bcache.setdefault(key, {})
+        need = np.flatnonzero(mask)
+        missing = [int(i) for i in need if int(i) not in blocks]
+        if missing:
+            d_all, w_all, lens = _decode_rows_segmented(g.iloc[missing])
+            offs = np.concatenate(([0], np.cumsum(lens)))
+            for j, bi in enumerate(missing):
+                db = d_all[offs[j]:offs[j + 1]]
+                wb = w_all[offs[j]:offs[j + 1]]
+                if _cache_postings[0] + db.size > _CACHE_MAX_POSTINGS:
+                    _cache.clear()
+                    _bcache.clear()
+                    _cache_postings[0] = 0
+                    blocks = _bcache.setdefault(key, {})
+                blocks[bi] = (db, wb)
+                _cache_postings[0] += db.size
+        parts = [blocks[int(i)] for i in need]
+        if len(parts) == 1:
+            return parts[0]
+        return (
+            np.concatenate([p[0] for p in parts]),
+            np.concatenate([p[1] for p in parts]),
+        )
 
     def list_ub(g: pd.DataFrame) -> float:
         """Score upper bound for a list. Blocks whose stored ub was computed
@@ -365,61 +406,67 @@ def search(
     per-query map, so batch size is unbounded. Final ranked top-k comes
     straight from the kernel.
 
-    Driver-side footprint: only the DISTINCT query-term dictionary slice is
-    collected (for shard/term_id scan pruning) and only while it is small;
-    above _PRUNE_COLLECT_MAX terms the scan-prune lists are skipped and
-    pruning happens through the join alone.
+    Driver-side footprint: ONE prologue job — the query×term dictionary
+    slice is collected up to _SMALL_BATCH_ROWS rows (Zipf query sets are
+    tiny relative to the corpus) and bucket/pruning metadata is derived
+    driver-side with zero extra jobs. Past that limit, the plan switches
+    to the fully-distributed form: counts/distincts as jobs, no per-query
+    driver state — batch size is then unbounded.
     """
     conf = idx.conf
+    from igd_spark.build import shards_for
+    from igd_spark.session import kernel_parallelism
+
     qt = query_terms(queries)
-    n_queries = qt.select("query_id").distinct().count()
-    if n_queries == 0:
-        return spark.createDataFrame([], TOPK_SCHEMA)
     qdict = (
         idx.dictionary.join(F.broadcast(qt), "term")
         .withColumn("idf", idf_col(idx.n_docs, "df"))
         .select("query_id", "term_id", "idf", "n_salts")
     )
-    if n_buckets is None:
+
+    def pick_buckets(n_queries: int) -> int:
         # target ~64 queries per bucket: block-dedup within a bucket
         # dominates task parallelism (measured: at 32 cores, 16 buckets of
         # 64 queries beat 64 buckets of 16 queries 2x — total decode work
         # shrinks with bucket size, and work volume must NOT grow with the
-        # cluster size). Floor of 8 buckets keeps small batches parallel.
-        n_buckets = max(min(8, n_queries), -(-n_queries // 64))
-        # on a local (single-memory-bus) master, additionally cap the number
-        # of concurrent scoring kernels — more buckets than the DRAM knee
-        # only adds contention AND duplicates shared-block decode work
-        from igd_spark.session import kernel_parallelism
+        # cluster size). Floor of 8 buckets keeps small batches parallel;
+        # past the local DRAM knee the count is capped (fewer concurrent
+        # scoring kernels AND more shared-block decode dedup per bucket).
+        nb = max(min(8, n_queries), -(-n_queries // 64))
+        return max(1, kernel_parallelism(spark, nb))
 
-        n_buckets = max(1, kernel_parallelism(spark, n_buckets))
-    bucket_expr = F.pmod(F.col("query_id"), F.lit(n_buckets)).cast("int")
-    qmap = qdict.withColumn("bucket", bucket_expr)
-    # bt gets its own bucket expression instance (not qmap's attribute):
-    # both cogroup sides descend from qdict, and reusing the same derived
-    # column makes the blocks-side join key ambiguous to the analyzer
-    bt = qdict.select(bucket_expr.alias("bucket"), "term_id").distinct()
-    from igd_spark.build import shards_for
-
-    # scan pruning: the distinct term slice is vocabulary-bounded (Zipf), so
-    # collecting it is cheap for any realistic batch; the guard keeps a
-    # pathological batch from flooding the driver — pruning then degrades
-    # gracefully to the join
-    _PRUNE_COLLECT_MAX = 100_000
-    trows = qmap.select("term_id", "n_salts").distinct().limit(_PRUNE_COLLECT_MAX + 1).collect()
-    seg = idx.segments
-    if not trows:
+    _SMALL_BATCH_ROWS = 100_000
+    qrows = qdict.limit(_SMALL_BATCH_ROWS + 1).collect()
+    if not qrows:
         return spark.createDataFrame([], TOPK_SCHEMA)
-    if len(trows) <= _PRUNE_COLLECT_MAX:
-        term_ids = sorted({int(r["term_id"]) for r in trows})
+    seg = idx.segments
+    if len(qrows) <= _SMALL_BATCH_ROWS:
+        # small-batch fast path: ONE collect, everything else driver-derived
+        if n_buckets is None:
+            n_buckets = pick_buckets(len({int(r["query_id"]) for r in qrows}))
+        term_ids = sorted({int(r["term_id"]) for r in qrows})
         shards = sorted(
             {
                 s
-                for r in trows
+                for r in qrows
                 for s in shards_for(int(r["term_id"]), int(r["n_salts"]), conf.n_shards)
             }
         )
         seg = seg.filter(F.col("shard").isin(shards) & F.col("term_id").isin(term_ids))
+        bt = spark.createDataFrame(
+            sorted({(int(r["query_id"]) % n_buckets, int(r["term_id"])) for r in qrows}),
+            "bucket int, term_id long",
+        )
+    else:
+        # unbounded path: no per-query driver state, pruning via the join
+        if n_buckets is None:
+            n_buckets = pick_buckets(qt.select("query_id").distinct().count())
+        bt = qdict.select(
+            F.pmod(F.col("query_id"), F.lit(n_buckets)).cast("int").alias("bucket"),
+            "term_id",
+        ).distinct()
+    bucket_expr = F.pmod(F.col("query_id"), F.lit(n_buckets)).cast("int")
+    qmap = qdict.withColumn("bucket", bucket_expr)
     blocks = seg.join(F.broadcast(bt), "term_id")
     kernel = _maxscore_kernel(k, min_tf, conf.k1, conf.b, idx.avgdl)
     # each group is a complete bucket of queries: the kernel emits final

@@ -39,13 +39,18 @@ def kernel_parallelism(spark: SparkSession, natural: int) -> int:
     returns `natural` untouched there. On a local[N] master all N task
     slots share ONE memory bus: measured on this sandbox, the SPIMI/pack/
     score kernels saturate DRAM near 8-10 concurrent workers and local[32]
-    runs the same job SLOWER than local[8] (BENCH.md core curve). So on
-    local masters the kernel stages are planned at min(natural, cap)
+    runs the same job SLOWER than local[8] (BENCH.md core curve). So the
+    cap engages ONLY when the slot count exceeds the knee (cores > cap):
+    below it, the natural partition count keeps waves slot-balanced and
+    N→4N scaling intact; above it, stages are planned at min(natural, cap)
     partitions — self-tuning the driver-visible local[32] bench without
     touching the cluster plan. Override with $IGD_LOCAL_KERNEL_CAP."""
-    if local_cores(spark) is None:
+    cores = local_cores(spark)
+    if cores is None:
         return natural
     cap = int(os.environ.get(KERNEL_CAP_ENV, str(DEFAULT_LOCAL_KERNEL_CAP)))
+    if cores <= cap:
+        return natural
     return max(1, min(natural, cap))
 
 

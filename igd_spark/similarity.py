@@ -124,7 +124,13 @@ def cosine_neardup_banded(
     Same "bin, then look only inside the bin" shape as IGD's tile pruning
     (src/igd_search.c:459-464); deterministic, so an oracle can mirror the
     banding exactly. Recall is probabilistic in general (more/shorter bands
-    = higher recall); precision is exact (candidates are verified)."""
+    = higher recall); precision is exact (candidates are verified).
+
+    SIZING: selectivity is 2^band_bits buckets per band, so band_bits must
+    grow with log2(n) or buckets stay macroscopic and the verify step goes
+    quadratic — at n=50k vectors, 2-bit bands (4 buckets) admit ~n²/16
+    candidates. Rule of thumb: band_bits ≈ log2(n) - 10 (≥2), i.e. 16+
+    anchors per 4 bands at n≈10^5, 40+ at n≈10^8."""
     n_anchors = len(anchors)
     if n_anchors % n_bands:
         raise ValueError("len(anchors) must be divisible by n_bands")
@@ -230,11 +236,40 @@ def ivf_bucket_col(vec: Column, anchors: list[list[float]]) -> Column:
     return (F.array_position(sarr, F.array_max(sarr)) - 1).cast("int")
 
 
+def ivf_probe_cells(
+    queries: DataFrame,
+    anchors: list[list[float]],
+    nprobe: int,
+    q_id: str = "query_id",
+    q_col: str = "query_vec",
+) -> DataFrame:
+    """(query_id, qv, cell) — each query's top-nprobe IVF cells by the same
+    (dot - |a|²/2) score ivf_bucket_col ranks with (rounded to 9 dp, ties to
+    the smaller anchor id). nprobe=1 reproduces ivf_bucket_col's assignment;
+    nprobe>1 is the recall knob: probe the nprobe nearest cells."""
+    q = queries.select(F.col(q_id).alias("query_id"), _dvec(q_col).alias("qv"))
+    scores = []
+    for anc in anchors:
+        arr = F.array(*[F.lit(float(x)) for x in anc])
+        half_norm = F.lit(float(sum(x * x for x in anc) / 2.0))
+        scores.append(F.round(dot_col(F.col("qv"), arr) - half_norm, 9))
+    exploded = q.select(
+        "query_id", "qv", F.posexplode(F.array(*scores)).alias("cell", "cscore")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cscore"), F.asc("cell"))
+    return (
+        exploded.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= nprobe)
+        .select("query_id", "qv", F.col("cell").cast("int").alias("cell"))
+    )
+
+
 def ivf_ann_topk(
     emb: DataFrame,
     queries: DataFrame,
     anchors: list[list[float]],
     k: int = 10,
+    nprobe: int = 1,
     emb_id: str = "vec_id",
     emb_col: str = "embedding",
     q_id: str = "query_id",
@@ -242,15 +277,13 @@ def ivf_ann_topk(
 ) -> DataFrame:
     """(query_id, rank, vec_id, cos) — IVF-style approximate top-k: corpus
     vectors are coarse-quantized to their nearest anchor (inverted file);
-    each query probes only its own cell. At 100 TB the corpus is written
-    partitioned by cell → partition-pruned scan, 1/|anchors| of the data
-    (nprobe=1; more cells = recall knob)."""
+    each query probes its nprobe nearest cells. At 100 TB the corpus is
+    written partitioned by cell → partition-pruned scan, nprobe/|anchors|
+    of the data; nprobe is the recall knob."""
     e = emb.select(F.col(emb_id).alias("vec_id"), _dvec(emb_col).alias("ev")).withColumn(
         "cell", ivf_bucket_col(F.col("ev"), anchors)
     )
-    q = queries.select(F.col(q_id).alias("query_id"), _dvec(q_col).alias("qv")).withColumn(
-        "cell", ivf_bucket_col(F.col("qv"), anchors)
-    )
+    q = ivf_probe_cells(queries, anchors, nprobe, q_id=q_id, q_col=q_col)
     j = e.join(F.broadcast(q), "cell")
     cos = dot_col(F.col("qv"), F.col("ev")) / (norm_col(F.col("qv")) * norm_col(F.col("ev")))
     scored = j.select("query_id", "vec_id", F.round(cos, 6).alias("cos"))

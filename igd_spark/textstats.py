@@ -42,6 +42,46 @@ def nonempty_tokens(text: Column | str) -> Column:
     return F.filter(tokens_col(c), lambda t: t != F.lit(""))
 
 
+def quality_col(text_col: Column | str = "text") -> Column:
+    """Rounded quality score as a pure expression (composable without a
+    join — see pipeline.curate). Spec shared with the DuckDB oracle:
+    0.4·min(n_tokens/100, 1) + 0.4·alnum_ratio + 0.2·min(stop_ratio·5, 1),
+    rounded to 6 dp."""
+    toks = nonempty_tokens(text_col)
+    tcol = F.col(text_col) if isinstance(text_col, str) else text_col
+    n_tokens = F.size(toks)
+    n_chars = F.length(F.coalesce(tcol, F.lit("")))
+    n_stop = F.size(F.filter(toks, lambda t: t.isin(*QUALITY_STOPWORDS)))
+    clean = F.regexp_replace(F.lower(F.coalesce(tcol, F.lit(""))), "[^a-z0-9 ]", "")
+    alnum_ratio = F.when(n_chars > 0, F.length(clean) / n_chars).otherwise(F.lit(0.0))
+    stop_ratio = F.when(n_tokens > 0, n_stop / n_tokens).otherwise(F.lit(0.0))
+    q = (
+        F.lit(0.4) * F.least(n_tokens / F.lit(100.0), F.lit(1.0))
+        + F.lit(0.4) * alnum_ratio
+        + F.lit(0.2) * F.least(stop_ratio * F.lit(5.0), F.lit(1.0))
+    )
+    return F.round(q, 6).cast("double")
+
+
+def lang_pred_col(text_col: Column | str = "text") -> Column:
+    """Predicted language as a pure expression: argmax of marker votes,
+    ties (votes desc, lang asc), zero votes → 'und'."""
+    marker_votes = []
+    for lang, markers in sorted(LANG_MARKERS.items()):
+        v = F.size(F.filter(nonempty_tokens(text_col), lambda t: t.isin(*markers)))
+        marker_votes.append(F.struct(v.alias("votes"), F.lit(lang).alias("lang")))
+    best = F.aggregate(
+        F.array(*marker_votes),
+        F.struct(F.lit(-1).alias("votes"), F.lit("und").alias("lang")),
+        lambda acc, x: F.when(
+            (x["votes"] > acc["votes"])
+            | ((x["votes"] == acc["votes"]) & (x["lang"] < acc["lang"])),
+            x,
+        ).otherwise(acc),
+    )
+    return F.when(best["votes"] > 0, best["lang"]).otherwise(F.lit("und"))
+
+
 def text_stats(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """(doc_id, n_chars, n_tokens, avg_token_len, alnum_ratio,
     stopword_ratio, quality) — one row per doc, no shuffle."""

@@ -192,3 +192,75 @@ def test_media_plumbing(spark, small_docs):
 
     with pytest.raises(NotImplementedError):
         _try_real_decode(b"xx", "audio")
+
+
+def test_sessionize_gap_semantics(spark):
+    """Hand-checkable fixture: gaps > 30min cut sessions; ties deterministic."""
+    import pandas as pd
+
+    from igd_spark.events import sessionize
+
+    base = pd.Timestamp("2024-01-01T00:00:00")
+    rows = [
+        # user 1: 3 events in one session, then a 31-min gap -> new session
+        (0, base, 1, "a", 1.5),
+        (1, base + pd.Timedelta(minutes=10), 1, "b", 2.25),
+        (2, base + pd.Timedelta(minutes=20), 1, "c", 3.0),
+        (3, base + pd.Timedelta(minutes=51), 1, "d", 4.0),
+        # user 2: single event
+        (4, base, 2, "a", 7.0),
+    ]
+    ev = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["event_id", "ts", "user_id", "event_type", "value"])
+    )
+    out = {(r["user_id"], r["session_id"]): r for r in sessionize(ev, 30).collect()}
+    assert len(out) == 3
+    assert out[(1, 1)]["n_events"] == 3 and abs(out[(1, 1)]["sum_value"] - 6.75) < 1e-9
+    assert out[(1, 2)]["n_events"] == 1 and out[(1, 2)]["sum_value"] == 4.0
+    assert out[(2, 1)]["n_events"] == 1
+    span_us = out[(1, 1)]["end_us"] - out[(1, 1)]["start_us"]
+    assert span_us == 20 * 60 * 1_000_000
+
+
+def test_ivf_nprobe_superset_and_recall(spark):
+    """nprobe=|cells| must equal brute force (full recall); nprobe=1 must
+    return a valid ranked subset."""
+    from igd_spark import cosine_topk, pick_anchors
+    from igd_spark.similarity import ivf_ann_topk
+
+    vecs = [(i, [float((i * 7 + j * 3) % 11 - 5) for j in range(8)]) for i in range(30)]
+    emb_df = spark.createDataFrame(vecs, "vec_id long, embedding array<float>")
+    anchors = pick_anchors(emb_df, 4)
+    q = emb_df.limit(2).selectExpr("vec_id as query_id", "embedding as query_vec")
+
+    def key(df):
+        return sorted((r["query_id"], r["rank"], r["vec_id"]) for r in df.collect())
+
+    one = key(ivf_ann_topk(emb_df, q, anchors, k=5, nprobe=1))
+    assert len(one) > 0
+    full = key(ivf_ann_topk(emb_df, q, anchors, k=5, nprobe=len(anchors)))
+    brute = key(cosine_topk(emb_df, q, k=5))
+    assert full == brute
+
+
+def test_curate_reasons_and_precedence(spark):
+    from igd_spark import curate, curated_docs
+
+    rows = [
+        (0, "the quick brown fox jumps over the lazy dog and it is in the yard " * 3),
+        (1, "the quick brown fox jumps over the lazy dog and it is in the yard " * 3),  # dup of 0
+        (2, "der hund und die katze ist hier im haus und der garten ist auch hier " * 3),  # German
+        (3, "@@@@ !!!! #### $$$$"),  # junk: low quality, und lang -> lang first
+        (4, "x"),  # short: lang 'und' wins before quality
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: (r["keep"], r["reason"]) for r in curate(docs).collect()}
+    assert got[0] == (True, None)
+    assert got[1] == (False, "duplicate")  # dup precedes lang/quality
+    assert got[2] == (False, "lang")
+    assert got[3] == (False, "lang")  # no markers -> 'und' -> lang precedes quality
+    kept = {r["doc_id"] for r in curated_docs(docs).collect()}
+    assert kept == {0}
+    # quality reason reachable: force lang pass with low quality via langs=("und",)
+    got2 = {r["doc_id"]: r["reason"] for r in curate(docs, langs=("en", "und")).collect()}
+    assert got2[3] == "quality"
