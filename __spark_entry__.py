@@ -56,6 +56,13 @@ SESSION_GAP_MIN = 30
 IVF_NPROBE = 2
 MIN_QUALITY = 0.5
 CURATE_LANGS = ("en",)
+PHRASES: list[tuple[int, str]] = [
+    (0, "table hash"),
+    (1, "customer join"),
+    (2, "merge group value"),
+    (3, "slow key"),
+    (4, "zzznotavocab table"),
+]
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -306,6 +313,16 @@ def q_embedding_ivf_ann_nprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_ann_topk(e, _emb_queries(spark, sf_dir), anchors, k=K, nprobe=IVF_NPROBE)
 
 
+def q_phrase_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # consecutive-position phrase occurrence counts (token-space stab join)
+    from igd_spark.search import phrase_match
+
+    ph = spark.createDataFrame(
+        [(int(q), t) for q, t in PHRASES], "query_id long, query_text string"
+    )
+    return phrase_match(_docs(spark, sf_dir), ph)
+
+
 def q_corpus_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
     # composite dedup+lang+quality filter chain with deterministic reasons
     from igd_spark.pipeline import curate
@@ -398,6 +415,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_ivf_ann_nprobe": q_embedding_ivf_ann_nprobe,
         "corpus_curate": q_corpus_curate,
         "events_sessionize": q_events_sessionize,
+        "phrase_match": q_phrase_match,
         "token_counts": q_token_counts,
         "seqpare_pairs": q_seqpare_pairs,
         "seqpare_scores": q_seqpare_scores,
@@ -851,6 +869,25 @@ v AS (
               ELSE NULL END AS reason
   FROM dd JOIN li USING (doc_id) JOIN q USING (doc_id))
 SELECT doc_id, reason IS NULL AS keep, reason FROM v
+"""
+
+    _PVALUES = ", ".join(f"({q}::BIGINT, '{t}')" for q, t in PHRASES)
+    sql["phrase_match"] = f"""
+WITH {_TL},
+pp AS (SELECT doc_id, i - 1 AS pos, tl[i] AS term
+       FROM (SELECT doc_id, tl, unnest(generate_series(1, len(tl))) AS i FROM tldocs)),
+ph(query_id, query_text) AS (VALUES {_PVALUES}),
+qtl AS (SELECT query_id, list_filter(regexp_split_to_array(lower(query_text),
+        '[^a-z0-9]+'), x -> x <> '') AS tl FROM ph),
+pt AS (SELECT query_id, i - 1 AS "offset", tl[i] AS term
+       FROM (SELECT query_id, tl, unnest(generate_series(1, len(tl))) AS i FROM qtl)),
+plen AS (SELECT query_id, count(*) AS plen FROM pt GROUP BY 1),
+j AS (SELECT pt.query_id, pp.doc_id, pp.pos - pt."offset" AS anchor
+      FROM pp JOIN pt USING (term)),
+h AS (SELECT query_id, doc_id, anchor, count(*) AS c FROM j GROUP BY 1, 2, 3),
+hits AS (SELECT h.query_id, h.doc_id FROM h JOIN plen USING (query_id)
+         WHERE h.c = plen.plen AND h.anchor >= 0)
+SELECT query_id, doc_id, count(*)::BIGINT AS n_hits FROM hits GROUP BY 1, 2
 """
 
     gap_us = SESSION_GAP_MIN * 60 * 1_000_000

@@ -51,6 +51,8 @@ from igd_spark.search import (
     bm25_scores,
     exact_bm25_topk,
     match_enumerate,
+    phrase_match,
+    positional_postings,
     search,
     search_one,
 )
@@ -99,7 +101,9 @@ __all__ = [
     "minhash_signatures",
     "ngram_jaccard_pairs",
     "open_index",
+    "phrase_match",
     "pick_anchors",
+    "positional_postings",
     "postings",
     "query_doc_jaccard",
     "read_transcripts",

@@ -478,6 +478,79 @@ def search(
     )
 
 
+def positional_postings(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    conf: IndexConf = DEFAULT_CONF,
+) -> DataFrame:
+    """(doc_id, term, pos) — one row per token OCCURRENCE with its 0-based
+    position in the token stream. The positional sibling of postings():
+    posexplode keeps the coordinate the tf aggregation throws away, which
+    is exactly the reference's start-coordinate axis (records carry their
+    position, src/igd_base.h:40-46) transplanted to token space."""
+    toks = tokens_col(F.col(text_col), conf.token_split_re)
+    exploded = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(toks).alias("rawpos", "term"),
+    ).filter(F.col("term") != "")
+    # rawpos counts empty split artifacts; recompute dense position by
+    # ranking occurrences within the doc (rawpos preserves order)
+    w = Window.partitionBy("doc_id").orderBy("rawpos")
+    return exploded.select(
+        "doc_id",
+        "term",
+        (F.row_number().over(w) - 1).cast("int").alias("pos"),
+    )
+
+
+def phrase_match(
+    docs: DataFrame,
+    phrases: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    conf: IndexConf = DEFAULT_CONF,
+) -> DataFrame:
+    """(query_id, doc_id, n_hits) — exact phrase occurrence counts: the
+    phrase's tokens must appear at CONSECUTIVE positions. Plan: positional
+    postings ⋈(broadcast) the phrase's (term, offset) pairs on term, then
+    counting (doc, query, pos - offset) anchor groups that collected every
+    offset — an interval-stab join in token space, the overlap-join shape
+    of src/igd_search.c:454-534 with positions as coordinates. One shuffle
+    (the anchor groupBy); phrases are broadcast.
+
+    `phrases`: (query_id, query_text); the phrase is query_text's token
+    sequence (duplicate terms in a phrase are handled — each offset must
+    be present)."""
+    pp = positional_postings(docs, text_col=text_col, id_col=id_col, conf=conf)
+    pterms = phrases.select(
+        "query_id",
+        F.posexplode(tokens_col(F.col("query_text"), conf.token_split_re)).alias(
+            "offset", "term"
+        ),
+    ).filter(F.col("term") != "")
+    # re-rank offsets densely (split artifacts), same trick as positions
+    wq = Window.partitionBy("query_id").orderBy("offset")
+    pterms = pterms.select(
+        "query_id", "term", (F.row_number().over(wq) - 1).cast("int").alias("offset")
+    )
+    plen = pterms.groupBy("query_id").agg(F.count("*").alias("phrase_len"))
+    j = pp.join(F.broadcast(pterms), "term").select(
+        "query_id", "doc_id", (F.col("pos") - F.col("offset")).alias("anchor")
+    )
+    # an anchor (candidate start position) is a hit iff every offset of the
+    # phrase contributed exactly once at that anchor
+    hits = (
+        j.groupBy("query_id", "doc_id", "anchor")
+        .agg(F.count("*").alias("n_terms"))
+        .join(F.broadcast(plen), "query_id")
+        .filter((F.col("n_terms") == F.col("phrase_len")) & (F.col("anchor") >= 0))
+    )
+    return hits.groupBy("query_id", "doc_id").agg(
+        F.count("*").cast("long").alias("n_hits")
+    )
+
+
 def search_one(
     spark: SparkSession,
     idx: InvertedIndex,

@@ -40,3 +40,32 @@ def test_postings_match_oracle(spark, tiny_docs, tiny_pdf):
     for r in got:
         got_map.setdefault(r["term"], {})[r["doc_id"]] = r["tf"]
     assert got_map == oidx.postings
+
+
+def test_phrase_match_semantics(spark):
+    """Hand-checkable phrases: consecutive positions only, overlapping
+    occurrences counted, repeated-term phrases exact."""
+    from igd_spark.search import phrase_match, positional_postings
+
+    docs = spark.createDataFrame(
+        [
+            (0, "a b a b a"),      # "a b" x2 (overlap chain), "a b a" x2
+            (1, "a x b"),          # no "a b" (not consecutive)
+            (2, "a b"),            # "a b" x1
+            (3, "b a b a"),        # "a b" x1, "a b a" x1
+        ],
+        "doc_id long, text string",
+    )
+    ph = spark.createDataFrame(
+        [(0, "a b"), (1, "a b a"), (2, "missing term")],
+        "query_id long, query_text string",
+    )
+    got = {(r["query_id"], r["doc_id"]): r["n_hits"] for r in phrase_match(docs, ph).collect()}
+    assert got[(0, 0)] == 2 and got[(0, 2)] == 1 and got[(0, 3)] == 1
+    assert (0, 1) not in got
+    assert got[(1, 0)] == 2 and got[(1, 3)] == 1 and (1, 2) not in got
+    assert not any(q == 2 for q, _ in got)
+    # positional postings are dense 0-based per doc
+    pp = positional_postings(docs)
+    rows = sorted((r["pos"], r["term"]) for r in pp.filter("doc_id = 1").collect())
+    assert rows == [(0, "a"), (1, "x"), (2, "b")]
