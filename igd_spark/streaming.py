@@ -11,10 +11,17 @@ so a killed stream resumes from the last committed micro-batch).
 
 from __future__ import annotations
 
+from typing import Iterator
+
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
 from igd_spark.corpus import TRANSCRIPT_SCHEMA
 from igd_spark.index import append_index
+from igd_spark.tokenizer import tokens_col
 
 
 def transcript_stream(
@@ -62,3 +69,82 @@ def stream_append(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def windowed_term_counts(
+    stream_docs: DataFrame,
+    window: str = "1 minute",
+    watermark: str = "2 minutes",
+    ts_col: str = "ts",
+    text_col: str = "text",
+) -> DataFrame:
+    """Event-time windowed term counts with a late-data watermark — the
+    continuous sibling of term_stats: per (window, term) document-frequency
+    deltas a live dictionary/monitoring feed consumes. Spark maintains the
+    windowed partial aggregates in its state store and, with the watermark,
+    finalizes + evicts windows older than max(event_time) - watermark, so
+    state is bounded no matter how long the stream runs (the requirement at
+    a production ingest rate). Late rows inside the watermark revise their
+    window; later ones are dropped.
+
+    Returns a streaming DataFrame (window struct, term, n) for writeStream
+    (append mode emits only finalized windows; update mode emits revisions).
+    """
+    toks = stream_docs.withWatermark(ts_col, watermark).select(
+        F.col(ts_col),
+        F.explode(tokens_col(F.col(text_col))).alias("term"),
+    ).filter(F.col("term") != "")
+    return toks.groupBy(F.window(F.col(ts_col), window), "term").agg(
+        F.count("*").alias("n")
+    )
+
+
+CONV_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("n_turns", T.LongType(), False),
+        T.StructField("max_turn_idx", T.IntegerType(), False),
+    ]
+)
+
+CONV_PROGRESS_SCHEMA = T.StructType(
+    [
+        T.StructField("conv_id", T.StringType(), False),
+        T.StructField("n_turns", T.LongType(), False),
+        T.StructField("max_turn_idx", T.IntegerType(), False),
+    ]
+)
+
+
+def conversation_progress(stream_docs: DataFrame) -> DataFrame:
+    """Custom stateful operator via applyInPandasWithState: per-conversation
+    running progress (total turns seen, highest turn_idx) maintained across
+    micro-batches in the state store — the arbitrary-state API the brief
+    names for operators windowed aggs can't express (state here is a
+    running maximum + count keyed by conversation, merged incrementally
+    like the reference's per-contig ingest counters, src/igd_create.c:73-88).
+
+    Emits one updated row per conversation per micro-batch that touched it.
+    """
+
+    def update(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        n, mx = state.get if state.exists else (0, -1)
+        for pdf in pdfs:
+            n += len(pdf)
+            if len(pdf):
+                mx = max(mx, int(pdf["turn_idx"].max()))
+        state.update((n, mx))
+        yield pd.DataFrame({"conv_id": [key[0]], "n_turns": [n], "max_turn_idx": [mx]})
+
+    return (
+        stream_docs.select("conv_id", "turn_idx")
+        .groupBy("conv_id")
+        .applyInPandasWithState(
+            update,
+            outputStructType=CONV_PROGRESS_SCHEMA,
+            stateStructType=CONV_STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

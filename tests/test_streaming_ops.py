@@ -1,0 +1,83 @@
+"""Streaming operators beyond ingest: watermarked windowed aggregation and
+the applyInPandasWithState custom stateful operator. Both run availableNow
+over file drops with a memory sink, asserting exact values (inputs are
+deterministic)."""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from igd_spark.corpus import TRANSCRIPT_SCHEMA
+
+
+@pytest.fixture()
+def drops(spark, tmp_path):
+    base = pd.Timestamp("2026-01-01T00:00:00")
+    rows = [
+        # conv A: 3 turns across two minutes
+        ("convA", 0, "user", "spark table scan", None, base),
+        ("convA", 1, "assistant", "table join", None, base + pd.Timedelta(seconds=30)),
+        ("convA", 2, "user", "table", None, base + pd.Timedelta(seconds=90)),
+        # conv B: 1 turn
+        ("convB", 0, "user", "spark spark", None, base + pd.Timedelta(seconds=10)),
+    ]
+    pdf = pd.DataFrame(rows, columns=["conv_id", "turn_idx", "role", "text", "tool", "ts"])
+    d = str(tmp_path / "drops")
+    spark.createDataFrame(pdf, schema=TRANSCRIPT_SCHEMA).repartition(2).write.parquet(d)
+    return d
+
+
+def test_windowed_term_counts_watermark(spark, drops, tmp_path):
+    from igd_spark.streaming import transcript_stream, windowed_term_counts
+
+    stream = transcript_stream(spark, drops)
+    agg = windowed_term_counts(stream, window="1 minute", watermark="2 minutes")
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("wtc")
+        .outputMode("complete")
+        .option("checkpointLocation", str(tmp_path / "ck1"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["window"]["start"].isoformat(), r["term"]): r["n"]
+        for r in spark.sql("select * from wtc").collect()
+    }
+    # minute 0: spark(convA t0) + spark,spark(convB) = 3; table: t0+t1 = 2
+    assert got[("2026-01-01T00:00:00", "spark")] == 3
+    assert got[("2026-01-01T00:00:00", "table")] == 2
+    assert got[("2026-01-01T00:00:00", "join")] == 1
+    # minute 1: convA t2 "table"
+    assert got[("2026-01-01T00:01:00", "table")] == 1
+    # watermark is declared on the plan (the state-eviction contract)
+    assert "EventTimeWatermark" in agg._jdf.queryExecution().analyzed().toString()
+
+
+def test_conversation_progress_stateful(spark, drops, tmp_path):
+    from igd_spark.streaming import conversation_progress, transcript_stream
+
+    # one file per trigger → multiple micro-batches exercise state carry-over
+    stream = transcript_stream(spark, drops, max_files_per_trigger=1)
+    prog = conversation_progress(stream)
+    q = (
+        prog.writeStream.format("memory")
+        .queryName("cprog")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ck2"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql("select * from cprog").collect()
+    # progress is monotone, so the max update per conv is the final state
+    # (memory-sink row order is not the update order)
+    final: dict = {}
+    for r in rows:
+        cur = final.get(r["conv_id"], (0, -1))
+        final[r["conv_id"]] = max(cur, (r["n_turns"], r["max_turn_idx"]))
+    assert final["convA"] == (3, 2)
+    assert final["convB"] == (1, 0)
