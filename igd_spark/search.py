@@ -243,6 +243,13 @@ def _maxscore_kernel(
         _stats["blocks_skipped"] += len(g) - n_hit
         if n_hit == 0:
             return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.float64)
+        # overflow check happens ON ENTRY only: clearing mid-assembly would
+        # evict blocks this very call still needs (the cache may overshoot
+        # by at most one list's worth, bounded by the largest posting list)
+        if _cache_postings[0] > _CACHE_MAX_POSTINGS:
+            _cache.clear()
+            _bcache.clear()
+            _cache_postings[0] = 0
         blocks = _bcache.setdefault(key, {})
         need = np.flatnonzero(mask)
         missing = [int(i) for i in need if int(i) not in blocks]
@@ -252,11 +259,6 @@ def _maxscore_kernel(
             for j, bi in enumerate(missing):
                 db = d_all[offs[j]:offs[j + 1]]
                 wb = w_all[offs[j]:offs[j + 1]]
-                if _cache_postings[0] + db.size > _CACHE_MAX_POSTINGS:
-                    _cache.clear()
-                    _bcache.clear()
-                    _cache_postings[0] = 0
-                    blocks = _bcache.setdefault(key, {})
                 blocks[bi] = (db, wb)
                 _cache_postings[0] += db.size
         parts = [blocks[int(i)] for i in need]

@@ -62,9 +62,16 @@ def main() -> int:
     eplan = exact_bm25_topk(docs, queries, k=5, conf=conf)._jdf.queryExecution().explainString(
         spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
     )
+    # codegen annotations only appear on the EXECUTED plan under AQE
+    # (the pre-execution formatted string omits them): run it, then look
+    # for the *(n) whole-stage-codegen span markers
+    edf = exact_bm25_topk(docs, queries, k=5, conf=conf)
+    edf.collect()
+    executed = edf._jdf.queryExecution().executedPlan().toString()
     check(
         "exact scorer: whole-stage codegen",
-        "WholeStageCodegen" in eplan or "codegen id" in eplan,
+        executed.count("*(") >= 3,
+        f"codegen spans: {executed.count('*(')}",
     )
     check("exact scorer: broadcast join for query terms", "BroadcastHashJoin" in eplan)
     check(
@@ -87,6 +94,32 @@ def main() -> int:
         "postings scan reads only (doc_id, text)",
         cols <= {"doc_id", "text"} and bool(cols),
         f"read {sorted(cols)}",
+    )
+
+    # 4. round-2 operators ----------------------------------------------------
+    def fmt(df) -> str:
+        return df._jdf.queryExecution().explainString(
+            spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+        )
+
+    from igd_spark.pipeline import curate
+
+    cplan = fmt(curate(spark.read.parquet(docs_on_disk)))  # docs include doc_id
+    n_exchanges = len(re.findall(r"\(\d+\) Exchange", cplan))
+    check(
+        "curate: single-pass (no joins, one window exchange)",
+        "Join" not in cplan and n_exchanges <= 1,
+        f"joins={cplan.count('Join')} exchanges={n_exchanges}",
+    )
+
+    from igd_spark.search import phrase_match
+
+    phplan = fmt(phrase_match(spark.read.parquet(docs_on_disk),
+                              spark.createDataFrame([(0, "error timeout")],
+                                                    "query_id long, query_text string")))
+    check(
+        "phrase_match: phrase side broadcast (corpus never shuffled for the join)",
+        "BroadcastHashJoin" in phplan,
     )
 
     n_fail = sum(1 for _, ok, _ in checks if not ok)
