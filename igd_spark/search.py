@@ -408,12 +408,12 @@ def search(
     per-query map, so batch size is unbounded. Final ranked top-k comes
     straight from the kernel.
 
-    Driver-side footprint: ONE prologue job — the query×term dictionary
-    slice is collected up to _SMALL_BATCH_ROWS rows (Zipf query sets are
-    tiny relative to the corpus) and bucket/pruning metadata is derived
-    driver-side with zero extra jobs. Past that limit, the plan switches
-    to the fully-distributed form: counts/distincts as jobs, no per-query
-    driver state — batch size is then unbounded.
+    Driver-side footprint: for ordinary batches (decided from free Catalyst
+    plan statistics — no probe job) ONE prologue job collects the
+    query×term dictionary slice and derives bucket/pruning metadata
+    driver-side. For huge batches the plan switches to the fully-
+    distributed form: counts/distincts as jobs, no per-query driver
+    state — batch size is then unbounded.
     """
     conf = idx.conf
     from igd_spark.build import shards_for
@@ -437,12 +437,24 @@ def search(
         nb = max(min(8, n_queries), -(-n_queries // 64))
         return max(1, kernel_parallelism(spark, nb))
 
-    _SMALL_BATCH_ROWS = 100_000
-    qrows = qdict.limit(_SMALL_BATCH_ROWS + 1).collect()
-    if not qrows:
-        return spark.createDataFrame([], TOPK_SCHEMA)
+    # path choice from FREE Catalyst statistics (no job, and no limit():
+    # CollectLimit probes partitions in sequential mini-jobs and costs more
+    # wall time than the straight collect it guards)
+    def _stats_small(df: DataFrame) -> bool:
+        try:
+            st = df._jdf.queryExecution().optimizedPlan().stats()
+            rc = st.rowCount()
+            if rc.isDefined():
+                return int(str(rc.get())) <= 200_000
+            return int(str(st.sizeInBytes())) <= 32 * 1024 * 1024
+        except Exception:
+            return True
+
     seg = idx.segments
-    if len(qrows) <= _SMALL_BATCH_ROWS:
+    if _stats_small(queries):
+        qrows = qdict.collect()
+        if not qrows:
+            return spark.createDataFrame([], TOPK_SCHEMA)
         # small-batch fast path: ONE collect, everything else driver-derived
         if n_buckets is None:
             n_buckets = pick_buckets(len({int(r["query_id"]) for r in qrows}))
