@@ -441,12 +441,15 @@ def search(
     # CollectLimit probes partitions in sequential mini-jobs and costs more
     # wall time than the straight collect it guards)
     def _stats_small(df: DataFrame) -> bool:
+        import os as _os
+
+        max_rows = int(_os.environ.get("IGD_SEARCH_SMALL_MAX_ROWS", "200000"))
         try:
             st = df._jdf.queryExecution().optimizedPlan().stats()
             rc = st.rowCount()
             if rc.isDefined():
-                return int(str(rc.get())) <= 200_000
-            return int(str(st.sizeInBytes())) <= 32 * 1024 * 1024
+                return int(str(rc.get())) <= max_rows
+            return int(str(st.sizeInBytes())) <= max(max_rows * 160, 1)
         except Exception:
             return True
 

@@ -116,3 +116,22 @@ def test_hitsmap_csv_sink(spark, tiny_docs, tmp_path):
     assert len(files) == 1
     header = open(files[0]).readline().strip().split(",")
     assert header == ["term_a", "term_b", "n_docs"]
+
+
+def test_distributed_search_path_matches_fast_path(spark, tiny_docs, tmp_path, monkeypatch):
+    """The unbounded (huge-batch) search path — no driver-side query map,
+    join-only pruning — must return exactly the fast path's results."""
+    from igd_spark import IndexConf, build_index
+    from igd_spark import search as search_fn
+
+    conf = IndexConf(block_size=32, n_shards=8)
+    docs = assign_doc_ids(tiny_docs, conf)
+    idx = build_index(spark, docs, str(tmp_path / "dpidx"), conf=conf)
+    queries = spark.createDataFrame(
+        [(0, "error timeout"), (1, "t00000 t00042"), (2, "deploy")],
+        "query_id long, query_text string",
+    )
+    fast = sorted(tuple(r) for r in search_fn(spark, idx, queries, k=10).collect())
+    monkeypatch.setenv("IGD_SEARCH_SMALL_MAX_ROWS", "0")  # force distributed path
+    dist = sorted(tuple(r) for r in search_fn(spark, idx, queries, k=10).collect())
+    assert dist == fast and len(fast) > 0

@@ -264,3 +264,26 @@ def test_curate_reasons_and_precedence(spark):
     # quality reason reachable: force lang pass with low quality via langs=("und",)
     got2 = {r["doc_id"]: r["reason"] for r in curate(docs, langs=("en", "und")).collect()}
     assert got2[3] == "quality"
+
+
+def test_ngram_jaccard_shingle_cap(spark):
+    """Hot shingles above max_shingle_df leave the similarity space in BOTH
+    the candidate join and the set sizes (capped-space Jaccard)."""
+    boiler = "alpha beta gamma delta epsilon"  # df=3 shingle once repeated
+    rows = [
+        (0, boiler + " zeta eta theta iota kappa"),
+        (1, boiler + " zeta eta theta iota lambda"),
+        (2, boiler + " mu nu xi omicron pi"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    uncapped = {(r["doc_a"], r["doc_b"]): r["jaccard"]
+                for r in ngram_jaccard_pairs(docs, threshold=0.01).collect()}
+    capped = {(r["doc_a"], r["doc_b"]): r["jaccard"]
+              for r in ngram_jaccard_pairs(docs, threshold=0.01, max_shingle_df=2).collect()}
+    # the boilerplate 5-gram has df=3 > 2: with the cap, docs 0/2 and 1/2
+    # share nothing anymore; 0/1 still share their "boiler zeta eta..." tail
+    assert (0, 2) in uncapped and (0, 2) not in capped
+    # docs 0/1 (10 tokens, 6 shingles each): share 5 shingles; the capped
+    # space drops the df=3 boilerplate shingle from BOTH numerator and sizes
+    assert abs(uncapped[(0, 1)] - 5 / (6 + 6 - 5)) < 1e-6
+    assert abs(capped[(0, 1)] - 4 / (5 + 5 - 4)) < 1e-6
