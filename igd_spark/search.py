@@ -195,6 +195,8 @@ def _maxscore_kernel(
         d, w, _ = _decode_rows_segmented(g)
         return d, w
 
+    _bcache: dict = {}  # list key → {block row idx → (d, w)} — per-BLOCK cache
+
     def decode_list(key, g: pd.DataFrame) -> tuple[np.ndarray, np.ndarray]:
         """(doc_ids, w) for one FULL (term, salt) list, task-cached. d is
         NOT globally sorted when base+delta appends interleave — consumers
@@ -204,13 +206,16 @@ def _maxscore_kernel(
             return hit
         d, w = _decode_rows(g)
         if _cache_postings[0] + d.size > _CACHE_MAX_POSTINGS:
+            # evict BOTH caches: _cache_postings tracks their union, so
+            # clearing only _cache would leave _bcache entries untracked
+            # and let the 64 MB per-task bound be exceeded when the
+            # full-list and block-skip paths interleave
             _cache.clear()
+            _bcache.clear()
             _cache_postings[0] = 0
         _cache[key] = (d, w)
         _cache_postings[0] += d.size
         return d, w
-
-    _bcache: dict = {}  # list key → {block row idx → (d, w)} — per-BLOCK cache
 
     def decode_for_survivors(
         key, g: pd.DataFrame, uids: np.ndarray
@@ -439,16 +444,39 @@ def search(
 
     # path choice from FREE Catalyst statistics (no job, and no limit():
     # CollectLimit probes partitions in sequential mini-jobs and costs more
-    # wall time than the straight collect it guards)
+    # wall time than the straight collect it guards).
+    #
+    # Contract: "small" ⇔ the query batch provably fits the one-collect
+    # prologue (≤ IGD_SEARCH_SMALL_MAX_ROWS queries). Three tiers:
+    #   1. rowCount defined (LocalRelation, post-agg plans) → compare rows.
+    #   2. every leaf is driver-local (LogicalRDD — i.e. every PySpark
+    #      createDataFrame batch — / LocalRelation / OneRowRelation): the
+    #      data originated in driver memory, so it is bounded by driver
+    #      memory BY CONSTRUCTION → small. Without this tier, LogicalRDD's
+    #      unknown-stats sentinel (sizeInBytes == 2^63-1, and selectivity-
+    #      scaled garbage like 0.44*2^63 once a filter sits on top) sent
+    #      every realistic caller — including search_one — down the
+    #      unpruned huge-batch path: no shard partition pruning, no
+    #      In(term_id) pushdown, a full segment scan per batch.
+    #   3. known sizeInBytes (file scans) → compare bytes. Unknown-stats
+    #      plans with non-local leaves (streaming sources etc.) → huge.
     def _stats_small(df: DataFrame) -> bool:
         import os as _os
 
         max_rows = int(_os.environ.get("IGD_SEARCH_SMALL_MAX_ROWS", "200000"))
+        _LOCAL_LEAVES = ("LocalRelation", "LogicalRDD", "OneRowRelation")
         try:
-            st = df._jdf.queryExecution().optimizedPlan().stats()
+            plan = df._jdf.queryExecution().optimizedPlan()
+            st = plan.stats()
             rc = st.rowCount()
             if rc.isDefined():
                 return int(str(rc.get())) <= max_rows
+            leaves = plan.collectLeaves()
+            if all(
+                leaves.apply(i).nodeName() in _LOCAL_LEAVES
+                for i in range(leaves.size())
+            ):
+                return True
             return int(str(st.sizeInBytes())) <= max(max_rows * 160, 1)
         except Exception:
             return True

@@ -42,21 +42,44 @@ def main() -> int:
     )
 
     # 1. indexed search plan -------------------------------------------------
+    # NOTE the assertions are deliberately strict: r2 shipped an unpruned
+    # scan because the old regexes accepted `PartitionFilters: []` and
+    # `PushedFilters: [IsNotNull(term_id)]` (column name present, no actual
+    # predicate). Now: the partition filter must be NON-EMPTY and mention
+    # shard with a membership test, and the pushed filter must be a real
+    # In(term_id, ...) set test — a vacuous match cannot pass.
+    def assert_pruned_scan(tag: str, plan: str) -> None:
+        pf = re.search(r"PartitionFilters: \[([^\]]+)\]", plan)
+        pf_ok = bool(pf) and "shard" in pf.group(1) and (
+            " IN " in pf.group(1) or "IN (" in pf.group(1) or "in(" in pf.group(1).lower()
+        )
+        check(
+            f"{tag}: shard partition pruning (non-empty PartitionFilters)",
+            pf_ok,
+            f"PartitionFilters={pf.group(1)[:120] if pf else 'ABSENT/EMPTY'}",
+        )
+        check(
+            f"{tag}: In(term_id) pushed to parquet",
+            "In(term_id" in plan,
+            "no In(term_id ...) in PushedFilters",
+        )
+
     plan = search(spark, idx, queries, k=5)._jdf.queryExecution().explainString(
         spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
     )
-    check(
-        "segment scan: shard partition pruning",
-        bool(re.search(r"PartitionFilters: \[.*shard", plan)),
-    )
-    check(
-        "segment scan: term_id pushed to parquet",
-        bool(re.search(r"PushedFilters: \[.*term_id", plan)),
-    )
+    assert_pruned_scan("segment scan (createDataFrame batch)", plan)
     check(
         "query side broadcast (no shuffle of segments for the join)",
         "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan,
     )
+
+    # 1b. the single-query path (search_one's Spark form) must prune too —
+    # this is the case the r2 defect silently sent down the unpruned path
+    one_q = spark.createDataFrame([(0, "error timeout")], "query_id long, query_text string")
+    oplan = search(spark, idx, one_q, k=5)._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+    assert_pruned_scan("single-query scan", oplan)
 
     # 2. exact scorer plan ---------------------------------------------------
     eplan = exact_bm25_topk(docs, queries, k=5, conf=conf)._jdf.queryExecution().explainString(
