@@ -70,9 +70,13 @@ def source_overlap_matrix(
     granularity="shingle" (default): n_shared = number of distinct word
     n-grams present in BOTH sources — detects cross-source boilerplate /
     partial duplication even when no document is byte-identical.
-    granularity="exact": n_shared = number of cross-source document pairs
-    with byte-identical text (md5 self-join) — the strict mode; zero on
-    corpora without verbatim dups."""
+    granularity="exact": n_shared = number of document pairs with
+    byte-identical text (md5 self-join) — the strict mode; zero on corpora
+    without verbatim dups. Pair orientation is src-normalized
+    (least/greatest), so each unordered source pair aggregates into ONE
+    row with src_a <= src_b; the explicit diagonal (src_a == src_b) counts
+    within-source duplicate pairs, matching the reference hitsmap's N×N
+    shape."""
     if granularity == "shingle":
         from igd_spark.dedup import shingles
 
@@ -102,9 +106,16 @@ def source_overlap_matrix(
     )
     a = h.select(F.col("src").alias("src_a"), "chash", F.col("doc_id").alias("doc_a"))
     b = h.select(F.col("src").alias("src_b"), "chash", F.col("doc_id").alias("doc_b"))
+    # doc_a < doc_b dedups the unordered DOC pair; the SOURCE pair must then
+    # be re-normalized (least/greatest) or a pair's count splits across
+    # (A,B) and (B,A) rows whenever doc-id order disagrees with source order
     return (
         a.join(b, "chash")
         .filter(F.col("doc_a") < F.col("doc_b"))
+        .select(
+            F.least("src_a", "src_b").alias("src_a"),
+            F.greatest("src_a", "src_b").alias("src_b"),
+        )
         .groupBy("src_a", "src_b")
         .agg(F.count("*").cast("long").alias("n_shared"))
     )

@@ -60,6 +60,20 @@ def shingles(docs: DataFrame, n: int = DEFAULT_SHINGLE_N,
     )
 
 
+def _materialize_then_unpersist(result: DataFrame, staged: list[DataFrame]) -> DataFrame:
+    """Eagerly materialize `result` into executor storage, then unpersist
+    the staged intermediates its plan consumed. Returning a lazy plan over
+    persisted intermediates leaked their cached storage across repeated
+    calls (nothing ever unpersisted them); materializing the (small) pair
+    result first makes the unpersist safe. The returned DataFrame is
+    cached — callers that loop over corpora own result.unpersist()."""
+    result = result.persist()
+    result.count()
+    for df in staged:
+        df.unpersist()
+    return result
+
+
 def ngram_jaccard_pairs(
     docs: DataFrame,
     threshold: float = 0.5,
@@ -111,7 +125,7 @@ def ngram_jaccard_pairs(
             F.round(F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter")), 6).alias("jaccard"),
         )
     )
-    return j.filter(F.col("jaccard") >= threshold)
+    return _materialize_then_unpersist(j.filter(F.col("jaccard") >= threshold), [sh])
 
 
 def minhash_signatures(
@@ -199,7 +213,7 @@ def minhash_dedup_pairs(
             ).alias("est_jaccard")
         )
     )
-    return est.filter(F.col("est_jaccard") >= threshold)
+    return _materialize_then_unpersist(est.filter(F.col("est_jaccard") >= threshold), [sigs])
 
 
 def simhash_dedup_pairs(

@@ -82,20 +82,34 @@ def cosine_neardup_pairs(
     threshold: float = 0.95,
     emb_id: str = "vec_id",
     emb_col: str = "embedding",
-    exact: bool = False,
+    exact: bool = True,
     anchors: list[list[float]] | None = None,
     n_bands: int = 4,
 ) -> DataFrame:
     """(vec_a, vec_b, cos) — cosine near-duplicates (vec_a < vec_b,
     cos ≥ threshold).
 
-    Default (exact=False) routes through sign-LSH band candidates + exact
-    cosine verification (cosine_neardup_banded) — the 100 TB plan: candidate
-    count is bucket-bounded, no cartesian product anywhere. exact=True is
-    the all-pairs crossJoin baseline: O(n²), oracle/test mode only."""
+    Default exact=True: the all-pairs crossJoin with RECALL 1 — the
+    semantics a dedup caller silently relies on, viable to ~10^4-10^5
+    vectors. At scale pass exact=False: sign-LSH band candidates + exact
+    cosine verification (cosine_neardup_banded) — candidate count is
+    bucket-bounded, no cartesian product, but recall < 1 for pairs near
+    the threshold (precision stays exact). With anchors=None the banding
+    is sized from a count of emb per cosine_neardup_banded's own rule
+    (band_bits ≈ log2(n) - 10, ≥ 2) — a fixed anchor count would be the
+    degenerate ~n²/2^bits regime the docstring there warns about."""
     if not exact:
         if anchors is None:
-            anchors = pick_anchors(emb, 8, emb_id=emb_id, emb_col=emb_col)
+            import math
+
+            n = emb.count()
+            band_bits = max(2, int(math.ceil(math.log2(max(n, 2)))) - 10)
+            anchors = pick_anchors(
+                emb, band_bits * n_bands, emb_id=emb_id, emb_col=emb_col
+            )
+            # corpora smaller than the anchor budget return fewer rows —
+            # trim to a whole number of bands
+            anchors = anchors[: max(n_bands, (len(anchors) // n_bands) * n_bands)]
         return cosine_neardup_banded(
             emb, anchors, threshold=threshold, n_bands=n_bands,
             emb_id=emb_id, emb_col=emb_col,

@@ -43,14 +43,28 @@ def stream_append(
     index_path: str,
     checkpoint_dir: str,
     available_now: bool = True,
+    stream_id: str | None = None,
 ):
     """Run the stream: every micro-batch is appended to the index at
     index_path via the additive-stats merge (see append_index). With
     available_now=True the query drains all currently-available input and
     stops — the batch-backfill mode; with False it runs continuously.
 
+    Idempotency tags are scoped by STREAM identity, not just batch_id:
+    batch ids restart at 0 with every new checkpoint dir, so a tag keyed on
+    batch_id alone would match a previous stream's applied-markers and
+    silently drop genuinely new micro-batches. stream_id defaults to a hash
+    of the checkpoint dir path — the same checkpoint genuinely IS the same
+    stream (its replays are the duplicates the tag must absorb); a fresh
+    checkpoint gets fresh tags. Pass stream_id explicitly when checkpoint
+    dirs are rotated but the logical stream continues.
+
     Returns the StreamingQuery (caller awaits termination).
     """
+    if stream_id is None:
+        import hashlib
+
+        stream_id = hashlib.md5(checkpoint_dir.encode()).hexdigest()[:12]
 
     def commit_batch(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
@@ -60,7 +74,7 @@ def stream_append(
         # checkpoint commit) a no-op instead of a silent double-append
         append_index(
             spark, index_path, batch_df, id_col=None,
-            batch_tag=f"stream_batch_{batch_id:08d}",
+            batch_tag=f"stream_{stream_id}_{batch_id:08d}",
         )
 
     writer = stream_docs.writeStream.foreachBatch(commit_batch).option(

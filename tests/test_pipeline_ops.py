@@ -287,3 +287,26 @@ def test_ngram_jaccard_shingle_cap(spark):
     # space drops the df=3 boilerplate shingle from BOTH numerator and sizes
     assert abs(uncapped[(0, 1)] - 5 / (6 + 6 - 5)) < 1e-6
     assert abs(capped[(0, 1)] - 4 / (5 + 5 - 4)) < 1e-6
+
+
+def test_source_overlap_exact_normalizes_pair_orientation(spark):
+    """Exact mode: a source pair's count must land in ONE (src_a < src_b)
+    row even when doc-id order disagrees with source order, and the
+    diagonal counts within-source duplicate pairs."""
+    from igd_spark import source_overlap_matrix
+
+    rows = [
+        # same text across sources, doc ids ordered AGAINST source names:
+        # (zeta, doc 0) vs (alpha, doc 1) and (alpha, doc 2) vs (zeta, doc 3)
+        (0, "zeta", "shared text one"),
+        (1, "alpha", "shared text one"),
+        (2, "alpha", "shared text two"),
+        (3, "zeta", "shared text two"),
+        # within-source duplicate → diagonal row
+        (4, "alpha", "inner dup"),
+        (5, "alpha", "inner dup"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    got = {(r["src_a"], r["src_b"]): r["n_shared"]
+           for r in source_overlap_matrix(docs, granularity="exact").collect()}
+    assert got == {("alpha", "zeta"): 2, ("alpha", "alpha"): 1}
