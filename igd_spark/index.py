@@ -19,6 +19,18 @@ every table maps 1:1 to an Iceberg table with the same partition spec):
                            — the (i0,L0) resume cursor analog
                            (src/igd_create.c:73-88); build resumes from the
                            last committed stage.
+    <path>/batches/<tag>/  one committed append batch: its own segments/,
+                           doc_stats/, dictionary/ delta plus delta.json
+                           (corpus-stats delta). Committed by a SINGLE
+                           atomic directory rename from _staging/<tag> —
+                           the miniature of an Iceberg snapshot commit.
+                           Readers serve base ∪ committed batches; the
+                           batch dir itself is the idempotency marker, so
+                           there is no marker-after-data window at all.
+                           compact_index folds batches back into the base.
+    <path>/_staging/       in-flight append batches; invisible to readers.
+                           A crashed append leaves only junk here — the
+                           live index is untouched.
 """
 
 from __future__ import annotations
@@ -91,19 +103,56 @@ def _swap_dir(final: str, tmp: str) -> None:
     shutil.rmtree(old)
 
 
+def _batches_root(path: str) -> str:
+    return os.path.join(path, "batches")
+
+
+def _list_batches(path: str) -> list[str]:
+    root = _batches_root(path)
+    if not os.path.isdir(root):
+        return []
+    return sorted(
+        d
+        for d in os.listdir(root)
+        if not d.startswith("_") and os.path.isdir(os.path.join(root, d))
+    )
+
+
 class InvertedIndex:
     """Opened index handle — the iGD_t search-side struct analog: metadata in
-    RAM, data blocks streamed from storage (src/igd_base.h:96-105)."""
+    RAM, data blocks streamed from storage (src/igd_base.h:96-105).
 
-    def __init__(self, spark: SparkSession, path: str, meta: dict):
+    A handle is a SNAPSHOT: it serves the base tables plus the append
+    batches committed at open time. Base tables are immutable between
+    compactions and batch dirs are never rewritten, so concurrent appends
+    never corrupt an open handle — they only become visible to handles
+    opened later (snapshot isolation, the Iceberg reader contract this
+    layout stands in for)."""
+
+    def __init__(
+        self, spark: SparkSession, path: str, meta: dict, batches: list[str] | None = None
+    ):
         self.spark = spark
         self.path = path
         self.meta = meta
         self.conf = IndexConf(**meta["conf"])
         self.n_docs: int = meta["corpus"]["n_docs"]
         self.avgdl: float = meta["corpus"]["avgdl"]
+        self.batches: list[str] = list(batches) if batches is not None else []
         self._segments: DataFrame | None = None
         self._dictionary: DataFrame | None = None
+
+    def _union_read(self, sub: str) -> DataFrame:
+        """base/<sub> ∪ batches/<tag>/<sub> for every committed batch —
+        each branch is its own parquet scan, so shard partition pruning and
+        row-group min/max pushdown apply per branch (Catalyst pushes
+        filters through Union)."""
+        out = self.spark.read.parquet(os.path.join(self.path, sub))
+        for tag in self.batches:
+            out = out.unionByName(
+                self.spark.read.parquet(os.path.join(_batches_root(self.path), tag, sub))
+            )
+        return out
 
     # --- tables (DataFrame handles cached per index — the reference keeps
     # the header/dictionary metadata resident for the handle's lifetime,
@@ -112,19 +161,19 @@ class InvertedIndex:
     @property
     def segments(self) -> DataFrame:
         if self._segments is None:
-            self._segments = self.spark.read.parquet(os.path.join(self.path, "segments"))
+            self._segments = self._union_read("segments")
         return self._segments
 
     @property
     def dictionary(self) -> DataFrame:
         """(term, term_id, df, n_salts) — logical dictionary view over the
-        base rows + any append deltas. Appends drop DELTA rows (term,
+        base rows + any append-batch deltas. Appends ship DELTA rows (term,
         df_delta, n_salts) instead of rewriting the whole table (a per-
         micro-batch O(vocab) shuffle at stream rates); the reader folds
         them: df = Σ df, n_salts = max. Cached per handle; compact_index
         consolidates the deltas physically."""
         if self._dictionary is None:
-            raw = self.spark.read.parquet(os.path.join(self.path, "dictionary"))
+            raw = self._union_read("dictionary")
             self._dictionary = (
                 raw.groupBy("term")
                 .agg(F.sum("df").alias("df"), F.max("n_salts").alias("n_salts"))
@@ -135,7 +184,7 @@ class InvertedIndex:
 
     @property
     def doc_stats(self) -> DataFrame:
-        return self.spark.read.parquet(os.path.join(self.path, "doc_stats"))
+        return self._union_read("doc_stats")
 
     def hot(self) -> "InvertedIndex":
         """Pin the segment table in executor memory and materialize it —
@@ -293,15 +342,23 @@ def append_index(
     doc-id scheme guarantees this for new (conv_id, turn_idx) pairs;
     audit_doc_ids() over the union is the paranoid check).
 
-    batch_tag makes the append IDEMPOTENT for at-least-once callers
-    (Structured Streaming replays a micro-batch after a crash between the
-    append and the checkpoint commit): a tag whose applied-marker exists is
-    skipped. The marker is written after the data commit, so the remaining
-    duplicate window is a crash between the last table write and the marker
-    write — narrow, and detectable via the in-progress marker, which makes
-    open_index refuse the index until repaired.
+    COMMIT PROTOCOL (atomic, no marker-after-data window): the batch's
+    three tables plus its corpus-stats delta.json are written to
+    _staging/<tag>/ — invisible to every reader — then ONE
+    os.rename(_staging/<tag>, batches/<tag>) publishes all of them at
+    once. The batch dir is simultaneously the data, the commit record,
+    and the idempotency marker: a replayed batch_tag whose dir exists is
+    a no-op, a crash before the rename leaves only staging junk and an
+    unchanged live index, and there is no state in between. This is the
+    Iceberg snapshot-commit discipline (new files + one atomic metadata
+    pointer swap) expressed in plain directories; base tables are never
+    touched, so open handles keep serving their snapshot (at-least-once
+    callers like Structured Streaming get exactly-once appends).
     """
-    if batch_tag is not None and _stage_done(path, f"applied_{batch_tag}"):
+    if batch_tag is None:
+        batch_tag = "append_" + os.urandom(8).hex()
+    committed = os.path.join(_batches_root(path), batch_tag)
+    if os.path.isdir(committed):
         return open_index(spark, path)
     idx = open_index(spark, path)
     conf = idx.conf
@@ -315,48 +372,41 @@ def append_index(
     t0 = time.time()
     parts = build_all(new_docs, conf=conf, text_col=text_col, id_col=id_col)
     delta = parts["corpus"]
-    _begin_mutation(path, "append", batch_tag or f"append_{idx.meta.get('appends', 0) + 1}")
 
-    # segments + doc_stats: plain partitioned appends
-    parts["segments"].write.mode("append").partitionBy("shard").parquet(
-        os.path.join(path, "segments")
+    staging = os.path.join(path, "_staging", batch_tag)
+    if os.path.isdir(staging):  # leftovers of a crashed prior attempt
+        import shutil
+
+        shutil.rmtree(staging)
+    parts["segments"].write.mode("overwrite").partitionBy("shard").parquet(
+        os.path.join(staging, "segments")
     )
-    parts["doc_stats"].write.mode("append").parquet(os.path.join(path, "doc_stats"))
-
-    # dictionary: append DELTA rows — no rewrite, no swap; the reader folds
-    # df additively and takes max(n_salts) (probe set must cover the union
-    # of physical salt values in old + new segments). O(delta vocab) per
-    # append instead of O(total vocab) — the stream-rate requirement.
+    parts["doc_stats"].write.mode("overwrite").parquet(os.path.join(staging, "doc_stats"))
+    # dictionary: DELTA rows — no rewrite; the reader folds df additively
+    # and takes max(n_salts) (probe set must cover the union of physical
+    # salt values in old + new segments). O(delta vocab) per append instead
+    # of O(total vocab) — the stream-rate requirement.
     parts["dictionary"].select("term", "term_id", "df", "n_salts").write.mode(
-        "append"
-    ).parquet(os.path.join(path, "dictionary"))
-    if idx._dictionary is not None:
-        idx._dictionary.unpersist()
-    # the caller's handle now points at grown tables — invalidate its cached
-    # DataFrames so accidental reuse re-resolves instead of serving stale
-    idx._dictionary = None
-    idx._segments = None
+        "overwrite"
+    ).parquet(os.path.join(staging, "dictionary"))
+    with open(os.path.join(staging, "delta.json"), "w") as f:
+        json.dump({"batch_tag": batch_tag, "corpus": delta, "secs": time.time() - t0}, f)
     for cached in parts.get("_cached", []):
         cached.unpersist()
 
-    n = idx.meta["corpus"]["n_docs"] + delta["n_docs"]
-    sum_dl = idx.meta["corpus"].get("sum_dl", 0) + delta["sum_dl"]
-    idx.meta["corpus"] = {
-        "n_docs": n,
-        "avgdl": (sum_dl / n) if n else 0.0,
-        "sum_dl": sum_dl,
-    }
-    idx.meta["appends"] = idx.meta.get("appends", 0) + 1
-    with open(os.path.join(path, "_meta.json"), "w") as f:
-        json.dump(idx.meta, f, indent=1)
+    os.makedirs(_batches_root(path), exist_ok=True)
+    try:
+        os.rename(staging, committed)  # THE commit — atomic on one filesystem
+    except OSError:
+        if os.path.isdir(committed):  # lost a concurrent race on the same tag
+            return open_index(spark, path)
+        raise
+    # observability only — written after the commit, never load-bearing
     _write_lineage(
         path,
-        f"append_{idx.meta['appends']:04d}",
+        f"append_{batch_tag}",
         {"rows": delta["n_docs"], "secs": time.time() - t0, "batch_tag": batch_tag},
     )
-    if batch_tag is not None:
-        _write_lineage(path, f"applied_{batch_tag}", {"rows": delta["n_docs"]})
-    _end_mutation(path)
     return open_index(spark, path)
 
 
@@ -369,7 +419,7 @@ def compact_index(spark: SparkSession, path: str) -> InvertedIndex:
     same as a build."""
     from igd_spark.build import repack_segments
 
-    idx = open_index(spark, path)
+    idx = open_index(spark, path)  # handle over base ∪ batches, folded stats
     t0 = time.time()
     new_seg = repack_segments(idx.segments, idx.conf, idx.avgdl)
     tmp = os.path.join(path, "segments_compacted")
@@ -378,10 +428,22 @@ def compact_index(spark: SparkSession, path: str) -> InvertedIndex:
     idx.dictionary.write.mode("overwrite").parquet(tmp_dict)
     idx.dictionary.unpersist()
     idx._dictionary = None
-    # marker covers only the swaps (the tmp writes are invisible to readers)
+    tmp_ds = os.path.join(path, "doc_stats_compacted")
+    idx.doc_stats.write.mode("overwrite").parquet(tmp_ds)
+    # marker covers the swaps + batch-dir removal (the tmp writes are
+    # invisible to readers); a crash inside leaves the dirty marker and
+    # open_index refuses until repaired
     _begin_mutation(path, "compact", f"compact_{idx.meta.get('compactions', 0) + 1}")
     _swap_dir(os.path.join(path, "segments"), tmp)
     _swap_dir(os.path.join(path, "dictionary"), tmp_dict)
+    _swap_dir(os.path.join(path, "doc_stats"), tmp_ds)
+    if idx.batches:
+        import shutil
+
+        shutil.rmtree(_batches_root(path))
+    # idx.meta["corpus"] is already the folded totals (open_index folds
+    # batch deltas); with the batches merged into the base it becomes the
+    # base meta
     idx.meta["appends"] = 0
     idx.meta["compactions"] = idx.meta.get("compactions", 0) + 1
     with open(os.path.join(path, "_meta.json"), "w") as f:
@@ -412,4 +474,22 @@ def open_index(
         meta = json.load(f)
     if meta.get("schema_version") != SCHEMA_VERSION:
         raise ValueError(f"unsupported index schema: {meta.get('schema_version')}")
-    return InvertedIndex(spark, path, meta)
+    # fold committed append batches into the corpus stats (integer-additive,
+    # so the merged BM25 inputs equal a full rebuild's); the batch list is
+    # this handle's snapshot
+    batches = _list_batches(path)
+    if batches:
+        n = int(meta["corpus"]["n_docs"])
+        sum_dl = int(meta["corpus"].get("sum_dl", 0))
+        for tag in batches:
+            with open(os.path.join(_batches_root(path), tag, "delta.json")) as f:
+                d = json.load(f)["corpus"]
+            n += int(d["n_docs"])
+            sum_dl += int(d["sum_dl"])
+        meta["corpus"] = {
+            "n_docs": n,
+            "avgdl": (sum_dl / n) if n else 0.0,
+            "sum_dl": sum_dl,
+        }
+    meta["appends"] = len(batches)
+    return InvertedIndex(spark, path, meta, batches=batches)

@@ -168,8 +168,13 @@ def test_dictionary_deltas_fold_and_compact(spark, split_corpus, tmp_path):
     path = str(tmp_path / "ddict")
     build_index(spark, first, path, conf=CONF)
     idx = append_index(spark, path, second)
-    # physical rows > logical terms (delta rows present)...
-    raw = spark.read.parquet(os.path.join(path, "dictionary"))
+    # physical rows across base + committed batch dirs > logical terms
+    # (delta rows present; the base dictionary is never rewritten)...
+    import glob
+
+    delta_dirs = glob.glob(os.path.join(path, "batches", "*", "dictionary"))
+    assert delta_dirs, "append must commit a batch dir with a dictionary delta"
+    raw = spark.read.parquet(os.path.join(path, "dictionary"), *delta_dirs)
     n_logical = idx.dictionary.count()
     assert raw.count() > n_logical
     # ...but the logical view folds df additively
@@ -188,3 +193,44 @@ def test_dictionary_deltas_fold_and_compact(spark, split_corpus, tmp_path):
     raw2 = spark.read.parquet(os.path.join(path, "dictionary"))
     assert raw2.count() == idx2.dictionary.count() == n_logical
     assert {r["term"]: r["df"] for r in idx2.dictionary.collect()} == want_df
+
+
+def test_append_commit_is_atomic_under_crash(spark, split_corpus, tmp_path, monkeypatch):
+    """Kill the append at the worst moment — after every table is written
+    but before the commit rename — and the live index must be byte-for-byte
+    unaffected; replaying the same batch_tag must then apply EXACTLY once.
+    (The pre-r3 marker-after-data protocol double-appended in this case.)"""
+    import igd_spark.index as idxmod
+
+    docs, first, second = split_corpus
+    path = str(tmp_path / "aidx")
+    build_index(spark, first, path, conf=CONF)
+    queries = _queries(spark)
+    before = _topk_key(search(spark, open_index(spark, path), queries, k=10))
+    n_before = open_index(spark, path).n_docs
+
+    real_rename = os.rename
+
+    def crash_rename(src, dst):
+        if "_staging" in src and "batches" in dst:
+            raise OSError("injected crash before commit rename")
+        return real_rename(src, dst)
+
+    monkeypatch.setattr(idxmod.os, "rename", crash_rename)
+    with pytest.raises(OSError, match="injected"):
+        append_index(spark, path, second, batch_tag="crashed_batch")
+    monkeypatch.setattr(idxmod.os, "rename", real_rename)
+
+    # crash left the live index untouched: same stats, same results, opens clean
+    idx = open_index(spark, path)
+    assert idx.n_docs == n_before and idx.meta["appends"] == 0
+    assert _topk_key(search(spark, idx, queries, k=10)) == before
+
+    # replay with the SAME tag applies exactly once (staging junk is swept)
+    idx = append_index(spark, path, second, batch_tag="crashed_batch")
+    assert idx.n_docs == docs.count() and idx.meta["appends"] == 1
+    want = _topk_key(exact_bm25_topk(docs, queries, k=10, conf=CONF))
+    assert _topk_key(search(spark, idx, queries, k=10)) == want
+    # a second replay after the successful commit is a no-op
+    idx2 = append_index(spark, path, second, batch_tag="crashed_batch")
+    assert idx2.n_docs == idx.n_docs and idx2.meta["appends"] == 1
