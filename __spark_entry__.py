@@ -145,7 +145,10 @@ def _built_index(spark: SparkSession, sf_dir: str):
 
     if sf_dir not in _INDEX_CACHE:
         path = tempfile.mkdtemp(prefix="igd_idx_") + "/idx"
-        conf = IndexConf(block_size=64, n_shards=16, salt_df_threshold=1024, max_salts=8)
+        conf = IndexConf(
+            block_size=64, n_shards=16, salt_df_threshold=1024, max_salts=8,
+            store_positions=True,
+        )
         _INDEX_CACHE[sf_dir] = build_index(spark, _docs(spark, sf_dir), path, conf=conf)
     return _INDEX_CACHE[sf_dir]
 
@@ -324,6 +327,19 @@ def q_phrase_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     return phrase_match(_docs(spark, sf_dir), ph)
 
 
+def q_phrase_match_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Phrase counts served from the PERSISTED positional index
+    (store_positions=True): scans only the phrase terms' position blocks
+    (shard partitions + In(term_id) pushdown) instead of re-tokenizing the
+    corpus. Must be value-identical to phrase_match, hence the same oracle."""
+    from igd_spark import phrase_match_indexed
+
+    ph = spark.createDataFrame(
+        [(int(q), t) for q, t in PHRASES], "query_id long, query_text string"
+    )
+    return phrase_match_indexed(spark, _built_index(spark, sf_dir), ph)
+
+
 def q_corpus_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
     # composite dedup+lang+quality filter chain with deterministic reasons
     from igd_spark.pipeline import curate
@@ -417,6 +433,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_curate": q_corpus_curate,
         "events_sessionize": q_events_sessionize,
         "phrase_match": q_phrase_match,
+        "phrase_match_indexed": q_phrase_match_indexed,
         "token_counts": q_token_counts,
         "seqpare_pairs": q_seqpare_pairs,
         "seqpare_scores": q_seqpare_scores,
@@ -890,6 +907,8 @@ hits AS (SELECT h.query_id, h.doc_id FROM h JOIN plen USING (query_id)
          WHERE h.c = plen.plen AND h.anchor >= 0)
 SELECT query_id, doc_id, count(*)::BIGINT AS n_hits FROM hits GROUP BY 1, 2
 """
+    # index-backed phrase path must be value-identical to the corpus scan
+    sql["phrase_match_indexed"] = sql["phrase_match"]
 
     gap_us = SESSION_GAP_MIN * 60 * 1_000_000
     sql["events_sessionize"] = f"""

@@ -52,6 +52,7 @@ from igd_spark.search import (
     exact_bm25_topk,
     match_enumerate,
     phrase_match,
+    phrase_match_indexed,
     positional_postings,
     search,
     search_one,
@@ -102,6 +103,7 @@ __all__ = [
     "ngram_jaccard_pairs",
     "open_index",
     "phrase_match",
+    "phrase_match_indexed",
     "pick_anchors",
     "positional_postings",
     "postings",

@@ -295,6 +295,185 @@ def repack_segments(segments: DataFrame, conf: IndexConf, avgdl: float) -> DataF
     return packed.sortWithinPartitions("shard", "term_id", "salt", "block_id")
 
 
+POS_BLOCK_SCHEMA = T.StructType(
+    [
+        T.StructField("term", T.StringType(), False),
+        T.StructField("term_id", T.LongType(), False),
+        T.StructField("shard", T.IntegerType(), False),
+        T.StructField("salt", T.IntegerType(), False),
+        T.StructField("block_id", T.IntegerType(), False),
+        T.StructField("n", T.IntegerType(), False),
+        T.StructField("first_doc", T.LongType(), False),
+        T.StructField("last_doc", T.LongType(), False),
+        # per-OCCURRENCE doc ids (non-decreasing, repeats allowed) + the
+        # token position of each occurrence — the stored coordinate axis
+        # (gdata_t.start, src/igd_base.h:41-46) in token space
+        T.StructField("doc_ids", T.BinaryType(), False),
+        T.StructField("poss", T.BinaryType(), False),
+    ]
+)
+
+
+def _pack_positions_kernel(conf: IndexConf):
+    """Positional sibling of _pack_stream_kernel: consumes the
+    (term_id, salt, doc_id, pos)-sorted occurrence stream, emits
+    POS_BLOCK_SCHEMA rows of conf.block_size occurrences each. Shares the
+    carry-over discipline (one trailing group held across Arrow batches)."""
+    bs = conf.block_size
+    cols = ["term", "term_id", "shard", "salt", "doc_id", "pos"]
+    names = [f.name for f in POS_BLOCK_SCHEMA.fields]
+
+    def pack_group(g: pd.DataFrame, rows: list) -> None:
+        term = g["term"].iat[0]
+        tid = int(g["term_id"].iat[0])
+        shard = int(g["shard"].iat[0])
+        salt = int(g["salt"].iat[0])
+        d = g["doc_id"].to_numpy(dtype=np.int64)
+        p = g["pos"].to_numpy(dtype=np.int64)
+        for bi, lo in enumerate(range(0, d.size, bs)):
+            hi = min(lo + bs, d.size)
+            rows.append(
+                (
+                    term, tid, shard, salt, bi, int(hi - lo),
+                    int(d[lo]), int(d[hi - 1]),
+                    codec.encode_occ_doc_ids(d[lo:hi]),
+                    codec.encode_tfs(p[lo:hi]),
+                )
+            )
+
+    def kernel(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        pending: pd.DataFrame | None = None
+        for pdf in it:
+            if not len(pdf):
+                continue
+            cur = pdf[cols] if pending is None else pd.concat([pending, pdf[cols]])
+            tid = cur["term_id"].to_numpy()
+            salt = cur["salt"].to_numpy()
+            change = np.flatnonzero((tid[1:] != tid[:-1]) | (salt[1:] != salt[:-1])) + 1
+            if change.size == 0:
+                pending = cur
+                continue
+            last_start = int(change[-1])
+            complete, pending = cur.iloc[:last_start], cur.iloc[last_start:]
+            rows: list = []
+            bounds = [0, *change[:-1].tolist(), last_start]
+            for lo, hi in zip(bounds[:-1], bounds[1:]):
+                pack_group(complete.iloc[lo:hi], rows)
+            if rows:
+                yield pd.DataFrame(rows, columns=names)
+        if pending is not None and len(pending):
+            rows = []
+            tid = pending["term_id"].to_numpy()
+            salt = pending["salt"].to_numpy()
+            change = np.flatnonzero((tid[1:] != tid[:-1]) | (salt[1:] != salt[:-1])) + 1
+            bounds = [0, *change.tolist(), len(pending)]
+            for lo, hi in zip(bounds[:-1], bounds[1:]):
+                pack_group(pending.iloc[lo:hi], rows)
+            yield pd.DataFrame(rows, columns=names)
+
+    return kernel
+
+
+def build_position_segments(
+    occ: DataFrame, hot: DataFrame, conf: IndexConf
+) -> DataFrame:
+    """Occurrence rows → positional block rows, same one-shuffle shape and
+    the SAME (term, salt, shard) geometry as the tf segments: salt =
+    doc_id % n_salts against the shared hot-term table, so shards_for()
+    pruning works identically for phrase queries."""
+    from igd_spark.session import kernel_parallelism
+
+    salted = occ.join(F.broadcast(hot), "term", "left").withColumn(
+        "salt",
+        F.when(
+            F.col("n_salts").isNotNull(),
+            F.pmod(F.col("doc_id"), F.col("n_salts").cast("long")).cast("int"),
+        ).otherwise(F.lit(0)),
+    ).drop("n_salts")
+    with_keys = salted.withColumn("term_id", F.xxhash64("term")).withColumn(
+        "shard", shard_col(F.col("term_id"), F.col("salt"), conf.n_shards)
+    )
+    n_parts = kernel_parallelism(occ.sparkSession, conf.n_shards)
+    stream = with_keys.repartition(n_parts, "shard").sortWithinPartitions(
+        "term_id", "salt", "doc_id", "pos"
+    )
+    packed = stream.mapInPandas(_pack_positions_kernel(conf), schema=POS_BLOCK_SCHEMA)
+    return packed.sortWithinPartitions("shard", "term_id", "salt", "block_id")
+
+
+def repack_position_segments(positions: DataFrame, conf: IndexConf) -> DataFrame:
+    """Compaction for positional blocks: merge each (term, salt) list
+    (base + append deltas), re-sort occurrences by (doc_id, pos), re-pack
+    fixed-size blocks."""
+    from igd_spark.session import kernel_parallelism
+
+    bs = conf.block_size
+    names = [f.name for f in POS_BLOCK_SCHEMA.fields]
+
+    def repack_group(g: pd.DataFrame, rows: list) -> None:
+        n_arr = g["n"].to_numpy(dtype=np.int64)
+        vals = codec.varint_decode(b"".join(bytes(x) for x in g["doc_ids"])).astype(np.int64)
+        ends = np.cumsum(n_arr)
+        c = np.cumsum(vals)
+        seg_off = np.concatenate(([0], c[ends[:-1] - 1]))
+        d = c - np.repeat(seg_off, n_arr)
+        p = codec.varint_decode(b"".join(bytes(x) for x in g["poss"])).astype(np.int64)
+        order = np.lexsort((p, d))
+        d, p = d[order], p[order]
+        term = g["term"].iat[0]
+        tid = int(g["term_id"].iat[0])
+        shard = int(g["shard"].iat[0])
+        salt = int(g["salt"].iat[0])
+        for bi, lo in enumerate(range(0, d.size, bs)):
+            hi = min(lo + bs, d.size)
+            rows.append(
+                (
+                    term, tid, shard, salt, bi, int(hi - lo),
+                    int(d[lo]), int(d[hi - 1]),
+                    codec.encode_occ_doc_ids(d[lo:hi]),
+                    codec.encode_tfs(p[lo:hi]),
+                )
+            )
+
+    def kernel(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = ["term", "term_id", "shard", "salt", "block_id", "n", "doc_ids", "poss"]
+        pending: pd.DataFrame | None = None
+        for pdf in it:
+            if not len(pdf):
+                continue
+            cur = pdf[cols] if pending is None else pd.concat([pending, pdf[cols]])
+            tid = cur["term_id"].to_numpy()
+            salt = cur["salt"].to_numpy()
+            change = np.flatnonzero((tid[1:] != tid[:-1]) | (salt[1:] != salt[:-1])) + 1
+            if change.size == 0:
+                pending = cur
+                continue
+            last_start = int(change[-1])
+            complete, pending = cur.iloc[:last_start], cur.iloc[last_start:]
+            rows: list = []
+            bounds = [0, *change[:-1].tolist(), last_start]
+            for lo, hi in zip(bounds[:-1], bounds[1:]):
+                repack_group(complete.iloc[lo:hi], rows)
+            if rows:
+                yield pd.DataFrame(rows, columns=names)
+        if pending is not None and len(pending):
+            rows = []
+            tid = pending["term_id"].to_numpy()
+            salt = pending["salt"].to_numpy()
+            change = np.flatnonzero((tid[1:] != tid[:-1]) | (salt[1:] != salt[:-1])) + 1
+            bounds = [0, *change.tolist(), len(pending)]
+            for lo, hi in zip(bounds[:-1], bounds[1:]):
+                repack_group(pending.iloc[lo:hi], rows)
+            yield pd.DataFrame(rows, columns=names)
+
+    n_parts = kernel_parallelism(positions.sparkSession, conf.n_shards)
+    stream = positions.repartition(n_parts, "shard").sortWithinPartitions(
+        "term_id", "salt", "block_id"
+    )
+    packed = stream.mapInPandas(kernel, schema=POS_BLOCK_SCHEMA)
+    return packed.sortWithinPartitions("shard", "term_id", "salt", "block_id")
+
+
 def build_all(
     docs: DataFrame,
     conf: IndexConf = DEFAULT_CONF,
@@ -331,10 +510,16 @@ def build_all(
     )
     salted = salted_postings(post, hot, conf)
     segments = build_segments(salted, conf, avgdl)
-    return {
+    parts: dict[str, DataFrame | dict] = {
         "segments": segments,
         "dictionary": dictionary,
         "doc_stats": ds,
         "corpus": {"n_docs": n_docs, "avgdl": avgdl, "sum_dl": sum_dl},
         "_cached": [post],
     }
+    if conf.store_positions:
+        from igd_spark.tokenizer import occurrences_spimi
+
+        occ = occurrences_spimi(docs, text_col=text_col, id_col=id_col, conf=conf)
+        parts["positions"] = build_position_segments(occ, hot, conf)
+    return parts

@@ -78,6 +78,22 @@ def decode_doc_ids(buf: bytes) -> np.ndarray:
     return np.cumsum(deltas.astype(np.int64))
 
 
+def encode_occ_doc_ids(doc_ids: np.ndarray) -> bytes:
+    """NON-DECREASING int64 doc ids (one per occurrence — repeats mark a
+    doc's multiple occurrences) → delta varints [first, gaps...]. The
+    positional-block sibling of encode_doc_ids; zero gaps are legal."""
+    d = np.ascontiguousarray(doc_ids, dtype=np.int64)
+    if d.size == 0:
+        return b""
+    if d.size > 1 and not (np.diff(d) >= 0).all():
+        raise ValueError("occurrence doc_ids must be non-decreasing within a block")
+    deltas = np.empty(d.size, dtype=np.uint64)
+    deltas[0] = np.uint64(d[0])
+    if d.size > 1:
+        deltas[1:] = np.diff(d).astype(np.uint64)
+    return varint_encode(deltas)
+
+
 def encode_tfs(tfs: np.ndarray) -> bytes:
     return varint_encode(np.ascontiguousarray(tfs, dtype=np.uint64))
 

@@ -45,6 +45,13 @@ class IndexConf:
     # tokenizer spec shared with the oracle (FIXTURES.md §5): lowercase,
     # split on non-alphanumeric runs, drop empties. No stemming/stopwords.
     token_split_re: str = r"[^a-z0-9]+"
+    # persist the positional sibling of the segment table at build time
+    # (the gType axis-layout choice made at create time, src/igd_base.c:408-409,
+    # dispatch src/igd_create.c:490-497): phrase queries then run against
+    # position blocks with the same shard/term pruning as search, instead
+    # of re-tokenizing the raw corpus per call. Costs one extra shuffle at
+    # build (occurrence-level) and ~|occurrences| varint bytes of storage.
+    store_positions: bool = False
     # doc id assignment: "hash" (default — stateless full-63-bit
     # xxhash64(conv_id, turn_idx); no global sort, append-safe, the
     # 10^12-turn scale path, SURVEY §7.3c) or "dense" (exact global rank

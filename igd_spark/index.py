@@ -186,6 +186,19 @@ class InvertedIndex:
     def doc_stats(self) -> DataFrame:
         return self._union_read("doc_stats")
 
+    @property
+    def positions(self) -> DataFrame:
+        """Positional block table (store_positions=True indexes only) —
+        the persisted coordinate axis phrase_match_indexed scans instead of
+        re-tokenizing the raw corpus (src/igd_base.h:41-46 analog)."""
+        if not self.conf.store_positions:
+            raise ValueError(
+                "index was built without store_positions=True; "
+                "rebuild with IndexConf(store_positions=True) for indexed "
+                "phrase search, or use phrase_match() over the raw corpus"
+            )
+        return self._union_read("positions")
+
     def hot(self) -> "InvertedIndex":
         """Pin the segment table in executor memory and materialize it —
         steady-state serving mode (the reference keeps its whole block
@@ -300,6 +313,17 @@ def build_index(
         lambda df: _count_write(df, os.path.join(path, "dictionary")),
     )
     commit("segments", parts["segments"], write_segments)
+    if "positions" in parts:
+        commit(
+            "positions",
+            parts["positions"],
+            lambda df: (
+                df.write.mode("overwrite")
+                .partitionBy("shard")
+                .parquet(os.path.join(path, "positions")),
+                -1,
+            )[1],
+        )
     for cached in parts.get("_cached", []):
         cached.unpersist()
 
@@ -389,6 +413,10 @@ def append_index(
     parts["dictionary"].select("term", "term_id", "df", "n_salts").write.mode(
         "overwrite"
     ).parquet(os.path.join(staging, "dictionary"))
+    if "positions" in parts:
+        parts["positions"].write.mode("overwrite").partitionBy("shard").parquet(
+            os.path.join(staging, "positions")
+        )
     with open(os.path.join(staging, "delta.json"), "w") as f:
         json.dump({"batch_tag": batch_tag, "corpus": delta, "secs": time.time() - t0}, f)
     for cached in parts.get("_cached", []):
@@ -430,6 +458,14 @@ def compact_index(spark: SparkSession, path: str) -> InvertedIndex:
     idx._dictionary = None
     tmp_ds = os.path.join(path, "doc_stats_compacted")
     idx.doc_stats.write.mode("overwrite").parquet(tmp_ds)
+    tmp_pos = None
+    if idx.conf.store_positions:
+        from igd_spark.build import repack_position_segments
+
+        tmp_pos = os.path.join(path, "positions_compacted")
+        repack_position_segments(idx.positions, idx.conf).write.mode(
+            "overwrite"
+        ).partitionBy("shard").parquet(tmp_pos)
     # marker covers the swaps + batch-dir removal (the tmp writes are
     # invisible to readers); a crash inside leaves the dirty marker and
     # open_index refuses until repaired
@@ -437,6 +473,8 @@ def compact_index(spark: SparkSession, path: str) -> InvertedIndex:
     _swap_dir(os.path.join(path, "segments"), tmp)
     _swap_dir(os.path.join(path, "dictionary"), tmp_dict)
     _swap_dir(os.path.join(path, "doc_stats"), tmp_ds)
+    if tmp_pos is not None:
+        _swap_dir(os.path.join(path, "positions"), tmp_pos)
     if idx.batches:
         import shutil
 

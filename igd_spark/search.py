@@ -549,6 +549,36 @@ def positional_postings(
     )
 
 
+def _phrase_terms(phrases: DataFrame, split_re: str) -> DataFrame:
+    """(query_id, term, offset) — the phrase's tokens with dense 0-based
+    offsets (split artifacts re-ranked, same trick as positions)."""
+    pterms = phrases.select(
+        "query_id",
+        F.posexplode(tokens_col(F.col("query_text"), split_re)).alias("offset", "term"),
+    ).filter(F.col("term") != "")
+    wq = Window.partitionBy("query_id").orderBy("offset")
+    return pterms.select(
+        "query_id", "term", (F.row_number().over(wq) - 1).cast("int").alias("offset")
+    )
+
+
+def _anchor_hits(j: DataFrame, plen: DataFrame) -> DataFrame:
+    """(query_id, doc_id, n_hits) from anchor rows (query_id, doc_id,
+    anchor = pos - offset): an anchor (candidate start position) is a hit
+    iff every offset of the phrase contributed exactly once at it. SHARED
+    epilogue of the corpus-scan and index-backed phrase paths — both count
+    the same anchor set, so their results are identical by construction."""
+    hits = (
+        j.groupBy("query_id", "doc_id", "anchor")
+        .agg(F.count("*").alias("n_terms"))
+        .join(F.broadcast(plen), "query_id")
+        .filter((F.col("n_terms") == F.col("phrase_len")) & (F.col("anchor") >= 0))
+    )
+    return hits.groupBy("query_id", "doc_id").agg(
+        F.count("*").cast("long").alias("n_hits")
+    )
+
+
 def phrase_match(
     docs: DataFrame,
     phrases: DataFrame,
@@ -564,36 +594,92 @@ def phrase_match(
     of src/igd_search.c:454-534 with positions as coordinates. One shuffle
     (the anchor groupBy); phrases are broadcast.
 
+    This is the INDEX-FREE path: it re-derives positions from the raw
+    corpus on every call — right for one-off phrase jobs over a corpus
+    with no index. Repeated phrase workloads should build with
+    store_positions=True and use phrase_match_indexed (identical results,
+    shard/term-pruned scan of the persisted position blocks).
+
     `phrases`: (query_id, query_text); the phrase is query_text's token
     sequence (duplicate terms in a phrase are handled — each offset must
     be present)."""
     pp = positional_postings(docs, text_col=text_col, id_col=id_col, conf=conf)
-    pterms = phrases.select(
-        "query_id",
-        F.posexplode(tokens_col(F.col("query_text"), conf.token_split_re)).alias(
-            "offset", "term"
-        ),
-    ).filter(F.col("term") != "")
-    # re-rank offsets densely (split artifacts), same trick as positions
-    wq = Window.partitionBy("query_id").orderBy("offset")
-    pterms = pterms.select(
-        "query_id", "term", (F.row_number().over(wq) - 1).cast("int").alias("offset")
-    )
+    pterms = _phrase_terms(phrases, conf.token_split_re)
     plen = pterms.groupBy("query_id").agg(F.count("*").alias("phrase_len"))
     j = pp.join(F.broadcast(pterms), "term").select(
         "query_id", "doc_id", (F.col("pos") - F.col("offset")).alias("anchor")
     )
-    # an anchor (candidate start position) is a hit iff every offset of the
-    # phrase contributed exactly once at that anchor
-    hits = (
-        j.groupBy("query_id", "doc_id", "anchor")
-        .agg(F.count("*").alias("n_terms"))
-        .join(F.broadcast(plen), "query_id")
-        .filter((F.col("n_terms") == F.col("phrase_len")) & (F.col("anchor") >= 0))
+    return _anchor_hits(j, plen)
+
+
+def phrase_match_indexed(
+    spark: SparkSession, idx: InvertedIndex, phrases: DataFrame
+) -> DataFrame:
+    """(query_id, doc_id, n_hits) — phrase_match against the PERSISTED
+    positional index (store_positions=True builds): the gType
+    coordinate-layout graft (src/igd_base.c:408-409, dispatch
+    src/igd_create.c:490-497). Plan: dictionary ⋈(broadcast phrase terms)
+    → driver-derived shard/term prune sets (phrases are always tiny) →
+    positions scan pruned by shard partitions + In(term_id) row-group
+    min/max → broadcast-join the (query_id, term_id, offset) map → Arrow
+    decode kernel emits (query_id, doc_id, anchor) → the SAME anchor
+    epilogue as phrase_match. Per call it touches only the phrase terms'
+    blocks — no corpus re-tokenization, the fix for the
+    full-scan-per-phrase-batch scale killer."""
+    conf = idx.conf
+    from igd_spark.build import shards_for
+
+    out_empty = "query_id long, doc_id long, n_hits long"
+    pterms = _phrase_terms(phrases, conf.token_split_re)
+    plen = pterms.groupBy("query_id").agg(F.count("*").alias("phrase_len"))
+    qdict = idx.dictionary.join(F.broadcast(pterms), "term").select(
+        "query_id", "term_id", "offset", "n_salts"
     )
-    return hits.groupBy("query_id", "doc_id").agg(
-        F.count("*").cast("long").alias("n_hits")
+    trows = qdict.select("term_id", "n_salts").distinct().collect()
+    if not trows:
+        return spark.createDataFrame([], out_empty)
+    term_ids = sorted({int(r["term_id"]) for r in trows})
+    shards = sorted(
+        {
+            s
+            for r in trows
+            for s in shards_for(int(r["term_id"]), int(r["n_salts"]), conf.n_shards)
+        }
     )
+    pos = idx.positions.filter(
+        F.col("shard").isin(shards) & F.col("term_id").isin(term_ids)
+    ).select("term_id", "doc_ids", "poss")
+    blocks = pos.join(F.broadcast(qdict.select("query_id", "term_id", "offset")), "term_id")
+
+    anchor_schema = T.StructType(
+        [
+            T.StructField("query_id", T.LongType(), False),
+            T.StructField("doc_id", T.LongType(), False),
+            T.StructField("anchor", T.IntegerType(), False),
+        ]
+    )
+
+    def explode_anchors(it):
+        for pdf in it:
+            outs = []
+            for row in pdf.itertuples():
+                d = codec.decode_doc_ids(bytes(row.doc_ids))  # cumsum decode:
+                # zero gaps (multi-occurrence docs) restore repeats correctly
+                p = codec.varint_decode(bytes(row.poss)).astype(np.int64)
+                outs.append(
+                    pd.DataFrame(
+                        {
+                            "query_id": np.full(d.size, row.query_id, dtype=np.int64),
+                            "doc_id": d,
+                            "anchor": (p - int(row.offset)).astype(np.int32),
+                        }
+                    )
+                )
+            if outs:
+                yield pd.concat(outs)
+
+    j = blocks.mapInPandas(explode_anchors, schema=anchor_schema)
+    return _anchor_hits(j, plen)
 
 
 def search_one(

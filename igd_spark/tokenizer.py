@@ -129,6 +129,69 @@ def postings_spimi(
     return src.mapInPandas(kernel, schema=out_schema)
 
 
+def occurrences_spimi(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    conf: IndexConf = DEFAULT_CONF,
+) -> DataFrame:
+    """(doc_id, term, pos) — one row per token OCCURRENCE with its dense
+    0-based position, computed entirely inside an Arrow kernel with ZERO
+    shuffle (positions are doc-local, exactly like tf/dl in
+    postings_spimi). This is the build-side source of the persistent
+    positional index (store_positions) — the reference keeps its
+    start-coordinate axis in every stored record (src/igd_base.h:41-46);
+    here the token position is that coordinate.
+
+    Position semantics shared with search.positional_postings (tested
+    identical): index within the doc's NON-EMPTY token sequence.
+    """
+    import re
+
+    import pandas as pd
+
+    from pyspark.sql import types as T
+
+    split_re = re.compile(conf.token_split_re)
+    out_schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType(), False),
+            T.StructField("term", T.StringType(), False),
+            T.StructField("pos", T.IntegerType(), False),
+        ]
+    )
+
+    def kernel(it):
+        for pdf in it:
+            if not len(pdf):
+                continue
+            texts = pdf[text_col].fillna("").str.lower()
+            toks = texts.str.split(split_re)
+            s = pd.DataFrame({"doc_id": pdf[id_col], "term": toks}).explode("term")
+            s = s[(s["term"].notna()) & (s["term"] != "")]
+            if not len(s):
+                continue
+            # dense position = rank within the doc's surviving occurrences;
+            # explode preserves source order, so a per-doc cumcount is it
+            s["pos"] = s.groupby("doc_id", sort=False).cumcount()
+            yield pd.DataFrame(
+                {
+                    "doc_id": s["doc_id"].astype("int64"),
+                    "term": s["term"],
+                    "pos": s["pos"].astype("int32"),
+                }
+            )
+
+    src = docs.select(id_col, text_col)
+    from igd_spark.session import kernel_parallelism
+
+    n_in = src.rdd.getNumPartitions()
+    n_eff = kernel_parallelism(docs.sparkSession, n_in)
+    if n_eff < n_in:
+        src = src.coalesce(n_eff)
+    return src.mapInPandas(kernel, schema=out_schema)
+
+
 def term_id_col(term: Column | str = "term") -> Column:
     """Dense-dictionary-free term id: 64-bit hash (SURVEY §2 B4 — replaces the
     khash string→int interning, src/igd_base.c:122-145, with a stateless hash

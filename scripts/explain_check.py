@@ -145,6 +145,28 @@ def main() -> int:
         "BroadcastHashJoin" in phplan,
     )
 
+    # 5. persisted positional index: phrase path scans position blocks with
+    # the same shard/term pruning as search — never the raw corpus
+    from igd_spark import IndexConf as _IC
+    from igd_spark import build_index as _bi
+    from igd_spark import phrase_match_indexed
+
+    pconf = _IC(block_size=32, n_shards=8, salt_df_threshold=64, max_salts=4,
+                store_positions=True)
+    ppath = tempfile.mkdtemp(prefix="igd_explain_pos_") + "/idx"
+    pidx = _bi(spark, docs, ppath, conf=pconf)
+    piplan = fmt(phrase_match_indexed(
+        spark, pidx,
+        spark.createDataFrame([(0, "error timeout")], "query_id long, query_text string"),
+    ))
+    assert_pruned_scan("positional phrase scan", piplan)
+    pi_schemas = re.findall(r"ReadSchema: struct<([^>]*)>", piplan)
+    check(
+        "positional phrase plan never touches the corpus table",
+        bool(pi_schemas) and not any("text:" in s for s in pi_schemas),
+        f"scanned schemas: {pi_schemas}",
+    )
+
     n_fail = sum(1 for _, ok, _ in checks if not ok)
     print(f"\n{len(checks) - n_fail}/{len(checks)} plan checks passed")
     return 1 if n_fail else 0
