@@ -688,10 +688,25 @@ def search_one(
     query_text: str,
     k: int = 10,
     min_tf: int = 0,
+    engine: str = "driver",
 ) -> DataFrame:
     """Single-query convenience — the search_1 analog (src_py/igd_py.pyx:31-38,
-    IGDr/R/IGDr.R:40-43): wraps the text in a one-row query set and drops the
-    query_id from the result. (rank, doc_id, score)."""
+    IGDr/R/IGDr.R:40-43). (rank, doc_id, score).
+
+    engine="driver" (default): the interactive path — NO Spark jobs; a
+    cached dictionary lookup + pyarrow row-group-pruned block reads + the
+    numpy kernel, ms-scale like the reference's in-process search_1 (see
+    igd_spark.local). engine="spark" runs the one-row batch through the
+    full distributed scorer (useful for plan audits and as the parity
+    oracle; several-seconds scheduling floor). Both are exact and
+    rank-identical (tested)."""
+    if engine == "driver":
+        from igd_spark.local import local_searcher
+
+        pdf = local_searcher(idx).search_one(query_text, k=k, min_tf=min_tf)
+        return spark.createDataFrame(pdf, "rank int, doc_id long, score double")
+    if engine != "spark":
+        raise ValueError("engine must be 'driver' or 'spark'")
     q = spark.createDataFrame([(0, query_text)], "query_id long, query_text string")
     return search(spark, idx, q, k=k, min_tf=min_tf).select("rank", "doc_id", "score")
 
