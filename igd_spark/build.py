@@ -489,6 +489,15 @@ def build_all(
     src/igd_create.c:50-88). Caller unpersists via the returned handle."""
     conf.validate()
     spark = docs.sparkSession
+    # B8 bounds guard: drop absurd documents BEFORE tokenization, and count
+    # them (one cheap length-only column scan) — drops are never silent;
+    # the count lands in parts["corpus"]["docs_dropped"] → meta + lineage
+    n_dropped = 0
+    if conf.max_text_chars:
+        tlen = F.length(F.coalesce(F.col(text_col), F.lit("")))
+        n_dropped = docs.filter(tlen > conf.max_text_chars).count()
+        if n_dropped:
+            docs = docs.filter(tlen <= conf.max_text_chars)
     post = postings_spimi(docs, text_col=text_col, id_col=id_col, conf=conf).persist()
     ds = doc_stats(docs, text_col=text_col, id_col=id_col, conf=conf)
     cs_row = corpus_stats(ds).collect()[0]
@@ -514,7 +523,12 @@ def build_all(
         "segments": segments,
         "dictionary": dictionary,
         "doc_stats": ds,
-        "corpus": {"n_docs": n_docs, "avgdl": avgdl, "sum_dl": sum_dl},
+        "corpus": {
+            "n_docs": n_docs,
+            "avgdl": avgdl,
+            "sum_dl": sum_dl,
+            "docs_dropped": n_dropped,
+        },
         "_cached": [post],
     }
     if conf.store_positions:

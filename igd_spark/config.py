@@ -52,6 +52,12 @@ class IndexConf:
     # of re-tokenizing the raw corpus per call. Costs one extra shuffle at
     # build (occurrence-level) and ~|occurrences| varint bytes of storage.
     store_positions: bool = False
+    # B8 input-bounds guard (the s>=e / out-of-range record drop at insert,
+    # src/igd_create.c:188 analog): documents whose text exceeds this many
+    # CHARACTERS are dropped at build/append time — one absurd 100 MB turn
+    # otherwise inflates a block row and skews dl stats. Dropped counts are
+    # recorded in the build lineage and meta (never silent). 0 disables.
+    max_text_chars: int = 1_048_576
     # doc id assignment: "hash" (default — stateless full-63-bit
     # xxhash64(conv_id, turn_idx); no global sort, append-safe, the
     # 10^12-turn scale path, SURVEY §7.3c) or "dense" (exact global rank

@@ -519,15 +519,18 @@ def open_index(
     if batches:
         n = int(meta["corpus"]["n_docs"])
         sum_dl = int(meta["corpus"].get("sum_dl", 0))
+        dropped = int(meta["corpus"].get("docs_dropped", 0))
         for tag in batches:
             with open(os.path.join(_batches_root(path), tag, "delta.json")) as f:
                 d = json.load(f)["corpus"]
             n += int(d["n_docs"])
             sum_dl += int(d["sum_dl"])
+            dropped += int(d.get("docs_dropped", 0))
         meta["corpus"] = {
             "n_docs": n,
             "avgdl": (sum_dl / n) if n else 0.0,
             "sum_dl": sum_dl,
+            "docs_dropped": dropped,
         }
     meta["appends"] = len(batches)
     return InvertedIndex(spark, path, meta, batches=batches)

@@ -157,6 +157,7 @@ def _maxscore_kernel(
     _stats = stats if stats is not None else {}
     _stats.setdefault("blocks_decoded", 0)
     _stats.setdefault("blocks_skipped", 0)
+    _stats.setdefault("blocks_skipped_essential", 0)
 
     def _decode_rows_segmented(
         g: pd.DataFrame,
@@ -246,7 +247,15 @@ def _maxscore_kernel(
         if n_hit >= 0.5 * len(g):
             return decode_list(key, g)
         _stats["blocks_skipped"] += len(g) - n_hit
-        if n_hit == 0:
+        return _assemble_blocks(key, g, np.flatnonzero(mask))
+
+    def _assemble_blocks(
+        key, g: pd.DataFrame, need: np.ndarray
+    ) -> tuple[np.ndarray, np.ndarray]:
+        """Concatenated (d, w) of the `need` block rows, through the
+        per-BLOCK cache: across a bucket's queries each block of a shared
+        hot list decodes AT MOST once, whichever skip path asks for it."""
+        if need.size == 0:
             return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.float64)
         # overflow check happens ON ENTRY only: clearing mid-assembly would
         # evict blocks this very call still needs (the cache may overshoot
@@ -256,7 +265,6 @@ def _maxscore_kernel(
             _bcache.clear()
             _cache_postings[0] = 0
         blocks = _bcache.setdefault(key, {})
-        need = np.flatnonzero(mask)
         missing = [int(i) for i in need if int(i) not in blocks]
         if missing:
             d_all, w_all, lens = _decode_rows_segmented(g.iloc[missing])
@@ -274,8 +282,8 @@ def _maxscore_kernel(
             np.concatenate([p[1] for p in parts]),
         )
 
-    def list_ub(g: pd.DataFrame) -> float:
-        """Score upper bound for a list. Blocks whose stored ub was computed
+    def block_ubs(g: pd.DataFrame) -> np.ndarray:
+        """Per-block score upper bounds. Blocks whose stored ub was computed
         under the CURRENT avgdl use it (tight); blocks built before an
         append (different avgdl) get a safe bound from (max_tf, min_dl) —
         f(tf, dl) is increasing in tf and decreasing in dl."""
@@ -286,7 +294,11 @@ def _maxscore_kernel(
             md = g["min_dl"].to_numpy(dtype=np.float64)
             loose = mt * (k1 + 1.0) / (mt + k1 * (1.0 - b + b * md / avgdl))
             ub = np.where(stored_ok, ub, loose)
-        return float(ub.max())
+        return ub
+
+    def list_ub(g: pd.DataFrame) -> float:
+        return float(block_ubs(g).max())
+
 
     def score_one(qid: int, lists: list) -> pd.DataFrame | None:
         """lists: [(sigma, term_id, salt, idf, key, g)] for this query."""
@@ -317,11 +329,30 @@ def _maxscore_kernel(
         essential = [lists[i] for i in range(len(lists)) if i not in non_essential_pos]
         deferred = [lists[i] for i in range(len(lists)) if i in non_essential_pos]
 
-        # --- phase 1: exact scores over essential lists (full decode —
-        # reported scores must be exact, so contribution-dropping skips are
-        # not allowed; pruning only ever ELIMINATES candidates)
+        # --- phase 1: scores over essential lists, with DYNAMIC DEMOTION —
+        # the essential-side half of full BMW (completing the
+        # src/igd_search.c:790-812 lesson). Essential lists are processed in
+        # DESCENDING σ; once the remaining suffix sum Σ_{j≥i} σ_j drops
+        # strictly below θ0, a doc appearing ONLY in those tail lists has
+        # total < θ0 ≤ kth final score (it has zero contribution from the
+        # fully-decoded head lists — were it in one, it would already be a
+        # candidate) — so the tail lists cannot mint a new top-k candidate
+        # and are demoted to REFINE-ONLY: their blocks holding no current
+        # candidate are skipped outright (decode_for_survivors), while
+        # blocks that do intersect are decoded so candidate scores stay
+        # exact. Candidate ELIMINATION only — reported top-k scores are
+        # unchanged (rank-identity-tested).
+        essential.sort(key=lambda x: (-x[0], x[1], x[2]))
+        ess_sig = np.array([l[0] for l in essential])
+        suffix = np.cumsum(ess_sig[::-1])[::-1] if essential else np.empty(0)
+        n_mint = len(essential)
+        if theta > 0.0:
+            for i in range(1, len(essential)):
+                if suffix[i] < theta:
+                    n_mint = i
+                    break
         all_ids, all_w = [], []
-        for _, tid, salt, idf, key, g in essential:
+        for _, tid, salt, idf, key, g in essential[:n_mint]:
             d, w = decode_list(key, g)
             all_ids.append(d)
             all_w.append(idf * w)
@@ -331,6 +362,15 @@ def _maxscore_kernel(
         ws = np.concatenate(all_w)
         uids, inv = np.unique(ids, return_inverse=True)
         scores = np.bincount(inv, weights=ws, minlength=uids.size)
+        for _, tid, salt, idf, key, g in essential[n_mint:]:
+            n_skip_before = _stats["blocks_skipped"]
+            d, w = decode_for_survivors(key, g, uids)
+            _stats["blocks_skipped_essential"] += _stats["blocks_skipped"] - n_skip_before
+            pos = np.searchsorted(uids, d)
+            valid = pos < uids.size
+            pos_v = pos[valid]
+            hitm = uids[pos_v] == d[valid]
+            np.add.at(scores, pos_v[hitm], (idf * w)[valid][hitm])
 
         # --- phase 2: fold in deferred (hot) lists for surviving candidates
         # process in descending sigma so θ tightens fastest

@@ -99,9 +99,20 @@ def seqpare_scores(
 
     score = sm_total / (Nq + n_docs - sm_total) — the reference's final
     normalization (src/igd_search.c:445-448) with Nq = #queries, n_docs =
-    dataset cardinality (its `nr`). Matching runs per-source in parallel;
-    each source's pair list is join-pruned, so the kernel input is bounded
-    by actual term overlap, not |Q|×|dataset|."""
+    dataset cardinality (its `nr`). Matching runs per-source in parallel.
+
+    Kernel-input bound (straggler/OOM guard for a dominant source): before
+    the per-source kernel, pairs are pruned to the top n_q+1 per
+    (source, query) by the greedy order (sm desc, doc_id asc) — EXACT, not
+    heuristic: a greedy-accepted pair always has per-query rank ≤ n_q+1
+    (each better-ranked same-query pair was rejected only because its doc
+    was already consumed, docs are distinct within a query, and at most
+    n_q docs are ever consumed), and removing never-acceptable pairs
+    cannot change any acceptance decision or the accumulation order. One
+    source's kernel input is therefore ≤ n_q·(n_q+1) rows no matter how
+    many documents it holds — the same inherent O(n_q) sequential matching
+    as the reference (src/igd_search.c:397-437), minus its unbounded pair
+    scan."""
     n_q = queries.select("query_id").distinct().count()
     sm = query_doc_jaccard(docs, queries, text_col=text_col, id_col=id_col, conf=conf)
     src = docs.select(F.col(id_col).alias("doc_id"), F.col(source_col).alias("source"))
@@ -110,6 +121,16 @@ def seqpare_scores(
         for r in src.groupBy("source").agg(F.count("*").alias("n")).collect()
     }
     pairs = sm.join(src, "doc_id")
+    from pyspark.sql import Window
+
+    wq = Window.partitionBy("source", "query_id").orderBy(
+        F.desc("sm"), F.asc("doc_id")
+    )
+    pairs = (
+        pairs.withColumn("_qr", F.row_number().over(wq))
+        .filter(F.col("_qr") <= n_q + 1)
+        .drop("_qr")
+    )
 
     def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
         source = pdf["source"].iat[0]

@@ -121,3 +121,27 @@ def test_hash_ids_stable_and_roundtrip(spark, tiny_docs):
     assert a == b
     assert all(v >= 0 for v in a.values())
     assert docid_roundtrip_check(assign_doc_ids(tiny_docs, conf)) == 0
+
+
+def test_bounds_guard_drops_absurd_docs_and_counts(spark, tmp_path):
+    """B8 guard (src/igd_create.c:188 analog): an absurd document is dropped
+    at build, the drop is COUNTED in meta (never silent), stats reflect only
+    kept docs, and cap=0 disables the guard."""
+    from igd_spark import IndexConf, build_index, search
+
+    rows = [
+        (1, "normal short document about errors"),
+        (2, "another normal document with errors and timeouts"),
+        (3, "x" * 5000),  # the monster turn
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    conf = IndexConf(block_size=8, n_shards=4, max_text_chars=1000)
+    idx = build_index(spark, docs, str(tmp_path / "bidx"), conf=conf)
+    assert idx.n_docs == 2
+    assert idx.meta["corpus"]["docs_dropped"] == 1
+    q = spark.createDataFrame([(0, "errors")], "query_id long, query_text string")
+    assert {r["doc_id"] for r in search(spark, idx, q, k=5).collect()} == {1, 2}
+
+    conf_off = IndexConf(block_size=8, n_shards=4, max_text_chars=0)
+    idx2 = build_index(spark, docs, str(tmp_path / "bidx0"), conf=conf_off)
+    assert idx2.n_docs == 3 and idx2.meta["corpus"]["docs_dropped"] == 0

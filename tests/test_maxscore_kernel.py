@@ -87,3 +87,44 @@ def test_skip_never_engages_without_deferral(spark, kernel_inputs):
     out = kernel(blocks, one)
     assert len(out) > 0
     assert stats["blocks_skipped"] == 0
+
+
+def test_essential_demotion_skips_and_stays_exact(spark, kernel_inputs):
+    """Full-BMW essential side: with a rare high-idf anchor term raising θ0
+    above the tail essential lists' suffix sum, the tail lists are demoted
+    to refine-only and skip blocks holding no candidate — with zero change
+    to ranks or scores."""
+    docs, idx, _, _ = kernel_inputs
+    qtext = "error t00005 t00006"
+    queries = spark.createDataFrame(
+        pd.DataFrame({"query_id": [0], "query_text": [qtext]})
+    )
+    qt = {r["term"] for r in query_terms(queries).collect()}
+    drows = idx.dictionary.filter(idx.dictionary.term.isin(list(qt))).collect()
+    term_ids = {r["term"]: int(r["term_id"]) for r in drows}
+    dfs = {r["term"]: int(r["df"]) for r in drows}
+    blocks = (
+        idx.segments.filter(idx.segments.term_id.isin(list(term_ids.values())))
+        .toPandas()
+    )
+    qpdf = pd.DataFrame(
+        {
+            "query_id": [0] * len(drows),
+            "term_id": [term_ids[t] for t in sorted(term_ids)],
+            "idf": [idf_py(idx.n_docs, dfs[t]) for t in sorted(term_ids)],
+        }
+    )
+    stats: dict = {}
+    kernel = _maxscore_kernel(K, 0, CONF.k1, CONF.b, idx.avgdl, stats=stats)
+    out = kernel(blocks, qpdf)
+    assert stats["blocks_skipped_essential"] > 0, (
+        f"essential demotion never engaged ({stats}) on {qtext}"
+    )
+    want = exact_bm25_topk(docs, queries, k=K, conf=CONF).collect()
+    want_key = [(r["query_id"], r["rank"], r["doc_id"], round(r["score"], 9)) for r in want]
+    got = out.sort_values("rank")
+    got_key = [
+        (int(q), int(rk), int(d), round(float(s), 9))
+        for q, rk, d, s in zip(got["query_id"], got["rank"], got["doc_id"], got["score"])
+    ]
+    assert got_key == want_key

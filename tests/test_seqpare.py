@@ -87,3 +87,25 @@ def test_greedy_match_reference_semantics():
     pairs = [(0, 10, 0.9), (0, 11, 0.8), (1, 10, 0.8), (1, 11, 0.7), (2, 12, 0.8)]
     got = greedy_match(pairs)
     assert got == [(0, 10, 0.9), (2, 12, 0.8), (1, 11, 0.7)]
+
+
+def test_dominant_source_capped_kernel_is_exact(spark):
+    """One source holds nearly every doc (the straggler case the per-query
+    top-(n_q+1) prune guards against); the pruned kernel must still equal
+    the uncapped python oracle exactly."""
+    rows = []
+    # 3 queries, 1 dominant source with 60 docs sharing terms heavily (many
+    # same-sm ties + shared docs across queries), 1 tiny source
+    for i in range(60):
+        rows.append((1000 + i, "big", f"alpha beta gamma t{i % 7}"))
+    for i in range(3):
+        rows.append((2000 + i, "small", f"alpha delta t{i}"))
+    docs = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    queries = [(0, "alpha beta"), (1, "beta gamma t1"), (2, "delta alpha")]
+    qdf = spark.createDataFrame(queries, "query_id long, query_text string")
+    got = {
+        r["source"]: (r["n_docs"], r["n_matched"], r["sm_total"], r["score"])
+        for r in seqpare_scores(docs, qdf).collect()
+    }
+    want = _py_seqpare(rows, queries, n_q=3)
+    assert got == want
