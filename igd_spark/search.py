@@ -358,11 +358,39 @@ def _maxscore_kernel(
             all_w.append(idf * w)
         if not all_ids:
             return None
+        # Demotion must only FIRE where it pays: a demoted list whose blocks
+        # mostly intersect the candidates would go through the per-query
+        # survivor assembly + unbuffered np.add.at — forfeiting the shared
+        # cached full-list decode and costing ~10x on Zipf batches (measured
+        # 157 → 28 qps on the 1000-query bench when applied untriaged). So
+        # tail lists are triaged with a cheap range probe first: dense ones
+        # rejoin the minting concat+unique path (bit-identical to the
+        # undemoted plan), only genuinely sparse ones take the refine path.
+        refine = []
+        tail = essential[n_mint:]
+        if tail:
+            uids_head = np.unique(np.concatenate(all_ids))
+            for _, tid, salt, idf, key, g in tail:
+                hit = _cache.get(key)
+                if hit is not None:
+                    all_ids.append(hit[0])
+                    all_w.append(idf * hit[1])
+                    continue
+                firsts = g["first_doc"].to_numpy(dtype=np.int64)
+                lasts = g["last_doc"].to_numpy(dtype=np.int64)
+                lo = np.searchsorted(uids_head, firsts, side="left")
+                hi = np.searchsorted(uids_head, lasts, side="right")
+                if int((lo < hi).sum()) >= 0.5 * len(g):
+                    d, w = decode_list(key, g)
+                    all_ids.append(d)
+                    all_w.append(idf * w)
+                else:
+                    refine.append((idf, key, g))
         ids = np.concatenate(all_ids)
         ws = np.concatenate(all_w)
         uids, inv = np.unique(ids, return_inverse=True)
         scores = np.bincount(inv, weights=ws, minlength=uids.size)
-        for _, tid, salt, idf, key, g in essential[n_mint:]:
+        for idf, key, g in refine:
             n_skip_before = _stats["blocks_skipped"]
             d, w = decode_for_survivors(key, g, uids)
             _stats["blocks_skipped_essential"] += _stats["blocks_skipped"] - n_skip_before
@@ -537,7 +565,19 @@ def search(
                 for s in shards_for(int(r["term_id"]), int(r["n_salts"]), conf.n_shards)
             }
         )
-        seg = seg.filter(F.col("shard").isin(shards) & F.col("term_id").isin(term_ids))
+        # scan pruning pays only while it is SELECTIVE: a small batch's few
+        # terms hit a few shards / row-group runs, and the isin filters cut
+        # the scan to those. A 1000-query Zipf batch already touches every
+        # shard and thousands of terms — there the giant literal In lists
+        # cost filter evaluation over the whole scan while pruning nothing
+        # (measured ~25% slower at 1000q), so past the threshold the scan
+        # stays wide and the broadcast bucket-join does the filtering.
+        import os as _os
+
+        if len(term_ids) <= int(_os.environ.get("IGD_SEARCH_PRUNE_MAX_TERMS", "512")):
+            seg = seg.filter(
+                F.col("shard").isin(shards) & F.col("term_id").isin(term_ids)
+            )
         bt = spark.createDataFrame(
             sorted({(int(r["query_id"]) % n_buckets, int(r["term_id"])) for r in qrows}),
             "bucket int, term_id long",

@@ -5,7 +5,8 @@ efficiency from N to 4N executors; sandbox protocol per BASELINE.md §
 Runs bench.py in fresh subprocesses (separate JVMs) at N and 4N cores on
 the same sf dir, parses the JSON lines, computes
     efficiency = (throughput_4N / throughput_N) / 4
-for index-build turns/sec and BM25 search qps, and rewrites BENCH.md.
+for index-build turns/sec and BM25 search qps, and writes BENCH_SCALING.md
+(raw evidence; the curated narrative lives in BENCH.md).
 
 Usage: python scripts/scaling_bench.py [sf_dir] [N]
 """
@@ -123,7 +124,7 @@ def main() -> None:
         "```",
         "",
     ]
-    with open(os.path.join(REPO, "BENCH.md"), "w") as f:
+    with open(os.path.join(REPO, "BENCH_SCALING.md"), "w") as f:
         f.write("\n".join(lines))
     print(json.dumps({
         "build_eff": build_eff, "search_eff": search_eff, "search_eff_1000q": search_eff_big,
