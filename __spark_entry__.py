@@ -57,6 +57,12 @@ SESSION_GAP_MIN = 30
 IVF_NPROBE = 2
 MIN_QUALITY = 0.5
 CURATE_LANGS = ("en",)
+SPAN_TOKENS = 8
+MIN_SPAN_DF = 2
+SAMPLE_FRACTIONS = {"en": 0.5, "zh": 0.2, "fr": 0.1}  # es/de absent → dropped
+SAMPLE_SEED = 7
+PACK_BUDGET = 64
+PACK_SHARDS = 8
 PHRASES: list[tuple[int, str]] = [
     (0, "table hash"),
     (1, "customer join"),
@@ -397,6 +403,44 @@ def q_seqpare_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     return seqpare_scores(_docs(spark, sf_dir), _queries_df(spark))
 
 
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # end-to-end fuzzy dedup: MinHash-LSH pairs → connected components →
+    # min-id survivor per cluster, over EVERY document (singletons included)
+    from igd_spark import dedup_clusters, minhash_dedup_pairs
+
+    docs = _docs(spark, sf_dir)
+    pairs = minhash_dedup_pairs(
+        docs, threshold=EST_JACCARD_TH, n_hashes=N_HASHES, band_rows=BAND_ROWS, n=SHINGLE_N
+    )
+    return dedup_clusters(docs, pairs)
+
+
+def q_boilerplate_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from igd_spark import remove_boilerplate
+
+    return remove_boilerplate(_docs(spark, sf_dir), span_tokens=SPAN_TOKENS, min_df=MIN_SPAN_DF)
+
+
+def q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from igd_spark import repetition_stats
+
+    return repetition_stats(_docs(spark, sf_dir))
+
+
+def q_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from igd_spark import sample_stratified
+
+    return sample_stratified(_docs(spark, sf_dir), SAMPLE_FRACTIONS, seed=SAMPLE_SEED)
+
+
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from igd_spark import pack_sequences
+
+    return pack_sequences(
+        _docs(spark, sf_dir), budget_tokens=PACK_BUDGET, n_shards=PACK_SHARDS
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: BM25 top-10 over the sf0.001 documents corpus."""
     return q_bm25_topk(spark, "/root/testdata/sf0.001")
@@ -440,6 +484,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_frame_sample": q_media_frame_sample,
         "media_stats": q_media_stats,
         "media_features": q_media_features,
+        "dedup_clusters": q_dedup_clusters,
+        "boilerplate_clean": q_boilerplate_clean,
+        "repetition_stats": q_repetition_stats,
+        "sample_stratified": q_sample_stratified,
+        "pack_sequences": q_pack_sequences,
     }
 
 
@@ -506,6 +555,26 @@ sigs AS (
   SELECT doc_id, seed,
          min({_H60.format(expr="(seed::VARCHAR || '|' || shingle)")}) AS mh
   FROM sh CROSS JOIN seeds GROUP BY 1, 2)
+"""
+
+# MinHash-LSH candidate→estimate chain (shared by dedup_minhash_lsh and
+# the connected-components closure in dedup_clusters)
+_MINHASH_PAIRS_CTES = f"""
+bands AS (
+  SELECT doc_id, (seed // {BAND_ROWS})::INT AS band_id,
+         string_agg(mh::VARCHAR, ',' ORDER BY seed) AS band_sig
+  FROM sigs GROUP BY 1, 2),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b
+    ON a.band_id = b.band_id AND a.band_sig = b.band_sig AND a.doc_id < b.doc_id),
+est AS (
+  SELECT c.doc_a, c.doc_b,
+         round(sum(CASE WHEN sa.mh = sb.mh THEN 1 ELSE 0 END)::DOUBLE / count(*), 6) AS est_jaccard
+  FROM cand c
+  JOIN sigs sa ON sa.doc_id = c.doc_a
+  JOIN sigs sb ON sb.doc_id = c.doc_b AND sb.seed = sa.seed
+  GROUP BY 1, 2)
 """
 
 _SIMHASH_SQL_CORE = f"""
@@ -606,23 +675,30 @@ SELECT doc_a, doc_b, jaccard FROM j WHERE jaccard >= {JACCARD_TH}
 """
 
     sql["dedup_minhash_lsh"] = f"""
-WITH {_MINHASH_SQL_CORE},
-bands AS (
-  SELECT doc_id, (seed // {BAND_ROWS})::INT AS band_id,
-         string_agg(mh::VARCHAR, ',' ORDER BY seed) AS band_sig
-  FROM sigs GROUP BY 1, 2),
-cand AS (
-  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-  FROM bands a JOIN bands b
-    ON a.band_id = b.band_id AND a.band_sig = b.band_sig AND a.doc_id < b.doc_id),
-est AS (
-  SELECT c.doc_a, c.doc_b,
-         round(sum(CASE WHEN sa.mh = sb.mh THEN 1 ELSE 0 END)::DOUBLE / count(*), 6) AS est_jaccard
-  FROM cand c
-  JOIN sigs sa ON sa.doc_id = c.doc_a
-  JOIN sigs sb ON sb.doc_id = c.doc_b AND sb.seed = sa.seed
-  GROUP BY 1, 2)
+WITH {_MINHASH_SQL_CORE}, {_MINHASH_PAIRS_CTES}
 SELECT doc_a, doc_b, est_jaccard FROM est WHERE est_jaccard >= {EST_JACCARD_TH}
+"""
+
+    # transitive closure over the SAME pair graph: component = min reachable
+    # doc id (mirrors igd_spark.dedup.connected_components' fixpoint)
+    sql["dedup_clusters"] = f"""
+WITH RECURSIVE {_MINHASH_SQL_CORE}, {_MINHASH_PAIRS_CTES},
+np AS (SELECT doc_a, doc_b FROM est WHERE est_jaccard >= {EST_JACCARD_TH}),
+edges AS (SELECT doc_a AS a, doc_b AS b FROM np
+          UNION SELECT doc_b, doc_a FROM np),
+reach(src, dst) AS (
+  SELECT a, b FROM edges
+  UNION
+  SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a),
+comp AS (SELECT src AS doc_id, least(src, min(dst)) AS component_id
+         FROM reach GROUP BY src),
+allc AS (
+  SELECT d.doc_id, coalesce(c.component_id, d.doc_id) AS component_id
+  FROM documents d LEFT JOIN comp c USING (doc_id))
+SELECT doc_id, component_id,
+       count(*) OVER (PARTITION BY component_id)::BIGINT AS cluster_size,
+       doc_id = min(doc_id) OVER (PARTITION BY component_id) AS is_survivor
+FROM allc
 """
 
     slice_bits = SIMHASH_BITS // SIMHASH_BANDS
@@ -1023,6 +1099,85 @@ SELECT m.source, s.nr AS n_docs, m.n::BIGINT AS n_matched,
        round(m.total, 6) AS sm_total,
        round(m.total / ({n_q_total} + s.nr - m.total), 6) AS score
 FROM m JOIN final USING (source, n) JOIN srcsize s USING (source)
+"""
+
+    # spans = consecutive disjoint SPAN_TOKENS-token windows (ragged tail
+    # kept); boilerplate iff corpus df >= MIN_SPAN_DF; survivors reassembled
+    # in order (mirrors igd_spark.trainprep.remove_boilerplate)
+    k = SPAN_TOKENS
+    sql["boilerplate_clean"] = f"""
+WITH {_TL},
+spansd AS (
+  SELECT doc_id,
+         unnest(list_transform(
+           generate_series(0, cast(ceil(len(tl) / {k}.0) AS INT) - 1),
+           i -> {{'span_id': i, 'span': array_to_string(tl[i*{k}+1 : i*{k}+{k}], ' ')}})) AS sp
+  FROM tldocs),
+spans AS (SELECT doc_id, sp.span_id::INT AS span_id, sp.span AS span FROM spansd),
+sdf AS (SELECT span, count(DISTINCT doc_id) AS df FROM spans GROUP BY 1),
+flag AS (SELECT s.doc_id, s.span_id, s.span, f.df >= {MIN_SPAN_DF} AS is_bp
+         FROM spans s JOIN sdf f USING (span)),
+per AS (
+  SELECT doc_id, count(*)::BIGINT AS n_spans,
+         sum(CASE WHEN is_bp THEN 1 ELSE 0 END)::BIGINT AS n_removed,
+         string_agg(CASE WHEN NOT is_bp THEN span END, ' ' ORDER BY span_id) AS clean_text
+  FROM flag GROUP BY 1)
+SELECT d.doc_id, coalesce(n_spans, 0)::BIGINT AS n_spans,
+       coalesce(n_removed, 0)::BIGINT AS n_removed,
+       coalesce(clean_text, '') AS clean_text
+FROM documents d LEFT JOIN per USING (doc_id)
+"""
+
+    sql["repetition_stats"] = f"""
+WITH {_TL}, {_TOKS}, {_POST},
+top AS (SELECT doc_id, max(tf) AS top_tf FROM post GROUP BY 1),
+ng AS (
+  SELECT doc_id, len(tl)::BIGINT AS n_tokens,
+         list_transform(generate_series(1, greatest(len(tl) - 1, 0)),
+                        i -> array_to_string(tl[i:i+1], ' ')) AS g2,
+         list_transform(generate_series(1, greatest(len(tl) - 2, 0)),
+                        i -> array_to_string(tl[i:i+2], ' ')) AS g3
+  FROM tldocs)
+SELECT ng.doc_id, ng.n_tokens,
+       round(CASE WHEN ng.n_tokens > 0
+                  THEN top.top_tf::DOUBLE / ng.n_tokens ELSE 0 END, 6) AS top_token_frac,
+       round(CASE WHEN len(g2) > 0
+                  THEN 1.0 - len(list_distinct(g2))::DOUBLE / len(g2) ELSE 0 END, 6) AS dup_bigram_frac,
+       round(CASE WHEN len(g3) > 0
+                  THEN 1.0 - len(list_distinct(g3))::DOUBLE / len(g3) ELSE 0 END, 6) AS dup_trigram_frac
+FROM ng LEFT JOIN top USING (doc_id)
+"""
+
+    # per-stratum integer thresholds fixed driver-side (trainprep.sample_thresholds)
+    from igd_spark.trainprep import sample_thresholds
+
+    th = sample_thresholds(SAMPLE_FRACTIONS)
+    th_case = " ".join(f"WHEN '{s}' THEN {t}::BIGINT" for s, t in sorted(th.items()))
+    sql["sample_stratified"] = f"""
+WITH s AS (
+  SELECT doc_id, lang AS stratum,
+         {_H60.format(expr=f"('{SAMPLE_SEED}:' || doc_id::VARCHAR)")} AS u60,
+         CASE lang {th_case} ELSE NULL END AS thr
+  FROM documents)
+SELECT doc_id, stratum, u60 FROM s WHERE u60 < thr
+"""
+
+    sql["pack_sequences"] = f"""
+WITH {_TL},
+base AS (
+  SELECT doc_id,
+         ({_H60.format(expr="doc_id::VARCHAR")} % {PACK_SHARDS})::INT AS shard,
+         len(tl)::BIGINT AS n_tokens
+  FROM tldocs),
+cum AS (
+  SELECT doc_id, shard, n_tokens,
+         coalesce(sum(n_tokens) OVER (
+           PARTITION BY shard ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cb
+  FROM base)
+SELECT doc_id, shard, (cb // {PACK_BUDGET})::BIGINT AS seq_id,
+       n_tokens, (cb % {PACK_BUDGET})::BIGINT AS seq_offset
+FROM cum
 """
 
     return sql

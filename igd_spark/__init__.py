@@ -30,6 +30,8 @@ from igd_spark.corpus import (
     synth_transcripts,
 )
 from igd_spark.dedup import (
+    connected_components,
+    dedup_clusters,
     exact_dedup,
     minhash_dedup_pairs,
     minhash_signatures,
@@ -69,6 +71,13 @@ from igd_spark.similarity import (
 )
 from igd_spark.stats import corpus_stats, doc_stats, term_stats
 from igd_spark.textstats import fingerprint, lang_id, simhash, text_stats
+from igd_spark.trainprep import (
+    pack_sequences,
+    remove_boilerplate,
+    repetition_stats,
+    sample_stratified,
+    span_df,
+)
 from igd_spark.tokenizer import postings, tokens_col
 
 __all__ = [
@@ -79,6 +88,7 @@ __all__ = [
     "bm25_scores",
     "build_index",
     "compact_index",
+    "connected_components",
     "corpus_stats",
     "cosine_neardup_banded",
     "cosine_neardup_pairs",
@@ -87,6 +97,7 @@ __all__ = [
     "create_from_files",
     "curate",
     "curated_docs",
+    "dedup_clusters",
     "doc_stats",
     "exact_bm25_topk",
     "exact_dedup",
@@ -102,6 +113,7 @@ __all__ = [
     "minhash_signatures",
     "ngram_jaccard_pairs",
     "open_index",
+    "pack_sequences",
     "phrase_match",
     "phrase_match_indexed",
     "pick_anchors",
@@ -109,6 +121,9 @@ __all__ = [
     "postings",
     "query_doc_jaccard",
     "read_transcripts",
+    "remove_boilerplate",
+    "repetition_stats",
+    "sample_stratified",
     "search",
     "search_one",
     "seqpare_scores",
@@ -117,6 +132,7 @@ __all__ = [
     "simhash",
     "simhash_dedup_pairs",
     "source_overlap_matrix",
+    "span_df",
     "synth_transcripts",
     "term_cooccurrence",
     "term_stats",

@@ -216,6 +216,106 @@ def minhash_dedup_pairs(
     return _materialize_then_unpersist(est.filter(F.col("est_jaccard") >= threshold), [sigs])
 
 
+def connected_components(
+    pairs: DataFrame,
+    a_col: str = "doc_a",
+    b_col: str = "doc_b",
+    max_iter: int = 50,
+) -> DataFrame:
+    """(doc_id, component_id) for every node appearing in `pairs`, where
+    component_id = the MIN doc id reachable through the undirected pair
+    graph — the canonical label of the duplicate cluster.
+
+    Min-label propagation: each iteration every node takes the minimum of
+    its own label and its neighbors' labels (one join + one groupBy per
+    iteration), converging in O(graph diameter) rounds. Near-dup graphs are
+    star/clique-shaped (a cluster's members all collide with the same
+    bucket contents), so diameter is tiny — typically 2-4 rounds; the
+    classic large-star/small-star O(log n) variant (Kiveris et al., MapReduce
+    CC) only pays off on adversarial long-path graphs that LSH buckets don't
+    produce. Convergence is detected by the label-sum invariant: every
+    non-converged round strictly lowers sum(label) (labels only decrease),
+    so an unchanged sum IS the fixpoint — one cheap agg per round, no
+    old-vs-new join. Lineage is truncated with localCheckpoint each round
+    (on a cluster job, set a reliable checkpoint dir and spark checkpoints
+    land on HDFS/object storage instead).
+    """
+    edges = pairs.select(F.col(a_col).alias("a"), F.col(b_col).alias("b"))
+    # symmetrize: propagation must flow both directions of each pair
+    edges = edges.union(edges.select(F.col("b").alias("a"), F.col("a").alias("b"))).distinct()
+    edges = edges.persist()
+    labels = (
+        edges.select(F.col("a").alias("doc_id")).distinct()
+        .withColumn("component_id", F.col("doc_id"))
+        .localCheckpoint()
+    )
+    prev_sum = labels.agg(F.sum("component_id")).collect()[0][0]
+    for _ in range(max_iter):
+        nbr = (
+            edges.join(
+                labels.select(
+                    F.col("doc_id").alias("b"), F.col("component_id").alias("nbr_label")
+                ),
+                "b",
+            )
+            .groupBy("a")
+            .agg(F.min("nbr_label").alias("min_nbr"))
+        )
+        labels = (
+            labels.join(nbr.withColumnRenamed("a", "doc_id"), "doc_id", "left")
+            .select(
+                "doc_id",
+                F.least(
+                    F.col("component_id"), F.coalesce(F.col("min_nbr"), F.col("component_id"))
+                ).alias("component_id"),
+            )
+            .localCheckpoint()
+        )
+        cur_sum = labels.agg(F.sum("component_id")).collect()[0][0]
+        if cur_sum == prev_sum:
+            break
+        prev_sum = cur_sum
+    edges.unpersist()
+    return labels
+
+
+def dedup_clusters(
+    docs: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    a_col: str = "doc_a",
+    b_col: str = "doc_b",
+) -> DataFrame:
+    """(doc_id, component_id, cluster_size, is_survivor) over ALL documents —
+    the end-to-end fuzzy-dedup decision: near-dup pairs (from
+    minhash_dedup_pairs / ngram_jaccard_pairs / simhash_dedup_pairs) are
+    closed into connected components, singletons become their own
+    component, and the survivor of each cluster is its min doc id (the
+    same canonical rule as exact_dedup, extended transitively). Filtering
+    on is_survivor yields the deduplicated corpus.
+
+    Cost shape at scale: the pair graph is tiny relative to the corpus
+    (only colliding docs appear), so component closure runs on the small
+    side; the corpus-sized work is one left join on doc_id + one window
+    over component_id (fine-grained keys, no skew)."""
+    comp = connected_components(pairs, a_col=a_col, b_col=b_col)
+    out = (
+        docs.select(F.col(id_col).alias("doc_id"))
+        .join(comp, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("component_id"), F.col("doc_id")).alias("component_id"),
+        )
+    )
+    w = Window.partitionBy("component_id")
+    return out.select(
+        "doc_id",
+        "component_id",
+        F.count("*").over(w).cast("long").alias("cluster_size"),
+        (F.col("doc_id") == F.min("doc_id").over(w)).alias("is_survivor"),
+    )
+
+
 def simhash_dedup_pairs(
     docs: DataFrame,
     max_hamming: int = 3,

@@ -1,0 +1,271 @@
+"""Training-data preparation operators — boilerplate span removal,
+intra-document repetition stats, deterministic stratified sampling, and
+training-sequence packing.
+
+These extend the curation chain (pipeline.py) with the remaining stages a
+100 TB pretraining pipeline runs between "raw corpus" and "token stream":
+
+- remove_boilerplate: C4-style removal of text spans that repeat across
+  many documents (headers, footers, license blurbs). Lines don't exist in
+  this corpus shape, so the unit is the consecutive k-token span — the
+  same windowing discipline, content-hash keyed, join-generated (never
+  all-pairs).
+- repetition_stats: Gopher-style intra-document repetition signals
+  (top-token fraction, duplicate n-gram fractions) used as quality gates.
+- sample_stratified: deterministic per-stratum downsampling via the
+  engine's cross-engine h60 hash — the same doc keeps/drops on every run,
+  every engine, every cluster size (no RNG state, no sampleBy
+  nondeterminism across retries).
+- pack_sequences: assign documents to fixed-token-budget training
+  sequences. Packing is inherently sequential, so it is sharded: docs are
+  hash-partitioned into n_shards independent streams and packed
+  sequentially within each shard (one window per shard — parallelism =
+  n_shards, the standard per-worker packing semantics of training
+  pipelines).
+
+Everything is pyspark.sql built-ins over the engine's tokenizer semantics
+(lowercase, split on non-alphanumeric — tokenizer.py), so every operator
+has an exact DuckDB oracle. No Python UDFs, no collects.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from igd_spark.hashing import h60_col
+from igd_spark.textstats import nonempty_tokens
+
+DEFAULT_SPAN_TOKENS = 8
+DEFAULT_MIN_SPAN_DF = 2
+DEFAULT_SEQ_BUDGET = 512
+DEFAULT_PACK_SHARDS = 32
+
+
+def _span_array(toks: Column, k: int) -> Column:
+    """Array of consecutive disjoint k-token spans (space-joined); the
+    ragged tail span keeps its < k tokens. Empty token list → empty array
+    (Spark's sequence(0, -1) is DESCENDING, so it must be guarded — same
+    pitfall as dedup.shingles)."""
+    n_spans = F.ceil(F.size(toks) / F.lit(k)).cast("int")
+    return F.when(
+        F.size(toks) > 0,
+        F.transform(
+            F.sequence(F.lit(0), n_spans - 1),
+            lambda i: F.concat_ws(" ", F.slice(toks, i * k + 1, k)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def span_df(
+    docs: DataFrame,
+    span_tokens: int = DEFAULT_SPAN_TOKENS,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(span, df) — cross-corpus document frequency of each distinct
+    k-token span. One shuffle on the span value (fine-grained content key,
+    no skew beyond genuinely boilerplate spans — which is the signal)."""
+    toks = nonempty_tokens(text_col)
+    spans = docs.select(
+        F.col(id_col).alias("doc_id"), F.explode(_span_array(toks, span_tokens)).alias("span")
+    )
+    return spans.groupBy("span").agg(F.count_distinct("doc_id").alias("df"))
+
+
+def remove_boilerplate(
+    docs: DataFrame,
+    span_tokens: int = DEFAULT_SPAN_TOKENS,
+    min_df: int = DEFAULT_MIN_SPAN_DF,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(doc_id, n_spans, n_removed, clean_text) for EVERY document — spans
+    whose corpus document frequency ≥ min_df are dropped, the survivors are
+    reassembled in original order. Docs that are entirely boilerplate (or
+    empty) come back with clean_text = ''.
+
+    Plan shape at scale: explode → one groupBy on span (df) → join back on
+    span → one groupBy on doc_id (reassembly) → one left join on doc_id.
+    All keys are fine-grained; the span-df table is NOT broadcast (it is
+    corpus-sized), the joins are shuffle hash joins on content keys."""
+    toks = nonempty_tokens(text_col)
+    spans = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(_span_array(toks, span_tokens)).alias("span_id", "span"),
+    )
+    sdf = span_df(docs, span_tokens=span_tokens, text_col=text_col, id_col=id_col)
+    flagged = spans.join(sdf, "span").withColumn("is_bp", F.col("df") >= min_df)
+    per_doc = flagged.groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("n_spans"),
+        F.sum(F.col("is_bp").cast("long")).alias("n_removed"),
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.when(~F.col("is_bp"), F.struct("span_id", "span"))
+                    )
+                ),
+                lambda x: x["span"],
+            ),
+            " ",
+        ).alias("clean_text"),
+    )
+    return (
+        docs.select(F.col(id_col).alias("doc_id"))
+        .join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_spans", F.lit(0)).alias("n_spans"),
+            F.coalesce("n_removed", F.lit(0)).alias("n_removed"),
+            F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+        )
+    )
+
+
+def repetition_stats(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """(doc_id, n_tokens, top_token_frac, dup_bigram_frac, dup_trigram_frac)
+    — intra-document repetition signals (Gopher-style quality gates):
+    top_token_frac = tf of the most frequent token / n_tokens;
+    dup_ngram_frac = 1 - |distinct n-grams| / |n-grams|. Zero-token docs
+    report 0 for every fraction. Fractions rounded to 6 dp.
+
+    The n-gram fractions are computed array-side (no explode — a size()
+    over array_distinct inside one projection); the top-token tf uses the
+    postings-style explode + two-level aggregation, partial-aggregated
+    map-side on the fine-grained (doc_id, term) key."""
+    toks = nonempty_tokens(text_col)
+
+    def ngrams(n: int) -> Column:
+        return F.when(
+            F.size(toks) >= n,
+            F.transform(
+                F.sequence(F.lit(1), F.size(toks) - (n - 1)),
+                lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+
+    def dup_frac(n: int) -> Column:
+        ng = ngrams(n)
+        return F.round(
+            F.when(
+                F.size(ng) > 0,
+                1.0 - F.size(F.array_distinct(ng)) / F.size(ng),
+            ).otherwise(F.lit(0.0)),
+            6,
+        )
+
+    base = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.size(toks).cast("long").alias("n_tokens"),
+        dup_frac(2).alias("dup_bigram_frac"),
+        dup_frac(3).alias("dup_trigram_frac"),
+    )
+    top = (
+        docs.select(F.col(id_col).alias("doc_id"), F.explode(toks).alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").alias("tf"))
+        .groupBy("doc_id")
+        .agg(F.max("tf").alias("top_tf"))
+    )
+    return (
+        base.join(top, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.round(
+                F.when(F.col("n_tokens") > 0, F.col("top_tf") / F.col("n_tokens")).otherwise(
+                    F.lit(0.0)
+                ),
+                6,
+            ).alias("top_token_frac"),
+            "dup_bigram_frac",
+            "dup_trigram_frac",
+        )
+    )
+
+
+def sample_thresholds(fractions: dict[str, float]) -> dict[str, int]:
+    """Per-stratum keep thresholds on the 60-bit hash domain, computed
+    driver-side in Python so BOTH engines compare against the identical
+    integer literal (float→int rounding happens exactly once, here)."""
+    return {s: int(f * (1 << 60)) for s, f in fractions.items()}
+
+
+def sample_stratified(
+    docs: DataFrame,
+    fractions: dict[str, float],
+    seed: int = 42,
+    strat_col: str = "lang",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(doc_id, stratum, u60) — deterministic per-stratum downsampling:
+    keep doc iff h60(seed || ':' || doc_id) < fraction[stratum] * 2^60.
+    Strata absent from `fractions` are dropped entirely (fraction 0).
+
+    Pure row expression — ZERO shuffles, no RNG: the keep decision is a
+    function of (doc_id, seed) alone, so it is reproducible across runs,
+    engines, task retries, and cluster sizes (df.sample() is none of
+    those). The per-stratum threshold integers are fixed driver-side
+    literals (sample_thresholds), so the float→int boundary is identical
+    in Spark and the SQL oracle."""
+    th = sample_thresholds(fractions)
+    u = h60_col(F.concat(F.lit(f"{seed}:"), F.col(id_col).cast("string")))
+    stratum = F.col(strat_col)
+    thr = F.lit(None).cast("long")
+    for s, t in sorted(th.items()):
+        thr = F.when(stratum == s, F.lit(t)).otherwise(thr)
+    return (
+        docs.select(
+            F.col(id_col).alias("doc_id"),
+            stratum.alias("stratum"),
+            u.alias("u60"),
+            thr.alias("thr"),
+        )
+        .filter(F.col("u60") < F.col("thr"))
+        .select("doc_id", "stratum", "u60")
+    )
+
+
+def pack_sequences(
+    docs: DataFrame,
+    budget_tokens: int = DEFAULT_SEQ_BUDGET,
+    n_shards: int = DEFAULT_PACK_SHARDS,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(doc_id, shard, seq_id, n_tokens, seq_offset) — sequential-fill
+    packing of documents into fixed-token-budget training sequences.
+    Documents are hash-sharded into n_shards independent streams; within a
+    shard (ordered by doc_id) each doc lands in sequence
+    floor(tokens_before / budget) at offset tokens_before mod budget.
+    Docs longer than the budget straddle sequence boundaries (the training
+    loader splits them) — sequential-fill, not bin-packing, is what actual
+    pretraining packers do because it is deterministic and single-pass.
+
+    Scale shape: the only wide operation is one window per shard (a sort
+    within each of n_shards hash partitions). Parallelism = n_shards —
+    size it to the cluster, not the corpus; each shard's scan is
+    sequential by construction (packing order IS the semantics). h60
+    sharding keeps shard sizes balanced (no skew: doc ids hash uniformly)."""
+    toks = nonempty_tokens(text_col)
+    base = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.pmod(h60_col(F.col(id_col).cast("string")), F.lit(n_shards)).cast("int").alias("shard"),
+        F.size(toks).cast("long").alias("n_tokens"),
+    )
+    w = (
+        Window.partitionBy("shard")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cum_before = F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
+    return base.select(
+        "doc_id",
+        "shard",
+        F.floor(cum_before / budget_tokens).cast("long").alias("seq_id"),
+        "n_tokens",
+        (cum_before % budget_tokens).cast("long").alias("seq_offset"),
+    )

@@ -1,0 +1,163 @@
+"""Unit tests for dedup clustering (connected components → survivors) and
+the training-prep operators (boilerplate spans, repetition stats,
+stratified sampling, sequence packing) against hand-checkable python
+oracles. Cross-engine value checks live in scripts/gate_check.py."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from igd_spark import (
+    connected_components,
+    dedup_clusters,
+    pack_sequences,
+    remove_boilerplate,
+    repetition_stats,
+    sample_stratified,
+    span_df,
+)
+from igd_spark.hashing import h60_py
+from igd_spark.oracle import tokenize
+from igd_spark.trainprep import sample_thresholds
+
+
+def _cc_oracle(edges: list[tuple[int, int]]) -> dict[int, int]:
+    """Union-find min-label closure over the undirected edge list."""
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return {n: find(n) for n in parent}
+
+
+@pytest.mark.parametrize(
+    "edges",
+    [
+        # two separate cliques + an isolated pair
+        [(1, 2), (2, 3), (1, 3), (10, 11), (20, 21)],
+        # a 6-node path: worst case for min-label propagation (diameter 5)
+        [(5, 4), (4, 3), (3, 2), (2, 1), (1, 0)],
+        # merge-late shape: two chains joined by one bridge edge
+        [(0, 1), (2, 3), (4, 5), (1, 2), (3, 4), (100, 101)],
+    ],
+)
+def test_connected_components_matches_union_find(spark, edges):
+    pairs = spark.createDataFrame(edges, "doc_a long, doc_b long")
+    got = {r["doc_id"]: r["component_id"] for r in connected_components(pairs).collect()}
+    assert got == _cc_oracle(edges)
+
+
+def test_dedup_clusters_survivors(spark):
+    docs = spark.createDataFrame([(i, f"d{i}") for i in range(8)], "doc_id long, text string")
+    # {1,2,3} one cluster, {5,6} another; 0,4,7 singletons
+    pairs = spark.createDataFrame([(1, 2), (2, 3), (5, 6)], "doc_a long, doc_b long")
+    rows = {r["doc_id"]: r for r in dedup_clusters(docs, pairs).collect()}
+    assert len(rows) == 8
+    assert [rows[i]["component_id"] for i in range(8)] == [0, 1, 1, 1, 4, 5, 5, 7]
+    assert [rows[i]["cluster_size"] for i in (1, 2, 3)] == [3, 3, 3]
+    survivors = sorted(i for i, r in rows.items() if r["is_survivor"])
+    assert survivors == [0, 1, 4, 5, 7]
+
+
+BPDOCS = [
+    (0, "copyright header all rights reserved unique alpha content one two"),
+    (1, "copyright header all rights reserved different beta content three four"),
+    (2, "totally original text with no shared spans at all whatsoever"),
+    (3, ""),
+]
+
+
+def test_remove_boilerplate_drops_shared_spans(spark):
+    docs = spark.createDataFrame(BPDOCS, "doc_id long, text string")
+    # span_tokens=5: docs 0 and 1 share the first 5-token span exactly
+    got = {r["doc_id"]: r for r in remove_boilerplate(docs, span_tokens=5, min_df=2).collect()}
+    assert got[0]["n_spans"] == 2 and got[0]["n_removed"] == 1
+    assert got[0]["clean_text"] == "unique alpha content one two"
+    assert got[1]["clean_text"] == "different beta content three four"
+    assert got[2]["n_removed"] == 0 and got[2]["clean_text"] == " ".join(tokenize(BPDOCS[2][1]))
+    assert got[3]["n_spans"] == 0 and got[3]["clean_text"] == ""
+    sdf = {r["span"]: r["df"] for r in span_df(docs, span_tokens=5).collect()}
+    assert sdf["copyright header all rights reserved"] == 2
+
+
+def test_remove_boilerplate_fully_boilerplate_doc(spark):
+    docs = spark.createDataFrame(
+        [(0, "same five tokens here now"), (1, "same five tokens here now"), (2, "other stuff")],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in remove_boilerplate(docs, span_tokens=5, min_df=2).collect()}
+    assert got[0]["clean_text"] == "" and got[0]["n_removed"] == 1
+    assert got[1]["clean_text"] == ""
+    assert got[2]["clean_text"] == "other stuff"
+
+
+def test_repetition_stats_hand_checked(spark):
+    docs = spark.createDataFrame(
+        [
+            (0, "a a a a b"),          # top=4/5; bigrams: aa aa aa ab -> dup 2/4
+            (1, "x y z"),              # no repetition
+            (2, ""),                   # zero tokens
+            (3, "w w w w w w"),        # all same: top=1.0; bigrams 5 all dup 4/5
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in repetition_stats(docs).collect()}
+    assert got[0]["n_tokens"] == 5
+    assert got[0]["top_token_frac"] == pytest.approx(0.8)
+    assert got[0]["dup_bigram_frac"] == pytest.approx(0.5)
+    assert got[1]["top_token_frac"] == pytest.approx(1 / 3, abs=1e-6)
+    assert got[1]["dup_bigram_frac"] == 0.0
+    assert got[2]["n_tokens"] == 0 and got[2]["top_token_frac"] == 0.0
+    assert got[3]["top_token_frac"] == 1.0
+    assert got[3]["dup_bigram_frac"] == pytest.approx(0.8)
+    assert got[3]["dup_trigram_frac"] == pytest.approx(0.75)
+
+
+def test_sample_stratified_deterministic_and_thresholded(spark):
+    docs = spark.createDataFrame(
+        [(i, "t", ["en", "fr", "zh"][i % 3]) for i in range(300)],
+        "doc_id long, text string, lang string",
+    )
+    fr = {"en": 0.5, "fr": 0.1}
+    got = sample_stratified(docs, fr, seed=7).collect()
+    th = sample_thresholds(fr)
+    for r in got:
+        assert r["u60"] == h60_py(f"7:{r['doc_id']}")
+        assert r["u60"] < th[r["stratum"]]
+        assert r["stratum"] != "zh"  # absent stratum -> dropped
+    # every qualifying doc is present (exact set, not approximate)
+    expect = {
+        i for i in range(300)
+        if ["en", "fr", "zh"][i % 3] in th and h60_py(f"7:{i}") < th[["en", "fr", "zh"][i % 3]]
+    }
+    assert {r["doc_id"] for r in got} == expect
+    # repeat run identical (no RNG)
+    again = {r["doc_id"] for r in sample_stratified(docs, fr, seed=7).collect()}
+    assert again == expect
+
+
+def test_pack_sequences_sequential_fill(spark):
+    docs = spark.createDataFrame(
+        [(i, " ".join(["tok"] * (10 * (i + 1)))) for i in range(6)],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in pack_sequences(docs, budget_tokens=25, n_shards=1).collect()}
+    # single shard, doc order 0..5, token counts 10,20,..,60; cum_before 0,10,30,60,100,150
+    expect = {0: (0, 0), 1: (0, 10), 2: (1, 5), 3: (2, 10), 4: (4, 0), 5: (6, 0)}
+    for d, (seq, off) in expect.items():
+        assert (got[d]["seq_id"], got[d]["seq_offset"]) == (seq, off), d
+    # sharded variant: per-shard packing is independent and deterministic
+    sharded = pack_sequences(docs, budget_tokens=25, n_shards=4).collect()
+    for r in sharded:
+        assert r["shard"] == h60_py(str(r["doc_id"])) % 4
