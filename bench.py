@@ -195,6 +195,8 @@ def main() -> None:
         "media_features",
         "phrase_match",
         "phrase_match_indexed",
+        "dedup_clusters",
+        "boilerplate_clean",
     ):
         fn = em.queries()[name]
         # best-of-2 (first run doubles as warm-up): single-shot timings of

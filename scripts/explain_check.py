@@ -167,6 +167,38 @@ def main() -> int:
         f"scanned schemas: {pi_schemas}",
     )
 
+    # 6. round-3 training-prep operators ---------------------------------------
+    from igd_spark import pack_sequences, remove_boilerplate, sample_stratified
+
+    from pyspark.sql import functions as F
+
+    docs_lang = spark.read.parquet(docs_on_disk).withColumn("lang", F.lit("en"))
+    splan = fmt(sample_stratified(docs_lang, {"en": 0.5}))
+    check(
+        "sample_stratified: pure row filter (zero exchanges, zero joins)",
+        "Exchange" not in splan and "Join" not in splan,
+        f"exchanges={splan.count('Exchange')} joins={splan.count('Join')}",
+    )
+
+    pplan2 = fmt(pack_sequences(spark.read.parquet(docs_on_disk), n_shards=8))
+    n_ex = len(re.findall(r"\(\d+\) Exchange", pplan2))
+    check(
+        "pack_sequences: one shard-hash exchange feeding the window, no joins",
+        n_ex == 1 and "Join" not in pplan2 and "Window" in pplan2,
+        f"exchanges={n_ex} joins={pplan2.count('Join')}",
+    )
+
+    bplan = fmt(remove_boilerplate(spark.read.parquet(docs_on_disk)))
+    bschemas = re.findall(r"ReadSchema: struct<([^>]*)>", bplan)
+    bcols = set()
+    for s in bschemas:
+        bcols |= set(re.findall(r"(\w+):", s))
+    check(
+        "remove_boilerplate: scans read only (doc_id, text); no broadcast of the corpus-sized span-df table",
+        bcols <= {"doc_id", "text"} and bool(bcols) and "BroadcastNestedLoopJoin" not in bplan,
+        f"read {sorted(bcols)}",
+    )
+
     n_fail = sum(1 for _, ok, _ in checks if not ok)
     print(f"\n{len(checks) - n_fail}/{len(checks)} plan checks passed")
     return 1 if n_fail else 0

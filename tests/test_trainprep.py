@@ -58,6 +58,27 @@ def test_connected_components_matches_union_find(spark, edges):
     assert got == _cc_oracle(edges)
 
 
+def test_connected_components_random_graphs(spark):
+    # randomized structural check vs the union-find oracle: many small
+    # graphs of varying shape (stars, chains, cliques, isolated pairs)
+    import random
+
+    rng = random.Random(1234)
+    for trial in range(4):
+        n = rng.randint(5, 40)
+        edges = sorted(
+            {
+                tuple(sorted(rng.sample(range(n * 3), 2)))
+                for _ in range(rng.randint(1, n))
+            }
+        )
+        pairs = spark.createDataFrame(
+            [(a, b) for a, b in edges], "doc_a long, doc_b long"
+        )
+        got = {r["doc_id"]: r["component_id"] for r in connected_components(pairs).collect()}
+        assert got == _cc_oracle(edges), (trial, edges)
+
+
 def test_dedup_clusters_survivors(spark):
     docs = spark.createDataFrame([(i, f"d{i}") for i in range(8)], "doc_id long, text string")
     # {1,2,3} one cluster, {5,6} another; 0,4,7 singletons
