@@ -33,6 +33,7 @@ from igd_spark.dedup import (
     connected_components,
     dedup_clusters,
     exact_dedup,
+    fuzzy_dedup_docs,
     minhash_dedup_pairs,
     minhash_signatures,
     ngram_jaccard_pairs,
@@ -103,6 +104,7 @@ __all__ = [
     "exact_dedup",
     "extract_features",
     "extract_features_long",
+    "fuzzy_dedup_docs",
     "fingerprint",
     "ivf_ann_topk",
     "lang_id",

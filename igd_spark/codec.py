@@ -18,12 +18,17 @@ import numpy as np
 _MAX_VARINT_BYTES = 10
 
 
-def varint_encode(values: np.ndarray) -> bytes:
-    """LEB128-encode a uint64 array. Vectorized: one pass per byte position
-    (≤10 iterations), no per-value Python loop."""
+def varint_encode_offsets(values: np.ndarray) -> tuple[bytes, np.ndarray]:
+    """LEB128-encode a uint64 array, returning (stream, end_offsets) where
+    end_offsets has length n+1 and stream[off[i]:off[j]] is exactly the
+    encoding of values[i:j] — lets a caller encode a whole partition ONCE
+    and slice per-block buffers out by byte range (the per-block
+    re-encoding it replaces was overhead-bound: ~10 numpy ops per
+    128-element block). Vectorized: one pass per byte position (≤10
+    iterations), no per-value Python loop."""
     v = np.ascontiguousarray(values, dtype=np.uint64)
     if v.size == 0:
-        return b""
+        return b"", np.zeros(1, dtype=np.int64)
     # bytes needed per value: 1 + floor(bits/7) for the part beyond 7 bits
     nbytes = np.ones(v.size, dtype=np.int64)
     tmp = v >> np.uint64(7)
@@ -38,7 +43,12 @@ def varint_encode(values: np.ndarray) -> bytes:
         chunk = ((v[mask] >> np.uint64(7 * j)) & np.uint64(0x7F)).astype(np.uint8)
         cont = (nbytes[mask] > j + 1).astype(np.uint8) << 7
         out[starts[mask] + j] = chunk | cont
-    return out.tobytes()
+    return out.tobytes(), np.concatenate(([0], ends))
+
+
+def varint_encode(values: np.ndarray) -> bytes:
+    """LEB128-encode a uint64 array (single-buffer form)."""
+    return varint_encode_offsets(values)[0]
 
 
 def varint_decode(buf: bytes) -> np.ndarray:

@@ -316,6 +316,36 @@ def dedup_clusters(
     )
 
 
+def fuzzy_dedup_docs(
+    docs: DataFrame,
+    method: str = "minhash",
+    threshold: float = 0.5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    **kwargs,
+) -> DataFrame:
+    """The surviving documents themselves (all original columns) after
+    end-to-end fuzzy dedup: candidate pairs via `method` ('minhash' |
+    'jaccard' | 'simhash' — kwargs forwarded), connected-component
+    closure, min-doc-id survivor per cluster. The fuzzy sibling of
+    pipeline.curated_docs' exact-dup gate."""
+    if method == "minhash":
+        pairs = minhash_dedup_pairs(
+            docs, threshold=threshold, text_col=text_col, id_col=id_col, **kwargs
+        )
+    elif method == "jaccard":
+        pairs = ngram_jaccard_pairs(
+            docs, threshold=threshold, text_col=text_col, id_col=id_col, **kwargs
+        )
+    elif method == "simhash":
+        pairs = simhash_dedup_pairs(docs, text_col=text_col, id_col=id_col, **kwargs)
+    else:
+        raise ValueError(f"unknown method {method!r}")
+    verdict = dedup_clusters(docs, pairs, id_col=id_col)
+    keep = verdict.filter(F.col("is_survivor")).select(F.col("doc_id").alias(id_col))
+    return docs.join(keep, id_col)
+
+
 def simhash_dedup_pairs(
     docs: DataFrame,
     max_hamming: int = 3,

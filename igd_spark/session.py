@@ -54,6 +54,44 @@ def kernel_parallelism(spark: SparkSession, natural: int) -> int:
     return max(1, min(natural, cap))
 
 
+def balance_kernel_input(df, waves: int = 3):
+    """Partition a DataFrame feeding a per-partition Arrow/pandas kernel so
+    the kernel stage is neither under-parallel nor tail-bound.
+
+    The natural parquet split count can be far below the slot count (small
+    files bin-packed by maxPartitionBytes), leaving ONE wave of fat,
+    skew-unbalanced tasks — the stage then runs at the pace of its slowest
+    task (measured 1.5-1.8x slack on the 4-core SPIMI stage). Policy:
+
+    - local[N], N > kernel cap: round-robin repartition to the cap —
+      concurrency stays DRAM-bounded (kernel_parallelism rationale) but
+      tasks are row-balanced, unlike the coalesce() this replaces (which
+      merged adjacent skewed splits).
+    - local[N], 1 < N <= cap: if the input can't fill `waves` balanced
+      waves, repartition to waves*N; otherwise keep the natural splits.
+    - local[1]: nothing to balance — natural splits are perfectly packed.
+    - cluster: keep natural splits unless they can't fill 2 waves of
+      defaultParallelism (never true on a 100 TB scan; protects small
+      jobs). Round-robin repartition is an extra shuffle of the raw input,
+      which is exactly why it only fires when the input is, by this test,
+      small relative to the cluster.
+    """
+    spark = df.sparkSession
+    n_in = df.rdd.getNumPartitions()
+    cores = local_cores(spark)
+    if cores is None:
+        para = spark.sparkContext.defaultParallelism
+        if n_in < 2 * para:
+            return df.repartition(waves * para)
+        return df
+    cap = int(os.environ.get(KERNEL_CAP_ENV, str(DEFAULT_LOCAL_KERNEL_CAP)))
+    if cores > cap:
+        return df.repartition(cap)
+    if cores > 1 and n_in < 2 * cores:
+        return df.repartition(waves * cores)
+    return df
+
+
 def get_spark(
     cores: int | None = None,
     app: str = "igd_spark",

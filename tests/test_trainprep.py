@@ -13,6 +13,7 @@ from pyspark.sql import functions as F
 from igd_spark import (
     connected_components,
     dedup_clusters,
+    fuzzy_dedup_docs,
     pack_sequences,
     remove_boilerplate,
     repetition_stats,
@@ -89,6 +90,22 @@ def test_dedup_clusters_survivors(spark):
     assert [rows[i]["cluster_size"] for i in (1, 2, 3)] == [3, 3, 3]
     survivors = sorted(i for i, r in rows.items() if r["is_survivor"])
     assert survivors == [0, 1, 4, 5, 7]
+
+
+def test_fuzzy_dedup_docs_minhash(spark):
+    rows = [
+        (0, "the quick brown fox jumps over the lazy dog again today ok"),
+        (1, "the quick brown fox jumps over the lazy dog again today now"),  # near-dup of 0
+        (2, "completely different content about spark and indexes here now today"),
+        (3, "the quick brown fox jumps over the lazy dog again today ok"),   # exact dup of 0
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    kept = sorted(
+        r["doc_id"]
+        for r in fuzzy_dedup_docs(docs, method="minhash", threshold=0.5).collect()
+    )
+    assert 0 in kept and 2 in kept and 3 not in kept  # 0 survives its cluster
+    assert kept == [0, 2] or kept == [0, 1, 2]  # 1 dedups iff LSH catches the near-dup
 
 
 BPDOCS = [
