@@ -534,21 +534,35 @@ def build_all(
         token_count_col(F.col(text_col), conf.token_split_re).cast("int").alias("dl"),
         dropped_flag.alias("_dropped"),
     ).persist()
-    n_dropped = stats_src.filter(F.col("_dropped")).count()
     ds = stats_src.filter(~F.col("_dropped")).select("doc_id", "dl")
-    if n_dropped:
+    if conf.max_text_chars:
+        # the bounds filter is applied unconditionally (it folds into the
+        # SPIMI scan projection for free) so the postings job below never
+        # depends on the dropped-doc count — which lets the two jobs run
+        # CONCURRENTLY: they read independent branches of the DAG, and on
+        # any master with idle slots (one scan alone can't fill the
+        # cluster) the overlap is pure wall-clock savings. Independent
+        # DAG branches submitted from one driver thread would otherwise
+        # serialize — Spark parallelizes tasks, not jobs.
         docs = docs.filter(tlen <= conf.max_text_chars)
     post = postings_spimi(docs, text_col=text_col, id_col=id_col, conf=conf).persist()
+    ts = post.groupBy("term").agg(F.count("*").cast("long").alias("df"))
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(2) as ex:
+        f_dropped = ex.submit(stats_src.filter(F.col("_dropped")).count)
+        # collect the Zipf head ONCE (this job also deterministically
+        # populates the postings cache — no broadcast-exchange/main-plan
+        # race) and reuse it as a literal table in both the dictionary
+        # and the salting join
+        f_hot = ex.submit(
+            lambda: [(r["term"], int(r["n_salts"])) for r in hot_terms(ts, conf).collect()]
+        )
+        n_dropped = int(f_dropped.result())
+        hot_rows = f_hot.result()
     cs_row = corpus_stats(ds).collect()[0]
     n_docs, avgdl = int(cs_row["n_docs"]), float(cs_row["avgdl"])
     sum_dl = int(cs_row["sum_dl"])
-    ts = post.groupBy("term").agg(F.count("*").cast("long").alias("df"))
-    # collect the Zipf head ONCE (this job also deterministically populates
-    # the postings cache — no broadcast-exchange/main-plan race) and reuse it
-    # as a literal table in both the dictionary and the salting join
-    hot_rows = [
-        (r["term"], int(r["n_salts"])) for r in hot_terms(ts, conf).collect()
-    ]
     hot = spark.createDataFrame(hot_rows, "term string, n_salts int")
     dictionary = ts.join(F.broadcast(hot), "term", "left").select(
         "term",

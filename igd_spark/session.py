@@ -117,6 +117,15 @@ def get_spark(
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "65536")
+        # local masters process local-sized inputs: 16 MB file splits keep
+        # every scan stage multi-wave (a 60 MB corpus at the default 128 MB
+        # otherwise bin-packs into ONE wave of fat skew-unbalanced tasks —
+        # measured 2x slack on the JVM stats scan, and the SPIMI kernel
+        # then needs a balancing shuffle that natural splits avoid). This
+        # factory only ever builds local[N] sessions; cluster deployments
+        # go through spark-submit with the 128 MB default, where a 100 TB
+        # scan has millions of natural splits and per-split overhead wins.
+        .config("spark.sql.files.maxPartitionBytes", "16m")
         .config("spark.driver.memory", os.environ.get("IGD_SPARK_DRIVER_MEM", "24g"))
         .config("spark.ui.enabled", "false")
     )
