@@ -347,25 +347,42 @@ def _pack_positions_kernel(conf: IndexConf):
     carry-over discipline (one trailing group held across Arrow batches)."""
     bs = conf.block_size
     cols = ["term", "term_id", "shard", "salt", "doc_id", "pos"]
-    names = [f.name for f in POS_BLOCK_SCHEMA.fields]
 
-    def pack_group(g: pd.DataFrame, rows: list) -> None:
-        term = g["term"].iat[0]
-        tid = int(g["term_id"].iat[0])
-        shard = int(g["shard"].iat[0])
-        salt = int(g["salt"].iat[0])
-        d = g["doc_id"].to_numpy(dtype=np.int64)
-        p = g["pos"].to_numpy(dtype=np.int64)
-        for bi, lo in enumerate(range(0, d.size, bs)):
-            hi = min(lo + bs, d.size)
-            rows.append(
-                (
-                    term, tid, shard, salt, bi, int(hi - lo),
-                    int(d[lo]), int(d[hi - 1]),
-                    codec.encode_occ_doc_ids(d[lo:hi]),
-                    codec.encode_tfs(p[lo:hi]),
-                )
-            )
+    def pack_pos_blocks(complete: pd.DataFrame, gstarts: np.ndarray) -> pd.DataFrame:
+        # same vectorized shape as _pack_blocks, with the positional
+        # differences: occurrence doc ids are NON-decreasing (zero gaps
+        # legal — encode_occ_doc_ids semantics) and the payload is (pos)
+        n = len(complete)
+        d = complete["doc_id"].to_numpy(dtype=np.int64)
+        p = complete["pos"].to_numpy(dtype=np.int64)
+        gsizes = np.diff(np.concatenate((gstarts, [n])))
+        rel = np.arange(n, dtype=np.int64) - np.repeat(gstarts, gsizes)
+        bstarts = np.flatnonzero(rel % bs == 0)
+        bends = np.concatenate((bstarts[1:], [n]))
+        diffs = np.empty(n, dtype=np.int64)
+        diffs[0] = d[0]
+        diffs[1:] = d[1:] - d[:-1]
+        diffs[bstarts] = d[bstarts]
+        inblock = np.ones(n, dtype=bool)
+        inblock[bstarts] = False
+        if not (diffs[inblock] >= 0).all():
+            raise ValueError("occurrence doc_ids must be non-decreasing within a block")
+        dstream, doff = codec.varint_encode_offsets(diffs.astype(np.uint64))
+        pstream, poff = codec.varint_encode_offsets(p.astype(np.uint64))
+        return pd.DataFrame(
+            {
+                "term": complete["term"].to_numpy()[bstarts],
+                "term_id": complete["term_id"].to_numpy(dtype=np.int64)[bstarts],
+                "shard": complete["shard"].to_numpy(dtype=np.int32)[bstarts],
+                "salt": complete["salt"].to_numpy(dtype=np.int32)[bstarts],
+                "block_id": (rel[bstarts] // bs).astype(np.int32),
+                "n": (bends - bstarts).astype(np.int32),
+                "first_doc": d[bstarts],
+                "last_doc": d[bends - 1],
+                "doc_ids": [dstream[s:e] for s, e in zip(doff[bstarts], doff[bends])],
+                "poss": [pstream[s:e] for s, e in zip(poff[bstarts], poff[bends])],
+            }
+        )
 
     def kernel(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         pending: pd.DataFrame | None = None
@@ -381,21 +398,14 @@ def _pack_positions_kernel(conf: IndexConf):
                 continue
             last_start = int(change[-1])
             complete, pending = cur.iloc[:last_start], cur.iloc[last_start:]
-            rows: list = []
-            bounds = [0, *change[:-1].tolist(), last_start]
-            for lo, hi in zip(bounds[:-1], bounds[1:]):
-                pack_group(complete.iloc[lo:hi], rows)
-            if rows:
-                yield pd.DataFrame(rows, columns=names)
+            gstarts = np.concatenate(([0], change[:-1])).astype(np.int64)
+            yield pack_pos_blocks(complete, gstarts)
         if pending is not None and len(pending):
-            rows = []
             tid = pending["term_id"].to_numpy()
             salt = pending["salt"].to_numpy()
             change = np.flatnonzero((tid[1:] != tid[:-1]) | (salt[1:] != salt[:-1])) + 1
-            bounds = [0, *change.tolist(), len(pending)]
-            for lo, hi in zip(bounds[:-1], bounds[1:]):
-                pack_group(pending.iloc[lo:hi], rows)
-            yield pd.DataFrame(rows, columns=names)
+            gstarts = np.concatenate(([0], change)).astype(np.int64)
+            yield pack_pos_blocks(pending, gstarts)
 
     return kernel
 
