@@ -66,3 +66,21 @@ def test_tokenizer_oracle_is_total(text):
     for t in tokenize(text):
         # only [a-z0-9] runs survive the split regex
         assert re.fullmatch(r"[a-z0-9]+", t), t
+
+
+@given(
+    st.lists(st.integers(min_value=0, max_value=2**62), min_size=0, max_size=300),
+    st.lists(st.integers(min_value=0, max_value=299), max_size=8),
+)
+@settings(max_examples=150, deadline=None)
+def test_varint_encode_offsets_slicing(values, cuts):
+    """stream[off[i]:off[j]] must equal varint_encode(values[i:j]) for any
+    cut points — the contract the one-shot block packer relies on."""
+    v = np.array(values, dtype=np.uint64)
+    stream, off = codec.varint_encode_offsets(v)
+    assert stream == codec.varint_encode(v)
+    assert len(off) == v.size + 1 and off[0] == 0 and off[-1] == len(stream)
+    bounds = sorted({0, v.size, *[c for c in cuts if c <= v.size]})
+    for lo, hi in zip(bounds[:-1], bounds[1:]):
+        assert stream[off[lo]:off[hi]] == codec.varint_encode(v[lo:hi])
+        assert codec.varint_decode(stream[off[lo]:off[hi]]).tolist() == v[lo:hi].tolist()
