@@ -332,12 +332,15 @@ def _maxscore_kernel(
         # --- phase 1: scores over essential lists, with DYNAMIC DEMOTION —
         # the essential-side half of full BMW (completing the
         # src/igd_search.c:790-812 lesson). Essential lists are processed in
-        # DESCENDING σ; once the remaining suffix sum Σ_{j≥i} σ_j drops
-        # strictly below θ0, a doc appearing ONLY in those tail lists has
-        # total < θ0 ≤ kth final score (it has zero contribution from the
-        # fully-decoded head lists — were it in one, it would already be a
-        # candidate) — so the tail lists cannot mint a new top-k candidate
-        # and are demoted to REFINE-ONLY: their blocks holding no current
+        # DESCENDING σ; once the remaining suffix sum Σ_{j≥i} σ_j PLUS the
+        # deferred lists' total Σ_def σ drops strictly below θ0, a doc
+        # absent from the fully-decoded head lists has total ≤ suffix + Σ_def
+        # < θ0 ≤ kth final score (zero contribution from the head lists —
+        # were it in one, it would already be a candidate; its ONLY other
+        # possible contributions are tail + deferred, both in the bound —
+        # suffix alone is NOT sound: a doc in tail+deferred lists can beat
+        # θ0 on their combined mass) — so the tail lists cannot mint a new
+        # top-k candidate and are demoted to REFINE-ONLY: their blocks holding no current
         # candidate are skipped outright (decode_for_survivors), while
         # blocks that do intersect are decoded so candidate scores stay
         # exact. Candidate ELIMINATION only — reported top-k scores are
@@ -345,17 +348,27 @@ def _maxscore_kernel(
         essential.sort(key=lambda x: (-x[0], x[1], x[2]))
         ess_sig = np.array([l[0] for l in essential])
         suffix = np.cumsum(ess_sig[::-1])[::-1] if essential else np.empty(0)
+        # θ is refreshed after each minted list: the kth-best contribution
+        # WITHIN one fully-decoded list lower-bounds the kth final score
+        # (those k docs each end with at least that much) — the same
+        # argument as the bootstrap θ0, applied to every head list. With a
+        # static θ0 the demotion test can provably never fire: the
+        # ascending-σ split guarantees Σ_def + σ_smallest_essential ≥ θ0,
+        # which contradicts suffix[i] + Σ_def < θ0 for every tail position.
+        # Only a θ that has RISEN above θ0 demotes anything.
         n_mint = len(essential)
-        if theta > 0.0:
-            for i in range(1, len(essential)):
-                if suffix[i] < theta:
-                    n_mint = i
-                    break
+        def_sum = float(sum(l[0] for l in deferred))
         all_ids, all_w = [], []
-        for _, tid, salt, idf, key, g in essential[:n_mint]:
+        for i, (_, tid, salt, idf, key, g) in enumerate(essential):
+            if i >= 1 and suffix[i] + def_sum < theta:
+                n_mint = i
+                break
             d, w = decode_list(key, g)
+            contrib = idf * w
             all_ids.append(d)
-            all_w.append(idf * w)
+            all_w.append(contrib)
+            if contrib.size >= k:
+                theta = max(theta, float(np.partition(contrib, -k)[-k]))
         if not all_ids:
             return None
         # Demotion must only FIRE where it pays: a demoted list whose blocks
