@@ -249,7 +249,11 @@ def connected_components(
         .withColumn("component_id", F.col("doc_id"))
         .localCheckpoint()
     )
-    prev_sum = labels.agg(F.sum("component_id")).collect()[0][0]
+    # decimal(38,0) sum: with 63-bit hash doc ids (the default id scheme)
+    # a long sum overflows within a handful of labels, and Spark 4's
+    # default ANSI mode turns that into a hard ArithmeticException
+    _label_sum = F.sum(F.col("component_id").cast("decimal(38,0)"))
+    prev_sum = labels.agg(_label_sum).collect()[0][0]
     for _ in range(max_iter):
         nbr = (
             edges.join(
@@ -271,7 +275,7 @@ def connected_components(
             )
             .localCheckpoint()
         )
-        cur_sum = labels.agg(F.sum("component_id")).collect()[0][0]
+        cur_sum = labels.agg(_label_sum).collect()[0][0]
         if cur_sum == prev_sum:
             break
         prev_sum = cur_sum
@@ -342,6 +346,11 @@ def fuzzy_dedup_docs(
     else:
         raise ValueError(f"unknown method {method!r}")
     verdict = dedup_clusters(docs, pairs, id_col=id_col)
+    # dedup_clusters materialized the component labels (localCheckpoint +
+    # convergence actions), so the persisted pair table the minhash/jaccard
+    # builders returned is no longer referenced — release it here instead
+    # of leaking one cached pair-set per corpus into executor storage
+    pairs.unpersist()
     keep = verdict.filter(F.col("is_survivor")).select(F.col("doc_id").alias(id_col))
     return docs.join(keep, id_col)
 

@@ -382,7 +382,12 @@ def append_index(
     if batch_tag is None:
         batch_tag = "append_" + os.urandom(8).hex()
     committed = os.path.join(_batches_root(path), batch_tag)
-    if os.path.isdir(committed):
+    # the legacy _stage_done check keeps idempotency for indexes whose
+    # appends were committed by the pre-batch-dir protocol (lineage marker
+    # applied_<tag> written after the data): a stream replaying its last
+    # pre-upgrade micro-batch must still see it as applied, or the batch
+    # double-appends and silently corrupts df/BM25 stats
+    if os.path.isdir(committed) or _stage_done(path, f"applied_{batch_tag}"):
         return open_index(spark, path)
     idx = open_index(spark, path)
     conf = idx.conf
@@ -478,7 +483,15 @@ def compact_index(spark: SparkSession, path: str) -> InvertedIndex:
     if idx.batches:
         import shutil
 
-        shutil.rmtree(_batches_root(path))
+        # remove ONLY the batches this compaction's snapshot folded into
+        # the new base — a batch committed concurrently (os.rename into
+        # batches/ after our open_index) was not merged, and deleting the
+        # whole root would silently destroy its documents; it stays and
+        # remains served via union until the next compaction
+        for tag in idx.batches:
+            shutil.rmtree(os.path.join(_batches_root(path), tag), ignore_errors=True)
+        if not _list_batches(path):
+            shutil.rmtree(_batches_root(path), ignore_errors=True)
     # idx.meta["corpus"] is already the folded totals (open_index folds
     # batch deltas); with the batches merged into the base it becomes the
     # base meta

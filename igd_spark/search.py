@@ -553,10 +553,25 @@ def search(
             if rc.isDefined():
                 return int(str(rc.get())) <= max_rows
             leaves = plan.collectLeaves()
-            if all(
-                leaves.apply(i).nodeName() in _LOCAL_LEAVES
-                for i in range(leaves.size())
-            ):
+
+            def _local(leaf) -> bool:
+                name = leaf.nodeName()
+                if name not in _LOCAL_LEAVES:
+                    return False
+                if name != "LogicalRDD":
+                    return True
+                # LogicalRDD also wraps genuinely DISTRIBUTED rdds
+                # (sc.textFile over a lake, foreachBatch micro-batches) —
+                # "came from createDataFrame" alone does not bound the
+                # size. Partition count is the cheap discriminator: a
+                # parallelized driver-local batch has ≤ defaultParallelism
+                # partitions, a lake-scale rdd has thousands. The bound is
+                # a heuristic (few-huge-partition rdds misclassify); such
+                # callers should repartition or pre-materialize queries.
+                cap = max(64, 2 * df.sparkSession.sparkContext.defaultParallelism)
+                return int(leaf.rdd().getNumPartitions()) <= cap
+
+            if all(_local(leaves.apply(i)) for i in range(leaves.size())):
                 return True
             return int(str(st.sizeInBytes())) <= max(max_rows * 160, 1)
         except Exception:

@@ -108,12 +108,21 @@ def cosine_neardup_pairs(
                 emb, band_bits * n_bands, emb_id=emb_id, emb_col=emb_col
             )
             # corpora smaller than the anchor budget return fewer rows —
-            # trim to a whole number of bands
-            anchors = anchors[: max(n_bands, (len(anchors) // n_bands) * n_bands)]
-        return cosine_neardup_banded(
-            emb, anchors, threshold=threshold, n_bands=n_bands,
-            emb_id=emb_id, emb_col=emb_col,
-        )
+            # trim to a whole number of bands; under n_bands anchors,
+            # shrink to 1-bit bands (max(...) kept MORE than a whole
+            # number and crashed the divisibility check downstream)
+            if len(anchors) < n_bands:
+                n_bands = max(1, len(anchors))
+            anchors = anchors[: (len(anchors) // n_bands) * n_bands]
+            if not anchors:
+                # 0-1 vector corpus: banding is meaningless and the exact
+                # path is free at this size
+                exact = True
+        if not exact:
+            return cosine_neardup_banded(
+                emb, anchors, threshold=threshold, n_bands=n_bands,
+                emb_id=emb_id, emb_col=emb_col,
+            )
     e = emb.select(F.col(emb_id).alias("vid"), _dvec(emb_col).alias("v"))
     a = e.select(F.col("vid").alias("vec_a"), F.col("v").alias("va"))
     b = e.select(F.col("vid").alias("vec_b"), F.col("v").alias("vb"))

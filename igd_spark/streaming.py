@@ -71,7 +71,13 @@ def stream_append(
             return
         spark = batch_df.sparkSession
         # batch_tag makes the replayed micro-batch (crash between append and
-        # checkpoint commit) a no-op instead of a silent double-append
+        # checkpoint commit) a no-op instead of a silent double-append.
+        # Pre-stream_id releases tagged batches "stream_batch_<id>"; honor
+        # that marker too so the first replay after an upgrade stays a no-op
+        from igd_spark.index import _stage_done
+
+        if _stage_done(index_path, f"applied_stream_batch_{batch_id}"):
+            return
         append_index(
             spark, index_path, batch_df, id_col=None,
             batch_tag=f"stream_{stream_id}_{batch_id:08d}",

@@ -78,10 +78,13 @@ def main() -> None:
             r = submit(zpath, cores)
             assert r["from_zip"], f"engine not imported from zip: {r['pkg_path']}"
             cur = best.get(cores)
-            if cur is None or r["build_tps"] > cur["build_tps"]:
+            if cur is None:
                 best[cores] = dict(r)
-            if cur is not None:  # keep best qps independently (noise decoupled)
-                best[cores]["qps"] = max(best[cores]["qps"], r["qps"])
+            else:  # track best build and best qps independently (noise decoupled)
+                best_qps = max(cur["qps"], r["qps"])
+                if r["build_tps"] > cur["build_tps"]:
+                    best[cores] = dict(r)
+                best[cores]["qps"] = best_qps
             print(f"local[{cores}]: {json.dumps(r)}", file=sys.stderr)
 
     rn, r4 = best[n], best[4 * n]

@@ -199,3 +199,40 @@ def test_pack_sequences_sequential_fill(spark):
     sharded = pack_sequences(docs, budget_tokens=25, n_shards=4).collect()
     for r in sharded:
         assert r["shard"] == h60_py(str(r["doc_id"])) % 4
+
+
+def test_connected_components_63bit_hash_ids(spark):
+    """Regression: the convergence check sums labels — with the DEFAULT
+    63-bit xxhash64 doc-id scheme a long sum overflows within a handful of
+    nodes, and Spark 4's default ANSI mode turns that into a hard
+    ArithmeticException. The sum must run in decimal."""
+    big = (1 << 62)
+    edges = [
+        (big + 1, big + 2),
+        (big + 2, big + 3),
+        (big + 10, big + 11),
+        (big + 20, big + 21),
+        (big + 21, big + 22),
+    ]
+    pairs = spark.createDataFrame(edges, "doc_a long, doc_b long")
+    got = {r["doc_id"]: r["component_id"] for r in connected_components(pairs).collect()}
+    assert got == _cc_oracle(edges)
+
+
+def test_cosine_neardup_auto_anchors_tiny_corpus(spark):
+    """Regression: exact=False auto-anchor sizing on a corpus smaller than
+    n_bands used to keep a non-divisible anchor count and crash the banded
+    join's divisibility check; it must degrade gracefully (fewer/1-bit
+    bands, or the exact path for 0-1 vectors) and still return the
+    above-threshold pairs."""
+    from igd_spark.similarity import cosine_neardup_pairs
+
+    emb = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [1.0, 0.01]), (3, [0.0, 1.0])],
+        "vec_id long, embedding array<double>",
+    )
+    rows = cosine_neardup_pairs(emb, threshold=0.95, exact=False).collect()
+    assert {(r["vec_a"], r["vec_b"]) for r in rows} <= {(1, 2)}
+    # the 1-vector corpus must not raise either
+    one = spark.createDataFrame([(1, [1.0, 0.0])], "vec_id long, embedding array<double>")
+    assert cosine_neardup_pairs(one, threshold=0.9, exact=False).count() == 0
