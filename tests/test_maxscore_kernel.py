@@ -182,3 +182,47 @@ def test_demoted_tail_plus_deferred_cannot_drop_true_topk():
         f"{list(zip(out['doc_id'], out['score']))}"
     )
     assert list(np.round(out["score"], 9)) == [8.5]
+
+
+def test_kernel_matches_bruteforce_on_random_lists():
+    """Randomized guard over the whole kernel (bootstrap, essential split,
+    demotion, triage, deferred fold, tie-break): random multi-block lists
+    with varied tf/dl and idfs vs a plain numpy brute-force scorer. Any
+    unsound pruning path shows up as a dropped/mis-ranked doc."""
+    from igd_spark import codec
+
+    rng = np.random.default_rng(20260817)
+    k1, b, avgdl, K = 1.2, 0.75, 12.0, 4
+    for trial in range(25):
+        n_terms = int(rng.integers(2, 6))
+        rows, truth = [], {}
+        qp = {"query_id": [], "term_id": [], "idf": []}
+        for tid in range(1, n_terms + 1):
+            idf = float(np.round(rng.uniform(0.05, 8.0), 3))
+            n_docs = int(rng.integers(1, 40))
+            docs = np.sort(rng.choice(np.arange(1, 120), size=n_docs, replace=False))
+            tfs = rng.integers(1, 6, size=n_docs)
+            dls = rng.integers(4, 30, size=n_docs)
+            # split into blocks of ≤8 postings
+            for bi, st in enumerate(range(0, n_docs, 8)):
+                d = docs[st:st + 8]
+                t = tfs[st:st + 8].astype(np.int64)
+                l = dls[st:st + 8].astype(np.int64)
+                w = t * (k1 + 1.0) / (t + k1 * (1.0 - b + b * l / avgdl))
+                rows.append({
+                    "term_id": tid, "salt": 0, "block_id": bi, "n": int(d.size),
+                    "first_doc": int(d[0]), "last_doc": int(d[-1]),
+                    "doc_ids": codec.encode_doc_ids(d.astype(np.int64)),
+                    "tfs": codec.varint_encode(t), "dls": codec.varint_encode(l),
+                    "max_tf": int(t.max()), "min_dl": int(l.min()),
+                    "ub_tf_dl": float(w.max()), "b_avgdl": avgdl,
+                })
+            w_all = tfs * (k1 + 1.0) / (tfs + k1 * (1.0 - b + b * dls / avgdl))
+            for doc, wv in zip(docs, w_all):
+                truth[int(doc)] = truth.get(int(doc), 0.0) + idf * float(wv)
+            qp["query_id"].append(0); qp["term_id"].append(tid); qp["idf"].append(idf)
+        kernel = _maxscore_kernel(K, 0, k1, b, avgdl)
+        got = kernel(pd.DataFrame(rows), pd.DataFrame(qp)).sort_values("rank")
+        want = sorted(truth.items(), key=lambda kv: (-kv[1], kv[0]))[:K]
+        assert list(got["doc_id"]) == [d for d, _ in want], f"trial {trial}"
+        assert np.allclose(got["score"], [s for _, s in want]), f"trial {trial}"
