@@ -184,14 +184,16 @@ def test_demoted_tail_plus_deferred_cannot_drop_true_topk():
     assert list(np.round(out["score"], 9)) == [8.5]
 
 
-def test_kernel_matches_bruteforce_on_random_lists():
+@pytest.mark.parametrize("min_tf", [0, 2])
+def test_kernel_matches_bruteforce_on_random_lists(min_tf):
     """Randomized guard over the whole kernel (bootstrap, essential split,
-    demotion, triage, deferred fold, tie-break): random multi-block lists
-    with varied tf/dl and idfs vs a plain numpy brute-force scorer. Any
-    unsound pruning path shows up as a dropped/mis-ranked doc."""
+    demotion, triage, deferred fold, min_tf filtering, tie-break): random
+    multi-block lists with varied tf/dl and idfs vs a plain numpy
+    brute-force scorer. Any unsound pruning path shows up as a
+    dropped/mis-ranked doc."""
     from igd_spark import codec
 
-    rng = np.random.default_rng(20260817)
+    rng = np.random.default_rng(20260817 + min_tf)
     k1, b, avgdl, K = 1.2, 0.75, 12.0, 4
     for trial in range(25):
         n_terms = int(rng.integers(2, 6))
@@ -218,10 +220,11 @@ def test_kernel_matches_bruteforce_on_random_lists():
                     "ub_tf_dl": float(w.max()), "b_avgdl": avgdl,
                 })
             w_all = tfs * (k1 + 1.0) / (tfs + k1 * (1.0 - b + b * dls / avgdl))
-            for doc, wv in zip(docs, w_all):
-                truth[int(doc)] = truth.get(int(doc), 0.0) + idf * float(wv)
+            for doc, tfv, wv in zip(docs, tfs, w_all):
+                if tfv >= min_tf:
+                    truth[int(doc)] = truth.get(int(doc), 0.0) + idf * float(wv)
             qp["query_id"].append(0); qp["term_id"].append(tid); qp["idf"].append(idf)
-        kernel = _maxscore_kernel(K, 0, k1, b, avgdl)
+        kernel = _maxscore_kernel(K, min_tf, k1, b, avgdl)
         got = kernel(pd.DataFrame(rows), pd.DataFrame(qp)).sort_values("rank")
         want = sorted(truth.items(), key=lambda kv: (-kv[1], kv[0]))[:K]
         assert list(got["doc_id"]) == [d for d, _ in want], f"trial {trial}"
