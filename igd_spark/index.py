@@ -443,6 +443,30 @@ def append_index(
     return open_index(spark, path)
 
 
+def purge_staging(path: str, active_tags: set[str] | None = None) -> list[str]:
+    """Delete crashed-append leftovers under <path>/_staging. Staging dirs
+    are invisible to readers and a crashed append never retries under a
+    NEW tag (retries reuse the tag and clear their own leftovers), so
+    anything here not in `active_tags` is dead weight. Run it from a
+    maintenance window (e.g. alongside compact_index) — NOT concurrently
+    with in-flight appends unless their tags are passed in active_tags.
+    Returns the purged tag list."""
+    import shutil
+
+    root = os.path.join(path, "_staging")
+    if not os.path.isdir(root):
+        return []
+    purged = []
+    for tag in sorted(os.listdir(root)):
+        if active_tags and tag in active_tags:
+            continue
+        shutil.rmtree(os.path.join(root, tag), ignore_errors=True)
+        purged.append(tag)
+    if not os.listdir(root):
+        shutil.rmtree(root, ignore_errors=True)
+    return purged
+
+
 def compact_index(spark: SparkSession, path: str) -> InvertedIndex:
     """Merge append deltas into their base lists, re-sort by doc_id, re-pack
     fixed-size blocks, and refresh every block-max bound under the current

@@ -234,3 +234,21 @@ def test_append_commit_is_atomic_under_crash(spark, split_corpus, tmp_path, monk
     # a second replay after the successful commit is a no-op
     idx2 = append_index(spark, path, second, batch_tag="crashed_batch")
     assert idx2.n_docs == idx.n_docs and idx2.meta["appends"] == 1
+
+
+def test_purge_staging_removes_only_dead_tags(tmp_path):
+    """Crashed appends leave _staging/<tag> junk; purge_staging must remove
+    dead tags, spare active ones, and be a no-op without a staging root."""
+    import os
+
+    from igd_spark.index import purge_staging
+
+    path = str(tmp_path / "idx")
+    os.makedirs(os.path.join(path, "_staging", "dead1", "segments"))
+    os.makedirs(os.path.join(path, "_staging", "live1"))
+    assert purge_staging(path, active_tags={"live1"}) == ["dead1"]
+    assert os.path.isdir(os.path.join(path, "_staging", "live1"))
+    assert not os.path.isdir(os.path.join(path, "_staging", "dead1"))
+    assert purge_staging(path) == ["live1"]
+    assert not os.path.isdir(os.path.join(path, "_staging"))
+    assert purge_staging(path) == []
