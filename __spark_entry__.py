@@ -49,6 +49,8 @@ SIMHASH_BITS = 32
 SIMHASH_BANDS = 4
 MAX_HAMMING = 3
 COOC_MIN_DF = 100
+COOC_MAX_DOC_TERMS = 8  # per-doc top-N cap (r4 scale guard), tie-break (tf desc, term asc)
+COOC_CAP_MIN_DF = 20
 N_EMB_QUERIES = 5
 N_ANCHORS = 8
 COS_NEARDUP_TH = 0.3
@@ -183,6 +185,29 @@ def q_term_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
     from igd_spark import term_cooccurrence
 
     return term_cooccurrence(_docs(spark, sf_dir), min_df=COOC_MIN_DF)
+
+
+def q_term_cooccurrence_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # max_doc_terms scale guard (r4): each doc contributes only its top-N
+    # terms by (tf desc, term asc) — the per-doc quadratic bound exercised
+    # in BOTH engines, like MAX_SHINGLE_DF
+    from igd_spark import term_cooccurrence
+
+    return term_cooccurrence(
+        _docs(spark, sf_dir), min_df=COOC_CAP_MIN_DF, max_doc_terms=COOC_MAX_DOC_TERMS
+    )
+
+
+def q_source_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # the igd search -q primary report: per-dataset (nr, hits) rows
+    # (src/igd_search.c:1032-1039), per query
+    from igd_spark import source_hits
+
+    idx = _built_index(spark, sf_dir)
+    docs = _docs(spark, sf_dir)
+    return source_hits(
+        spark, idx, _queries_df(spark), docs.select("doc_id", "source")
+    )
 
 
 def q_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -458,6 +483,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "match_enumerate": q_match_enumerate,
         "term_cooccurrence": q_term_cooccurrence,
         "term_cooccurrence_mintf": q_term_cooccurrence_mintf,
+        "term_cooccurrence_capped": q_term_cooccurrence_capped,
+        "source_hits": q_source_hits,
         "source_overlap": q_source_overlap,
         "dedup_exact": q_dedup_exact,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
@@ -626,6 +653,34 @@ p2 AS (SELECT doc_id, term FROM post WHERE term IN (SELECT term FROM keep))
 SELECT a.term AS term_a, b.term AS term_b, count(*)::BIGINT AS n_docs
 FROM p2 a JOIN p2 b ON a.doc_id = b.doc_id AND a.term < b.term
 GROUP BY 1, 2
+"""
+
+    sql["term_cooccurrence_capped"] = f"""
+WITH {_TL}, {_TOKS}, {_POST},
+capped AS (
+  SELECT doc_id, term FROM (
+    SELECT doc_id, term,
+           row_number() OVER (PARTITION BY doc_id ORDER BY tf DESC, term ASC) AS r
+    FROM post) t
+  WHERE r <= {COOC_MAX_DOC_TERMS}),
+keep AS (SELECT term FROM capped GROUP BY term HAVING count(*) >= {COOC_CAP_MIN_DF}),
+p2 AS (SELECT doc_id, term FROM capped WHERE term IN (SELECT term FROM keep))
+SELECT a.term AS term_a, b.term AS term_b, count(*)::BIGINT AS n_docs
+FROM p2 a JOIN p2 b ON a.doc_id = b.doc_id AND a.term < b.term
+GROUP BY 1, 2
+"""
+
+    sql["source_hits"] = f"""
+WITH {_TL}, {_TOKS}, {_POST}, {_QT},
+src AS (SELECT doc_id, source FROM documents),
+nr AS (SELECT source, count(*)::BIGINT AS nr FROM src GROUP BY 1),
+h AS (SELECT qt.query_id, s.source, count(*)::BIGINT AS hits
+      FROM qterms qt JOIN post p USING (term) JOIN src s ON p.doc_id = s.doc_id
+      GROUP BY 1, 2),
+qids AS (SELECT DISTINCT query_id FROM q)
+SELECT qids.query_id, nr.source, nr.nr, coalesce(h.hits, 0)::BIGINT AS hits
+FROM qids CROSS JOIN nr
+LEFT JOIN h ON h.query_id = qids.query_id AND h.source = nr.source
 """
 
     sql["source_overlap"] = f"""

@@ -145,29 +145,49 @@ def main() -> None:
     # one warm-up pass (plan compilation, dictionary cache fill), then three
     # timed passes, best taken — the sandbox VM has bursty neighbor noise and
     # throughput capability is the steady-state minimum
+    # engine: the user-facing bench measures what search() actually does
+    # (auto-routes small batches to the driver kernel); SCALING runs pin the
+    # distributed plan — the N→4N claim is about the cluster path, and at
+    # the 10^12-turn target the postings-budget admission rule would route
+    # these hot Zipf batches to the cluster anyway (df ~10^9 per hot term),
+    # so pinning reproduces the at-scale routing decision at sandbox scale.
+    bench_engine = "spark" if HEADLINE_ONLY else "auto"
     queries = spark.createDataFrame(make_query_set(), "query_id long, query_text string")
-    n_res = search(spark, idx, queries, k=10).count()
+    n_res = search(spark, idx, queries, k=10, engine=bench_engine).count()
     runs = []
+    tel: dict = {}
     for _ in range(3):
+        tel = {}
         t0 = time.perf_counter()
-        search(spark, idx, queries, k=10).count()
+        search(spark, idx, queries, k=10, telemetry=tel, engine=bench_engine).count()
         runs.append(time.perf_counter() - t0)
     timings["bm25_search_100q"] = min(runs)
     extra["search_qps"] = N_BENCH_QUERIES / timings["bm25_search_100q"]
-    log(f"searched {N_BENCH_QUERIES} queries → {n_res} rows; runs={[round(r,2) for r in runs]}")
+    # latency attribution (r4 ask #7): which engine served the batch and
+    # where its time went — published so the small-batch-floor story stays
+    # evidence-backed
+    extra["search_100q_engine"] = tel.get("engine", "?")
+    for key in ("lookup_ms", "read_decode_ms", "score_ms", "route_ms", "prologue_ms"):
+        if key in tel:
+            extra[f"search_100q_{key}"] = round(float(tel[key]), 1)
+    log(f"searched {N_BENCH_QUERIES} queries → {n_res} rows; "
+        f"runs={[round(r,2) for r in runs]}; telemetry={tel}")
 
     # --- 10× batch: throughput-at-scale measurement for scaling efficiency
     big = spark.createDataFrame(
         make_query_set(N_BIG_QUERIES), "query_id long, query_text string"
     )
     runs = []
+    btel: dict = {}
     for _ in range(2):
+        btel = {}
         t0 = time.perf_counter()
-        search(spark, idx, big, k=10).count()
+        search(spark, idx, big, k=10, telemetry=btel, engine=bench_engine).count()
         runs.append(time.perf_counter() - t0)
     timings["bm25_search_1000q"] = min(runs)
     extra["search_qps_1000q"] = N_BIG_QUERIES / timings["bm25_search_1000q"]
-    log(f"1000-query batch: runs={[round(r,2) for r in runs]}")
+    extra["search_1000q_engine"] = btel.get("engine", "?")
+    log(f"1000-query batch: runs={[round(r,2) for r in runs]}; engine={btel.get('engine')}")
 
     if HEADLINE_ONLY:
         _emit(timings, extra, sf, n_turns, t_all)
@@ -185,8 +205,18 @@ def main() -> None:
         lat.append(time.perf_counter() - t0)
     lat.sort()
     extra["search_one_p50_ms"] = 1000.0 * lat[len(lat) // 2]
-    log(f"search_one driver path: p50 {extra['search_one_p50_ms']:.1f} ms "
-        f"(min {1000*lat[0]:.1f}, max {1000*lat[-1]:.1f})")
+    # second pass over the SAME queries: every posting list now sits in the
+    # decoded-list LRU (r4 ask #5) — the repeated-term/warm-handle latency
+    warm = []
+    for qid, qtext in make_query_set(24, seed=7):
+        t0 = time.perf_counter()
+        ls.search_one(qtext, k=10)
+        warm.append(time.perf_counter() - t0)
+    warm.sort()
+    extra["search_one_warm_p50_ms"] = 1000.0 * warm[len(warm) // 2]
+    log(f"search_one driver path: cold p50 {extra['search_one_p50_ms']:.1f} ms "
+        f"(min {1000*lat[0]:.1f}, max {1000*lat[-1]:.1f}); "
+        f"warm p50 {extra['search_one_warm_p50_ms']:.2f} ms")
 
     # --- driver-table headliners --------------------------------------------
     import __spark_entry__ as em
@@ -248,6 +278,14 @@ def _emit(timings: dict, extra: dict, sf: float, n_turns: int, t_all: float) -> 
         "search_qps": round(extra["search_qps"], 2),
         "search_qps_1000q": round(extra.get("search_qps_1000q", 0.0), 2),
         "search_one_p50_ms": round(extra.get("search_one_p50_ms", 0.0), 1),
+        "search_one_warm_p50_ms": round(extra.get("search_one_warm_p50_ms", 0.0), 2),
+        "search_100q_engine": extra.get("search_100q_engine", "?"),
+        "search_1000q_engine": extra.get("search_1000q_engine", "?"),
+        "search_100q_breakdown_ms": {
+            k.replace("search_100q_", "").replace("_ms", ""): v
+            for k, v in extra.items()
+            if k.startswith("search_100q_") and k.endswith("_ms")
+        },
         "wall_secs": round(time.perf_counter() - t_all, 3),
     }
     print(json.dumps(out), flush=True)

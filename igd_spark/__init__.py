@@ -59,6 +59,7 @@ from igd_spark.search import (
     positional_postings,
     search,
     search_one,
+    source_hits,
 )
 from igd_spark.seqpare import query_doc_jaccard, seqpare_scores
 from igd_spark.similarity import (
@@ -133,6 +134,7 @@ __all__ = [
     "shingles",
     "simhash",
     "simhash_dedup_pairs",
+    "source_hits",
     "source_overlap_matrix",
     "span_df",
     "synth_transcripts",

@@ -63,6 +63,28 @@ class IndexConf:
     # 10^12-turn scale path, SURVEY §7.3c) or "dense" (exact global rank
     # via distributed range sort; compact ids, batch/test mode).
     doc_id_method: str = "hash"
+    # --- search-path routing knobs (were env vars pre-r4; env still
+    # overrides for ops tuning without re-opening the index handle) --------
+    # query batches whose optimizer row estimate is below this take the
+    # one-collect prologue (driver-derived shard/term prune sets); above it
+    # the fully-distributed unbounded plan runs (no per-query driver state)
+    search_small_max_rows: int = 200_000
+    # past this many distinct query terms the In(term_id)/In(shard) scan
+    # filters are dropped: a Zipf batch this wide touches every row group
+    # anyway, and giant literal In lists evaluate without pruning
+    # (measured ~25% slower at 1000q)
+    search_prune_max_terms: int = 512
+    # auto-routing to the DRIVER kernel (LocalSearcher.search_n — zero
+    # Spark jobs, erases the ~2.5-3 s per-batch scheduling floor): taken
+    # only when the batch has ≤ max_queries queries AND the scoring work
+    # Σ_q Σ_{t∈q} df(t) — known exactly from the dictionary BEFORE reading
+    # any block — is ≤ max_postings. The postings budget is the 100 TB
+    # guard: it bounds both driver IO (≤ budget postings ≈ 2 B/posting of
+    # block bytes) and driver CPU (scoring touches exactly that many
+    # postings), so a hot-term batch over a trillion-turn index routes to
+    # the cluster no matter how few queries it has. 0 disables the route.
+    driver_search_max_queries: int = 256
+    driver_search_max_postings: int = 33_554_432
 
     def validate(self) -> "IndexConf":
         if self.block_size < 8 or self.block_size > 1 << 16:
@@ -71,7 +93,36 @@ class IndexConf:
             raise ValueError("n_shards must be >= 1")
         if self.doc_id_method not in ("dense", "hash"):
             raise ValueError("doc_id_method must be 'dense' or 'hash'")
+        _validate_split_re(self.token_split_re)
         return self
+
+
+def _validate_split_re(pattern: str) -> None:
+    """Reject token_split_re patterns outside the RE2-compatible subset.
+
+    The build path splits with Arrow's RE2 (`split_pattern_regex`, the
+    zero-pandas SPIMI kernel) while query/stats columns split with JVM Java
+    regex on the SAME pattern string; both must tokenize identically or dl
+    desyncs from tf silently. RE2 has no lookaround/backreferences (those
+    fail loudly) but also quietly diverges from Java on some \\p classes —
+    so constructs outside the shared subset are refused here, at conf
+    construction, instead of corrupting an index later."""
+    import re as _re
+
+    for bad, why in (
+        (r"\(\?=|\(\?!|\(\?<=|\(\?<!", "lookaround (unsupported by RE2)"),
+        (r"\\[1-9]", "backreference (unsupported by RE2)"),
+        (r"\\p\{|\\P\{", "unicode property class (RE2/Java semantics differ)"),
+    ):
+        if _re.search(bad, pattern):
+            raise ValueError(
+                f"token_split_re contains {why}: {pattern!r}; the build "
+                "(Arrow RE2) and query (Java regex) engines would diverge"
+            )
+    try:
+        _re.compile(pattern)
+    except _re.error as e:
+        raise ValueError(f"invalid token_split_re {pattern!r}: {e}") from e
 
 
 DEFAULT_CONF = IndexConf()

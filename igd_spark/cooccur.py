@@ -10,7 +10,7 @@ followed by a pair-count aggregation — never an unkeyed cross product.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from igd_spark.config import DEFAULT_CONF, IndexConf
@@ -21,6 +21,7 @@ def term_cooccurrence(
     docs: DataFrame,
     min_df: int = 1,
     min_tf: int = 0,
+    max_doc_terms: int = 0,
     text_col: str = "text",
     id_col: str = "doc_id",
     conf: IndexConf = DEFAULT_CONF,
@@ -34,10 +35,31 @@ def term_cooccurrence(
     min_tf > 0 is the value-filtered hitsmap (getMap_v analog,
     src/igd_search.c:829-886): only postings with tf ≥ min_tf participate,
     pushed below the self-join like the reference's per-record value test.
-    """
+
+    max_doc_terms > 0 caps each document's contribution to its top-N terms
+    by (tf desc, term asc — deterministic tie-break) BEFORE the self-join.
+    This is the scale-policy bound the reference doesn't need (its hitsmap
+    is N_datasets², trivially tiny; this text analog is per-doc quadratic):
+    the self-join intermediate is Σ_docs min(t_d, N)² ≤ corpus_postings · N
+    rows instead of Σ_docs t_d² — at 10^12 turns with t_d ≈ 40 distinct
+    terms/turn, uncapped min_df=1 would be ~1.6·10^15 pair rows, while
+    N = 32 bounds it to ≤ 3.2·10^13 ≈ one corpus-sized shuffle per 32× —
+    sized by policy, not by the caller's luck with min_df. Capping changes
+    semantics (it is a per-doc top-N co-occurrence matrix); min_df is then
+    computed over the SURVIVING capped postings, so the two guards compose.
+    Sizing rule when uncapped: keep min_df ≥ corpus_postings / target_rows
+    · avg_doc_terms (the df filter must shrink the frequent-postings table
+    until Σ (freq terms per doc)² fits the shuffle budget)."""
     post = postings(docs, text_col=text_col, id_col=id_col, conf=conf)
     if min_tf > 0:
         post = post.filter(F.col("tf") >= min_tf)
+    if max_doc_terms > 0:
+        wd = Window.partitionBy("doc_id").orderBy(F.desc("tf"), F.asc("term"))
+        post = (
+            post.withColumn("_r", F.row_number().over(wd))
+            .filter(F.col("_r") <= max_doc_terms)
+            .drop("_r")
+        )
     post = post.select("doc_id", "term")
     if min_df > 1:
         keep = post.groupBy("term").agg(F.count("*").alias("df")).filter(

@@ -254,6 +254,7 @@ def connected_components(
     # default ANSI mode turns that into a hard ArithmeticException
     _label_sum = F.sum(F.col("component_id").cast("decimal(38,0)"))
     prev_sum = labels.agg(_label_sum).collect()[0][0]
+    converged = False
     for _ in range(max_iter):
         nbr = (
             edges.join(
@@ -277,9 +278,21 @@ def connected_components(
         )
         cur_sum = labels.agg(_label_sum).collect()[0][0]
         if cur_sum == prev_sum:
+            converged = True
             break
         prev_sum = cur_sum
     edges.unpersist()
+    if not converged:
+        # labels only decrease and are bounded below, so non-convergence in
+        # max_iter means a genuinely deeper graph than the LSH-bucket shape
+        # this is tuned for — silently returning split components would make
+        # dedup_clusters mark several survivors per true cluster with no
+        # signal, so fail loudly instead
+        raise RuntimeError(
+            f"connected_components did not converge in max_iter={max_iter} "
+            "rounds (graph diameter exceeds the iteration budget); re-run "
+            "with a larger max_iter"
+        )
     return labels
 
 

@@ -15,12 +15,18 @@ every table maps 1:1 to an Iceberg table with the same partition spec):
                            (contig-name dict analog, src/igd_base.c:312-321)
     <path>/doc_stats/      (doc_id, dl) (+ docmap columns when present)
                            (_index.tsv analog)
+    <path>/positions/      store_positions=True builds only: positional
+                           block rows, partitioned by shard like segments/
+                           (the gType coordinate-axis layout,
+                           src/igd_base.c:408-409); phrase_match_indexed
+                           scans it with the same shard/term pruning
     <path>/_lineage/       per-stage + per-shard lineage & metrics JSON rows
                            — the (i0,L0) resume cursor analog
                            (src/igd_create.c:73-88); build resumes from the
                            last committed stage.
     <path>/batches/<tag>/  one committed append batch: its own segments/,
-                           doc_stats/, dictionary/ delta plus delta.json
+                           doc_stats/, dictionary/ delta (+ positions/ on
+                           positional indexes) plus delta.json
                            (corpus-stats delta). Committed by a SINGLE
                            atomic directory rename from _staging/<tag> —
                            the miniature of an Iceberg snapshot commit.
@@ -516,6 +522,19 @@ def compact_index(spark: SparkSession, path: str) -> InvertedIndex:
             shutil.rmtree(os.path.join(_batches_root(path), tag), ignore_errors=True)
         if not _list_batches(path):
             shutil.rmtree(_batches_root(path), ignore_errors=True)
+    # retire legacy applied_<tag> idempotency markers: everything they
+    # guarded is folded into the new base by this compaction, and leaving
+    # them would make a REUSED batch_tag silently no-op instead of append.
+    # (Current-protocol appends use the batch dir itself as the marker, so
+    # only pre-upgrade markers live here; streaming's legacy-window check
+    # independently ends once a new-format batch exists. Compaction is a
+    # maintenance window — don't run it concurrently with a mid-replay
+    # legacy stream, same discipline as purge_staging.)
+    lin = os.path.join(path, "_lineage")
+    if os.path.isdir(lin):
+        for f in os.listdir(lin):
+            if f.startswith("applied_"):
+                os.remove(os.path.join(lin, f))
     # idx.meta["corpus"] is already the folded totals (open_index folds
     # batch deltas); with the batches merged into the base it becomes the
     # base meta

@@ -1,13 +1,15 @@
-"""Driver-side single-query serving — the in-process ms-scale `search_1`
-analog (src_py/igd_py.pyx:31-38, kernel src_py/igd_search.c:25-102).
+"""Driver-side query serving — the in-process ms-scale `search_1`/`search_n`
+analog (src_py/igd_py.pyx:31-44, kernel src_py/igd_search.c:25-128).
 
 The batch `search()` operator launches Spark jobs: several hundred ms of
 scheduling floor even when the data touched is a handful of blocks. The
-reference's single-query call is an in-process function against resident
-metadata + a seek into the data file. This module is that path for the
-Spark-built index: the index LAYOUT already supports it (shard dirs +
-files sorted by term_id with parquet row-group statistics), so a single
-query needs no cluster at all —
+reference's query calls are in-process functions against resident metadata
++ seeks into the data file — and its `getOverlaps` loops a whole query FILE
+through that kernel at ms scale (src_py/igd_search.c:104-128,
+src/igd_search.c:696-719). This module is both paths for the Spark-built
+index: the index LAYOUT already supports it (shard dirs + files sorted by
+term_id with parquet row-group statistics), so a small batch needs no
+cluster at all —
 
     cached dictionary lookup (term → term_id, df, n_salts)
       → shards_for() probe set (driver arithmetic)
@@ -17,20 +19,38 @@ query needs no cluster at all —
 No SparkSession is touched. Results are exactly `search()`'s top-k
 (same formula, same (score desc, doc_id asc) tie-break; tested
 rank-identical). At 100 TB the reads stay small — a term's blocks are
-contiguous row-group runs inside its shard's files — while the
-dictionary lookup is a predicate-pushdown scan of the (comparatively
-tiny) dictionary table, memoized per handle.
+contiguous row-group runs inside its shard's files — and `search()` only
+routes here when the batch's total scoring work Σ_q Σ_t df(t) fits the
+conf.driver_search_max_postings budget (known exactly from the dictionary
+before any block is read), so a hot-term batch over a trillion-turn index
+takes the cluster path regardless of query count.
+
+Decoded posting lists live in a per-handle LRU (the reference caches its
+last-read tile, src/igd_search.c:469-475; here the cache spans terms and
+calls): repeated/warm terms skip parquet entirely, and a batch's shared
+Zipf-hot terms decode once for all its queries.
 """
 
 from __future__ import annotations
 
 import os
+import time
+from collections import OrderedDict
 
 import numpy as np
 import pandas as pd
 
 from igd_spark import codec
 from igd_spark.build import shards_for
+
+_EMPTY_BATCH = pd.DataFrame(
+    {
+        "query_id": pd.Series(dtype="int64"),
+        "rank": pd.Series(dtype="int32"),
+        "doc_id": pd.Series(dtype="int64"),
+        "score": pd.Series(dtype="float64"),
+    }
+)
 
 
 def _tokenize_one(text: str, split_re: str) -> list[str]:
@@ -42,7 +62,11 @@ def _tokenize_one(text: str, split_re: str) -> list[str]:
 class LocalSearcher:
     """Per-index driver-side searcher. Holds the memoized dictionary slice
     (the reference keeps the whole dictionary resident, src/igd_base.c:312-321;
-    we fault terms in on demand through parquet predicate pushdown)."""
+    we fault terms in on demand through parquet predicate pushdown) and an
+    LRU of decoded posting lists, bounded by total decoded postings."""
+
+    # ~16 M postings × 3 arrays × 8 B ≈ 384 MB ceiling — driver-sized
+    CACHE_MAX_POSTINGS = 16_000_000
 
     def __init__(self, idx):
         self.idx = idx
@@ -52,6 +76,12 @@ class LocalSearcher:
         self.avgdl = idx.avgdl
         self.batches = list(idx.batches)
         self._dict_cache: dict[str, tuple[int, int, int] | None] = {}
+        # term_id → (doc_ids, tf, dl) concatenated over all salts/blocks/
+        # batches — raw (pre-BM25) so one cache serves every (k, min_tf)
+        self._list_cache: "OrderedDict[int, tuple[np.ndarray, np.ndarray, np.ndarray]]" = (
+            OrderedDict()
+        )
+        self._cache_postings = 0
 
     # --- table roots (base ∪ committed batch dirs) -------------------------
     def _table_dirs(self, sub: str) -> list[str]:
@@ -119,66 +149,189 @@ class LocalSearcher:
             return pd.DataFrame(columns=cols)
         return pa.concat_tables(tabs).to_pandas()
 
-    def search_one(self, query_text: str, k: int = 10, min_tf: int = 0) -> pd.DataFrame:
-        """(rank, doc_id, score) — exact BM25 top-k for one query, no Spark
-        jobs. Same math and tie-break as the cluster kernel."""
-        conf = self.conf
-        terms = _tokenize_one(query_text, conf.token_split_re)
-        empty = pd.DataFrame(
-            {"rank": pd.Series(dtype="int32"),
-             "doc_id": pd.Series(dtype="int64"),
-             "score": pd.Series(dtype="float64")}
+    # --- decoded-list LRU ---------------------------------------------------
+    def _ensure_lists(
+        self, tmap: dict[str, tuple[int, int, int]], telemetry: dict | None = None
+    ) -> None:
+        """Fault every term in tmap's lists into the LRU (one pruned read
+        for all misses together), then evict least-recently-used lists past
+        the postings budget — never the ones this batch just requested."""
+        missing = sorted(
+            {tid for (tid, _, _) in tmap.values() if tid not in self._list_cache}
         )
-        if not terms:
-            return empty
-        tmap = self._lookup_terms(terms)
-        if not tmap:
-            return empty
-        term_ids = sorted({v[0] for v in tmap.values()})
+        for (tid, _, _) in tmap.values():  # refresh recency of the hits
+            if tid in self._list_cache:
+                self._list_cache.move_to_end(tid)
+        if telemetry is not None:
+            telemetry["terms_cached"] = len(tmap) - len(missing)
+            telemetry["terms_read"] = len(missing)
+        if not missing:
+            return
+        mset = set(missing)
         shards = sorted(
-            {s for (tid, _, ns) in tmap.values() for s in shards_for(tid, ns, conf.n_shards)}
+            {
+                s
+                for (tid, _, ns) in tmap.values()
+                if tid in mset
+                for s in shards_for(tid, ns, self.conf.n_shards)
+            }
         )
-        blocks = self._read_blocks(term_ids, shards)
-        if not len(blocks):
-            return empty
-        idf_by_tid = {
-            tid: float(np.log1p((self.n_docs - df + 0.5) / (df + 0.5)))
-            for (tid, df, _) in tmap.values()
-        }
+        blocks = self._read_blocks(missing, shards)
+        grouped: dict[int, list] = {tid: [] for tid in missing}
+        if len(blocks):
+            for tid, g in blocks.groupby("term_id", sort=True):
+                d = np.concatenate(
+                    [codec.decode_doc_ids(bytes(x)) for x in g["doc_ids"]]
+                )
+                tf = np.concatenate(
+                    [codec.varint_decode(bytes(x)) for x in g["tfs"]]
+                ).astype(np.float64)
+                dl = np.concatenate(
+                    [codec.varint_decode(bytes(x)) for x in g["dls"]]
+                ).astype(np.float64)
+                grouped[int(tid)] = [(d, tf, dl)]
+        for tid in missing:
+            rows = grouped.get(tid) or [
+                (
+                    np.empty(0, dtype=np.int64),
+                    np.empty(0, dtype=np.float64),
+                    np.empty(0, dtype=np.float64),
+                )
+            ]
+            d, tf, dl = rows[0]
+            self._list_cache[tid] = (d, tf, dl)
+            self._cache_postings += d.size
+        # evict cold lists (never this batch's: they were all just touched
+        # or inserted, so they sit at the MRU end — the LRU front is prior
+        # calls' leftovers)
+        protect = {tid for (tid, _, _) in tmap.values()}
+        while (
+            self._cache_postings > self.CACHE_MAX_POSTINGS
+            and len(self._list_cache) > len(protect)
+        ):
+            old_tid, entry = self._list_cache.popitem(last=False)
+            if old_tid in protect:  # re-insert at MRU end; stop evicting
+                self._list_cache[old_tid] = entry
+                break
+            self._cache_postings -= entry[0].size
+
+    # --- scoring ------------------------------------------------------------
+    def search_n(
+        self,
+        queries: list[tuple[int, str]],
+        k: int = 10,
+        min_tf: int = 0,
+        telemetry: dict | None = None,
+    ) -> pd.DataFrame:
+        """(query_id, rank, doc_id, score) — exact BM25 top-k for a BATCH of
+        (query_id, query_text) pairs, zero Spark jobs. The getOverlaps
+        analog (src_py/igd_search.c:104-128): one dictionary probe + one
+        pruned block read for the batch's UNION of terms, each list decoded
+        at most once (shared across the batch's queries via the LRU), then
+        a per-query numpy accumulation. Same math and tie-break as the
+        cluster kernel — rank-identical by construction (tested)."""
+        t0 = time.perf_counter()
+        conf = self.conf
+        per_q: dict[int, set[str]] = {}
+        for qid, text in queries:
+            per_q.setdefault(int(qid), set()).update(
+                _tokenize_one(text, conf.token_split_re)
+            )
+        union_terms = sorted(set().union(*per_q.values())) if per_q else []
+        if not union_terms:
+            return _EMPTY_BATCH.copy()
+        tmap = self._lookup_terms(union_terms)
+        t1 = time.perf_counter()
+        if not tmap:
+            return _EMPTY_BATCH.copy()
+        self._ensure_lists(tmap, telemetry=telemetry)
+        t2 = time.perf_counter()
+
         k1, b, avgdl = conf.k1, conf.b, self.avgdl
-        ids_parts, w_parts = [], []
-        for tid, g in blocks.groupby("term_id", sort=True):
-            idf = idf_by_tid.get(int(tid))
-            if idf is None:
-                continue
-            d = np.concatenate([codec.decode_doc_ids(bytes(x)) for x in g["doc_ids"]])
-            tf = np.concatenate([codec.varint_decode(bytes(x)) for x in g["tfs"]]).astype(np.float64)
-            dl = np.concatenate([codec.varint_decode(bytes(x)) for x in g["dls"]]).astype(np.float64)
+        idf_by_term = {
+            t: float(np.log1p((self.n_docs - df + 0.5) / (df + 0.5)))
+            for t, (_, df, _) in tmap.items()
+        }
+        # per-term (d, contribution) — computed ONCE for the batch; shared
+        # hot terms cost one BM25 vector no matter how many queries use them
+        contrib: dict[str, tuple[np.ndarray, np.ndarray]] = {}
+        for t, (tid, _, _) in tmap.items():
+            d, tf, dl = self._list_cache[tid]
             if min_tf > 0:
                 m = tf >= min_tf
                 d, tf, dl = d[m], tf[m], dl[m]
             w = tf * (k1 + 1.0) / (tf + k1 * (1.0 - b + b * dl / avgdl))
-            ids_parts.append(d)
-            w_parts.append(idf * w)
-        if not ids_parts:
-            return empty
-        ids = np.concatenate(ids_parts)
-        ws = np.concatenate(w_parts)
-        uids, inv = np.unique(ids, return_inverse=True)
-        scores = np.bincount(inv, weights=ws, minlength=uids.size)
-        order = np.lexsort((uids, -scores))[:k]
-        return pd.DataFrame(
-            {
-                "rank": np.arange(1, order.size + 1, dtype=np.int32),
-                "doc_id": uids[order],
-                "score": scores[order],
-            }
+            contrib[t] = (d, idf_by_term[t] * w)
+
+        frames = []
+        n_scored = 0
+        for qid in sorted(per_q):
+            parts = [contrib[t] for t in sorted(per_q[qid]) if t in contrib]
+            parts = [p for p in parts if p[0].size]
+            if not parts:
+                continue
+            if len(parts) == 1:
+                ids, ws = parts[0]
+            else:
+                ids = np.concatenate([p[0] for p in parts])
+                ws = np.concatenate([p[1] for p in parts])
+            n_scored += ids.size
+            uids, inv = np.unique(ids, return_inverse=True)
+            scores = np.bincount(inv, weights=ws, minlength=uids.size)
+            order = np.lexsort((uids, -scores))[:k]
+            frames.append(
+                pd.DataFrame(
+                    {
+                        "query_id": np.full(order.size, qid, dtype=np.int64),
+                        "rank": np.arange(1, order.size + 1, dtype=np.int32),
+                        "doc_id": uids[order],
+                        "score": scores[order],
+                    }
+                )
+            )
+        t3 = time.perf_counter()
+        if telemetry is not None:
+            telemetry.update(
+                engine="driver",
+                n_queries=len(per_q),
+                n_terms=len(union_terms),
+                postings_scored=n_scored,
+                lookup_ms=1000 * (t1 - t0),
+                read_decode_ms=1000 * (t2 - t1),
+                score_ms=1000 * (t3 - t2),
+            )
+        if not frames:
+            return _EMPTY_BATCH.copy()
+        return pd.concat(frames, ignore_index=True)
+
+    def batch_cost(self, queries: list[tuple[int, str]]) -> int:
+        """Σ_q Σ_{t∈q} df(t) — the exact number of postings a search_n call
+        would score, from the dictionary alone (no block IO). The routing
+        estimator search() compares against conf.driver_search_max_postings."""
+        per_q: dict[int, set[str]] = {}
+        for qid, text in queries:
+            per_q.setdefault(int(qid), set()).update(
+                _tokenize_one(text, self.conf.token_split_re)
+            )
+        union_terms = sorted(set().union(*per_q.values())) if per_q else []
+        if not union_terms:
+            return 0
+        tmap = self._lookup_terms(union_terms)
+        return sum(
+            tmap[t][1] for terms in per_q.values() for t in terms if t in tmap
         )
+
+    def search_one(self, query_text: str, k: int = 10, min_tf: int = 0) -> pd.DataFrame:
+        """(rank, doc_id, score) — exact BM25 top-k for one query, no Spark
+        jobs. Thin wrapper over search_n (shares its list LRU, so repeated
+        interactive queries serve warm)."""
+        out = self.search_n([(0, query_text)], k=k, min_tf=min_tf)
+        return out[["rank", "doc_id", "score"]].reset_index(drop=True)
 
 
 def local_searcher(idx) -> LocalSearcher:
-    """Memoized per-handle LocalSearcher (dictionary cache survives across
-    calls, like the reference's open handle)."""
+    """Memoized per-handle LocalSearcher (dictionary + decoded-list caches
+    survive across calls, like the reference's open handle)."""
     ls = getattr(idx, "_local_searcher", None)
     if ls is None:
         ls = LocalSearcher(idx)

@@ -19,6 +19,8 @@ Two scorers, required to be rank-identical:
 
 from __future__ import annotations
 
+import time
+
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, Window
@@ -474,6 +476,74 @@ def _maxscore_kernel(
     return kernel
 
 
+def _try_driver_route(
+    spark: SparkSession,
+    idx: InvertedIndex,
+    queries: DataFrame,
+    k: int,
+    min_tf: int,
+    engine: str,
+    telemetry: dict | None,
+    stats_small,
+) -> DataFrame | None:
+    """Route a small batch to the in-process kernel (LocalSearcher.search_n —
+    zero Spark jobs, erases the ~2.5-3 s per-batch scheduling floor, the
+    getOverlaps whole-query-file analog, src_py/igd_search.c:104-128).
+
+    Taken only when ALL hold (each a 100 TB guard):
+      * the batch is provably driver-local/bounded (same Catalyst-stats
+        test as the small-prologue path — no unbounded collect);
+      * ≤ conf.driver_search_max_queries distinct queries;
+      * the exact scoring work Σ_q Σ_{t∈q} df(t) — known from the
+        dictionary BEFORE any block IO — fits
+        conf.driver_search_max_postings, so a hot-term batch over a
+        trillion-turn index goes to the cluster no matter how few queries.
+    Returns None to fall through to the distributed plan ("auto"); with
+    engine="driver" a budget miss raises instead (explicit ask, loud no)."""
+    import os as _os
+
+    from igd_spark.local import local_searcher
+
+    conf = idx.conf
+    max_q = int(_os.environ.get("IGD_SEARCH_DRIVER_MAX_QUERIES",
+                                conf.driver_search_max_queries))
+    max_post = int(_os.environ.get("IGD_SEARCH_DRIVER_MAX_POSTINGS",
+                                   conf.driver_search_max_postings))
+
+    def bail(reason: str) -> None:
+        if engine == "driver":
+            raise ValueError(
+                f"engine='driver' requested but {reason}; use engine='auto' "
+                "or 'spark', or raise IndexConf.driver_search_* budgets"
+            )
+
+    if max_q <= 0 or max_post <= 0:
+        bail("the driver route is disabled (budget <= 0)")
+        return None
+    if not stats_small(queries):
+        bail("the query batch is not provably driver-local")
+        return None
+    t0 = time.perf_counter()
+    rows = [
+        (int(r["query_id"]), r["query_text"])
+        for r in queries.select("query_id", "query_text").collect()
+    ]
+    n_q = len({qid for qid, _ in rows})
+    if n_q > max_q:
+        bail(f"batch has {n_q} queries > driver_search_max_queries={max_q}")
+        return None
+    ls = local_searcher(idx)
+    cost = ls.batch_cost(rows)
+    if cost > max_post:
+        bail(f"batch scores {cost} postings > driver_search_max_postings={max_post}")
+        return None
+    pdf = ls.search_n(rows, k=k, min_tf=min_tf, telemetry=telemetry)
+    if telemetry is not None:
+        telemetry["route_ms"] = 1000 * (time.perf_counter() - t0)
+        telemetry["batch_cost_postings"] = cost
+    return spark.createDataFrame(pdf, TOPK_SCHEMA)
+
+
 def search(
     spark: SparkSession,
     idx: InvertedIndex,
@@ -481,18 +551,28 @@ def search(
     k: int = 10,
     min_tf: int = 0,
     n_buckets: int | None = None,
+    engine: str = "auto",
+    telemetry: dict | None = None,
 ) -> DataFrame:
     """Index-backed BM25 top-k → (query_id, rank, doc_id, score).
 
-    Physical plan: dictionary ⋈(broadcast queries) → term_id list → segment
-    scan pruned by shard partition values + term_id row-group min/max (the
-    files are sorted by term_id within each shard) → join to DISTINCT
-    (bucket, term_id) pairs so each block is shuffled once per query BUCKET
-    (not once per query — Zipf query sets share hot terms heavily) →
-    cogrouped applyInPandas(MaxScore kernel) with the (bucket, query_id,
-    term_id, idf) map as a cogrouped DATAFRAME — the driver never holds the
-    per-query map, so batch size is unbounded. Final ranked top-k comes
-    straight from the kernel.
+    engine="auto" (default) picks between two rank-identical executions:
+    small batches whose total scoring work fits the driver budgets run on
+    the in-process kernel (igd_spark.local — zero Spark jobs, ms-scale;
+    see _try_driver_route for the exact admission rule), everything else
+    runs the distributed plan below. engine="spark" forces the distributed
+    plan (plan audits, parity oracle); engine="driver" demands the
+    in-process path and raises if the batch exceeds its budgets.
+
+    Distributed physical plan: dictionary ⋈(broadcast queries) → term_id
+    list → segment scan pruned by shard partition values + term_id
+    row-group min/max (the files are sorted by term_id within each shard)
+    → join to DISTINCT (bucket, term_id) pairs so each block is shuffled
+    once per query BUCKET (not once per query — Zipf query sets share hot
+    terms heavily) → cogrouped applyInPandas(MaxScore kernel) with the
+    (bucket, query_id, term_id, idf) map as a cogrouped DATAFRAME — the
+    driver never holds the per-query map, so batch size is unbounded.
+    Final ranked top-k comes straight from the kernel.
 
     Driver-side footprint: for ordinary batches (decided from free Catalyst
     plan statistics — no probe job) ONE prologue job collects the
@@ -500,17 +580,17 @@ def search(
     driver-side. For huge batches the plan switches to the fully-
     distributed form: counts/distincts as jobs, no per-query driver
     state — batch size is then unbounded.
+
+    telemetry (optional dict) is filled with per-stage timings — driver
+    route: lookup/read_decode/score ms; distributed: prologue ms + probe
+    set sizes — the latency-attribution evidence BENCH.md publishes.
     """
     conf = idx.conf
     from igd_spark.build import shards_for
     from igd_spark.session import kernel_parallelism
 
-    qt = query_terms(queries)
-    qdict = (
-        idx.dictionary.join(F.broadcast(qt), "term")
-        .withColumn("idf", idf_col(idx.n_docs, "df"))
-        .select("query_id", "term_id", "idf", "n_salts")
-    )
+    if engine not in ("auto", "spark", "driver"):
+        raise ValueError("engine must be 'auto', 'spark', or 'driver'")
 
     def pick_buckets(n_queries: int) -> int:
         # target ~64 queries per bucket: block-dedup within a bucket
@@ -544,7 +624,9 @@ def search(
     def _stats_small(df: DataFrame) -> bool:
         import os as _os
 
-        max_rows = int(_os.environ.get("IGD_SEARCH_SMALL_MAX_ROWS", "200000"))
+        max_rows = int(
+            _os.environ.get("IGD_SEARCH_SMALL_MAX_ROWS", conf.search_small_max_rows)
+        )
         _LOCAL_LEAVES = ("LocalRelation", "LogicalRDD", "OneRowRelation")
         try:
             plan = df._jdf.queryExecution().optimizedPlan()
@@ -577,6 +659,22 @@ def search(
         except Exception:
             return True
 
+    # --- driver route (engine auto/driver): in-process kernel, zero jobs ---
+    if engine != "spark" and n_buckets is None:
+        routed = _try_driver_route(
+            spark, idx, queries, k, min_tf, engine, telemetry, _stats_small
+        )
+        if routed is not None:
+            return routed
+
+    # --- distributed plan ---------------------------------------------------
+    t_prologue = time.perf_counter()
+    qt = query_terms(queries)
+    qdict = (
+        idx.dictionary.join(F.broadcast(qt), "term")
+        .withColumn("idf", idf_col(idx.n_docs, "df"))
+        .select("query_id", "term_id", "idf", "n_salts")
+    )
     seg = idx.segments
     if _stats_small(queries):
         qrows = qdict.collect()
@@ -602,7 +700,10 @@ def search(
         # stays wide and the broadcast bucket-join does the filtering.
         import os as _os
 
-        if len(term_ids) <= int(_os.environ.get("IGD_SEARCH_PRUNE_MAX_TERMS", "512")):
+        pruned = len(term_ids) <= int(
+            _os.environ.get("IGD_SEARCH_PRUNE_MAX_TERMS", conf.search_prune_max_terms)
+        )
+        if pruned:
             seg = seg.filter(
                 F.col("shard").isin(shards) & F.col("term_id").isin(term_ids)
             )
@@ -610,6 +711,15 @@ def search(
             sorted({(int(r["query_id"]) % n_buckets, int(r["term_id"])) for r in qrows}),
             "bucket int, term_id long",
         )
+        if telemetry is not None:
+            telemetry.update(
+                engine="spark-small",
+                n_terms=len(term_ids),
+                n_shards_probed=len(shards),
+                scan_pruned=pruned,
+                n_buckets=n_buckets,
+                prologue_ms=1000 * (time.perf_counter() - t_prologue),
+            )
     else:
         # unbounded path: no per-query driver state, pruning via the join
         if n_buckets is None:
@@ -618,6 +728,12 @@ def search(
             F.pmod(F.col("query_id"), F.lit(n_buckets)).cast("int").alias("bucket"),
             "term_id",
         ).distinct()
+        if telemetry is not None:
+            telemetry.update(
+                engine="spark-huge",
+                n_buckets=n_buckets,
+                prologue_ms=1000 * (time.perf_counter() - t_prologue),
+            )
     bucket_expr = F.pmod(F.col("query_id"), F.lit(n_buckets)).cast("int")
     qmap = qdict.withColumn("bucket", bucket_expr)
     blocks = seg.join(F.broadcast(bt), "term_id")
@@ -816,7 +932,9 @@ def search_one(
     if engine != "spark":
         raise ValueError("engine must be 'driver' or 'spark'")
     q = spark.createDataFrame([(0, query_text)], "query_id long, query_text string")
-    return search(spark, idx, q, k=k, min_tf=min_tf).select("rank", "doc_id", "score")
+    return search(spark, idx, q, k=k, min_tf=min_tf, engine="spark").select(
+        "rank", "doc_id", "score"
+    )
 
 
 def match_enumerate(
@@ -874,3 +992,45 @@ def match_enumerate(
                 yield pd.concat(outs)
 
     return blocks.mapInPandas(explode_blocks, schema=out_schema)
+
+
+def source_hits(
+    spark: SparkSession,
+    idx: InvertedIndex,
+    queries: DataFrame,
+    doc_sources: DataFrame,
+    source_col: str = "source",
+) -> DataFrame:
+    """Per-source hits report — the reference's PRIMARY `igd search -q`
+    output shape: one row per dataset with (index, nr, hits, fileName),
+    where nr is the dataset's record count and hits the number of its
+    records matching the query set (hits[idx]++ per overlap,
+    src/igd_search.c:491, printed at src/igd_search.c:1032-1039).
+
+    Text graft: a "dataset" is a source, a "record match" is a (query term,
+    doc) posting hit. Returns (query_id, source, nr, hits) — per query
+    rather than per whole query file (strictly finer; `groupBy(source)`
+    recovers the reference's file-level totals). Sources with zero hits for
+    a query still get their row, like the reference prints every dataset.
+
+    `doc_sources`: (doc_id, <source_col>) mapping — the docmap the text
+    index doesn't persist. Plan: the shard/term-pruned match_enumerate scan
+    ⋈ doc→source on doc_id, grouped per (query, source); the final grid is
+    distinct-query-ids ⋈ per-source nr — BOTH sides bounded (queries are a
+    batch, sources are datasets), the one place a cross join is the
+    semantics and not a scale hazard."""
+    me = match_enumerate(spark, idx, queries)
+    ds = doc_sources.select("doc_id", F.col(source_col).alias("source"))
+    nr = ds.groupBy("source").agg(F.count("*").cast("long").alias("nr"))
+    hits = (
+        me.join(ds, "doc_id")
+        .groupBy("query_id", "source")
+        .agg(F.count("*").cast("long").alias("hits"))
+    )
+    grid = queries.select("query_id").distinct().crossJoin(F.broadcast(nr))
+    return grid.join(hits, ["query_id", "source"], "left").select(
+        "query_id",
+        "source",
+        "nr",
+        F.coalesce(F.col("hits"), F.lit(0)).cast("long").alias("hits"),
+    )

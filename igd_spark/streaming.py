@@ -66,17 +66,44 @@ def stream_append(
 
         stream_id = hashlib.md5(checkpoint_dir.encode()).hexdigest()[:12]
 
+    # Legacy-marker upgrade window (pre-stream_id releases tagged batches
+    # "stream_batch_<id>" with applied-markers keyed on batch_id ALONE).
+    # Those markers are honored ONLY when both hold:
+    #   * this checkpoint already has history at start time (a replay of a
+    #     committed-but-uncheckpointed legacy batch is only possible when
+    #     the stream RESUMES an existing checkpoint — a fresh checkpoint
+    #     restarts batch ids at 0 and can never be a legacy replay, yet its
+    #     ids would collide with another stream's old markers and silently
+    #     drop brand-new data: the bug this window closes);
+    #   * this stream_id has no new-format batch committed yet (its first
+    #     new-format append proves the upgrade replay is behind us).
+    import glob as _glob
+    import os as _os
+
+    _offsets = _os.path.join(checkpoint_dir, "offsets")
+    resumed_checkpoint = _os.path.isdir(_offsets) and bool(_os.listdir(_offsets))
+
+    def _has_new_format_batch() -> bool:
+        pat = _os.path.join(index_path, "batches", f"stream_{stream_id}_*")
+        if _glob.glob(pat):
+            return True
+        lpat = _os.path.join(index_path, "_lineage", f"append_stream_{stream_id}_*")
+        return bool(_glob.glob(lpat))
+
     def commit_batch(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
         spark = batch_df.sparkSession
         # batch_tag makes the replayed micro-batch (crash between append and
-        # checkpoint commit) a no-op instead of a silent double-append.
-        # Pre-stream_id releases tagged batches "stream_batch_<id>"; honor
-        # that marker too so the first replay after an upgrade stays a no-op
+        # checkpoint commit) a no-op instead of a silent double-append;
+        # legacy markers are honored only inside the upgrade window above
         from igd_spark.index import _stage_done
 
-        if _stage_done(index_path, f"applied_stream_batch_{batch_id}"):
+        if (
+            resumed_checkpoint
+            and not _has_new_format_batch()
+            and _stage_done(index_path, f"applied_stream_batch_{batch_id}")
+        ):
             return
         append_index(
             spark, index_path, batch_df, id_col=None,

@@ -64,7 +64,7 @@ def main() -> int:
             "no In(term_id ...) in PushedFilters",
         )
 
-    plan = search(spark, idx, queries, k=5)._jdf.queryExecution().explainString(
+    plan = search(spark, idx, queries, k=5, engine="spark")._jdf.queryExecution().explainString(
         spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
     )
     assert_pruned_scan("segment scan (createDataFrame batch)", plan)
@@ -76,7 +76,7 @@ def main() -> int:
     # 1b. the single-query path (search_one's Spark form) must prune too —
     # this is the case the r2 defect silently sent down the unpruned path
     one_q = spark.createDataFrame([(0, "error timeout")], "query_id long, query_text string")
-    oplan = search(spark, idx, one_q, k=5)._jdf.queryExecution().explainString(
+    oplan = search(spark, idx, one_q, k=5, engine="spark")._jdf.queryExecution().explainString(
         spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
     )
     assert_pruned_scan("single-query scan", oplan)

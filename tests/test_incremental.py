@@ -142,6 +142,78 @@ def test_append_batch_tag_idempotent(spark, split_corpus, tmp_path):
     assert _topk_key(search(spark, idx2, queries, k=10)) == want
 
 
+def test_compact_clears_applied_markers_for_tag_reuse(spark, split_corpus, tmp_path):
+    """r4 (ADVICE): legacy applied_<tag> idempotency markers must not outlive
+    the compaction that folds their data — a reused batch_tag after
+    compaction must APPEND, not silently no-op."""
+    from igd_spark import compact_index
+    from igd_spark.index import _write_lineage
+
+    docs, first, second = split_corpus
+    path = str(tmp_path / "midx")
+    build_index(spark, first, path, conf=CONF)
+    # simulate a pre-upgrade (marker-after-data protocol) append marker
+    _write_lineage(path, "applied_bX", {"rows": 0})
+    idx = append_index(spark, path, second, batch_tag="bX")
+    assert idx.n_docs == first.count()  # legacy marker honored: no-op
+    compact_index(spark, path)
+    assert not os.path.exists(os.path.join(path, "_lineage", "applied_bX.json"))
+    idx = append_index(spark, path, second, batch_tag="bX")  # tag reuse
+    assert idx.n_docs == docs.count()  # now appends
+
+
+def test_compact_interleaved_with_appends_matches_rebuild(spark, split_corpus, tmp_path):
+    """r4 ask #6: append → compact → append → compact must serve exactly the
+    full-rebuild top-k at every step (the maintenance path under the same
+    oracle discipline as the query paths)."""
+    from igd_spark import compact_index
+
+    docs, _, _ = split_corpus
+    thirds = [docs.filter(F.crc32(F.col("conv_id")) % 3 == i) for i in range(3)]
+    assert all(t.count() > 0 for t in thirds)
+    queries = _queries(spark)
+    path = str(tmp_path / "ivx")
+    build_index(spark, thirds[0], path, conf=CONF)
+    append_index(spark, path, thirds[1], batch_tag="iv1")
+    idx = compact_index(spark, path)
+    two = thirds[0].unionByName(thirds[1])
+    assert _topk_key(search(spark, idx, queries, k=10)) == _topk_key(
+        exact_bm25_topk(two, queries, k=10, conf=CONF)
+    )
+    idx = append_index(spark, path, thirds[2], batch_tag="iv2")
+    want_all = _topk_key(exact_bm25_topk(docs, queries, k=10, conf=CONF))
+    assert _topk_key(search(spark, idx, queries, k=10)) == want_all
+    idx = compact_index(spark, path)
+    assert _topk_key(search(spark, idx, queries, k=10)) == want_all
+    assert idx.meta["compactions"] == 2 and idx.meta["appends"] == 0
+
+
+def test_fresh_stream_ignores_legacy_markers(spark, split_corpus, tmp_path):
+    """r4 (ADVICE, medium): a NEW stream (fresh checkpoint, batch ids
+    restarting at 0) attached to an index carrying legacy
+    applied_stream_batch_<id> markers must still append its batches —
+    the legacy no-op guard only applies to resumed checkpoints."""
+    from igd_spark.index import _write_lineage, open_index
+    from igd_spark.streaming import stream_append, transcript_stream
+
+    docs, first, second = split_corpus
+    path = str(tmp_path / "lgidx")
+    build_index(spark, first, path, conf=CONF)
+    # legacy markers from some earlier (pre-upgrade) stream's batches
+    for i in range(8):
+        _write_lineage(path, f"applied_stream_batch_{i}", {"rows": 0})
+    drops = str(tmp_path / "lgdrops")
+    second.drop("doc_id").repartition(3).write.parquet(drops)
+    stream = transcript_stream(spark, drops, max_files_per_trigger=1)
+    q = stream_append(stream, path, str(tmp_path / "lgckpt"))
+    q.awaitTermination(120)
+    idx = open_index(spark, path)
+    assert idx.n_docs == docs.count()  # nothing silently dropped
+    queries = _queries(spark)
+    want = _topk_key(exact_bm25_topk(docs, queries, k=10, conf=CONF))
+    assert _topk_key(search(spark, idx, queries, k=10)) == want
+
+
 def test_open_refuses_dirty_index(spark, split_corpus, tmp_path):
     """A crash mid-mutation leaves the in-progress marker; open_index must
     refuse (not silently serve half-merged tables) unless allow_dirty."""

@@ -59,6 +59,113 @@ def test_driver_path_covers_appends(spark, built, tmp_path):
     assert _key(search_one(spark, idx, "error timeout", k=10, engine="driver")) == want
 
 
+BATCH = [
+    (0, "error timeout"),
+    (1, "t00000"),
+    (2, "the import hash"),
+    (3, "zzznope"),
+    (4, ""),
+    (5, "t00001 t00001"),
+    (6, "error deploy timeout error"),
+]
+
+
+def _batch_key(df):
+    return sorted(
+        (r["query_id"], r["rank"], r["doc_id"], round(r["score"], 9))
+        for r in df.collect()
+    )
+
+
+def test_search_n_matches_spark_batch(spark, built):
+    """The round-4 headline path: batched driver kernel must be
+    rank-identical to the distributed scorer on a mixed batch."""
+    _, idx = built
+    q = spark.createDataFrame(BATCH, "query_id long, query_text string")
+    want = _batch_key(search(spark, idx, q, k=10, engine="spark"))
+    from igd_spark.local import local_searcher
+
+    pdf = local_searcher(idx).search_n(BATCH, k=10)
+    got = sorted(
+        (int(r.query_id), int(r.rank), int(r.doc_id), round(float(r.score), 9))
+        for r in pdf.itertuples()
+    )
+    assert got == want
+
+
+def test_search_auto_routes_and_matches(spark, built):
+    """search() default engine must pick the driver route for a small batch
+    (zero Spark kernel jobs aside from collect/convert) and return the same
+    ranks/scores as the forced distributed plan, min_tf included."""
+    _, idx = built
+    q = spark.createDataFrame(BATCH, "query_id long, query_text string")
+    for mtf in (0, 2):
+        tel = {}
+        got = _batch_key(search(spark, idx, q, k=10, min_tf=mtf, telemetry=tel))
+        assert tel.get("engine") == "driver", tel
+        want = _batch_key(search(spark, idx, q, k=10, min_tf=mtf, engine="spark"))
+        assert got == want, f"min_tf={mtf}"
+
+
+def test_driver_route_budgets(spark, built, monkeypatch):
+    """Both admission budgets must demote to the distributed plan (auto) or
+    raise (engine='driver') — the 100 TB guard: hot batches never land on
+    the driver."""
+    _, idx = built
+    q = spark.createDataFrame(BATCH, "query_id long, query_text string")
+    for env, val in (
+        ("IGD_SEARCH_DRIVER_MAX_POSTINGS", "5"),
+        ("IGD_SEARCH_DRIVER_MAX_QUERIES", "2"),
+    ):
+        monkeypatch.setenv(env, val)
+        tel = {}
+        out = _batch_key(search(spark, idx, q, k=10, telemetry=tel))
+        assert tel.get("engine") == "spark-small", (env, tel)
+        assert out == _batch_key(search(spark, idx, q, k=10, engine="spark"))
+        with pytest.raises(ValueError, match="driver"):
+            search(spark, idx, q, k=10, engine="driver")
+        monkeypatch.delenv(env)
+
+
+def test_list_lru_eviction_stays_correct(spark, built):
+    """Shrink the decoded-list budget below the working set: results must
+    stay identical while the cache thrashes, and the postings accounting
+    must not leak."""
+    from igd_spark.local import LocalSearcher
+
+    _, idx = built
+    ls = LocalSearcher(idx)
+    ls.CACHE_MAX_POSTINGS = 50  # far below any real list
+    want = {
+        q: [(int(r.rank), int(r.doc_id), round(float(r.score), 9))
+            for r in ls.search_one(q, k=10).itertuples()]
+        for q in QUERIES
+    }
+    for _ in range(3):  # re-run: every call faults lists back in
+        for q in QUERIES:
+            got = [(int(r.rank), int(r.doc_id), round(float(r.score), 9))
+                   for r in ls.search_one(q, k=10).itertuples()]
+            assert got == want[q], q
+    assert ls._cache_postings == sum(
+        v[0].size for v in ls._list_cache.values()
+    )
+
+
+def test_search_n_covers_appends(spark, built, tmp_path):
+    docs, _ = built
+    path = str(tmp_path / "blidx")
+    first = docs.filter(F.crc32(F.col("conv_id")) % 2 == 0)
+    second = docs.filter(F.crc32(F.col("conv_id")) % 2 == 1)
+    build_index(spark, first, path, conf=CONF)
+    from igd_spark.index import append_index as _append
+
+    idx = _append(spark, path, second, batch_tag="blb1")
+    q = spark.createDataFrame(BATCH, "query_id long, query_text string")
+    got = _batch_key(search(spark, idx, q, k=10))
+    want = _batch_key(search(spark, idx, q, k=10, engine="spark"))
+    assert got == want
+
+
 def test_driver_path_launches_no_jobs(spark, built):
     """The whole point: interactive latency without cluster scheduling.
     Assert zero Spark jobs via the status tracker, and a sane wall time

@@ -80,6 +80,18 @@ def test_connected_components_random_graphs(spark):
         assert got == _cc_oracle(edges), (trial, edges)
 
 
+def test_connected_components_raises_when_unconverged(spark):
+    """r4 (ADVICE): exhausting max_iter without the label-sum fixpoint must
+    fail loudly — silently split components would mint multiple survivors
+    per true cluster downstream."""
+    import pytest
+
+    edges = [(i + 1, i) for i in range(7)]  # 8-node path, diameter 7
+    pairs = spark.createDataFrame(edges, "doc_a long, doc_b long")
+    with pytest.raises(RuntimeError, match="converge"):
+        connected_components(pairs, max_iter=1)
+
+
 def test_dedup_clusters_survivors(spark):
     docs = spark.createDataFrame([(i, f"d{i}") for i in range(8)], "doc_id long, text string")
     # {1,2,3} one cluster, {5,6} another; 0,4,7 singletons
