@@ -51,6 +51,7 @@ MAX_HAMMING = 3
 COOC_MIN_DF = 100
 COOC_MAX_DOC_TERMS = 8  # per-doc top-N cap (r4 scale guard), tie-break (tf desc, term asc)
 COOC_CAP_MIN_DF = 20
+KEYWORDS_K = 3
 N_EMB_QUERIES = 5
 N_ANCHORS = 8
 COS_NEARDUP_TH = 0.3
@@ -196,6 +197,14 @@ def q_term_cooccurrence_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
     return term_cooccurrence(
         _docs(spark, sf_dir), min_df=COOC_CAP_MIN_DF, max_doc_terms=COOC_MAX_DOC_TERMS
     )
+
+
+def q_keywords_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # per-doc tf-idf keyword signature (r4); rounded BEFORE ranking so both
+    # engines rank identical values (same protocol as bm25 _rank_rounded)
+    from igd_spark import keywords_topk
+
+    return keywords_topk(_docs(spark, sf_dir), k=KEYWORDS_K, round_dp=6)
 
 
 def q_source_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -485,6 +494,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "term_cooccurrence_mintf": q_term_cooccurrence_mintf,
         "term_cooccurrence_capped": q_term_cooccurrence_capped,
         "source_hits": q_source_hits,
+        "keywords_topk": q_keywords_topk,
         "source_overlap": q_source_overlap,
         "dedup_exact": q_dedup_exact,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
@@ -668,6 +678,20 @@ p2 AS (SELECT doc_id, term FROM capped WHERE term IN (SELECT term FROM keep))
 SELECT a.term AS term_a, b.term AS term_b, count(*)::BIGINT AS n_docs
 FROM p2 a JOIN p2 b ON a.doc_id = b.doc_id AND a.term < b.term
 GROUP BY 1, 2
+"""
+
+    sql["keywords_topk"] = f"""
+WITH {_TL}, {_TOKS}, {_POST},
+dfs AS (SELECT term, count(*)::BIGINT AS df FROM post GROUP BY 1),
+nd AS (SELECT count(*)::BIGINT AS n_docs FROM documents),
+sc AS (SELECT p.doc_id, p.term,
+              round(p.tf * ln(nd.n_docs::DOUBLE / dfs.df), 6) AS tfidf
+       FROM post p JOIN dfs USING (term) CROSS JOIN nd),
+r AS (SELECT doc_id, term, tfidf,
+             row_number() OVER (PARTITION BY doc_id
+                                ORDER BY tfidf DESC, term ASC)::INT AS rank
+      FROM sc)
+SELECT doc_id, rank, term, tfidf FROM r WHERE rank <= {KEYWORDS_K}
 """
 
     sql["source_hits"] = f"""

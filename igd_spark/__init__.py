@@ -45,7 +45,9 @@ from igd_spark.index import (
     append_index,
     build_index,
     compact_index,
+    maintain_index,
     open_index,
+    purge_staging,
 )
 from igd_spark.events import sessionize
 from igd_spark.multimodal import extract_features, extract_features_long, media_stats
@@ -72,7 +74,7 @@ from igd_spark.similarity import (
     pick_anchors,
 )
 from igd_spark.stats import corpus_stats, doc_stats, term_stats
-from igd_spark.textstats import fingerprint, lang_id, simhash, text_stats
+from igd_spark.textstats import fingerprint, keywords_topk, lang_id, simhash, text_stats
 from igd_spark.trainprep import (
     pack_sequences,
     remove_boilerplate,
@@ -109,7 +111,9 @@ __all__ = [
     "fingerprint",
     "ivf_ann_topk",
     "lang_id",
+    "keywords_topk",
     "lsh_ann_topk",
+    "maintain_index",
     "match_enumerate",
     "media_stats",
     "minhash_dedup_pairs",
@@ -120,6 +124,7 @@ __all__ = [
     "phrase_match",
     "phrase_match_indexed",
     "pick_anchors",
+    "purge_staging",
     "positional_postings",
     "postings",
     "query_doc_jaccard",

@@ -549,6 +549,29 @@ def compact_index(spark: SparkSession, path: str) -> InvertedIndex:
     return open_index(spark, path)
 
 
+def maintain_index(
+    spark: SparkSession,
+    path: str,
+    max_batches: int = 8,
+    purge: bool = True,
+    active_tags: set[str] | None = None,
+) -> InvertedIndex:
+    """One-call maintenance window — the periodic-housekeeping policy around
+    the primitives: purge crashed-append staging leftovers, then compact iff
+    the committed append-batch count has reached `max_batches` (each batch
+    adds a union branch + delta dictionary rows to every read, and its
+    blocks carry the looser post-append score bounds — compaction restores
+    the single-table, tight-bound steady state). Cheap no-op otherwise.
+    Run from the same scheduled window as any compaction; pass in-flight
+    append tags via `active_tags` if appends may overlap the purge."""
+    if purge:
+        purge_staging(path, active_tags=active_tags)
+    idx = open_index(spark, path)
+    if len(idx.batches) >= max_batches:
+        return compact_index(spark, path)
+    return idx
+
+
 def open_index(
     spark: SparkSession, path: str, allow_dirty: bool = False
 ) -> InvertedIndex:

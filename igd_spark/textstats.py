@@ -214,3 +214,47 @@ def hamming64(a: Column | str, b: Column | str) -> Column:
     ca = F.col(a) if isinstance(a, str) else a
     cb = F.col(b) if isinstance(b, str) else b
     return F.bit_count(ca.bitwiseXOR(cb))
+
+
+def keywords_topk(
+    docs: DataFrame,
+    k: int = 5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    round_dp: int | None = None,
+) -> DataFrame:
+    """(doc_id, rank, term, tfidf) — each document's top-k terms by
+    tf·idf, idf = ln(n_docs / df), ties broken (tfidf desc, term asc).
+    The document-axis sibling of the per-dataset stats sidecar
+    (src/igd_create.c:90-111): a cheap per-doc topical signature used for
+    corpus browsing, cluster labeling, and routing in training-data
+    pipelines.
+
+    Plan: postings → one df agg (fine term key) → broadcast a 1-row count
+    (plan stays lazy, zero driver jobs) → window per doc_id. Two shuffles
+    total (df agg + the doc window), both on fine-grained keys — scales.
+    round_dp rounds tfidf BEFORE ranking so two engines rank identical
+    values (the cross-engine rank protocol used by the gate)."""
+    from igd_spark.tokenizer import postings as _postings
+    from pyspark.sql import Window
+
+    post = _postings(docs, text_col=text_col, id_col=id_col)
+    df_tab = post.groupBy("term").agg(F.count("*").alias("df"))
+    n_docs = docs.select(F.count("*").alias("n_docs"))
+    scored = (
+        post.join(df_tab, "term")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "doc_id",
+            "term",
+            (F.col("tf") * F.log(F.col("n_docs") / F.col("df"))).alias("tfidf"),
+        )
+    )
+    if round_dp is not None:
+        scored = scored.withColumn("tfidf", F.round("tfidf", round_dp))
+    w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), F.asc("term"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("doc_id", "rank", "term", "tfidf")
+    )

@@ -188,6 +188,28 @@ def test_compact_interleaved_with_appends_matches_rebuild(spark, split_corpus, t
     assert idx.meta["compactions"] == 2 and idx.meta["appends"] == 0
 
 
+def test_maintain_index_policy(spark, split_corpus, tmp_path):
+    """maintain_index: purges staging junk always, compacts only at the
+    max_batches threshold, and search stays rank-identical throughout."""
+    from igd_spark import maintain_index
+
+    docs, first, second = split_corpus
+    path = str(tmp_path / "mntidx")
+    build_index(spark, first, path, conf=CONF)
+    append_index(spark, path, second, batch_tag="mb1")
+    # crashed-append leftovers
+    os.makedirs(os.path.join(path, "_staging", "deadtag"), exist_ok=True)
+    queries = _queries(spark)
+    want = _topk_key(exact_bm25_topk(docs, queries, k=10, conf=CONF))
+    idx = maintain_index(spark, path, max_batches=2)  # below threshold
+    assert not os.path.isdir(os.path.join(path, "_staging", "deadtag"))
+    assert idx.meta["appends"] == 1  # no compaction yet
+    assert _topk_key(search(spark, idx, queries, k=10)) == want
+    idx = maintain_index(spark, path, max_batches=1)  # at threshold
+    assert idx.meta["appends"] == 0 and idx.meta["compactions"] == 1
+    assert _topk_key(search(spark, idx, queries, k=10)) == want
+
+
 def test_fresh_stream_ignores_legacy_markers(spark, split_corpus, tmp_path):
     """r4 (ADVICE, medium): a NEW stream (fresh checkpoint, batch ids
     restarting at 0) attached to an index carrying legacy

@@ -105,6 +105,32 @@ def test_simhash_python_mirror(spark, small_docs):
     assert pairs[(0, 3)] == 0
 
 
+def test_keywords_topk_tfidf(spark, small_docs):
+    """Per-doc tf-idf keywords vs a direct python computation: same scores,
+    same (tfidf desc, term asc) ranking, k rows max per doc."""
+    from collections import Counter
+
+    from igd_spark import keywords_topk
+
+    rows = {r["doc_id"]: r["text"] for r in small_docs.collect()}
+    tfs = {d: Counter(tokenize(t)) for d, t in rows.items()}
+    df = Counter(term for c in tfs.values() for term in c)
+    n = len(rows)
+    want = {}
+    for d, c in tfs.items():
+        scored = sorted(
+            ((round(tf * math.log(n / df[t]), 6), t) for t, tf in c.items()),
+            key=lambda x: (-x[0], x[1]),
+        )[:3]
+        for rank, (s, t) in enumerate(scored, 1):
+            want[(d, rank)] = (t, s)
+    got = {
+        (r["doc_id"], r["rank"]): (r["term"], round(r["tfidf"], 6))
+        for r in keywords_topk(small_docs, k=3, round_dp=6).collect()
+    }
+    assert got == want
+
+
 def test_fingerprint_order_sensitive(spark):
     docs = spark.createDataFrame(
         [(0, "alpha beta gamma"), (1, "gamma beta alpha"), (2, "alpha beta gamma")],
