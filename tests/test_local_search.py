@@ -151,6 +151,32 @@ def test_list_lru_eviction_stays_correct(spark, built):
     )
 
 
+def test_randomized_batches_driver_vs_spark(spark, built):
+    """Randomized guard: arbitrary query batches (mixed vocab/OOV/dup-term/
+    multi-row queries) must be rank-identical between the driver route and
+    the distributed plan, with and without min_tf."""
+    import random
+
+    _, idx = built
+    rng = random.Random(97)
+    vocab = ["error", "timeout", "deploy", "the", "import", "hash",
+             "t00000", "t00001", "t00042", "zzznope", ""]
+    for trial in range(3):
+        batch = []
+        for qid in range(rng.randint(1, 12)):
+            terms = rng.choices(vocab, k=rng.randint(1, 4))
+            batch.append((qid, " ".join(terms)))
+        if trial == 2:  # same query_id on multiple rows: terms must union
+            batch.append((0, "deploy hash"))
+        q = spark.createDataFrame(batch, "query_id long, query_text string")
+        mtf = rng.choice([0, 2])
+        tel = {}
+        got = _batch_key(search(spark, idx, q, k=7, min_tf=mtf, telemetry=tel))
+        assert tel.get("engine") == "driver", tel
+        want = _batch_key(search(spark, idx, q, k=7, min_tf=mtf, engine="spark"))
+        assert got == want, (trial, mtf, batch)
+
+
 def test_search_n_covers_appends(spark, built, tmp_path):
     docs, _ = built
     path = str(tmp_path / "blidx")
