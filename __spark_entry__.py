@@ -207,6 +207,17 @@ def q_keywords_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return keywords_topk(_docs(spark, sf_dir), k=KEYWORDS_K, round_dp=6)
 
 
+def q_source_hits_mintf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # -q with -v: value-filtered per-dataset hits (src/igd_search.c:623-694)
+    from igd_spark import source_hits
+
+    idx = _built_index(spark, sf_dir)
+    docs = _docs(spark, sf_dir)
+    return source_hits(
+        spark, idx, _queries_df(spark), docs.select("doc_id", "source"), min_tf=MIN_TF
+    )
+
+
 def q_source_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the igd search -q primary report: per-dataset (nr, hits) rows
     # (src/igd_search.c:1032-1039), per query
@@ -495,6 +506,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "term_cooccurrence_capped": q_term_cooccurrence_capped,
         "source_hits": q_source_hits,
         "keywords_topk": q_keywords_topk,
+        "source_hits_mintf": q_source_hits_mintf,
         "source_overlap": q_source_overlap,
         "dedup_exact": q_dedup_exact,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
@@ -700,6 +712,20 @@ src AS (SELECT doc_id, source FROM documents),
 nr AS (SELECT source, count(*)::BIGINT AS nr FROM src GROUP BY 1),
 h AS (SELECT qt.query_id, s.source, count(*)::BIGINT AS hits
       FROM qterms qt JOIN post p USING (term) JOIN src s ON p.doc_id = s.doc_id
+      GROUP BY 1, 2),
+qids AS (SELECT DISTINCT query_id FROM q)
+SELECT qids.query_id, nr.source, nr.nr, coalesce(h.hits, 0)::BIGINT AS hits
+FROM qids CROSS JOIN nr
+LEFT JOIN h ON h.query_id = qids.query_id AND h.source = nr.source
+"""
+
+    sql["source_hits_mintf"] = f"""
+WITH {_TL}, {_TOKS}, {_POST}, {_QT},
+src AS (SELECT doc_id, source FROM documents),
+nr AS (SELECT source, count(*)::BIGINT AS nr FROM src GROUP BY 1),
+h AS (SELECT qt.query_id, s.source, count(*)::BIGINT AS hits
+      FROM qterms qt JOIN post p USING (term) JOIN src s ON p.doc_id = s.doc_id
+      WHERE p.tf >= {MIN_TF}
       GROUP BY 1, 2),
 qids AS (SELECT DISTINCT query_id FROM q)
 SELECT qids.query_id, nr.source, nr.nr, coalesce(h.hits, 0)::BIGINT AS hits

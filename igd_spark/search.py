@@ -1000,6 +1000,7 @@ def source_hits(
     queries: DataFrame,
     doc_sources: DataFrame,
     source_col: str = "source",
+    min_tf: int = 0,
 ) -> DataFrame:
     """Per-source hits report — the reference's PRIMARY `igd search -q`
     output shape: one row per dataset with (index, nr, hits, fileName),
@@ -1018,8 +1019,15 @@ def source_hits(
     ⋈ doc→source on doc_id, grouped per (query, source); the final grid is
     distinct-query-ids ⋈ per-source nr — BOTH sides bounded (queries are a
     batch, sources are datasets), the one place a cross join is the
-    semantics and not a scale hazard."""
+    semantics and not a scale hazard.
+
+    min_tf > 0 is the `-q -v` combination (value filter applied to the
+    hits accumulation, src/igd_search.c:623-694): only postings with
+    tf ≥ min_tf count as hits; nr is unaffected (dataset sizes are not
+    value-filtered in the reference report either)."""
     me = match_enumerate(spark, idx, queries)
+    if min_tf > 0:
+        me = me.filter(F.col("tf") >= min_tf)
     ds = doc_sources.select("doc_id", F.col(source_col).alias("source"))
     nr = ds.groupBy("source").agg(F.count("*").cast("long").alias("nr"))
     hits = (
