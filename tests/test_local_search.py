@@ -127,6 +127,39 @@ def test_driver_route_budgets(spark, built, monkeypatch):
         monkeypatch.delenv(env)
 
 
+def test_prune_max_terms_both_sides(spark, built, monkeypatch):
+    """search_prune_max_terms: below the threshold the segment scan carries
+    the In(shard)/In(term_id) filters, above it the scan stays wide — and
+    results are identical either way (the broadcast bucket-join filters)."""
+    _, idx = built
+    q = spark.createDataFrame(BATCH, "query_id long, query_text string")
+    tel_on, tel_off = {}, {}
+    monkeypatch.setenv("IGD_SEARCH_PRUNE_MAX_TERMS", "512")
+    on = _batch_key(search(spark, idx, q, k=10, engine="spark", telemetry=tel_on))
+    monkeypatch.setenv("IGD_SEARCH_PRUNE_MAX_TERMS", "0")
+    off = _batch_key(search(spark, idx, q, k=10, engine="spark", telemetry=tel_off))
+    assert tel_on["scan_pruned"] is True and tel_off["scan_pruned"] is False
+    assert on == off
+
+
+def test_small_max_rows_both_sides(spark, built, tmp_path, monkeypatch):
+    """search_small_max_rows: a file-backed query batch takes the
+    one-collect small prologue under the threshold and the fully
+    distributed plan above it (telemetry engine spark-small vs spark-huge),
+    with identical results."""
+    _, idx = built
+    qpath = str(tmp_path / "queries.parquet")
+    spark.createDataFrame(BATCH, "query_id long, query_text string").write.parquet(qpath)
+    q = spark.read.parquet(qpath)
+    tel_small, tel_huge = {}, {}
+    small = _batch_key(search(spark, idx, q, k=10, engine="spark", telemetry=tel_small))
+    monkeypatch.setenv("IGD_SEARCH_SMALL_MAX_ROWS", "0")
+    huge = _batch_key(search(spark, idx, q, k=10, engine="spark", telemetry=tel_huge))
+    assert tel_small["engine"] == "spark-small", tel_small
+    assert tel_huge["engine"] == "spark-huge", tel_huge
+    assert small == huge
+
+
 def test_list_lru_eviction_stays_correct(spark, built):
     """Shrink the decoded-list budget below the working set: results must
     stay identical while the cache thrashes, and the postings accounting
