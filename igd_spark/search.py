@@ -673,7 +673,7 @@ def search(
     qdict = (
         idx.dictionary.join(F.broadcast(qt), "term")
         .withColumn("idf", idf_col(idx.n_docs, "df"))
-        .select("query_id", "term_id", "idf", "n_salts")
+        .select("query_id", "term_id", "idf", "n_salts", "df")
     )
     seg = idx.segments
     if _stats_small(queries):
@@ -691,6 +691,27 @@ def search(
                 for s in shards_for(int(r["term_id"]), int(r["n_salts"]), conf.n_shards)
             }
         )
+        # cost-aware bucket assignment (LPT): qid % n_buckets leaves Zipf
+        # batches with straggler buckets — one bucket drawing several
+        # hot-term queries runs 2-3x past the wave, and the cogrouped stage
+        # ends at its slowest task. Per-query cost Σ df is already exact
+        # and driver-resident from the prologue rows, so assign queries
+        # (heaviest first) to the currently-lightest bucket: deterministic
+        # (ties by load then bucket id; queries ordered cost desc, qid
+        # asc), and the map rides the same broadcast join the bucket ids
+        # always took. The huge path keeps the hash assignment — cost
+        # collection there would be a driver-sized state.
+        import heapq
+
+        qcost: dict[int, int] = {}
+        for r in qrows:
+            qcost[int(r["query_id"])] = qcost.get(int(r["query_id"]), 0) + int(r["df"])
+        heap = [(0, b) for b in range(n_buckets)]
+        assign: dict[int, int] = {}
+        for qid in sorted(qcost, key=lambda q: (-qcost[q], q)):
+            load, b = heapq.heappop(heap)
+            assign[qid] = b
+            heapq.heappush(heap, (load + qcost[qid], b))
         # scan pruning pays only while it is SELECTIVE: a small batch's few
         # terms hit a few shards / row-group runs, and the isin filters cut
         # the scan to those. A 1000-query Zipf batch already touches every
@@ -708,9 +729,13 @@ def search(
                 F.col("shard").isin(shards) & F.col("term_id").isin(term_ids)
             )
         bt = spark.createDataFrame(
-            sorted({(int(r["query_id"]) % n_buckets, int(r["term_id"])) for r in qrows}),
+            sorted({(assign[int(r["query_id"])], int(r["term_id"])) for r in qrows}),
             "bucket int, term_id long",
         )
+        qb = spark.createDataFrame(
+            sorted(assign.items()), "query_id long, bucket int"
+        )
+        qmap = qdict.join(F.broadcast(qb), "query_id")
         if telemetry is not None:
             telemetry.update(
                 engine="spark-small",
@@ -728,14 +753,15 @@ def search(
             F.pmod(F.col("query_id"), F.lit(n_buckets)).cast("int").alias("bucket"),
             "term_id",
         ).distinct()
+        qmap = qdict.withColumn(
+            "bucket", F.pmod(F.col("query_id"), F.lit(n_buckets)).cast("int")
+        )
         if telemetry is not None:
             telemetry.update(
                 engine="spark-huge",
                 n_buckets=n_buckets,
                 prologue_ms=1000 * (time.perf_counter() - t_prologue),
             )
-    bucket_expr = F.pmod(F.col("query_id"), F.lit(n_buckets)).cast("int")
-    qmap = qdict.withColumn("bucket", bucket_expr)
     blocks = seg.join(F.broadcast(bt), "term_id")
     kernel = _maxscore_kernel(k, min_tf, conf.k1, conf.b, idx.avgdl)
     # each group is a complete bucket of queries: the kernel emits final
