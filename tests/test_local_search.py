@@ -242,3 +242,34 @@ def test_driver_path_launches_no_jobs(spark, built):
     assert len(out) > 0
     assert tracker.getJobIdsForGroup(None) == jobs_before  # no Spark job ran
     assert dt < 2.0, f"driver path took {dt:.2f}s"
+
+
+def test_local_query_input_forms(spark, built, monkeypatch):
+    """search() must accept driver-native query input (pandas DataFrame /
+    list of pairs — the reference's query-FILE shape) and return exactly
+    the Spark-DataFrame-input results on every route: auto (driver kernel),
+    forced distributed, and budget-demoted auto."""
+    import pandas as pd
+
+    _, idx = built
+    q_spark = spark.createDataFrame(BATCH, "query_id long, query_text string")
+    q_pd = pd.DataFrame(BATCH, columns=["query_id", "query_text"])
+    want = _batch_key(search(spark, idx, q_spark, k=10, engine="spark"))
+
+    for q_in in (q_pd, BATCH):
+        tel = {}
+        assert _batch_key(search(spark, idx, q_in, k=10, telemetry=tel)) == want
+        assert tel.get("engine") == "driver", tel
+        # forced distributed: local input materializes to a Spark DF
+        assert _batch_key(search(spark, idx, q_in, k=10, engine="spark")) == want
+
+    # budget demotion must ship the local input to the cluster, not fail
+    monkeypatch.setenv("IGD_SEARCH_DRIVER_MAX_QUERIES", "2")
+    tel = {}
+    assert _batch_key(search(spark, idx, q_pd, k=10, telemetry=tel)) == want
+    assert tel.get("engine") == "spark-small", tel
+
+    # empty local input → empty result with the contract schema
+    out = search(spark, idx, [], k=10)
+    assert out.count() == 0
+    assert [f.name for f in out.schema.fields] == ["query_id", "rank", "doc_id", "score"]
