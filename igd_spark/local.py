@@ -182,6 +182,10 @@ class LocalSearcher:
             }
         )
         blocks = self._read_blocks(missing, shards)
+        # the writer never emits empty blocks, but a 0-posting row would
+        # shift every later segment's offset below — drop rather than corrupt
+        if len(blocks) and (blocks["n"] == 0).any():
+            blocks = blocks[blocks["n"] > 0].reset_index(drop=True)
         grouped: dict[int, tuple] = {}
         if len(blocks):
             # ONE varint pass per column over the whole read, not one

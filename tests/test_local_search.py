@@ -273,3 +273,52 @@ def test_local_query_input_forms(spark, built, monkeypatch):
     out = search(spark, idx, [], k=10)
     assert out.count() == 0
     assert [f.name for f in out.schema.fields] == ["query_id", "rank", "doc_id", "score"]
+
+
+def test_segmented_block_decode_matches_per_block(monkeypatch):
+    """_ensure_lists' single-pass segmented varint decode must equal the
+    per-block codec.decode_doc_ids reference on multi-block, multi-term,
+    interleaved reads — and drop (not mis-offset) a zero-posting row."""
+    import pandas as pd
+    from collections import OrderedDict
+
+    import numpy as np
+
+    from igd_spark import codec
+    from igd_spark.local import LocalSearcher
+
+    rng = np.random.default_rng(11)
+    lists = {}  # tid -> list of (doc_ids, tfs, dls) blocks
+    rows = []
+    for tid in (3, 7, 9):
+        docs = np.unique(rng.integers(0, 2**40, size=rng.integers(5, 60)))
+        tfs = rng.integers(1, 9, size=docs.size)
+        dls = rng.integers(1, 200, size=docs.size)
+        blks = []
+        for lo in range(0, docs.size, 16):
+            d, t, l = docs[lo:lo+16], tfs[lo:lo+16], dls[lo:lo+16]
+            blks.append((d, t, l))
+            rows.append({
+                "term_id": tid, "salt": 0, "n": d.size,
+                "doc_ids": codec.encode_doc_ids(d),
+                "tfs": codec.varint_encode(t.astype(np.uint64)),
+                "dls": codec.varint_encode(l.astype(np.uint64)),
+            })
+        lists[tid] = (docs, tfs, dls)
+    # adversarial zero-posting row in the middle
+    rows.insert(2, {"term_id": 7, "salt": 0, "n": 0,
+                    "doc_ids": b"", "tfs": b"", "dls": b""})
+    blocks = pd.DataFrame(rows)
+
+    ls = LocalSearcher.__new__(LocalSearcher)
+    ls._list_cache = OrderedDict()
+    ls._cache_postings = 0
+    ls.conf = type("C", (), {"n_shards": 1})()
+    monkeypatch.setattr(ls, "_read_blocks", lambda tids, shards: blocks)
+    tmap = {f"t{tid}": (tid, 1, 1) for tid in lists}
+    ls._ensure_lists(tmap)
+    for tid, (docs, tfs, dls) in lists.items():
+        d, t, l = ls._list_cache[tid]
+        assert np.array_equal(d, docs), tid
+        assert np.array_equal(t.astype(np.int64), tfs), tid
+        assert np.array_equal(l.astype(np.int64), dls), tid
