@@ -182,10 +182,6 @@ class LocalSearcher:
             }
         )
         blocks = self._read_blocks(missing, shards)
-        # the writer never emits empty blocks, but a 0-posting row would
-        # shift every later segment's offset below — drop rather than corrupt
-        if len(blocks) and (blocks["n"] == 0).any():
-            blocks = blocks[blocks["n"] > 0].reset_index(drop=True)
         grouped: dict[int, tuple] = {}
         if len(blocks):
             # ONE varint pass per column over the whole read, not one
@@ -193,14 +189,18 @@ class LocalSearcher:
             # the cluster kernel, search.py _decode_rows_segmented): every
             # block's first doc varint is absolute, so blocks decode
             # independently via a segmented cumsum — measured ~15x on a
-            # 9M-posting cold read (7.6 s -> 0.5 s)
+            # 9M-posting cold read (7.6 s -> 0.5 s). Segment offsets come
+            # from the zero-padded cumsum at each block START — exact even
+            # for zero-posting rows (the writer never emits one, but a
+            # LEADING zero-n row would make an ends[:-1]-1 index wrap to
+            # c[-1] and silently corrupt every doc id)
             n_arr = blocks["n"].to_numpy(dtype=np.int64)
             dbuf = b"".join(bytes(x) for x in blocks["doc_ids"])
             vals = codec.varint_decode(dbuf).astype(np.int64)
             ends = np.cumsum(n_arr)
             c = np.cumsum(vals)
-            seg_off = np.concatenate(([0], c[ends[:-1] - 1]))
-            d_all = c - np.repeat(seg_off, n_arr)
+            cpad = np.concatenate(([0], c))
+            d_all = c - np.repeat(cpad[ends - n_arr], n_arr)
             tf_all = codec.varint_decode(
                 b"".join(bytes(x) for x in blocks["tfs"])
             ).astype(np.float64)

@@ -175,18 +175,24 @@ def _maxscore_kernel(
         lbuf = b"".join(bytes(x) for x in g["dls"])
         vals = codec.varint_decode(dbuf).astype(np.int64)
         ends = np.cumsum(n_arr)
+        starts = ends - n_arr
         # segmented cumsum: vals[start] is the absolute first doc of each
         # block, the rest are gaps → cumsum minus the offset at each block
-        # start restores absolute ids per block
+        # start restores absolute ids per block. The offset of segment i is
+        # cpad[starts[i]] (cumsum zero-padded on the left) — exact even for
+        # zero-n rows, including a LEADING one, where an ends[:-1]-1 index
+        # would wrap to c[-1] and corrupt every doc id after it
         c = np.cumsum(vals)
-        seg_off = np.concatenate(([0], c[ends[:-1] - 1]))
-        d = c - np.repeat(seg_off, n_arr)
+        cpad = np.concatenate(([0], c))
+        d = c - np.repeat(cpad[starts], n_arr)
         tf = codec.varint_decode(tbuf).astype(np.float64)
         dl = codec.varint_decode(lbuf).astype(np.float64)
         if min_tf > 0:
             m = tf >= min_tf
-            starts = np.concatenate(([0], ends[:-1]))
-            lens = np.add.reduceat(m.astype(np.int64), starts)
+            # per-row surviving counts via padded cumsum, not reduceat:
+            # reduceat mis-sizes zero-n rows (duplicate start indices)
+            mc = np.concatenate(([0], np.cumsum(m.astype(np.int64))))
+            lens = mc[ends] - mc[starts]
             d, tf, dl = d[m], tf[m], dl[m]
         else:
             lens = n_arr
@@ -476,10 +482,13 @@ def _maxscore_kernel(
     return kernel
 
 
-def _as_local_rows(queries) -> list[tuple[int, str]] | None:
+def _as_local_rows(queries) -> list[tuple[int, str]]:
     """Normalize driver-native query input — a pandas DataFrame with
     (query_id, query_text) columns or a list/tuple of (query_id, query_text)
-    pairs — to [(qid, text), ...]; None means `queries` is a Spark DataFrame.
+    pairs — to [(qid, text), ...] with the Spark path's null semantics:
+    null/NaN text tokenizes to nothing (scored as an empty query), while a
+    null query_id is rejected loudly (the Spark path would silently group
+    under NULL; here int() has no meaning for it).
 
     The reference's query input is a FILE read in-process
     (src/igd_search.c:696-719) — driver-local by construction. A PySpark
@@ -487,13 +496,48 @@ def _as_local_rows(queries) -> list[tuple[int, str]] | None:
     full collect job (~0.5 s of scheduling + Python-worker roundtrip) just
     to get the rows BACK; accepting the driver-native forms erases that."""
     if isinstance(queries, pd.DataFrame):
-        return [
-            (int(q), t)
-            for q, t in zip(queries["query_id"], queries["query_text"])
-        ]
-    if isinstance(queries, (list, tuple)):
-        return [(int(q), t) for q, t in queries]
-    return None
+        pairs = zip(queries["query_id"], queries["query_text"])
+    else:
+        pairs = iter(queries)
+    rows = []
+    for q, t in pairs:
+        if q is None or (isinstance(q, float) and np.isnan(q)):
+            raise ValueError("driver-native query input requires a non-null query_id")
+        if t is None or (isinstance(t, float) and np.isnan(t)):
+            t = ""
+        rows.append((int(q), t))
+    return rows
+
+
+def _materialize_local_queries(spark: SparkSession, queries) -> DataFrame:
+    """Ship driver-native query input to the cluster. Pandas input keeps
+    its DataFrame form so createDataFrame can take the Arrow batch path
+    instead of a per-row pickled tuple list (the demotion case is exactly
+    the LARGE-batch case, where that difference is O(n) driver memory)."""
+    schema = "query_id long, query_text string"
+    if isinstance(queries, pd.DataFrame):
+        pdf = queries[["query_id", "query_text"]]
+        # float NaN in an object/string column fails the string schema;
+        # map to None (null) — same semantics as the Spark path
+        if pdf["query_text"].isna().any():
+            pdf = pdf.assign(
+                query_text=pdf["query_text"].where(pdf["query_text"].notna(), None)
+            )
+        return spark.createDataFrame(pdf, schema)
+    return spark.createDataFrame(list(queries), schema)
+
+
+def _driver_budgets(conf: IndexConf) -> tuple[int, int]:
+    """(max_queries, max_postings) for the driver route — IndexConf fields
+    with env-var overrides (ops escape hatch)."""
+    import os as _os
+
+    return (
+        int(_os.environ.get("IGD_SEARCH_DRIVER_MAX_QUERIES",
+                            conf.driver_search_max_queries)),
+        int(_os.environ.get("IGD_SEARCH_DRIVER_MAX_POSTINGS",
+                            conf.driver_search_max_postings)),
+    )
 
 
 def _try_driver_route(
@@ -521,15 +565,10 @@ def _try_driver_route(
         trillion-turn index goes to the cluster no matter how few queries.
     Returns None to fall through to the distributed plan ("auto"); with
     engine="driver" a budget miss raises instead (explicit ask, loud no)."""
-    import os as _os
-
     from igd_spark.local import local_searcher
 
     conf = idx.conf
-    max_q = int(_os.environ.get("IGD_SEARCH_DRIVER_MAX_QUERIES",
-                                conf.driver_search_max_queries))
-    max_post = int(_os.environ.get("IGD_SEARCH_DRIVER_MAX_POSTINGS",
-                                   conf.driver_search_max_postings))
+    max_q, max_post = _driver_budgets(conf)
 
     def bail(reason: str) -> None:
         if engine == "driver":
@@ -629,7 +668,7 @@ def search(
     # query-FILE analog): already in driver memory, so the driver route
     # needs no collect job at all; only materialize a Spark DataFrame if
     # the batch falls through to the distributed plan
-    local_rows = _as_local_rows(queries)
+    is_local_input = isinstance(queries, (pd.DataFrame, list, tuple))
 
     def pick_buckets(n_queries: int) -> int:
         # target ~64 queries per bucket: block-dedup within a bucket
@@ -700,16 +739,31 @@ def search(
 
     # --- driver route (engine auto/driver): in-process kernel, zero jobs ---
     if engine != "spark" and n_buckets is None:
-        routed = _try_driver_route(
-            spark, idx, queries, k, min_tf, engine, telemetry, _stats_small,
-            local_rows=local_rows,
-        )
-        if routed is not None:
-            return routed
-    if local_rows is not None:
-        queries = spark.createDataFrame(
-            local_rows, "query_id long, query_text string"
-        )
+        local_rows = None
+        if is_local_input:
+            # pandas pre-gate: reject over-budget batches on a vectorized
+            # distinct count BEFORE building n python tuples — the demoted
+            # case is exactly the large-batch one
+            over = isinstance(queries, pd.DataFrame) and queries[
+                "query_id"
+            ].nunique(dropna=False) > _driver_budgets(conf)[0]
+            if not over:
+                local_rows = _as_local_rows(queries)
+            elif engine == "driver":
+                raise ValueError(
+                    "engine='driver' requested but the batch exceeds "
+                    "driver_search_max_queries; use engine='auto' or 'spark', "
+                    "or raise IndexConf.driver_search_* budgets"
+                )
+        if local_rows is not None or not is_local_input:
+            routed = _try_driver_route(
+                spark, idx, queries, k, min_tf, engine, telemetry,
+                _stats_small, local_rows=local_rows,
+            )
+            if routed is not None:
+                return routed
+    if is_local_input:
+        queries = _materialize_local_queries(spark, queries)
 
     # --- distributed plan ---------------------------------------------------
     t_prologue = time.perf_counter()

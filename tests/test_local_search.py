@@ -305,8 +305,12 @@ def test_segmented_block_decode_matches_per_block(monkeypatch):
                 "dls": codec.varint_encode(l.astype(np.uint64)),
             })
         lists[tid] = (docs, tfs, dls)
-    # adversarial zero-posting row in the middle
+    # adversarial zero-posting rows: LEADING (the case where a naive
+    # ends[:-1]-1 offset index wraps to c[-1] and corrupts every id) and
+    # mid-frame (harmless, must stay harmless)
     rows.insert(2, {"term_id": 7, "salt": 0, "n": 0,
+                    "doc_ids": b"", "tfs": b"", "dls": b""})
+    rows.insert(0, {"term_id": 3, "salt": 0, "n": 0,
                     "doc_ids": b"", "tfs": b"", "dls": b""})
     blocks = pd.DataFrame(rows)
 
@@ -322,3 +326,27 @@ def test_segmented_block_decode_matches_per_block(monkeypatch):
         assert np.array_equal(d, docs), tid
         assert np.array_equal(t.astype(np.int64), tfs), tid
         assert np.array_equal(l.astype(np.int64), dls), tid
+
+
+def test_local_input_null_semantics(spark, built):
+    """NaN/None query_text in driver-native input must behave exactly like
+    a null in a Spark DataFrame (empty query → no rows), on both the driver
+    route and the demoted distributed path; a null query_id raises."""
+    import numpy as np
+    import pandas as pd
+
+    _, idx = built
+    q_pd = pd.DataFrame(
+        {"query_id": [0, 1], "query_text": ["error timeout", None]}
+    )
+    q_spark = spark.createDataFrame(
+        [(0, "error timeout"), (1, None)], "query_id long, query_text string"
+    )
+    want = _batch_key(search(spark, idx, q_spark, k=10, engine="spark"))
+    assert _batch_key(search(spark, idx, q_pd, k=10)) == want
+    assert _batch_key(search(spark, idx, q_pd, k=10, engine="spark")) == want
+    assert {r[0] for r in want} == {0}  # the null query contributes no rows
+
+    with pytest.raises(ValueError, match="query_id"):
+        search(spark, idx, pd.DataFrame(
+            {"query_id": [np.nan], "query_text": ["x"]}), k=10)
