@@ -52,19 +52,50 @@ def varint_encode(values: np.ndarray) -> bytes:
 
 
 def varint_decode(buf: bytes) -> np.ndarray:
-    """Decode LEB128 buffer → uint64 array. Vectorized via reduceat."""
+    """Decode LEB128 buffer → uint64 array. Vectorized per byte POSITION
+    (≤10 passes over the value array, mirroring varint_encode_offsets),
+    not per byte: the former per-byte formulation (repeat + shift +
+    reduceat over one element per stream byte) built several 8×-stream-size
+    intermediates, which on multi-byte-heavy streams (e.g. hash doc-id
+    gaps averaging ~7.4 B/value) was memory-bandwidth-bound — measured
+    38 s → ~1 s on a 91 MB stream of 12 M values."""
     b = np.frombuffer(buf, dtype=np.uint8)
     if b.size == 0:
         return np.empty(0, dtype=np.uint64)
-    is_end = (b & 0x80) == 0
-    ends = np.flatnonzero(is_end)
-    starts = np.concatenate(([0], ends[:-1] + 1))
-    pos = np.arange(b.size, dtype=np.int64)
-    # position of each byte within its value
-    group_start = np.repeat(starts, ends - starts + 1)
-    within = pos - group_start
-    contrib = (b & 0x7F).astype(np.uint64) << (np.uint64(7) * within.astype(np.uint64))
-    return np.add.reduceat(contrib, starts)
+    ends = np.flatnonzero((b & 0x80) == 0)
+    n = ends.size
+    if n == 0:  # malformed: all-continuation stream
+        return np.empty(0, dtype=np.uint64)
+    starts = np.empty(n, dtype=np.int64)
+    starts[0] = 0
+    starts[1:] = ends[:-1] + 1
+    cont = ends - starts  # continuation bytes per value (0..9)
+    # terminal byte first — its shift varies per value, one vectorized pass
+    out = (b[ends] & np.uint8(0x7F)).astype(np.uint64) << (
+        np.uint64(7) * cont.astype(np.uint64)
+    )
+    if cont.any():
+        low = b & np.uint8(0x7F)
+        # bucket values by continuation count: each bucket decodes with
+        # exactly-c gather/shift passes and bucket-sized temporaries —
+        # no stream-sized per-byte intermediates (page-fault-bound here)
+        for c in np.unique(cont):
+            c = int(c)
+            if c == 0:
+                continue
+            idx = np.flatnonzero(cont == c)
+            pos = starts[idx]
+            pos += c - 1
+            g8 = np.empty(idx.size, dtype=np.uint8)
+            np.take(low, pos, out=g8)
+            acc = g8.astype(np.uint64)
+            for _ in range(c - 1):  # walk byte positions high→low in place
+                pos -= 1
+                np.take(low, pos, out=g8)
+                acc <<= np.uint64(7)
+                acc |= g8
+            out[idx] |= acc
+    return out
 
 
 def encode_doc_ids(doc_ids: np.ndarray) -> bytes:

@@ -72,6 +72,9 @@ class LocalSearcher:
     SCORE_THREADS = min(8, os.cpu_count() or 1)
 
     def __init__(self, idx):
+        from igd_spark.session import tune_allocator
+
+        tune_allocator()  # decode temporaries stay heap-resident (see session.py)
         self.idx = idx
         self.path = idx.path
         self.conf = idx.conf

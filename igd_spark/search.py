@@ -450,6 +450,9 @@ def _maxscore_kernel(
         )
 
     def kernel(pdf: pd.DataFrame, qpdf: pd.DataFrame) -> pd.DataFrame:
+        from igd_spark.session import tune_allocator
+
+        tune_allocator()  # idempotent per executor Python worker
         empty = pd.DataFrame(columns=["query_id", "rank", "doc_id", "score"])
         if not len(pdf) or not len(qpdf):
             return empty

@@ -27,6 +27,38 @@ def local_cores(spark: SparkSession) -> int | None:
     return os.cpu_count() if g.group(1) == "*" else int(g.group(1))
 
 
+_ALLOC_TUNED = False
+
+
+def tune_allocator() -> bool:
+    """Raise glibc's mmap/trim thresholds so large numpy temporaries are
+    served from the retained heap instead of fresh mmap regions.
+
+    glibc mallocs above M_MMAP_THRESHOLD (dynamic, capped at 32 MB) go
+    through mmap and are unmapped on free, so every decode/score call
+    re-page-faults its working set; on this sandbox VM faulting runs at
+    ~0.2 GB/s versus 15 GB/s for warm copies (measured, BENCH.md), which
+    made the driver kernel's cold batch decode allocation-bound. Raising
+    both thresholds keeps the arena resident across calls — RSS then holds
+    near the kernel's peak working set, the right trade for a driver/
+    executor process sized for the workload anyway. No-op (False) on
+    non-glibc platforms."""
+    global _ALLOC_TUNED
+    if _ALLOC_TUNED:
+        return True
+    try:
+        import ctypes
+
+        libc = ctypes.CDLL("libc.so.6", use_errno=True)
+        one_gb = 1 << 30
+        libc.mallopt(-3, one_gb)  # M_MMAP_THRESHOLD
+        libc.mallopt(-1, one_gb)  # M_TRIM_THRESHOLD
+        _ALLOC_TUNED = True
+        return True
+    except Exception:
+        return False
+
+
 KERNEL_CAP_ENV = "IGD_LOCAL_KERNEL_CAP"
 DEFAULT_LOCAL_KERNEL_CAP = 10
 
