@@ -833,10 +833,19 @@ def search(
             sorted({(assign[int(r["query_id"])], int(r["term_id"])) for r in qrows}),
             "bucket int, term_id long",
         )
-        qb = spark.createDataFrame(
-            sorted(assign.items()), "query_id long, bucket int"
+        # the cogroup's query map is already driver-resident in qrows —
+        # re-deriving it from qdict would rescan the dictionary and rerun
+        # the broadcast join (a whole extra stage chain of per-batch fixed
+        # cost, ~0.5 s at 1000q). Collected idf doubles round-trip exactly,
+        # so rank-identity with the recomputed form is preserved.
+        qmap = spark.createDataFrame(
+            sorted(
+                (assign[int(r["query_id"])], int(r["query_id"]),
+                 int(r["term_id"]), float(r["idf"]))
+                for r in qrows
+            ),
+            "bucket int, query_id long, term_id long, idf double",
         )
-        qmap = qdict.join(F.broadcast(qb), "query_id")
         if telemetry is not None:
             telemetry.update(
                 engine="spark-small",
