@@ -66,6 +66,23 @@ SAMPLE_FRACTIONS = {"en": 0.5, "zh": 0.2, "fr": 0.1}  # es/de absent → dropped
 SAMPLE_SEED = 7
 PACK_BUDGET = 64
 PACK_SHARDS = 8
+BOOL_QUERY_SET: list[tuple[int, str, str | None]] = [
+    (0, "spark join", None),                 # plain AND
+    (1, "customer order line", "slow"),      # AND + NOT
+    (2, "the", ""),                          # single head term, empty NOT
+    (3, "table zzznotavocab", None),         # corpus-absent term -> 0 hits
+    (4, "hash agg", "window query"),         # AND + multi-term NOT
+]
+PREFIX_QUERY_SET: list[tuple[int, str]] = [
+    (0, "tab"),
+    (1, "cust quer"),        # two prefixes, disjunctive union
+    (2, "zzz"),              # expands to nothing -> 0 hits
+    (3, "sl"),
+    (4, "merge"),
+]
+FILTER_WHERE = "lang = 'en' AND n_chars < 300"
+SNIPPET_WIDTH = 30
+GROUP_COL = "source"
 PHRASES: list[tuple[int, str]] = [
     (0, "table hash"),
     (1, "customer join"),
@@ -486,6 +503,69 @@ def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _bool_queries_df(spark: SparkSession) -> DataFrame:
+    return spark.createDataFrame(
+        [(int(q), t, e) for q, t, e in BOOL_QUERY_SET],
+        "query_id long, query_text string, exclude_text string",
+    )
+
+
+def _prefix_queries_df(spark: SparkSession) -> DataFrame:
+    return spark.createDataFrame(
+        [(int(q), t) for q, t in PREFIX_QUERY_SET],
+        "query_id long, query_text string",
+    )
+
+
+def q_bool_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Lucene-style conjunctive (AND) retrieval with NOT exclusion terms
+    from igd_spark import bool_bm25_topk
+
+    return bool_bm25_topk(
+        _docs(spark, sf_dir), _bool_queries_df(spark), k=K,
+        exclude_col="exclude_text", round_dp=6,
+    )
+
+
+def q_filtered_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # attribute-filtered search: predicate restricts docs, idf stays global
+    from igd_spark import filtered_bm25_topk
+
+    return filtered_bm25_topk(
+        _docs(spark, sf_dir), _queries_df(spark), FILTER_WHERE, k=K, round_dp=6
+    )
+
+
+def q_prefix_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # wildcard pre* retrieval via dictionary expansion
+    from igd_spark import prefix_bm25_topk
+
+    return prefix_bm25_topk(
+        _docs(spark, sf_dir), _prefix_queries_df(spark), k=K, round_dp=6
+    )
+
+
+def q_group_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # group-level (conversation-analog) ranking rolled up to `source`
+    from igd_spark import group_bm25_topk
+
+    return group_bm25_topk(
+        _docs(spark, sf_dir), _queries_df(spark), GROUP_COL, k=K, agg="sum",
+        round_dp=6,
+    )
+
+
+def q_snippets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # keyword-in-context extraction for the (rounded-rank) BM25 top-k
+    from igd_spark.querylang import snippets
+    from igd_spark.search import bm25_scores
+
+    docs = _docs(spark, sf_dir)
+    qdf = _queries_df(spark)
+    top = _rank_rounded(bm25_scores(docs, qdf), K)
+    return snippets(docs, qdf, k=K, width=SNIPPET_WIDTH, top=top)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: BM25 top-10 over the sf0.001 documents corpus."""
     return q_bm25_topk(spark, "/root/testdata/sf0.001")
@@ -500,6 +580,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_topk": q_bm25_topk,
         "bm25_topk_mintf": q_bm25_topk_mintf,
         "bm25_topk_indexed": q_bm25_topk_indexed,
+        "bool_bm25_topk": q_bool_bm25_topk,
+        "filtered_bm25_topk": q_filtered_bm25_topk,
+        "prefix_bm25_topk": q_prefix_bm25_topk,
+        "group_bm25_topk": q_group_bm25_topk,
+        "snippets": q_snippets,
         "match_enumerate": q_match_enumerate,
         "term_cooccurrence": q_term_cooccurrence,
         "term_cooccurrence_mintf": q_term_cooccurrence_mintf,
@@ -1284,5 +1369,136 @@ SELECT doc_id, shard, (cb // {PACK_BUDGET})::BIGINT AS seq_id,
        n_tokens, (cb % {PACK_BUDGET})::BIGINT AS seq_offset
 FROM cum
 """
+
+    # ---- extended query language (querylang.py) ----
+    _W = (
+        f"ln((cs.n_docs - ts.df + 0.5) / (ts.df + 0.5) + 1.0) * p.tf * {K1 + 1.0}"
+        f" / (p.tf + {K1} * (1.0 - {B} + {B} * dl.dl / cs.avgdl))"
+    )
+    _bqvals = ", ".join(
+        f"({q}::BIGINT, '{t}', " + ("NULL::VARCHAR" if e is None else f"'{e}'") + ")"
+        for q, t, e in BOOL_QUERY_SET
+    )
+    sql["bool_bm25_topk"] = f"""
+WITH {_TL}, {_TOKS}, {_POST}, {_DL}, {_CS}, {_TS},
+bq(query_id, query_text, exclude_text) AS (VALUES {_bqvals}),
+qterms AS (SELECT DISTINCT query_id, unnest(list_filter(
+  regexp_split_to_array(lower(query_text), '[^a-z0-9]+'), x -> x <> '')) AS term FROM bq),
+nreq AS (SELECT query_id, count(DISTINCT term)::BIGINT AS n_required FROM qterms GROUP BY 1),
+scored AS (
+  SELECT qt.query_id, p.doc_id, sum({{_W}}) AS s,
+         count(DISTINCT p.term)::BIGINT AS n_matched
+  FROM qterms qt JOIN ts USING (term) JOIN post p USING (term)
+  JOIN dl ON p.doc_id = dl.doc_id CROSS JOIN cs
+  GROUP BY 1, 2),
+exterms AS (SELECT DISTINCT query_id, unnest(list_filter(
+  regexp_split_to_array(lower(exclude_text), '[^a-z0-9]+'), x -> x <> '')) AS term FROM bq),
+banned AS (SELECT DISTINCT e.query_id, p.doc_id FROM exterms e JOIN post p USING (term)),
+hits AS (
+  SELECT s.query_id, s.doc_id, s.s FROM scored s
+  JOIN nreq USING (query_id)
+  WHERE s.n_matched = nreq.n_required
+    AND NOT EXISTS (SELECT 1 FROM banned b
+                    WHERE b.query_id = s.query_id AND b.doc_id = s.doc_id)),
+ranked AS (
+  SELECT query_id, doc_id, round(s, 6) AS score,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY round(s, 6) DESC, doc_id ASC)::INT AS rank
+  FROM hits)
+SELECT query_id, rank, doc_id, score FROM ranked WHERE rank <= {K}
+""".replace("{_W}", _W)
+
+    sql["filtered_bm25_topk"] = f"""
+WITH {_TL}, {_TOKS}, {_POST}, {_DL}, {_CS}, {_TS}, {_QT},
+allowed AS (SELECT doc_id FROM documents WHERE {FILTER_WHERE}),
+scored AS (
+  SELECT qt.query_id, p.doc_id, sum({{_W}}) AS s
+  FROM qterms qt JOIN ts USING (term) JOIN post p USING (term)
+  JOIN dl ON p.doc_id = dl.doc_id CROSS JOIN cs
+  WHERE p.doc_id IN (SELECT doc_id FROM allowed)
+  GROUP BY 1, 2),
+ranked AS (
+  SELECT query_id, doc_id, round(s, 6) AS score,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY round(s, 6) DESC, doc_id ASC)::INT AS rank
+  FROM scored)
+SELECT query_id, rank, doc_id, score FROM ranked WHERE rank <= {K}
+""".replace("{_W}", _W)
+
+    _pqvals = ", ".join(f"({q}::BIGINT, '{t}')" for q, t in PREFIX_QUERY_SET)
+    sql["prefix_bm25_topk"] = f"""
+WITH {_TL}, {_TOKS}, {_POST}, {_DL}, {_CS}, {_TS},
+pq(query_id, query_text) AS (VALUES {_pqvals}),
+prefixes AS (SELECT DISTINCT query_id, unnest(list_filter(
+  regexp_split_to_array(lower(query_text), '[^a-z0-9]+'), x -> x <> '')) AS prefix FROM pq),
+expanded AS (
+  SELECT DISTINCT pr.query_id, ts.term, ts.df
+  FROM prefixes pr JOIN ts ON ts.term LIKE pr.prefix || '%'),
+scored AS (
+  SELECT e.query_id, p.doc_id,
+         sum( ln((cs.n_docs - e.df + 0.5) / (e.df + 0.5) + 1.0)
+              * p.tf * {K1 + 1.0}
+              / (p.tf + {K1} * (1.0 - {B} + {B} * dl.dl / cs.avgdl)) ) AS s
+  FROM expanded e JOIN post p USING (term)
+  JOIN dl ON p.doc_id = dl.doc_id CROSS JOIN cs
+  GROUP BY 1, 2),
+ranked AS (
+  SELECT query_id, doc_id, round(s, 6) AS score,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY round(s, 6) DESC, doc_id ASC)::INT AS rank
+  FROM scored)
+SELECT query_id, rank, doc_id, score FROM ranked WHERE rank <= {K}
+"""
+
+    sql["group_bm25_topk"] = f"""
+WITH {_TL}, {_TOKS}, {_POST}, {_DL}, {_CS}, {_TS}, {_QT},
+scored AS (
+  SELECT qt.query_id, p.doc_id, sum({{_W}}) AS s
+  FROM qterms qt JOIN ts USING (term) JOIN post p USING (term)
+  JOIN dl ON p.doc_id = dl.doc_id CROSS JOIN cs
+  GROUP BY 1, 2),
+g AS (
+  SELECT s.query_id, d."{GROUP_COL}" AS "group", round(sum(s.s), 6) AS score
+  FROM scored s JOIN documents d ON d.doc_id = s.doc_id
+  GROUP BY 1, 2),
+ranked AS (
+  SELECT query_id, "group", score,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY score DESC, "group" ASC)::INT AS rank
+  FROM g)
+SELECT query_id, rank, "group", score FROM ranked WHERE rank <= {K}
+""".replace("{_W}", _W)
+
+    sql["snippets"] = f"""
+WITH {_TL}, {_TOKS}, {_POST}, {_DL}, {_CS}, {_TS}, {_QT},
+scored AS (
+  SELECT qt.query_id, p.doc_id, sum({{_W}}) AS s
+  FROM qterms qt JOIN ts USING (term) JOIN post p USING (term)
+  JOIN dl ON p.doc_id = dl.doc_id CROSS JOIN cs
+  GROUP BY 1, 2),
+topk AS (
+  SELECT query_id, doc_id, rank FROM (
+    SELECT query_id, doc_id,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY round(s, 6) DESC, doc_id ASC)::INT AS rank
+    FROM scored) WHERE rank <= {K}),
+matches AS (
+  SELECT DISTINCT qt.query_id, p.doc_id, p.term
+  FROM qterms qt JOIN post p USING (term)),
+cand AS (
+  SELECT m.query_id, t.rank, m.doc_id, m.term,
+         strpos(lower(d.text), m.term)::INT AS pos, d.text
+  FROM matches m
+  JOIN topk t ON t.query_id = m.query_id AND t.doc_id = m.doc_id
+  JOIN documents d ON d.doc_id = m.doc_id),
+first AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id, doc_id
+                               ORDER BY pos ASC, term ASC) AS rn
+  FROM cand)
+SELECT query_id, rank, doc_id, term, pos,
+       substr(text, greatest(1, pos - {SNIPPET_WIDTH}),
+              {2 * SNIPPET_WIDTH} + len(term)) AS snippet
+FROM first WHERE rn = 1
+""".replace("{_W}", _W)
 
     return sql

@@ -52,6 +52,14 @@ from igd_spark.index import (
 from igd_spark.events import sessionize
 from igd_spark.multimodal import extract_features, extract_features_long, media_stats
 from igd_spark.pipeline import curate, curated_docs
+from igd_spark.querylang import (
+    bool_bm25_topk,
+    conv_bm25_topk,
+    filtered_bm25_topk,
+    group_bm25_topk,
+    prefix_bm25_topk,
+    snippets,
+)
 from igd_spark.search import (
     bm25_scores,
     exact_bm25_topk,
@@ -90,9 +98,11 @@ __all__ = [
     "append_index",
     "assign_doc_ids",
     "bm25_scores",
+    "bool_bm25_topk",
     "build_index",
     "compact_index",
     "connected_components",
+    "conv_bm25_topk",
     "corpus_stats",
     "cosine_neardup_banded",
     "cosine_neardup_pairs",
@@ -108,7 +118,9 @@ __all__ = [
     "extract_features",
     "extract_features_long",
     "fuzzy_dedup_docs",
+    "filtered_bm25_topk",
     "fingerprint",
+    "group_bm25_topk",
     "ivf_ann_topk",
     "lang_id",
     "keywords_topk",
@@ -124,6 +136,7 @@ __all__ = [
     "phrase_match",
     "phrase_match_indexed",
     "pick_anchors",
+    "prefix_bm25_topk",
     "purge_staging",
     "positional_postings",
     "postings",
@@ -139,6 +152,7 @@ __all__ = [
     "shingles",
     "simhash",
     "simhash_dedup_pairs",
+    "snippets",
     "source_hits",
     "source_overlap_matrix",
     "span_df",

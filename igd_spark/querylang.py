@@ -1,0 +1,321 @@
+"""Extended query language over the BM25 engine.
+
+The reference engine answers one query shape: weighted overlap counts per
+region set (src/igd_search.c:696-719 streams queries; hits accumulate at
+src/igd_search.c:491).  A fulltext user of the grafted engine immediately
+wants the classic Lucene-family query surface on top of ranked retrieval,
+so this module adds, as pure-DataFrame compositions of the exact scorer
+(`igd_spark.search.bm25_scores` building blocks):
+
+* ``bool_bm25_topk``    — conjunctive (AND) matching with optional NOT
+  exclusion terms, BM25-ranked.
+* ``filtered_bm25_topk`` — BM25 restricted by an arbitrary document-
+  attribute predicate (``lang = 'en'``, ``source LIKE ...``).  Lucene
+  filter semantics: the predicate restricts WHICH docs may appear; it does
+  NOT change idf / avgdl, which stay global-corpus quantities.
+* ``prefix_bm25_topk``  — each query token is a term PREFIX, expanded
+  against the term dictionary, then scored disjunctively (terms matched by
+  two prefixes of the same query score once).
+* ``group_bm25_topk``   — group-level ranking: roll turn-level scores up
+  to a grouping column (``conv_id`` for transcripts — ``conv_bm25_topk``
+  is the transcript-shaped alias — or ``source`` for the gate corpus) and
+  rank groups per query.
+* ``snippets``          — keyword-in-context extraction: for each top-k
+  (query, doc) hit, a character window of the original text centred on the
+  first occurrence of the earliest-occurring matched query term.
+
+Every operator is JVM-side Catalyst code (joins + hash aggregates + window
+top-k): no Python UDFs, no collects beyond the O(1) corpus-stats row that
+the exact scorer already takes.
+
+100 TB notes, per operator, are in the docstrings: the query side is always
+broadcast; corpus-sized work is one postings scan plus fine-grained-key
+shuffles (query_id, doc_id); the prefix expansion streams the vocab-sized
+dictionary against a broadcast prefix list.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from igd_spark.config import DEFAULT_CONF, IndexConf
+from igd_spark.scoring import bm25_weight_col, idf_col
+from igd_spark.search import bm25_scores, exact_bm25_topk, query_terms, rank_topk
+from igd_spark.stats import corpus_stats, doc_stats, term_stats
+from igd_spark.tokenizer import postings
+
+
+def _maybe_round(scored: DataFrame, round_dp: int | None) -> DataFrame:
+    """Cross-engine rank-stability protocol (same as the gate's
+    `_rank_rounded`): round the score BEFORE ranking so Spark and an oracle
+    engine rank identical values.  ``None`` keeps raw doubles."""
+    if round_dp is None:
+        return scored
+    return scored.withColumn("score", F.round("score", round_dp))
+
+
+def _corpus_parts(
+    docs: DataFrame, conf: IndexConf, text_col: str, id_col: str
+) -> tuple[DataFrame, DataFrame, int, float]:
+    """(postings, doc_stats, n_docs, avgdl) for one corpus pass — the same
+    global quantities `bm25_scores` derives (search.py)."""
+    post = postings(docs, text_col=text_col, id_col=id_col, conf=conf)
+    ds = doc_stats(docs, text_col=text_col, id_col=id_col, conf=conf)
+    cs = corpus_stats(ds).collect()[0]
+    return post, ds, int(cs["n_docs"]), float(cs["avgdl"])
+
+
+def _score_terms(
+    post: DataFrame,
+    ds: DataFrame,
+    avgdl: float,
+    qt_idf: DataFrame,
+    conf: IndexConf,
+    extra_aggs: tuple[Column, ...] = (),
+) -> DataFrame:
+    """Score an explicit (query_id, term, idf) set: postings ⋈(broadcast)
+    terms ⋈ doc_stats → hash agg on (query_id, doc_id).  Identical plan
+    shape to `bm25_scores`; factored out so boolean / prefix variants can
+    supply their own term sets and piggyback extra aggregates."""
+    scored = post.join(F.broadcast(qt_idf.select("query_id", "term", "idf")), "term")
+    scored = scored.join(ds, "doc_id")
+    w = bm25_weight_col(F.col("idf"), "tf", "dl", avgdl, conf.k1, conf.b)
+    return scored.groupBy("query_id", "doc_id").agg(
+        F.sum(w).alias("score"), *extra_aggs
+    )
+
+
+def bool_bm25_topk(
+    docs: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    conf: IndexConf = DEFAULT_CONF,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    exclude_col: str | None = None,
+    round_dp: int | None = None,
+) -> DataFrame:
+    """Conjunctive boolean retrieval, BM25-ranked.
+
+    A doc qualifies iff it contains EVERY distinct term of ``query_text``
+    (a query holding a corpus-absent term therefore matches nothing — the
+    standard AND contract).  When ``exclude_col`` names a second text
+    column, docs containing ANY of its terms are removed (NOT clause; a
+    null / empty exclude text excludes nothing).  Qualifying docs keep
+    their ordinary disjunctive BM25 score, so ranking is consistent with
+    `exact_bm25_topk` restricted to the conjunctive hit set.
+
+    Scale: the required-term count and the per-(query, doc) matched-term
+    count ride the same hash aggregate the scorer already does (one extra
+    countDistinct), and the NOT clause is a left-anti join on the
+    fine-grained (query_id, doc_id) key, bounded by the excluded terms'
+    postings × queries — no corpus-sized additional pass.
+    """
+    post, ds, n_docs, avgdl = _corpus_parts(docs, conf, text_col, id_col)
+    qt = query_terms(queries)  # ALL distinct query terms, corpus-absent included
+    nq = qt.groupBy("query_id").agg(F.countDistinct("term").alias("n_required"))
+    ts = term_stats(post)
+    qt_idf = qt.join(ts, "term").withColumn("idf", idf_col(n_docs, "df"))
+    scored = _score_terms(
+        post, ds, avgdl, qt_idf, conf,
+        extra_aggs=(F.countDistinct("term").alias("n_matched"),),
+    )
+    hits = (
+        scored.join(F.broadcast(nq), "query_id")
+        .filter(F.col("n_matched") == F.col("n_required"))
+        .select("query_id", "doc_id", "score")
+    )
+    if exclude_col is not None:
+        ex = query_terms(queries, text_col=exclude_col)
+        banned = (
+            post.join(F.broadcast(ex), "term")
+            .select("query_id", "doc_id")
+            .dropDuplicates(["query_id", "doc_id"])
+        )
+        hits = hits.join(banned, ["query_id", "doc_id"], "left_anti")
+    return rank_topk(_maybe_round(hits, round_dp), k)
+
+
+def filtered_bm25_topk(
+    docs: DataFrame,
+    queries: DataFrame,
+    where: Column | str,
+    k: int = 10,
+    conf: IndexConf = DEFAULT_CONF,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    round_dp: int | None = None,
+) -> DataFrame:
+    """BM25 top-k over docs satisfying an attribute predicate.
+
+    Lucene filter-query semantics: ``where`` (a Column or SQL string over
+    the ``docs`` columns) restricts which docs may appear in results, but
+    idf / n_docs / avgdl remain FULL-corpus statistics — a filter must not
+    re-weight terms.  The predicate is pushed below the scoring aggregate
+    (left-semi on doc_id against the filtered id set), so excluded docs
+    never reach the score hash-agg; with a selective predicate the agg
+    shrinks proportionally.  At 100 TB the filtered-id side is produced by
+    the same parquet scan with the predicate pushed down to the reader.
+    """
+    cond = F.expr(where) if isinstance(where, str) else where
+    post, ds, n_docs, avgdl = _corpus_parts(docs, conf, text_col, id_col)
+    qt = query_terms(queries)
+    ts = term_stats(post)
+    qt_idf = qt.join(ts, "term").withColumn("idf", idf_col(n_docs, "df"))
+    allowed = docs.filter(cond).select(F.col(id_col).alias("doc_id"))
+    post_f = post.join(allowed, "doc_id", "left_semi")
+    return rank_topk(
+        _maybe_round(_score_terms(post_f, ds, avgdl, qt_idf, conf), round_dp), k
+    )
+
+
+def prefix_bm25_topk(
+    docs: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    conf: IndexConf = DEFAULT_CONF,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    round_dp: int | None = None,
+) -> DataFrame:
+    """Prefix (wildcard ``pre*``) retrieval: every token of ``query_text``
+    is a term prefix, expanded against the corpus term dictionary; the
+    union of expansions scores disjunctively with each matched term's own
+    idf (the classic multi-term-query rewrite).  A term matched by two
+    prefixes of one query scores once (dropDuplicates on (query_id, term)).
+
+    Scale: expansion is a broadcast-nested-loop of the vocab-sized
+    dictionary against the broadcast prefix list — vocab rows × a handful
+    of prefixes, one pass, no shuffle; everything after is the ordinary
+    scorer plan.  Hot prefixes ("a*") expand to many terms: the expansion
+    count is bounded by vocab, and the scoring join cost by the expanded
+    terms' total df — same bound a user accepts in any wildcard engine.
+    """
+    post, ds, n_docs, avgdl = _corpus_parts(docs, conf, text_col, id_col)
+    prefixes = query_terms(queries).withColumnRenamed("term", "prefix")
+    ts = term_stats(post)
+    expanded = (
+        ts.join(F.broadcast(prefixes), F.col("term").startswith(F.col("prefix")))
+        .select("query_id", "term", "df")
+        .dropDuplicates(["query_id", "term"])
+        .withColumn("idf", idf_col(n_docs, "df"))
+    )
+    return rank_topk(
+        _maybe_round(_score_terms(post, ds, avgdl, expanded, conf), round_dp), k
+    )
+
+
+def group_bm25_topk(
+    docs: DataFrame,
+    queries: DataFrame,
+    group_col: str,
+    k: int = 10,
+    conf: IndexConf = DEFAULT_CONF,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    agg: str = "sum",
+    round_dp: int | None = None,
+) -> DataFrame:
+    """Group-level ranking: roll per-doc BM25 up to ``group_col`` and rank
+    groups per query — (query_id, rank, group, score).  ``agg`` is ``sum``
+    (total relevance mass in the group) or ``max`` (best single member).
+    For transcripts the group is the conversation: a hit anywhere in a
+    conversation ranks the whole conversation (`conv_bm25_topk`).
+
+    Tie-break mirrors Q11: (score desc, group asc).
+
+    Scale: scored is (query, doc) pairs — sparse, bounded by the query
+    terms' postings; attaching the group is one join against the
+    (doc_id, group) projection of the corpus (at 100 TB: columnar scan of
+    two columns, shuffle keyed on doc_id), then a fine-keyed hash agg on
+    (query_id, group).
+    """
+    if agg not in ("sum", "max"):
+        raise ValueError(f"agg must be 'sum' or 'max', got {agg!r}")
+    scored = bm25_scores(docs, queries, conf=conf, text_col=text_col, id_col=id_col)
+    groups = docs.select(
+        F.col(id_col).alias("doc_id"), F.col(group_col).alias("group")
+    )
+    agg_fn = F.sum if agg == "sum" else F.max
+    g = (
+        scored.join(groups, "doc_id")
+        .groupBy("query_id", "group")
+        .agg(agg_fn("score").alias("score"))
+    )
+    g = _maybe_round(g, round_dp)
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("group"))
+    return (
+        g.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "group", "score")
+    )
+
+
+def conv_bm25_topk(
+    docs: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    conf: IndexConf = DEFAULT_CONF,
+    agg: str = "sum",
+    round_dp: int | None = None,
+) -> DataFrame:
+    """Conversation-level ranking for the transcript shape (north-star
+    input: one doc = one (conv_id, turn_idx) turn): rank conversations by
+    rolled-up turn scores."""
+    return group_bm25_topk(
+        docs, queries, "conv_id", k=k, conf=conf, agg=agg, round_dp=round_dp
+    )
+
+
+def snippets(
+    docs: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    width: int = 30,
+    conf: IndexConf = DEFAULT_CONF,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    top: DataFrame | None = None,
+) -> DataFrame:
+    """Keyword-in-context snippets for the BM25 top-k —
+    (query_id, rank, doc_id, term, pos, snippet).
+
+    For each top-k (query, doc) hit: among the query terms the doc matched
+    at TOKEN level (so every candidate term is guaranteed present), take
+    the one whose first substring occurrence in lower(text) is earliest
+    (tie → term asc, which covers one term being a prefix of another at
+    the same position), and cut ``substr(text, max(1, pos - width),
+    2*width + len(term))`` from the ORIGINAL text.  Positions are computed
+    on lower(text), which is length-preserving for the ASCII corpus this
+    targets (documented limit: locale-expanding lowercasings would shift
+    positions).
+
+    Scale: candidate terms per (query, doc) are bounded by query length;
+    the only corpus-sized touch is the join fetching the top-k docs' text
+    — k × queries rows against the (doc_id, text) projection.
+    """
+    if top is None:
+        top = exact_bm25_topk(
+            docs, queries, k=k, conf=conf, text_col=text_col, id_col=id_col
+        )
+    post = postings(docs, text_col=text_col, id_col=id_col, conf=conf)
+    qt = query_terms(queries)
+    matches = post.join(F.broadcast(qt), "term").select("query_id", "doc_id", "term")
+    cand = matches.join(top.select("query_id", "doc_id", "rank"), ["query_id", "doc_id"])
+    texts = docs.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("_text"))
+    cand = cand.join(texts, "doc_id").withColumn(
+        "pos", F.instr(F.lower(F.col("_text")), F.col("term"))
+    )
+    w = Window.partitionBy("query_id", "doc_id").orderBy(F.asc("pos"), F.asc("term"))
+    first = cand.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") == 1)
+    start = F.greatest(F.lit(1), F.col("pos") - F.lit(width))
+    length = F.lit(2 * width) + F.length("term")
+    return first.select(
+        "query_id",
+        "rank",
+        "doc_id",
+        "term",
+        "pos",
+        F.substring(F.col("_text"), start, length).alias("snippet"),
+    )

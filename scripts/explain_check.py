@@ -199,6 +199,41 @@ def main() -> int:
         f"read {sorted(bcols)}",
     )
 
+    # 7. extended query language (querylang.py) -------------------------------
+    from igd_spark import bool_bm25_topk, filtered_bm25_topk, prefix_bm25_topk
+
+    ql_docs = spark.read.parquet(docs_on_disk)
+    ql_q = spark.createDataFrame(
+        [(0, "error timeout")], "query_id long, query_text string"
+    )
+
+    fplan = fmt(filtered_bm25_topk(ql_docs, ql_q, "role = 'user'"))
+    check(
+        "filtered_bm25_topk: attribute predicate pushed to the parquet scan",
+        "EqualTo(role,user)" in fplan or "EqualTo(role, user)" in fplan,
+        "no EqualTo(role,...) in PushedFilters",
+    )
+    check(
+        "filtered_bm25_topk: no cartesian product",
+        "CartesianProduct" not in fplan,
+    )
+
+    bq = spark.createDataFrame(
+        [(0, "error timeout", "deploy")],
+        "query_id long, query_text string, exclude_text string",
+    )
+    bplan2 = fmt(bool_bm25_topk(ql_docs, bq, exclude_col="exclude_text"))
+    check(
+        "bool_bm25_topk: query/required-count sides broadcast, no cartesian",
+        "BroadcastHashJoin" in bplan2 and "CartesianProduct" not in bplan2,
+    )
+
+    prplan = fmt(prefix_bm25_topk(ql_docs, ql_q))
+    check(
+        "prefix_bm25_topk: prefix list broadcast against the dictionary (no shuffle-side theta join)",
+        "BroadcastNestedLoopJoin" in prplan and "CartesianProduct" not in prplan,
+    )
+
     n_fail = sum(1 for _, ok, _ in checks if not ok)
     print(f"\n{len(checks) - n_fail}/{len(checks)} plan checks passed")
     return 1 if n_fail else 0

@@ -1,0 +1,176 @@
+"""Semantic contracts of the extended query language (querylang.py):
+boolean AND/NOT, attribute filtering (global idf), prefix expansion,
+group/conversation roll-up, snippet windows.  Cross-engine value identity
+is the gate's job (gate entries bool/filtered/prefix/group_bm25_topk,
+snippets); here we pin the SEMANTICS against the plain BM25 scorer on the
+tiny transcript fixture."""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from igd_spark.corpus import assign_doc_ids
+from igd_spark.querylang import (
+    bool_bm25_topk,
+    conv_bm25_topk,
+    filtered_bm25_topk,
+    group_bm25_topk,
+    prefix_bm25_topk,
+    snippets,
+)
+from igd_spark.search import bm25_scores, exact_bm25_topk, query_terms
+
+K = 10
+
+
+@pytest.fixture(scope="module")
+def docs(spark, tiny_docs):
+    return assign_doc_ids(tiny_docs).cache()
+
+
+def _queries(spark, rows, schema="query_id long, query_text string"):
+    return spark.createDataFrame(rows, schema)
+
+
+def _pick_terms(docs, n=4, lo=5, hi=40):
+    """Mid-frequency corpus terms, deterministic."""
+    from igd_spark.stats import term_stats
+    from igd_spark.tokenizer import postings
+
+    ts = term_stats(postings(docs)).filter(
+        (F.col("df") >= lo) & (F.col("df") <= hi)
+    )
+    return [r["term"] for r in ts.orderBy("term").limit(n).collect()]
+
+
+def test_bool_and_semantics(spark, docs):
+    t1, t2 = _pick_terms(docs, 2)
+    q = _queries(spark, [(0, f"{t1} {t2}")])
+    out = bool_bm25_topk(docs, q, k=10_000).toPandas()
+    # every returned doc contains BOTH terms
+    got = set(out["doc_id"])
+    texts = docs.select("doc_id", F.lower("text").alias("t")).toPandas()
+    both = {
+        r.doc_id
+        for r in texts.itertuples()
+        if t1 in str(r.t).split() and t2 in str(r.t).split()
+    }
+    # token-level check: use postings to be split-exact
+    from igd_spark.tokenizer import postings
+
+    p = postings(docs).filter(F.col("term").isin([t1, t2])).toPandas()
+    per_doc = p.groupby("doc_id")["term"].nunique()
+    both = set(per_doc[per_doc == 2].index)
+    assert got == both and len(both) > 0
+
+
+def test_bool_absent_term_matches_nothing(spark, docs):
+    t1 = _pick_terms(docs, 1)[0]
+    q = _queries(spark, [(0, f"{t1} zzznotavocab")])
+    assert bool_bm25_topk(docs, q, k=100).count() == 0
+
+
+def test_bool_not_exclusion(spark, docs):
+    t1, t2 = _pick_terms(docs, 2)
+    q = spark.createDataFrame(
+        [(0, t1, t2), (1, t1, None)],
+        "query_id long, query_text string, exclude_text string",
+    )
+    out = bool_bm25_topk(docs, q, k=10_000, exclude_col="exclude_text").toPandas()
+    from igd_spark.tokenizer import postings
+
+    p = postings(docs).filter(F.col("term").isin([t1, t2])).toPandas()
+    has_t1 = set(p[p["term"] == t1]["doc_id"])
+    has_t2 = set(p[p["term"] == t2]["doc_id"])
+    assert set(out[out["query_id"] == 0]["doc_id"]) == has_t1 - has_t2
+    assert set(out[out["query_id"] == 1]["doc_id"]) == has_t1
+    # scores of surviving docs equal the plain disjunctive scorer's
+    plain = bm25_scores(docs, _queries(spark, [(0, t1)])).toPandas()
+    m = out[out["query_id"] == 1].merge(plain, on="doc_id", suffixes=("_b", "_p"))
+    assert (abs(m["score_b"] - m["score_p"]) < 1e-9).all()
+
+
+def test_filtered_subset_and_global_idf(spark, docs):
+    t1 = _pick_terms(docs, 1)[0]
+    q = _queries(spark, [(0, t1)])
+    cond = "role = 'user'"
+    out = filtered_bm25_topk(docs, q, cond, k=10_000).toPandas()
+    allowed = set(
+        r["doc_id"] for r in docs.filter(cond).select("doc_id").collect()
+    )
+    assert set(out["doc_id"]) <= allowed and len(out) > 0
+    # idf must stay GLOBAL: scores equal the unfiltered scorer on the same docs
+    plain = bm25_scores(docs, q).toPandas()
+    m = out.merge(plain, on="doc_id", suffixes=("_f", "_p"))
+    assert len(m) == len(out)
+    assert (abs(m["score_f"] - m["score_p"]) < 1e-9).all()
+
+
+def test_prefix_equals_manual_expansion(spark, docs):
+    terms = _pick_terms(docs, 6)
+    pre = terms[0][:3]
+    q = _queries(spark, [(0, pre)])
+    out = prefix_bm25_topk(docs, q, k=K).toPandas()
+    # manual expansion: all corpus terms with that prefix as one OR query
+    from igd_spark.stats import term_stats
+    from igd_spark.tokenizer import postings
+
+    expand = [
+        r["term"]
+        for r in term_stats(postings(docs))
+        .filter(F.col("term").startswith(pre))
+        .collect()
+    ]
+    assert expand, "fixture must contain terms with the chosen prefix"
+    manual = exact_bm25_topk(docs, _queries(spark, [(0, " ".join(expand))]), k=K).toPandas()
+    assert list(out["doc_id"]) == list(manual["doc_id"])
+    assert (abs(out["score"] - manual["score"]) < 1e-9).all()
+
+
+def test_group_rollup_sum_and_max(spark, docs):
+    t1 = _pick_terms(docs, 1)[0]
+    q = _queries(spark, [(0, t1)])
+    scored = bm25_scores(docs, q).toPandas()
+    groups = docs.select("doc_id", "conv_id").toPandas()
+    j = scored.merge(groups, on="doc_id")
+    for agg in ("sum", "max"):
+        out = conv_bm25_topk(docs, q, k=10_000, agg=agg).toPandas()
+        exp = getattr(j.groupby("conv_id")["score"], agg)().sort_values(
+            ascending=False
+        )
+        got = out.set_index("group")["score"]
+        assert set(got.index) == set(exp.index)
+        for cid in got.index:
+            assert abs(got[cid] - exp[cid]) < 1e-9
+        # rank 1 is the arg-max group (ties broken by group asc)
+        top_score = exp.max()
+        best = sorted(exp[exp >= top_score - 1e-12].index)[0]
+        assert out[out["rank"] == 1]["group"].iloc[0] == best
+
+
+def test_group_agg_validation(spark, docs):
+    q = _queries(spark, [(0, "x")])
+    with pytest.raises(ValueError):
+        group_bm25_topk(docs, q, "conv_id", agg="median")
+
+
+def test_snippets_window_contains_term(spark, docs):
+    t1, t2 = _pick_terms(docs, 2)
+    q = _queries(spark, [(0, f"{t1} {t2}")])
+    width = 12
+    out = snippets(docs, q, k=5, width=width).toPandas()
+    assert len(out) > 0
+    texts = dict(
+        (r["doc_id"], r["text"]) for r in docs.select("doc_id", "text").collect()
+    )
+    for r in out.itertuples():
+        # pos is the 1-based first occurrence in lower(text)
+        assert str(texts[r.doc_id]).lower().find(r.term) + 1 == r.pos
+        # the snippet window contains the matched term
+        assert r.term in r.snippet.lower()
+        assert len(r.snippet) <= 2 * width + len(r.term)
+    # one snippet per (query, doc) hit; ranks are the top-k ranks
+    assert out.groupby(["query_id", "doc_id"]).size().max() == 1
+    assert set(out["rank"]) <= set(range(1, 6))
