@@ -566,6 +566,61 @@ def q_snippets(spark: SparkSession, sf_dir: str) -> DataFrame:
     return snippets(docs, qdf, k=K, width=SNIPPET_WIDTH, top=top)
 
 
+def q_bool_bm25_topk_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # AND+NOT over the persisted index: pruned posting blocks only, dl from
+    # the blocks (zero corpus joins); must be rank-identical to the
+    # DataFrame path, hence the same oracle
+    from igd_spark import bool_bm25_topk_indexed
+
+    idx = _built_index(spark, sf_dir)
+    return bool_bm25_topk_indexed(
+        spark, idx, _bool_queries_df(spark), k=K,
+        exclude_col="exclude_text", round_dp=6,
+    )
+
+
+def q_filtered_bm25_topk_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from igd_spark import filtered_bm25_topk_indexed
+
+    idx = _built_index(spark, sf_dir)
+    return filtered_bm25_topk_indexed(
+        spark, idx, _queries_df(spark), _docs(spark, sf_dir), FILTER_WHERE,
+        k=K, round_dp=6,
+    )
+
+
+def q_prefix_bm25_topk_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from igd_spark import prefix_bm25_topk_indexed
+
+    idx = _built_index(spark, sf_dir)
+    return prefix_bm25_topk_indexed(
+        spark, idx, _prefix_queries_df(spark), k=K, round_dp=6
+    )
+
+
+def q_group_bm25_topk_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from igd_spark import group_bm25_topk_indexed
+
+    idx = _built_index(spark, sf_dir)
+    return group_bm25_topk_indexed(
+        spark, idx, _queries_df(spark),
+        _docs(spark, sf_dir).select("doc_id", GROUP_COL), k=K, agg="sum",
+        group_col=GROUP_COL, round_dp=6,
+    )
+
+
+def q_snippets_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # same contract as q_snippets but the top-k comes from the index-backed
+    # scorer; corpus touched only for the winning texts
+    from igd_spark import snippets_indexed
+
+    idx = _built_index(spark, sf_dir)
+    return snippets_indexed(
+        spark, idx, _queries_df(spark), _docs(spark, sf_dir),
+        k=K, width=SNIPPET_WIDTH, round_dp=6,
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: BM25 top-10 over the sf0.001 documents corpus."""
     return q_bm25_topk(spark, "/root/testdata/sf0.001")
@@ -585,6 +640,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "prefix_bm25_topk": q_prefix_bm25_topk,
         "group_bm25_topk": q_group_bm25_topk,
         "snippets": q_snippets,
+        "bool_bm25_topk_indexed": q_bool_bm25_topk_indexed,
+        "filtered_bm25_topk_indexed": q_filtered_bm25_topk_indexed,
+        "prefix_bm25_topk_indexed": q_prefix_bm25_topk_indexed,
+        "group_bm25_topk_indexed": q_group_bm25_topk_indexed,
+        "snippets_indexed": q_snippets_indexed,
         "match_enumerate": q_match_enumerate,
         "term_cooccurrence": q_term_cooccurrence,
         "term_cooccurrence_mintf": q_term_cooccurrence_mintf,
@@ -1500,5 +1560,13 @@ SELECT query_id, rank, doc_id, term, pos,
               {2 * SNIPPET_WIDTH} + len(term)) AS snippet
 FROM first WHERE rn = 1
 """.replace("{_W}", _W)
+
+    # indexed querylang variants must be value-identical to the DataFrame
+    # paths (same contract as bm25_topk_indexed), so they share oracles
+    sql["bool_bm25_topk_indexed"] = sql["bool_bm25_topk"]
+    sql["filtered_bm25_topk_indexed"] = sql["filtered_bm25_topk"]
+    sql["prefix_bm25_topk_indexed"] = sql["prefix_bm25_topk"]
+    sql["group_bm25_topk_indexed"] = sql["group_bm25_topk"]
+    sql["snippets_indexed"] = sql["snippets"]
 
     return sql

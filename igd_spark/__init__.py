@@ -54,11 +54,16 @@ from igd_spark.multimodal import extract_features, extract_features_long, media_
 from igd_spark.pipeline import curate, curated_docs
 from igd_spark.querylang import (
     bool_bm25_topk,
+    bool_bm25_topk_indexed,
     conv_bm25_topk,
     filtered_bm25_topk,
+    filtered_bm25_topk_indexed,
     group_bm25_topk,
+    group_bm25_topk_indexed,
     prefix_bm25_topk,
+    prefix_bm25_topk_indexed,
     snippets,
+    snippets_indexed,
 )
 from igd_spark.search import (
     bm25_scores,
@@ -99,6 +104,7 @@ __all__ = [
     "assign_doc_ids",
     "bm25_scores",
     "bool_bm25_topk",
+    "bool_bm25_topk_indexed",
     "build_index",
     "compact_index",
     "connected_components",
@@ -119,8 +125,10 @@ __all__ = [
     "extract_features_long",
     "fuzzy_dedup_docs",
     "filtered_bm25_topk",
+    "filtered_bm25_topk_indexed",
     "fingerprint",
     "group_bm25_topk",
+    "group_bm25_topk_indexed",
     "ivf_ann_topk",
     "lang_id",
     "keywords_topk",
@@ -137,6 +145,7 @@ __all__ = [
     "phrase_match_indexed",
     "pick_anchors",
     "prefix_bm25_topk",
+    "prefix_bm25_topk_indexed",
     "purge_staging",
     "positional_postings",
     "postings",
@@ -153,6 +162,7 @@ __all__ = [
     "simhash",
     "simhash_dedup_pairs",
     "snippets",
+    "snippets_indexed",
     "source_hits",
     "source_overlap_matrix",
     "span_df",

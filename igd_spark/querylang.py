@@ -43,7 +43,7 @@ from igd_spark.config import DEFAULT_CONF, IndexConf
 from igd_spark.scoring import bm25_weight_col, idf_col
 from igd_spark.search import bm25_scores, exact_bm25_topk, query_terms, rank_topk
 from igd_spark.stats import corpus_stats, doc_stats, term_stats
-from igd_spark.tokenizer import postings
+from igd_spark.tokenizer import postings, tokens_col
 
 
 def _maybe_round(scored: DataFrame, round_dp: int | None) -> DataFrame:
@@ -293,20 +293,23 @@ def snippets(
 
     Scale: candidate terms per (query, doc) are bounded by query length;
     the only corpus-sized touch is the join fetching the top-k docs' text
-    — k × queries rows against the (doc_id, text) projection.
+    — k × queries rows against the (doc_id, text) projection.  Token-level
+    term membership is tested on those fetched texts (array_contains over
+    the tokenized window rows), NOT by re-tokenizing the corpus: when
+    ``top`` is supplied (e.g. from the indexed scorer), no full corpus
+    pass happens at all.
     """
     if top is None:
         top = exact_bm25_topk(
             docs, queries, k=k, conf=conf, text_col=text_col, id_col=id_col
         )
-    post = postings(docs, text_col=text_col, id_col=id_col, conf=conf)
     qt = query_terms(queries)
-    matches = post.join(F.broadcast(qt), "term").select("query_id", "doc_id", "term")
-    cand = matches.join(top.select("query_id", "doc_id", "rank"), ["query_id", "doc_id"])
     texts = docs.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("_text"))
-    cand = cand.join(texts, "doc_id").withColumn(
-        "pos", F.instr(F.lower(F.col("_text")), F.col("term"))
+    hits = top.select("query_id", "doc_id", "rank").join(texts, "doc_id")
+    cand = hits.join(F.broadcast(qt), "query_id").filter(
+        F.array_contains(tokens_col(F.col("_text"), conf.token_split_re), F.col("term"))
     )
+    cand = cand.withColumn("pos", F.instr(F.lower(F.col("_text")), F.col("term")))
     w = Window.partitionBy("query_id", "doc_id").orderBy(F.asc("pos"), F.asc("term"))
     first = cand.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") == 1)
     start = F.greatest(F.lit(1), F.col("pos") - F.lit(width))
@@ -318,4 +321,186 @@ def snippets(
         "term",
         "pos",
         F.substring(F.col("_text"), start, length).alias("snippet"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Index-backed variants — the 100 TB path
+# ---------------------------------------------------------------------------
+#
+# The DataFrame variants above re-tokenize ``docs`` per call: exact, simple,
+# and the right oracle — but a full corpus scan per query batch.  The
+# variants below run the same semantics over a persisted `InvertedIndex`:
+# the only data touched is the query terms' posting blocks (shard partition
+# pruning + In(term_id) row-group pruning, the same scan `search()` uses),
+# and because the blocks carry per-posting document lengths (build.py packs
+# dls next to tfs — the gdata_t.value analog, src/igd_base.h:45), scoring
+# is a pure columnar expression: ZERO corpus-sized joins, no doc_stats
+# table, no re-tokenize.  Rank-identity with the DataFrame variants is
+# gate- and pytest-enforced.
+
+
+def _indexed_scored(
+    spark,
+    idx,
+    queries: DataFrame,
+    qterms: DataFrame | None = None,
+    extra_aggs: tuple[Column, ...] = (),
+    allowed: DataFrame | None = None,
+) -> DataFrame:
+    """(query_id, doc_id, score[, extras]) from pruned posting blocks only.
+
+    ``qterms`` overrides the tokenized query text with an explicit
+    (query_id, term) set (prefix expansion).  ``allowed`` (doc_id rows)
+    is applied BELOW the scoring aggregate — excluded docs never reach
+    the hash agg."""
+    from igd_spark.search import match_enumerate
+
+    if qterms is None:
+        qterms = query_terms(queries)
+    me = match_enumerate(spark, idx, queries, with_dl=True, terms=qterms)
+    if allowed is not None:
+        me = me.join(allowed.select("doc_id"), "doc_id", "left_semi")
+    qidf = (
+        idx.dictionary.join(F.broadcast(qterms.select("query_id", "term")), "term")
+        .select("query_id", "term", idf_col(idx.n_docs, "df").alias("idf"))
+    )
+    j = me.join(F.broadcast(qidf), ["query_id", "term"])
+    w = bm25_weight_col(
+        F.col("idf"), "tf", "dl", float(idx.avgdl), idx.conf.k1, idx.conf.b
+    )
+    return j.groupBy("query_id", "doc_id").agg(F.sum(w).alias("score"), *extra_aggs)
+
+
+def bool_bm25_topk_indexed(
+    spark,
+    idx,
+    queries: DataFrame,
+    k: int = 10,
+    exclude_col: str | None = None,
+    round_dp: int | None = None,
+) -> DataFrame:
+    """`bool_bm25_topk` over a persisted index: AND + NOT with only the
+    required/excluded terms' posting blocks scanned.  The NOT clause is a
+    second pruned enumeration of the exclude terms — cost bounded by their
+    df, never by the corpus."""
+    qt = query_terms(queries)
+    nq = qt.groupBy("query_id").agg(F.countDistinct("term").alias("n_required"))
+    scored = _indexed_scored(
+        spark, idx, queries, qterms=qt,
+        extra_aggs=(F.countDistinct("term").alias("n_matched"),),
+    )
+    hits = (
+        scored.join(F.broadcast(nq), "query_id")
+        .filter(F.col("n_matched") == F.col("n_required"))
+        .select("query_id", "doc_id", "score")
+    )
+    if exclude_col is not None:
+        from igd_spark.search import match_enumerate
+
+        exq = queries.select("query_id", F.col(exclude_col).alias("query_text"))
+        banned = (
+            match_enumerate(spark, idx, exq)
+            .select("query_id", "doc_id")
+            .dropDuplicates(["query_id", "doc_id"])
+        )
+        hits = hits.join(banned, ["query_id", "doc_id"], "left_anti")
+    return rank_topk(_maybe_round(hits, round_dp), k)
+
+
+def filtered_bm25_topk_indexed(
+    spark,
+    idx,
+    queries: DataFrame,
+    docs: DataFrame,
+    where: Column | str,
+    k: int = 10,
+    id_col: str = "doc_id",
+    round_dp: int | None = None,
+) -> DataFrame:
+    """`filtered_bm25_topk` over a persisted index.  The attribute predicate
+    still evaluates against the ``docs`` table (the index stores no doc
+    attributes), but only as a one-column doc_id scan with the predicate
+    pushed to parquet; the corpus text is never touched and idf/avgdl stay
+    the index's global stats."""
+    cond = F.expr(where) if isinstance(where, str) else where
+    allowed = docs.filter(cond).select(F.col(id_col).alias("doc_id"))
+    scored = _indexed_scored(spark, idx, queries, allowed=allowed)
+    return rank_topk(_maybe_round(scored, round_dp), k)
+
+
+def prefix_bm25_topk_indexed(
+    spark,
+    idx,
+    queries: DataFrame,
+    k: int = 10,
+    round_dp: int | None = None,
+) -> DataFrame:
+    """`prefix_bm25_topk` over a persisted index: prefixes expand against
+    the index's own dictionary (vocab-sized scan vs a broadcast prefix
+    list), then only the expanded terms' blocks are read."""
+    prefixes = query_terms(queries).withColumnRenamed("term", "prefix")
+    expanded = (
+        idx.dictionary.join(
+            F.broadcast(prefixes), F.col("term").startswith(F.col("prefix"))
+        )
+        .select("query_id", "term")
+        .dropDuplicates(["query_id", "term"])
+    )
+    scored = _indexed_scored(spark, idx, queries, qterms=expanded)
+    return rank_topk(_maybe_round(scored, round_dp), k)
+
+
+def group_bm25_topk_indexed(
+    spark,
+    idx,
+    queries: DataFrame,
+    doc_groups: DataFrame,
+    k: int = 10,
+    agg: str = "sum",
+    group_col: str = "group",
+    round_dp: int | None = None,
+) -> DataFrame:
+    """`group_bm25_topk` over a persisted index.  ``doc_groups`` is the
+    (doc_id, group) mapping — for transcripts, the (doc_id, conv_id)
+    projection of the corpus (two-column columnar scan at 100 TB); the
+    scored side is sparse (query-term postings), so the join shuffles
+    only hits plus the mapping, keyed on doc_id."""
+    if agg not in ("sum", "max"):
+        raise ValueError(f"agg must be 'sum' or 'max', got {agg!r}")
+    scored = _indexed_scored(spark, idx, queries)
+    groups = doc_groups.select("doc_id", F.col(group_col).alias("group"))
+    agg_fn = F.sum if agg == "sum" else F.max
+    g = (
+        scored.join(groups, "doc_id")
+        .groupBy("query_id", "group")
+        .agg(agg_fn("score").alias("score"))
+    )
+    g = _maybe_round(g, round_dp)
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("group"))
+    return (
+        g.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "group", "score")
+    )
+
+
+def snippets_indexed(
+    spark,
+    idx,
+    queries: DataFrame,
+    docs: DataFrame,
+    k: int = 10,
+    width: int = 30,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    round_dp: int | None = None,
+) -> DataFrame:
+    """`snippets` with the top-k produced by the index-backed scorer: the
+    corpus table is touched ONLY to fetch the k × queries winning texts
+    (doc_id-keyed join) — no full pass anywhere in the plan."""
+    top = rank_topk(_maybe_round(_indexed_scored(spark, idx, queries), round_dp), k)
+    return snippets(
+        docs, queries, k=k, width=width, conf=idx.conf,
+        text_col=text_col, id_col=id_col, top=top,
     )

@@ -1074,13 +1074,24 @@ def search_one(
 
 
 def match_enumerate(
-    spark: SparkSession, idx: InvertedIndex, queries: DataFrame
+    spark: SparkSession,
+    idx: InvertedIndex,
+    queries: DataFrame,
+    with_dl: bool = False,
+    terms: DataFrame | None = None,
 ) -> DataFrame:
     """Full-match enumeration (igd search -f analog, src/igd_search.c:537-620):
-    every (query_id, term, doc_id, tf) hit, no aggregation."""
+    every (query_id, term, doc_id, tf) hit, no aggregation.
+
+    ``with_dl=True`` additionally decodes the per-posting document length
+    stored in the blocks (build.py packs dls next to tfs), adding a
+    ``dl:int`` column — this is what lets the indexed querylang scorers
+    compute BM25 with ZERO corpus-sized joins. ``terms`` overrides the
+    tokenized query text with an explicit (query_id, term) set (prefix
+    expansion passes the dictionary-expanded terms here)."""
     from igd_spark.build import shards_for
 
-    qt = query_terms(queries)
+    qt = terms.select("query_id", "term") if terms is not None else query_terms(queries)
     qdict = idx.dictionary.join(F.broadcast(qt), "term").select(
         "query_id", "term_id", "n_salts"
     )
@@ -1094,19 +1105,21 @@ def match_enumerate(
         }
     )
     qdict = qdict.drop("n_salts")
+    payload = ["doc_ids", "tfs"] + (["dls"] if with_dl else [])
     seg = idx.segments.filter(
         F.col("shard").isin(shards) & F.col("term_id").isin(term_ids)
-    )
+    ).select("term_id", "term", *payload)  # prune: drop unused block columns pre-Arrow
     blocks = seg.join(F.broadcast(qdict), "term_id")
 
-    out_schema = T.StructType(
-        [
-            T.StructField("query_id", T.LongType(), False),
-            T.StructField("term", T.StringType(), False),
-            T.StructField("doc_id", T.LongType(), False),
-            T.StructField("tf", T.IntegerType(), False),
-        ]
-    )
+    fields = [
+        T.StructField("query_id", T.LongType(), False),
+        T.StructField("term", T.StringType(), False),
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("tf", T.IntegerType(), False),
+    ]
+    if with_dl:
+        fields.append(T.StructField("dl", T.IntegerType(), False))
+    out_schema = T.StructType(fields)
 
     def explode_blocks(it):
         for pdf in it:
@@ -1114,16 +1127,15 @@ def match_enumerate(
             for row in pdf.itertuples():
                 d = codec.decode_doc_ids(bytes(row.doc_ids))
                 tf = codec.decode_tfs(bytes(row.tfs))
-                outs.append(
-                    pd.DataFrame(
-                        {
-                            "query_id": np.full(d.size, row.query_id, dtype=np.int64),
-                            "term": row.term,
-                            "doc_id": d,
-                            "tf": tf.astype(np.int32),
-                        }
-                    )
-                )
+                cols = {
+                    "query_id": np.full(d.size, row.query_id, dtype=np.int64),
+                    "term": row.term,
+                    "doc_id": d,
+                    "tf": tf.astype(np.int32),
+                }
+                if with_dl:
+                    cols["dl"] = codec.decode_tfs(bytes(row.dls)).astype(np.int32)
+                outs.append(pd.DataFrame(cols))
             if outs:
                 yield pd.concat(outs)
 

@@ -234,6 +234,30 @@ def main() -> int:
         "BroadcastNestedLoopJoin" in prplan and "CartesianProduct" not in prplan,
     )
 
+    # 8. index-backed querylang: pruned block scans, never the corpus text
+    from igd_spark import bool_bm25_topk_indexed, filtered_bm25_topk_indexed
+
+    iqplan = fmt(bool_bm25_topk_indexed(spark, idx, bq, exclude_col="exclude_text"))
+    assert_pruned_scan("bool_bm25_topk_indexed scan", iqplan)
+    iq_schemas = re.findall(r"ReadSchema: struct<([^>]*)>", iqplan)
+    check(
+        "bool_bm25_topk_indexed never scans the corpus text",
+        bool(iq_schemas) and not any("text:" in s for s in iq_schemas),
+        f"scanned schemas: {iq_schemas}",
+    )
+
+    fqplan = fmt(filtered_bm25_topk_indexed(
+        spark, idx, ql_q, ql_docs, "role = 'user'"
+    ))
+    assert_pruned_scan("filtered_bm25_topk_indexed scan", fqplan)
+    fq_m = re.findall(r"ReadSchema: struct<([^>]*)>", fqplan)
+    check(
+        "filtered_bm25_topk_indexed: predicate pushed; corpus read is (doc_id, role) only",
+        ("EqualTo(role,user)" in fqplan or "EqualTo(role, user)" in fqplan)
+        and not any("text:" in s for s in fq_m),
+        f"schemas: {fq_m}",
+    )
+
     n_fail = sum(1 for _, ok, _ in checks if not ok)
     print(f"\n{len(checks) - n_fail}/{len(checks)} plan checks passed")
     return 1 if n_fail else 0

@@ -174,3 +174,102 @@ def test_snippets_window_contains_term(spark, docs):
     # one snippet per (query, doc) hit; ranks are the top-k ranks
     assert out.groupby(["query_id", "doc_id"]).size().max() == 1
     assert set(out["rank"]) <= set(range(1, 6))
+
+
+# ---------------------------------------------------------------------------
+# Index-backed variants: rank/score identity with the DataFrame paths
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def built_idx(spark, docs, tmp_path_factory):
+    from igd_spark import IndexConf, build_index
+
+    conf = IndexConf(block_size=32, n_shards=8, salt_df_threshold=64, max_salts=4)
+    path = str(tmp_path_factory.mktemp("qlidx") / "idx")
+    return build_index(spark, docs, path, conf=conf)
+
+
+def _sorted(df):
+    return df.toPandas().sort_values(list(df.columns)).reset_index(drop=True)
+
+
+def test_bool_indexed_identity(spark, docs, built_idx):
+    from igd_spark.querylang import bool_bm25_topk_indexed
+
+    t1, t2 = _pick_terms(docs, 2)
+    q = spark.createDataFrame(
+        [(0, f"{t1} {t2}", None), (1, t1, t2), (2, f"{t1} zzznotavocab", None)],
+        "query_id long, query_text string, exclude_text string",
+    )
+    a = _sorted(bool_bm25_topk(docs, q, k=50, conf=built_idx.conf,
+                               exclude_col="exclude_text", round_dp=9))
+    b = _sorted(bool_bm25_topk_indexed(spark, built_idx, q, k=50,
+                                       exclude_col="exclude_text", round_dp=9))
+    pd.testing.assert_frame_equal(a, b)
+
+
+def test_filtered_indexed_identity(spark, docs, built_idx):
+    from igd_spark.querylang import filtered_bm25_topk_indexed
+
+    t1 = _pick_terms(docs, 1)[0]
+    q = _queries(spark, [(0, t1)])
+    cond = "role = 'user'"
+    a = _sorted(filtered_bm25_topk(docs, q, cond, k=50, conf=built_idx.conf, round_dp=9))
+    b = _sorted(filtered_bm25_topk_indexed(spark, built_idx, q, docs, cond,
+                                           k=50, round_dp=9))
+    pd.testing.assert_frame_equal(a, b)
+
+
+def test_prefix_indexed_identity(spark, docs, built_idx):
+    from igd_spark.querylang import prefix_bm25_topk_indexed
+
+    pre = _pick_terms(docs, 1)[0][:3]
+    q = _queries(spark, [(0, pre), (1, "zzz")])
+    a = _sorted(prefix_bm25_topk(docs, q, k=20, conf=built_idx.conf, round_dp=9))
+    b = _sorted(prefix_bm25_topk_indexed(spark, built_idx, q, k=20, round_dp=9))
+    assert len(a) > 0
+    pd.testing.assert_frame_equal(a, b)
+
+
+def test_group_indexed_identity(spark, docs, built_idx):
+    from igd_spark.querylang import group_bm25_topk_indexed
+
+    t1, t2 = _pick_terms(docs, 2)
+    q = _queries(spark, [(0, f"{t1} {t2}")])
+    for agg in ("sum", "max"):
+        a = _sorted(group_bm25_topk(docs, q, "conv_id", k=30, agg=agg,
+                                    conf=built_idx.conf, round_dp=9))
+        b = _sorted(group_bm25_topk_indexed(
+            spark, built_idx, q, docs.select("doc_id", "conv_id"), k=30,
+            agg=agg, group_col="conv_id", round_dp=9))
+        pd.testing.assert_frame_equal(a, b)
+
+
+def test_match_enumerate_with_dl(spark, docs, built_idx):
+    # the dl column decoded from the blocks equals the doc's true token count
+    from igd_spark.search import match_enumerate
+    from igd_spark.stats import doc_stats
+
+    t1 = _pick_terms(docs, 1)[0]
+    q = _queries(spark, [(0, t1)])
+    me = match_enumerate(spark, built_idx, q, with_dl=True).toPandas()
+    assert len(me) > 0 and "dl" in me.columns
+    ds = doc_stats(docs).toPandas().set_index("doc_id")["dl"]
+    for r in me.itertuples():
+        assert int(ds[r.doc_id]) == int(r.dl)
+
+
+def test_snippets_indexed_identity(spark, docs, built_idx):
+    from igd_spark.querylang import _maybe_round, snippets_indexed
+    from igd_spark.search import rank_topk
+
+    t1, t2 = _pick_terms(docs, 2)
+    q = _queries(spark, [(0, f"{t1} {t2}")])
+    out = _sorted(snippets_indexed(spark, built_idx, q, docs, k=5, width=10,
+                                   round_dp=9))
+    # identical to the DataFrame path fed the equivalently-rounded exact top-k
+    top = rank_topk(_maybe_round(bm25_scores(docs, q, conf=built_idx.conf), 9), 5)
+    exp = _sorted(snippets(docs, q, k=5, width=10, conf=built_idx.conf, top=top))
+    pd.testing.assert_frame_equal(out, exp)
+    assert len(out) > 0
