@@ -82,6 +82,7 @@ PREFIX_QUERY_SET: list[tuple[int, str]] = [
 ]
 FILTER_WHERE = "lang = 'en' AND n_chars < 300"
 SNIPPET_WIDTH = 30
+NEAR_WINDOW = 6
 GROUP_COL = "source"
 PHRASES: list[tuple[int, str]] = [
     (0, "table hash"),
@@ -621,6 +622,29 @@ def q_snippets_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _phrases_df(spark: SparkSession) -> DataFrame:
+    return spark.createDataFrame(
+        [(int(q), t) for q, t in PHRASES], "query_id long, query_text string"
+    )
+
+
+def q_near_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # proximity (NEAR/slop): all terms within a token window; exact minimal
+    # cover span + qualifying-anchor count
+    from igd_spark import near_match
+
+    return near_match(_docs(spark, sf_dir), _phrases_df(spark), window=NEAR_WINDOW)
+
+
+def q_near_match_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # proximity off the persisted positional blocks; value-identical to the
+    # corpus-scan path, hence the same oracle
+    from igd_spark import near_match_indexed
+
+    idx = _built_index(spark, sf_dir)
+    return near_match_indexed(spark, idx, _phrases_df(spark), window=NEAR_WINDOW)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: BM25 top-10 over the sf0.001 documents corpus."""
     return q_bm25_topk(spark, "/root/testdata/sf0.001")
@@ -645,6 +669,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "prefix_bm25_topk_indexed": q_prefix_bm25_topk_indexed,
         "group_bm25_topk_indexed": q_group_bm25_topk_indexed,
         "snippets_indexed": q_snippets_indexed,
+        "near_match": q_near_match,
+        "near_match_indexed": q_near_match_indexed,
         "match_enumerate": q_match_enumerate,
         "term_cooccurrence": q_term_cooccurrence,
         "term_cooccurrence_mintf": q_term_cooccurrence_mintf,
@@ -1568,5 +1594,27 @@ FROM first WHERE rn = 1
     sql["prefix_bm25_topk_indexed"] = sql["prefix_bm25_topk"]
     sql["group_bm25_topk_indexed"] = sql["group_bm25_topk"]
     sql["snippets_indexed"] = sql["snippets"]
+
+    sql["near_match"] = f"""
+WITH {_TL},
+pp AS (SELECT doc_id, i - 1 AS pos, tl[i] AS term
+       FROM (SELECT doc_id, tl, unnest(generate_series(1, len(tl))) AS i FROM tldocs)),
+nqv(query_id, query_text) AS (VALUES {_PVALUES}),
+qt AS (SELECT DISTINCT query_id, unnest(list_filter(
+  regexp_split_to_array(lower(query_text), '[^a-z0-9]+'), x -> x <> '')) AS term FROM nqv),
+nreq AS (SELECT query_id, count(DISTINCT term) AS n_required FROM qt GROUP BY 1),
+occ AS (SELECT qt.query_id, pp.doc_id, pp.term, pp.pos FROM pp JOIN qt USING (term)),
+anchors AS (SELECT DISTINCT query_id, doc_id, pos AS p FROM occ),
+cand AS (SELECT o.query_id, o.doc_id, a.p, o.term, o.pos
+         FROM occ o JOIN anchors a ON a.query_id = o.query_id AND a.doc_id = o.doc_id
+         WHERE o.pos >= a.p AND o.pos <= a.p + {NEAR_WINDOW}),
+pt AS (SELECT query_id, doc_id, p, term, min(pos) AS mn FROM cand GROUP BY 1, 2, 3, 4),
+pa AS (SELECT query_id, doc_id, p, count(*) AS n_terms, max(mn) AS mx FROM pt GROUP BY 1, 2, 3),
+hits AS (SELECT pa.query_id, pa.doc_id, pa.p, pa.mx FROM pa
+         JOIN nreq USING (query_id) WHERE pa.n_terms = nreq.n_required)
+SELECT query_id, doc_id, min(mx - p)::INT AS min_span, count(*)::BIGINT AS n_anchors
+FROM hits GROUP BY 1, 2
+"""
+    sql["near_match_indexed"] = sql["near_match"]
 
     return sql

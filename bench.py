@@ -249,6 +249,8 @@ def main() -> None:
         "media_features",
         "phrase_match",
         "phrase_match_indexed",
+        "bool_bm25_topk_indexed",
+        "near_match_indexed",
         "dedup_clusters",
         "boilerplate_clean",
     ):

@@ -60,6 +60,8 @@ from igd_spark.querylang import (
     filtered_bm25_topk_indexed,
     group_bm25_topk,
     group_bm25_topk_indexed,
+    near_match,
+    near_match_indexed,
     prefix_bm25_topk,
     prefix_bm25_topk_indexed,
     snippets,
@@ -71,6 +73,7 @@ from igd_spark.search import (
     match_enumerate,
     phrase_match,
     phrase_match_indexed,
+    positional_enumerate,
     positional_postings,
     search,
     search_one,
@@ -135,6 +138,8 @@ __all__ = [
     "lsh_ann_topk",
     "maintain_index",
     "match_enumerate",
+    "near_match",
+    "near_match_indexed",
     "media_stats",
     "minhash_dedup_pairs",
     "minhash_signatures",
@@ -147,6 +152,7 @@ __all__ = [
     "prefix_bm25_topk",
     "prefix_bm25_topk_indexed",
     "purge_staging",
+    "positional_enumerate",
     "positional_postings",
     "postings",
     "query_doc_jaccard",

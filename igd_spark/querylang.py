@@ -504,3 +504,93 @@ def snippets_indexed(
         docs, queries, k=k, width=width, conf=idx.conf,
         text_col=text_col, id_col=id_col, top=top,
     )
+
+
+# ---------------------------------------------------------------------------
+# Proximity (NEAR / slop) retrieval
+# ---------------------------------------------------------------------------
+
+
+def _near_epilogue(occ: DataFrame, nq: DataFrame, window: int) -> DataFrame:
+    """Shared epilogue of both proximity paths — identical results by
+    construction (the phrase_match/_anchor_hits pattern).
+
+    ``occ``: (query_id, doc_id, term, pos) occurrences of the query's
+    terms.  An anchor is ANY occurrence position p; the window [p, p+w]
+    is a hit when every required term occurs inside it, and its span is
+    max over terms of (first occurrence in the window) − p.  The minimal
+    qualifying window always starts at an occurrence of its earliest term,
+    so min(span) over anchors is the exact minimal cover span.
+
+    Cost: the anchor×occurrence join is quadratic in the query terms'
+    occurrences PER DOC (never corpus-sized) — the same bound the phrase
+    anchor join accepts; at 100 TB cap it by query-term df like every
+    other query-side operator."""
+    anchors = occ.select("query_id", "doc_id", F.col("pos").alias("p")).distinct()
+    cand = occ.join(anchors, ["query_id", "doc_id"]).filter(
+        (F.col("pos") >= F.col("p")) & (F.col("pos") <= F.col("p") + window)
+    )
+    per_term = cand.groupBy("query_id", "doc_id", "p", "term").agg(
+        F.min("pos").alias("mn")
+    )
+    per_anchor = per_term.groupBy("query_id", "doc_id", "p").agg(
+        F.count("*").alias("n_terms"), F.max("mn").alias("mx")
+    )
+    hits = per_anchor.join(F.broadcast(nq), "query_id").filter(
+        F.col("n_terms") == F.col("n_required")
+    )
+    return hits.groupBy("query_id", "doc_id").agg(
+        F.min(F.col("mx") - F.col("p")).cast("int").alias("min_span"),
+        F.count("*").cast("long").alias("n_anchors"),
+    )
+
+
+def near_match(
+    docs: DataFrame,
+    queries: DataFrame,
+    window: int = 8,
+    conf: IndexConf = DEFAULT_CONF,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Proximity (Lucene NEAR / slop) retrieval, index-free —
+    (query_id, doc_id, min_span, n_anchors).
+
+    A doc matches when ALL the query's distinct terms co-occur within a
+    token window of span ≤ ``window`` (positions from the same dense token
+    stream phrase_match uses).  ``min_span`` is the exact minimal cover
+    span; ``n_anchors`` the number of window start positions that cover
+    every term.  A query with a corpus-absent term matches nothing; a
+    single-term query matches every containing doc with min_span 0 and
+    n_anchors = tf.
+
+    This path re-derives positions from the corpus (right for one-off
+    jobs); repeated proximity workloads should build with
+    store_positions=True and use `near_match_indexed` (identical results,
+    pruned position-block scan)."""
+    from igd_spark.search import positional_postings
+
+    qt = query_terms(queries)
+    nq = qt.groupBy("query_id").agg(F.countDistinct("term").alias("n_required"))
+    pp = positional_postings(docs, text_col=text_col, id_col=id_col, conf=conf)
+    occ = pp.join(F.broadcast(qt), "term").select("query_id", "doc_id", "term", "pos")
+    return _near_epilogue(occ, nq, window)
+
+
+def near_match_indexed(
+    spark,
+    idx,
+    queries: DataFrame,
+    window: int = 8,
+) -> DataFrame:
+    """`near_match` against the persisted positional index: occurrences
+    come from `positional_enumerate`'s shard/term-pruned block scan —
+    only the query terms' position blocks are read, never the corpus."""
+    from igd_spark.search import positional_enumerate, query_terms as _qt
+
+    qt = _qt(queries)
+    nq = qt.groupBy("query_id").agg(F.countDistinct("term").alias("n_required"))
+    occ = positional_enumerate(spark, idx, queries, terms=qt).select(
+        "query_id", "doc_id", "term", "pos"
+    )
+    return _near_epilogue(occ, nq, window)

@@ -1042,6 +1042,72 @@ def phrase_match_indexed(
     return _anchor_hits(j, plen)
 
 
+def positional_enumerate(
+    spark: SparkSession,
+    idx: InvertedIndex,
+    queries: DataFrame,
+    terms: DataFrame | None = None,
+) -> DataFrame:
+    """(query_id, term, doc_id, pos) occurrence enumeration from the
+    PERSISTED positional blocks (store_positions=True builds) — the
+    positional sibling of `match_enumerate`, with the same shard partition
+    + In(term_id) row-group pruning.  Feeds the proximity operator
+    (querylang.near_match_indexed); per call it touches only the query
+    terms' position blocks, never the corpus."""
+    conf = idx.conf
+    from igd_spark.build import shards_for
+
+    qt = terms.select("query_id", "term") if terms is not None else query_terms(queries)
+    qdict = idx.dictionary.join(F.broadcast(qt), "term").select(
+        "query_id", "term", "term_id", "n_salts"
+    )
+    trows = qdict.select("term_id", "n_salts").distinct().collect()
+    if not trows:
+        return spark.createDataFrame([], "query_id long, term string, doc_id long, pos int")
+    term_ids = sorted({int(r["term_id"]) for r in trows})
+    shards = sorted(
+        {
+            s
+            for r in trows
+            for s in shards_for(int(r["term_id"]), int(r["n_salts"]), conf.n_shards)
+        }
+    )
+    pos = idx.positions.filter(
+        F.col("shard").isin(shards) & F.col("term_id").isin(term_ids)
+    ).select("term_id", "doc_ids", "poss")
+    blocks = pos.join(F.broadcast(qdict.select("query_id", "term", "term_id")), "term_id")
+
+    out_schema = T.StructType(
+        [
+            T.StructField("query_id", T.LongType(), False),
+            T.StructField("term", T.StringType(), False),
+            T.StructField("doc_id", T.LongType(), False),
+            T.StructField("pos", T.IntegerType(), False),
+        ]
+    )
+
+    def explode_occ(it):
+        for pdf in it:
+            outs = []
+            for row in pdf.itertuples():
+                d = codec.decode_doc_ids(bytes(row.doc_ids))  # zero gaps keep repeats
+                p = codec.varint_decode(bytes(row.poss)).astype(np.int64)
+                outs.append(
+                    pd.DataFrame(
+                        {
+                            "query_id": np.full(d.size, row.query_id, dtype=np.int64),
+                            "term": row.term,
+                            "doc_id": d,
+                            "pos": p.astype(np.int32),
+                        }
+                    )
+                )
+            if outs:
+                yield pd.concat(outs)
+
+    return blocks.mapInPandas(explode_occ, schema=out_schema)
+
+
 def search_one(
     spark: SparkSession,
     idx: InvertedIndex,

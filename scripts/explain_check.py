@@ -258,6 +258,18 @@ def main() -> int:
         f"schemas: {fq_m}",
     )
 
+    # 9. proximity off the positional index: pruned blocks, never the corpus
+    from igd_spark import near_match_indexed
+
+    nplan = fmt(near_match_indexed(spark, pidx, ql_q, window=6))
+    assert_pruned_scan("near_match_indexed scan", nplan)
+    np_schemas = re.findall(r"ReadSchema: struct<([^>]*)>", nplan)
+    check(
+        "near_match_indexed never scans the corpus text",
+        bool(np_schemas) and not any("text:" in s for s in np_schemas),
+        f"scanned schemas: {np_schemas}",
+    )
+
     n_fail = sum(1 for _, ok, _ in checks if not ok)
     print(f"\n{len(checks) - n_fail}/{len(checks)} plan checks passed")
     return 1 if n_fail else 0

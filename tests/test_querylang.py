@@ -185,7 +185,8 @@ def test_snippets_window_contains_term(spark, docs):
 def built_idx(spark, docs, tmp_path_factory):
     from igd_spark import IndexConf, build_index
 
-    conf = IndexConf(block_size=32, n_shards=8, salt_df_threshold=64, max_salts=4)
+    conf = IndexConf(block_size=32, n_shards=8, salt_df_threshold=64, max_salts=4,
+                     store_positions=True)
     path = str(tmp_path_factory.mktemp("qlidx") / "idx")
     return build_index(spark, docs, path, conf=conf)
 
@@ -273,3 +274,86 @@ def test_snippets_indexed_identity(spark, docs, built_idx):
     exp = _sorted(snippets(docs, q, k=5, width=10, conf=built_idx.conf, top=top))
     pd.testing.assert_frame_equal(out, exp)
     assert len(out) > 0
+
+
+# ---------------------------------------------------------------------------
+# Proximity (NEAR / slop)
+# ---------------------------------------------------------------------------
+
+
+def _min_cover_span(tokens, terms, window):
+    """Brute-force oracle: (min_span, n_anchors) or None if no window of
+    span <= window contains every term."""
+    positions = {t: [i for i, x in enumerate(tokens) if x == t] for t in terms}
+    if any(not v for v in positions.values()):
+        return None
+    anchors = sorted({i for v in positions.values() for i in v})
+    best, n_anchors = None, 0
+    for p in anchors:
+        mins = []
+        ok = True
+        for t in terms:
+            inside = [i for i in positions[t] if p <= i <= p + window]
+            if not inside:
+                ok = False
+                break
+            mins.append(min(inside))
+        if ok:
+            n_anchors += 1
+            span = max(mins) - p
+            best = span if best is None else min(best, span)
+    return (best, n_anchors) if n_anchors else None
+
+
+def test_near_match_bruteforce(spark, docs):
+    from igd_spark.querylang import near_match
+    from igd_spark.tokenizer import TOKEN_SPLIT_RE
+    import re as _re
+
+    t1, t2 = _pick_terms(docs, 2, lo=15, hi=200)
+    q = _queries(spark, [(0, f"{t1} {t2}")])
+    texts = docs.select("doc_id", "text").collect()
+    nonempty = 0
+    for window in (5, 20, 80):
+        out = near_match(docs, q, window=window).toPandas()
+        got = {int(r.doc_id): (int(r.min_span), int(r.n_anchors))
+               for r in out.itertuples()}
+        exp = {}
+        for r in texts:
+            toks = [t for t in _re.split(TOKEN_SPLIT_RE, str(r["text"]).lower()) if t]
+            res = _min_cover_span(toks, [t1, t2], window)
+            if res is not None:
+                exp[int(r["doc_id"])] = res
+        assert got == exp
+        nonempty += bool(exp)
+    assert nonempty > 0, "fixture produced no co-occurrence at any window"
+
+
+def test_near_match_single_and_absent(spark, docs):
+    from igd_spark.querylang import near_match
+    from igd_spark.tokenizer import postings
+
+    t1 = _pick_terms(docs, 1)[0]
+    q = _queries(spark, [(0, t1), (1, f"{t1} zzznotavocab")])
+    out = near_match(docs, q, window=4).toPandas()
+    # absent term -> no rows for query 1
+    assert (out["query_id"] == 1).sum() == 0
+    # single term: min_span 0, n_anchors == tf
+    tf = postings(docs).filter(F.col("term") == t1).toPandas().set_index("doc_id")["tf"]
+    sub = out[out["query_id"] == 0]
+    assert (sub["min_span"] == 0).all()
+    assert set(sub["doc_id"]) == set(tf.index)
+    for r in sub.itertuples():
+        assert int(tf[r.doc_id]) == int(r.n_anchors)
+
+
+def test_near_match_indexed_identity(spark, docs, built_idx):
+    from igd_spark.querylang import near_match, near_match_indexed
+
+    t1, t2, t3 = _pick_terms(docs, 3)
+    q = _queries(spark, [(0, f"{t1} {t2}"), (1, f"{t1} {t2} {t3}"), (2, t3)])
+    for window in (3, 10):
+        a = _sorted(near_match(docs, q, window=window))
+        b = _sorted(near_match_indexed(spark, built_idx, q, window=window))
+        pd.testing.assert_frame_equal(a, b)
+        assert len(a) > 0
