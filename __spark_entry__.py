@@ -83,6 +83,8 @@ PREFIX_QUERY_SET: list[tuple[int, str]] = [
 FILTER_WHERE = "lang = 'en' AND n_chars < 300"
 SNIPPET_WIDTH = 30
 NEAR_WINDOW = 6
+DECON_MOD = 97  # benchmark set = docs with doc_id % DECON_MOD == 0
+BOOST_EXPR = "CASE WHEN lang = 'en' THEN 1.5 ELSE 0.75 END"
 GROUP_COL = "source"
 PHRASES: list[tuple[int, str]] = [
     (0, "table hash"),
@@ -645,6 +647,26 @@ def q_near_match_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return near_match_indexed(spark, idx, _phrases_df(spark), window=NEAR_WINDOW)
 
 
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # benchmark decontamination: flag docs sharing any n-gram with the
+    # (deterministic) benchmark subset; n = SHINGLE_N at gate scale
+    from igd_spark import decontaminate
+
+    docs = _docs(spark, sf_dir)
+    bench = docs.filter(F.col("doc_id") % DECON_MOD == 0)
+    return decontaminate(docs, bench, n=SHINGLE_N, mode="flag")
+
+
+def q_boosted_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Lucene boost-query surface: doc-attribute multiplier applied after
+    # term aggregation
+    from igd_spark import boosted_bm25_topk
+
+    return boosted_bm25_topk(
+        _docs(spark, sf_dir), _queries_df(spark), BOOST_EXPR, k=K, round_dp=6
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: BM25 top-10 over the sf0.001 documents corpus."""
     return q_bm25_topk(spark, "/root/testdata/sf0.001")
@@ -671,6 +693,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "snippets_indexed": q_snippets_indexed,
         "near_match": q_near_match,
         "near_match_indexed": q_near_match_indexed,
+        "decontaminate": q_decontaminate,
+        "boosted_bm25_topk": q_boosted_bm25_topk,
         "match_enumerate": q_match_enumerate,
         "term_cooccurrence": q_term_cooccurrence,
         "term_cooccurrence_mintf": q_term_cooccurrence_mintf,
@@ -1616,5 +1640,34 @@ SELECT query_id, doc_id, min(mx - p)::INT AS min_span, count(*)::BIGINT AS n_anc
 FROM hits GROUP BY 1, 2
 """
     sql["near_match_indexed"] = sql["near_match"]
+
+    sql["decontaminate"] = f"""
+WITH {_TL}, {_SHINGLES},
+bsh AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % {DECON_MOD} = 0),
+hits AS (SELECT d.doc_id, count(*)::BIGINT AS n_hits
+         FROM sh d JOIN bsh USING (shingle) GROUP BY 1)
+SELECT d.doc_id, coalesce(h.n_hits, 0)::BIGINT AS n_hits,
+       coalesce(h.n_hits, 0) > 0 AS contaminated
+FROM documents d LEFT JOIN hits h USING (doc_id)
+"""
+
+    sql["boosted_bm25_topk"] = f"""
+WITH {_TL}, {_TOKS}, {_POST}, {_DL}, {_CS}, {_TS}, {_QT},
+scored AS (
+  SELECT qt.query_id, p.doc_id, sum({{_W}}) AS s
+  FROM qterms qt JOIN ts USING (term) JOIN post p USING (term)
+  JOIN dl ON p.doc_id = dl.doc_id CROSS JOIN cs
+  GROUP BY 1, 2),
+boosted AS (
+  SELECT s.query_id, s.doc_id,
+         s.s * (CASE WHEN d.lang = 'en' THEN 1.5 ELSE 0.75 END) AS s
+  FROM scored s JOIN documents d ON d.doc_id = s.doc_id),
+ranked AS (
+  SELECT query_id, doc_id, round(s, 6) AS score,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY round(s, 6) DESC, doc_id ASC)::INT AS rank
+  FROM boosted)
+SELECT query_id, rank, doc_id, score FROM ranked WHERE rank <= {K}
+""".replace("{_W}", _W)
 
     return sql

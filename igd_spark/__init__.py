@@ -55,6 +55,7 @@ from igd_spark.pipeline import curate, curated_docs
 from igd_spark.querylang import (
     bool_bm25_topk,
     bool_bm25_topk_indexed,
+    boosted_bm25_topk,
     conv_bm25_topk,
     filtered_bm25_topk,
     filtered_bm25_topk_indexed,
@@ -92,6 +93,7 @@ from igd_spark.similarity import (
 from igd_spark.stats import corpus_stats, doc_stats, term_stats
 from igd_spark.textstats import fingerprint, keywords_topk, lang_id, simhash, text_stats
 from igd_spark.trainprep import (
+    decontaminate,
     pack_sequences,
     remove_boilerplate,
     repetition_stats,
@@ -108,6 +110,7 @@ __all__ = [
     "bm25_scores",
     "bool_bm25_topk",
     "bool_bm25_topk_indexed",
+    "boosted_bm25_topk",
     "build_index",
     "compact_index",
     "connected_components",
@@ -120,6 +123,7 @@ __all__ = [
     "create_from_files",
     "curate",
     "curated_docs",
+    "decontaminate",
     "dedup_clusters",
     "doc_stats",
     "exact_bm25_topk",

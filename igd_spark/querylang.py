@@ -594,3 +594,33 @@ def near_match_indexed(
         "query_id", "doc_id", "term", "pos"
     )
     return _near_epilogue(occ, nq, window)
+
+
+def boosted_bm25_topk(
+    docs: DataFrame,
+    queries: DataFrame,
+    boost: Column | str,
+    k: int = 10,
+    conf: IndexConf = DEFAULT_CONF,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    round_dp: int | None = None,
+) -> DataFrame:
+    """Document-boosted BM25 (the Lucene boost-query surface): the final
+    score is bm25 × ``boost``, a numeric expression over the ``docs``
+    columns (recency boosts, role weights — e.g. ``"CASE WHEN role = 'user'
+    THEN 2.0 ELSE 1.0 END"`` for transcripts).  The boost multiplies the
+    whole-document score AFTER term aggregation (it must not distort
+    per-term saturation), and idf/avgdl stay global.
+
+    Scale: the boost column rides the (doc_id, boost) projection of the
+    corpus — a two-ish-column pushdown scan joined to the sparse scored
+    set on doc_id, exactly the group_bm25 join shape.
+    """
+    bcol = F.expr(boost) if isinstance(boost, str) else boost
+    scored = bm25_scores(docs, queries, conf=conf, text_col=text_col, id_col=id_col)
+    bdf = docs.select(F.col(id_col).alias("doc_id"), bcol.cast("double").alias("_boost"))
+    boosted = scored.join(bdf, "doc_id").select(
+        "query_id", "doc_id", (F.col("score") * F.col("_boost")).alias("score")
+    )
+    return rank_topk(_maybe_round(boosted, round_dp), k)

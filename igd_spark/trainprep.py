@@ -269,3 +269,58 @@ def pack_sequences(
         "n_tokens",
         (cum_before % budget_tokens).cast("long").alias("seq_offset"),
     )
+
+
+def decontaminate(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    n: int = 13,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bench_text_col: str = "text",
+    mode: str = "flag",
+) -> DataFrame:
+    """Benchmark decontamination — remove (or flag) training documents that
+    share any word ``n``-gram with an evaluation/benchmark corpus, the
+    standard pretraining hygiene step (13-gram overlap is the widely
+    published convention; this corpus's tokenizer semantics apply).
+
+    ``mode='flag'`` returns every doc as (doc_id, n_hits, contaminated):
+    n_hits = DISTINCT doc shingles also present in the benchmark shingle
+    set. ``mode='drop'`` returns the clean subset of ``docs`` (all original
+    columns) — never a silent drop: pair it with the flag output when
+    lineage counts are needed.
+
+    Scale: doc shingles are join-keyed against the DISTINCT benchmark
+    shingle set — benchmark corpora are millions of shingles vs the
+    corpus's trillions, so the join is a standard fine-grained-key hash
+    join with the small side shuffled once (broadcast if it fits; left to
+    AQE rather than forced, since 'benchmark' can legitimately be another
+    corpus slice). Never all-pairs, never a regex scan per benchmark row.
+    """
+    if mode not in ("flag", "drop"):
+        raise ValueError(f"mode must be 'flag' or 'drop', got {mode!r}")
+    from igd_spark.dedup import shingles
+
+    dsh = shingles(docs, n=n, text_col=text_col, id_col=id_col)
+    bsh = (
+        shingles(benchmark, n=n, text_col=bench_text_col, id_col=id_col)
+        .select("shingle")
+        .distinct()
+    )
+    hits = (
+        dsh.join(bsh, "shingle")
+        .groupBy("doc_id")
+        .agg(F.count("*").cast("long").alias("n_hits"))
+    )
+    if mode == "drop":
+        # name-based USING join: survives benchmark being a slice of docs
+        # (expression joins hit AMBIGUOUS_REFERENCE on the shared lineage)
+        contaminated_ids = hits.select(F.col("doc_id").alias(id_col))
+        return docs.join(contaminated_ids, id_col, "left_anti")
+    base = docs.select(F.col(id_col).alias("doc_id"))
+    return base.join(hits, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce(F.col("n_hits"), F.lit(0)).cast("long").alias("n_hits"),
+        (F.coalesce(F.col("n_hits"), F.lit(0)) > 0).alias("contaminated"),
+    )

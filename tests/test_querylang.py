@@ -357,3 +357,22 @@ def test_near_match_indexed_identity(spark, docs, built_idx):
         b = _sorted(near_match_indexed(spark, built_idx, q, window=window))
         pd.testing.assert_frame_equal(a, b)
         assert len(a) > 0
+
+
+def test_boosted_scores(spark, docs):
+    from igd_spark.querylang import boosted_bm25_topk
+
+    t1 = _pick_terms(docs, 1)[0]
+    q = _queries(spark, [(0, t1)])
+    boost = "CASE WHEN role = 'user' THEN 2.0 ELSE 0.5 END"
+    out = boosted_bm25_topk(docs, q, boost, k=10_000).toPandas()
+    plain = bm25_scores(docs, q).toPandas()
+    roles = docs.select("doc_id", "role").toPandas().set_index("doc_id")["role"]
+    m = out.merge(plain, on="doc_id", suffixes=("_b", "_p"))
+    assert len(m) == len(out) > 0
+    for r in m.itertuples():
+        f = 2.0 if roles[r.doc_id] == "user" else 0.5
+        assert abs(r.score_b - r.score_p * f) < 1e-9
+    # ranking follows the boosted score
+    s = out.sort_values("rank")["score"].to_numpy()
+    assert (s[:-1] >= s[1:] - 1e-12).all()

@@ -248,3 +248,48 @@ def test_cosine_neardup_auto_anchors_tiny_corpus(spark):
     # the 1-vector corpus must not raise either
     one = spark.createDataFrame([(1, [1.0, 0.0])], "vec_id long, embedding array<double>")
     assert cosine_neardup_pairs(one, threshold=0.9, exact=False).count() == 0
+
+
+def test_decontaminate_flag_and_drop(spark, tiny_docs):
+    from igd_spark import decontaminate
+    from igd_spark.corpus import assign_doc_ids
+    from igd_spark.dedup import shingles
+
+    import pyspark.sql.functions as F
+
+    docs = assign_doc_ids(tiny_docs)
+    bench = docs.filter(F.col("doc_id") % 11 == 0)
+    n = 4
+    flag = decontaminate(docs, bench, n=n, mode="flag").toPandas()
+    # every doc is reported exactly once
+    assert len(flag) == docs.count()
+    assert flag["doc_id"].is_unique
+    # python oracle: distinct doc shingles ∩ benchmark shingle set
+    dsh = shingles(docs, n=n).toPandas()
+    bset = set(shingles(bench, n=n).toPandas()["shingle"])
+    exp = dsh[dsh["shingle"].isin(bset)].groupby("doc_id").size()
+    got = flag.set_index("doc_id")["n_hits"]
+    for d, cnt in exp.items():
+        assert int(got[d]) == int(cnt)
+    assert int(got.drop(exp.index).sum()) == 0
+    assert (flag["contaminated"] == (flag["n_hits"] > 0)).all()
+    # benchmark members contaminate themselves (they share all their shingles)
+    bench_ids = set(bench.select("doc_id").toPandas()["doc_id"])
+    flagged = set(flag[flag["contaminated"]]["doc_id"])
+    with_shingles = set(dsh["doc_id"])
+    assert (bench_ids & with_shingles) <= flagged
+    # drop mode keeps exactly the clean docs, original columns intact
+    clean = decontaminate(docs, bench, n=n, mode="drop")
+    assert set(clean.columns) == set(docs.columns)
+    assert set(clean.select("doc_id").toPandas()["doc_id"]) == set(
+        flag[~flag["contaminated"]]["doc_id"]
+    )
+
+
+def test_decontaminate_mode_validation(spark, tiny_docs):
+    from igd_spark import decontaminate
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        decontaminate(tiny_docs, tiny_docs, mode="purge")
