@@ -83,7 +83,9 @@ PREFIX_QUERY_SET: list[tuple[int, str]] = [
 FILTER_WHERE = "lang = 'en' AND n_chars < 300"
 SNIPPET_WIDTH = 30
 NEAR_WINDOW = 6
-DECON_MOD = 97  # benchmark set = docs with doc_id % DECON_MOD == 0
+DECON_MOD = 97
+MLT_SEEDS = (0, 7, 42, 101, 333)
+MLT_TERMS = 5  # benchmark set = docs with doc_id % DECON_MOD == 0
 BOOST_EXPR = "CASE WHEN lang = 'en' THEN 1.5 ELSE 0.75 END"
 GROUP_COL = "source"
 PHRASES: list[tuple[int, str]] = [
@@ -667,6 +669,16 @@ def q_boosted_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_more_like_this(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Lucene MoreLikeThis: seed docs' top tf-idf terms -> disjunctive BM25,
+    # self-excluded
+    from igd_spark import more_like_this
+
+    return more_like_this(
+        _docs(spark, sf_dir), list(MLT_SEEDS), n_terms=MLT_TERMS, k=K, round_dp=6
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: BM25 top-10 over the sf0.001 documents corpus."""
     return q_bm25_topk(spark, "/root/testdata/sf0.001")
@@ -695,6 +707,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "near_match_indexed": q_near_match_indexed,
         "decontaminate": q_decontaminate,
         "boosted_bm25_topk": q_boosted_bm25_topk,
+        "more_like_this": q_more_like_this,
         "match_enumerate": q_match_enumerate,
         "term_cooccurrence": q_term_cooccurrence,
         "term_cooccurrence_mintf": q_term_cooccurrence_mintf,
@@ -1650,6 +1663,34 @@ SELECT d.doc_id, coalesce(h.n_hits, 0)::BIGINT AS n_hits,
        coalesce(h.n_hits, 0) > 0 AS contaminated
 FROM documents d LEFT JOIN hits h USING (doc_id)
 """
+
+    sql["more_like_this"] = f"""
+WITH {_TL}, {_TOKS}, {_POST}, {_DL}, {_CS}, {_TS},
+seeds(query_id) AS (VALUES (0::BIGINT), (7::BIGINT), (42::BIGINT), (101::BIGINT), (333::BIGINT)),
+kw AS (
+  SELECT s.query_id, p.term,
+         round(p.tf * ln(cs.n_docs::DOUBLE / ts.df), 6) AS tfidf
+  FROM seeds s JOIN post p ON p.doc_id = s.query_id
+  JOIN ts USING (term) CROSS JOIN cs),
+sel AS (
+  SELECT query_id, term FROM (
+    SELECT query_id, term,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY tfidf DESC, term ASC) AS rn
+    FROM kw) WHERE rn <= {MLT_TERMS}),
+scored AS (
+  SELECT sel.query_id, p.doc_id, sum({{_W}}) AS s
+  FROM sel JOIN ts USING (term) JOIN post p USING (term)
+  JOIN dl ON p.doc_id = dl.doc_id CROSS JOIN cs
+  WHERE p.doc_id <> sel.query_id
+  GROUP BY 1, 2),
+ranked AS (
+  SELECT query_id, doc_id, round(s, 6) AS score,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY round(s, 6) DESC, doc_id ASC)::INT AS rank
+  FROM scored)
+SELECT query_id, rank, doc_id, score FROM ranked WHERE rank <= {K}
+""".replace("{_W}", _W)
 
     sql["boosted_bm25_topk"] = f"""
 WITH {_TL}, {_TOKS}, {_POST}, {_DL}, {_CS}, {_TS}, {_QT},

@@ -61,6 +61,7 @@ from igd_spark.querylang import (
     filtered_bm25_topk_indexed,
     group_bm25_topk,
     group_bm25_topk_indexed,
+    more_like_this,
     near_match,
     near_match_indexed,
     prefix_bm25_topk,
@@ -147,6 +148,7 @@ __all__ = [
     "media_stats",
     "minhash_dedup_pairs",
     "minhash_signatures",
+    "more_like_this",
     "ngram_jaccard_pairs",
     "open_index",
     "pack_sequences",

@@ -624,3 +624,64 @@ def boosted_bm25_topk(
         "query_id", "doc_id", (F.col("score") * F.col("_boost")).alias("score")
     )
     return rank_topk(_maybe_round(boosted, round_dp), k)
+
+
+def more_like_this(
+    docs: DataFrame,
+    seed_ids,
+    n_terms: int = 10,
+    k: int = 10,
+    conf: IndexConf = DEFAULT_CONF,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    round_dp: int | None = None,
+) -> DataFrame:
+    """Similar-document retrieval (the Lucene MoreLikeThis surface) —
+    (query_id, rank, doc_id, score), where query_id is the seed doc's id.
+
+    For each seed document: its top ``n_terms`` terms by tf·idf
+    (idf = ln(n_docs/df), the `keywords_topk` convention; ties broken
+    term asc — when ``round_dp`` is set the tf·idf is rounded before the
+    selection window so two engines pick identical term sets) form a
+    disjunctive query scored with ordinary BM25 over the whole corpus;
+    the seed itself is excluded from its own results.
+
+    ``seed_ids``: a DataFrame with a doc_id column, or an iterable of ids.
+
+    Scale: seed term-vectors come from the seed docs' postings rows (a
+    broadcast-semi-joined slice, |seeds| docs); everything downstream is
+    the standard scorer plan bounded by the selected terms' df.  The seeds
+    list is a query batch, not a corpus — millions of seeds means you want
+    the all-pairs similarity operators (similarity.py), not MLT.
+    """
+    spark = docs.sparkSession
+    if isinstance(seed_ids, DataFrame):
+        seeds = seed_ids.select(F.col(seed_ids.columns[0]).alias("doc_id")).distinct()
+    else:
+        seeds = spark.createDataFrame(
+            [(int(s),) for s in seed_ids], "doc_id long"
+        ).distinct()
+    post, ds, n_docs, avgdl = _corpus_parts(docs, conf, text_col, id_col)
+    ts = term_stats(post)
+    seed_post = post.join(F.broadcast(seeds), "doc_id")
+    kw = (
+        seed_post.join(ts, "term")
+        .select(
+            F.col("doc_id").alias("query_id"),
+            "term",
+            (F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df"))).alias("tfidf"),
+        )
+    )
+    if round_dp is not None:
+        kw = kw.withColumn("tfidf", F.round("tfidf", round_dp))
+    wk = Window.partitionBy("query_id").orderBy(F.desc("tfidf"), F.asc("term"))
+    qt = (
+        kw.withColumn("_rn", F.row_number().over(wk))
+        .filter(F.col("_rn") <= n_terms)
+        .select("query_id", "term")
+    )
+    qt_idf = qt.join(ts, "term").withColumn("idf", idf_col(n_docs, "df"))
+    scored = _score_terms(post, ds, avgdl, qt_idf, conf).filter(
+        F.col("query_id") != F.col("doc_id")
+    )
+    return rank_topk(_maybe_round(scored, round_dp), k)

@@ -376,3 +376,46 @@ def test_boosted_scores(spark, docs):
     # ranking follows the boosted score
     s = out.sort_values("rank")["score"].to_numpy()
     assert (s[:-1] >= s[1:] - 1e-12).all()
+
+
+def test_more_like_this(spark, docs):
+    from igd_spark.querylang import more_like_this
+    from igd_spark.stats import corpus_stats, doc_stats, term_stats
+    from igd_spark.tokenizer import postings
+
+    import math
+
+    seed = int(docs.select("doc_id").orderBy("doc_id").limit(1).collect()[0][0])
+    n_terms = 4
+    out = more_like_this(docs, [seed], n_terms=n_terms, k=10_000).toPandas()
+    # self-exclusion
+    assert seed not in set(out["doc_id"])
+    assert (out["query_id"] == seed).all() and len(out) > 0
+    # python oracle: pick the seed's top-n tf*ln(n/df) terms, score with bm25
+    post = postings(docs).toPandas()
+    ts = term_stats(postings(docs)).toPandas().set_index("term")["df"]
+    n_docs = docs.count()
+    sp = post[post["doc_id"] == seed]
+    kw = sorted(
+        ((r.tf * math.log(n_docs / ts[r.term]), r.term) for r in sp.itertuples()),
+        key=lambda x: (-x[0], x[1]),
+    )[:n_terms]
+    terms = [t for _, t in kw]
+    # every returned doc contains at least one selected keyword
+    docs_with_kw = set(post[post["term"].isin(terms)]["doc_id"]) - {seed}
+    assert set(out["doc_id"]) == docs_with_kw
+    # scores equal the plain scorer on the same term set
+    manual = exact_bm25_topk(
+        docs, _queries(spark, [(0, " ".join(terms))]), k=10_000
+    ).toPandas()
+    m = out.merge(manual, on="doc_id", suffixes=("_m", "_e"))
+    assert (abs(m["score_m"] - m["score_e"]) < 1e-9).all()
+
+
+def test_more_like_this_seed_df_input(spark, docs):
+    from igd_spark.querylang import more_like_this
+
+    seeds = docs.select("doc_id").orderBy("doc_id").limit(2)
+    out = more_like_this(docs, seeds, n_terms=3, k=5).toPandas()
+    assert set(out["query_id"]) == set(seeds.toPandas()["doc_id"])
+    assert (out["rank"] <= 5).all()
