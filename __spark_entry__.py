@@ -394,10 +394,7 @@ def q_phrase_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     # consecutive-position phrase occurrence counts (token-space stab join)
     from igd_spark.search import phrase_match
 
-    ph = spark.createDataFrame(
-        [(int(q), t) for q, t in PHRASES], "query_id long, query_text string"
-    )
-    return phrase_match(_docs(spark, sf_dir), ph)
+    return phrase_match(_docs(spark, sf_dir), _phrases_df(spark))
 
 
 def q_phrase_match_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -407,10 +404,7 @@ def q_phrase_match_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus. Must be value-identical to phrase_match, hence the same oracle."""
     from igd_spark import phrase_match_indexed
 
-    ph = spark.createDataFrame(
-        [(int(q), t) for q, t in PHRASES], "query_id long, query_text string"
-    )
-    return phrase_match_indexed(spark, _built_index(spark, sf_dir), ph)
+    return phrase_match_indexed(spark, _built_index(spark, sf_dir), _phrases_df(spark))
 
 
 def q_corpus_curate(spark: SparkSession, sf_dir: str) -> DataFrame:

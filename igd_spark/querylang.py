@@ -73,17 +73,42 @@ def _score_terms(
     qt_idf: DataFrame,
     conf: IndexConf,
     extra_aggs: tuple[Column, ...] = (),
+    broadcast_terms: bool = True,
 ) -> DataFrame:
     """Score an explicit (query_id, term, idf) set: postings ⋈(broadcast)
     terms ⋈ doc_stats → hash agg on (query_id, doc_id).  Identical plan
     shape to `bm25_scores`; factored out so boolean / prefix variants can
-    supply their own term sets and piggyback extra aggregates."""
-    scored = post.join(F.broadcast(qt_idf.select("query_id", "term", "idf")), "term")
+    supply their own term sets and piggyback extra aggregates.
+    ``broadcast_terms=False`` leaves the join strategy to Catalyst/AQE —
+    for term sets of unbounded size (prefix expansion)."""
+    qsel = qt_idf.select("query_id", "term", "idf")
+    scored = post.join(F.broadcast(qsel) if broadcast_terms else qsel, "term")
     scored = scored.join(ds, "doc_id")
     w = bm25_weight_col(F.col("idf"), "tf", "dl", avgdl, conf.k1, conf.b)
     return scored.groupBy("query_id", "doc_id").agg(
         F.sum(w).alias("score"), *extra_aggs
     )
+
+
+def _bool_epilogue(
+    scored: DataFrame,
+    nq: DataFrame,
+    banned: DataFrame | None,
+    k: int,
+    round_dp: int | None,
+) -> DataFrame:
+    """Shared AND-filter + NOT-exclusion + ranking of both boolean paths
+    (DataFrame and indexed) — one copy so the rank-identity contract the
+    gate asserts can't silently diverge.  ``scored`` carries n_matched;
+    ``banned`` is the (query_id, doc_id) exclusion set or None."""
+    hits = (
+        scored.join(F.broadcast(nq), "query_id")
+        .filter(F.col("n_matched") == F.col("n_required"))
+        .select("query_id", "doc_id", "score")
+    )
+    if banned is not None:
+        hits = hits.join(banned, ["query_id", "doc_id"], "left_anti")
+    return rank_topk(_maybe_round(hits, round_dp), k)
 
 
 def bool_bm25_topk(
@@ -121,11 +146,7 @@ def bool_bm25_topk(
         post, ds, avgdl, qt_idf, conf,
         extra_aggs=(F.countDistinct("term").alias("n_matched"),),
     )
-    hits = (
-        scored.join(F.broadcast(nq), "query_id")
-        .filter(F.col("n_matched") == F.col("n_required"))
-        .select("query_id", "doc_id", "score")
-    )
+    banned = None
     if exclude_col is not None:
         ex = query_terms(queries, text_col=exclude_col)
         banned = (
@@ -133,8 +154,7 @@ def bool_bm25_topk(
             .select("query_id", "doc_id")
             .dropDuplicates(["query_id", "doc_id"])
         )
-        hits = hits.join(banned, ["query_id", "doc_id"], "left_anti")
-    return rank_topk(_maybe_round(hits, round_dp), k)
+    return _bool_epilogue(scored, nq, banned, k, round_dp)
 
 
 def filtered_bm25_topk(
@@ -187,10 +207,13 @@ def prefix_bm25_topk(
 
     Scale: expansion is a broadcast-nested-loop of the vocab-sized
     dictionary against the broadcast prefix list — vocab rows × a handful
-    of prefixes, one pass, no shuffle; everything after is the ordinary
-    scorer plan.  Hot prefixes ("a*") expand to many terms: the expansion
-    count is bounded by vocab, and the scoring join cost by the expanded
-    terms' total df — same bound a user accepts in any wildcard engine.
+    of prefixes, one pass, no shuffle.  The expanded term set itself is
+    NOT force-broadcast into the scoring join (a hot prefix like "a*" can
+    expand to a large vocab fraction, past any broadcast budget): the
+    scorer join is left to Catalyst/AQE, which broadcasts small expansions
+    on its own and falls back to a shuffle join for monster ones.  The
+    scoring cost bound is the expanded terms' total df — the bound any
+    wildcard engine accepts.
     """
     post, ds, n_docs, avgdl = _corpus_parts(docs, conf, text_col, id_col)
     prefixes = query_terms(queries).withColumnRenamed("term", "prefix")
@@ -203,6 +226,34 @@ def prefix_bm25_topk(
     )
     return rank_topk(
         _maybe_round(_score_terms(post, ds, avgdl, expanded, conf), round_dp), k
+    )
+
+
+def _group_epilogue(
+    scored: DataFrame,
+    groups: DataFrame,
+    agg: str,
+    k: int,
+    round_dp: int | None,
+) -> DataFrame:
+    """Shared doc→group roll-up + ranking of both group paths (DataFrame
+    and indexed) — one copy so the rank-identity contract the gate asserts
+    can't silently diverge.  Tie-break mirrors Q11: (score desc, group
+    asc)."""
+    if agg not in ("sum", "max"):
+        raise ValueError(f"agg must be 'sum' or 'max', got {agg!r}")
+    agg_fn = F.sum if agg == "sum" else F.max
+    g = (
+        scored.join(groups, "doc_id")
+        .groupBy("query_id", "group")
+        .agg(agg_fn("score").alias("score"))
+    )
+    g = _maybe_round(g, round_dp)
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("group"))
+    return (
+        g.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "group", "score")
     )
 
 
@@ -231,25 +282,11 @@ def group_bm25_topk(
     two columns, shuffle keyed on doc_id), then a fine-keyed hash agg on
     (query_id, group).
     """
-    if agg not in ("sum", "max"):
-        raise ValueError(f"agg must be 'sum' or 'max', got {agg!r}")
     scored = bm25_scores(docs, queries, conf=conf, text_col=text_col, id_col=id_col)
     groups = docs.select(
         F.col(id_col).alias("doc_id"), F.col(group_col).alias("group")
     )
-    agg_fn = F.sum if agg == "sum" else F.max
-    g = (
-        scored.join(groups, "doc_id")
-        .groupBy("query_id", "group")
-        .agg(agg_fn("score").alias("score"))
-    )
-    g = _maybe_round(g, round_dp)
-    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("group"))
-    return (
-        g.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("query_id", "rank", "group", "score")
-    )
+    return _group_epilogue(scored, groups, agg, k, round_dp)
 
 
 def conv_bm25_topk(
@@ -390,11 +427,7 @@ def bool_bm25_topk_indexed(
         spark, idx, queries, qterms=qt,
         extra_aggs=(F.countDistinct("term").alias("n_matched"),),
     )
-    hits = (
-        scored.join(F.broadcast(nq), "query_id")
-        .filter(F.col("n_matched") == F.col("n_required"))
-        .select("query_id", "doc_id", "score")
-    )
+    banned = None
     if exclude_col is not None:
         from igd_spark.search import match_enumerate
 
@@ -404,8 +437,7 @@ def bool_bm25_topk_indexed(
             .select("query_id", "doc_id")
             .dropDuplicates(["query_id", "doc_id"])
         )
-        hits = hits.join(banned, ["query_id", "doc_id"], "left_anti")
-    return rank_topk(_maybe_round(hits, round_dp), k)
+    return _bool_epilogue(scored, nq, banned, k, round_dp)
 
 
 def filtered_bm25_topk_indexed(
@@ -435,10 +467,19 @@ def prefix_bm25_topk_indexed(
     queries: DataFrame,
     k: int = 10,
     round_dp: int | None = None,
+    max_expanded_terms: int = 65_536,
 ) -> DataFrame:
     """`prefix_bm25_topk` over a persisted index: prefixes expand against
     the index's own dictionary (vocab-sized scan vs a broadcast prefix
-    list), then only the expanded terms' blocks are read."""
+    list), then only the expanded terms' blocks are read.
+
+    The pruned-scan machinery collects the expanded (term_id, n_salts)
+    set to the driver to derive shard/row-group prune lists (the same
+    prologue `search()` uses), so a hot prefix ("a*") expanding to a
+    large vocab fraction would be a driver OOM, not a slow query:
+    ``max_expanded_terms`` bounds it with a clear error instead.  Raise
+    the cap deliberately, or use the corpus-scan `prefix_bm25_topk`
+    (fully distributed expansion) for monster prefixes."""
     prefixes = query_terms(queries).withColumnRenamed("term", "prefix")
     expanded = (
         idx.dictionary.join(
@@ -447,6 +488,12 @@ def prefix_bm25_topk_indexed(
         .select("query_id", "term")
         .dropDuplicates(["query_id", "term"])
     )
+    n_exp = expanded.limit(max_expanded_terms + 1).count()
+    if n_exp > max_expanded_terms:
+        raise ValueError(
+            f"prefix expansion exceeds max_expanded_terms={max_expanded_terms}; "
+            "raise the cap or use prefix_bm25_topk (distributed expansion)"
+        )
     scored = _indexed_scored(spark, idx, queries, qterms=expanded)
     return rank_topk(_maybe_round(scored, round_dp), k)
 
@@ -466,23 +513,9 @@ def group_bm25_topk_indexed(
     projection of the corpus (two-column columnar scan at 100 TB); the
     scored side is sparse (query-term postings), so the join shuffles
     only hits plus the mapping, keyed on doc_id."""
-    if agg not in ("sum", "max"):
-        raise ValueError(f"agg must be 'sum' or 'max', got {agg!r}")
     scored = _indexed_scored(spark, idx, queries)
     groups = doc_groups.select("doc_id", F.col(group_col).alias("group"))
-    agg_fn = F.sum if agg == "sum" else F.max
-    g = (
-        scored.join(groups, "doc_id")
-        .groupBy("query_id", "group")
-        .agg(agg_fn("score").alias("score"))
-    )
-    g = _maybe_round(g, round_dp)
-    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("group"))
-    return (
-        g.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("query_id", "rank", "group", "score")
-    )
+    return _group_epilogue(scored, groups, agg, k, round_dp)
 
 
 def snippets_indexed(
@@ -619,7 +652,12 @@ def boosted_bm25_topk(
     """
     bcol = F.expr(boost) if isinstance(boost, str) else boost
     scored = bm25_scores(docs, queries, conf=conf, text_col=text_col, id_col=id_col)
-    bdf = docs.select(F.col(id_col).alias("doc_id"), bcol.cast("double").alias("_boost"))
+    # a NULL boost means "no boost" (factor 1.0, the Lucene convention) —
+    # without the coalesce, NULL scores would still occupy top-k rank slots
+    bdf = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.coalesce(bcol.cast("double"), F.lit(1.0)).alias("_boost"),
+    )
     boosted = scored.join(bdf, "doc_id").select(
         "query_id", "doc_id", (F.col("score") * F.col("_boost")).alias("score")
     )
@@ -656,7 +694,16 @@ def more_like_this(
     """
     spark = docs.sparkSession
     if isinstance(seed_ids, DataFrame):
-        seeds = seed_ids.select(F.col(seed_ids.columns[0]).alias("doc_id")).distinct()
+        if "doc_id" in seed_ids.columns:
+            scol = "doc_id"
+        elif len(seed_ids.columns) == 1:
+            scol = seed_ids.columns[0]
+        else:
+            raise ValueError(
+                "seed_ids DataFrame must have a doc_id column or exactly one "
+                f"column, got {seed_ids.columns}"
+            )
+        seeds = seed_ids.select(F.col(scol).alias("doc_id")).distinct()
     else:
         seeds = spark.createDataFrame(
             [(int(s),) for s in seed_ids], "doc_id long"

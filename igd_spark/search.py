@@ -972,6 +972,32 @@ def phrase_match(
     return _anchor_hits(j, plen)
 
 
+def _pruned_position_blocks(idx: InvertedIndex, qdict: DataFrame) -> DataFrame | None:
+    """Shared pruning prologue of the positional readers (phrase + NEAR):
+    ``qdict`` is the dictionary slice carrying at least (term_id, n_salts)
+    plus whatever per-term payload the kernel needs.  Collects the tiny
+    (term_id, n_salts) set, derives shard partitions + In(term_id) prune
+    lists, and returns the pruned positions blocks joined with the
+    broadcast qdict (minus n_salts) — or None when no term resolved."""
+    from igd_spark.build import shards_for
+
+    trows = qdict.select("term_id", "n_salts").distinct().collect()
+    if not trows:
+        return None
+    term_ids = sorted({int(r["term_id"]) for r in trows})
+    shards = sorted(
+        {
+            s
+            for r in trows
+            for s in shards_for(int(r["term_id"]), int(r["n_salts"]), idx.conf.n_shards)
+        }
+    )
+    pos = idx.positions.filter(
+        F.col("shard").isin(shards) & F.col("term_id").isin(term_ids)
+    ).select("term_id", "doc_ids", "poss")
+    return pos.join(F.broadcast(qdict.drop("n_salts")), "term_id")
+
+
 def phrase_match_indexed(
     spark: SparkSession, idx: InvertedIndex, phrases: DataFrame
 ) -> DataFrame:
@@ -987,29 +1013,15 @@ def phrase_match_indexed(
     blocks — no corpus re-tokenization, the fix for the
     full-scan-per-phrase-batch scale killer."""
     conf = idx.conf
-    from igd_spark.build import shards_for
-
     out_empty = "query_id long, doc_id long, n_hits long"
     pterms = _phrase_terms(phrases, conf.token_split_re)
     plen = pterms.groupBy("query_id").agg(F.count("*").alias("phrase_len"))
     qdict = idx.dictionary.join(F.broadcast(pterms), "term").select(
         "query_id", "term_id", "offset", "n_salts"
     )
-    trows = qdict.select("term_id", "n_salts").distinct().collect()
-    if not trows:
+    blocks = _pruned_position_blocks(idx, qdict)
+    if blocks is None:
         return spark.createDataFrame([], out_empty)
-    term_ids = sorted({int(r["term_id"]) for r in trows})
-    shards = sorted(
-        {
-            s
-            for r in trows
-            for s in shards_for(int(r["term_id"]), int(r["n_salts"]), conf.n_shards)
-        }
-    )
-    pos = idx.positions.filter(
-        F.col("shard").isin(shards) & F.col("term_id").isin(term_ids)
-    ).select("term_id", "doc_ids", "poss")
-    blocks = pos.join(F.broadcast(qdict.select("query_id", "term_id", "offset")), "term_id")
 
     anchor_schema = T.StructType(
         [
@@ -1061,21 +1073,9 @@ def positional_enumerate(
     qdict = idx.dictionary.join(F.broadcast(qt), "term").select(
         "query_id", "term", "term_id", "n_salts"
     )
-    trows = qdict.select("term_id", "n_salts").distinct().collect()
-    if not trows:
+    blocks = _pruned_position_blocks(idx, qdict)
+    if blocks is None:
         return spark.createDataFrame([], "query_id long, term string, doc_id long, pos int")
-    term_ids = sorted({int(r["term_id"]) for r in trows})
-    shards = sorted(
-        {
-            s
-            for r in trows
-            for s in shards_for(int(r["term_id"]), int(r["n_salts"]), conf.n_shards)
-        }
-    )
-    pos = idx.positions.filter(
-        F.col("shard").isin(shards) & F.col("term_id").isin(term_ids)
-    ).select("term_id", "doc_ids", "poss")
-    blocks = pos.join(F.broadcast(qdict.select("query_id", "term", "term_id")), "term_id")
 
     out_schema = T.StructType(
         [

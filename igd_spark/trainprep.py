@@ -303,8 +303,12 @@ def decontaminate(
     from igd_spark.dedup import shingles
 
     dsh = shingles(docs, n=n, text_col=text_col, id_col=id_col)
+    # the benchmark's ids are never used (only its DISTINCT shingle set),
+    # so don't require it to carry the training corpus's id column —
+    # synthesize one for the shingles() call
+    bench_ids = benchmark.withColumn("_bid", F.monotonically_increasing_id())
     bsh = (
-        shingles(benchmark, n=n, text_col=bench_text_col, id_col=id_col)
+        shingles(bench_ids, n=n, text_col=bench_text_col, id_col="_bid")
         .select("shingle")
         .distinct()
     )

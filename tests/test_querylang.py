@@ -419,3 +419,35 @@ def test_more_like_this_seed_df_input(spark, docs):
     out = more_like_this(docs, seeds, n_terms=3, k=5).toPandas()
     assert set(out["query_id"]) == set(seeds.toPandas()["doc_id"])
     assert (out["rank"] <= 5).all()
+
+
+def test_more_like_this_seed_column_by_name(spark, docs):
+    # review fix: a multi-column seed DF must resolve doc_id by NAME
+    from igd_spark.querylang import more_like_this
+
+    seeds2 = docs.select("conv_id", "doc_id").orderBy("doc_id").limit(2)
+    by_name = more_like_this(docs, seeds2, n_terms=3, k=5).toPandas()
+    ids = docs.select("doc_id").orderBy("doc_id").limit(2)
+    by_plain = more_like_this(docs, ids, n_terms=3, k=5).toPandas()
+    pd.testing.assert_frame_equal(
+        by_name.sort_values(["query_id", "rank"]).reset_index(drop=True),
+        by_plain.sort_values(["query_id", "rank"]).reset_index(drop=True),
+    )
+    # ambiguous seed DF (no doc_id, multiple columns) fails loudly
+    with pytest.raises(ValueError):
+        more_like_this(docs, docs.select("conv_id", "role"), n_terms=3)
+
+
+def test_boosted_null_boost_is_one(spark, docs):
+    # review fix: NULL boost = factor 1.0 (Lucene missing-boost convention)
+    from igd_spark.querylang import boosted_bm25_topk
+
+    t1 = _pick_terms(docs, 1)[0]
+    q = _queries(spark, [(0, t1)])
+    # boost NULL for every doc -> identical to the unboosted scorer
+    out = boosted_bm25_topk(docs, q, F.lit(None).cast("double"), k=10_000).toPandas()
+    plain = bm25_scores(docs, q).toPandas()
+    m = out.merge(plain, on="doc_id", suffixes=("_b", "_p"))
+    assert len(m) == len(out) > 0
+    assert (abs(m["score_b"] - m["score_p"]) < 1e-12).all()
+    assert m["score_b"].notna().all()

@@ -293,3 +293,24 @@ def test_decontaminate_mode_validation(spark, tiny_docs):
 
     with _pytest.raises(ValueError):
         decontaminate(tiny_docs, tiny_docs, mode="purge")
+
+
+def test_decontaminate_benchmark_without_doc_id(spark, tiny_docs):
+    # review fix: the benchmark side needs only text, not the corpus id_col
+    from igd_spark import decontaminate
+    from igd_spark.corpus import assign_doc_ids
+
+    import pyspark.sql.functions as F
+
+    docs = assign_doc_ids(tiny_docs)
+    bench_textonly = (
+        docs.filter(F.col("doc_id") % 11 == 0).select(F.col("text").alias("content"))
+    )
+    out = decontaminate(docs, bench_textonly, n=4, bench_text_col="content").toPandas()
+    # identical to passing the id-carrying benchmark
+    ref = decontaminate(
+        docs, docs.filter(F.col("doc_id") % 11 == 0), n=4
+    ).toPandas()
+    assert out.sort_values("doc_id").reset_index(drop=True).equals(
+        ref.sort_values("doc_id").reset_index(drop=True)
+    )
