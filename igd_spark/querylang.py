@@ -23,10 +23,26 @@ so this module adds, as pure-DataFrame compositions of the exact scorer
 * ``snippets``          — keyword-in-context extraction: for each top-k
   (query, doc) hit, a character window of the original text centred on the
   first occurrence of the earliest-occurring matched query term.
+* ``near_match``        — proximity (NEAR/slop): all query terms within a
+  token window; exact minimal cover span + qualifying-anchor count.
+* ``boosted_bm25_topk`` — score × a numeric doc-attribute expression
+  (Lucene boost queries; NULL boost = 1.0).
+* ``more_like_this``    — seed docs' top tf·idf terms as a disjunctive
+  query, self-excluded (the MoreLikeThis surface).
+
+Each retrieval operator also has an index-backed ``*_indexed`` variant
+running the identical semantics off a persisted `InvertedIndex`: the only
+data touched is the query terms' posting/position blocks (shard partition
++ In(term_id) row-group pruning), and because blocks carry per-posting
+document lengths, scoring needs ZERO corpus-sized joins — the corpus
+table appears only for attribute predicates (pushdown-pruned narrow scan)
+and snippet text fetch.  Rank-identity between each pair is gate- and
+pytest-enforced.
 
 Every operator is JVM-side Catalyst code (joins + hash aggregates + window
-top-k): no Python UDFs, no collects beyond the O(1) corpus-stats row that
-the exact scorer already takes.
+top-k): no Python UDFs outside the shared Arrow block-decode kernels, no
+collects beyond the O(1) corpus-stats row and the pruned-scan prologues'
+O(query terms) dictionary slices.
 
 100 TB notes, per operator, are in the docstrings: the query side is always
 broadcast; corpus-sized work is one postings scan plus fine-grained-key
