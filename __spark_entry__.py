@@ -88,6 +88,16 @@ MLT_SEEDS = (0, 7, 42, 101, 333)
 MLT_TERMS = 5  # benchmark set = docs with doc_id % DECON_MOD == 0
 BOOST_EXPR = "CASE WHEN lang = 'en' THEN 1.5 ELSE 0.75 END"
 GROUP_COL = "source"
+FUZZY_QUERY_SET: list[tuple[int, str]] = [
+    (0, "sparc joim"),       # 1-edit typos of two corpus terms
+    (1, "qury"),             # deletion typo
+    (2, "tabel"),            # lev 2 from "table" -> only its 1-edit vocab
+    (3, "zzznotavocab"),     # nothing within 1 edit -> 0 hits
+    (4, "mergee sort"),      # insertion typo + exact term
+]
+FUZZY_MAX_EDITS = 1
+FACET_COL = "lang"
+FACET_K = 3
 PHRASES: list[tuple[int, str]] = [
     (0, "table hash"),
     (1, "customer join"),
@@ -673,6 +683,47 @@ def q_more_like_this(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _fuzzy_queries_df(spark: SparkSession) -> DataFrame:
+    return spark.createDataFrame(
+        [(int(q), t) for q, t in FUZZY_QUERY_SET],
+        "query_id long, query_text string",
+    )
+
+
+def q_fuzzy_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Lucene FuzzyQuery: SymSpell deletion-neighbourhood expansion against
+    # the corpus dictionary, levenshtein-verified, similarity-boosted BM25
+    from igd_spark import fuzzy_bm25_topk
+
+    return fuzzy_bm25_topk(
+        _docs(spark, sf_dir), _fuzzy_queries_df(spark),
+        max_edits=FUZZY_MAX_EDITS, k=K, round_dp=6,
+    )
+
+
+def q_fuzzy_bm25_topk_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # fuzzy expansion against the persisted index's dictionary; only the
+    # expanded terms' posting blocks are read — rank-identical to the
+    # DataFrame path, hence the same oracle
+    from igd_spark import fuzzy_bm25_topk_indexed
+
+    idx = _built_index(spark, sf_dir)
+    return fuzzy_bm25_topk_indexed(
+        spark, idx, _fuzzy_queries_df(spark),
+        max_edits=FUZZY_MAX_EDITS, k=K, round_dp=6,
+    )
+
+
+def q_facet_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Solr/Lucene faceting: per-query match-set counts by attribute value
+    from igd_spark import facet_counts
+
+    return facet_counts(
+        _docs(spark, sf_dir), _queries_df(spark), FACET_COL, k=FACET_K,
+        round_dp=6,
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: BM25 top-10 over the sf0.001 documents corpus."""
     return q_bm25_topk(spark, "/root/testdata/sf0.001")
@@ -702,6 +753,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontaminate": q_decontaminate,
         "boosted_bm25_topk": q_boosted_bm25_topk,
         "more_like_this": q_more_like_this,
+        "fuzzy_bm25_topk": q_fuzzy_bm25_topk,
+        "fuzzy_bm25_topk_indexed": q_fuzzy_bm25_topk_indexed,
+        "facet_counts": q_facet_counts,
         "match_enumerate": q_match_enumerate,
         "term_cooccurrence": q_term_cooccurrence,
         "term_cooccurrence_mintf": q_term_cooccurrence_mintf,
@@ -1703,6 +1757,60 @@ ranked AS (
                             ORDER BY round(s, 6) DESC, doc_id ASC)::INT AS rank
   FROM boosted)
 SELECT query_id, rank, doc_id, score FROM ranked WHERE rank <= {K}
+""".replace("{_W}", _W)
+
+    # fuzzy expansion is brute-force levenshtein here (the oracle shape);
+    # the Spark default is the SymSpell deletes equi-join, which produces
+    # the identical match set because candidates are a superset and both
+    # paths verify exact levenshtein <= max_edits (pytest-pinned)
+    _fqvals = ", ".join(f"({q}::BIGINT, '{t}')" for q, t in FUZZY_QUERY_SET)
+    sql["fuzzy_bm25_topk"] = f"""
+WITH {_TL}, {_TOKS}, {_POST}, {_DL}, {_CS}, {_TS},
+fq(query_id, query_text) AS (VALUES {_fqvals}),
+fqt AS (SELECT DISTINCT query_id, unnest(list_filter(
+  regexp_split_to_array(lower(query_text), '[^a-z0-9]+'), x -> x <> '')) AS qterm FROM fq),
+expanded AS (
+  SELECT fqt.query_id, ts.term,
+         max(1.0 - levenshtein(ts.term, fqt.qterm)::DOUBLE
+                   / least(length(ts.term), length(fqt.qterm))) AS boost,
+         max(ts.df) AS df
+  FROM fqt JOIN ts ON levenshtein(ts.term, fqt.qterm) <= {FUZZY_MAX_EDITS}
+  GROUP BY 1, 2),
+scored AS (
+  SELECT e.query_id, p.doc_id,
+         sum( e.boost * ln((cs.n_docs - e.df + 0.5) / (e.df + 0.5) + 1.0)
+              * p.tf * {K1 + 1.0}
+              / (p.tf + {K1} * (1.0 - {B} + {B} * dl.dl / cs.avgdl)) ) AS s
+  FROM expanded e JOIN post p USING (term)
+  JOIN dl ON p.doc_id = dl.doc_id CROSS JOIN cs
+  GROUP BY 1, 2),
+ranked AS (
+  SELECT query_id, doc_id, round(s, 6) AS score,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY round(s, 6) DESC, doc_id ASC)::INT AS rank
+  FROM scored)
+SELECT query_id, rank, doc_id, score FROM ranked WHERE rank <= {K}
+"""
+    sql["fuzzy_bm25_topk_indexed"] = sql["fuzzy_bm25_topk"]
+
+    sql["facet_counts"] = f"""
+WITH {_TL}, {_TOKS}, {_POST}, {_DL}, {_CS}, {_TS}, {_QT},
+scored AS (
+  SELECT qt.query_id, p.doc_id, sum({{_W}}) AS s
+  FROM qterms qt JOIN ts USING (term) JOIN post p USING (term)
+  JOIN dl ON p.doc_id = dl.doc_id CROSS JOIN cs
+  GROUP BY 1, 2),
+fc AS (
+  SELECT s.query_id, d."{FACET_COL}" AS facet,
+         count(*)::BIGINT AS n_docs, round(sum(s.s), 6) AS score
+  FROM scored s JOIN documents d ON d.doc_id = s.doc_id
+  GROUP BY 1, 2),
+ranked AS (
+  SELECT query_id, facet, n_docs, score,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY n_docs DESC, facet ASC)::INT AS rank
+  FROM fc)
+SELECT query_id, rank, facet, n_docs, score FROM ranked WHERE rank <= {FACET_K}
 """.replace("{_W}", _W)
 
     return sql

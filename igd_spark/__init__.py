@@ -57,8 +57,12 @@ from igd_spark.querylang import (
     bool_bm25_topk_indexed,
     boosted_bm25_topk,
     conv_bm25_topk,
+    facet_counts,
     filtered_bm25_topk,
     filtered_bm25_topk_indexed,
+    fuzzy_bm25_topk,
+    fuzzy_bm25_topk_indexed,
+    fuzzy_expand,
     group_bm25_topk,
     group_bm25_topk_indexed,
     more_like_this,
@@ -131,7 +135,11 @@ __all__ = [
     "exact_dedup",
     "extract_features",
     "extract_features_long",
+    "facet_counts",
+    "fuzzy_bm25_topk",
+    "fuzzy_bm25_topk_indexed",
     "fuzzy_dedup_docs",
+    "fuzzy_expand",
     "filtered_bm25_topk",
     "filtered_bm25_topk_indexed",
     "fingerprint",

@@ -400,13 +400,17 @@ def _indexed_scored(
     qterms: DataFrame | None = None,
     extra_aggs: tuple[Column, ...] = (),
     allowed: DataFrame | None = None,
+    qidf: DataFrame | None = None,
 ) -> DataFrame:
     """(query_id, doc_id, score[, extras]) from pruned posting blocks only.
 
     ``qterms`` overrides the tokenized query text with an explicit
     (query_id, term) set (prefix expansion).  ``allowed`` (doc_id rows)
     is applied BELOW the scoring aggregate — excluded docs never reach
-    the hash agg."""
+    the hash agg.  ``qidf`` overrides the per-(query, term) weight rows
+    (query_id, term, idf) — fuzzy expansion folds its similarity boost
+    into the idf, which is sound because the BM25 weight is linear in
+    idf."""
     from igd_spark.search import match_enumerate
 
     if qterms is None:
@@ -414,10 +418,11 @@ def _indexed_scored(
     me = match_enumerate(spark, idx, queries, with_dl=True, terms=qterms)
     if allowed is not None:
         me = me.join(allowed.select("doc_id"), "doc_id", "left_semi")
-    qidf = (
-        idx.dictionary.join(F.broadcast(qterms.select("query_id", "term")), "term")
-        .select("query_id", "term", idf_col(idx.n_docs, "df").alias("idf"))
-    )
+    if qidf is None:
+        qidf = (
+            idx.dictionary.join(F.broadcast(qterms.select("query_id", "term")), "term")
+            .select("query_id", "term", idf_col(idx.n_docs, "df").alias("idf"))
+        )
     j = me.join(F.broadcast(qidf), ["query_id", "term"])
     w = bm25_weight_col(
         F.col("idf"), "tf", "dl", float(idx.avgdl), idx.conf.k1, idx.conf.b
@@ -748,3 +753,197 @@ def more_like_this(
         F.col("query_id") != F.col("doc_id")
     )
     return rank_topk(_maybe_round(scored, round_dp), k)
+
+
+# ---------------------------------------------------------------------------
+# Fuzzy (edit-distance) retrieval
+# ---------------------------------------------------------------------------
+
+
+def _deletion_variants(col: str, max_edits: int) -> Column:
+    """array<string> of every string reachable from ``col`` by deleting up
+    to ``max_edits`` characters (the string itself included) — the SymSpell
+    candidate key set.  Guarantee used below: lev(a, b) <= d implies the
+    d-deletion neighbourhoods of a and b intersect (align a and b under
+    <= d edit ops; deleting each side's edited characters leaves the same
+    common subsequence, <= d deletions per side), so an equi-join on
+    variants is a SUPERSET of the true edit-distance matches and an exact
+    `levenshtein` verify on candidates recovers exactly the scan-mode set.
+
+    Pure Catalyst higher-order functions (transform/filter/flatten over a
+    sequence) — no UDF, whole-stage-codegen'd."""
+    expr = f"array({col})"
+    for _ in range(max_edits):
+        one_del = (
+            "flatten(transform("
+            f"filter({expr}, s -> length(s) > 0), "
+            "s -> transform(sequence(1, length(s)), "
+            "i -> concat(substr(s, 1, i - 1), substr(s, i + 1)))))"
+        )
+        expr = f"array_distinct(array_union({expr}, {one_del}))"
+    return F.expr(expr)
+
+
+def fuzzy_expand(
+    qterms: DataFrame,
+    dictionary: DataFrame,
+    max_edits: int = 1,
+    mode: str = "deletes",
+) -> DataFrame:
+    """Expand query terms against a term dictionary by Levenshtein distance
+    — (query_id, term, df, boost), one row per dictionary term within
+    ``max_edits`` of ANY of the query's terms.
+
+    ``boost`` is the classic Lucene fuzzy similarity
+    ``1 - dist / min(len(query_term), len(term))`` (1.0 for an exact
+    match); a dictionary term reached from several query terms of one
+    query keeps its best (max) boost — max is order-independent, so the
+    result is engine-deterministic.
+
+    ``mode='deletes'`` (default, the scale path): SymSpell-style — both
+    sides explode into <= ``max_edits``-deletion variants, candidates come
+    from a hash EQUI-join on the variant key, then an exact JVM
+    `levenshtein` verify.  Variant blow-up is |vocab| x O(len^d) rows in
+    one narrow pass — no quadratic vocab x queries scan; for repeated
+    fuzzy workloads persist the dictionary-side variant table once.
+    ``mode='scan'`` is the brute-force broadcast-nested-loop (vocab x
+    query-terms levenshtein evals) — the oracle shape, and exactly equal
+    output by the superset+verify argument above (pytest-pinned).
+
+    ``dictionary``: (term, df[, ...]) — `term_stats` output or
+    `InvertedIndex.dictionary`.
+    """
+    qt = qterms.select("query_id", F.col("term").alias("qterm"))
+    dct = dictionary.select("term", "df")
+    if mode == "scan":
+        cand = dct.join(
+            F.broadcast(qt),
+            F.levenshtein(F.col("term"), F.col("qterm")) <= max_edits,
+        )
+    elif mode == "deletes":
+        qv = qt.withColumn("variant", F.explode(_deletion_variants("qterm", max_edits)))
+        dv = dct.withColumn("variant", F.explode(_deletion_variants("term", max_edits)))
+        cand = (
+            dv.join(F.broadcast(qv), "variant")
+            .dropDuplicates(["query_id", "qterm", "term"])
+            .filter(F.levenshtein(F.col("term"), F.col("qterm")) <= max_edits)
+        )
+    else:
+        raise ValueError(f"mode must be 'deletes' or 'scan', got {mode!r}")
+    boost = F.lit(1.0) - (
+        F.levenshtein(F.col("term"), F.col("qterm")).cast("double")
+        / F.least(F.length("term"), F.length("qterm")).cast("double")
+    )
+    return (
+        cand.withColumn("boost", boost)
+        .groupBy("query_id", "term")
+        .agg(F.max("boost").alias("boost"), F.max("df").alias("df"))
+    )
+
+
+def fuzzy_bm25_topk(
+    docs: DataFrame,
+    queries: DataFrame,
+    max_edits: int = 1,
+    k: int = 10,
+    conf: IndexConf = DEFAULT_CONF,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    mode: str = "deletes",
+    round_dp: int | None = None,
+) -> DataFrame:
+    """Fuzzy retrieval (the Lucene FuzzyQuery surface): every query token
+    expands to the corpus terms within ``max_edits`` Levenshtein distance;
+    the union scores disjunctively, each matched term weighted by its own
+    idf x the similarity boost (`fuzzy_expand`) — so "sparc joim" finds
+    the "spark join" docs, exact matches outrank their typo neighbours,
+    and a term with boost 0 (dist == shorter length) contributes nothing.
+
+    Scale: the multi-term-query rewrite pattern of `prefix_bm25_topk` —
+    expansion cost is the SymSpell equi-join (`fuzzy_expand`), scoring
+    cost the expanded terms' total df.  The expanded set is bounded by
+    query terms x their close vocab neighbours (small), so it broadcasts
+    into the scoring join.
+    """
+    post, ds, n_docs, avgdl = _corpus_parts(docs, conf, text_col, id_col)
+    qt = query_terms(queries)
+    ts = term_stats(post)
+    exp = fuzzy_expand(qt, ts, max_edits=max_edits, mode=mode)
+    qt_idf = exp.select(
+        "query_id", "term", (F.col("boost") * idf_col(n_docs, "df")).alias("idf")
+    )
+    return rank_topk(
+        _maybe_round(_score_terms(post, ds, avgdl, qt_idf, conf), round_dp), k
+    )
+
+
+def fuzzy_bm25_topk_indexed(
+    spark,
+    idx,
+    queries: DataFrame,
+    max_edits: int = 1,
+    k: int = 10,
+    mode: str = "deletes",
+    round_dp: int | None = None,
+    max_expanded_terms: int = 65_536,
+) -> DataFrame:
+    """`fuzzy_bm25_topk` over a persisted index: expansion runs against the
+    index's own dictionary, then only the expanded terms' posting blocks
+    are read (same pruned scan as `prefix_bm25_topk_indexed`, same
+    ``max_expanded_terms`` driver-OOM guard on the prune-list prologue).
+    Rank-identity with the DataFrame path is gate- and pytest-enforced."""
+    qt = query_terms(queries)
+    exp = fuzzy_expand(qt, idx.dictionary, max_edits=max_edits, mode=mode)
+    n_exp = exp.limit(max_expanded_terms + 1).count()
+    if n_exp > max_expanded_terms:
+        raise ValueError(
+            f"fuzzy expansion exceeds max_expanded_terms={max_expanded_terms}; "
+            "raise the cap or use fuzzy_bm25_topk (corpus-scan path)"
+        )
+    qidf = exp.select(
+        "query_id", "term", (F.col("boost") * idf_col(idx.n_docs, "df")).alias("idf")
+    )
+    scored = _indexed_scored(
+        spark, idx, queries, qterms=exp.select("query_id", "term"), qidf=qidf
+    )
+    return rank_topk(_maybe_round(scored, round_dp), k)
+
+
+def facet_counts(
+    docs: DataFrame,
+    queries: DataFrame,
+    facet_col: str,
+    k: int = 10,
+    conf: IndexConf = DEFAULT_CONF,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    round_dp: int | None = None,
+) -> DataFrame:
+    """Facet counts over each query's match set (the Lucene/Solr faceting
+    surface) — (query_id, rank, facet, n_docs, score): group the docs
+    matching >= 1 query term by ``facet_col``, count them, and carry the
+    facet's total BM25 mass; top-k facets per query by (n_docs desc,
+    facet asc) — an integer sort key, so ranking is float-free.
+
+    Scale: the match set is sparse (bounded by the query terms' postings);
+    attaching the facet is one join against the (doc_id, facet) corpus
+    projection — the `group_bm25_topk` join shape, a two-column pushdown
+    scan at 100 TB — then a fine-keyed hash agg on (query_id, facet).
+    """
+    scored = bm25_scores(docs, queries, conf=conf, text_col=text_col, id_col=id_col)
+    fdf = docs.select(F.col(id_col).alias("doc_id"), F.col(facet_col).alias("facet"))
+    agg = (
+        scored.join(fdf, "doc_id")
+        .groupBy("query_id", "facet")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("score").alias("score"),
+        )
+    )
+    agg = _maybe_round(agg, round_dp)
+    w = Window.partitionBy("query_id").orderBy(F.desc("n_docs"), F.asc("facet"))
+    return (
+        agg.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "facet", "n_docs", "score")
+    )

@@ -451,3 +451,77 @@ def test_boosted_null_boost_is_one(spark, docs):
     assert len(m) == len(out) > 0
     assert (abs(m["score_b"] - m["score_p"]) < 1e-12).all()
     assert m["score_b"].notna().all()
+
+
+# ---------------------------------------------------------------------------
+# Fuzzy (edit-distance) retrieval + faceting
+# ---------------------------------------------------------------------------
+
+
+def test_fuzzy_deletes_equals_scan(spark, docs):
+    # the SymSpell deletes equi-join must produce EXACTLY the brute-force
+    # levenshtein match set (superset candidates + exact verify), d=1 and d=2
+    from igd_spark.querylang import fuzzy_expand
+    from igd_spark.stats import term_stats
+    from igd_spark.tokenizer import postings
+
+    ts = term_stats(postings(docs))
+    t1, t2 = _pick_terms(docs, 2)
+    q = _queries(spark, [(0, f"{t1[:-1]}x {t2}"), (1, "zzznotavocab"), (2, "a")])
+    qt = query_terms(q)
+    for d in (1, 2):
+        a = fuzzy_expand(qt, ts, max_edits=d, mode="deletes")
+        b = fuzzy_expand(qt, ts, max_edits=d, mode="scan")
+        pd.testing.assert_frame_equal(_sorted(a), _sorted(b))
+    with pytest.raises(ValueError):
+        fuzzy_expand(qt, ts, mode="nope")
+
+
+def test_fuzzy_semantics(spark, docs):
+    from igd_spark.querylang import fuzzy_bm25_topk
+
+    t1 = _pick_terms(docs, 1)[0]
+    # absent-neighbourhood query matches nothing
+    q_absent = _queries(spark, [(0, "zzznotavocab")])
+    assert fuzzy_bm25_topk(docs, q_absent, k=100).count() == 0
+    # an exact vocab term expands to at least itself with boost 1: every
+    # doc scored by the plain scorer appears with score >= its plain score
+    q = _queries(spark, [(0, t1)])
+    out = fuzzy_bm25_topk(docs, q, k=10_000).toPandas()
+    plain = bm25_scores(docs, q).toPandas()
+    m = plain.merge(out, on="doc_id", suffixes=("_p", "_f"))
+    assert len(m) == len(plain) > 0
+    assert (m["score_f"] >= m["score_p"] - 1e-12).all()
+
+
+def test_fuzzy_indexed_identity(spark, docs, built_idx):
+    from igd_spark.querylang import fuzzy_bm25_topk, fuzzy_bm25_topk_indexed
+
+    t1, t2 = _pick_terms(docs, 2)
+    q = _queries(spark, [(0, f"{t1[:-1]}x"), (1, t2), (2, "zzznotavocab")])
+    a = _sorted(fuzzy_bm25_topk(docs, q, k=30, conf=built_idx.conf, round_dp=9))
+    b = _sorted(fuzzy_bm25_topk_indexed(spark, built_idx, q, k=30, round_dp=9))
+    assert len(a) > 0
+    pd.testing.assert_frame_equal(a, b)
+    # the expansion cap fails loudly, not with a driver OOM
+    with pytest.raises(ValueError):
+        fuzzy_bm25_topk_indexed(spark, built_idx, q, max_expanded_terms=0)
+
+
+def test_facet_counts_hand_check(spark, docs):
+    from igd_spark.querylang import facet_counts
+
+    t1 = _pick_terms(docs, 1)[0]
+    q = _queries(spark, [(0, t1)])
+    out = facet_counts(docs, q, "role", k=100).toPandas()
+    # facet doc counts equal the match set grouped by role, by hand
+    match = bm25_scores(docs, q).toPandas()
+    roles = docs.select("doc_id", "role").toPandas()
+    expect = (
+        match.merge(roles, on="doc_id").groupby("role")["doc_id"].count()
+    )
+    got = out.set_index("facet")["n_docs"]
+    assert got.sort_index().astype(int).equals(expect.sort_index().astype(int))
+    # ranks follow (n_docs desc, facet asc)
+    srt = out.sort_values("rank")
+    assert list(srt["n_docs"]) == sorted(srt["n_docs"], reverse=True) or len(srt) <= 1
