@@ -98,6 +98,13 @@ FUZZY_QUERY_SET: list[tuple[int, str]] = [
 FUZZY_MAX_EDITS = 1
 FACET_COL = "lang"
 FACET_K = 3
+WILDCARD_QUERY_SET: list[tuple[int, str]] = [
+    (0, "ta*e"),             # infix wildcard
+    (1, "quer?"),            # single-char wildcard
+    (2, "*ble"),             # leading wildcard (suffix match)
+    (3, "zzz*"),             # expands to nothing -> 0 hits
+    (4, "m?rge s*t"),        # two patterns, disjunctive union
+]
 PHRASES: list[tuple[int, str]] = [
     (0, "table hash"),
     (1, "customer join"),
@@ -714,6 +721,32 @@ def q_fuzzy_bm25_topk_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _wildcard_queries_df(spark: SparkSession) -> DataFrame:
+    return spark.createDataFrame(
+        [(int(q), t) for q, t in WILDCARD_QUERY_SET],
+        "query_id long, query_text string",
+    )
+
+
+def q_wildcard_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Lucene WildcardQuery: */? patterns expanded against the dictionary
+    # via SQL LIKE (identical semantics in both engines by construction)
+    from igd_spark import wildcard_bm25_topk
+
+    return wildcard_bm25_topk(
+        _docs(spark, sf_dir), _wildcard_queries_df(spark), k=K, round_dp=6
+    )
+
+
+def q_wildcard_bm25_topk_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from igd_spark import wildcard_bm25_topk_indexed
+
+    idx = _built_index(spark, sf_dir)
+    return wildcard_bm25_topk_indexed(
+        spark, idx, _wildcard_queries_df(spark), k=K, round_dp=6
+    )
+
+
 def q_facet_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Solr/Lucene faceting: per-query match-set counts by attribute value
     from igd_spark import facet_counts
@@ -755,6 +788,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "more_like_this": q_more_like_this,
         "fuzzy_bm25_topk": q_fuzzy_bm25_topk,
         "fuzzy_bm25_topk_indexed": q_fuzzy_bm25_topk_indexed,
+        "wildcard_bm25_topk": q_wildcard_bm25_topk,
+        "wildcard_bm25_topk_indexed": q_wildcard_bm25_topk_indexed,
         "facet_counts": q_facet_counts,
         "match_enumerate": q_match_enumerate,
         "term_cooccurrence": q_term_cooccurrence,
@@ -1792,6 +1827,33 @@ ranked AS (
 SELECT query_id, rank, doc_id, score FROM ranked WHERE rank <= {K}
 """
     sql["fuzzy_bm25_topk_indexed"] = sql["fuzzy_bm25_topk"]
+
+    _wqvals = ", ".join(f"({q}::BIGINT, '{t}')" for q, t in WILDCARD_QUERY_SET)
+    sql["wildcard_bm25_topk"] = f"""
+WITH {_TL}, {_TOKS}, {_POST}, {_DL}, {_CS}, {_TS},
+wq(query_id, query_text) AS (VALUES {_wqvals}),
+pats AS (SELECT DISTINCT query_id, translate(unnest(list_filter(
+  regexp_split_to_array(lower(query_text), '[^a-z0-9*?]+'), x -> x <> '')),
+  '*?', '%_') AS pat FROM wq),
+expanded AS (
+  SELECT DISTINCT p.query_id, ts.term, ts.df
+  FROM pats p JOIN ts ON ts.term LIKE p.pat),
+scored AS (
+  SELECT e.query_id, p.doc_id,
+         sum( ln((cs.n_docs - e.df + 0.5) / (e.df + 0.5) + 1.0)
+              * p.tf * {K1 + 1.0}
+              / (p.tf + {K1} * (1.0 - {B} + {B} * dl.dl / cs.avgdl)) ) AS s
+  FROM expanded e JOIN post p USING (term)
+  JOIN dl ON p.doc_id = dl.doc_id CROSS JOIN cs
+  GROUP BY 1, 2),
+ranked AS (
+  SELECT query_id, doc_id, round(s, 6) AS score,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY round(s, 6) DESC, doc_id ASC)::INT AS rank
+  FROM scored)
+SELECT query_id, rank, doc_id, score FROM ranked WHERE rank <= {K}
+"""
+    sql["wildcard_bm25_topk_indexed"] = sql["wildcard_bm25_topk"]
 
     sql["facet_counts"] = f"""
 WITH {_TL}, {_TOKS}, {_POST}, {_DL}, {_CS}, {_TS}, {_QT},

@@ -72,6 +72,8 @@ from igd_spark.querylang import (
     prefix_bm25_topk_indexed,
     snippets,
     snippets_indexed,
+    wildcard_bm25_topk,
+    wildcard_bm25_topk_indexed,
 )
 from igd_spark.search import (
     bm25_scores,
@@ -191,5 +193,7 @@ __all__ = [
     "term_stats",
     "text_stats",
     "tokens_col",
+    "wildcard_bm25_topk",
+    "wildcard_bm25_topk_indexed",
     "write_hitsmap_csv",
 ]

@@ -245,6 +245,100 @@ def prefix_bm25_topk(
     )
 
 
+def _wildcard_patterns(queries: DataFrame, text_col: str = "query_text") -> DataFrame:
+    """(query_id, pattern) — like `query_terms` but tokens KEEP the ``*``
+    (any run) and ``?`` (single char) wildcard metacharacters, which the
+    standard tokenizer would strip."""
+    toks = F.split(F.lower(F.col(text_col)), r"[^a-z0-9*?]+")
+    return (
+        queries.select(
+            "query_id",
+            F.explode(
+                F.array_distinct(F.filter(toks, lambda x: x != F.lit("")))
+            ).alias("pattern"),
+        )
+        .dropDuplicates(["query_id", "pattern"])
+    )
+
+
+def wildcard_bm25_topk(
+    docs: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    conf: IndexConf = DEFAULT_CONF,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    round_dp: int | None = None,
+) -> DataFrame:
+    """Wildcard retrieval (the Lucene WildcardQuery surface): every token
+    of ``query_text`` is a pattern where ``*`` matches any character run
+    and ``?`` exactly one character, anywhere in the term — ``ta*e``,
+    ``quer?``, ``*tion``.  Patterns expand against the corpus term
+    dictionary (translated to SQL LIKE ``%``/``_`` — identical semantics
+    in every ANSI engine, so the oracle can't drift); the expansion union
+    scores disjunctively with each matched term's own idf, a term matched
+    by two patterns of one query scoring once — exactly the
+    `prefix_bm25_topk` multi-term rewrite, of which prefix is the
+    ``pre*`` special case.
+
+    Scale: same story as prefix — expansion is a broadcast-nested-loop of
+    the vocab-sized dictionary against the broadcast pattern list (a
+    LEADING wildcard can't prune that scan; Lucene pays a reversed-term
+    field for the same case — one narrow vocab pass here), and the
+    scoring join is left to Catalyst/AQE because a hot pattern can expand
+    past any broadcast budget.  Scoring cost is the expanded terms' total
+    df, the bound every wildcard engine accepts.
+    """
+    post, ds, n_docs, avgdl = _corpus_parts(docs, conf, text_col, id_col)
+    pats = _wildcard_patterns(queries).withColumn(
+        "pat", F.translate("pattern", "*?", "%_")
+    )
+    ts = term_stats(post)
+    expanded = (
+        ts.join(F.broadcast(pats), F.expr("term LIKE pat"))
+        .select("query_id", "term", "df")
+        .dropDuplicates(["query_id", "term"])
+        .withColumn("idf", idf_col(n_docs, "df"))
+    )
+    return rank_topk(
+        _maybe_round(
+            _score_terms(post, ds, avgdl, expanded, conf, broadcast_terms=False),
+            round_dp,
+        ),
+        k,
+    )
+
+
+def wildcard_bm25_topk_indexed(
+    spark,
+    idx,
+    queries: DataFrame,
+    k: int = 10,
+    round_dp: int | None = None,
+    max_expanded_terms: int = 65_536,
+) -> DataFrame:
+    """`wildcard_bm25_topk` over a persisted index: patterns expand against
+    the index's own dictionary, then only the expanded terms' posting
+    blocks are read (same pruned scan and ``max_expanded_terms``
+    driver-OOM guard as `prefix_bm25_topk_indexed`)."""
+    pats = _wildcard_patterns(queries).withColumn(
+        "pat", F.translate("pattern", "*?", "%_")
+    )
+    expanded = (
+        idx.dictionary.join(F.broadcast(pats), F.expr("term LIKE pat"))
+        .select("query_id", "term")
+        .dropDuplicates(["query_id", "term"])
+    )
+    n_exp = expanded.limit(max_expanded_terms + 1).count()
+    if n_exp > max_expanded_terms:
+        raise ValueError(
+            f"wildcard expansion exceeds max_expanded_terms={max_expanded_terms}; "
+            "raise the cap or use wildcard_bm25_topk (distributed expansion)"
+        )
+    scored = _indexed_scored(spark, idx, queries, qterms=expanded)
+    return rank_topk(_maybe_round(scored, round_dp), k)
+
+
 def _group_epilogue(
     scored: DataFrame,
     groups: DataFrame,

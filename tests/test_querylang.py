@@ -525,3 +525,49 @@ def test_facet_counts_hand_check(spark, docs):
     # ranks follow (n_docs desc, facet asc)
     srt = out.sort_values("rank")
     assert list(srt["n_docs"]) == sorted(srt["n_docs"], reverse=True) or len(srt) <= 1
+
+
+def test_wildcard_semantics(spark, docs):
+    from igd_spark.querylang import wildcard_bm25_topk
+
+    t1 = _pick_terms(docs, 1)[0]
+    # a pre* pattern is exactly the prefix query
+    qa = _queries(spark, [(0, f"{t1[:3]}*")])
+    qb = _queries(spark, [(0, t1[:3])])
+    a = _sorted(wildcard_bm25_topk(docs, qa, k=50, round_dp=9))
+    b = _sorted(prefix_bm25_topk(docs, qb, k=50, round_dp=9))
+    assert len(a) > 0
+    pd.testing.assert_frame_equal(a, b)
+    # '?' matches exactly one char: pattern t1 with last char -> '?' equals
+    # the union of vocab terms of the same length with that prefix
+    from igd_spark.stats import term_stats
+    from igd_spark.tokenizer import postings
+
+    q = _queries(spark, [(0, f"{t1[:-1]}?")])
+    out = set(
+        wildcard_bm25_topk(docs, q, k=10_000).toPandas()["doc_id"]
+    )
+    terms = [
+        r["term"]
+        for r in term_stats(postings(docs)).collect()
+        if len(r["term"]) == len(t1) and r["term"].startswith(t1[:-1])
+    ]
+    expect = set(
+        postings(docs).filter(F.col("term").isin(terms)).toPandas()["doc_id"]
+    )
+    assert out == expect and len(out) > 0
+    # no-match pattern
+    assert wildcard_bm25_topk(docs, _queries(spark, [(0, "zzz*")]), k=10).count() == 0
+
+
+def test_wildcard_indexed_identity(spark, docs, built_idx):
+    from igd_spark.querylang import wildcard_bm25_topk, wildcard_bm25_topk_indexed
+
+    t1, t2 = _pick_terms(docs, 2)
+    q = _queries(spark, [(0, f"*{t1[-3:]}"), (1, f"{t2[:2]}*{t2[-1]}"), (2, "zzz*")])
+    a = _sorted(wildcard_bm25_topk(docs, q, k=30, conf=built_idx.conf, round_dp=9))
+    b = _sorted(wildcard_bm25_topk_indexed(spark, built_idx, q, k=30, round_dp=9))
+    assert len(a) > 0
+    pd.testing.assert_frame_equal(a, b)
+    with pytest.raises(ValueError):
+        wildcard_bm25_topk_indexed(spark, built_idx, q, max_expanded_terms=0)
