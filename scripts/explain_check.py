@@ -270,6 +270,47 @@ def main() -> int:
         f"scanned schemas: {np_schemas}",
     )
 
+    # 10. fuzzy / wildcard over the index: dictionary expansion still yields
+    # a pruned posting-block scan, and the corpus table never appears
+    from igd_spark import fuzzy_bm25_topk_indexed, wildcard_bm25_topk_indexed
+
+    fzplan = fmt(fuzzy_bm25_topk_indexed(spark, idx, ql_q, max_edits=1))
+    assert_pruned_scan("fuzzy_bm25_topk_indexed scan", fzplan)
+    fz_schemas = re.findall(r"ReadSchema: struct<([^>]*)>", fzplan)
+    check(
+        "fuzzy_bm25_topk_indexed never scans the corpus text",
+        bool(fz_schemas) and not any("text:" in s for s in fz_schemas),
+        f"scanned schemas: {fz_schemas}",
+    )
+
+    wq = spark.createDataFrame(
+        [(0, "err*r tim*")], "query_id long, query_text string"
+    )
+    wplan = fmt(wildcard_bm25_topk_indexed(spark, idx, wq))
+    assert_pruned_scan("wildcard_bm25_topk_indexed scan", wplan)
+    w_schemas = re.findall(r"ReadSchema: struct<([^>]*)>", wplan)
+    check(
+        "wildcard_bm25_topk_indexed never scans the corpus text",
+        bool(w_schemas) and not any("text:" in s for s in w_schemas),
+        f"scanned schemas: {w_schemas}",
+    )
+
+    # a no-match pattern must constant-fold the segment scan away entirely
+    # (In(term_id, []) -> false -> empty relation), not fall back to a full
+    # unpruned read
+    wq0 = spark.createDataFrame(
+        [(0, "zzznomatch*")], "query_id long, query_text string"
+    )
+    wplan0 = fmt(wildcard_bm25_topk_indexed(spark, idx, wq0))
+    seg_scans = [
+        s for s in re.findall(r"Location:[^\n]*", wplan0) if "segments" in s
+    ]
+    check(
+        "wildcard_bm25_topk_indexed: no-match expansion folds to empty (no segment scan at all)",
+        not seg_scans,
+        f"segment scans present: {seg_scans}",
+    )
+
     n_fail = sum(1 for _, ok, _ in checks if not ok)
     print(f"\n{len(checks) - n_fail}/{len(checks)} plan checks passed")
     return 1 if n_fail else 0
