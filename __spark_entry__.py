@@ -98,6 +98,11 @@ FUZZY_QUERY_SET: list[tuple[int, str]] = [
 FUZZY_MAX_EDITS = 1
 FACET_COL = "lang"
 FACET_K = 3
+SYNONYM_SET: list[tuple[str, str]] = [
+    ("customer", "c"), ("supplier", "c"),   # query for one, match both
+    ("query", "s"), ("scan", "s"),
+    ("merge", "m"), ("sort", "m"),
+]
 WILDCARD_QUERY_SET: list[tuple[int, str]] = [
     (0, "ta*e"),             # infix wildcard
     (1, "quer?"),            # single-char wildcard
@@ -721,6 +726,32 @@ def q_fuzzy_bm25_topk_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _synonyms_df(spark: SparkSession) -> DataFrame:
+    return spark.createDataFrame(
+        [(t, g) for t, g in SYNONYM_SET], "term string, group string"
+    )
+
+
+def q_synonym_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Lucene SynonymQuery: blended statistics — tf summed, df maxed across
+    # the synonym group; singleton terms behave as the plain scorer
+    from igd_spark import synonym_bm25_topk
+
+    return synonym_bm25_topk(
+        _docs(spark, sf_dir), _queries_df(spark), _synonyms_df(spark),
+        k=K, round_dp=6,
+    )
+
+
+def q_synonym_bm25_topk_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from igd_spark import synonym_bm25_topk_indexed
+
+    idx = _built_index(spark, sf_dir)
+    return synonym_bm25_topk_indexed(
+        spark, idx, _queries_df(spark), _synonyms_df(spark), k=K, round_dp=6
+    )
+
+
 def _wildcard_queries_df(spark: SparkSession) -> DataFrame:
     return spark.createDataFrame(
         [(int(q), t) for q, t in WILDCARD_QUERY_SET],
@@ -790,6 +821,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fuzzy_bm25_topk_indexed": q_fuzzy_bm25_topk_indexed,
         "wildcard_bm25_topk": q_wildcard_bm25_topk,
         "wildcard_bm25_topk_indexed": q_wildcard_bm25_topk_indexed,
+        "synonym_bm25_topk": q_synonym_bm25_topk,
+        "synonym_bm25_topk_indexed": q_synonym_bm25_topk_indexed,
         "facet_counts": q_facet_counts,
         "match_enumerate": q_match_enumerate,
         "term_cooccurrence": q_term_cooccurrence,
@@ -1854,6 +1887,46 @@ ranked AS (
 SELECT query_id, rank, doc_id, score FROM ranked WHERE rank <= {K}
 """
     sql["wildcard_bm25_topk_indexed"] = sql["wildcard_bm25_topk"]
+
+    _synvals = ", ".join(f"('{t}', '{g}')" for t, g in SYNONYM_SET)
+    sql["synonym_bm25_topk"] = f"""
+WITH {_TL}, {_TOKS}, {_POST}, {_DL}, {_CS}, {_TS}, {_QT},
+syn(term, grp) AS (VALUES {_synvals}),
+qg AS (
+  SELECT qt.query_id,
+         coalesce('g:' || s.grp, 't:' || qt.term) AS gkey, qt.term
+  FROM qterms qt LEFT JOIN syn s USING (term)),
+qgroups AS (SELECT DISTINCT query_id, gkey FROM qg),
+allmem AS (
+  SELECT 'g:' || grp AS gkey, term FROM syn
+  UNION
+  SELECT DISTINCT gkey, term FROM qg WHERE gkey LIKE 't:%'),
+members AS (
+  SELECT DISTINCT g.query_id, g.gkey, m.term
+  FROM qgroups g JOIN allmem m USING (gkey)),
+dfg AS (
+  SELECT m.query_id, m.gkey, max(ts.df) AS df
+  FROM members m JOIN ts USING (term) GROUP BY 1, 2),
+tfg AS (
+  SELECT m.query_id, m.gkey, p.doc_id, sum(p.tf) AS tf
+  FROM members m JOIN post p USING (term) GROUP BY 1, 2, 3),
+scored AS (
+  SELECT t.query_id, t.doc_id,
+         sum( ln((cs.n_docs - d.df + 0.5) / (d.df + 0.5) + 1.0)
+              * t.tf * {K1 + 1.0}
+              / (t.tf + {K1} * (1.0 - {B} + {B} * dl.dl / cs.avgdl)) ) AS s
+  FROM tfg t
+  JOIN dfg d ON d.query_id = t.query_id AND d.gkey = t.gkey
+  JOIN dl ON t.doc_id = dl.doc_id CROSS JOIN cs
+  GROUP BY 1, 2),
+ranked AS (
+  SELECT query_id, doc_id, round(s, 6) AS score,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY round(s, 6) DESC, doc_id ASC)::INT AS rank
+  FROM scored)
+SELECT query_id, rank, doc_id, score FROM ranked WHERE rank <= {K}
+"""
+    sql["synonym_bm25_topk_indexed"] = sql["synonym_bm25_topk"]
 
     sql["facet_counts"] = f"""
 WITH {_TL}, {_TOKS}, {_POST}, {_DL}, {_CS}, {_TS}, {_QT},

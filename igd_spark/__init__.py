@@ -72,6 +72,8 @@ from igd_spark.querylang import (
     prefix_bm25_topk_indexed,
     snippets,
     snippets_indexed,
+    synonym_bm25_topk,
+    synonym_bm25_topk_indexed,
     wildcard_bm25_topk,
     wildcard_bm25_topk_indexed,
 )
@@ -188,6 +190,8 @@ __all__ = [
     "source_hits",
     "source_overlap_matrix",
     "span_df",
+    "synonym_bm25_topk",
+    "synonym_bm25_topk_indexed",
     "synth_transcripts",
     "term_cooccurrence",
     "term_stats",

@@ -339,6 +339,129 @@ def wildcard_bm25_topk_indexed(
     return rank_topk(_maybe_round(scored, round_dp), k)
 
 
+def _synonym_members(
+    qterms: DataFrame, synonyms: DataFrame
+) -> tuple[DataFrame, DataFrame]:
+    """Shared group derivation of both synonym paths — (qgroups, members).
+
+    ``qgroups``: (query_id, gkey) — the blended groups a query selects: a
+    query term in the synonyms table selects its whole group (key
+    ``g:<group>``); a term absent from it forms a singleton group
+    (``t:<term>`` — the prefix namespaces real group names apart from
+    terms).  ``members``: (query_id, gkey, term) — every member term of
+    each selected group, INCLUDING members the query never typed (that is
+    the point of SynonymQuery)."""
+    syn = synonyms.select("term", "group")
+    qg = qterms.join(F.broadcast(syn), "term", "left").select(
+        "query_id",
+        F.coalesce(
+            F.concat(F.lit("g:"), "group"), F.concat(F.lit("t:"), "term")
+        ).alias("gkey"),
+        "term",
+    )
+    qgroups = qg.select("query_id", "gkey").distinct()
+    gmembers = syn.select(F.concat(F.lit("g:"), "group").alias("gkey"), "term")
+    singles = (
+        qg.filter(F.col("gkey").startswith("t:")).select("gkey", "term").distinct()
+    )
+    members = (
+        qgroups.join(F.broadcast(gmembers.unionByName(singles)), "gkey")
+        .dropDuplicates(["query_id", "gkey", "term"])
+    )
+    return qgroups, members
+
+
+def synonym_bm25_topk(
+    docs: DataFrame,
+    queries: DataFrame,
+    synonyms: DataFrame,
+    k: int = 10,
+    conf: IndexConf = DEFAULT_CONF,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    round_dp: int | None = None,
+) -> DataFrame:
+    """Synonym-blended retrieval (the Lucene SynonymQuery surface): terms
+    in the same synonym group score as ONE pseudo-term — per doc, tf is
+    the SUM of member tfs and df the MAX of member dfs (Lucene's blended
+    statistics), so "customer" and a synonym "supplier" saturate together
+    instead of double-counting as two independent terms.  ``synonyms`` is
+    a (term, group) DataFrame; query terms absent from it behave exactly
+    as in the plain scorer (singleton groups — with an empty synonyms
+    table this operator IS `bm25_scores` + top-k, pytest-pinned).  A
+    group with no member in the corpus matches nothing.
+
+    Scale: the synonyms table is a query-side artifact (thousands of
+    rows, broadcast); corpus-sized work is the same single postings join
+    the plain scorer does, plus one extra fine-keyed hash agg level
+    ((query, gkey, doc) before (query, doc)) — no new corpus passes.
+    """
+    post, ds, n_docs, avgdl = _corpus_parts(docs, conf, text_col, id_col)
+    qt = query_terms(queries)
+    _, members = _synonym_members(qt, synonyms)
+    ts = term_stats(post)
+    df_g = (
+        members.join(ts, "term")
+        .groupBy("query_id", "gkey")
+        .agg(F.max("df").alias("df"))
+    )
+    tf_g = (
+        post.join(F.broadcast(members), "term")
+        .groupBy("query_id", "gkey", "doc_id")
+        .agg(F.sum("tf").alias("tf"))
+    )
+    w = bm25_weight_col(idf_col(n_docs, "df"), "tf", "dl", avgdl, conf.k1, conf.b)
+    scored = (
+        tf_g.join(F.broadcast(df_g), ["query_id", "gkey"])
+        .join(ds, "doc_id")
+        .groupBy("query_id", "doc_id")
+        .agg(F.sum(w).alias("score"))
+    )
+    return rank_topk(_maybe_round(scored, round_dp), k)
+
+
+def synonym_bm25_topk_indexed(
+    spark,
+    idx,
+    queries: DataFrame,
+    synonyms: DataFrame,
+    k: int = 10,
+    round_dp: int | None = None,
+) -> DataFrame:
+    """`synonym_bm25_topk` over a persisted index: only the member terms'
+    posting blocks are read (pruned scan), group df comes from the index
+    dictionary, and dl from the blocks — zero corpus joins.  Rank-identity
+    with the DataFrame path is gate- and pytest-enforced."""
+    from igd_spark.search import match_enumerate
+
+    qt = query_terms(queries)
+    _, members = _synonym_members(qt, synonyms)
+    me = match_enumerate(
+        spark, idx, queries, with_dl=True,
+        terms=members.select("query_id", "term").distinct(),
+    )
+    df_g = (
+        members.join(idx.dictionary.select("term", "df"), "term")
+        .groupBy("query_id", "gkey")
+        .agg(F.max("df").alias("df"))
+    )
+    tf_g = (
+        me.join(F.broadcast(members), ["query_id", "term"])
+        .groupBy("query_id", "gkey", "doc_id")
+        .agg(F.sum("tf").alias("tf"), F.max("dl").alias("dl"))
+    )
+    w = bm25_weight_col(
+        idf_col(idx.n_docs, "df"), "tf", "dl", float(idx.avgdl),
+        idx.conf.k1, idx.conf.b,
+    )
+    scored = (
+        tf_g.join(F.broadcast(df_g), ["query_id", "gkey"])
+        .groupBy("query_id", "doc_id")
+        .agg(F.sum(w).alias("score"))
+    )
+    return rank_topk(_maybe_round(scored, round_dp), k)
+
+
 def _group_epilogue(
     scored: DataFrame,
     groups: DataFrame,

@@ -571,3 +571,59 @@ def test_wildcard_indexed_identity(spark, docs, built_idx):
     pd.testing.assert_frame_equal(a, b)
     with pytest.raises(ValueError):
         wildcard_bm25_topk_indexed(spark, built_idx, q, max_expanded_terms=0)
+
+
+def test_synonym_empty_equals_plain(spark, docs):
+    from igd_spark.querylang import synonym_bm25_topk
+    from igd_spark.search import rank_topk
+    from igd_spark.querylang import _maybe_round
+
+    t1, t2 = _pick_terms(docs, 2)
+    q = _queries(spark, [(0, f"{t1} {t2}")])
+    empty = spark.createDataFrame([], "term string, group string")
+    a = _sorted(synonym_bm25_topk(docs, q, empty, k=50, round_dp=9))
+    b = _sorted(rank_topk(_maybe_round(bm25_scores(docs, q), 9), 50))
+    assert len(a) > 0
+    pd.testing.assert_frame_equal(a, b)
+
+
+def test_synonym_blended_semantics(spark, docs):
+    # querying ONE member matches docs containing only the OTHER member,
+    # and the blended score uses sum(tf) with max(df) — hand-computed
+    from igd_spark.querylang import synonym_bm25_topk
+    from igd_spark.stats import corpus_stats, doc_stats, term_stats
+    from igd_spark.tokenizer import postings
+    import math
+
+    t1, t2 = _pick_terms(docs, 2)
+    syn = spark.createDataFrame([(t1, "g"), (t2, "g")], "term string, group string")
+    q = _queries(spark, [(0, t1)])
+    out = synonym_bm25_topk(docs, q, syn, k=10_000).toPandas()
+    p = postings(docs).filter(F.col("term").isin([t1, t2])).toPandas()
+    assert set(out["doc_id"]) == set(p["doc_id"])  # union of both members
+    # hand-compute the blended weight for every matched doc
+    ts = term_stats(postings(docs)).filter(F.col("term").isin([t1, t2])).toPandas()
+    df_max = int(ts["df"].max())
+    ds = doc_stats(docs).toPandas().set_index("doc_id")["dl"]
+    cs = corpus_stats(doc_stats(docs)).collect()[0]
+    n_docs, avgdl = int(cs["n_docs"]), float(cs["avgdl"])
+    k1, b = 1.2, 0.75
+    idf = math.log((n_docs - df_max + 0.5) / (df_max + 0.5) + 1.0)
+    tf_sum = p.groupby("doc_id")["tf"].sum()
+    for r in out.itertuples():
+        tf = float(tf_sum[r.doc_id])
+        dl = float(ds[r.doc_id])
+        expect = idf * tf * (k1 + 1) / (tf + k1 * (1 - b + b * dl / avgdl))
+        assert abs(r.score - expect) < 1e-9
+
+
+def test_synonym_indexed_identity(spark, docs, built_idx):
+    from igd_spark.querylang import synonym_bm25_topk, synonym_bm25_topk_indexed
+
+    t1, t2, t3 = _pick_terms(docs, 3)
+    syn = spark.createDataFrame([(t1, "g"), (t2, "g")], "term string, group string")
+    q = _queries(spark, [(0, f"{t1} {t3}"), (1, t2), (2, "zzznotavocab")])
+    a = _sorted(synonym_bm25_topk(docs, q, syn, k=30, conf=built_idx.conf, round_dp=9))
+    b = _sorted(synonym_bm25_topk_indexed(spark, built_idx, q, syn, k=30, round_dp=9))
+    assert len(a) > 0
+    pd.testing.assert_frame_equal(a, b)
