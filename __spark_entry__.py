@@ -98,6 +98,7 @@ FUZZY_QUERY_SET: list[tuple[int, str]] = [
 FUZZY_MAX_EDITS = 1
 FACET_COL = "lang"
 FACET_K = 3
+LMD_MU = 2000.0
 SYNONYM_SET: list[tuple[str, str]] = [
     ("customer", "c"), ("supplier", "c"),   # query for one, match both
     ("query", "s"), ("scan", "s"),
@@ -726,6 +727,25 @@ def q_fuzzy_bm25_topk_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_lm_dirichlet_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # alternative similarity: Dirichlet-prior language model (Zhai-Lafferty /
+    # Lucene LMDirichletSimilarity), per-term non-negative clamp
+    from igd_spark import lm_dirichlet_topk
+
+    return lm_dirichlet_topk(
+        _docs(spark, sf_dir), _queries_df(spark), mu=LMD_MU, k=K, round_dp=6
+    )
+
+
+def q_lm_dirichlet_topk_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from igd_spark import lm_dirichlet_topk_indexed
+
+    idx = _built_index(spark, sf_dir)
+    return lm_dirichlet_topk_indexed(
+        spark, idx, _queries_df(spark), mu=LMD_MU, k=K, round_dp=6
+    )
+
+
 def _synonyms_df(spark: SparkSession) -> DataFrame:
     return spark.createDataFrame(
         [(t, g) for t, g in SYNONYM_SET], "term string, group string"
@@ -823,6 +843,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "wildcard_bm25_topk_indexed": q_wildcard_bm25_topk_indexed,
         "synonym_bm25_topk": q_synonym_bm25_topk,
         "synonym_bm25_topk_indexed": q_synonym_bm25_topk_indexed,
+        "lm_dirichlet_topk": q_lm_dirichlet_topk,
+        "lm_dirichlet_topk_indexed": q_lm_dirichlet_topk_indexed,
         "facet_counts": q_facet_counts,
         "match_enumerate": q_match_enumerate,
         "term_cooccurrence": q_term_cooccurrence,
@@ -1927,6 +1949,29 @@ ranked AS (
 SELECT query_id, rank, doc_id, score FROM ranked WHERE rank <= {K}
 """
     sql["synonym_bm25_topk_indexed"] = sql["synonym_bm25_topk"]
+
+    sql["lm_dirichlet_topk"] = f"""
+WITH {_TL}, {_TOKS}, {_POST}, {_DL}, {_CS}, {_QT},
+ctotal AS (SELECT sum(dl)::BIGINT AS total FROM dl),
+hits AS (
+  SELECT qt.query_id, p.term, p.doc_id, p.tf,
+         sum(p.tf) OVER (PARTITION BY qt.query_id, p.term) AS cf
+  FROM qterms qt JOIN post p USING (term)),
+scored AS (
+  SELECT h.query_id, h.doc_id,
+         sum(greatest(0.0,
+             ln(1.0 + h.tf / ({LMD_MU} * (h.cf::DOUBLE / t.total)))
+             + ln({LMD_MU} / (dl.dl + {LMD_MU})))) AS s
+  FROM hits h JOIN dl ON h.doc_id = dl.doc_id CROSS JOIN ctotal t
+  GROUP BY 1, 2),
+ranked AS (
+  SELECT query_id, doc_id, round(s, 6) AS score,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY round(s, 6) DESC, doc_id ASC)::INT AS rank
+  FROM scored)
+SELECT query_id, rank, doc_id, score FROM ranked WHERE rank <= {K}
+"""
+    sql["lm_dirichlet_topk_indexed"] = sql["lm_dirichlet_topk"]
 
     sql["facet_counts"] = f"""
 WITH {_TL}, {_TOKS}, {_POST}, {_DL}, {_CS}, {_TS}, {_QT},

@@ -65,6 +65,8 @@ from igd_spark.querylang import (
     fuzzy_expand,
     group_bm25_topk,
     group_bm25_topk_indexed,
+    lm_dirichlet_topk,
+    lm_dirichlet_topk_indexed,
     more_like_this,
     near_match,
     near_match_indexed,
@@ -160,6 +162,8 @@ __all__ = [
     "media_stats",
     "minhash_dedup_pairs",
     "minhash_signatures",
+    "lm_dirichlet_topk",
+    "lm_dirichlet_topk_indexed",
     "more_like_this",
     "ngram_jaccard_pairs",
     "open_index",

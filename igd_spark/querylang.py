@@ -245,6 +245,88 @@ def prefix_bm25_topk(
     )
 
 
+def _lmd_scored(hits: DataFrame, mu: float, total_tokens: int) -> DataFrame:
+    """Shared LM-Dirichlet scoring epilogue of both paths — identical by
+    construction.  ``hits``: (query_id, term, doc_id, tf, dl) — EVERY
+    posting of every matched term (that completeness is what makes the
+    window-sum below the TRUE collection frequency).  Per-term
+    contribution: max(0, ln(1 + tf/(mu*p(t|C))) + ln(mu/(dl+mu))) with
+    p(t|C) = cf/total_tokens — the Zhai-Lafferty Dirichlet-prior smoothing
+    score with Lucene's non-negative clamp (clamping per TERM keeps the
+    sum order-independent, so both engines agree exactly)."""
+    wcf = Window.partitionBy("query_id", "term")
+    h = hits.withColumn("cf", F.sum("tf").over(wcf))
+    pc = F.col("cf").cast("double") / F.lit(float(total_tokens))
+    contrib = F.greatest(
+        F.lit(0.0),
+        F.log(F.lit(1.0) + F.col("tf") / (F.lit(mu) * pc))
+        + F.log(F.lit(mu) / (F.col("dl") + F.lit(mu))),
+    )
+    return h.groupBy("query_id", "doc_id").agg(F.sum(contrib).alias("score"))
+
+
+def lm_dirichlet_topk(
+    docs: DataFrame,
+    queries: DataFrame,
+    mu: float = 2000.0,
+    k: int = 10,
+    conf: IndexConf = DEFAULT_CONF,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    round_dp: int | None = None,
+) -> DataFrame:
+    """Language-model retrieval with Dirichlet-prior smoothing (Zhai &
+    Lafferty 2001; the Lucene LMDirichletSimilarity surface) — the
+    standard alternative similarity to BM25, better for short queries
+    over long documents.  Score per doc = Σ over matched terms of
+    max(0, ln(1 + tf/(μ·p(t|C))) + ln(μ/(dl+μ))), p(t|C) the term's
+    collection frequency over total corpus tokens.
+
+    Scale: identical plan shape to the BM25 scorer (postings ⋈ broadcast
+    query terms ⋈ doc_stats → hash agg) plus one window exchange keyed
+    (query_id, term) for the collection frequency — computed over the
+    matched postings themselves (complete per matched term by
+    construction), so no vocab-sized side agg.
+    """
+    post, ds, _, _ = _corpus_parts(docs, conf, text_col, id_col)
+    cs = corpus_stats(ds).collect()[0]
+    total = int(cs["sum_dl"])
+    qt = query_terms(queries)
+    hits = (
+        post.join(F.broadcast(qt), "term")
+        .join(ds, "doc_id")
+        .select("query_id", "term", "doc_id", "tf", "dl")
+    )
+    return rank_topk(_maybe_round(_lmd_scored(hits, mu, total), round_dp), k)
+
+
+def lm_dirichlet_topk_indexed(
+    spark,
+    idx,
+    queries: DataFrame,
+    mu: float = 2000.0,
+    k: int = 10,
+    round_dp: int | None = None,
+) -> DataFrame:
+    """`lm_dirichlet_topk` over a persisted index: only the query terms'
+    posting blocks are read; tf, dl, AND the collection frequency all
+    come from the enumerated blocks (every posting of a matched term is
+    enumerated, so the per-(query, term) window sum is the exact cf);
+    total corpus tokens from the index's persisted exact `sum_dl`.
+    Zero corpus joins; rank-identity gate- and pytest-enforced."""
+    from igd_spark.search import match_enumerate
+
+    total = int(idx.meta["corpus"].get("sum_dl", 0))
+    if total <= 0:
+        raise ValueError(
+            "index metadata lacks exact sum_dl (pre-v2 layout?) — rebuild "
+            "or use lm_dirichlet_topk (corpus-scan path)"
+        )
+    me = match_enumerate(spark, idx, queries, with_dl=True)
+    hits = me.select("query_id", "term", "doc_id", "tf", "dl")
+    return rank_topk(_maybe_round(_lmd_scored(hits, mu, total), round_dp), k)
+
+
 def _wildcard_patterns(queries: DataFrame, text_col: str = "query_text") -> DataFrame:
     """(query_id, pattern) — like `query_terms` but tokens KEEP the ``*``
     (any run) and ``?`` (single char) wildcard metacharacters, which the

@@ -627,3 +627,44 @@ def test_synonym_indexed_identity(spark, docs, built_idx):
     b = _sorted(synonym_bm25_topk_indexed(spark, built_idx, q, syn, k=30, round_dp=9))
     assert len(a) > 0
     pd.testing.assert_frame_equal(a, b)
+
+
+def test_lm_dirichlet_hand_check(spark, docs):
+    # hand-compute the Dirichlet score for a one-term query on every doc
+    import math
+
+    from igd_spark.querylang import lm_dirichlet_topk
+    from igd_spark.stats import corpus_stats, doc_stats
+    from igd_spark.tokenizer import postings
+
+    t1 = _pick_terms(docs, 1)[0]
+    mu = 1500.0
+    q = _queries(spark, [(0, t1)])
+    out = lm_dirichlet_topk(docs, q, mu=mu, k=10_000).toPandas()
+    p = postings(docs).filter(F.col("term") == t1).toPandas()
+    ds = doc_stats(docs).toPandas().set_index("doc_id")["dl"]
+    cs = corpus_stats(doc_stats(docs)).collect()[0]
+    total = int(cs["sum_dl"])
+    cf = int(p["tf"].sum())
+    assert set(out["doc_id"]) == set(p["doc_id"]) and len(out) > 0
+    tfm = p.set_index("doc_id")["tf"]
+    for r in out.itertuples():
+        tf, dl = float(tfm[r.doc_id]), float(ds[r.doc_id])
+        expect = max(
+            0.0,
+            math.log(1.0 + tf / (mu * (cf / total))) + math.log(mu / (dl + mu)),
+        )
+        assert abs(r.score - expect) < 1e-9
+    # absent term matches nothing
+    assert lm_dirichlet_topk(docs, _queries(spark, [(0, "zzznotavocab")])).count() == 0
+
+
+def test_lm_dirichlet_indexed_identity(spark, docs, built_idx):
+    from igd_spark.querylang import lm_dirichlet_topk, lm_dirichlet_topk_indexed
+
+    t1, t2 = _pick_terms(docs, 2)
+    q = _queries(spark, [(0, f"{t1} {t2}"), (1, t2), (2, "zzznotavocab")])
+    a = _sorted(lm_dirichlet_topk(docs, q, k=30, conf=built_idx.conf, round_dp=9))
+    b = _sorted(lm_dirichlet_topk_indexed(spark, built_idx, q, k=30, round_dp=9))
+    assert len(a) > 0
+    pd.testing.assert_frame_equal(a, b)
