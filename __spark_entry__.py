@@ -1859,13 +1859,14 @@ WITH {_TL}, {_TOKS}, {_POST}, {_DL}, {_CS}, {_TS},
 fq(query_id, query_text) AS (VALUES {_fqvals}),
 fqt AS (SELECT DISTINCT query_id, unnest(list_filter(
   regexp_split_to_array(lower(query_text), '[^a-z0-9]+'), x -> x <> '')) AS qterm FROM fq),
-expanded AS (
+expanded0 AS (
   SELECT fqt.query_id, ts.term,
-         max(1.0 - levenshtein(ts.term, fqt.qterm)::DOUBLE
-                   / least(length(ts.term), length(fqt.qterm))) AS boost,
+         max(greatest(0.0, 1.0 - levenshtein(ts.term, fqt.qterm)::DOUBLE
+                   / least(length(ts.term), length(fqt.qterm)))) AS boost,
          max(ts.df) AS df
   FROM fqt JOIN ts ON levenshtein(ts.term, fqt.qterm) <= {FUZZY_MAX_EDITS}
   GROUP BY 1, 2),
+expanded AS (SELECT * FROM expanded0 WHERE boost > 0),
 scored AS (
   SELECT e.query_id, p.doc_id,
          sum( e.boost * ln((cs.n_docs - e.df + 0.5) / (e.df + 0.5) + 1.0)

@@ -152,8 +152,10 @@ __all__ = [
     "group_bm25_topk",
     "group_bm25_topk_indexed",
     "ivf_ann_topk",
-    "lang_id",
     "keywords_topk",
+    "lang_id",
+    "lm_dirichlet_topk",
+    "lm_dirichlet_topk_indexed",
     "lsh_ann_topk",
     "maintain_index",
     "match_enumerate",
@@ -162,8 +164,6 @@ __all__ = [
     "media_stats",
     "minhash_dedup_pairs",
     "minhash_signatures",
-    "lm_dirichlet_topk",
-    "lm_dirichlet_topk_indexed",
     "more_like_this",
     "ngram_jaccard_pairs",
     "open_index",

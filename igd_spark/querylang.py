@@ -288,9 +288,9 @@ def lm_dirichlet_topk(
     matched postings themselves (complete per matched term by
     construction), so no vocab-sized side agg.
     """
-    post, ds, _, _ = _corpus_parts(docs, conf, text_col, id_col)
-    cs = corpus_stats(ds).collect()[0]
-    total = int(cs["sum_dl"])
+    post = postings(docs, text_col=text_col, id_col=id_col, conf=conf)
+    ds = doc_stats(docs, text_col=text_col, id_col=id_col, conf=conf)
+    total = int(corpus_stats(ds).collect()[0]["sum_dl"])  # ONE stats job
     qt = query_terms(queries)
     hits = (
         post.join(F.broadcast(qt), "term")
@@ -411,13 +411,8 @@ def wildcard_bm25_topk_indexed(
         .select("query_id", "term")
         .dropDuplicates(["query_id", "term"])
     )
-    n_exp = expanded.limit(max_expanded_terms + 1).count()
-    if n_exp > max_expanded_terms:
-        raise ValueError(
-            f"wildcard expansion exceeds max_expanded_terms={max_expanded_terms}; "
-            "raise the cap or use wildcard_bm25_topk (distributed expansion)"
-        )
-    scored = _indexed_scored(spark, idx, queries, qterms=expanded)
+    exp_local = _collect_expansion(spark, expanded, max_expanded_terms, "wildcard")
+    scored = _indexed_scored(spark, idx, queries, qterms=exp_local)
     return rank_topk(_maybe_round(scored, round_dp), k)
 
 
@@ -781,6 +776,25 @@ def filtered_bm25_topk_indexed(
     return rank_topk(_maybe_round(scored, round_dp), k)
 
 
+def _collect_expansion(
+    spark, exp: DataFrame, cap: int, what: str
+) -> DataFrame:
+    """Materialize a dictionary expansion ONCE as a local DataFrame.
+
+    The indexed multi-term paths need the expansion three times (cap
+    guard, the pruned scan's driver prologue, the scoring join); without
+    this, the uncached expansion DAG — a vocab-sized scan, and for fuzzy
+    the dominant SymSpell explode — re-executes per action.  The cap
+    bounds driver memory, and the guard fails loudly instead of OOMing."""
+    rows = exp.limit(cap + 1).collect()
+    if len(rows) > cap:
+        raise ValueError(
+            f"{what} expansion exceeds max_expanded_terms={cap}; raise the "
+            f"cap or use the corpus-scan {what} path (distributed expansion)"
+        )
+    return spark.createDataFrame(rows, exp.schema)
+
+
 def prefix_bm25_topk_indexed(
     spark,
     idx,
@@ -808,13 +822,8 @@ def prefix_bm25_topk_indexed(
         .select("query_id", "term")
         .dropDuplicates(["query_id", "term"])
     )
-    n_exp = expanded.limit(max_expanded_terms + 1).count()
-    if n_exp > max_expanded_terms:
-        raise ValueError(
-            f"prefix expansion exceeds max_expanded_terms={max_expanded_terms}; "
-            "raise the cap or use prefix_bm25_topk (distributed expansion)"
-        )
-    scored = _indexed_scored(spark, idx, queries, qterms=expanded)
+    exp_local = _collect_expansion(spark, expanded, max_expanded_terms, "prefix")
+    scored = _indexed_scored(spark, idx, queries, qterms=exp_local)
     return rank_topk(_maybe_round(scored, round_dp), k)
 
 
@@ -1079,7 +1088,7 @@ def _deletion_variants(col: str, max_edits: int) -> Column:
             "s -> transform(sequence(1, length(s)), "
             "i -> concat(substr(s, 1, i - 1), substr(s, i + 1)))))"
         )
-        expr = f"array_distinct(array_union({expr}, {one_del}))"
+        expr = f"array_union({expr}, {one_del})"  # union is already distinct
     return F.expr(expr)
 
 
@@ -1094,10 +1103,13 @@ def fuzzy_expand(
     ``max_edits`` of ANY of the query's terms.
 
     ``boost`` is the classic Lucene fuzzy similarity
-    ``1 - dist / min(len(query_term), len(term))`` (1.0 for an exact
-    match); a dictionary term reached from several query terms of one
-    query keeps its best (max) boost — max is order-independent, so the
-    result is engine-deterministic.
+    ``1 - dist / min(len(query_term), len(term))``, floored at 0 (1.0 for
+    an exact match); a dictionary term reached from several query terms
+    of one query keeps its best (max) boost — max is order-independent,
+    so the result is engine-deterministic.  Terms whose best boost is 0
+    (dist >= the shorter length, e.g. a 1-char query term at max_edits=2)
+    are DROPPED — they contribute nothing, and without the floor they
+    would go negative and subtract score, which Lucene excludes.
 
     ``mode='deletes'`` (default, the scale path): SymSpell-style — both
     sides explode into <= ``max_edits``-deletion variants, candidates come
@@ -1129,14 +1141,17 @@ def fuzzy_expand(
         )
     else:
         raise ValueError(f"mode must be 'deletes' or 'scan', got {mode!r}")
-    boost = F.lit(1.0) - (
-        F.levenshtein(F.col("term"), F.col("qterm")).cast("double")
-        / F.least(F.length("term"), F.length("qterm")).cast("double")
+    boost = F.greatest(
+        F.lit(0.0),
+        F.lit(1.0)
+        - F.levenshtein(F.col("term"), F.col("qterm")).cast("double")
+        / F.least(F.length("term"), F.length("qterm")).cast("double"),
     )
     return (
         cand.withColumn("boost", boost)
         .groupBy("query_id", "term")
         .agg(F.max("boost").alias("boost"), F.max("df").alias("df"))
+        .filter(F.col("boost") > 0.0)
     )
 
 
@@ -1193,17 +1208,12 @@ def fuzzy_bm25_topk_indexed(
     Rank-identity with the DataFrame path is gate- and pytest-enforced."""
     qt = query_terms(queries)
     exp = fuzzy_expand(qt, idx.dictionary, max_edits=max_edits, mode=mode)
-    n_exp = exp.limit(max_expanded_terms + 1).count()
-    if n_exp > max_expanded_terms:
-        raise ValueError(
-            f"fuzzy expansion exceeds max_expanded_terms={max_expanded_terms}; "
-            "raise the cap or use fuzzy_bm25_topk (corpus-scan path)"
-        )
-    qidf = exp.select(
+    exp_local = _collect_expansion(spark, exp, max_expanded_terms, "fuzzy")
+    qidf = exp_local.select(
         "query_id", "term", (F.col("boost") * idf_col(idx.n_docs, "df")).alias("idf")
     )
     scored = _indexed_scored(
-        spark, idx, queries, qterms=exp.select("query_id", "term"), qidf=qidf
+        spark, idx, queries, qterms=exp_local.select("query_id", "term"), qidf=qidf
     )
     return rank_topk(_maybe_round(scored, round_dp), k)
 
@@ -1240,7 +1250,12 @@ def facet_counts(
         )
     )
     agg = _maybe_round(agg, round_dp)
-    w = Window.partitionBy("query_id").orderBy(F.desc("n_docs"), F.asc("facet"))
+    # asc_nulls_last: DuckDB/ANSI default is NULLS LAST on ASC while Spark
+    # defaults NULLS FIRST — a NULL facet value must rank identically in
+    # both engines for the gate's cross-engine contract
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("n_docs"), F.asc_nulls_last("facet")
+    )
     return (
         agg.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)

@@ -668,3 +668,18 @@ def test_lm_dirichlet_indexed_identity(spark, docs, built_idx):
     b = _sorted(lm_dirichlet_topk_indexed(spark, built_idx, q, k=30, round_dp=9))
     assert len(a) > 0
     pd.testing.assert_frame_equal(a, b)
+
+
+def test_fuzzy_boost_floor(spark, docs):
+    # review fix: boost floors at 0 and zero-boost terms are DROPPED —
+    # a 1-char query term at max_edits=2 must not subtract score
+    from igd_spark.querylang import fuzzy_expand
+    from igd_spark.stats import term_stats
+    from igd_spark.tokenizer import postings
+
+    ts = term_stats(postings(docs))
+    q = _queries(spark, [(0, "a")])
+    for d in (1, 2):
+        exp = fuzzy_expand(query_terms(q), ts, max_edits=d).toPandas()
+        assert (exp["boost"] > 0).all()
+        assert (exp["boost"] <= 1.0).all()
