@@ -99,6 +99,8 @@ FUZZY_MAX_EDITS = 1
 FACET_COL = "lang"
 FACET_K = 3
 LMD_MU = 2000.0
+SUGGEST_MAX_EDITS = 2
+SUGGEST_N = 3
 SYNONYM_SET: list[tuple[str, str]] = [
     ("customer", "c"), ("supplier", "c"),   # query for one, match both
     ("query", "s"), ("scan", "s"),
@@ -727,6 +729,19 @@ def q_fuzzy_bm25_topk_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_suggest_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # "did you mean": top corrections per query term by (similarity, df)
+    from igd_spark import suggest_terms
+    from igd_spark.stats import term_stats
+    from igd_spark.tokenizer import postings
+
+    ts = term_stats(postings(_docs(spark, sf_dir)))
+    return suggest_terms(
+        _fuzzy_queries_df(spark), ts, max_edits=SUGGEST_MAX_EDITS,
+        n=SUGGEST_N, round_dp=6,
+    )
+
+
 def q_lm_dirichlet_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # alternative similarity: Dirichlet-prior language model (Zhai-Lafferty /
     # Lucene LMDirichletSimilarity), per-term non-negative clamp
@@ -845,6 +860,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "synonym_bm25_topk_indexed": q_synonym_bm25_topk_indexed,
         "lm_dirichlet_topk": q_lm_dirichlet_topk,
         "lm_dirichlet_topk_indexed": q_lm_dirichlet_topk_indexed,
+        "suggest_terms": q_suggest_terms,
         "facet_counts": q_facet_counts,
         "match_enumerate": q_match_enumerate,
         "term_cooccurrence": q_term_cooccurrence,
@@ -1973,6 +1989,28 @@ ranked AS (
 SELECT query_id, rank, doc_id, score FROM ranked WHERE rank <= {K}
 """
     sql["lm_dirichlet_topk_indexed"] = sql["lm_dirichlet_topk"]
+
+    sql["suggest_terms"] = f"""
+WITH {_TL}, {_TOKS}, {_POST}, {_TS},
+fq(query_id, query_text) AS (VALUES {_fqvals}),
+fqt AS (SELECT DISTINCT query_id, unnest(list_filter(
+  regexp_split_to_array(lower(query_text), '[^a-z0-9]+'), x -> x <> '')) AS qterm FROM fq),
+cand AS (
+  SELECT fqt.query_id, fqt.qterm, ts.term, ts.df,
+         greatest(0.0, 1.0 - levenshtein(ts.term, fqt.qterm)::DOUBLE
+                  / least(length(ts.term), length(fqt.qterm))) AS boost_raw
+  FROM fqt JOIN ts ON levenshtein(ts.term, fqt.qterm) <= {SUGGEST_MAX_EDITS}
+  WHERE ts.term <> fqt.qterm),
+ranked AS (
+  SELECT query_id, qterm, term AS suggestion,
+         round(boost_raw, 6) AS boost, df,
+         row_number() OVER (PARTITION BY query_id, qterm
+                            ORDER BY round(boost_raw, 6) DESC, df DESC,
+                                     term ASC)::INT AS rank
+  FROM cand WHERE boost_raw > 0)
+SELECT query_id, qterm, rank, suggestion, boost, df
+FROM ranked WHERE rank <= {SUGGEST_N}
+"""
 
     sql["facet_counts"] = f"""
 WITH {_TL}, {_TOKS}, {_POST}, {_DL}, {_CS}, {_TS}, {_QT},

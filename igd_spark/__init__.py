@@ -74,6 +74,7 @@ from igd_spark.querylang import (
     prefix_bm25_topk_indexed,
     snippets,
     snippets_indexed,
+    suggest_terms,
     synonym_bm25_topk,
     synonym_bm25_topk_indexed,
     wildcard_bm25_topk,
@@ -194,6 +195,7 @@ __all__ = [
     "source_hits",
     "source_overlap_matrix",
     "span_df",
+    "suggest_terms",
     "synonym_bm25_topk",
     "synonym_bm25_topk_indexed",
     "synth_transcripts",

@@ -1124,6 +1124,23 @@ def fuzzy_expand(
     ``dictionary``: (term, df[, ...]) — `term_stats` output or
     `InvertedIndex.dictionary`.
     """
+    cand = _fuzzy_candidates(qterms, dictionary, max_edits, mode)
+    return (
+        cand.groupBy("query_id", "term")
+        .agg(F.max("boost").alias("boost"), F.max("df").alias("df"))
+        .filter(F.col("boost") > 0.0)
+    )
+
+
+def _fuzzy_candidates(
+    qterms: DataFrame,
+    dictionary: DataFrame,
+    max_edits: int,
+    mode: str,
+) -> DataFrame:
+    """(query_id, qterm, term, df, boost) — every dictionary term within
+    ``max_edits`` of each query term, boost floored at 0 (shared by
+    `fuzzy_expand` and `suggest_terms`)."""
     qt = qterms.select("query_id", F.col("term").alias("qterm"))
     dct = dictionary.select("term", "df")
     if mode == "scan":
@@ -1147,11 +1164,46 @@ def fuzzy_expand(
         - F.levenshtein(F.col("term"), F.col("qterm")).cast("double")
         / F.least(F.length("term"), F.length("qterm")).cast("double"),
     )
+    return cand.select("query_id", "qterm", "term", "df").withColumn("boost", boost)
+
+
+def suggest_terms(
+    queries: DataFrame,
+    dictionary: DataFrame,
+    max_edits: int = 1,
+    n: int = 3,
+    mode: str = "deletes",
+    round_dp: int | None = None,
+) -> DataFrame:
+    """Spell suggestions ("did you mean", the Lucene SpellChecker surface)
+    — (query_id, qterm, rank, suggestion, boost, df): for every query
+    term, the top ``n`` dictionary terms within ``max_edits`` Levenshtein
+    distance, the term itself excluded, ranked by (similarity boost desc,
+    df desc, suggestion asc) — the classic similarity-then-popularity
+    order.  A query term with no in-distance neighbour yields no rows; a
+    term already in the dictionary still gets suggestions (its
+    neighbours), which callers typically surface only for absent terms.
+
+    ``dictionary``: (term, df[, ...]) — `term_stats` output or
+    `InvertedIndex.dictionary`.  Candidate generation and scale notes are
+    `fuzzy_expand`'s (SymSpell deletes equi-join by default).
+    """
+    cand = _fuzzy_candidates(query_terms(queries), dictionary, max_edits, mode)
+    cand = cand.filter(
+        (F.col("term") != F.col("qterm")) & (F.col("boost") > 0.0)
+    )
+    if round_dp is not None:
+        cand = cand.withColumn("boost", F.round("boost", round_dp))
+    w = Window.partitionBy("query_id", "qterm").orderBy(
+        F.desc("boost"), F.desc("df"), F.asc("term")
+    )
     return (
-        cand.withColumn("boost", boost)
-        .groupBy("query_id", "term")
-        .agg(F.max("boost").alias("boost"), F.max("df").alias("df"))
-        .filter(F.col("boost") > 0.0)
+        cand.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= n)
+        .select(
+            "query_id", "qterm", "rank", F.col("term").alias("suggestion"),
+            "boost", "df",
+        )
     )
 
 

@@ -683,3 +683,29 @@ def test_fuzzy_boost_floor(spark, docs):
         exp = fuzzy_expand(query_terms(q), ts, max_edits=d).toPandas()
         assert (exp["boost"] > 0).all()
         assert (exp["boost"] <= 1.0).all()
+
+
+def test_suggest_terms_semantics(spark, docs):
+    from igd_spark.querylang import suggest_terms
+    from igd_spark.stats import term_stats
+    from igd_spark.tokenizer import postings
+
+    ts = term_stats(postings(docs))
+    t1 = _pick_terms(docs, 1)[0]
+    typo = t1[:-1] + ("x" if t1[-1] != "x" else "y")
+    q = _queries(spark, [(0, f"{typo} zzznotavocab")])
+    out = suggest_terms(q, ts, max_edits=1, n=5).toPandas()
+    # the corrected term is suggested for the typo; the impossible term gets none
+    assert t1 in set(out[out["qterm"] == typo]["suggestion"])
+    assert (out["qterm"] != "zzznotavocab").all()
+    # never suggest the term itself, ranks follow (boost desc, df desc, asc)
+    q2 = _queries(spark, [(0, t1)])
+    out2 = suggest_terms(q2, ts, max_edits=2, n=10).toPandas()
+    assert t1 not in set(out2["suggestion"])
+    srt = out2.sort_values("rank")
+    keys = list(zip(-srt["boost"], -srt["df"], srt["suggestion"]))
+    assert keys == sorted(keys)
+    # deletes == scan for the suggestion surface too
+    a = suggest_terms(q, ts, max_edits=2, n=5, mode="deletes")
+    b = suggest_terms(q, ts, max_edits=2, n=5, mode="scan")
+    pd.testing.assert_frame_equal(_sorted(a), _sorted(b))
