@@ -101,6 +101,13 @@ FACET_K = 3
 LMD_MU = 2000.0
 SUGGEST_MAX_EDITS = 2
 SUGGEST_N = 3
+PARSED_QUERY_SET: list[tuple[int, str]] = [
+    (0, "+customer order -slow"),     # MUST + SHOULD + MUST_NOT
+    (1, '"table scan" fast'),         # phrase + term
+    (2, "quer~1 tab*"),               # fuzzy + prefix
+    (3, "+table +zzznotavocab"),      # unsatisfiable MUST -> 0 hits
+    (4, 'm?rge "merge sort"'),        # wildcard + phrase
+]
 SYNONYM_SET: list[tuple[str, str]] = [
     ("customer", "c"), ("supplier", "c"),   # query for one, match both
     ("query", "s"), ("scan", "s"),
@@ -729,6 +736,16 @@ def q_fuzzy_bm25_topk_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_parsed_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Lucene query-string syntax compiled to one composed plan; the oracle
+    # evaluates the SAME parsed clause table (parser itself is pytested)
+    from igd_spark import parsed_bm25_topk
+
+    return parsed_bm25_topk(
+        _docs(spark, sf_dir), PARSED_QUERY_SET, k=K, round_dp=6
+    )
+
+
 def q_suggest_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     # "did you mean": top corrections per query term by (similarity, df)
     from igd_spark import suggest_terms
@@ -861,6 +878,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lm_dirichlet_topk": q_lm_dirichlet_topk,
         "lm_dirichlet_topk_indexed": q_lm_dirichlet_topk_indexed,
         "suggest_terms": q_suggest_terms,
+        "parsed_bm25_topk": q_parsed_bm25_topk,
         "facet_counts": q_facet_counts,
         "match_enumerate": q_match_enumerate,
         "term_cooccurrence": q_term_cooccurrence,
@@ -2010,6 +2028,91 @@ ranked AS (
   FROM cand WHERE boost_raw > 0)
 SELECT query_id, qterm, rank, suggestion, boost, df
 FROM ranked WHERE rank <= {SUGGEST_N}
+"""
+
+    # parsed query language: the oracle evaluates the SAME clause table the
+    # Spark path compiles (parse_query is deterministic driver-side python,
+    # pytest-verified); this gate entry verifies the EVALUATION semantics
+    from igd_spark.queryparse import parse_query
+
+    _clvals = ", ".join(
+        f"({qi}::BIGINT, {ci}::BIGINT, '{c.occur}', '{c.kind}', '{c.text}', "
+        f"{c.max_edits}::BIGINT)"
+        for qi, qs in PARSED_QUERY_SET
+        for ci, c in enumerate(parse_query(qs))
+    )
+    sql["parsed_bm25_topk"] = f"""
+WITH {_TL}, {_TOKS}, {_POST}, {_DL}, {_CS}, {_TS},
+cl(query_id, clause_id, occur, kind, txt, max_edits) AS (VALUES {_clvals}),
+t_term AS (
+  SELECT query_id, clause_id, occur, kind,
+         unnest(list_distinct(list_filter(
+           regexp_split_to_array(txt, ' '), x -> x <> ''))) AS term,
+         1.0 AS wmul
+  FROM cl WHERE kind IN ('term', 'phrase')),
+t_pw AS (
+  SELECT c.query_id, c.clause_id, c.occur, c.kind, ts.term, 1.0 AS wmul
+  FROM cl c JOIN ts ON ts.term LIKE
+       (CASE WHEN c.kind = 'prefix' THEN c.txt || '%'
+             ELSE translate(c.txt, '*?', '%_') END)
+  WHERE c.kind IN ('prefix', 'wildcard')),
+t_fz AS (
+  SELECT * FROM (
+    SELECT c.query_id, c.clause_id, c.occur, c.kind, ts.term,
+           greatest(0.0, 1.0 - levenshtein(ts.term, c.txt)::DOUBLE
+                    / least(length(ts.term), length(c.txt))) AS wmul
+    FROM cl c JOIN ts ON levenshtein(ts.term, c.txt) <= c.max_edits
+    WHERE c.kind = 'fuzzy') WHERE wmul > 0),
+allt AS (SELECT * FROM t_term UNION ALL SELECT * FROM t_pw
+         UNION ALL SELECT * FROM t_fz),
+pp AS (SELECT doc_id, i - 1 AS pos, tl[i] AS term
+       FROM (SELECT doc_id, tl, unnest(generate_series(1, len(tl))) AS i FROM tldocs)),
+pt AS (SELECT query_id, clause_id, i - 1 AS "offset", w[i] AS term
+       FROM (SELECT query_id, clause_id,
+                    list_filter(regexp_split_to_array(txt, ' '), x -> x <> '') AS w,
+                    unnest(generate_series(1, len(list_filter(
+                      regexp_split_to_array(txt, ' '), x -> x <> '')))) AS i
+             FROM cl WHERE kind = 'phrase')),
+plen AS (SELECT query_id, clause_id, count(*) AS plen FROM pt GROUP BY 1, 2),
+phj AS (SELECT pt.query_id, pt.clause_id, pp.doc_id, pp.pos - pt."offset" AS anchor
+        FROM pp JOIN pt USING (term)),
+phh AS (SELECT query_id, clause_id, doc_id, anchor, count(*) AS c
+        FROM phj GROUP BY 1, 2, 3, 4),
+ph_hits AS (SELECT DISTINCT h.query_id, h.clause_id, h.doc_id
+            FROM phh h JOIN plen USING (query_id, clause_id)
+            WHERE h.c = plen.plen AND h.anchor >= 0),
+joined AS (
+  SELECT a.query_id, a.clause_id, a.occur, a.kind, p.doc_id,
+         a.wmul * ln((cs.n_docs - ts.df + 0.5) / (ts.df + 0.5) + 1.0)
+         * p.tf * {K1 + 1.0}
+         / (p.tf + {K1} * (1.0 - {B} + {B} * dl.dl / cs.avgdl)) AS w
+  FROM allt a JOIN ts USING (term) JOIN post p USING (term)
+  JOIN dl ON p.doc_id = dl.doc_id CROSS JOIN cs),
+contrib AS (
+  SELECT j.* FROM joined j
+  WHERE j.kind <> 'phrase'
+     OR EXISTS (SELECT 1 FROM ph_hits h
+                WHERE h.query_id = j.query_id AND h.clause_id = j.clause_id
+                  AND h.doc_id = j.doc_id)),
+banned AS (SELECT DISTINCT query_id, doc_id FROM contrib WHERE occur = 'must_not'),
+nmust AS (SELECT query_id, count(DISTINCT clause_id) AS n FROM cl
+          WHERE occur = 'must' GROUP BY 1),
+scored AS (
+  SELECT query_id, doc_id, sum(w) AS s,
+         count(DISTINCT CASE WHEN occur = 'must' THEN clause_id END) AS nmm
+  FROM contrib WHERE occur <> 'must_not' GROUP BY 1, 2),
+hits AS (
+  SELECT s.query_id, s.doc_id, s.s FROM scored s
+  LEFT JOIN nmust n USING (query_id)
+  WHERE s.nmm = coalesce(n.n, 0)
+    AND NOT EXISTS (SELECT 1 FROM banned b
+                    WHERE b.query_id = s.query_id AND b.doc_id = s.doc_id)),
+ranked AS (
+  SELECT query_id, doc_id, round(s, 6) AS score,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY round(s, 6) DESC, doc_id ASC)::INT AS rank
+  FROM hits)
+SELECT query_id, rank, doc_id, score FROM ranked WHERE rank <= {K}
 """
 
     sql["facet_counts"] = f"""

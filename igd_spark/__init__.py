@@ -80,6 +80,7 @@ from igd_spark.querylang import (
     wildcard_bm25_topk,
     wildcard_bm25_topk_indexed,
 )
+from igd_spark.queryparse import Clause, parse_query, parsed_bm25_topk
 from igd_spark.search import (
     bm25_scores,
     exact_bm25_topk,
@@ -169,6 +170,8 @@ __all__ = [
     "ngram_jaccard_pairs",
     "open_index",
     "pack_sequences",
+    "parse_query",
+    "parsed_bm25_topk",
     "phrase_match",
     "phrase_match_indexed",
     "pick_anchors",

@@ -1,0 +1,271 @@
+"""Lucene-style query-string parser and set-at-a-time evaluator.
+
+The capstone over the extended query language (querylang.py): one string
+syntax — a documented subset of the Lucene classic QueryParser — that
+compiles to the engine's existing retrieval primitives and evaluates the
+WHOLE query batch in a single composed DataFrame plan.
+
+Grammar (whitespace-separated clauses)::
+
+    query  := clause+
+    clause := ['+' | '-'] atom
+    atom   := '"' words '"'        phrase  (consecutive positions)
+            | word '*'             prefix  (trailing star only)
+            | word with * or ?     wildcard (metachar anywhere else)
+            | word '~' [N]         fuzzy   (N in 1..2; bare '~' = 2)
+            | word                 term
+
+``+`` marks a MUST clause, ``-`` a MUST_NOT, bare is SHOULD (Lucene's
+default-OR contract): a doc qualifies iff it matches EVERY must clause,
+NO must_not clause, and — when the query has no must clause — at least
+one should clause.  The score is the sum of the doc's matched must +
+should clause contributions, each clause scoring exactly like its
+standalone operator (term/prefix/wildcard → per-term BM25 with its own
+idf; fuzzy → similarity-boosted BM25, `fuzzy_expand` semantics; phrase →
+its constituent terms' BM25 restricted to phrase-containing docs).  A
+term reached by two clauses of one query contributes twice — the Lucene
+repeated-clause behaviour.  Words are lowercased and split on the
+standard token pattern, so "can't" parses as two term clauses.
+
+Scale: parsing is a driver-side prologue over the (small) query batch —
+the established `search()` pattern; evaluation is ONE composed plan:
+clause term-lists are local rows or vocab-sized dictionary joins
+(prefix/wildcard LIKE, fuzzy SymSpell candidates — at most one pass per
+distinct max_edits), then a single postings join feeds one fine-keyed
+hash agg on (query, doc); phrase membership is the `phrase_match`
+anchor join.  No per-clause Spark jobs, no corpus pass per clause.
+
+Reference parity: the reference's query-file driver loops one query at
+a time through the C kernel (src_py/igd_search.c:104-128); this module
+is the set-at-a-time generalisation with a query LANGUAGE on top.
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from igd_spark.config import DEFAULT_CONF, IndexConf
+from igd_spark.scoring import bm25_weight_col, idf_col
+from igd_spark.search import phrase_match, rank_topk
+from igd_spark.stats import corpus_stats, doc_stats, term_stats
+from igd_spark.tokenizer import postings
+
+_WORD_RE = re.compile(r"[a-z0-9]+")
+_TOKEN_RE = re.compile(r'([+-]?)"([^"]*)"|(\S+)')
+_MAX_CLAUSES = 10_000  # composite-key stride; parse_query enforces it
+
+
+@dataclass(frozen=True)
+class Clause:
+    occur: str       # 'must' | 'should' | 'must_not'
+    kind: str        # 'term' | 'phrase' | 'prefix' | 'wildcard' | 'fuzzy'
+    text: str        # term / stem / pattern / space-joined phrase words
+    max_edits: int = 0  # fuzzy only
+
+
+def parse_query(s: str) -> list[Clause]:
+    """Parse one query string into clauses (see module docstring).
+
+    Tokens that normalise to nothing (pure punctuation, empty phrases,
+    bare wildcards with no literal characters) are dropped; a fuzzy
+    suffix on a multi-part word applies to its last part, earlier parts
+    become plain terms.  Deterministic, pure-python, driver-side."""
+    clauses: list[Clause] = []
+    for m in _TOKEN_RE.finditer(s.lower()):
+        if m.group(2) is not None:  # quoted phrase
+            occur = {"+": "must", "-": "must_not"}.get(m.group(1), "should")
+            words = _WORD_RE.findall(m.group(2))
+            if len(words) == 1:
+                clauses.append(Clause(occur, "term", words[0]))
+            elif words:
+                clauses.append(Clause(occur, "phrase", " ".join(words)))
+            continue
+        raw = m.group(3)
+        occur = "should"
+        if raw[:1] in "+-":
+            occur = "must" if raw[0] == "+" else "must_not"
+            raw = raw[1:]
+        fm = re.search(r"~(\d?)$", raw)
+        max_edits = 0
+        if fm is not None:
+            raw = raw[: fm.start()]
+            max_edits = int(fm.group(1)) if fm.group(1) else 2
+            max_edits = min(max_edits, 2)
+        if "*" in raw or "?" in raw:
+            pat = re.sub(r"[^a-z0-9*?]+", "", raw)
+            if not _WORD_RE.search(pat):
+                continue  # no literal chars — unbounded scan, dropped
+            if pat.endswith("*") and not re.search(r"[*?]", pat[:-1]):
+                clauses.append(Clause(occur, "prefix", pat[:-1]))
+            else:
+                clauses.append(Clause(occur, "wildcard", pat))
+            continue
+        words = _WORD_RE.findall(raw)
+        if not words:
+            continue
+        for w in words[:-1]:
+            clauses.append(Clause(occur, "term", w))
+        if max_edits > 0:
+            clauses.append(Clause(occur, "fuzzy", words[-1], max_edits))
+        else:
+            clauses.append(Clause(occur, "term", words[-1]))
+    if len(clauses) > _MAX_CLAUSES:
+        raise ValueError(f"query has {len(clauses)} clauses (max {_MAX_CLAUSES})")
+    return clauses
+
+
+def _query_rows(queries) -> list[tuple]:
+    """(query_id, query_text) rows from a Spark DF, pandas DF, or iterable
+    of pairs — the same driver-native input flexibility as `search()`."""
+    if isinstance(queries, DataFrame):
+        return [
+            (r["query_id"], r["query_text"])
+            for r in queries.select("query_id", "query_text").collect()
+        ]
+    try:  # pandas without importing it unconditionally
+        import pandas as pd
+
+        if isinstance(queries, pd.DataFrame):
+            return list(queries[["query_id", "query_text"]].itertuples(index=False))
+    except ImportError:
+        pass
+    return [(q, t) for q, t in queries]
+
+
+def parsed_bm25_topk(
+    docs: DataFrame,
+    queries,
+    k: int = 10,
+    conf: IndexConf = DEFAULT_CONF,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    round_dp: int | None = None,
+) -> DataFrame:
+    """Evaluate Lucene-syntax query strings over the corpus — (query_id,
+    rank, doc_id, score).  See the module docstring for grammar,
+    semantics, and the single-plan evaluation strategy."""
+    from igd_spark.querylang import _fuzzy_candidates
+
+    spark = docs.sparkSession
+    rows = _query_rows(queries)
+    qids = [q for q, _ in rows]
+    parsed = {qi: parse_query(str(t) if t is not None else "") for qi, t in rows}
+
+    # internal dense reindex -> composite clause key (no collision for any
+    # user query_id); ckey = qidx * _MAX_CLAUSES + clause_id
+    qidx = {qi: i for i, qi in enumerate(qids)}
+    cl_rows = [
+        (qidx[qi] * _MAX_CLAUSES + ci, int(qi), c.occur, c.kind, c.text, c.max_edits)
+        for qi, cls in parsed.items()
+        for ci, c in enumerate(cls)
+    ]
+    out_schema = "query_id long, rank int, doc_id long, score double"
+    if not cl_rows:
+        return spark.createDataFrame([], out_schema)
+
+    post = postings(docs, text_col=text_col, id_col=id_col, conf=conf)
+    ds = doc_stats(docs, text_col=text_col, id_col=id_col, conf=conf)
+    cs = corpus_stats(ds).collect()[0]
+    n_docs, avgdl = int(cs["n_docs"]), float(cs["avgdl"])
+    ts = term_stats(post)
+
+    ct_schema = "ckey long, term string, wmul double"
+    parts: list[DataFrame] = []
+    # term clauses + phrase constituents: local rows
+    # phrase constituents dedupe (the query_terms convention): a repeated
+    # word in one phrase scores once
+    local_terms = [
+        (ck, w, 1.0)
+        for ck, _, _, kind, text, _ in cl_rows
+        if kind in ("term", "phrase")
+        for w in sorted(set(text.split(" ")))
+    ]
+    if local_terms:
+        parts.append(spark.createDataFrame(local_terms, ct_schema))
+    # prefix / wildcard: dictionary expansion (vocab-sized LIKE joins)
+    pw_rows = [
+        (ck, text + "%" if kind == "prefix" else text.translate(str.maketrans("*?", "%_")))
+        for ck, _, _, kind, text, _ in cl_rows
+        if kind in ("prefix", "wildcard")
+    ]
+    if pw_rows:
+        pats = spark.createDataFrame(pw_rows, "ckey long, pat string")
+        parts.append(
+            ts.join(F.broadcast(pats), F.expr("term LIKE pat"))
+            .select("ckey", "term", F.lit(1.0).alias("wmul"))
+        )
+    # fuzzy: SymSpell candidates, one pass per distinct max_edits (<= 2)
+    fz = [(ck, text, d) for ck, _, _, kind, text, d in cl_rows if kind == "fuzzy"]
+    for d in sorted({d for _, _, d in fz}):
+        fq = spark.createDataFrame(
+            [(ck, w) for ck, w, dd in fz if dd == d], "query_id long, term string"
+        )
+        parts.append(
+            _fuzzy_candidates(fq, ts, d, "deletes")
+            .filter(F.col("boost") > 0.0)
+            .select(F.col("query_id").alias("ckey"), "term",
+                    F.col("boost").alias("wmul"))
+        )
+    clause_terms = parts[0]
+    for p in parts[1:]:
+        clause_terms = clause_terms.unionByName(p)
+
+    # one postings join scores every clause of every query
+    cmeta = spark.createDataFrame(
+        [(ck, qi, occ, kind) for ck, qi, occ, kind, _, _ in cl_rows],
+        "ckey long, query_id long, occur string, kind string",
+    )
+    w = bm25_weight_col(
+        F.col("wmul") * idf_col(n_docs, "df"), "tf", "dl", avgdl, conf.k1, conf.b
+    )
+    contrib = (
+        post.join(F.broadcast(clause_terms.join(ts, "term")), "term")
+        .join(ds, "doc_id")
+        .select("ckey", "doc_id", w.alias("w"))
+    )
+    # phrase clauses: keep only docs actually containing the phrase
+    ph_rows = [(ck, text) for ck, _, _, kind, text, _ in cl_rows if kind == "phrase"]
+    if ph_rows:
+        ph_q = spark.createDataFrame(ph_rows, "query_id long, query_text string")
+        ph_hits = (
+            phrase_match(docs, ph_q, text_col=text_col, id_col=id_col, conf=conf)
+            .select(F.col("query_id").alias("ckey"), "doc_id")
+        )
+        ph_keys = {ck for ck, _ in ph_rows}
+        is_ph = F.col("ckey").isin([int(x) for x in ph_keys])
+        contrib = contrib.filter(~is_ph).unionByName(
+            contrib.filter(is_ph).join(ph_hits, ["ckey", "doc_id"], "left_semi")
+        )
+
+    contrib = contrib.join(F.broadcast(cmeta), "ckey")
+    banned = (
+        contrib.filter(F.col("occur") == "must_not")
+        .select("query_id", "doc_id")
+        .dropDuplicates(["query_id", "doc_id"])
+    )
+    n_must_rows = [
+        (int(qi), sum(1 for c in cls if c.occur == "must"))
+        for qi, cls in parsed.items()
+    ]
+    n_must = spark.createDataFrame(n_must_rows, "query_id long, n_must long")
+    scored = (
+        contrib.filter(F.col("occur") != "must_not")
+        .groupBy("query_id", "doc_id")
+        .agg(
+            F.sum("w").alias("score"),
+            F.countDistinct(
+                F.when(F.col("occur") == "must", F.col("ckey"))
+            ).alias("n_mm"),
+        )
+        .join(F.broadcast(n_must), "query_id")
+        .filter(F.col("n_mm") == F.col("n_must"))
+        .join(banned, ["query_id", "doc_id"], "left_anti")
+        .select("query_id", "doc_id", "score")
+    )
+    if round_dp is not None:
+        scored = scored.withColumn("score", F.round("score", round_dp))
+    return rank_topk(scored, k)

@@ -1,0 +1,142 @@
+"""Parser + evaluator semantics of the Lucene-style query language
+(queryparse.py): the gate pins cross-engine value identity; here we pin
+the parse itself and the evaluator's equivalence to the standalone
+operators it compiles to."""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from igd_spark.corpus import assign_doc_ids
+from igd_spark.queryparse import Clause, parse_query, parsed_bm25_topk
+from igd_spark.querylang import (
+    _maybe_round,
+    bool_bm25_topk,
+    fuzzy_bm25_topk,
+    prefix_bm25_topk,
+)
+from igd_spark.search import bm25_scores, phrase_match, rank_topk
+
+
+@pytest.fixture(scope="module")
+def docs(spark, tiny_docs):
+    return assign_doc_ids(tiny_docs).cache()
+
+
+def _pick_terms(docs, n=4, lo=5, hi=40):
+    from igd_spark.stats import term_stats
+    from igd_spark.tokenizer import postings
+
+    ts = term_stats(postings(docs)).filter((F.col("df") >= lo) & (F.col("df") <= hi))
+    return [r["term"] for r in ts.orderBy("term").limit(n).collect()]
+
+
+def _sorted(df):
+    p = df.toPandas() if not isinstance(df, pd.DataFrame) else df
+    return p.sort_values(list(p.columns)).reset_index(drop=True)
+
+
+def test_parse_grammar():
+    assert parse_query("+a b -c") == [
+        Clause("must", "term", "a"),
+        Clause("should", "term", "b"),
+        Clause("must_not", "term", "c"),
+    ]
+    assert parse_query('"x y" z*') == [
+        Clause("should", "phrase", "x y"),
+        Clause("should", "prefix", "z"),
+    ]
+    assert parse_query("w~ v~1 u?x") == [
+        Clause("should", "fuzzy", "w", 2),
+        Clause("should", "fuzzy", "v", 1),
+        Clause("should", "wildcard", "u?x"),
+    ]
+    # normalization: case, punctuation-split words, one-word phrase -> term,
+    # empty/meta-only tokens dropped, ~9 clamps to 2
+    assert parse_query('Can\'t "Solo" q~9') == [
+        Clause("should", "term", "can"),
+        Clause("should", "term", "t"),
+        Clause("should", "term", "solo"),
+        Clause("should", "fuzzy", "q", 2),
+    ]
+    assert parse_query(' ** "" ~ - + ') == []
+
+
+def test_parsed_disjunctive_equals_plain(spark, docs):
+    t1, t2 = _pick_terms(docs, 2)
+    out = _sorted(parsed_bm25_topk(docs, [(0, f"{t1} {t2}")], k=50, round_dp=9))
+    q = spark.createDataFrame([(0, f"{t1} {t2}")], "query_id long, query_text string")
+    ref = _sorted(rank_topk(_maybe_round(bm25_scores(docs, q), 9), 50))
+    assert len(out) > 0
+    pd.testing.assert_frame_equal(out, ref)
+
+
+def test_parsed_must_equals_bool(spark, docs):
+    t1, t2, t3 = _pick_terms(docs, 3)
+    # plain AND: non-empty and identical to bool_bm25_topk
+    out = _sorted(parsed_bm25_topk(docs, [(0, f"+{t1} +{t2}")], k=50, round_dp=9))
+    q = spark.createDataFrame(
+        [(0, f"{t1} {t2}", None)],
+        "query_id long, query_text string, exclude_text string",
+    )
+    ref = _sorted(bool_bm25_topk(docs, q, k=50, exclude_col="exclude_text", round_dp=9))
+    assert len(out) > 0
+    pd.testing.assert_frame_equal(out, ref)
+    # AND + NOT: still identical (may legitimately be empty on the fixture)
+    out2 = _sorted(parsed_bm25_topk(docs, [(0, f"+{t1} +{t2} -{t3}")], k=50, round_dp=9))
+    q2 = spark.createDataFrame(
+        [(0, f"{t1} {t2}", t3)],
+        "query_id long, query_text string, exclude_text string",
+    )
+    ref2 = _sorted(bool_bm25_topk(docs, q2, k=50, exclude_col="exclude_text", round_dp=9))
+    pd.testing.assert_frame_equal(out2, ref2)
+
+
+def test_parsed_prefix_and_fuzzy_equal_operators(spark, docs):
+    t1 = _pick_terms(docs, 1)[0]
+    pre = t1[:3]
+    out = _sorted(parsed_bm25_topk(docs, [(0, f"{pre}*")], k=30, round_dp=9))
+    q = spark.createDataFrame([(0, pre)], "query_id long, query_text string")
+    ref = _sorted(prefix_bm25_topk(docs, q, k=30, round_dp=9))
+    assert len(out) > 0
+    pd.testing.assert_frame_equal(out, ref)
+    typo = t1[:-1] + ("x" if t1[-1] != "x" else "y")
+    out2 = _sorted(parsed_bm25_topk(docs, [(0, f"{typo}~1")], k=30, round_dp=9))
+    q2 = spark.createDataFrame([(0, typo)], "query_id long, query_text string")
+    ref2 = _sorted(fuzzy_bm25_topk(docs, q2, max_edits=1, k=30, round_dp=9))
+    pd.testing.assert_frame_equal(out2, ref2)
+
+
+def test_parsed_phrase_filters_and_scores(spark, docs):
+    # find a phrase that actually occurs: take the first two tokens of a doc
+    row = docs.select("text").filter(F.length("text") > 20).first()
+    words = [w for w in str(row["text"]).lower().split() if w.isalnum()][:2]
+    if len(words) < 2:
+        pytest.skip("fixture doc too short")
+    phrase = " ".join(words)
+    out = parsed_bm25_topk(docs, [(0, f'"{phrase}"')], k=10_000).toPandas()
+    q = spark.createDataFrame([(0, phrase)], "query_id long, query_text string")
+    ph = phrase_match(docs, q).toPandas()
+    assert set(out["doc_id"]) == set(ph["doc_id"]) and len(out) > 0
+    # scores = constituent-term disjunctive BM25 on the phrase hit set
+    ref = bm25_scores(docs, q).toPandas()
+    m = out.merge(ref, on="doc_id", suffixes=("_p", "_r"))
+    assert len(m) == len(out)
+    assert (abs(m["score_p"] - m["score_r"]) < 1e-9).all()
+
+
+def test_parsed_unsatisfiable_must_and_empty(spark, docs):
+    t1 = _pick_terms(docs, 1)[0]
+    assert parsed_bm25_topk(docs, [(0, f"+zzznotavocab {t1}")], k=10).count() == 0
+    assert parsed_bm25_topk(docs, [(0, ""), (1, "-" + t1)], k=10).count() == 0
+
+
+def test_parsed_pandas_input(spark, docs):
+    t1 = _pick_terms(docs, 1)[0]
+    pdf = pd.DataFrame({"query_id": [0], "query_text": [t1]})
+    a = _sorted(parsed_bm25_topk(docs, pdf, k=20, round_dp=9))
+    b = _sorted(parsed_bm25_topk(docs, [(0, t1)], k=20, round_dp=9))
+    assert len(a) > 0
+    pd.testing.assert_frame_equal(a, b)
