@@ -746,6 +746,14 @@ def q_parsed_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_percolate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # reverse search: standing Lucene-syntax queries matched against a doc
+    # batch — the unranked eligible set of the parsed language
+    from igd_spark import percolate
+
+    return percolate(_docs(spark, sf_dir), PARSED_QUERY_SET, round_dp=6)
+
+
 def q_suggest_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     # "did you mean": top corrections per query term by (similarity, df)
     from igd_spark import suggest_terms
@@ -879,6 +887,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lm_dirichlet_topk_indexed": q_lm_dirichlet_topk_indexed,
         "suggest_terms": q_suggest_terms,
         "parsed_bm25_topk": q_parsed_bm25_topk,
+        "percolate": q_percolate,
         "facet_counts": q_facet_counts,
         "match_enumerate": q_match_enumerate,
         "term_cooccurrence": q_term_cooccurrence,
@@ -2041,7 +2050,7 @@ FROM ranked WHERE rank <= {SUGGEST_N}
         for qi, qs in PARSED_QUERY_SET
         for ci, c in enumerate(parse_query(qs))
     )
-    sql["parsed_bm25_topk"] = f"""
+    _parsed_core = f"""
 WITH {_TL}, {_TOKS}, {_POST}, {_DL}, {_CS}, {_TS},
 cl(query_id, clause_id, occur, kind, txt, max_edits) AS (VALUES {_clvals}),
 t_term AS (
@@ -2106,7 +2115,9 @@ hits AS (
   LEFT JOIN nmust n USING (query_id)
   WHERE s.nmm = coalesce(n.n, 0)
     AND NOT EXISTS (SELECT 1 FROM banned b
-                    WHERE b.query_id = s.query_id AND b.doc_id = s.doc_id)),
+                    WHERE b.query_id = s.query_id AND b.doc_id = s.doc_id))
+"""
+    sql["parsed_bm25_topk"] = _parsed_core + f""",
 ranked AS (
   SELECT query_id, doc_id, round(s, 6) AS score,
          row_number() OVER (PARTITION BY query_id
@@ -2114,6 +2125,11 @@ ranked AS (
   FROM hits)
 SELECT query_id, rank, doc_id, score FROM ranked WHERE rank <= {K}
 """
+    # percolation = the same eligible set, unranked (reverse-search shape)
+    sql["percolate"] = (
+        _parsed_core
+        + "\nSELECT query_id, doc_id, round(s, 6) AS score FROM hits\n"
+    )
 
     sql["facet_counts"] = f"""
 WITH {_TL}, {_TOKS}, {_POST}, {_DL}, {_CS}, {_TS}, {_QT},

@@ -80,7 +80,13 @@ from igd_spark.querylang import (
     wildcard_bm25_topk,
     wildcard_bm25_topk_indexed,
 )
-from igd_spark.queryparse import Clause, parse_query, parsed_bm25_topk
+from igd_spark.queryparse import (
+    Clause,
+    parse_query,
+    parsed_bm25_topk,
+    parsed_matches,
+    percolate,
+)
 from igd_spark.search import (
     bm25_scores,
     exact_bm25_topk,
@@ -172,6 +178,8 @@ __all__ = [
     "pack_sequences",
     "parse_query",
     "parsed_bm25_topk",
+    "parsed_matches",
+    "percolate",
     "phrase_match",
     "phrase_match_indexed",
     "pick_anchors",

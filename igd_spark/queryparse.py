@@ -148,6 +148,26 @@ def parsed_bm25_topk(
     """Evaluate Lucene-syntax query strings over the corpus — (query_id,
     rank, doc_id, score).  See the module docstring for grammar,
     semantics, and the single-plan evaluation strategy."""
+    scored = parsed_matches(
+        docs, queries, conf=conf, text_col=text_col, id_col=id_col
+    )
+    if round_dp is not None:
+        scored = scored.withColumn("score", F.round("score", round_dp))
+    return rank_topk(scored, k)
+
+
+def parsed_matches(
+    docs: DataFrame,
+    queries,
+    conf: IndexConf = DEFAULT_CONF,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """The UNRANKED eligible set of `parsed_bm25_topk` — every (query_id,
+    doc_id, score) pair where the doc satisfies the parsed query (every
+    MUST, no MUST_NOT, ≥1 SHOULD when no MUST).  This is the percolation
+    primitive: `percolate` runs it per micro-batch against standing
+    queries."""
     from igd_spark.querylang import _fuzzy_candidates
 
     spark = docs.sparkSession
@@ -163,9 +183,10 @@ def parsed_bm25_topk(
         for qi, cls in parsed.items()
         for ci, c in enumerate(cls)
     ]
-    out_schema = "query_id long, rank int, doc_id long, score double"
     if not cl_rows:
-        return spark.createDataFrame([], out_schema)
+        return spark.createDataFrame(
+            [], "query_id long, doc_id long, score double"
+        )
 
     post = postings(docs, text_col=text_col, id_col=id_col, conf=conf)
     ds = doc_stats(docs, text_col=text_col, id_col=id_col, conf=conf)
@@ -266,6 +287,39 @@ def parsed_bm25_topk(
         .join(banned, ["query_id", "doc_id"], "left_anti")
         .select("query_id", "doc_id", "score")
     )
+    return scored
+
+
+def percolate(
+    docs_batch: DataFrame,
+    standing_queries,
+    conf: IndexConf = DEFAULT_CONF,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    round_dp: int | None = None,
+) -> DataFrame:
+    """Reverse search (the Elasticsearch percolator surface): match a
+    BATCH of incoming documents against STANDING Lucene-syntax queries —
+    (query_id, doc_id, score), one row per (standing query, doc) the doc
+    satisfies.  Alerting/routing shape: queries are registered once, each
+    arriving document is tested against all of them.
+
+    Batch mode is exactly `parsed_matches`; for a document STREAM, apply
+    per micro-batch::
+
+        (docs.writeStream.foreachBatch(
+            lambda b, _: percolate(b, queries).write...).start())
+
+    Scale: the standing-query side is the small side here — clause term
+    lists broadcast against the batch's postings (the batch IS the
+    corpus, so global stats are batch-local by design: percolation is a
+    MATCH decision, not a corpus-ranked score; treat the score as
+    a within-batch diagnostic).  Cost per batch: one tokenize pass +
+    one postings join, the `parsed_matches` plan.
+    """
+    m = parsed_matches(
+        docs_batch, standing_queries, conf=conf, text_col=text_col, id_col=id_col
+    )
     if round_dp is not None:
-        scored = scored.withColumn("score", F.round("score", round_dp))
-    return rank_topk(scored, k)
+        m = m.withColumn("score", F.round("score", round_dp))
+    return m

@@ -81,3 +81,47 @@ def test_conversation_progress_stateful(spark, drops, tmp_path):
         final[r["conv_id"]] = max(cur, (r["n_turns"], r["max_turn_idx"]))
     assert final["convA"] == (3, 2)
     assert final["convB"] == (1, 0)
+
+
+def test_percolate_stream(spark, drops, tmp_path):
+    # reverse search over a document stream: standing Lucene-syntax queries
+    # evaluated per micro-batch via foreachBatch; match membership is
+    # doc-local (expansions only contribute for terms the doc contains), so
+    # the pair set is batch-size-invariant even though scores are batch-local
+    from igd_spark.corpus import assign_doc_ids
+    from igd_spark.queryparse import percolate
+    from igd_spark.streaming import transcript_stream
+
+    standing = [(0, "+table"), (1, '"spark table"'), (2, "spark~1 -join")]
+    out_dir = str(tmp_path / "matches")
+
+    def sink(batch, batch_id):
+        docs = assign_doc_ids(batch)
+        (
+            percolate(docs, standing)
+            .join(docs.select("doc_id", "conv_id", "turn_idx"), "doc_id")
+            .select("query_id", "conv_id", "turn_idx")
+            .write.mode("append").parquet(out_dir)
+        )
+
+    # one file per trigger -> multiple micro-batches
+    stream = transcript_stream(spark, drops, max_files_per_trigger=1)
+    q = (
+        stream.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", str(tmp_path / "ckp"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["query_id"], r["conv_id"], r["turn_idx"])
+        for r in spark.read.parquet(out_dir).collect()
+    }
+    assert got == {
+        (0, "convA", 0),  # +table
+        (0, "convA", 1),
+        (0, "convA", 2),
+        (1, "convA", 0),  # phrase "spark table"
+        (2, "convA", 0),  # fuzzy spark, no join
+        (2, "convB", 0),
+    }
