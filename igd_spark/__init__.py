@@ -122,6 +122,7 @@ from igd_spark.trainprep import (
 from igd_spark.tokenizer import postings, tokens_col
 
 __all__ = [
+    "Clause",
     "IndexConf",
     "InvertedIndex",
     "append_index",

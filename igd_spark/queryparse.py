@@ -45,7 +45,7 @@ from __future__ import annotations
 import re
 from dataclasses import dataclass
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from igd_spark.config import DEFAULT_CONF, IndexConf
@@ -89,12 +89,12 @@ def parse_query(s: str) -> list[Clause]:
         if raw[:1] in "+-":
             occur = "must" if raw[0] == "+" else "must_not"
             raw = raw[1:]
-        fm = re.search(r"~(\d?)$", raw)
+        fm = re.search(r"~(\d*)$", raw)
         max_edits = 0
         if fm is not None:
             raw = raw[: fm.start()]
             max_edits = int(fm.group(1)) if fm.group(1) else 2
-            max_edits = min(max_edits, 2)
+            max_edits = min(max_edits, 2)  # ~3..~99 clamp like ~9, not two terms
         if "*" in raw or "?" in raw:
             pat = re.sub(r"[^a-z0-9*?]+", "", raw)
             if not _WORD_RE.search(pat):
@@ -172,8 +172,20 @@ def parsed_matches(
 
     spark = docs.sparkSession
     rows = _query_rows(queries)
-    qids = [q for q, _ in rows]
-    parsed = {qi: parse_query(str(t) if t is not None else "") for qi, t in rows}
+    # duplicate query_id rows MERGE their clauses (the query_terms /
+    # search() multi-row convention), they don't overwrite
+    parsed: dict[int, list[Clause]] = {}
+    qids: list = []
+    for qi, t in rows:
+        if qi not in parsed:
+            parsed[qi] = []
+            qids.append(qi)
+        parsed[qi].extend(parse_query(str(t) if t is not None else ""))
+    for qi, cls in parsed.items():
+        if len(cls) > _MAX_CLAUSES:
+            raise ValueError(
+                f"query {qi!r} has {len(cls)} clauses (max {_MAX_CLAUSES})"
+            )
 
     # internal dense reindex -> composite clause key (no collision for any
     # user query_id); ckey = qidx * _MAX_CLAUSES + clause_id
@@ -191,7 +203,15 @@ def parsed_matches(
     post = postings(docs, text_col=text_col, id_col=id_col, conf=conf)
     ds = doc_stats(docs, text_col=text_col, id_col=id_col, conf=conf)
     cs = corpus_stats(ds).collect()[0]
-    n_docs, avgdl = int(cs["n_docs"]), float(cs["avgdl"])
+    n_docs = int(cs["n_docs"])
+    if n_docs == 0:
+        # empty batch (e.g. an empty streaming micro-batch): avgdl is NULL
+        # and there is nothing to match — return the empty frame instead
+        # of crashing the caller's streaming query
+        return spark.createDataFrame(
+            [], "query_id long, doc_id long, score double"
+        )
+    avgdl = float(cs["avgdl"])
     ts = term_stats(post)
 
     ct_schema = "ckey long, term string, wmul double"
@@ -258,8 +278,14 @@ def parsed_matches(
         )
         ph_keys = {ck for ck, _ in ph_rows}
         is_ph = F.col("ckey").isin([int(x) for x in ph_keys])
-        contrib = contrib.filter(~is_ph).unionByName(
-            contrib.filter(is_ph).join(ph_hits, ["ckey", "doc_id"], "left_semi")
+        # single left join + flag filter — a filter/semi-join union here
+        # would plan the postings-join subtree twice
+        contrib = (
+            contrib.join(
+                ph_hits.withColumn("_ph", F.lit(1)), ["ckey", "doc_id"], "left"
+            )
+            .filter((~is_ph) | F.col("_ph").isNotNull())
+            .drop("_ph")
         )
 
     contrib = contrib.join(F.broadcast(cmeta), "ckey")

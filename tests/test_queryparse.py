@@ -140,3 +140,30 @@ def test_parsed_pandas_input(spark, docs):
     b = _sorted(parsed_bm25_topk(docs, [(0, t1)], k=20, round_dp=9))
     assert len(a) > 0
     pd.testing.assert_frame_equal(a, b)
+
+
+def test_parse_fuzzy_multidigit_clamps():
+    # review fix: ~10 clamps to 2 like ~9 (NOT two plain terms)
+    assert parse_query("spark~10") == [Clause("should", "fuzzy", "spark", 2)]
+    assert parse_query("spark~0") == [Clause("should", "term", "spark")]
+
+
+def test_parsed_duplicate_query_rows_merge(spark, docs):
+    # review fix: duplicate query_id rows merge clauses (the query_terms /
+    # search() convention) instead of last-row-wins
+    t1, t2 = _pick_terms(docs, 2)
+    a = _sorted(parsed_bm25_topk(docs, [(0, t1), (0, t2)], k=50, round_dp=9))
+    b = _sorted(parsed_bm25_topk(docs, [(0, f"{t1} {t2}")], k=50, round_dp=9))
+    assert len(a) > 0
+    pd.testing.assert_frame_equal(a, b)
+
+
+def test_percolate_empty_batch(spark, docs):
+    # review fix: an empty micro-batch returns the empty frame, it does not
+    # kill the streaming query
+    from igd_spark.queryparse import percolate
+
+    empty = docs.filter(F.lit(False))
+    out = percolate(empty, [(0, "+table")])
+    assert out.count() == 0
+    assert out.columns == ["query_id", "doc_id", "score"]
