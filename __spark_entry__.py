@@ -746,6 +746,15 @@ def q_parsed_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_parsed_bm25_topk_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # the query language off the persisted positional index — must be
+    # rank-identical to the corpus-scan path, hence the same oracle
+    from igd_spark import parsed_bm25_topk_indexed
+
+    idx = _built_index(spark, sf_dir)
+    return parsed_bm25_topk_indexed(spark, idx, PARSED_QUERY_SET, k=K, round_dp=6)
+
+
 def q_percolate(spark: SparkSession, sf_dir: str) -> DataFrame:
     # reverse search: standing Lucene-syntax queries matched against a doc
     # batch — the unranked eligible set of the parsed language
@@ -887,6 +896,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lm_dirichlet_topk_indexed": q_lm_dirichlet_topk_indexed,
         "suggest_terms": q_suggest_terms,
         "parsed_bm25_topk": q_parsed_bm25_topk,
+        "parsed_bm25_topk_indexed": q_parsed_bm25_topk_indexed,
         "percolate": q_percolate,
         "facet_counts": q_facet_counts,
         "match_enumerate": q_match_enumerate,
@@ -2125,6 +2135,7 @@ ranked AS (
   FROM hits)
 SELECT query_id, rank, doc_id, score FROM ranked WHERE rank <= {K}
 """
+    sql["parsed_bm25_topk_indexed"] = sql["parsed_bm25_topk"]
     # percolation = the same eligible set, unranked (reverse-search shape)
     sql["percolate"] = (
         _parsed_core

@@ -84,6 +84,7 @@ from igd_spark.queryparse import (
     Clause,
     parse_query,
     parsed_bm25_topk,
+    parsed_bm25_topk_indexed,
     parsed_matches,
     percolate,
 )
@@ -179,6 +180,7 @@ __all__ = [
     "pack_sequences",
     "parse_query",
     "parsed_bm25_topk",
+    "parsed_bm25_topk_indexed",
     "parsed_matches",
     "percolate",
     "phrase_match",

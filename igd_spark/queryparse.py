@@ -168,12 +168,57 @@ def parsed_matches(
     MUST, no MUST_NOT, ≥1 SHOULD when no MUST).  This is the percolation
     primitive: `percolate` runs it per micro-batch against standing
     queries."""
-    from igd_spark.querylang import _fuzzy_candidates
-
     spark = docs.sparkSession
+    parsed, cl_rows = _parse_batch(queries)
+    if not cl_rows:
+        return spark.createDataFrame([], _EMPTY_SCHEMA)
+
+    post = postings(docs, text_col=text_col, id_col=id_col, conf=conf)
+    ds = doc_stats(docs, text_col=text_col, id_col=id_col, conf=conf)
+    cs = corpus_stats(ds).collect()[0]
+    n_docs = int(cs["n_docs"])
+    if n_docs == 0:
+        # empty batch (e.g. an empty streaming micro-batch): avgdl is NULL
+        # and there is nothing to match — return the empty frame instead
+        # of crashing the caller's streaming query
+        return spark.createDataFrame([], _EMPTY_SCHEMA)
+    avgdl = float(cs["avgdl"])
+    ts = term_stats(post)
+
+    # one postings join scores every clause of every query
+    clause_terms = _clause_terms(spark, cl_rows, ts)
+    w = bm25_weight_col(
+        F.col("wmul") * idf_col(n_docs, "df"), "tf", "dl", avgdl, conf.k1, conf.b
+    )
+    contrib = (
+        post.join(F.broadcast(clause_terms.join(ts, "term")), "term")
+        .join(ds, "doc_id")
+        .select("ckey", "doc_id", w.alias("w"))
+    )
+    ph_rows = [(ck, text) for ck, _, _, kind, text, _ in cl_rows if kind == "phrase"]
+    if ph_rows:
+        ph_q = spark.createDataFrame(ph_rows, "query_id long, query_text string")
+        ph_hits = (
+            phrase_match(docs, ph_q, text_col=text_col, id_col=id_col, conf=conf)
+            .select(F.col("query_id").alias("ckey"), "doc_id")
+        )
+        contrib = _phrase_restrict(contrib, ph_hits, [ck for ck, _ in ph_rows])
+    return _eligibility(spark, contrib, cl_rows, parsed)
+
+
+_EMPTY_SCHEMA = "query_id long, doc_id long, score double"
+
+
+def _parse_batch(queries) -> tuple[dict, list[tuple]]:
+    """Shared prologue of both evaluation paths: parse + clause-key rows.
+
+    Duplicate query_id rows MERGE their clauses (the query_terms /
+    search() multi-row convention), they don't overwrite.  Returns
+    (parsed clause lists by query_id, cl_rows) where cl_rows are
+    (ckey, query_id, occur, kind, text, max_edits) with the composite
+    clause key ckey = dense-query-index * _MAX_CLAUSES + clause ordinal
+    (collision-free for any user query_id)."""
     rows = _query_rows(queries)
-    # duplicate query_id rows MERGE their clauses (the query_terms /
-    # search() multi-row convention), they don't overwrite
     parsed: dict[int, list[Clause]] = {}
     qids: list = []
     for qi, t in rows:
@@ -186,37 +231,25 @@ def parsed_matches(
             raise ValueError(
                 f"query {qi!r} has {len(cls)} clauses (max {_MAX_CLAUSES})"
             )
-
-    # internal dense reindex -> composite clause key (no collision for any
-    # user query_id); ckey = qidx * _MAX_CLAUSES + clause_id
     qidx = {qi: i for i, qi in enumerate(qids)}
     cl_rows = [
         (qidx[qi] * _MAX_CLAUSES + ci, int(qi), c.occur, c.kind, c.text, c.max_edits)
         for qi, cls in parsed.items()
         for ci, c in enumerate(cls)
     ]
-    if not cl_rows:
-        return spark.createDataFrame(
-            [], "query_id long, doc_id long, score double"
-        )
+    return parsed, cl_rows
 
-    post = postings(docs, text_col=text_col, id_col=id_col, conf=conf)
-    ds = doc_stats(docs, text_col=text_col, id_col=id_col, conf=conf)
-    cs = corpus_stats(ds).collect()[0]
-    n_docs = int(cs["n_docs"])
-    if n_docs == 0:
-        # empty batch (e.g. an empty streaming micro-batch): avgdl is NULL
-        # and there is nothing to match — return the empty frame instead
-        # of crashing the caller's streaming query
-        return spark.createDataFrame(
-            [], "query_id long, doc_id long, score double"
-        )
-    avgdl = float(cs["avgdl"])
-    ts = term_stats(post)
+
+def _clause_terms(spark, cl_rows: list[tuple], dct: DataFrame) -> DataFrame:
+    """(ckey, term, wmul) — every clause's weighted term list, expanded
+    against a (term, df[, ...]) dictionary (`term_stats` output or
+    `InvertedIndex.dictionary`).  Local rows for term/phrase clauses,
+    vocab-sized LIKE joins for prefix/wildcard, SymSpell candidates for
+    fuzzy (one pass per distinct max_edits <= 2)."""
+    from igd_spark.querylang import _fuzzy_candidates
 
     ct_schema = "ckey long, term string, wmul double"
     parts: list[DataFrame] = []
-    # term clauses + phrase constituents: local rows
     # phrase constituents dedupe (the query_terms convention): a repeated
     # word in one phrase scores once
     local_terms = [
@@ -227,7 +260,6 @@ def parsed_matches(
     ]
     if local_terms:
         parts.append(spark.createDataFrame(local_terms, ct_schema))
-    # prefix / wildcard: dictionary expansion (vocab-sized LIKE joins)
     pw_rows = [
         (ck, text + "%" if kind == "prefix" else text.translate(str.maketrans("*?", "%_")))
         for ck, _, _, kind, text, _ in cl_rows
@@ -236,17 +268,16 @@ def parsed_matches(
     if pw_rows:
         pats = spark.createDataFrame(pw_rows, "ckey long, pat string")
         parts.append(
-            ts.join(F.broadcast(pats), F.expr("term LIKE pat"))
+            dct.join(F.broadcast(pats), F.expr("term LIKE pat"))
             .select("ckey", "term", F.lit(1.0).alias("wmul"))
         )
-    # fuzzy: SymSpell candidates, one pass per distinct max_edits (<= 2)
     fz = [(ck, text, d) for ck, _, _, kind, text, d in cl_rows if kind == "fuzzy"]
     for d in sorted({d for _, _, d in fz}):
         fq = spark.createDataFrame(
             [(ck, w) for ck, w, dd in fz if dd == d], "query_id long, term string"
         )
         parts.append(
-            _fuzzy_candidates(fq, ts, d, "deletes")
+            _fuzzy_candidates(fq, dct, d, "deletes")
             .filter(F.col("boost") > 0.0)
             .select(F.col("query_id").alias("ckey"), "term",
                     F.col("boost").alias("wmul"))
@@ -254,40 +285,34 @@ def parsed_matches(
     clause_terms = parts[0]
     for p in parts[1:]:
         clause_terms = clause_terms.unionByName(p)
+    return clause_terms
 
-    # one postings join scores every clause of every query
+
+def _phrase_restrict(
+    contrib: DataFrame, ph_hits: DataFrame, ph_keys: list[int]
+) -> DataFrame:
+    """Keep phrase clauses' contrib rows only for docs containing the
+    phrase — one left join + flag filter (a filter/semi-join union here
+    would plan the scoring-join subtree twice)."""
+    is_ph = F.col("ckey").isin([int(x) for x in ph_keys])
+    return (
+        contrib.join(
+            ph_hits.withColumn("_ph", F.lit(1)), ["ckey", "doc_id"], "left"
+        )
+        .filter((~is_ph) | F.col("_ph").isNotNull())
+        .drop("_ph")
+    )
+
+
+def _eligibility(
+    spark, contrib: DataFrame, cl_rows: list[tuple], parsed: dict
+) -> DataFrame:
+    """Shared epilogue: the MUST / MUST_NOT / SHOULD contract over the
+    per-clause contributions — (query_id, doc_id, score)."""
     cmeta = spark.createDataFrame(
         [(ck, qi, occ, kind) for ck, qi, occ, kind, _, _ in cl_rows],
         "ckey long, query_id long, occur string, kind string",
     )
-    w = bm25_weight_col(
-        F.col("wmul") * idf_col(n_docs, "df"), "tf", "dl", avgdl, conf.k1, conf.b
-    )
-    contrib = (
-        post.join(F.broadcast(clause_terms.join(ts, "term")), "term")
-        .join(ds, "doc_id")
-        .select("ckey", "doc_id", w.alias("w"))
-    )
-    # phrase clauses: keep only docs actually containing the phrase
-    ph_rows = [(ck, text) for ck, _, _, kind, text, _ in cl_rows if kind == "phrase"]
-    if ph_rows:
-        ph_q = spark.createDataFrame(ph_rows, "query_id long, query_text string")
-        ph_hits = (
-            phrase_match(docs, ph_q, text_col=text_col, id_col=id_col, conf=conf)
-            .select(F.col("query_id").alias("ckey"), "doc_id")
-        )
-        ph_keys = {ck for ck, _ in ph_rows}
-        is_ph = F.col("ckey").isin([int(x) for x in ph_keys])
-        # single left join + flag filter — a filter/semi-join union here
-        # would plan the postings-join subtree twice
-        contrib = (
-            contrib.join(
-                ph_hits.withColumn("_ph", F.lit(1)), ["ckey", "doc_id"], "left"
-            )
-            .filter((~is_ph) | F.col("_ph").isNotNull())
-            .drop("_ph")
-        )
-
     contrib = contrib.join(F.broadcast(cmeta), "ckey")
     banned = (
         contrib.filter(F.col("occur") == "must_not")
@@ -299,7 +324,7 @@ def parsed_matches(
         for qi, cls in parsed.items()
     ]
     n_must = spark.createDataFrame(n_must_rows, "query_id long, n_must long")
-    scored = (
+    return (
         contrib.filter(F.col("occur") != "must_not")
         .groupBy("query_id", "doc_id")
         .agg(
@@ -313,7 +338,62 @@ def parsed_matches(
         .join(banned, ["query_id", "doc_id"], "left_anti")
         .select("query_id", "doc_id", "score")
     )
-    return scored
+
+
+def parsed_bm25_topk_indexed(
+    spark,
+    idx,
+    queries,
+    k: int = 10,
+    round_dp: int | None = None,
+    max_expanded_terms: int = 65_536,
+) -> DataFrame:
+    """`parsed_bm25_topk` over a persisted `InvertedIndex` — the 100 TB
+    path for the query language: clause expansions run against the
+    index's own dictionary, scoring reads ONLY the expanded terms'
+    posting blocks (tf, dl, and df all from index artifacts — zero
+    corpus-sized joins), and phrase clauses ride the pruned positional
+    blocks via `phrase_match_indexed` (requires a store_positions=True
+    build when the batch contains phrases).  The expanded clause-term
+    table is materialized once under ``max_expanded_terms`` (the
+    prefix/wildcard/fuzzy indexed guard).  Rank-identity with the
+    corpus-scan path is gate- and pytest-enforced."""
+    from igd_spark.querylang import _collect_expansion
+    from igd_spark.search import match_enumerate, phrase_match_indexed
+
+    parsed, cl_rows = _parse_batch(queries)
+    if not cl_rows:
+        return spark.createDataFrame([], _EMPTY_SCHEMA)
+    dct = idx.dictionary
+    clause_terms = _clause_terms(spark, cl_rows, dct)
+    ct_local = _collect_expansion(spark, clause_terms, max_expanded_terms, "parsed")
+
+    me = match_enumerate(
+        spark, idx, None, with_dl=True,
+        terms=ct_local.select(F.col("ckey").alias("query_id"), "term"),
+    ).withColumnRenamed("query_id", "ckey")
+    qw = ct_local.join(dct.select("term", "df"), "term").select(
+        "ckey", "term",
+        (F.col("wmul") * idf_col(idx.n_docs, "df")).alias("widf"),
+    )
+    w = bm25_weight_col(
+        F.col("widf"), "tf", "dl", float(idx.avgdl), idx.conf.k1, idx.conf.b
+    )
+    contrib = (
+        me.join(F.broadcast(qw), ["ckey", "term"])
+        .select("ckey", "doc_id", w.alias("w"))
+    )
+    ph_rows = [(ck, text) for ck, _, _, kind, text, _ in cl_rows if kind == "phrase"]
+    if ph_rows:
+        ph_q = spark.createDataFrame(ph_rows, "query_id long, query_text string")
+        ph_hits = phrase_match_indexed(spark, idx, ph_q).select(
+            F.col("query_id").alias("ckey"), "doc_id"
+        )
+        contrib = _phrase_restrict(contrib, ph_hits, [ck for ck, _ in ph_rows])
+    scored = _eligibility(spark, contrib, cl_rows, parsed)
+    if round_dp is not None:
+        scored = scored.withColumn("score", F.round("score", round_dp))
+    return rank_topk(scored, k)
 
 
 def percolate(

@@ -167,3 +167,32 @@ def test_percolate_empty_batch(spark, docs):
     out = percolate(empty, [(0, "+table")])
     assert out.count() == 0
     assert out.columns == ["query_id", "doc_id", "score"]
+
+
+def test_parsed_indexed_identity(spark, docs):
+    # the full query language off a persisted positional index must be
+    # rank-identical to the corpus-scan path
+    import tempfile
+
+    from igd_spark import IndexConf, build_index
+    from igd_spark.queryparse import parsed_bm25_topk_indexed
+
+    conf = IndexConf(block_size=32, n_shards=8, salt_df_threshold=64,
+                     max_salts=4, store_positions=True)
+    idx = build_index(spark, docs, tempfile.mkdtemp() + "/pidx", conf=conf)
+    t1, t2, t3 = _pick_terms(docs, 3)
+    row = docs.select("text").filter(F.length("text") > 20).first()
+    words = [w for w in str(row["text"]).lower().split() if w.isalnum()][:2]
+    phrase = " ".join(words) if len(words) == 2 else f"{t1} {t2}"
+    qs = [
+        (0, f"+{t1} {t2} -{t3}"),
+        (1, f'"{phrase}" {t2[:3]}*'),
+        (2, f"{t1[:-1]}x~1 {t2}"),
+        (3, "+zzznotavocab"),
+    ]
+    a = _sorted(parsed_bm25_topk(docs, qs, k=30, conf=conf, round_dp=9))
+    b = _sorted(parsed_bm25_topk_indexed(spark, idx, qs, k=30, round_dp=9))
+    assert len(a) > 0
+    pd.testing.assert_frame_equal(a, b)
+    with pytest.raises(ValueError):
+        parsed_bm25_topk_indexed(spark, idx, qs, max_expanded_terms=0)
