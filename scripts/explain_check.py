@@ -311,6 +311,25 @@ def main() -> int:
         f"segment scans present: {seg_scans}",
     )
 
+    # 11. parsed query language: one composed plan, no cartesian; the
+    # indexed path stays on pruned blocks and never touches corpus text
+    from igd_spark import parsed_bm25_topk, parsed_bm25_topk_indexed
+
+    pq = [(0, '+error "error timeout" tim* dep?oy t00000~1')]
+    pplan = fmt(parsed_bm25_topk(ql_docs, pq))
+    check(
+        "parsed_bm25_topk: composed plan has no cartesian product",
+        "CartesianProduct" not in pplan,
+    )
+    piplan2 = fmt(parsed_bm25_topk_indexed(spark, pidx, pq))
+    assert_pruned_scan("parsed_bm25_topk_indexed scan", piplan2)
+    pi_schemas = re.findall(r"ReadSchema: struct<([^>]*)>", piplan2)
+    check(
+        "parsed_bm25_topk_indexed never scans the corpus text",
+        bool(pi_schemas) and not any("text:" in s for s in pi_schemas),
+        f"scanned schemas: {pi_schemas}",
+    )
+
     n_fail = sum(1 for _, ok, _ in checks if not ok)
     print(f"\n{len(checks) - n_fail}/{len(checks)} plan checks passed")
     return 1 if n_fail else 0
