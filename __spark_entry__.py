@@ -755,6 +755,13 @@ def q_parsed_bm25_topk_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return parsed_bm25_topk_indexed(spark, idx, PARSED_QUERY_SET, k=K, round_dp=6)
 
 
+def q_explain_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Lucene Explanation: per-(query, doc, term) BM25 ingredient breakdown
+    from igd_spark import explain_scores
+
+    return explain_scores(_docs(spark, sf_dir), _queries_df(spark), round_dp=6)
+
+
 def q_percolate(spark: SparkSession, sf_dir: str) -> DataFrame:
     # reverse search: standing Lucene-syntax queries matched against a doc
     # batch — the unranked eligible set of the parsed language
@@ -898,6 +905,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "parsed_bm25_topk": q_parsed_bm25_topk,
         "parsed_bm25_topk_indexed": q_parsed_bm25_topk_indexed,
         "percolate": q_percolate,
+        "explain_scores": q_explain_scores,
         "facet_counts": q_facet_counts,
         "match_enumerate": q_match_enumerate,
         "term_cooccurrence": q_term_cooccurrence,
@@ -2136,6 +2144,15 @@ ranked AS (
 SELECT query_id, rank, doc_id, score FROM ranked WHERE rank <= {K}
 """
     sql["parsed_bm25_topk_indexed"] = sql["parsed_bm25_topk"]
+
+    sql["explain_scores"] = f"""
+WITH {_TL}, {_TOKS}, {_POST}, {_DL}, {_CS}, {_TS}, {_QT}
+SELECT qt.query_id, p.doc_id, p.term, p.tf, dl.dl, ts.df,
+       round(ln((cs.n_docs - ts.df + 0.5) / (ts.df + 0.5) + 1.0), 6) AS idf,
+       round({{_W}}, 6) AS weight
+FROM qterms qt JOIN ts USING (term) JOIN post p USING (term)
+JOIN dl ON p.doc_id = dl.doc_id CROSS JOIN cs
+""".replace("{_W}", _W)
     # percolation = the same eligible set, unranked (reverse-search shape)
     sql["percolate"] = (
         _parsed_core

@@ -57,6 +57,7 @@ from igd_spark.querylang import (
     bool_bm25_topk_indexed,
     boosted_bm25_topk,
     conv_bm25_topk,
+    explain_scores,
     facet_counts,
     filtered_bm25_topk,
     filtered_bm25_topk_indexed,
@@ -149,6 +150,7 @@ __all__ = [
     "doc_stats",
     "exact_bm25_topk",
     "exact_dedup",
+    "explain_scores",
     "extract_features",
     "extract_features_long",
     "facet_counts",

@@ -327,6 +327,44 @@ def lm_dirichlet_topk_indexed(
     return rank_topk(_maybe_round(_lmd_scored(hits, mu, total), round_dp), k)
 
 
+def explain_scores(
+    docs: DataFrame,
+    queries: DataFrame,
+    conf: IndexConf = DEFAULT_CONF,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    round_dp: int | None = None,
+) -> DataFrame:
+    """Scoring breakdown (the Lucene Explanation surface) — one row per
+    (query_id, doc_id, term) match with every BM25 ingredient exposed:
+    (tf, dl, df, idf, weight), where weight is the term's contribution
+    and sum(weight) over a (query, doc) group IS `bm25_scores`' score
+    (pytest-pinned).  The debugging/audit view behind every ranked
+    operator: why did this doc outrank that one.
+
+    Scale: exactly the scorer's plan minus the final aggregate — the
+    output is the sparse match set itself, bounded by the query terms'
+    postings."""
+    post, ds, n_docs, avgdl = _corpus_parts(docs, conf, text_col, id_col)
+    qt = query_terms(queries)
+    ts = term_stats(post)
+    qt_idf = (
+        qt.join(ts, "term").withColumn("idf", idf_col(n_docs, "df"))
+    )
+    j = post.join(
+        F.broadcast(qt_idf.select("query_id", "term", "df", "idf")), "term"
+    ).join(ds, "doc_id")
+    w = bm25_weight_col(F.col("idf"), "tf", "dl", avgdl, conf.k1, conf.b)
+    out = j.select(
+        "query_id", "doc_id", "term", "tf", "dl", "df", "idf", w.alias("weight")
+    )
+    if round_dp is not None:
+        out = out.withColumn("idf", F.round("idf", round_dp)).withColumn(
+            "weight", F.round("weight", round_dp)
+        )
+    return out
+
+
 def _wildcard_patterns(queries: DataFrame, text_col: str = "query_text") -> DataFrame:
     """(query_id, pattern) — like `query_terms` but tokens KEEP the ``*``
     (any run) and ``?`` (single char) wildcard metacharacters, which the

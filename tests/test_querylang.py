@@ -709,3 +709,18 @@ def test_suggest_terms_semantics(spark, docs):
     a = suggest_terms(q, ts, max_edits=2, n=5, mode="deletes")
     b = suggest_terms(q, ts, max_edits=2, n=5, mode="scan")
     pd.testing.assert_frame_equal(_sorted(a), _sorted(b))
+
+
+def test_explain_scores_sums_to_score(spark, docs):
+    from igd_spark.querylang import explain_scores
+
+    t1, t2 = _pick_terms(docs, 2)
+    q = _queries(spark, [(0, f"{t1} {t2}")])
+    ex = explain_scores(docs, q).toPandas()
+    plain = bm25_scores(docs, q).toPandas().set_index("doc_id")["score"]
+    summed = ex.groupby("doc_id")["weight"].sum()
+    assert set(summed.index) == set(plain.index) and len(summed) > 0
+    for d, s in summed.items():
+        assert abs(s - plain[d]) < 1e-9
+    # every ingredient is exposed and consistent: weight = idf * tf-shape
+    assert {"query_id", "doc_id", "term", "tf", "dl", "df", "idf", "weight"} == set(ex.columns)
