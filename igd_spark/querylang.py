@@ -743,6 +743,28 @@ def _indexed_scored(
     (query_id, term, idf) — fuzzy expansion folds its similarity boost
     into the idf, which is sound because the BM25 weight is linear in
     idf."""
+    j = _indexed_contrib(spark, idx, queries, qterms=qterms, qidf=qidf,
+                         allowed=allowed)
+    return j.groupBy("query_id", "doc_id").agg(
+        F.sum("_w").alias("score"), *extra_aggs
+    )
+
+
+def _indexed_contrib(
+    spark,
+    idx,
+    queries,
+    qterms: DataFrame | None = None,
+    qidf: DataFrame | None = None,
+    allowed: DataFrame | None = None,
+) -> DataFrame:
+    """The ONE pruned-block scoring join every indexed scorer shares —
+    match_enumerate rows (tf + dl decoded from the blocks) with the
+    per-(query, term) weight applied as column ``_w``.  Keeping dl
+    decode / pruning / weight semantics in a single place is what the
+    indexed operators' gate-enforced rank-identity rests on (the parsed
+    query language consumes this pre-aggregation, everything else goes
+    through `_indexed_scored`'s final groupBy)."""
     from igd_spark.search import match_enumerate
 
     if qterms is None:
@@ -759,7 +781,7 @@ def _indexed_scored(
     w = bm25_weight_col(
         F.col("idf"), "tf", "dl", float(idx.avgdl), idx.conf.k1, idx.conf.b
     )
-    return j.groupBy("query_id", "doc_id").agg(F.sum(w).alias("score"), *extra_aggs)
+    return j.withColumn("_w", w)
 
 
 def bool_bm25_topk_indexed(

@@ -358,8 +358,8 @@ def parsed_bm25_topk_indexed(
     table is materialized once under ``max_expanded_terms`` (the
     prefix/wildcard/fuzzy indexed guard).  Rank-identity with the
     corpus-scan path is gate- and pytest-enforced."""
-    from igd_spark.querylang import _collect_expansion
-    from igd_spark.search import match_enumerate, phrase_match_indexed
+    from igd_spark.querylang import _collect_expansion, _indexed_contrib
+    from igd_spark.search import phrase_match_indexed
 
     parsed, cl_rows = _parse_batch(queries)
     if not cl_rows:
@@ -368,20 +368,19 @@ def parsed_bm25_topk_indexed(
     clause_terms = _clause_terms(spark, cl_rows, dct)
     ct_local = _collect_expansion(spark, clause_terms, max_expanded_terms, "parsed")
 
-    me = match_enumerate(
-        spark, idx, None, with_dl=True,
-        terms=ct_local.select(F.col("ckey").alias("query_id"), "term"),
-    ).withColumnRenamed("query_id", "ckey")
-    qw = ct_local.join(dct.select("term", "df"), "term").select(
-        "ckey", "term",
-        (F.col("wmul") * idf_col(idx.n_docs, "df")).alias("widf"),
+    # ckey rides through the shared indexed scoring join as the query key;
+    # the clause wmul folds into idf (the fuzzy-boost convention)
+    qidf = ct_local.join(dct.select("term", "df"), "term").select(
+        F.col("ckey").alias("query_id"), "term",
+        (F.col("wmul") * idf_col(idx.n_docs, "df")).alias("idf"),
     )
-    w = bm25_weight_col(
-        F.col("widf"), "tf", "dl", float(idx.avgdl), idx.conf.k1, idx.conf.b
+    j = _indexed_contrib(
+        spark, idx, None,
+        qterms=ct_local.select(F.col("ckey").alias("query_id"), "term"),
+        qidf=qidf,
     )
-    contrib = (
-        me.join(F.broadcast(qw), ["ckey", "term"])
-        .select("ckey", "doc_id", w.alias("w"))
+    contrib = j.select(
+        F.col("query_id").alias("ckey"), "doc_id", F.col("_w").alias("w")
     )
     ph_rows = [(ck, text) for ck, _, _, kind, text, _ in cl_rows if kind == "phrase"]
     if ph_rows:

@@ -38,6 +38,19 @@ def _sorted(df):
     return p.sort_values(list(p.columns)).reset_index(drop=True)
 
 
+def _occurring_phrase(docs) -> str:
+    """A two-word phrase guaranteed to occur: the first two tokens of some
+    doc under the ENGINE's own tokenization (regex split, not str.split —
+    punctuation-adjacent words must not yield a never-matching phrase)."""
+    import re as _re
+
+    for row in docs.select("text").filter(F.length("text") > 20).limit(20).collect():
+        toks = [t for t in _re.split(r"[^a-z0-9]+", str(row["text"]).lower()) if t]
+        if len(toks) >= 2:
+            return f"{toks[0]} {toks[1]}"
+    pytest.skip("fixture has no doc with two tokens")
+
+
 def test_parse_grammar():
     assert parse_query("+a b -c") == [
         Clause("must", "term", "a"),
@@ -110,12 +123,7 @@ def test_parsed_prefix_and_fuzzy_equal_operators(spark, docs):
 
 
 def test_parsed_phrase_filters_and_scores(spark, docs):
-    # find a phrase that actually occurs: take the first two tokens of a doc
-    row = docs.select("text").filter(F.length("text") > 20).first()
-    words = [w for w in str(row["text"]).lower().split() if w.isalnum()][:2]
-    if len(words) < 2:
-        pytest.skip("fixture doc too short")
-    phrase = " ".join(words)
+    phrase = _occurring_phrase(docs)
     out = parsed_bm25_topk(docs, [(0, f'"{phrase}"')], k=10_000).toPandas()
     q = spark.createDataFrame([(0, phrase)], "query_id long, query_text string")
     ph = phrase_match(docs, q).toPandas()
@@ -181,9 +189,7 @@ def test_parsed_indexed_identity(spark, docs):
                      max_salts=4, store_positions=True)
     idx = build_index(spark, docs, tempfile.mkdtemp() + "/pidx", conf=conf)
     t1, t2, t3 = _pick_terms(docs, 3)
-    row = docs.select("text").filter(F.length("text") > 20).first()
-    words = [w for w in str(row["text"]).lower().split() if w.isalnum()][:2]
-    phrase = " ".join(words) if len(words) == 2 else f"{t1} {t2}"
+    phrase = _occurring_phrase(docs)
     qs = [
         (0, f"+{t1} {t2} -{t3}"),
         (1, f'"{phrase}" {t2[:3]}*'),
@@ -193,6 +199,9 @@ def test_parsed_indexed_identity(spark, docs):
     a = _sorted(parsed_bm25_topk(docs, qs, k=30, conf=conf, round_dp=9))
     b = _sorted(parsed_bm25_topk_indexed(spark, idx, qs, k=30, round_dp=9))
     assert len(a) > 0
+    # the phrase query must have hits, or the indexed phrase-restrict path
+    # (phrase_match_indexed) silently goes untested
+    assert (a["query_id"] == 1).any()
     pd.testing.assert_frame_equal(a, b)
     with pytest.raises(ValueError):
         parsed_bm25_topk_indexed(spark, idx, qs, max_expanded_terms=0)
