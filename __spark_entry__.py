@@ -3,7 +3,7 @@
 Each ``queries()`` entry maps an implemented operator (SURVEY.md §2 +
 training-data-pipeline extensions) over the driver's parquet tables to a
 DataFrame, with an exactly-equivalent DuckDB oracle in ``oracle_sql()``.
-EVERY entry has an oracle (41/41) — including the Arrow-kernel media ops
+EVERY entry has an oracle — including the Arrow-kernel media ops
 (oracle reconstructs the byte stream from hex(encode(text))) and the
 greedy seqpare matching (recursive CTE). Floating-point outputs are
 rounded to 6 dp *before* ranking/filtering in BOTH engines so value
