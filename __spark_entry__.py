@@ -101,6 +101,8 @@ FACET_K = 3
 LMD_MU = 2000.0
 SUGGEST_MAX_EDITS = 2
 SUGGEST_N = 3
+STOPWORDS = ("the", "a", "of", "and")
+MIN_TOKEN_LEN = 2
 PARSED_QUERY_SET: list[tuple[int, str]] = [
     (0, "+customer order -slow"),     # MUST + SHOULD + MUST_NOT
     (1, '"table scan" fast'),         # phrase + term
@@ -755,6 +757,17 @@ def q_parsed_bm25_topk_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return parsed_bm25_topk_indexed(spark, idx, PARSED_QUERY_SET, k=K, round_dp=6)
 
 
+def q_bm25_topk_stopwords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # analyzer surface: stopwords + min token length removed from
+    # postings/tf/dl (the Lucene norm convention) before scoring
+    from igd_spark import IndexConf
+    from igd_spark.search import bm25_scores
+
+    conf = IndexConf(stopwords=STOPWORDS, min_token_len=MIN_TOKEN_LEN).validate()
+    scored = bm25_scores(_docs(spark, sf_dir), _queries_df(spark), conf=conf)
+    return _rank_rounded(scored, K)
+
+
 def q_explain_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Lucene Explanation: per-(query, doc, term) BM25 ingredient breakdown
     from igd_spark import explain_scores
@@ -906,6 +919,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "parsed_bm25_topk_indexed": q_parsed_bm25_topk_indexed,
         "percolate": q_percolate,
         "explain_scores": q_explain_scores,
+        "bm25_topk_stopwords": q_bm25_topk_stopwords,
         "facet_counts": q_facet_counts,
         "match_enumerate": q_match_enumerate,
         "term_cooccurrence": q_term_cooccurrence,
@@ -2144,6 +2158,32 @@ ranked AS (
 SELECT query_id, rank, doc_id, score FROM ranked WHERE rank <= {K}
 """
     sql["parsed_bm25_topk_indexed"] = sql["parsed_bm25_topk"]
+
+    # analyzer entry: the tl CTE applies the stopword/min-length filter, so
+    # dl (and therefore avgdl / norms) counts only indexed tokens — the
+    # Lucene norm convention the Spark analyzer mirrors.  Query terms stay
+    # unfiltered on BOTH sides: an analyzed-away term has no postings, so
+    # it contributes nothing either way.
+    _sw = ", ".join(f"'{s}'" for s in STOPWORDS)
+    _TL_SW = (
+        "tldocs AS (SELECT doc_id, list_filter(regexp_split_to_array(lower(text), "
+        f"'[^a-z0-9]+'), x -> x <> '' AND length(x) >= {MIN_TOKEN_LEN} "
+        f"AND x NOT IN ({_sw})) AS tl FROM documents)"
+    )
+    sql["bm25_topk_stopwords"] = f"""
+WITH {_TL_SW}, {_TOKS}, {_POST}, {_DL}, {_CS}, {_TS}, {_QT},
+scored AS (
+  SELECT qt.query_id, p.doc_id, sum({{_W}}) AS s
+  FROM qterms qt JOIN ts USING (term) JOIN post p USING (term)
+  JOIN dl ON p.doc_id = dl.doc_id CROSS JOIN cs
+  GROUP BY 1, 2),
+ranked AS (
+  SELECT query_id, doc_id, round(s, 6) AS score,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY round(s, 6) DESC, doc_id ASC)::INT AS rank
+  FROM scored)
+SELECT query_id, rank, doc_id, score FROM ranked WHERE rank <= {K}
+""".replace("{_W}", _W)
 
     sql["explain_scores"] = f"""
 WITH {_TL}, {_TOKS}, {_POST}, {_DL}, {_CS}, {_TS}, {_QT}

@@ -541,7 +541,10 @@ def build_all(
     )
     stats_src = docs.select(
         F.col(id_col).alias("doc_id"),
-        token_count_col(F.col(text_col), conf.token_split_re).cast("int").alias("dl"),
+        token_count_col(
+            F.col(text_col), conf.token_split_re,
+            conf.stopwords, conf.min_token_len,
+        ).cast("int").alias("dl"),
         dropped_flag.alias("_dropped"),
     ).persist()
     ds = stats_src.filter(~F.col("_dropped")).select("doc_id", "dl")

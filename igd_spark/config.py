@@ -8,6 +8,7 @@ doesn't need (it is single-process).
 
 from __future__ import annotations
 
+import re
 from dataclasses import dataclass, field
 
 
@@ -45,6 +46,13 @@ class IndexConf:
     # tokenizer spec shared with the oracle (FIXTURES.md §5): lowercase,
     # split on non-alphanumeric runs, drop empties. No stemming/stopwords.
     token_split_re: str = r"[^a-z0-9]+"
+    # analyzer options (the Lucene analysis-chain surface, term layer only):
+    # stopwords are removed AFTER tokenization from postings/tf/dl and
+    # therefore never enter the index; min_token_len drops shorter tokens.
+    # Positions (the phrase/NEAR stream) deliberately keep the RAW token
+    # stream — phrase semantics stay literal, independent of the analyzer.
+    stopwords: tuple[str, ...] = ()
+    min_token_len: int = 1
     # persist the positional sibling of the segment table at build time
     # (the gType axis-layout choice made at create time, src/igd_base.c:408-409,
     # dispatch src/igd_create.c:490-497): phrase queries then run against
@@ -94,6 +102,15 @@ class IndexConf:
         if self.doc_id_method not in ("dense", "hash"):
             raise ValueError("doc_id_method must be 'dense' or 'hash'")
         _validate_split_re(self.token_split_re)
+        if self.min_token_len < 1:
+            raise ValueError("min_token_len must be >= 1")
+        for s in self.stopwords:
+            if not s or s != s.lower() or re.search(self.token_split_re, s):
+                raise ValueError(
+                    f"stopword {s!r} is not a single lowercase token under "
+                    "token_split_re — it could never match and would silently "
+                    "do nothing"
+                )
         return self
 
 

@@ -141,7 +141,10 @@ class InvertedIndex:
         self.spark = spark
         self.path = path
         self.meta = meta
-        self.conf = IndexConf(**meta["conf"])
+        _c = dict(meta["conf"])
+        # JSON round-trips tuples as lists; keep the dataclass canonical
+        _c["stopwords"] = tuple(_c.get("stopwords", ()))
+        self.conf = IndexConf(**_c)
         self.n_docs: int = meta["corpus"]["n_docs"]
         self.avgdl: float = meta["corpus"]["avgdl"]
         self.batches: list[str] = list(batches) if batches is not None else []

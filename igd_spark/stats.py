@@ -30,7 +30,10 @@ def doc_stats(
     """
     return docs.select(
         F.col(id_col).alias("doc_id"),
-        token_count_col(F.col(text_col), conf.token_split_re).cast("int").alias("dl"),
+        token_count_col(
+            F.col(text_col), conf.token_split_re,
+            conf.stopwords, conf.min_token_len,
+        ).cast("int").alias("dl"),
     )
 
 

@@ -30,10 +30,33 @@ def tokens_col(text: Column | str, split_re: str = TOKEN_SPLIT_RE) -> Column:
     return F.split(F.lower(c), split_re)
 
 
-def token_count_col(text: Column | str, split_re: str = TOKEN_SPLIT_RE) -> Column:
-    """Number of non-empty tokens, without exploding (for doc_stats fast path)."""
+def token_count_col(
+    text: Column | str,
+    split_re: str = TOKEN_SPLIT_RE,
+    stopwords: tuple[str, ...] = (),
+    min_token_len: int = 1,
+) -> Column:
+    """Number of tokens surviving the analyzer (non-empty, >= min length,
+    not a stopword), without exploding (for doc_stats fast path).  MUST
+    stay consistent with `postings`/`postings_spimi` term filtering: dl is
+    the count of INDEXED tokens (the Lucene norm convention — stopwords do
+    not inflate length normalization)."""
     c = F.col(text) if isinstance(text, str) else text
-    return F.size(F.filter(tokens_col(c, split_re), lambda t: t != F.lit("")))
+    pred = _analyzer_pred(stopwords, min_token_len)
+    return F.size(F.filter(tokens_col(c, split_re), pred))
+
+
+def _analyzer_pred(stopwords: tuple[str, ...], min_token_len: int):
+    """Shared per-token keep-predicate of the JVM analyzer paths."""
+    def pred(t: Column) -> Column:
+        keep = t != F.lit("")
+        if min_token_len > 1:
+            keep = keep & (F.length(t) >= min_token_len)
+        if stopwords:
+            keep = keep & ~t.isin(*stopwords)
+        return keep
+
+    return pred
 
 
 def postings(
@@ -49,10 +72,11 @@ def postings(
     at most one row per distinct (doc, term). Skew is handled later, at
     segment-packing time (build.py salting).
     """
+    pred = _analyzer_pred(conf.stopwords, conf.min_token_len)
     toks = docs.select(
         F.col(id_col).alias("doc_id"),
         F.explode(tokens_col(F.col(text_col), conf.token_split_re)).alias("term"),
-    ).filter(F.col("term") != "")
+    ).filter(pred(F.col("term")))
     return toks.groupBy("doc_id", "term").agg(F.count("*").cast("int").alias("tf"))
 
 
@@ -89,6 +113,8 @@ def postings_spimi(
     the oracles on ANY input.
     """
     split_pat = conf.token_split_re
+    stop = tuple(conf.stopwords)
+    minlen = int(conf.min_token_len)
 
     def kernel(it):
         import pyarrow as pa
@@ -103,6 +129,14 @@ def postings_spimi(
             parent = pc.list_parent_indices(parts)
             flat = pc.list_flatten(parts)
             mask = pc.not_equal(flat, "")
+            # analyzer (mirrors _analyzer_pred): dl below counts only the
+            # tokens that survive, the Lucene norm convention
+            if minlen > 1:
+                mask = pc.and_(mask, pc.greater_equal(pc.utf8_length(flat), minlen))
+            if stop:
+                mask = pc.and_(
+                    mask, pc.invert(pc.is_in(flat, value_set=pa.array(stop)))
+                )
             flat = flat.filter(mask)
             parent = parent.filter(mask)
             if len(flat) == 0:

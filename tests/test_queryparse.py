@@ -205,3 +205,32 @@ def test_parsed_indexed_identity(spark, docs):
     pd.testing.assert_frame_equal(a, b)
     with pytest.raises(ValueError):
         parsed_bm25_topk_indexed(spark, idx, qs, max_expanded_terms=0)
+
+
+def test_parse_query_fuzz_never_crashes():
+    # the parser consumes arbitrary user strings: it must never raise on
+    # any input (only the clause-count cap may), and every clause it emits
+    # must be well-formed
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=300, deadline=None)
+    @given(st.text(max_size=80))
+    def check(s):
+        clauses = parse_query(s)
+        for c in clauses:
+            assert c.occur in ("must", "should", "must_not")
+            assert c.kind in ("term", "phrase", "prefix", "wildcard", "fuzzy")
+            assert c.text != ""
+            if c.kind == "fuzzy":
+                assert 1 <= c.max_edits <= 2
+            else:
+                assert c.max_edits == 0
+            if c.kind in ("term", "fuzzy"):
+                assert c.text.isalnum()
+            if c.kind == "phrase":
+                assert all(w.isalnum() for w in c.text.split(" "))
+            if c.kind in ("prefix", "wildcard"):
+                assert set(c.text) <= set("abcdefghijklmnopqrstuvwxyz0123456789*?")
+
+    check()

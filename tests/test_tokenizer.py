@@ -69,3 +69,75 @@ def test_phrase_match_semantics(spark):
     pp = positional_postings(docs)
     rows = sorted((r["pos"], r["term"]) for r in pp.filter("doc_id = 1").collect())
     assert rows == [(0, "a"), (1, "x"), (2, "b")]
+
+
+def test_analyzer_stopwords_min_len(spark, tiny_docs):
+    # analyzer consistency across ALL term engines: JVM postings, Arrow
+    # SPIMI kernel, and dl (which must count only indexed tokens)
+    import pandas as pd
+
+    from igd_spark import IndexConf
+    from igd_spark.corpus import assign_doc_ids
+    from igd_spark.stats import doc_stats
+    from igd_spark.tokenizer import postings, postings_spimi
+
+    docs = assign_doc_ids(tiny_docs)
+    conf = IndexConf(stopwords=("the", "a", "to"), min_token_len=2).validate()
+    p = postings(docs, conf=conf).toPandas()
+    assert not (set(p["term"]) & {"the", "a", "to"})
+    assert p["term"].str.len().min() >= 2
+    sp = postings_spimi(docs, conf=conf).toPandas()
+    pd.testing.assert_frame_equal(
+        p.sort_values(["doc_id", "term"]).reset_index(drop=True),
+        sp[["doc_id", "term", "tf"]].sort_values(["doc_id", "term"]).reset_index(drop=True),
+    )
+    # dl = count of SURVIVING tokens everywhere (Lucene norm convention)
+    ds = doc_stats(docs, conf=conf).toPandas().set_index("doc_id")["dl"]
+    tfsum = sp.groupby("doc_id")["tf"].sum()
+    for d, s in tfsum.items():
+        assert int(ds[d]) == int(s)
+    # default conf unchanged: stopwords present again
+    p0 = postings(docs).toPandas()
+    assert len(p0) >= len(p)
+
+
+def test_analyzer_index_roundtrip(spark, tiny_docs, tmp_path):
+    # an analyzer conf survives the index build + reopen, and the indexed
+    # scorer stays rank-identical to the exact scorer under it
+    import pandas as pd
+
+    from igd_spark import IndexConf, build_index, open_index, search
+    from igd_spark.corpus import assign_doc_ids
+    from igd_spark.search import exact_bm25_topk
+
+    conf = IndexConf(block_size=32, n_shards=4, stopwords=("the", "a"),
+                     min_token_len=2)
+    docs = assign_doc_ids(tiny_docs, conf)
+    path = str(tmp_path / "swidx")
+    build_index(spark, docs, path, conf=conf)
+    idx = open_index(spark, path)
+    assert tuple(idx.conf.stopwords) == ("the", "a")
+    assert idx.conf.min_token_len == 2
+    q = spark.createDataFrame(
+        [(0, "the user"), (1, "error")], "query_id long, query_text string"
+    )
+    a = search(spark, idx, q, k=20).toPandas()
+    b = exact_bm25_topk(docs, q, k=20, conf=conf).toPandas()
+    key = ["query_id", "rank", "doc_id"]
+    pd.testing.assert_frame_equal(
+        a[key].sort_values(key).reset_index(drop=True),
+        b[key].sort_values(key).reset_index(drop=True),
+    )
+
+
+def test_analyzer_validation():
+    import pytest as _pytest
+
+    from igd_spark import IndexConf
+
+    with _pytest.raises(ValueError):
+        IndexConf(stopwords=("The",)).validate()
+    with _pytest.raises(ValueError):
+        IndexConf(stopwords=("two words",)).validate()
+    with _pytest.raises(ValueError):
+        IndexConf(min_token_len=0).validate()
