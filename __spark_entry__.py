@@ -757,6 +757,26 @@ def q_parsed_bm25_topk_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return parsed_bm25_topk_indexed(spark, idx, PARSED_QUERY_SET, k=K, round_dp=6)
 
 
+def q_boosted_bm25_topk_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from igd_spark import boosted_bm25_topk_indexed
+
+    idx = _built_index(spark, sf_dir)
+    return boosted_bm25_topk_indexed(
+        spark, idx, _queries_df(spark), _docs(spark, sf_dir), BOOST_EXPR,
+        k=K, round_dp=6,
+    )
+
+
+def q_facet_counts_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from igd_spark import facet_counts_indexed
+
+    idx = _built_index(spark, sf_dir)
+    return facet_counts_indexed(
+        spark, idx, _queries_df(spark), _docs(spark, sf_dir), FACET_COL,
+        k=FACET_K, round_dp=6,
+    )
+
+
 def q_bm25_topk_stopwords(spark: SparkSession, sf_dir: str) -> DataFrame:
     # analyzer surface: stopwords + min token length removed from
     # postings/tf/dl (the Lucene norm convention) before scoring
@@ -920,6 +940,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "percolate": q_percolate,
         "explain_scores": q_explain_scores,
         "bm25_topk_stopwords": q_bm25_topk_stopwords,
+        "boosted_bm25_topk_indexed": q_boosted_bm25_topk_indexed,
+        "facet_counts_indexed": q_facet_counts_indexed,
         "facet_counts": q_facet_counts,
         "match_enumerate": q_match_enumerate,
         "term_cooccurrence": q_term_cooccurrence,
@@ -2048,6 +2070,7 @@ ranked AS (
 SELECT query_id, rank, doc_id, score FROM ranked WHERE rank <= {K}
 """
     sql["lm_dirichlet_topk_indexed"] = sql["lm_dirichlet_topk"]
+    sql["boosted_bm25_topk_indexed"] = sql["boosted_bm25_topk"]
 
     sql["suggest_terms"] = f"""
 WITH {_TL}, {_TOKS}, {_POST}, {_TS},
@@ -2218,5 +2241,6 @@ ranked AS (
   FROM fc)
 SELECT query_id, rank, facet, n_docs, score FROM ranked WHERE rank <= {FACET_K}
 """.replace("{_W}", _W)
+    sql["facet_counts_indexed"] = sql["facet_counts"]
 
     return sql

@@ -56,9 +56,11 @@ from igd_spark.querylang import (
     bool_bm25_topk,
     bool_bm25_topk_indexed,
     boosted_bm25_topk,
+    boosted_bm25_topk_indexed,
     conv_bm25_topk,
     explain_scores,
     facet_counts,
+    facet_counts_indexed,
     filtered_bm25_topk,
     filtered_bm25_topk_indexed,
     fuzzy_bm25_topk,
@@ -133,6 +135,7 @@ __all__ = [
     "bool_bm25_topk",
     "bool_bm25_topk_indexed",
     "boosted_bm25_topk",
+    "boosted_bm25_topk_indexed",
     "build_index",
     "compact_index",
     "connected_components",
@@ -154,6 +157,7 @@ __all__ = [
     "extract_features",
     "extract_features_long",
     "facet_counts",
+    "facet_counts_indexed",
     "fuzzy_bm25_topk",
     "fuzzy_bm25_topk_indexed",
     "fuzzy_dedup_docs",

@@ -245,6 +245,75 @@ def prefix_bm25_topk(
     )
 
 
+def boosted_bm25_topk_indexed(
+    spark,
+    idx,
+    queries: DataFrame,
+    docs: DataFrame,
+    boost: Column | str,
+    k: int = 10,
+    id_col: str = "doc_id",
+    round_dp: int | None = None,
+) -> DataFrame:
+    """`boosted_bm25_topk` over a persisted index: scoring reads only the
+    query terms' posting blocks; the ``docs`` table is touched ONLY for
+    the (doc_id, boost-expression) projection joined to the sparse scored
+    set — the group_bm25 join shape, a narrow pushdown scan at 100 TB."""
+    bcol = F.expr(boost) if isinstance(boost, str) else boost
+    scored = _indexed_scored(spark, idx, queries)
+    bdf = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.coalesce(bcol.cast("double"), F.lit(1.0)).alias("_boost"),
+    )
+    boosted = scored.join(bdf, "doc_id").select(
+        "query_id", "doc_id", (F.col("score") * F.col("_boost")).alias("score")
+    )
+    return rank_topk(_maybe_round(boosted, round_dp), k)
+
+
+def facet_counts_indexed(
+    spark,
+    idx,
+    queries: DataFrame,
+    docs: DataFrame,
+    facet_col: str,
+    k: int = 10,
+    id_col: str = "doc_id",
+    round_dp: int | None = None,
+) -> DataFrame:
+    """`facet_counts` over a persisted index: the match set comes from the
+    pruned posting blocks; ``docs`` contributes only the (doc_id, facet)
+    projection."""
+    scored = _indexed_scored(spark, idx, queries)
+    fdf = docs.select(F.col(id_col).alias("doc_id"), F.col(facet_col).alias("facet"))
+    return _facet_epilogue(scored, fdf, k, round_dp)
+
+
+def _facet_epilogue(
+    scored: DataFrame, fdf: DataFrame, k: int, round_dp: int | None
+) -> DataFrame:
+    """Shared facet roll-up of both facet paths — identical by
+    construction.  asc_nulls_last matches the ANSI/DuckDB default so a
+    NULL facet ranks the same cross-engine."""
+    agg = (
+        scored.join(fdf, "doc_id")
+        .groupBy("query_id", "facet")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("score").alias("score"),
+        )
+    )
+    agg = _maybe_round(agg, round_dp)
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("n_docs"), F.asc_nulls_last("facet")
+    )
+    return (
+        agg.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "facet", "n_docs", "score")
+    )
+
+
 def _lmd_scored(hits: DataFrame, mu: float, total_tokens: int) -> DataFrame:
     """Shared LM-Dirichlet scoring epilogue of both paths — identical by
     construction.  ``hits``: (query_id, term, doc_id, tf, dl) — EVERY
@@ -1353,23 +1422,4 @@ def facet_counts(
     """
     scored = bm25_scores(docs, queries, conf=conf, text_col=text_col, id_col=id_col)
     fdf = docs.select(F.col(id_col).alias("doc_id"), F.col(facet_col).alias("facet"))
-    agg = (
-        scored.join(fdf, "doc_id")
-        .groupBy("query_id", "facet")
-        .agg(
-            F.count("*").cast("long").alias("n_docs"),
-            F.sum("score").alias("score"),
-        )
-    )
-    agg = _maybe_round(agg, round_dp)
-    # asc_nulls_last: DuckDB/ANSI default is NULLS LAST on ASC while Spark
-    # defaults NULLS FIRST — a NULL facet value must rank identically in
-    # both engines for the gate's cross-engine contract
-    w = Window.partitionBy("query_id").orderBy(
-        F.desc("n_docs"), F.asc_nulls_last("facet")
-    )
-    return (
-        agg.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("query_id", "rank", "facet", "n_docs", "score")
-    )
+    return _facet_epilogue(scored, fdf, k, round_dp)

@@ -724,3 +724,24 @@ def test_explain_scores_sums_to_score(spark, docs):
         assert abs(s - plain[d]) < 1e-9
     # every ingredient is exposed and consistent: weight = idf * tf-shape
     assert {"query_id", "doc_id", "term", "tf", "dl", "df", "idf", "weight"} == set(ex.columns)
+
+
+def test_boosted_and_facet_indexed_identity(spark, docs, built_idx):
+    from igd_spark.querylang import (
+        boosted_bm25_topk,
+        boosted_bm25_topk_indexed,
+        facet_counts,
+        facet_counts_indexed,
+    )
+
+    t1, t2 = _pick_terms(docs, 2)
+    q = _queries(spark, [(0, f"{t1} {t2}"), (1, t1)])
+    expr = "CASE WHEN role = 'user' THEN 2.0 ELSE 0.5 END"
+    a = _sorted(boosted_bm25_topk(docs, q, expr, k=30, conf=built_idx.conf, round_dp=9))
+    b = _sorted(boosted_bm25_topk_indexed(spark, built_idx, q, docs, expr, k=30, round_dp=9))
+    assert len(a) > 0
+    pd.testing.assert_frame_equal(a, b)
+    fa = _sorted(facet_counts(docs, q, "role", k=10, conf=built_idx.conf, round_dp=9))
+    fb = _sorted(facet_counts_indexed(spark, built_idx, q, docs, "role", k=10, round_dp=9))
+    assert len(fa) > 0
+    pd.testing.assert_frame_equal(fa, fb)
