@@ -1014,10 +1014,12 @@ _SHINGLES = (
 _H60 = "('0x' || substr(md5({expr}), 1, 15))::BIGINT"
 
 
-def _bm25_sql(min_tf: int = 0) -> str:
+def _bm25_sql(min_tf: int = 0, tl: str = _TL) -> str:
+    """Shared BM25 oracle body; ``tl`` overrides the token-list CTE (the
+    stopwords entry swaps in an analyzer-filtered one)."""
     tf_filter = f" AND p.tf >= {min_tf}" if min_tf > 0 else ""
     return f"""
-WITH {_TL}, {_TOKS}, {_POST}, {_DL}, {_CS}, {_TS}, {_QT},
+WITH {tl}, {_TOKS}, {_POST}, {_DL}, {_CS}, {_TS}, {_QT},
 scored AS (
   SELECT qt.query_id, p.doc_id,
          sum( ln((cs.n_docs - ts.df + 0.5) / (ts.df + 0.5) + 1.0)
@@ -2193,20 +2195,7 @@ SELECT query_id, rank, doc_id, score FROM ranked WHERE rank <= {K}
         f"'[^a-z0-9]+'), x -> x <> '' AND length(x) >= {MIN_TOKEN_LEN} "
         f"AND x NOT IN ({_sw})) AS tl FROM documents)"
     )
-    sql["bm25_topk_stopwords"] = f"""
-WITH {_TL_SW}, {_TOKS}, {_POST}, {_DL}, {_CS}, {_TS}, {_QT},
-scored AS (
-  SELECT qt.query_id, p.doc_id, sum({{_W}}) AS s
-  FROM qterms qt JOIN ts USING (term) JOIN post p USING (term)
-  JOIN dl ON p.doc_id = dl.doc_id CROSS JOIN cs
-  GROUP BY 1, 2),
-ranked AS (
-  SELECT query_id, doc_id, round(s, 6) AS score,
-         row_number() OVER (PARTITION BY query_id
-                            ORDER BY round(s, 6) DESC, doc_id ASC)::INT AS rank
-  FROM scored)
-SELECT query_id, rank, doc_id, score FROM ranked WHERE rank <= {K}
-""".replace("{_W}", _W)
+    sql["bm25_topk_stopwords"] = _bm25_sql(tl=_TL_SW)  # shared body, one copy
 
     sql["explain_scores"] = f"""
 WITH {_TL}, {_TOKS}, {_POST}, {_DL}, {_CS}, {_TS}, {_QT}

@@ -44,7 +44,8 @@ class IndexConf:
     b: float = 0.75
     batch_rows: int = 4_000_000
     # tokenizer spec shared with the oracle (FIXTURES.md §5): lowercase,
-    # split on non-alphanumeric runs, drop empties. No stemming/stopwords.
+    # split on non-alphanumeric runs, drop empties; the analyzer fields
+    # below optionally filter the resulting token stream (no stemming).
     token_split_re: str = r"[^a-z0-9]+"
     # analyzer options (the Lucene analysis-chain surface, term layer only):
     # stopwords are removed AFTER tokenization from postings/tf/dl and
@@ -102,8 +103,10 @@ class IndexConf:
         if self.doc_id_method not in ("dense", "hash"):
             raise ValueError("doc_id_method must be 'dense' or 'hash'")
         _validate_split_re(self.token_split_re)
-        if self.min_token_len < 1:
-            raise ValueError("min_token_len must be >= 1")
+        if not isinstance(self.min_token_len, int) or self.min_token_len < 1:
+            # a float would desync the engines: the Arrow kernel truncates
+            # via int() while the JVM path compares length >= x directly
+            raise ValueError("min_token_len must be an int >= 1")
         for s in self.stopwords:
             if not s or s != s.lower() or re.search(self.token_split_re, s):
                 raise ValueError(

@@ -106,6 +106,23 @@ def _score_terms(
     )
 
 
+def _analyzed_qt(qt: DataFrame, conf: IndexConf) -> DataFrame:
+    """Apply the conf analyzer to a (query_id, term) set.
+
+    Lucene's stop-filter runs at query-ANALYSIS time too: for conjunctive
+    semantics a MUST/AND stopword clause is DROPPED (the query behaves as
+    if the clause were never written), not left in as an unsatisfiable
+    requirement.  Disjunctive scorers don't need this (an analyzed-away
+    term has no postings and contributes nothing either way), so only the
+    conjunctive operators call it.  A query whose terms are ALL analyzed
+    away matches nothing — the Lucene all-stopword contract."""
+    if not conf.stopwords and conf.min_token_len <= 1:
+        return qt
+    from igd_spark.tokenizer import _analyzer_pred
+
+    return qt.filter(_analyzer_pred(conf.stopwords, conf.min_token_len)(F.col("term")))
+
+
 def _bool_epilogue(
     scored: DataFrame,
     nq: DataFrame,
@@ -154,7 +171,10 @@ def bool_bm25_topk(
     postings × queries — no corpus-sized additional pass.
     """
     post, ds, n_docs, avgdl = _corpus_parts(docs, conf, text_col, id_col)
-    qt = query_terms(queries)  # ALL distinct query terms, corpus-absent included
+    # ALL distinct query terms, corpus-absent included — but analyzed-away
+    # terms (stopwords / too-short under conf) are DROPPED, the Lucene
+    # stop-filter contract: they must not make the AND unsatisfiable
+    qt = _analyzed_qt(query_terms(queries), conf)
     nq = qt.groupBy("query_id").agg(F.countDistinct("term").alias("n_required"))
     ts = term_stats(post)
     qt_idf = qt.join(ts, "term").withColumn("idf", idf_col(n_docs, "df"))
@@ -865,7 +885,7 @@ def bool_bm25_topk_indexed(
     required/excluded terms' posting blocks scanned.  The NOT clause is a
     second pruned enumeration of the exclude terms — cost bounded by their
     df, never by the corpus."""
-    qt = query_terms(queries)
+    qt = _analyzed_qt(query_terms(queries), idx.conf)
     nq = qt.groupBy("query_id").agg(F.countDistinct("term").alias("n_required"))
     scored = _indexed_scored(
         spark, idx, queries, qterms=qt,

@@ -169,7 +169,7 @@ def parsed_matches(
     primitive: `percolate` runs it per micro-batch against standing
     queries."""
     spark = docs.sparkSession
-    parsed, cl_rows = _parse_batch(queries)
+    parsed, cl_rows = _parse_batch(queries, conf)
     if not cl_rows:
         return spark.createDataFrame([], _EMPTY_SCHEMA)
 
@@ -209,11 +209,17 @@ def parsed_matches(
 _EMPTY_SCHEMA = "query_id long, doc_id long, score double"
 
 
-def _parse_batch(queries) -> tuple[dict, list[tuple]]:
+def _parse_batch(queries, conf: IndexConf = DEFAULT_CONF) -> tuple[dict, list[tuple]]:
     """Shared prologue of both evaluation paths: parse + clause-key rows.
 
     Duplicate query_id rows MERGE their clauses (the query_terms /
-    search() multi-row convention), they don't overwrite.  Returns
+    search() multi-row convention), they don't overwrite.  Under an
+    analyzer conf, term and fuzzy clauses whose text is analyzed away
+    (stopword or shorter than min_token_len) are DROPPED — the Lucene
+    stop-filter contract: a ``+the`` clause behaves as if never written
+    instead of making the query unsatisfiable, and ``-the`` bans nothing
+    (prefix/wildcard patterns are not plain terms and phrases match the
+    raw position stream, so both pass through untouched).  Returns
     (parsed clause lists by query_id, cl_rows) where cl_rows are
     (ckey, query_id, occur, kind, text, max_edits) with the composite
     clause key ckey = dense-query-index * _MAX_CLAUSES + clause ordinal
@@ -226,6 +232,19 @@ def _parse_batch(queries) -> tuple[dict, list[tuple]]:
             parsed[qi] = []
             qids.append(qi)
         parsed[qi].extend(parse_query(str(t) if t is not None else ""))
+    if conf.stopwords or conf.min_token_len > 1:
+        stop = set(conf.stopwords)
+        parsed = {
+            qi: [
+                c
+                for c in cls
+                if not (
+                    c.kind in ("term", "fuzzy")
+                    and (len(c.text) < conf.min_token_len or c.text in stop)
+                )
+            ]
+            for qi, cls in parsed.items()
+        }
     for qi, cls in parsed.items():
         if len(cls) > _MAX_CLAUSES:
             raise ValueError(
@@ -361,7 +380,7 @@ def parsed_bm25_topk_indexed(
     from igd_spark.querylang import _collect_expansion, _indexed_contrib
     from igd_spark.search import phrase_match_indexed
 
-    parsed, cl_rows = _parse_batch(queries)
+    parsed, cl_rows = _parse_batch(queries, idx.conf)
     if not cl_rows:
         return spark.createDataFrame([], _EMPTY_SCHEMA)
     dct = idx.dictionary

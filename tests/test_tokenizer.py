@@ -141,3 +141,45 @@ def test_analyzer_validation():
         IndexConf(stopwords=("two words",)).validate()
     with _pytest.raises(ValueError):
         IndexConf(min_token_len=0).validate()
+
+
+def test_analyzer_conjunctive_stop_filter(spark, tiny_docs):
+    # Lucene stop-filter contract: a MUST/AND stopword clause is DROPPED,
+    # not unsatisfiable; an all-stopword query matches nothing
+    import pandas as pd
+
+    from igd_spark import IndexConf
+    from igd_spark.corpus import assign_doc_ids
+    from igd_spark.querylang import bool_bm25_topk
+    from igd_spark.queryparse import parsed_bm25_topk
+    from igd_spark.stats import term_stats
+    from igd_spark.tokenizer import postings
+
+    docs = assign_doc_ids(tiny_docs)
+    ts = term_stats(postings(docs)).filter(F.col("df").between(5, 50))
+    t1 = ts.orderBy("term").first()["term"]
+    conf = IndexConf(stopwords=("the", "a"), min_token_len=1).validate()
+
+    def srt(df):
+        p = df.toPandas()
+        return p.sort_values(list(p.columns)).reset_index(drop=True)
+
+    # bool AND: "the X" under the analyzer == plain "X"
+    qa = spark.createDataFrame([(0, f"the {t1}")], "query_id long, query_text string")
+    qb = spark.createDataFrame([(0, t1)], "query_id long, query_text string")
+    a = srt(bool_bm25_topk(docs, qa, k=50, conf=conf, round_dp=9))
+    b = srt(bool_bm25_topk(docs, qb, k=50, conf=conf, round_dp=9))
+    assert len(a) > 0
+    pd.testing.assert_frame_equal(a, b)
+    # parsed: '+the +X' == '+X'; '-the X' bans nothing
+    pa = srt(parsed_bm25_topk(docs, [(0, f"+the +{t1}")], k=50, conf=conf, round_dp=9))
+    pb = srt(parsed_bm25_topk(docs, [(0, f"+{t1}")], k=50, conf=conf, round_dp=9))
+    assert len(pa) > 0
+    pd.testing.assert_frame_equal(pa, pb)
+    na = srt(parsed_bm25_topk(docs, [(0, f"-the {t1}")], k=50, conf=conf, round_dp=9))
+    nb = srt(parsed_bm25_topk(docs, [(0, t1)], k=50, conf=conf, round_dp=9))
+    pd.testing.assert_frame_equal(na, nb)
+    # all-stopword queries match nothing
+    assert bool_bm25_topk(docs, spark.createDataFrame(
+        [(0, "the a")], "query_id long, query_text string"), k=10, conf=conf).count() == 0
+    assert parsed_bm25_topk(docs, [(0, "+the a")], k=10, conf=conf).count() == 0
