@@ -777,6 +777,21 @@ def q_facet_counts_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # hybrid retrieval: reciprocal-rank fusion of the lexical BM25 top-k
+    # and the vector cosine top-k (doc key = vec_id on the vector side)
+    from igd_spark import cosine_topk, rrf_fuse
+    from igd_spark.search import bm25_scores
+
+    lex = _rank_rounded(
+        bm25_scores(_docs(spark, sf_dir), _queries_df(spark)), K
+    ).select("query_id", "doc_id", "rank")
+    vec = cosine_topk(_emb(spark, sf_dir), _emb_queries(spark, sf_dir), k=K).select(
+        "query_id", F.col("vec_id").alias("doc_id"), "rank"
+    )
+    return rrf_fuse([lex, vec], k=K, kappa=60.0, round_dp=6)
+
+
 def q_bm25_topk_stopwords(spark: SparkSession, sf_dir: str) -> DataFrame:
     # analyzer surface: stopwords + min token length removed from
     # postings/tf/dl (the Lucene norm convention) before scoring
@@ -940,6 +955,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "percolate": q_percolate,
         "explain_scores": q_explain_scores,
         "bm25_topk_stopwords": q_bm25_topk_stopwords,
+        "hybrid_rrf": q_hybrid_rrf,
         "boosted_bm25_topk_indexed": q_boosted_bm25_topk_indexed,
         "facet_counts_indexed": q_facet_counts_indexed,
         "facet_counts": q_facet_counts,
@@ -2196,6 +2212,43 @@ SELECT query_id, rank, doc_id, score FROM ranked WHERE rank <= {K}
         f"AND x NOT IN ({_sw})) AS tl FROM documents)"
     )
     sql["bm25_topk_stopwords"] = _bm25_sql(tl=_TL_SW)  # shared body, one copy
+
+    # hybrid RRF: the two sub-rankings reuse their own entries' exact rank
+    # protocols (bm25 round-then-rank; cosine rounded-cos desc, vec_id asc),
+    # then fuse rank-only — no score calibration across scorers
+    sql["hybrid_rrf"] = f"""
+WITH {_TL}, {_TOKS}, {_POST}, {_DL}, {_CS}, {_TS}, {_QT},
+scored AS (
+  SELECT qt.query_id, p.doc_id, sum({{_W}}) AS s
+  FROM qterms qt JOIN ts USING (term) JOIN post p USING (term)
+  JOIN dl ON p.doc_id = dl.doc_id CROSS JOIN cs
+  GROUP BY 1, 2),
+lex AS (
+  SELECT query_id, doc_id,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY round(s, 6) DESC, doc_id ASC)::INT AS rank
+  FROM scored),
+lexk AS (SELECT query_id, doc_id, rank FROM lex WHERE rank <= {K}),
+eq AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv FROM embeddings
+       WHERE vec_id < {N_EMB_QUERIES}),
+ee AS (SELECT vec_id, embedding::DOUBLE[] AS ev FROM embeddings),
+vs AS (SELECT query_id, vec_id, {_EMB_COS} AS cos FROM eq CROSS JOIN ee),
+vr AS (SELECT query_id, vec_id AS doc_id,
+              row_number() OVER (PARTITION BY query_id
+                                 ORDER BY cos DESC, vec_id ASC)::INT AS rank
+       FROM vs),
+vk AS (SELECT query_id, doc_id, rank FROM vr WHERE rank <= {K}),
+fused AS (
+  SELECT query_id, doc_id, round(sum(1.0 / (60.0 + rank)), 6) AS score
+  FROM (SELECT * FROM lexk UNION ALL SELECT * FROM vk)
+  GROUP BY 1, 2),
+ranked AS (
+  SELECT query_id, doc_id, score,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY score DESC, doc_id ASC)::INT AS rank
+  FROM fused)
+SELECT query_id, rank, doc_id, score FROM ranked WHERE rank <= {K}
+""".replace("{_W}", _W)
 
     sql["explain_scores"] = f"""
 WITH {_TL}, {_TOKS}, {_POST}, {_DL}, {_CS}, {_TS}, {_QT}

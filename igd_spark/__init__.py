@@ -75,6 +75,7 @@ from igd_spark.querylang import (
     near_match_indexed,
     prefix_bm25_topk,
     prefix_bm25_topk_indexed,
+    rrf_fuse,
     snippets,
     snippets_indexed,
     suggest_terms,
@@ -202,6 +203,7 @@ __all__ = [
     "read_transcripts",
     "remove_boilerplate",
     "repetition_stats",
+    "rrf_fuse",
     "sample_stratified",
     "search",
     "search_one",

@@ -265,6 +265,45 @@ def prefix_bm25_topk(
     )
 
 
+def rrf_fuse(
+    ranked_lists,
+    k: int = 10,
+    kappa: float = 60.0,
+    round_dp: int | None = None,
+) -> DataFrame:
+    """Reciprocal-rank fusion (Cormack/Clarke/Buettcher 2009) — the
+    standard hybrid-retrieval combiner: fuse any number of per-query
+    ranked lists (each a DataFrame with query_id, doc_id, rank) into
+    (query_id, rank, doc_id, score) with fused score
+    Σ over lists containing the doc of 1/(kappa + rank).
+
+    This is how lexical BM25 and vector ANN results combine into one
+    hybrid ranking (fuse `exact_bm25_topk`/`search` output with
+    `cosine_topk`/`ivf_ann_topk` output, doc keys aligned by the
+    caller); rank-only fusion needs no score calibration between
+    heterogeneous scorers, which is exactly why RRF is the default in
+    hybrid engines.  A query present in only some lists fuses over
+    those; a doc appearing twice in ONE list (caller bug) would count
+    twice — feed top-k lists, which are per-query doc-distinct by
+    construction.
+
+    Scale: inputs are top-k lists — k × queries rows each — so the
+    union + fine-keyed agg is query-sized, never corpus-sized.
+    """
+    lists = list(ranked_lists)
+    if not lists:
+        raise ValueError("rrf_fuse needs at least one ranked list")
+    contrib = F.lit(1.0) / (F.lit(float(kappa)) + F.col("rank"))
+    parts = [
+        r.select("query_id", "doc_id", contrib.alias("_c")) for r in lists
+    ]
+    u = parts[0]
+    for p in parts[1:]:
+        u = u.unionByName(p)
+    fused = u.groupBy("query_id", "doc_id").agg(F.sum("_c").alias("score"))
+    return rank_topk(_maybe_round(fused, round_dp), k)
+
+
 def boosted_bm25_topk_indexed(
     spark,
     idx,

@@ -745,3 +745,25 @@ def test_boosted_and_facet_indexed_identity(spark, docs, built_idx):
     fb = _sorted(facet_counts_indexed(spark, built_idx, q, docs, "role", k=10, round_dp=9))
     assert len(fa) > 0
     pd.testing.assert_frame_equal(fa, fb)
+
+
+def test_rrf_fuse_hand_check(spark):
+    from igd_spark.querylang import rrf_fuse
+
+    a = spark.createDataFrame(
+        [(0, 10, 1), (0, 20, 2), (0, 30, 3)], "query_id long, doc_id long, rank int"
+    )
+    b = spark.createDataFrame(
+        [(0, 20, 1), (0, 40, 2), (1, 50, 1)], "query_id long, doc_id long, rank int"
+    )
+    out = rrf_fuse([a, b], k=10, kappa=60.0).toPandas()
+    got = {(r.query_id, r.doc_id): (r.rank, r.score) for r in out.itertuples()}
+    # doc 20 fuses both lists: 1/62 + 1/61 — must outrank every single-list doc
+    assert got[(0, 20)][0] == 1
+    assert abs(got[(0, 20)][1] - (1 / 62 + 1 / 61)) < 1e-12
+    assert abs(got[(0, 10)][1] - 1 / 61) < 1e-12
+    # rank-1 singles tie on 1/61: doc_id asc tie-break
+    assert got[(0, 10)][0] == 2
+    assert got[(1, 50)][0] == 1
+    with pytest.raises(ValueError):
+        rrf_fuse([])
