@@ -103,7 +103,11 @@ class IndexConf:
         if self.doc_id_method not in ("dense", "hash"):
             raise ValueError("doc_id_method must be 'dense' or 'hash'")
         _validate_split_re(self.token_split_re)
-        if not isinstance(self.min_token_len, int) or self.min_token_len < 1:
+        if (
+            not isinstance(self.min_token_len, int)
+            or isinstance(self.min_token_len, bool)  # bool IS an int subclass
+            or self.min_token_len < 1
+        ):
             # a float would desync the engines: the Arrow kernel truncates
             # via int() while the JVM path compares length >= x directly
             raise ValueError("min_token_len must be an int >= 1")

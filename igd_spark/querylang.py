@@ -293,6 +293,10 @@ def rrf_fuse(
     lists = list(ranked_lists)
     if not lists:
         raise ValueError("rrf_fuse needs at least one ranked list")
+    if kappa <= 0:
+        # kappa + rank could hit 0 (NULL contribution, silently skipped by
+        # sum) or invert the ordering for kappa in (-1, 0)
+        raise ValueError(f"kappa must be > 0, got {kappa}")
     contrib = F.lit(1.0) / (F.lit(float(kappa)) + F.col("rank"))
     parts = [
         r.select("query_id", "doc_id", contrib.alias("_c")) for r in lists

@@ -202,8 +202,25 @@ def parsed_matches(
             phrase_match(docs, ph_q, text_col=text_col, id_col=id_col, conf=conf)
             .select(F.col("query_id").alias("ckey"), "doc_id")
         )
-        contrib = _phrase_restrict(contrib, ph_hits, [ck for ck, _ in ph_rows])
+        contrib = _phrase_register(
+            _phrase_restrict(contrib, ph_hits, [ck for ck, _ in ph_rows]), ph_hits
+        )
     return _eligibility(spark, contrib, cl_rows, parsed)
+
+
+def _phrase_register(contrib: DataFrame, ph_hits: DataFrame) -> DataFrame:
+    """Phrase MATCH registration comes from the positional hits themselves
+    (zero-score rows), not only from constituent postings — phrases match
+    the RAW token stream (literal semantics), so under an analyzer conf a
+    phrase of analyzed-away words (e.g. MUST '"the a"') still matches the
+    docs that literally contain it instead of making the query
+    unsatisfiable.  Scoring stays whatever constituents survive the
+    analyzer (the zero rows add nothing to the sum); with a default conf
+    every phrase-matching doc already has constituent contribs, so this
+    union changes nothing there."""
+    return contrib.unionByName(
+        ph_hits.select("ckey", "doc_id", F.lit(0.0).alias("w"))
+    )
 
 
 _EMPTY_SCHEMA = "query_id long, doc_id long, score double"
@@ -407,7 +424,9 @@ def parsed_bm25_topk_indexed(
         ph_hits = phrase_match_indexed(spark, idx, ph_q).select(
             F.col("query_id").alias("ckey"), "doc_id"
         )
-        contrib = _phrase_restrict(contrib, ph_hits, [ck for ck, _ in ph_rows])
+        contrib = _phrase_register(
+            _phrase_restrict(contrib, ph_hits, [ck for ck, _ in ph_rows]), ph_hits
+        )
     scored = _eligibility(spark, contrib, cl_rows, parsed)
     if round_dp is not None:
         scored = scored.withColumn("score", F.round("score", round_dp))

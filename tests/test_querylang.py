@@ -762,8 +762,16 @@ def test_rrf_fuse_hand_check(spark):
     assert got[(0, 20)][0] == 1
     assert abs(got[(0, 20)][1] - (1 / 62 + 1 / 61)) < 1e-12
     assert abs(got[(0, 10)][1] - 1 / 61) < 1e-12
-    # rank-1 singles tie on 1/61: doc_id asc tie-break
-    assert got[(0, 10)][0] == 2
+    assert got[(0, 10)][0] == 2  # 1/61 > 1/62, no tie involved
     assert got[(1, 50)][0] == 1
+    # a TRUE tie: two docs both at rank 1 of different lists (1/61 each)
+    # must break on doc_id asc
+    c = spark.createDataFrame([(2, 9, 1)], "query_id long, doc_id long, rank int")
+    d = spark.createDataFrame([(2, 4, 1)], "query_id long, doc_id long, rank int")
+    tie = rrf_fuse([c, d], k=10, kappa=60.0).toPandas().sort_values("rank")
+    assert list(tie["doc_id"]) == [4, 9] and list(tie["rank"]) == [1, 2]
+    assert abs(tie["score"].iloc[0] - tie["score"].iloc[1]) < 1e-15
     with pytest.raises(ValueError):
         rrf_fuse([])
+    with pytest.raises(ValueError):
+        rrf_fuse([a], kappa=0.0)

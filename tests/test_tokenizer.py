@@ -183,3 +183,29 @@ def test_analyzer_conjunctive_stop_filter(spark, tiny_docs):
     assert bool_bm25_topk(docs, spark.createDataFrame(
         [(0, "the a")], "query_id long, query_text string"), k=10, conf=conf).count() == 0
     assert parsed_bm25_topk(docs, [(0, "+the a")], k=10, conf=conf).count() == 0
+
+
+def test_analyzer_phrase_stays_literal(spark, tiny_docs):
+    # review fix: a phrase of analyzed-away words matches the RAW token
+    # stream (literal semantics) — a MUST '"<stop> <stop>"' clause keeps
+    # matching the docs that literally contain it, never making the query
+    # unsatisfiable, even though its words have no postings
+    from igd_spark import IndexConf
+    from igd_spark.corpus import assign_doc_ids
+    from igd_spark.queryparse import parsed_bm25_topk
+    from igd_spark.search import phrase_match
+
+    docs = assign_doc_ids(tiny_docs)
+    # find an occurring 2-token phrase and stop BOTH of its words
+    import re as _re
+
+    row = docs.select("text").filter(F.length("text") > 20).first()
+    toks = [t for t in _re.split(r"[^a-z0-9]+", str(row["text"]).lower()) if t]
+    phrase = f"{toks[0]} {toks[1]}"
+    conf = IndexConf(stopwords=tuple(sorted({toks[0], toks[1]}))).validate()
+    q = spark.createDataFrame([(0, phrase)], "query_id long, query_text string")
+    expect = {r["doc_id"] for r in phrase_match(docs, q).collect()}
+    out = parsed_bm25_topk(docs, [(0, f'+"{phrase}"')], k=10_000, conf=conf).toPandas()
+    assert set(out["doc_id"]) == expect and len(expect) > 0
+    # all-stopword phrase clauses score 0 (no surviving constituents)
+    assert (out["score"] == 0.0).all()
