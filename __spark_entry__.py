@@ -98,6 +98,13 @@ FUZZY_QUERY_SET: list[tuple[int, str]] = [
 FUZZY_MAX_EDITS = 1
 FACET_COL = "lang"
 FACET_K = 3
+STATS_VALUE_COL = "n_chars"   # numeric field for the ES stats/histogram aggs
+HIST_INTERVAL = 50.0
+CARD_FIELD = "source"
+SIGTERMS_K = 5
+SIGTERMS_MIN_FG = 2
+TOPHITS_BUCKETS = 2
+TOPHITS_HITS = 3
 LMD_MU = 2000.0
 SUGGEST_MAX_EDITS = 2
 SUGGEST_N = 3
@@ -912,6 +919,52 @@ def q_facet_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_stats_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # ES stats metric agg over each query's match set
+    from igd_spark import stats_agg
+
+    return stats_agg(
+        _docs(spark, sf_dir), _queries_df(spark), STATS_VALUE_COL, round_dp=6
+    )
+
+
+def q_histogram_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # ES histogram bucket agg: fixed-width value buckets over the match set
+    from igd_spark import histogram_agg
+
+    return histogram_agg(
+        _docs(spark, sf_dir), _queries_df(spark), STATS_VALUE_COL, HIST_INTERVAL
+    )
+
+
+def q_cardinality_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # ES cardinality agg — gate verifies the EXACT path; approx=True is the
+    # HLL++ 100 TB path (sketches merge map-side, no distinct-value shuffle)
+    from igd_spark import cardinality_agg
+
+    return cardinality_agg(_docs(spark, sf_dir), _queries_df(spark), CARD_FIELD)
+
+
+def q_significant_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # ES significant_terms (JLH heuristic): foreground-vs-background term df
+    from igd_spark import significant_terms
+
+    return significant_terms(
+        _docs(spark, sf_dir), _queries_df(spark), k=SIGTERMS_K,
+        min_fg=SIGTERMS_MIN_FG, round_dp=6,
+    )
+
+
+def q_top_hits_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # ES top_hits under a terms bucket: top docs within top facet buckets
+    from igd_spark import top_hits_agg
+
+    return top_hits_agg(
+        _docs(spark, sf_dir), _queries_df(spark), FACET_COL,
+        k_buckets=TOPHITS_BUCKETS, k_hits=TOPHITS_HITS, round_dp=6,
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: BM25 top-10 over the sf0.001 documents corpus."""
     return q_bm25_topk(spark, "/root/testdata/sf0.001")
@@ -959,6 +1012,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "boosted_bm25_topk_indexed": q_boosted_bm25_topk_indexed,
         "facet_counts_indexed": q_facet_counts_indexed,
         "facet_counts": q_facet_counts,
+        "stats_agg": q_stats_agg,
+        "histogram_agg": q_histogram_agg,
+        "cardinality_agg": q_cardinality_agg,
+        "significant_terms": q_significant_terms,
+        "top_hits_agg": q_top_hits_agg,
         "match_enumerate": q_match_enumerate,
         "term_cooccurrence": q_term_cooccurrence,
         "term_cooccurrence_mintf": q_term_cooccurrence_mintf,
@@ -2284,5 +2342,86 @@ ranked AS (
 SELECT query_id, rank, facet, n_docs, score FROM ranked WHERE rank <= {FACET_K}
 """.replace("{_W}", _W)
     sql["facet_counts_indexed"] = sql["facet_counts"]
+
+    # ---- ES aggregation family (aggs.py) — shared match-set CTE ----
+    _SCORED = (
+        "scored AS ("
+        "  SELECT qt.query_id, p.doc_id, sum({_W}) AS s"
+        "  FROM qterms qt JOIN ts USING (term) JOIN post p USING (term)"
+        "  JOIN dl ON p.doc_id = dl.doc_id CROSS JOIN cs"
+        "  GROUP BY 1, 2)"
+    ).replace("{_W}", _W)
+
+    sql["stats_agg"] = f"""
+WITH {_TL}, {_TOKS}, {_POST}, {_DL}, {_CS}, {_TS}, {_QT}, {_SCORED},
+vals AS (SELECT doc_id, "{STATS_VALUE_COL}"::DOUBLE AS v FROM documents
+         WHERE "{STATS_VALUE_COL}" IS NOT NULL)
+SELECT s.query_id, count(v)::BIGINT AS n_docs,
+       round(min(v), 6) AS min_v, round(max(v), 6) AS max_v,
+       round(sum(v), 6) AS sum_v, round(avg(v), 6) AS avg_v
+FROM scored s JOIN vals USING (doc_id) GROUP BY 1
+"""
+
+    sql["histogram_agg"] = f"""
+WITH {_TL}, {_TOKS}, {_POST}, {_DL}, {_CS}, {_TS}, {_QT}, {_SCORED},
+vals AS (SELECT doc_id, "{STATS_VALUE_COL}"::DOUBLE AS v FROM documents
+         WHERE "{STATS_VALUE_COL}" IS NOT NULL)
+SELECT s.query_id, (floor(v / {HIST_INTERVAL}) * {HIST_INTERVAL})::DOUBLE AS bucket,
+       count(*)::BIGINT AS n_docs
+FROM scored s JOIN vals USING (doc_id) GROUP BY 1, 2
+"""
+
+    sql["cardinality_agg"] = f"""
+WITH {_TL}, {_TOKS}, {_POST}, {_DL}, {_CS}, {_TS}, {_QT}, {_SCORED}
+SELECT s.query_id, count(DISTINCT d."{CARD_FIELD}")::BIGINT AS cardinality
+FROM scored s JOIN documents d USING (doc_id)
+WHERE d."{CARD_FIELD}" IS NOT NULL
+GROUP BY 1
+"""
+
+    sql["significant_terms"] = f"""
+WITH {_TL}, {_TOKS}, {_POST}, {_DL}, {_CS}, {_TS}, {_QT}, {_SCORED},
+m AS (SELECT DISTINCT query_id, doc_id FROM scored),
+sizes AS (SELECT query_id, count(*)::BIGINT AS subset_size FROM m GROUP BY 1),
+fg AS (
+  SELECT m.query_id, p.term, count(*)::BIGINT AS fg_df
+  FROM m JOIN post p USING (doc_id)
+  GROUP BY 1, 2 HAVING count(*) >= {SIGTERMS_MIN_FG}),
+sig AS (
+  SELECT fg.query_id, fg.term, fg.fg_df, ts.df,
+         (fg.fg_df::DOUBLE / sz.subset_size - ts.df::DOUBLE / cs.n_docs)
+         * ((fg.fg_df::DOUBLE / sz.subset_size) / (ts.df::DOUBLE / cs.n_docs)) AS s
+  FROM fg JOIN ts USING (term)
+  JOIN sizes sz ON sz.query_id = fg.query_id CROSS JOIN cs),
+ranked AS (
+  SELECT query_id, term, fg_df, df, round(s, 6) AS score,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY round(s, 6) DESC, term ASC)::INT AS rank
+  FROM sig WHERE s > 0.0)
+SELECT query_id, rank, term, fg_df, df, score FROM ranked WHERE rank <= {SIGTERMS_K}
+"""
+
+    sql["top_hits_agg"] = f"""
+WITH {_TL}, {_TOKS}, {_POST}, {_DL}, {_CS}, {_TS}, {_QT}, {_SCORED},
+sc AS (SELECT query_id, doc_id, round(s, 6) AS score FROM scored),
+hits AS (SELECT sc.query_id, sc.doc_id, sc.score, d."{FACET_COL}" AS facet
+         FROM sc JOIN documents d USING (doc_id)),
+counts AS (SELECT query_id, facet, count(*)::BIGINT AS n_docs
+           FROM hits GROUP BY 1, 2),
+buckets AS (
+  SELECT query_id, facet,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY n_docs DESC, facet ASC)::INT AS facet_rank
+  FROM counts),
+bk AS (SELECT * FROM buckets WHERE facet_rank <= {TOPHITS_BUCKETS}),
+h2 AS (
+  SELECT h.query_id, h.facet, b.facet_rank, h.doc_id, h.score,
+         row_number() OVER (PARTITION BY h.query_id, h.facet
+                            ORDER BY h.score DESC, h.doc_id ASC)::INT AS hit_rank
+  FROM hits h JOIN bk b ON b.query_id = h.query_id
+                       AND b.facet IS NOT DISTINCT FROM h.facet)
+SELECT query_id, facet, facet_rank, hit_rank, doc_id, score
+FROM h2 WHERE hit_rank <= {TOPHITS_HITS}
+"""
 
     return sql

@@ -21,6 +21,13 @@ src_py/igd_py.pyx:21-44 create/open/search_1/search_n):
     top10 = search(spark, idx, queries_df, k=10)        # igd search -q
 """
 
+from igd_spark.aggs import (
+    cardinality_agg,
+    histogram_agg,
+    significant_terms,
+    stats_agg,
+    top_hits_agg,
+)
 from igd_spark.config import IndexConf
 from igd_spark.cooccur import source_overlap_matrix, term_cooccurrence, write_hitsmap_csv
 from igd_spark.corpus import (
@@ -159,6 +166,11 @@ __all__ = [
     "extract_features_long",
     "facet_counts",
     "facet_counts_indexed",
+    "cardinality_agg",
+    "histogram_agg",
+    "significant_terms",
+    "stats_agg",
+    "top_hits_agg",
     "fuzzy_bm25_topk",
     "fuzzy_bm25_topk_indexed",
     "fuzzy_dedup_docs",

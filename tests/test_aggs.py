@@ -1,0 +1,140 @@
+"""ES-aggregation family (igd_spark/aggs.py): brute-force semantics checks
+on the synthetic transcript corpus — match-set definition shared with
+retrieval, NULL handling, exact-vs-approx cardinality, JLH positivity,
+and null-safe top-hits bucketing."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from igd_spark import (
+    cardinality_agg,
+    histogram_agg,
+    significant_terms,
+    stats_agg,
+    top_hits_agg,
+)
+from igd_spark.corpus import assign_doc_ids
+from igd_spark.search import bm25_scores
+from igd_spark.stats import term_stats
+from igd_spark.tokenizer import postings
+
+
+@pytest.fixture(scope="module")
+def docs(spark, tiny_docs):
+    # turn_idx is the numeric agg field; tool is nullable (NULL bucket)
+    return assign_doc_ids(tiny_docs).cache()
+
+
+def _queries(spark, rows):
+    return spark.createDataFrame(rows, "query_id long, query_text string")
+
+
+def _mid_term(docs):
+    ts = term_stats(postings(docs)).filter((F.col("df") >= 10) & (F.col("df") <= 60))
+    return ts.orderBy("term").limit(1).collect()[0]["term"]
+
+
+def _match_ids(docs, term):
+    return {
+        r["doc_id"]
+        for r in postings(docs).filter(F.col("term") == term).select("doc_id").collect()
+    }
+
+
+def test_stats_agg_bruteforce(spark, docs):
+    term = _mid_term(docs)
+    ids = _match_ids(docs, term)
+    vals = [
+        r["turn_idx"]
+        for r in docs.select("doc_id", "turn_idx").collect()
+        if r["doc_id"] in ids and r["turn_idx"] is not None
+    ]
+    out = stats_agg(docs, _queries(spark, [(0, term)]), "turn_idx").collect()
+    assert len(out) == 1
+    row = out[0]
+    assert row["n_docs"] == len(vals)
+    assert row["min_v"] == min(vals)
+    assert row["max_v"] == max(vals)
+    assert row["sum_v"] == pytest.approx(sum(vals))
+    assert row["avg_v"] == pytest.approx(sum(vals) / len(vals))
+
+
+def test_histogram_buckets_partition_match_set(spark, docs):
+    term = _mid_term(docs)
+    ids = _match_ids(docs, term)
+    out = histogram_agg(docs, _queries(spark, [(0, term)]), "turn_idx", 3.0).collect()
+    # buckets partition the valued match set: counts sum to |match set|
+    assert sum(r["n_docs"] for r in out) == len(ids)
+    for r in out:
+        assert r["bucket"] % 3.0 == 0.0
+
+
+def test_histogram_rejects_bad_interval(spark, docs):
+    with pytest.raises(ValueError):
+        histogram_agg(docs, _queries(spark, [(0, "x")]), "turn_idx", 0.0)
+
+
+def test_cardinality_exact_and_approx(spark, docs):
+    term = _mid_term(docs)
+    ids = _match_ids(docs, term)
+    roles = {
+        r["role"]
+        for r in docs.select("doc_id", "role").collect()
+        if r["doc_id"] in ids and r["role"] is not None
+    }
+    q = _queries(spark, [(0, term)])
+    exact = cardinality_agg(docs, q, "role").collect()[0]["cardinality"]
+    assert exact == len(roles)
+    approx = cardinality_agg(docs, q, "role", approx=True).collect()[0]["cardinality"]
+    # role cardinality is tiny — HLL++ is exact at this scale
+    assert abs(approx - exact) <= max(1, exact // 5)
+
+
+def test_significant_terms_jlh(spark, docs):
+    term = _mid_term(docs)
+    out = significant_terms(docs, _queries(spark, [(0, term)]), k=10).collect()
+    assert out, "query term itself must be significant"
+    n_docs = docs.count()
+    subset = len(_match_ids(docs, term))
+    by_term = {r["term"]: r for r in out}
+    # the searched term has fg_pct = 1.0 — maximal lift, must appear
+    assert term in by_term
+    for r in out:
+        fg_pct = r["fg_df"] / subset
+        bg_pct = r["df"] / n_docs
+        assert fg_pct > bg_pct, "only positively significant terms emitted"
+        assert r["score"] > 0.0
+    # ranks are 1..n by (score desc, term asc)
+    ranks = sorted(r["rank"] for r in out)
+    assert ranks == list(range(1, len(out) + 1))
+
+
+def test_top_hits_null_safe_buckets(spark, docs):
+    term = _mid_term(docs)
+    q = _queries(spark, [(0, term)])
+    out = top_hits_agg(docs, q, "tool", k_buckets=3, k_hits=2, round_dp=6).collect()
+    assert out
+    # NULL tool is a real bucket in this corpus (non-tool turns) and must
+    # survive the null-safe join
+    facets = {r["facet"] for r in out}
+    tools = {r["tool"] for r in docs.select("tool").distinct().collect()}
+    if None in tools:
+        assert None in facets or len(facets) == 3  # NULL bucket kept unless outranked
+    # hit ordering inside each bucket follows (score desc, doc_id asc)
+    scored = {
+        (r["query_id"], r["doc_id"]): r["score"]
+        for r in bm25_scores(docs, q).withColumn("score", F.round("score", 6)).collect()
+    }
+    from collections import defaultdict
+
+    per_bucket = defaultdict(list)
+    for r in out:
+        assert r["facet_rank"] <= 3 and r["hit_rank"] <= 2
+        assert scored[(r["query_id"], r["doc_id"])] == r["score"]
+        per_bucket[(r["query_id"], r["facet"])].append(r)
+    for rows in per_bucket.values():
+        rows.sort(key=lambda r: r["hit_rank"])
+        keys = [(-r["score"], r["doc_id"]) for r in rows]
+        assert keys == sorted(keys)
