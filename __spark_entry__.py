@@ -105,6 +105,9 @@ SIGTERMS_K = 5
 SIGTERMS_MIN_FG = 2
 TOPHITS_BUCKETS = 2
 TOPHITS_HITS = 3
+RESCORE_WINDOW = 30
+RESCORE_QW = 1.0
+RESCORE_RW = 2.0
 LMD_MU = 2000.0
 SUGGEST_MAX_EDITS = 2
 SUGGEST_N = 3
@@ -965,6 +968,40 @@ def q_top_hits_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_search_after(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # ES search_after keyset pagination: page 2 of the bm25 ranking — the
+    # cursor is each query's rank-K row; queries with < K results have no
+    # cursor and are (like ES without a live cursor) not paged
+    from igd_spark.querylang import search_after_topk
+    from igd_spark.search import bm25_scores
+
+    docs, qs = _docs(spark, sf_dir), _queries_df(spark)
+    scored = bm25_scores(docs, qs).withColumn("score", F.round("score", 6))
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc_id"))
+    cursor = (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") == K)
+        .select(
+            "query_id",
+            F.col("score").alias("after_score"),
+            F.col("doc_id").alias("after_doc_id"),
+        )
+    )
+    paged = qs.join(cursor.select("query_id"), "query_id", "left_semi")
+    return search_after_topk(docs, paged, cursor, k=K, round_dp=6)
+
+
+def q_rescore_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # ES rescore: BM25 window, LM-Dirichlet second pass, weighted total
+    from igd_spark.querylang import rescore_topk
+
+    return rescore_topk(
+        _docs(spark, sf_dir), _queries_df(spark), window_size=RESCORE_WINDOW,
+        query_weight=RESCORE_QW, rescore_weight=RESCORE_RW, mu=LMD_MU,
+        k=K, round_dp=6,
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: BM25 top-10 over the sf0.001 documents corpus."""
     return q_bm25_topk(spark, "/root/testdata/sf0.001")
@@ -1017,6 +1054,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cardinality_agg": q_cardinality_agg,
         "significant_terms": q_significant_terms,
         "top_hits_agg": q_top_hits_agg,
+        "search_after": q_search_after,
+        "rescore_topk": q_rescore_topk,
         "match_enumerate": q_match_enumerate,
         "term_cooccurrence": q_term_cooccurrence,
         "term_cooccurrence_mintf": q_term_cooccurrence_mintf,
@@ -2422,6 +2461,49 @@ h2 AS (
                        AND b.facet IS NOT DISTINCT FROM h.facet)
 SELECT query_id, facet, facet_rank, hit_rank, doc_id, score
 FROM h2 WHERE hit_rank <= {TOPHITS_HITS}
+"""
+
+    sql["search_after"] = f"""
+WITH {_TL}, {_TOKS}, {_POST}, {_DL}, {_CS}, {_TS}, {_QT}, {_SCORED},
+ranked AS (
+  SELECT query_id, doc_id, round(s, 6) AS score,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY round(s, 6) DESC, doc_id ASC)::INT AS rank
+  FROM scored)
+SELECT query_id, (rank - {K})::INT AS rank, doc_id, score
+FROM ranked WHERE rank > {K} AND rank <= {2 * K}
+"""
+
+    sql["rescore_topk"] = f"""
+WITH {_TL}, {_TOKS}, {_POST}, {_DL}, {_CS}, {_TS}, {_QT}, {_SCORED},
+firstp AS (
+  SELECT query_id, doc_id, round(s, 6) AS fs,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY round(s, 6) DESC, doc_id ASC)::INT AS r
+  FROM scored),
+win AS (SELECT query_id, doc_id, fs FROM firstp WHERE r <= {RESCORE_WINDOW}),
+ctotal AS (SELECT sum(dl)::BIGINT AS total FROM dl),
+lhits AS (
+  SELECT qt.query_id, p.term, p.doc_id, p.tf,
+         sum(p.tf) OVER (PARTITION BY qt.query_id, p.term) AS cf
+  FROM qterms qt JOIN post p USING (term)),
+lmd AS (
+  SELECT h.query_id, h.doc_id,
+         round(sum(greatest(0.0,
+             ln(1.0 + h.tf / ({LMD_MU} * (h.cf::DOUBLE / t.total)))
+             + ln({LMD_MU} / (dl.dl + {LMD_MU})))), 6) AS ls
+  FROM lhits h JOIN dl ON h.doc_id = dl.doc_id CROSS JOIN ctotal t
+  GROUP BY 1, 2),
+comb AS (
+  SELECT w.query_id, w.doc_id,
+         round({RESCORE_QW} * w.fs + {RESCORE_RW} * coalesce(l.ls, 0.0), 6) AS score
+  FROM win w LEFT JOIN lmd l ON l.query_id = w.query_id AND l.doc_id = w.doc_id),
+ranked AS (
+  SELECT query_id, doc_id, score,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY score DESC, doc_id ASC)::INT AS rank
+  FROM comb)
+SELECT query_id, rank, doc_id, score FROM ranked WHERE rank <= {K}
 """
 
     return sql

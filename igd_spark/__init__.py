@@ -82,7 +82,9 @@ from igd_spark.querylang import (
     near_match_indexed,
     prefix_bm25_topk,
     prefix_bm25_topk_indexed,
+    rescore_topk,
     rrf_fuse,
+    search_after_topk,
     snippets,
     snippets_indexed,
     suggest_terms,
@@ -215,7 +217,9 @@ __all__ = [
     "read_transcripts",
     "remove_boilerplate",
     "repetition_stats",
+    "rescore_topk",
     "rrf_fuse",
+    "search_after_topk",
     "sample_stratified",
     "search",
     "search_one",

@@ -1486,3 +1486,114 @@ def facet_counts(
     scored = bm25_scores(docs, queries, conf=conf, text_col=text_col, id_col=id_col)
     fdf = docs.select(F.col(id_col).alias("doc_id"), F.col(facet_col).alias("facet"))
     return _facet_epilogue(scored, fdf, k, round_dp)
+
+
+def search_after_topk(
+    docs: DataFrame,
+    queries: DataFrame,
+    after: DataFrame,
+    k: int = 10,
+    conf: IndexConf = DEFAULT_CONF,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    round_dp: int | None = None,
+) -> DataFrame:
+    """Keyset pagination — the ES ``search_after`` surface.  ``after`` is a
+    cursor DataFrame (query_id, after_score, after_doc_id): for each query,
+    return the next ``k`` docs STRICTLY after the cursor in ranking order
+    (score desc, doc_id asc), i.e. score < after_score OR (score =
+    after_score AND doc_id > after_doc_id).  A query with no cursor row
+    gets page 1 (no restriction) — the ES first-request convention.
+    Ranks restart at 1 within the page (the caller tracks the page offset).
+
+    Unlike from/size deep paging, the filter composes with top-k pruning:
+    page N costs the same as page 1 (no "skip 10·N rows" sort), which is
+    the entire point of search_after at 100 TB — the cursor predicate is
+    applied BEFORE the rank window, so the window input stays k-bounded
+    per partition, never offset-bounded.
+
+    Rounding protocol: scores are rounded (``round_dp``) BEFORE the cursor
+    comparison and ranking, so a cursor captured from a previous page's
+    (rounded) output always splits the order identically cross-engine.
+    """
+    scored = _maybe_round(
+        bm25_scores(docs, queries, conf=conf, text_col=text_col, id_col=id_col),
+        round_dp,
+    )
+    cur = after.select(
+        "query_id",
+        F.col("after_score").cast("double").alias("_as"),
+        F.col("after_doc_id").alias("_ad"),
+    )
+    j = scored.join(F.broadcast(cur), "query_id", "left")
+    keep = (
+        F.col("_as").isNull()
+        | (F.col("score") < F.col("_as"))
+        | ((F.col("score") == F.col("_as")) & (F.col("doc_id") > F.col("_ad")))
+    )
+    return rank_topk(j.filter(keep).select("query_id", "doc_id", "score"), k)
+
+
+def rescore_topk(
+    docs: DataFrame,
+    queries: DataFrame,
+    window_size: int = 50,
+    query_weight: float = 1.0,
+    rescore_weight: float = 1.0,
+    mu: float = 2000.0,
+    k: int = 10,
+    conf: IndexConf = DEFAULT_CONF,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    round_dp: int | None = None,
+) -> DataFrame:
+    """Two-pass retrieval — the ES ``rescore`` surface: a cheap first pass
+    (BM25) selects each query's top ``window_size`` docs; an expensive
+    second scorer (LM Dirichlet, μ=``mu``) re-scores ONLY that window; the
+    final rank is query_weight·bm25 + rescore_weight·lmd over the window
+    (the ES total-score combination, docs outside the window never
+    resurface).
+
+    Scale: this is the standard cascade shape for expensive rankers — the
+    second pass's cost is bounded by queries × window_size, independent of
+    corpus size.  Here both passes share one postings scan (the LMD pass
+    reuses the matched-postings frame, its collection frequencies computed
+    over the match set per `_lmd_scored`'s completeness argument); a more
+    expensive reranker (cross-encoder UDF) would slot in at the same
+    seam with the same bound.
+
+    Rounding protocol (``round_dp``): first-pass scores are rounded BEFORE
+    window selection, second-pass scores before combination, and the
+    combined score before final ranking — three float boundaries, each
+    resolved on rounded values so engines can't diverge on last-ulp noise.
+    """
+    post = postings(docs, text_col=text_col, id_col=id_col, conf=conf)
+    ds = doc_stats(docs, text_col=text_col, id_col=id_col, conf=conf)
+    cs = corpus_stats(ds).collect()[0]  # ONE stats job for both passes
+    n_docs, avgdl, total = int(cs["n_docs"]), float(cs["avgdl"]), int(cs["sum_dl"])
+    qt = query_terms(queries)
+    qt_idf = qt.join(term_stats(post), "term").withColumn("idf", idf_col(n_docs, "df"))
+    first = _maybe_round(_score_terms(post, ds, avgdl, qt_idf, conf), round_dp)
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc_id"))
+    win = (
+        first.withColumn("_r", F.row_number().over(w))
+        .filter(F.col("_r") <= window_size)
+        .select("query_id", "doc_id", F.col("score").alias("_fs"))
+    )
+    hits = (
+        post.join(F.broadcast(qt), "term")
+        .join(ds, "doc_id")
+        .select("query_id", "term", "doc_id", "tf", "dl")
+    )
+    second = _maybe_round(_lmd_scored(hits, mu, total), round_dp).select(
+        "query_id", "doc_id", F.col("score").alias("_ls")
+    )
+    comb = win.join(second, ["query_id", "doc_id"], "left").select(
+        "query_id",
+        "doc_id",
+        (
+            F.lit(float(query_weight)) * F.col("_fs")
+            + F.lit(float(rescore_weight)) * F.coalesce(F.col("_ls"), F.lit(0.0))
+        ).alias("score"),
+    )
+    return rank_topk(_maybe_round(comb, round_dp), k)
