@@ -108,6 +108,15 @@ TOPHITS_HITS = 3
 RESCORE_WINDOW = 30
 RESCORE_QW = 1.0
 RESCORE_RW = 2.0
+# Lucene RegexpQuery: one regex per query, full-term match, patterns kept
+# in the Java∩RE2 shared subset (classes, alternation, quantifiers)
+REGEXP_QUERY_SET: list[tuple[int, str]] = [
+    (0, "ta.le"),            # single-char class dot
+    (1, "quer(y|ies)"),      # group alternation
+    (2, "[mst]can"),         # character class
+    (3, "zzz.*"),            # matches no vocab -> 0 hits
+    (4, "m.rge|s.rt"),       # top-level alternation
+]
 LMD_MU = 2000.0
 SUGGEST_MAX_EDITS = 2
 SUGGEST_N = 3
@@ -968,6 +977,32 @@ def q_top_hits_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _regexp_queries_df(spark: SparkSession) -> DataFrame:
+    return spark.createDataFrame(
+        [(int(q), t) for q, t in REGEXP_QUERY_SET],
+        "query_id long, query_text string",
+    )
+
+
+def q_regexp_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Lucene RegexpQuery: regex-expanded disjunctive BM25
+    from igd_spark.querylang import regexp_bm25_topk
+
+    return regexp_bm25_topk(
+        _docs(spark, sf_dir), _regexp_queries_df(spark), k=K, round_dp=6
+    )
+
+
+def q_regexp_bm25_topk_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # same semantics off the persisted index dictionary + pruned blocks
+    from igd_spark.querylang import regexp_bm25_topk_indexed
+
+    idx = _built_index(spark, sf_dir)
+    return regexp_bm25_topk_indexed(
+        spark, idx, _regexp_queries_df(spark), k=K, round_dp=6
+    )
+
+
 def q_search_after(spark: SparkSession, sf_dir: str) -> DataFrame:
     # ES search_after keyset pagination: page 2 of the bm25 ranking — the
     # cursor is each query's rank-K row; queries with < K results have no
@@ -1056,6 +1091,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top_hits_agg": q_top_hits_agg,
         "search_after": q_search_after,
         "rescore_topk": q_rescore_topk,
+        "regexp_bm25_topk": q_regexp_bm25_topk,
+        "regexp_bm25_topk_indexed": q_regexp_bm25_topk_indexed,
         "match_enumerate": q_match_enumerate,
         "term_cooccurrence": q_term_cooccurrence,
         "term_cooccurrence_mintf": q_term_cooccurrence_mintf,
@@ -2505,5 +2542,29 @@ ranked AS (
   FROM comb)
 SELECT query_id, rank, doc_id, score FROM ranked WHERE rank <= {K}
 """
+
+    _rqvals = ", ".join(f"({q}::BIGINT, '{t}')" for q, t in REGEXP_QUERY_SET)
+    sql["regexp_bm25_topk"] = f"""
+WITH {_TL}, {_TOKS}, {_POST}, {_DL}, {_CS}, {_TS},
+rq(query_id, pattern) AS (VALUES {_rqvals}),
+expanded AS (
+  SELECT DISTINCT r.query_id, ts.term, ts.df
+  FROM rq r JOIN ts ON regexp_full_match(ts.term, lower(trim(r.pattern)))),
+scored AS (
+  SELECT e.query_id, p.doc_id,
+         sum( ln((cs.n_docs - e.df + 0.5) / (e.df + 0.5) + 1.0)
+              * p.tf * {K1 + 1.0}
+              / (p.tf + {K1} * (1.0 - {B} + {B} * dl.dl / cs.avgdl)) ) AS s
+  FROM expanded e JOIN post p USING (term)
+  JOIN dl ON p.doc_id = dl.doc_id CROSS JOIN cs
+  GROUP BY 1, 2),
+ranked AS (
+  SELECT query_id, doc_id, round(s, 6) AS score,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY round(s, 6) DESC, doc_id ASC)::INT AS rank
+  FROM scored)
+SELECT query_id, rank, doc_id, score FROM ranked WHERE rank <= {K}
+"""
+    sql["regexp_bm25_topk_indexed"] = sql["regexp_bm25_topk"]
 
     return sql

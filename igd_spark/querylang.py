@@ -1597,3 +1597,84 @@ def rescore_topk(
         ).alias("score"),
     )
     return rank_topk(_maybe_round(comb, round_dp), k)
+
+
+def _regexp_patterns(queries: DataFrame, text_col: str = "query_text") -> DataFrame:
+    """(query_id, pattern): the whole trimmed, lowercased query string is
+    ONE regular expression — the Lucene RegexpQuery convention (a regex
+    matches the ENTIRE term; anchoring is implicit)."""
+    return queries.select(
+        "query_id", F.lower(F.trim(F.col(text_col))).alias("pattern")
+    ).filter(F.col("pattern") != "")
+
+
+def regexp_bm25_topk(
+    docs: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    conf: IndexConf = DEFAULT_CONF,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    round_dp: int | None = None,
+) -> DataFrame:
+    """Regexp retrieval (the Lucene/ES RegexpQuery surface): each query's
+    text is one regular expression matched against ENTIRE dictionary terms
+    (Lucene's implicit anchoring — implemented as ``^(?:pat)$``); matching
+    terms score disjunctively with their own idf, the
+    `wildcard_bm25_topk` rewrite with regex in place of LIKE.
+
+    Dialect note: Spark evaluates Java regex, oracle engines typically
+    RE2/POSIX — callers should stay in the shared subset (literals,
+    ``.``, ``[...]`` classes, ``|`` alternation, ``* + ?`` quantifiers,
+    ``(...)`` groups); lookaround/backreferences are Java-only and
+    explicitly out of contract.
+
+    Scale: identical to wildcard — a broadcast-nested-loop of the
+    vocab-sized dictionary against the broadcast pattern list (regex can't
+    prune a term-ordered scan; Lucene walks its FST with the regex
+    automaton, the analog of this one narrow vocab pass), then a scoring
+    join sized by the expansion's total df, left to Catalyst/AQE.
+    """
+    post, ds, n_docs, avgdl = _corpus_parts(docs, conf, text_col, id_col)
+    pats = _regexp_patterns(queries).withColumn(
+        "pat", F.concat(F.lit("^(?:"), F.col("pattern"), F.lit(")$"))
+    )
+    ts = term_stats(post)
+    expanded = (
+        ts.join(F.broadcast(pats), F.expr("term RLIKE pat"))
+        .select("query_id", "term", "df")
+        .dropDuplicates(["query_id", "term"])
+        .withColumn("idf", idf_col(n_docs, "df"))
+    )
+    return rank_topk(
+        _maybe_round(
+            _score_terms(post, ds, avgdl, expanded, conf, broadcast_terms=False),
+            round_dp,
+        ),
+        k,
+    )
+
+
+def regexp_bm25_topk_indexed(
+    spark,
+    idx,
+    queries: DataFrame,
+    k: int = 10,
+    round_dp: int | None = None,
+    max_expanded_terms: int = 65_536,
+) -> DataFrame:
+    """`regexp_bm25_topk` over a persisted index: the regex runs against
+    the index's own dictionary, then only the matched terms' posting
+    blocks are read (same pruned scan and ``max_expanded_terms``
+    driver-OOM guard as the other expansion-query indexed variants)."""
+    pats = _regexp_patterns(queries).withColumn(
+        "pat", F.concat(F.lit("^(?:"), F.col("pattern"), F.lit(")$"))
+    )
+    expanded = (
+        idx.dictionary.join(F.broadcast(pats), F.expr("term RLIKE pat"))
+        .select("query_id", "term")
+        .dropDuplicates(["query_id", "term"])
+    )
+    exp_local = _collect_expansion(spark, expanded, max_expanded_terms, "regexp")
+    scored = _indexed_scored(spark, idx, queries, qterms=exp_local)
+    return rank_topk(_maybe_round(scored, round_dp), k)

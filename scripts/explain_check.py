@@ -311,6 +311,21 @@ def main() -> int:
         f"segment scans present: {seg_scans}",
     )
 
+    # regexp: same expansion discipline — pruned posting scan, no corpus text
+    from igd_spark.querylang import regexp_bm25_topk_indexed
+
+    rq = spark.createDataFrame(
+        [(0, "err.r|t.meout")], "query_id long, query_text string"
+    )
+    rplan = fmt(regexp_bm25_topk_indexed(spark, idx, rq))
+    assert_pruned_scan("regexp_bm25_topk_indexed scan", rplan)
+    r_schemas = re.findall(r"ReadSchema: struct<([^>]*)>", rplan)
+    check(
+        "regexp_bm25_topk_indexed never scans the corpus text",
+        bool(r_schemas) and not any("text:" in s for s in r_schemas),
+        f"scanned schemas: {r_schemas}",
+    )
+
     # 11. parsed query language: one composed plan, no cartesian; the
     # indexed path stays on pruned blocks and never touches corpus text
     from igd_spark import parsed_bm25_topk, parsed_bm25_topk_indexed

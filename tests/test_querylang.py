@@ -775,3 +775,47 @@ def test_rrf_fuse_hand_check(spark):
         rrf_fuse([])
     with pytest.raises(ValueError):
         rrf_fuse([a], kappa=0.0)
+
+
+def test_regexp_alternation_equals_disjunction(spark, docs):
+    from igd_spark.querylang import regexp_bm25_topk
+    from igd_spark.search import exact_bm25_topk
+
+    t1, t2 = _pick_terms(docs, 2)
+    rq = _queries(spark, [(0, f"{t1}|{t2}")])
+    plain = _queries(spark, [(0, f"{t1} {t2}")])
+    a = _sorted(regexp_bm25_topk(docs, rq, k=50, round_dp=9))
+    b = _sorted(exact_bm25_topk(docs, plain, k=50).withColumn(
+        "score", F.round("score", 9)))
+    pd.testing.assert_frame_equal(a, b)
+
+
+def test_regexp_full_term_anchoring(spark, docs):
+    from igd_spark.querylang import regexp_bm25_topk
+    from igd_spark.stats import term_stats
+    from igd_spark.tokenizer import postings
+
+    vocab = {r["term"] for r in term_stats(postings(docs)).select("term").collect()}
+    t = next(
+        w for w in sorted(vocab) if len(w) >= 4 and w[:-1] not in vocab
+    )
+    sub = t[:-1]
+    # a substring of a vocab term matches NOTHING without explicit .* —
+    # Lucene RegexpQuery implicit anchoring
+    anchored = regexp_bm25_topk(docs, _queries(spark, [(0, sub)]), k=5)
+    assert anchored.count() == 0
+    wrapped = regexp_bm25_topk(docs, _queries(spark, [(0, f"{sub}.*")]), k=5)
+    assert wrapped.count() > 0
+
+
+def test_regexp_indexed_identity(spark, docs, built_idx):
+    from igd_spark.querylang import regexp_bm25_topk, regexp_bm25_topk_indexed
+
+    t1, t2 = _pick_terms(docs, 2)
+    q = _queries(
+        spark,
+        [(0, f"{t1}|{t2}"), (1, f"{t1[:2]}.*"), (2, "zzznotavocab")],
+    )
+    a = _sorted(regexp_bm25_topk(docs, q, k=50, conf=built_idx.conf, round_dp=9))
+    b = _sorted(regexp_bm25_topk_indexed(spark, built_idx, q, k=50, round_dp=9))
+    pd.testing.assert_frame_equal(a, b)
