@@ -108,6 +108,9 @@ TOPHITS_HITS = 3
 RESCORE_WINDOW = 30
 RESCORE_QW = 1.0
 RESCORE_RW = 2.0
+TV_MOD = 211                  # term_vectors request: doc_id % TV_MOD == 0
+DECAY_ORIGIN = 200.0          # function_score gauss decay on n_chars
+DECAY_SCALE = 120.0
 # Lucene RegexpQuery: one regex per query, full-term match, patterns kept
 # in the Java∩RE2 shared subset (classes, alternation, quantifiers)
 REGEXP_QUERY_SET: list[tuple[int, str]] = [
@@ -977,6 +980,30 @@ def q_top_hits_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_term_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # ES _termvectors: per requested doc, (term, tf) + global df + dl
+    from igd_spark import term_vectors
+
+    docs = _docs(spark, sf_dir)
+    ids = docs.filter(F.col("doc_id") % TV_MOD == 0).select("doc_id")
+    return term_vectors(docs, ids)
+
+
+def q_function_score_decay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # ES function_score gauss decay: bm25 × exp(-(v-origin)²/(2·scale²)) —
+    # the numeric-decay member of the boost family (boosted_bm25_topk is
+    # the general score-function seam)
+    from igd_spark import boosted_bm25_topk
+
+    decay = (
+        f"exp(-pow(n_chars - {DECAY_ORIGIN}, 2)"
+        f" / (2.0 * {DECAY_SCALE} * {DECAY_SCALE}))"
+    )
+    return boosted_bm25_topk(
+        _docs(spark, sf_dir), _queries_df(spark), boost=decay, k=K, round_dp=6
+    )
+
+
 def _regexp_queries_df(spark: SparkSession) -> DataFrame:
     return spark.createDataFrame(
         [(int(q), t) for q, t in REGEXP_QUERY_SET],
@@ -1093,6 +1120,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rescore_topk": q_rescore_topk,
         "regexp_bm25_topk": q_regexp_bm25_topk,
         "regexp_bm25_topk_indexed": q_regexp_bm25_topk_indexed,
+        "term_vectors": q_term_vectors,
+        "function_score_decay": q_function_score_decay,
         "match_enumerate": q_match_enumerate,
         "term_cooccurrence": q_term_cooccurrence,
         "term_cooccurrence_mintf": q_term_cooccurrence_mintf,
@@ -2566,5 +2595,27 @@ ranked AS (
 SELECT query_id, rank, doc_id, score FROM ranked WHERE rank <= {K}
 """
     sql["regexp_bm25_topk_indexed"] = sql["regexp_bm25_topk"]
+
+    sql["term_vectors"] = f"""
+WITH {_TL}, {_TOKS}, {_POST}, {_DL}, {_TS}
+SELECT p.doc_id, p.term, p.tf::INT AS tf, ts.df::BIGINT AS df, dl.dl::INT AS dl
+FROM post p JOIN ts USING (term) JOIN dl ON p.doc_id = dl.doc_id
+WHERE p.doc_id % {TV_MOD} = 0
+"""
+
+    sql["function_score_decay"] = f"""
+WITH {_TL}, {_TOKS}, {_POST}, {_DL}, {_CS}, {_TS}, {_QT}, {_SCORED},
+boosted AS (
+  SELECT s.query_id, s.doc_id,
+         s.s * exp(-pow(d.n_chars - {DECAY_ORIGIN}, 2)
+                   / (2.0 * {DECAY_SCALE} * {DECAY_SCALE})) AS s
+  FROM scored s JOIN documents d ON d.doc_id = s.doc_id),
+ranked AS (
+  SELECT query_id, doc_id, round(s, 6) AS score,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY round(s, 6) DESC, doc_id ASC)::INT AS rank
+  FROM boosted)
+SELECT query_id, rank, doc_id, score FROM ranked WHERE rank <= {K}
+"""
 
     return sql

@@ -123,7 +123,7 @@ from igd_spark.similarity import (
     lsh_ann_topk,
     pick_anchors,
 )
-from igd_spark.stats import corpus_stats, doc_stats, term_stats
+from igd_spark.stats import corpus_stats, doc_stats, term_stats, term_vectors
 from igd_spark.textstats import fingerprint, keywords_topk, lang_id, simhash, text_stats
 from igd_spark.trainprep import (
     decontaminate,
@@ -239,6 +239,7 @@ __all__ = [
     "synth_transcripts",
     "term_cooccurrence",
     "term_stats",
+    "term_vectors",
     "text_stats",
     "tokens_col",
     "wildcard_bm25_topk",

@@ -819,3 +819,16 @@ def test_regexp_indexed_identity(spark, docs, built_idx):
     a = _sorted(regexp_bm25_topk(docs, q, k=50, conf=built_idx.conf, round_dp=9))
     b = _sorted(regexp_bm25_topk_indexed(spark, built_idx, q, k=50, round_dp=9))
     pd.testing.assert_frame_equal(a, b)
+
+
+def test_term_vectors_bruteforce_and_dictionary_parity(spark, docs, built_idx):
+    from igd_spark import term_vectors
+
+    ids = docs.select("doc_id").orderBy("doc_id").limit(3)
+    a = _sorted(term_vectors(docs, ids, conf=built_idx.conf))
+    # df from the persisted dictionary must equal the corpus-pass df
+    b = _sorted(term_vectors(docs, ids, conf=built_idx.conf,
+                             dictionary=built_idx.dictionary))
+    pd.testing.assert_frame_equal(a, b)
+    g = a.groupby("doc_id").agg(tf_sum=("tf", "sum"), dl=("dl", "first"))
+    assert (g["tf_sum"] == g["dl"]).all(), "per-doc tf must sum to dl"
