@@ -109,6 +109,7 @@ RESCORE_WINDOW = 30
 RESCORE_QW = 1.0
 RESCORE_RW = 2.0
 TV_MOD = 211                  # term_vectors request: doc_id % TV_MOD == 0
+DEL_MOD = 137                 # delete set: doc_id % DEL_MOD == 0
 DECAY_ORIGIN = 200.0          # function_score gauss decay on n_chars
 DECAY_SCALE = 120.0
 # Lucene RegexpQuery: one regex per query, full-term match, patterns kept
@@ -980,6 +981,55 @@ def q_top_hits_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_DELETED_INDEX_CACHE: dict[tuple[str, str], object] = {}
+
+
+def _mutated_index(spark: SparkSession, sf_dir: str, mode: str):
+    """Fresh index + delete of (doc_id % DEL_MOD == 0); mode='tombstone'
+    stops there (Lucene frozen-stats phase), mode='expunged' also
+    compacts (force-merge: postings dropped, stats recomputed)."""
+    import tempfile as _tf
+
+    from igd_spark import IndexConf, build_index, compact_index, delete_docs
+
+    key = (sf_dir, mode)
+    if key not in _DELETED_INDEX_CACHE:
+        path = _tf.mkdtemp(prefix=f"igd_{mode}_") + "/idx"
+        conf = IndexConf(
+            block_size=64, n_shards=16, salt_df_threshold=1024, max_salts=8,
+            store_positions=True,
+        )
+        docs = _docs(spark, sf_dir)
+        build_index(spark, docs, path, conf=conf)
+        ids = docs.filter(F.col("doc_id") % DEL_MOD == 0).select("doc_id")
+        idx = delete_docs(spark, path, ids, delete_tag="gate_del")
+        if mode == "expunged":
+            idx = compact_index(spark, path)
+        _DELETED_INDEX_CACHE[key] = idx
+    return _DELETED_INDEX_CACHE[key]
+
+
+def q_bm25_topk_deleted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # tombstone phase: deleted docs vanish from results, idf/avgdl FROZEN
+    # (the Lucene deleted-docs contract) — oracle scores with full-corpus
+    # stats and merely excludes the deleted ids
+    from igd_spark import search as _search_mod
+
+    idx = _mutated_index(spark, sf_dir, "tombstone")
+    out = _search_mod(spark, idx, _queries_df(spark), k=K + 15)
+    return _rank_rounded(out.select("query_id", "doc_id", "score"), K)
+
+
+def q_bm25_topk_expunged(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # force-merge phase: postings physically dropped, n_docs/avgdl/df
+    # recomputed — oracle is the standard bm25 over the SURVIVING corpus
+    from igd_spark import search as _search_mod
+
+    idx = _mutated_index(spark, sf_dir, "expunged")
+    out = _search_mod(spark, idx, _queries_df(spark), k=K + 15)
+    return _rank_rounded(out.select("query_id", "doc_id", "score"), K)
+
+
 def q_term_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
     # ES _termvectors: per requested doc, (term, tf) + global df + dl
     from igd_spark import term_vectors
@@ -1122,6 +1172,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "regexp_bm25_topk_indexed": q_regexp_bm25_topk_indexed,
         "term_vectors": q_term_vectors,
         "function_score_decay": q_function_score_decay,
+        "bm25_topk_deleted": q_bm25_topk_deleted,
+        "bm25_topk_expunged": q_bm25_topk_expunged,
         "match_enumerate": q_match_enumerate,
         "term_cooccurrence": q_term_cooccurrence,
         "term_cooccurrence_mintf": q_term_cooccurrence_mintf,
@@ -2601,6 +2653,29 @@ WITH {_TL}, {_TOKS}, {_POST}, {_DL}, {_TS}
 SELECT p.doc_id, p.term, p.tf::INT AS tf, ts.df::BIGINT AS df, dl.dl::INT AS dl
 FROM post p JOIN ts USING (term) JOIN dl ON p.doc_id = dl.doc_id
 WHERE p.doc_id % {TV_MOD} = 0
+"""
+
+    sql["bm25_topk_deleted"] = f"""
+WITH {_TL}, {_TOKS}, {_POST}, {_DL}, {_CS}, {_TS}, {_QT}, {_SCORED},
+ranked AS (
+  SELECT query_id, doc_id, round(s, 6) AS score,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY round(s, 6) DESC, doc_id ASC)::INT AS rank
+  FROM scored WHERE doc_id % {DEL_MOD} <> 0)
+SELECT query_id, rank, doc_id, score FROM ranked WHERE rank <= {K}
+"""
+
+    _TLX = _TL.replace(
+        "FROM documents)", f"FROM documents WHERE doc_id % {DEL_MOD} <> 0)"
+    )
+    sql["bm25_topk_expunged"] = f"""
+WITH {_TLX}, {_TOKS}, {_POST}, {_DL}, {_CS}, {_TS}, {_QT}, {_SCORED},
+ranked AS (
+  SELECT query_id, doc_id, round(s, 6) AS score,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY round(s, 6) DESC, doc_id ASC)::INT AS rank
+  FROM scored)
+SELECT query_id, rank, doc_id, score FROM ranked WHERE rank <= {K}
 """
 
     sql["function_score_decay"] = f"""

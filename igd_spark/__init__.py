@@ -52,6 +52,8 @@ from igd_spark.index import (
     append_index,
     build_index,
     compact_index,
+    delete_by_query,
+    delete_docs,
     maintain_index,
     open_index,
     purge_staging,
@@ -160,6 +162,8 @@ __all__ = [
     "curated_docs",
     "decontaminate",
     "dedup_clusters",
+    "delete_by_query",
+    "delete_docs",
     "doc_stats",
     "exact_bm25_topk",
     "exact_dedup",

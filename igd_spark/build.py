@@ -232,12 +232,24 @@ def build_segments(salted: DataFrame, conf: IndexConf, avgdl: float) -> DataFram
     return packed.sortWithinPartitions("shard", "term_id", "salt", "block_id")
 
 
-def _repack_stream_kernel(conf: IndexConf, avgdl: float):
+def _live_mask(d: np.ndarray, deleted: np.ndarray) -> np.ndarray:
+    """Boolean live-docs mask for decoded doc ids against a SORTED deleted
+    array — one searchsorted, no per-element python."""
+    if deleted.size == 0:
+        return np.ones(d.size, dtype=bool)
+    pos = np.minimum(np.searchsorted(deleted, d), deleted.size - 1)
+    return deleted[pos] != d
+
+
+def _repack_stream_kernel(conf: IndexConf, avgdl: float, deleted_bc=None):
     """Compaction kernel: consumes EXISTING block rows sorted by
     (term_id, salt, block_id), merges each (term, salt) list (base + append
     deltas), re-sorts by doc_id, and re-packs fixed-size blocks with score
     bounds under the CURRENT avgdl — the igd_save finalize pass
-    (src/igd_base.c:424-459) run as maintenance instead of initial build."""
+    (src/igd_base.c:424-459) run as maintenance instead of initial build.
+    ``deleted_bc`` (broadcast sorted int64 doc ids) is the EXPUNGE path:
+    tombstoned postings are dropped between decode and re-pack (the Lucene
+    force-merge deleted-docs drop)."""
     k1, b, bs = conf.k1, conf.b, conf.block_size
     names = [f.name for f in BLOCK_SCHEMA.fields]
 
@@ -252,6 +264,11 @@ def _repack_stream_kernel(conf: IndexConf, avgdl: float):
         dl = codec.varint_decode(b"".join(bytes(x) for x in g["dls"])).astype(np.int64)
         order = np.argsort(d, kind="stable")
         d, t, dl = d[order], t[order], dl[order]
+        if deleted_bc is not None:
+            keep = _live_mask(d, deleted_bc.value)
+            d, t, dl = d[keep], t[keep], dl[keep]
+            if d.size == 0:  # fully-deleted list: emit nothing
+                return
         w = t * (k1 + 1.0) / (t + k1 * (1.0 - b + b * dl.astype(np.float64) / avgdl))
         term = g["term"].iat[0]
         tid = int(g["term_id"].iat[0])
@@ -308,16 +325,22 @@ def _repack_stream_kernel(conf: IndexConf, avgdl: float):
     return kernel
 
 
-def repack_segments(segments: DataFrame, conf: IndexConf, avgdl: float) -> DataFrame:
+def repack_segments(
+    segments: DataFrame, conf: IndexConf, avgdl: float, deleted=None
+) -> DataFrame:
     """Existing block rows → merged, re-blocked, bound-refreshed block rows
-    (same one-shuffle shape as build_segments)."""
+    (same one-shuffle shape as build_segments).  ``deleted``: optional
+    broadcast of sorted deleted doc ids — expunges tombstoned postings
+    during the repack (compact_index's force-merge path)."""
     from igd_spark.session import kernel_parallelism
 
     n_parts = kernel_parallelism(segments.sparkSession, conf.n_shards)
     stream = segments.repartition(n_parts, "shard").sortWithinPartitions(
         "term_id", "salt", "block_id"
     )
-    packed = stream.mapInPandas(_repack_stream_kernel(conf, avgdl), schema=BLOCK_SCHEMA)
+    packed = stream.mapInPandas(
+        _repack_stream_kernel(conf, avgdl, deleted_bc=deleted), schema=BLOCK_SCHEMA
+    )
     return packed.sortWithinPartitions("shard", "term_id", "salt", "block_id")
 
 
@@ -437,10 +460,13 @@ def build_position_segments(
     return packed.sortWithinPartitions("shard", "term_id", "salt", "block_id")
 
 
-def repack_position_segments(positions: DataFrame, conf: IndexConf) -> DataFrame:
+def repack_position_segments(
+    positions: DataFrame, conf: IndexConf, deleted=None
+) -> DataFrame:
     """Compaction for positional blocks: merge each (term, salt) list
     (base + append deltas), re-sort occurrences by (doc_id, pos), re-pack
-    fixed-size blocks."""
+    fixed-size blocks.  ``deleted`` expunges tombstoned occurrences like
+    `repack_segments`."""
     from igd_spark.session import kernel_parallelism
 
     bs = conf.block_size
@@ -456,6 +482,11 @@ def repack_position_segments(positions: DataFrame, conf: IndexConf) -> DataFrame
         p = codec.varint_decode(b"".join(bytes(x) for x in g["poss"])).astype(np.int64)
         order = np.lexsort((p, d))
         d, p = d[order], p[order]
+        if deleted is not None:
+            keep = _live_mask(d, deleted.value)
+            d, p = d[keep], p[keep]
+            if d.size == 0:
+                return
         term = g["term"].iat[0]
         tid = int(g["term_id"].iat[0])
         shard = int(g["shard"].iat[0])

@@ -113,6 +113,21 @@ def _batches_root(path: str) -> str:
     return os.path.join(path, "batches")
 
 
+def _tombstones_root(path: str) -> str:
+    return os.path.join(path, "tombstones")
+
+
+def _list_tombstones(path: str) -> list[str]:
+    root = _tombstones_root(path)
+    if not os.path.isdir(root):
+        return []
+    return sorted(
+        d
+        for d in os.listdir(root)
+        if not d.startswith("_") and os.path.isdir(os.path.join(root, d))
+    )
+
+
 def _list_batches(path: str) -> list[str]:
     root = _batches_root(path)
     if not os.path.isdir(root):
@@ -136,7 +151,12 @@ class InvertedIndex:
     layout stands in for)."""
 
     def __init__(
-        self, spark: SparkSession, path: str, meta: dict, batches: list[str] | None = None
+        self,
+        spark: SparkSession,
+        path: str,
+        meta: dict,
+        batches: list[str] | None = None,
+        tombstones: list[str] | None = None,
     ):
         self.spark = spark
         self.path = path
@@ -148,8 +168,13 @@ class InvertedIndex:
         self.n_docs: int = meta["corpus"]["n_docs"]
         self.avgdl: float = meta["corpus"]["avgdl"]
         self.batches: list[str] = list(batches) if batches is not None else []
+        self.tombstone_tags: list[str] = (
+            list(tombstones) if tombstones is not None else []
+        )
         self._segments: DataFrame | None = None
         self._dictionary: DataFrame | None = None
+        self._tombstones: DataFrame | None = None
+        self._tombstones_np = None
 
     def _union_read(self, sub: str) -> DataFrame:
         """base/<sub> ∪ batches/<tag>/<sub> for every committed batch —
@@ -194,6 +219,63 @@ class InvertedIndex:
     @property
     def doc_stats(self) -> DataFrame:
         return self._union_read("doc_stats")
+
+    @property
+    def tombstones(self) -> DataFrame | None:
+        """(doc_id) of every delete batch committed at open time — the
+        Lucene live-docs bitset analog, served as a table.  ``None`` when
+        the handle has no deletes (the overwhelmingly common case pays
+        nothing).  Like batches, the tag list is this handle's SNAPSHOT:
+        deletes committed after open stay invisible to it."""
+        if not self.tombstone_tags:
+            return None
+        if self._tombstones is None:
+            out = None
+            for tag in self.tombstone_tags:
+                d = self.spark.read.parquet(
+                    os.path.join(_tombstones_root(self.path), tag)
+                )
+                out = d if out is None else out.unionByName(d)
+            self._tombstones = out.select("doc_id").distinct()
+        return self._tombstones
+
+    def live_docs(self, df: DataFrame, col: str = "doc_id") -> DataFrame:
+        """Drop tombstoned docs from a (…, doc_id, …) frame — a broadcast
+        anti-join, the DataFrame-side live-docs filter every decoded-
+        postings path applies.  No-op (same plan) without deletes."""
+        ts = self.tombstones
+        if ts is None:
+            return df
+        return df.join(
+            F.broadcast(ts.withColumnRenamed("doc_id", col)), col, "left_anti"
+        )
+
+    def tombstones_array(self):
+        """Sorted int64 numpy array of deleted doc ids (None without
+        deletes) — the kernel-side live-docs filter for the MaxScore and
+        driver kernels.  Read via pyarrow (no Spark job) and cached per
+        handle.  Between compactions a tombstone set is expected to stay a
+        small fraction of the corpus (the Lucene deleted-docs guidance —
+        expunge via compact_index when it grows); at ~8 B/doc the broadcast
+        cost is explicit and linear, and compact_index removes it."""
+        if not self.tombstone_tags:
+            return None
+        if self._tombstones_np is None:
+            import numpy as np
+            import pyarrow.dataset as pads
+
+            arrs = [
+                pads.dataset(
+                    os.path.join(_tombstones_root(self.path), tag), format="parquet"
+                )
+                .to_table(columns=["doc_id"])["doc_id"]
+                .to_numpy(zero_copy_only=False)
+                for tag in self.tombstone_tags
+            ]
+            self._tombstones_np = np.unique(
+                np.concatenate(arrs).astype(np.int64)
+            )
+        return self._tombstones_np
 
     @property
     def positions(self) -> DataFrame:
@@ -452,6 +534,94 @@ def append_index(
     return open_index(spark, path)
 
 
+def delete_docs(
+    spark: SparkSession,
+    path: str,
+    doc_ids: DataFrame,
+    delete_tag: str | None = None,
+) -> InvertedIndex:
+    """Delete documents by id with Lucene tombstone semantics (the ES
+    delete/_delete_by_query surface; the reference engine has no delete —
+    this is index maintenance the fulltext tier requires).
+
+    Semantics — exactly Lucene's deleted-docs contract: tombstoned docs
+    disappear from every search/enumeration result IMMEDIATELY, but
+    collection statistics (n_docs, avgdl, df — hence idf and every BM25
+    weight) keep counting them until a merge expunges them
+    (`compact_index` here).  Surviving docs' scores are therefore
+    bit-identical before and after a delete; only the result SET shrinks.
+
+    COMMIT PROTOCOL: the same staging + single-atomic-rename discipline as
+    `append_index` — the (doc_id) parquet is written to _staging/, then one
+    os.rename publishes it as tombstones/<tag>/.  The tag dir is data,
+    commit record, and idempotency marker at once; base tables are never
+    touched, and open handles keep serving their snapshot (a handle opened
+    before the delete still sees the docs — Iceberg snapshot isolation).
+
+    Scale: a tombstone batch is one narrow distinct write; readers fold all
+    batches with a broadcast anti-join (DataFrame paths) or a sorted-array
+    searchsorted filter (numpy kernels).  Run `compact_index` when the
+    tombstone set grows past a small corpus fraction — expunge restores
+    zero-cost reads and exact stats.
+    """
+    if delete_tag is None:
+        delete_tag = "del_" + os.urandom(8).hex()
+    committed = os.path.join(_tombstones_root(path), delete_tag)
+    if os.path.isdir(committed):  # replayed tag → idempotent no-op
+        return open_index(spark, path)
+    idx = open_index(spark, path)  # also refuses a dirty index
+    t0 = time.time()
+    staging = os.path.join(path, "_staging", "tombstone_" + delete_tag)
+    if os.path.isdir(staging):
+        import shutil
+
+        shutil.rmtree(staging)
+    ids = (
+        doc_ids.select(F.col(doc_ids.columns[0]).cast("long").alias("doc_id"))
+        .dropna()
+        .distinct()
+    )
+    ids.write.mode("overwrite").parquet(staging)
+    os.makedirs(_tombstones_root(path), exist_ok=True)
+    try:
+        os.rename(staging, committed)  # THE commit — atomic on one filesystem
+    except OSError:
+        if os.path.isdir(committed):  # lost a concurrent race on the same tag
+            return open_index(spark, path)
+        raise
+    _write_lineage(
+        path,
+        f"delete_{delete_tag}",
+        {"secs": time.time() - t0, "delete_tag": delete_tag,
+         "prior_deletes": len(idx.tombstone_tags)},
+    )
+    return open_index(spark, path)
+
+
+def delete_by_query(
+    spark: SparkSession,
+    path: str,
+    queries: DataFrame,
+    min_tf: int = 0,
+    delete_tag: str | None = None,
+) -> InvertedIndex:
+    """ES ``_delete_by_query``: tombstone every doc matching ≥1 term of
+    ``queries`` (query_id, query_text), optionally tf-filtered.  The match
+    set comes from the index's own pruned-block enumeration — no corpus
+    scan — then feeds `delete_docs` (one narrow distinct write + atomic
+    rename).  The enumeration respects EXISTING tombstones, so re-running
+    the same delete-by-query is a cheap no-op-sized batch."""
+    from igd_spark.search import match_enumerate
+
+    idx = open_index(spark, path)
+    me = match_enumerate(spark, idx, queries)
+    if min_tf > 0:
+        me = me.filter(F.col("tf") >= min_tf)
+    return delete_docs(
+        spark, path, me.select("doc_id").distinct(), delete_tag=delete_tag
+    )
+
+
 def purge_staging(path: str, active_tags: set[str] | None = None) -> list[str]:
     """Delete crashed-append leftovers under <path>/_staging. Staging dirs
     are invisible to readers and a crashed append never retries under a
@@ -487,21 +657,57 @@ def compact_index(spark: SparkSession, path: str) -> InvertedIndex:
 
     idx = open_index(spark, path)  # handle over base ∪ batches, folded stats
     t0 = time.time()
-    new_seg = repack_segments(idx.segments, idx.conf, idx.avgdl)
+    # EXPUNGE (Lucene force-merge): tombstoned postings are dropped during
+    # the repack decode, doc_stats shrinks by anti-join, and — unlike the
+    # tombstone phase, which freezes stats — n_docs/avgdl/df are recomputed
+    # so the compacted index is bit-identical to a fresh build over the
+    # surviving corpus (rank-identity-tested). The deleted set rides a
+    # Spark broadcast (sorted int64; ~8 B/doc — the size compact_index
+    # exists to keep bounded).
+    tomb = idx.tombstones_array()
+    deleted_bc = (
+        spark.sparkContext.broadcast(tomb)
+        if tomb is not None and tomb.size
+        else None
+    )
+    if deleted_bc is not None:
+        live_ds = idx.live_docs(idx.doc_stats)
+        st = live_ds.agg(
+            F.count("*").alias("n"),
+            F.coalesce(F.sum("dl"), F.lit(0)).cast("long").alias("s"),
+        ).collect()[0]
+        n_docs2, sum_dl2 = int(st["n"]), int(st["s"])
+        avgdl2 = (sum_dl2 / n_docs2) if n_docs2 else 0.0
+    else:
+        live_ds = idx.doc_stats
+        avgdl2 = idx.avgdl
+    new_seg = repack_segments(idx.segments, idx.conf, avgdl2, deleted=deleted_bc)
     tmp = os.path.join(path, "segments_compacted")
     new_seg.write.mode("overwrite").partitionBy("shard").parquet(tmp)
     tmp_dict = os.path.join(path, "dictionary_compacted")
-    idx.dictionary.write.mode("overwrite").parquet(tmp_dict)
+    if deleted_bc is None:
+        idx.dictionary.write.mode("overwrite").parquet(tmp_dict)
+    else:
+        # df after expunge = surviving postings per term — read back off the
+        # just-written segments (one narrow scan); zero-df terms drop out
+        surv = (
+            spark.read.parquet(tmp)
+            .groupBy("term_id")
+            .agg(F.sum("n").cast("long").alias("df"))
+        )
+        idx.dictionary.drop("df").join(surv, "term_id").select(
+            "term", "term_id", "df", "n_salts"
+        ).write.mode("overwrite").parquet(tmp_dict)
     idx.dictionary.unpersist()
     idx._dictionary = None
     tmp_ds = os.path.join(path, "doc_stats_compacted")
-    idx.doc_stats.write.mode("overwrite").parquet(tmp_ds)
+    live_ds.write.mode("overwrite").parquet(tmp_ds)
     tmp_pos = None
     if idx.conf.store_positions:
         from igd_spark.build import repack_position_segments
 
         tmp_pos = os.path.join(path, "positions_compacted")
-        repack_position_segments(idx.positions, idx.conf).write.mode(
+        repack_position_segments(idx.positions, idx.conf, deleted=deleted_bc).write.mode(
             "overwrite"
         ).partitionBy("shard").parquet(tmp_pos)
     # marker covers the swaps + batch-dir removal (the tmp writes are
@@ -538,6 +744,28 @@ def compact_index(spark: SparkSession, path: str) -> InvertedIndex:
         for f in os.listdir(lin):
             if f.startswith("applied_"):
                 os.remove(os.path.join(lin, f))
+    if idx.tombstone_tags:
+        import shutil
+
+        # same discipline as batches: remove ONLY the tombstone batches this
+        # compaction's snapshot expunged — a delete committed concurrently
+        # (after our open_index) was not folded and must stay live
+        for tag in idx.tombstone_tags:
+            shutil.rmtree(
+                os.path.join(_tombstones_root(path), tag), ignore_errors=True
+            )
+        if not _list_tombstones(path):
+            shutil.rmtree(_tombstones_root(path), ignore_errors=True)
+    if deleted_bc is not None:
+        # expunged: stats now describe the surviving corpus exactly
+        idx.meta["corpus"] = {
+            "n_docs": n_docs2,
+            "avgdl": avgdl2,
+            "sum_dl": sum_dl2,
+            "docs_dropped": int(idx.meta["corpus"].get("docs_dropped", 0)),
+        }
+        deleted_bc.unpersist()
+    idx.meta["deletes"] = len(_list_tombstones(path))
     # idx.meta["corpus"] is already the folded totals (open_index folds
     # batch deltas); with the batches merged into the base it becomes the
     # base meta
@@ -615,4 +843,6 @@ def open_index(
             "docs_dropped": dropped,
         }
     meta["appends"] = len(batches)
-    return InvertedIndex(spark, path, meta, batches=batches)
+    tombstones = _list_tombstones(path)
+    meta["deletes"] = len(tombstones)
+    return InvertedIndex(spark, path, meta, batches=batches, tombstones=tombstones)

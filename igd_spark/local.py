@@ -81,6 +81,11 @@ class LocalSearcher:
         self.n_docs = idx.n_docs
         self.avgdl = idx.avgdl
         self.batches = list(idx.batches)
+        # live-docs snapshot: sorted deleted-doc array (None without
+        # deletes) — same Lucene tombstone semantics as the cluster kernel;
+        # read via pyarrow at handle-open time, so list-cache entries are
+        # pre-filtered and stay valid for this snapshot
+        self._deleted = idx.tombstones_array()
         self._dict_cache: dict[str, tuple[int, int, int] | None] = {}
         # term_id → (doc_ids, tf, dl) concatenated over all salts/blocks/
         # batches — raw (pre-BM25) so one cache serves every (k, min_tf)
@@ -212,6 +217,16 @@ class LocalSearcher:
             ).astype(np.float64)
             starts = np.concatenate(([0], ends[:-1]))
             tids_arr = blocks["term_id"].to_numpy(dtype=np.int64)
+            if self._deleted is not None and self._deleted.size:
+                from igd_spark.build import _live_mask
+
+                keep = _live_mask(d_all, self._deleted)
+                # lens per block survive via padded cumsum, but the list
+                # cache is per-term concatenations — filter the flat arrays
+                # and remap block offsets through the survivor cumsum
+                surv = np.concatenate(([0], np.cumsum(keep.astype(np.int64))))
+                d_all, tf_all, dl_all = d_all[keep], tf_all[keep], dl_all[keep]
+                starts, ends = surv[starts], surv[ends]
             for tid in np.unique(tids_arr):
                 rows = np.flatnonzero(tids_arr == tid)
                 idxs = np.concatenate(

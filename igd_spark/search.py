@@ -128,6 +128,7 @@ def _maxscore_kernel(
     b: float,
     avgdl: float,
     stats: dict | None = None,
+    deleted_bc=None,
 ):
     """Bucketed, per-query-vectorized MaxScore (cogrouped form).
 
@@ -187,8 +188,18 @@ def _maxscore_kernel(
         d = c - np.repeat(cpad[starts], n_arr)
         tf = codec.varint_decode(tbuf).astype(np.float64)
         dl = codec.varint_decode(lbuf).astype(np.float64)
-        if min_tf > 0:
-            m = tf >= min_tf
+        m = tf >= min_tf if min_tf > 0 else None
+        if deleted_bc is not None:
+            # live-docs filter (Lucene tombstone semantics): deleted docs
+            # vanish from results here at the decode boundary, while
+            # idf/avgdl stay the handle's frozen stats — surviving docs'
+            # scores are bit-identical pre/post delete. Stored block
+            # bounds remain valid upper bounds (filtering only shrinks).
+            from igd_spark.build import _live_mask
+
+            live = _live_mask(d, deleted_bc.value)
+            m = live if m is None else (m & live)
+        if m is not None:
             # per-row surviving counts via padded cumsum, not reduceat:
             # reduceat mis-sizes zero-n rows (duplicate start indices)
             mc = np.concatenate(([0], np.cumsum(m.astype(np.int64))))
@@ -543,6 +554,21 @@ def _driver_budgets(conf: IndexConf) -> tuple[int, int]:
     )
 
 
+def _tombstones_bc(spark: SparkSession, idx: InvertedIndex):
+    """Per-handle cached Spark broadcast of the sorted deleted-doc array
+    (None without deletes) — built once, reused by every search on this
+    handle; compact_index (expunge) makes it obsolete along with the
+    tombstones themselves."""
+    arr = idx.tombstones_array()
+    if arr is None or not arr.size:
+        return None
+    bc = getattr(idx, "_tombstones_spark_bc", None)
+    if bc is None:
+        bc = spark.sparkContext.broadcast(arr)
+        idx._tombstones_spark_bc = bc
+    return bc
+
+
 def _try_driver_route(
     spark: SparkSession,
     idx: InvertedIndex,
@@ -873,7 +899,9 @@ def search(
                 prologue_ms=1000 * (time.perf_counter() - t_prologue),
             )
     blocks = seg.join(F.broadcast(bt), "term_id")
-    kernel = _maxscore_kernel(k, min_tf, conf.k1, conf.b, idx.avgdl)
+    kernel = _maxscore_kernel(
+        k, min_tf, conf.k1, conf.b, idx.avgdl, deleted_bc=_tombstones_bc(spark, idx)
+    )
     # each group is a complete bucket of queries: the kernel emits final
     # ranked top-k directly — no post-shuffle window
     return (
@@ -1050,7 +1078,7 @@ def phrase_match_indexed(
             if outs:
                 yield pd.concat(outs)
 
-    j = blocks.mapInPandas(explode_anchors, schema=anchor_schema)
+    j = idx.live_docs(blocks.mapInPandas(explode_anchors, schema=anchor_schema))
     return _anchor_hits(j, plen)
 
 
@@ -1105,7 +1133,7 @@ def positional_enumerate(
             if outs:
                 yield pd.concat(outs)
 
-    return blocks.mapInPandas(explode_occ, schema=out_schema)
+    return idx.live_docs(blocks.mapInPandas(explode_occ, schema=out_schema))
 
 
 def search_one(
@@ -1205,7 +1233,10 @@ def match_enumerate(
             if outs:
                 yield pd.concat(outs)
 
-    return blocks.mapInPandas(explode_blocks, schema=out_schema)
+    # live-docs filter: tombstoned docs never leave the enumeration — this
+    # one anti-join covers every consumer (the indexed querylang scorers
+    # via _indexed_contrib, source_hits, delete_by_query re-runs)
+    return idx.live_docs(blocks.mapInPandas(explode_blocks, schema=out_schema))
 
 
 def source_hits(

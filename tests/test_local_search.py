@@ -317,6 +317,7 @@ def test_segmented_block_decode_matches_per_block(monkeypatch):
     ls = LocalSearcher.__new__(LocalSearcher)
     ls._list_cache = OrderedDict()
     ls._cache_postings = 0
+    ls._deleted = None
     ls.conf = type("C", (), {"n_shards": 1})()
     monkeypatch.setattr(ls, "_read_blocks", lambda tids, shards: blocks)
     tmap = {f"t{tid}": (tid, 1, 1) for tid in lists}
