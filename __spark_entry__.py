@@ -1080,6 +1080,89 @@ def q_regexp_bm25_topk_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_stats_agg_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from igd_spark import stats_agg_indexed
+
+    idx = _built_index(spark, sf_dir)
+    return stats_agg_indexed(
+        spark, idx, _docs(spark, sf_dir), _queries_df(spark), STATS_VALUE_COL,
+        round_dp=6,
+    )
+
+
+def q_histogram_agg_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from igd_spark import histogram_agg_indexed
+
+    idx = _built_index(spark, sf_dir)
+    return histogram_agg_indexed(
+        spark, idx, _docs(spark, sf_dir), _queries_df(spark), STATS_VALUE_COL,
+        HIST_INTERVAL,
+    )
+
+
+def q_cardinality_agg_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from igd_spark import cardinality_agg_indexed
+
+    idx = _built_index(spark, sf_dir)
+    return cardinality_agg_indexed(
+        spark, idx, _docs(spark, sf_dir), _queries_df(spark), CARD_FIELD
+    )
+
+
+def q_significant_terms_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from igd_spark import significant_terms_indexed
+
+    idx = _built_index(spark, sf_dir)
+    return significant_terms_indexed(
+        spark, idx, _docs(spark, sf_dir), _queries_df(spark), k=SIGTERMS_K,
+        min_fg=SIGTERMS_MIN_FG, round_dp=6,
+    )
+
+
+def q_top_hits_agg_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from igd_spark import top_hits_agg_indexed
+
+    idx = _built_index(spark, sf_dir)
+    return top_hits_agg_indexed(
+        spark, idx, _docs(spark, sf_dir), _queries_df(spark), FACET_COL,
+        k_buckets=TOPHITS_BUCKETS, k_hits=TOPHITS_HITS, round_dp=6,
+    )
+
+
+def q_search_after_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # same page-2 protocol, cursor AND page both from pruned index blocks
+    from igd_spark.querylang import _indexed_scored, search_after_topk_indexed
+
+    idx = _built_index(spark, sf_dir)
+    qs = _queries_df(spark)
+    scored = _indexed_scored(spark, idx, qs).withColumn(
+        "score", F.round("score", 6)
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc_id"))
+    cursor = (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") == K)
+        .select(
+            "query_id",
+            F.col("score").alias("after_score"),
+            F.col("doc_id").alias("after_doc_id"),
+        )
+    )
+    paged = qs.join(cursor.select("query_id"), "query_id", "left_semi")
+    return search_after_topk_indexed(spark, idx, paged, cursor, k=K, round_dp=6)
+
+
+def q_rescore_topk_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from igd_spark import rescore_topk_indexed
+
+    idx = _built_index(spark, sf_dir)
+    return rescore_topk_indexed(
+        spark, idx, _queries_df(spark), window_size=RESCORE_WINDOW,
+        query_weight=RESCORE_QW, rescore_weight=RESCORE_RW, mu=LMD_MU,
+        k=K, round_dp=6,
+    )
+
+
 def q_search_after(spark: SparkSession, sf_dir: str) -> DataFrame:
     # ES search_after keyset pagination: page 2 of the bm25 ranking — the
     # cursor is each query's rank-K row; queries with < K results have no
@@ -1167,7 +1250,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "significant_terms": q_significant_terms,
         "top_hits_agg": q_top_hits_agg,
         "search_after": q_search_after,
+        "search_after_indexed": q_search_after_indexed,
         "rescore_topk": q_rescore_topk,
+        "rescore_topk_indexed": q_rescore_topk_indexed,
+        "stats_agg_indexed": q_stats_agg_indexed,
+        "histogram_agg_indexed": q_histogram_agg_indexed,
+        "cardinality_agg_indexed": q_cardinality_agg_indexed,
+        "significant_terms_indexed": q_significant_terms_indexed,
+        "top_hits_agg_indexed": q_top_hits_agg_indexed,
         "regexp_bm25_topk": q_regexp_bm25_topk,
         "regexp_bm25_topk_indexed": q_regexp_bm25_topk_indexed,
         "term_vectors": q_term_vectors,
@@ -2654,6 +2744,14 @@ SELECT p.doc_id, p.term, p.tf::INT AS tf, ts.df::BIGINT AS df, dl.dl::INT AS dl
 FROM post p JOIN ts USING (term) JOIN dl ON p.doc_id = dl.doc_id
 WHERE p.doc_id % {TV_MOD} = 0
 """
+
+    sql["stats_agg_indexed"] = sql["stats_agg"]
+    sql["histogram_agg_indexed"] = sql["histogram_agg"]
+    sql["cardinality_agg_indexed"] = sql["cardinality_agg"]
+    sql["significant_terms_indexed"] = sql["significant_terms"]
+    sql["top_hits_agg_indexed"] = sql["top_hits_agg"]
+    sql["search_after_indexed"] = sql["search_after"]
+    sql["rescore_topk_indexed"] = sql["rescore_topk"]
 
     sql["bm25_topk_deleted"] = f"""
 WITH {_TL}, {_TOKS}, {_POST}, {_DL}, {_CS}, {_TS}, {_QT}, {_SCORED},

@@ -37,10 +37,15 @@ from igd_spark.tokenizer import postings
 
 __all__ = [
     "stats_agg",
+    "stats_agg_indexed",
     "histogram_agg",
+    "histogram_agg_indexed",
     "cardinality_agg",
+    "cardinality_agg_indexed",
     "significant_terms",
+    "significant_terms_indexed",
     "top_hits_agg",
+    "top_hits_agg_indexed",
 ]
 
 
@@ -54,6 +59,95 @@ def _match_set(
     """(query_id, doc_id, score): the disjunctive match set with its BM25
     mass — one scoring pass shared by every aggregation."""
     return bm25_scores(docs, queries, conf=conf, text_col=text_col, id_col=id_col)
+
+
+def _vals(docs: DataFrame, value_col: str, id_col: str) -> DataFrame:
+    """(doc_id, v:double) non-NULL numeric projection — the two-column
+    pushdown scan every metric agg joins."""
+    return docs.select(
+        F.col(id_col).alias("doc_id"), F.col(value_col).cast("double").alias("v")
+    ).filter(F.col("v").isNotNull())
+
+
+def _stats_epilogue(
+    m: DataFrame, vals: DataFrame, round_dp: int | None
+) -> DataFrame:
+    """Shared stats roll-up of the corpus and indexed paths — identical by
+    construction (the facet-family discipline)."""
+    agg = m.join(vals, "doc_id").groupBy("query_id").agg(
+        F.count("v").cast("long").alias("n_docs"),
+        F.min("v").alias("min_v"),
+        F.max("v").alias("max_v"),
+        F.sum("v").alias("sum_v"),
+        F.avg("v").alias("avg_v"),
+    )
+    if round_dp is not None:
+        for c in ("min_v", "max_v", "sum_v", "avg_v"):
+            agg = agg.withColumn(c, F.round(c, round_dp))
+    return agg
+
+
+def _hist_epilogue(m: DataFrame, vals: DataFrame, interval: float) -> DataFrame:
+    if interval <= 0:
+        raise ValueError(f"interval must be positive, got {interval}")
+    bucket = F.floor(F.col("v") / F.lit(float(interval))) * F.lit(float(interval))
+    return (
+        m.join(vals, "doc_id")
+        .withColumn("bucket", bucket.cast("double"))
+        .groupBy("query_id", "bucket")
+        .agg(F.count("*").cast("long").alias("n_docs"))
+    )
+
+
+def _card_epilogue(
+    m: DataFrame, docs: DataFrame, field: str, id_col: str, approx: bool, rsd: float
+) -> DataFrame:
+    vals = docs.select(
+        F.col(id_col).alias("doc_id"), F.col(field).alias("fv")
+    ).filter(F.col("fv").isNotNull())
+    joined = m.join(vals, "doc_id")
+    agg = F.approx_count_distinct("fv", rsd) if approx else F.count_distinct("fv")
+    return joined.groupBy("query_id").agg(agg.cast("long").alias("cardinality"))
+
+
+def _sig_epilogue(
+    m: DataFrame,
+    fg_post: DataFrame,
+    bg: DataFrame,
+    n_docs: int,
+    k: int,
+    min_fg: int,
+    round_dp: int | None,
+) -> DataFrame:
+    """Shared JLH scoring: ``m`` = (query_id, doc_id) match set, ``fg_post``
+    = (doc_id, term) postings covering at least the matched docs, ``bg`` =
+    (term, df) background model."""
+    sizes = m.groupBy("query_id").agg(
+        F.count("*").cast("long").alias("subset_size")
+    )
+    fg = (
+        fg_post.select("doc_id", "term")
+        .join(m, "doc_id")
+        .groupBy("query_id", "term")
+        .agg(F.count("*").cast("long").alias("fg_df"))
+        .filter(F.col("fg_df") >= int(min_fg))
+    )
+    fg_pct = F.col("fg_df").cast("double") / F.col("subset_size")
+    bg_pct = F.col("df").cast("double") / F.lit(float(n_docs))
+    scored = (
+        fg.join(bg.select("term", "df"), "term")
+        .join(F.broadcast(sizes), "query_id")
+        .withColumn("score", (fg_pct - bg_pct) * (fg_pct / bg_pct))
+        .filter(F.col("score") > 0.0)
+    )
+    if round_dp is not None:
+        scored = scored.withColumn("score", F.round("score", round_dp))
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("term"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "term", "fg_df", F.col("df").cast("long").alias("df"), "score")
+    )
 
 
 def stats_agg(
@@ -75,20 +169,7 @@ def stats_agg(
     combinable, output rows = number of queries.
     """
     m = _match_set(docs, queries, conf, text_col, id_col)
-    vals = docs.select(
-        F.col(id_col).alias("doc_id"), F.col(value_col).cast("double").alias("v")
-    ).filter(F.col("v").isNotNull())
-    agg = m.join(vals, "doc_id").groupBy("query_id").agg(
-        F.count("v").cast("long").alias("n_docs"),
-        F.min("v").alias("min_v"),
-        F.max("v").alias("max_v"),
-        F.sum("v").alias("sum_v"),
-        F.avg("v").alias("avg_v"),
-    )
-    if round_dp is not None:
-        for c in ("min_v", "max_v", "sum_v", "avg_v"):
-            agg = agg.withColumn(c, F.round(c, round_dp))
-    return agg
+    return _stats_epilogue(m, _vals(docs, value_col, id_col), round_dp)
 
 
 def histogram_agg(
@@ -109,19 +190,8 @@ def histogram_agg(
     Scale: hash agg on the fine (query_id, bucket) key — shuffle rows =
     distinct buckets per query, not matched docs.
     """
-    if interval <= 0:
-        raise ValueError(f"interval must be positive, got {interval}")
     m = _match_set(docs, queries, conf, text_col, id_col)
-    vals = docs.select(
-        F.col(id_col).alias("doc_id"), F.col(value_col).cast("double").alias("v")
-    ).filter(F.col("v").isNotNull())
-    bucket = F.floor(F.col("v") / F.lit(float(interval))) * F.lit(float(interval))
-    return (
-        m.join(vals, "doc_id")
-        .withColumn("bucket", bucket.cast("double"))
-        .groupBy("query_id", "bucket")
-        .agg(F.count("*").cast("long").alias("n_docs"))
-    )
+    return _hist_epilogue(m, _vals(docs, value_col, id_col), interval)
 
 
 def cardinality_agg(
@@ -149,15 +219,7 @@ def cardinality_agg(
     is the only sane default — both are exposed so callers choose.
     """
     m = _match_set(docs, queries, conf, text_col, id_col)
-    vals = docs.select(
-        F.col(id_col).alias("doc_id"), F.col(field).alias("fv")
-    ).filter(F.col("fv").isNotNull())
-    joined = m.join(vals, "doc_id")
-    if approx:
-        agg = F.approx_count_distinct("fv", rsd)
-    else:
-        agg = F.count_distinct("fv")
-    return joined.groupBy("query_id").agg(agg.cast("long").alias("cardinality"))
+    return _card_epilogue(m, docs, field, id_col, approx, rsd)
 
 
 def significant_terms(
@@ -195,33 +257,8 @@ def significant_terms(
     m = _match_set(docs, queries, conf, text_col, id_col).select(
         "query_id", "doc_id"
     )
-    n_docs = docs.count()
-    sizes = m.groupBy("query_id").agg(
-        F.count("*").cast("long").alias("subset_size")
-    )
-    fg = (
-        post.select("doc_id", "term")
-        .join(m, "doc_id")
-        .groupBy("query_id", "term")
-        .agg(F.count("*").cast("long").alias("fg_df"))
-        .filter(F.col("fg_df") >= int(min_fg))
-    )
-    bg = term_stats(post)  # (term, df) — the background model
-    fg_pct = F.col("fg_df").cast("double") / F.col("subset_size")
-    bg_pct = F.col("df").cast("double") / F.lit(float(n_docs))
-    scored = (
-        fg.join(bg, "term")
-        .join(F.broadcast(sizes), "query_id")
-        .withColumn("score", (fg_pct - bg_pct) * (fg_pct / bg_pct))
-        .filter(F.col("score") > 0.0)
-    )
-    if round_dp is not None:
-        scored = scored.withColumn("score", F.round("score", round_dp))
-    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("term"))
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("query_id", "rank", "term", "fg_df", "df", "score")
+    return _sig_epilogue(
+        m, post, term_stats(post), docs.count(), k, min_fg, round_dp
     )
 
 
@@ -249,11 +286,22 @@ def top_hits_agg(
     engine-stable.
     """
     scored = _match_set(docs, queries, conf, text_col, id_col)
+    return _tophits_epilogue(
+        scored,
+        docs.select(F.col(id_col).alias("doc_id"), F.col(facet_col).alias("facet")),
+        k_buckets, k_hits, round_dp,
+    )
+
+
+def _tophits_epilogue(
+    scored: DataFrame,
+    fdf: DataFrame,
+    k_buckets: int,
+    k_hits: int,
+    round_dp: int | None,
+) -> DataFrame:
     if round_dp is not None:
         scored = scored.withColumn("score", F.round("score", round_dp))
-    fdf = docs.select(
-        F.col(id_col).alias("doc_id"), F.col(facet_col).alias("facet")
-    )
     hits = scored.join(fdf, "doc_id")
     counts = hits.groupBy("query_id", "facet").agg(
         F.count("*").cast("long").alias("n_docs")
@@ -288,4 +336,107 @@ def top_hits_agg(
         joined.withColumn("hit_rank", F.row_number().over(wh))
         .filter(F.col("hit_rank") <= k_hits)
         .select("query_id", "facet", "facet_rank", "hit_rank", "doc_id", "score")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Indexed variants: the same aggregations with the match set produced from a
+# persisted index's pruned posting blocks (shard partitions + In(term_id)
+# row-group pruning) instead of a corpus scoring pass — the facet_counts_
+# indexed discipline extended to the whole family. The corpus table appears
+# only as narrow attribute projections; rank/hash-identity with the corpus
+# paths is gate-enforced (same oracle SQL).
+# ---------------------------------------------------------------------------
+
+
+def _indexed_match_set(spark, idx, queries: DataFrame) -> DataFrame:
+    from igd_spark.querylang import _indexed_scored
+
+    return _indexed_scored(spark, idx, queries)
+
+
+def stats_agg_indexed(
+    spark,
+    idx,
+    docs: DataFrame,
+    queries: DataFrame,
+    value_col: str,
+    id_col: str = "doc_id",
+    round_dp: int | None = None,
+) -> DataFrame:
+    """`stats_agg` with the match set from pruned index blocks; ``docs``
+    supplies only the (doc_id, value) projection."""
+    m = _indexed_match_set(spark, idx, queries)
+    return _stats_epilogue(m, _vals(docs, value_col, id_col), round_dp)
+
+
+def histogram_agg_indexed(
+    spark,
+    idx,
+    docs: DataFrame,
+    queries: DataFrame,
+    value_col: str,
+    interval: float,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    m = _indexed_match_set(spark, idx, queries)
+    return _hist_epilogue(m, _vals(docs, value_col, id_col), interval)
+
+
+def cardinality_agg_indexed(
+    spark,
+    idx,
+    docs: DataFrame,
+    queries: DataFrame,
+    field: str,
+    approx: bool = False,
+    rsd: float = 0.05,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    m = _indexed_match_set(spark, idx, queries)
+    return _card_epilogue(m, docs, field, id_col, approx, rsd)
+
+
+def significant_terms_indexed(
+    spark,
+    idx,
+    docs: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    min_fg: int = 1,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    round_dp: int | None = None,
+) -> DataFrame:
+    """`significant_terms` off a persisted index: the match set comes from
+    pruned blocks and the BACKGROUND model from the index dictionary
+    (vocab-sized sidecar, zero corpus work); only the FOREGROUND pass
+    tokenizes — and only the matched docs (left-semi BEFORE tokenization),
+    which is what ES itself does (re-analysis / term vectors of the hits).
+    At 10^12 turns the fg cost is Σ_q matched docs, never the corpus."""
+    m = _indexed_match_set(spark, idx, queries).select("query_id", "doc_id")
+    mm = m.select(F.col("doc_id").alias("_mid")).distinct()
+    matched_docs = docs.join(mm, docs[id_col] == mm["_mid"], "left_semi")
+    fg_post = postings(matched_docs, text_col=text_col, id_col=id_col, conf=idx.conf)
+    return _sig_epilogue(
+        m, fg_post, idx.dictionary, idx.n_docs, k, min_fg, round_dp
+    )
+
+
+def top_hits_agg_indexed(
+    spark,
+    idx,
+    docs: DataFrame,
+    queries: DataFrame,
+    facet_col: str,
+    k_buckets: int = 3,
+    k_hits: int = 3,
+    id_col: str = "doc_id",
+    round_dp: int | None = None,
+) -> DataFrame:
+    scored = _indexed_match_set(spark, idx, queries)
+    return _tophits_epilogue(
+        scored,
+        docs.select(F.col(id_col).alias("doc_id"), F.col(facet_col).alias("facet")),
+        k_buckets, k_hits, round_dp,
     )

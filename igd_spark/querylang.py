@@ -1678,3 +1678,80 @@ def regexp_bm25_topk_indexed(
     exp_local = _collect_expansion(spark, expanded, max_expanded_terms, "regexp")
     scored = _indexed_scored(spark, idx, queries, qterms=exp_local)
     return rank_topk(_maybe_round(scored, round_dp), k)
+
+
+def search_after_topk_indexed(
+    spark,
+    idx,
+    queries: DataFrame,
+    after: DataFrame,
+    k: int = 10,
+    round_dp: int | None = None,
+) -> DataFrame:
+    """`search_after_topk` off a persisted index: the disjunctive scored
+    set comes from pruned posting blocks (zero corpus joins), then the same
+    keyset-cursor filter + top-k.  Page N costs one pruned scan — identical
+    to page 1, the search_after contract at 100 TB."""
+    scored = _maybe_round(_indexed_scored(spark, idx, queries), round_dp)
+    cur = after.select(
+        "query_id",
+        F.col("after_score").cast("double").alias("_as"),
+        F.col("after_doc_id").alias("_ad"),
+    )
+    j = scored.join(F.broadcast(cur), "query_id", "left")
+    keep = (
+        F.col("_as").isNull()
+        | (F.col("score") < F.col("_as"))
+        | ((F.col("score") == F.col("_as")) & (F.col("doc_id") > F.col("_ad")))
+    )
+    return rank_topk(j.filter(keep).select("query_id", "doc_id", "score"), k)
+
+
+def rescore_topk_indexed(
+    spark,
+    idx,
+    queries: DataFrame,
+    window_size: int = 50,
+    query_weight: float = 1.0,
+    rescore_weight: float = 1.0,
+    mu: float = 2000.0,
+    k: int = 10,
+    round_dp: int | None = None,
+) -> DataFrame:
+    """`rescore_topk` off a persisted index: the BM25 first pass runs
+    through the ONE shared indexed scoring join (`_indexed_scored`), the
+    LM Dirichlet second pass over the pruned match_enumerate rows (exact
+    cf via the per-(query, term) window, total tokens from the persisted
+    sum_dl) — zero corpus joins, rank-identity with the corpus path
+    gate-enforced."""
+    from igd_spark.search import match_enumerate
+
+    total = int(idx.meta["corpus"].get("sum_dl", 0))
+    if total <= 0:
+        raise ValueError(
+            "index metadata lacks exact sum_dl (pre-v2 layout?) — rebuild "
+            "or use rescore_topk (corpus-scan path)"
+        )
+    me = match_enumerate(spark, idx, queries, with_dl=True)
+    # first pass through the ONE shared indexed scoring join
+    # (_indexed_contrib) — never a private reimplementation
+    first = _maybe_round(_indexed_scored(spark, idx, queries), round_dp)
+    ww = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc_id"))
+    win = (
+        first.withColumn("_r", F.row_number().over(ww))
+        .filter(F.col("_r") <= window_size)
+        .select("query_id", "doc_id", F.col("score").alias("_fs"))
+    )
+    second = _maybe_round(
+        _lmd_scored(me.select("query_id", "term", "doc_id", "tf", "dl"), mu, total),
+        round_dp,
+    ).select("query_id", "doc_id", F.col("score").alias("_ls"))
+    comb = win.join(second, ["query_id", "doc_id"], "left").select(
+        "query_id",
+        "doc_id",
+        (
+            F.lit(float(query_weight)) * F.col("_fs")
+            + F.lit(float(rescore_weight)) * F.coalesce(F.col("_ls"), F.lit(0.0))
+        ).alias("score"),
+    )
+    return rank_topk(_maybe_round(comb, round_dp), k)

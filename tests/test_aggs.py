@@ -138,3 +138,82 @@ def test_top_hits_null_safe_buckets(spark, docs):
         rows.sort(key=lambda r: r["hit_rank"])
         keys = [(-r["score"], r["doc_id"]) for r in rows]
         assert keys == sorted(keys)
+
+
+@pytest.fixture(scope="module")
+def agg_idx(spark, docs, tmp_path_factory):
+    from igd_spark import IndexConf, build_index
+
+    conf = IndexConf(block_size=32, n_shards=8, salt_df_threshold=64, max_salts=4)
+    path = str(tmp_path_factory.mktemp("aggidx") / "idx")
+    return build_index(spark, docs, path, conf=conf)
+
+
+def test_indexed_agg_identity(spark, docs, agg_idx):
+    """Every *_indexed aggregation must equal its corpus-path twin row for
+    row — same discipline as the retrieval matrix."""
+    import pandas as pd
+
+    from igd_spark import (
+        cardinality_agg_indexed,
+        histogram_agg_indexed,
+        significant_terms_indexed,
+        stats_agg_indexed,
+        top_hits_agg_indexed,
+    )
+
+    term = _mid_term(docs)
+    q = _queries(spark, [(0, term), (1, f"{term} zzznotavocab")])
+    conf = agg_idx.conf
+
+    def srt(df):
+        return df.toPandas().sort_values(list(df.columns)).reset_index(drop=True)
+
+    pairs = [
+        (stats_agg(docs, q, "turn_idx", conf=conf, round_dp=6),
+         stats_agg_indexed(spark, agg_idx, docs, q, "turn_idx", round_dp=6)),
+        (histogram_agg(docs, q, "turn_idx", 3.0, conf=conf),
+         histogram_agg_indexed(spark, agg_idx, docs, q, "turn_idx", 3.0)),
+        (cardinality_agg(docs, q, "role", conf=conf),
+         cardinality_agg_indexed(spark, agg_idx, docs, q, "role")),
+        (significant_terms(docs, q, k=5, min_fg=2, conf=conf, round_dp=6),
+         significant_terms_indexed(spark, agg_idx, docs, q, k=5, min_fg=2,
+                                   round_dp=6)),
+        (top_hits_agg(docs, q, "role", k_buckets=2, k_hits=2, conf=conf,
+                      round_dp=6),
+         top_hits_agg_indexed(spark, agg_idx, docs, q, "role", k_buckets=2,
+                              k_hits=2, round_dp=6)),
+    ]
+    for a, b in pairs:
+        pd.testing.assert_frame_equal(srt(a), srt(b), check_dtype=False)
+
+
+def test_search_after_rescore_indexed_identity(spark, docs, agg_idx):
+    import pandas as pd
+
+    from igd_spark import (
+        rescore_topk,
+        rescore_topk_indexed,
+        search_after_topk,
+        search_after_topk_indexed,
+    )
+
+    term = _mid_term(docs)
+    q = _queries(spark, [(0, term)])
+    conf = agg_idx.conf
+    empty = spark.createDataFrame(
+        [], "query_id long, after_score double, after_doc_id long"
+    )
+
+    def srt(df):
+        return df.toPandas().sort_values(list(df.columns)).reset_index(drop=True)
+
+    a = srt(search_after_topk(docs, q, empty, k=7, conf=conf, round_dp=6))
+    b = srt(search_after_topk_indexed(spark, agg_idx, q, empty, k=7, round_dp=6))
+    pd.testing.assert_frame_equal(a, b, check_dtype=False)
+
+    c = srt(rescore_topk(docs, q, window_size=9, rescore_weight=2.0, k=5,
+                         conf=conf, round_dp=6))
+    d = srt(rescore_topk_indexed(spark, agg_idx, q, window_size=9,
+                                 rescore_weight=2.0, k=5, round_dp=6))
+    pd.testing.assert_frame_equal(c, d, check_dtype=False)
