@@ -1129,15 +1129,12 @@ def q_top_hits_agg_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def q_search_after_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # same page-2 protocol, cursor AND page both from pruned index blocks
-    from igd_spark.querylang import _indexed_scored, search_after_topk_indexed
-
-    idx = _built_index(spark, sf_dir)
-    qs = _queries_df(spark)
-    scored = _indexed_scored(spark, idx, qs).withColumn(
-        "score", F.round("score", 6)
-    )
+def _page2_cursor(qs: DataFrame, scored: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """Shared cursor derivation of both search_after gate entries: each
+    query's rank-K row (on rounded scores, the shared tie-break) becomes
+    the keyset cursor; queries with < K results have no cursor and are not
+    paged — identical by construction so the one oracle serves both."""
+    scored = scored.withColumn("score", F.round("score", 6))
     w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc_id"))
     cursor = (
         scored.withColumn("rank", F.row_number().over(w))
@@ -1148,7 +1145,16 @@ def q_search_after_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("doc_id").alias("after_doc_id"),
         )
     )
-    paged = qs.join(cursor.select("query_id"), "query_id", "left_semi")
+    return qs.join(cursor.select("query_id"), "query_id", "left_semi"), cursor
+
+
+def q_search_after_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # same page-2 protocol, cursor AND page both from pruned index blocks
+    from igd_spark.querylang import _indexed_scored, search_after_topk_indexed
+
+    idx = _built_index(spark, sf_dir)
+    qs = _queries_df(spark)
+    paged, cursor = _page2_cursor(qs, _indexed_scored(spark, idx, qs))
     return search_after_topk_indexed(spark, idx, paged, cursor, k=K, round_dp=6)
 
 
@@ -1171,18 +1177,7 @@ def q_search_after(spark: SparkSession, sf_dir: str) -> DataFrame:
     from igd_spark.search import bm25_scores
 
     docs, qs = _docs(spark, sf_dir), _queries_df(spark)
-    scored = bm25_scores(docs, qs).withColumn("score", F.round("score", 6))
-    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc_id"))
-    cursor = (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") == K)
-        .select(
-            "query_id",
-            F.col("score").alias("after_score"),
-            F.col("doc_id").alias("after_doc_id"),
-        )
-    )
-    paged = qs.join(cursor.select("query_id"), "query_id", "left_semi")
+    paged, cursor = _page2_cursor(qs, bm25_scores(docs, qs))
     return search_after_topk(docs, paged, cursor, k=K, round_dp=6)
 
 
@@ -2780,8 +2775,8 @@ SELECT query_id, rank, doc_id, score FROM ranked WHERE rank <= {K}
 WITH {_TL}, {_TOKS}, {_POST}, {_DL}, {_CS}, {_TS}, {_QT}, {_SCORED},
 boosted AS (
   SELECT s.query_id, s.doc_id,
-         s.s * exp(-pow(d.n_chars - {DECAY_ORIGIN}, 2)
-                   / (2.0 * {DECAY_SCALE} * {DECAY_SCALE})) AS s
+         s.s * coalesce(exp(-pow(d.n_chars - {DECAY_ORIGIN}, 2)
+                   / (2.0 * {DECAY_SCALE} * {DECAY_SCALE})), 1.0) AS s
   FROM scored s JOIN documents d ON d.doc_id = s.doc_id),
 ranked AS (
   SELECT query_id, doc_id, round(s, 6) AS score,

@@ -253,12 +253,19 @@ def significant_terms(
     ``min_fg`` is the ES ``min_doc_count`` knob: raising it prunes the
     long tail of 1-doc terms BEFORE the background join at scale.
     """
+    from igd_spark.stats import corpus_stats, doc_stats
+
+    # ONE tokenization pass: the match set is derived from the same
+    # postings frame the fg/bg sides read (bm25_scores would rebuild its
+    # own postings subtree — Catalyst does not dedupe the two), and n_docs
+    # comes from the dl projection instead of an extra corpus count job
     post = postings(docs, text_col=text_col, id_col=id_col, conf=conf)
-    m = _match_set(docs, queries, conf, text_col, id_col).select(
-        "query_id", "doc_id"
-    )
+    ds = doc_stats(docs, text_col=text_col, id_col=id_col, conf=conf)
+    n_docs = int(corpus_stats(ds).collect()[0]["n_docs"])
+    qt = query_terms(queries)
+    m = post.join(F.broadcast(qt), "term").select("query_id", "doc_id").distinct()
     return _sig_epilogue(
-        m, post, term_stats(post), docs.count(), k, min_fg, round_dp
+        m, post, term_stats(post), n_docs, k, min_fg, round_dp
     )
 
 

@@ -489,6 +489,25 @@ def append_index(
             raise ValueError("append with auto ids requires doc_id_method='hash'")
         new_docs = assign_doc_ids(new_docs, conf)
         id_col = "doc_id"
+    ts = idx.tombstones
+    if ts is not None:
+        # refuse to append a TOMBSTONED doc_id: the tombstone is a global
+        # id filter, so the re-added doc would be invisible immediately and
+        # silently destroyed by the next compaction — loud error instead of
+        # silent data loss. Re-adding a deleted id (the Lucene update
+        # workflow) requires compact_index first (expunge clears the
+        # tombstones) or a fresh doc_id.
+        n_dead = (
+            new_docs.select(F.col(id_col).alias("doc_id"))
+            .join(F.broadcast(ts), "doc_id", "left_semi")
+            .count()
+        )
+        if n_dead:
+            raise ValueError(
+                f"append batch contains {n_dead} doc_id(s) that are "
+                "tombstoned on this index; run compact_index(path) to "
+                "expunge the deletes first, or assign new doc_ids"
+            )
     t0 = time.time()
     parts = build_all(new_docs, conf=conf, text_col=text_col, id_col=id_col)
     delta = parts["corpus"]
@@ -563,6 +582,12 @@ def delete_docs(
     searchsorted filter (numpy kernels).  Run `compact_index` when the
     tombstone set grows past a small corpus fraction — expunge restores
     zero-cost reads and exact stats.
+
+    One deliberate divergence from Lucene: identity here is the caller's
+    doc_id (Lucene's internal docids are never reused).  Re-adding a
+    tombstoned doc_id via `append_index` is therefore REFUSED with a loud
+    error (the tombstone would hide and then destroy the new version) —
+    expunge first, or assign a fresh doc_id.
     """
     if delete_tag is None:
         delete_tag = "del_" + os.urandom(8).hex()
@@ -689,13 +714,19 @@ def compact_index(spark: SparkSession, path: str) -> InvertedIndex:
         idx.dictionary.write.mode("overwrite").parquet(tmp_dict)
     else:
         # df after expunge = surviving postings per term — read back off the
-        # just-written segments (one narrow scan); zero-df terms drop out
+        # just-written segments (one narrow scan); zero-df terms drop out.
+        # n_salts is recomputed too (max surviving salt + 1): a hot term
+        # whose upper-salt postings were all deleted stops probing shards
+        # that hold nothing for it
         surv = (
             spark.read.parquet(tmp)
             .groupBy("term_id")
-            .agg(F.sum("n").cast("long").alias("df"))
+            .agg(
+                F.sum("n").cast("long").alias("df"),
+                (F.max("salt") + 1).cast("int").alias("n_salts"),
+            )
         )
-        idx.dictionary.drop("df").join(surv, "term_id").select(
+        idx.dictionary.drop("df", "n_salts").join(surv, "term_id").select(
             "term", "term_id", "df", "n_salts"
         ).write.mode("overwrite").parquet(tmp_dict)
     idx.dictionary.unpersist()

@@ -377,7 +377,12 @@ def _facet_epilogue(
     )
 
 
-def _lmd_scored(hits: DataFrame, mu: float, total_tokens: int) -> DataFrame:
+def _lmd_scored(
+    hits: DataFrame,
+    mu: float,
+    total_tokens: int,
+    restrict: DataFrame | None = None,
+) -> DataFrame:
     """Shared LM-Dirichlet scoring epilogue of both paths — identical by
     construction.  ``hits``: (query_id, term, doc_id, tf, dl) — EVERY
     posting of every matched term (that completeness is what makes the
@@ -385,9 +390,21 @@ def _lmd_scored(hits: DataFrame, mu: float, total_tokens: int) -> DataFrame:
     contribution: max(0, ln(1 + tf/(mu*p(t|C))) + ln(mu/(dl+mu))) with
     p(t|C) = cf/total_tokens — the Zhai-Lafferty Dirichlet-prior smoothing
     score with Lucene's non-negative clamp (clamping per TERM keeps the
-    sum order-independent, so both engines agree exactly)."""
+    sum order-independent, so both engines agree exactly).
+
+    ``restrict`` ((query_id, doc_id) rows, e.g. a rescore window): applied
+    AFTER the cf window — cf stays the true collection frequency — but
+    BEFORE the per-doc aggregation, so only the restricted docs are
+    grouped/shuffled.  This is what bounds the rescore second pass by
+    queries × window_size instead of the full match set."""
     wcf = Window.partitionBy("query_id", "term")
     h = hits.withColumn("cf", F.sum("tf").over(wcf))
+    if restrict is not None:
+        h = h.join(
+            F.broadcast(restrict.select("query_id", "doc_id")),
+            ["query_id", "doc_id"],
+            "left_semi",
+        )
     pc = F.col("cf").cast("double") / F.lit(float(total_tokens))
     contrib = F.greatest(
         F.lit(0.0),
@@ -1488,6 +1505,63 @@ def facet_counts(
     return _facet_epilogue(scored, fdf, k, round_dp)
 
 
+def _search_after_epilogue(
+    scored: DataFrame, after: DataFrame, k: int, round_dp: int | None
+) -> DataFrame:
+    """Shared keyset-cursor filter + top-k of both search_after paths —
+    identical by construction (the facet-family discipline)."""
+    scored = _maybe_round(scored, round_dp)
+    cur = after.select(
+        "query_id",
+        F.col("after_score").cast("double").alias("_as"),
+        F.col("after_doc_id").alias("_ad"),
+    )
+    j = scored.join(F.broadcast(cur), "query_id", "left")
+    keep = (
+        F.col("_as").isNull()
+        | (F.col("score") < F.col("_as"))
+        | ((F.col("score") == F.col("_as")) & (F.col("doc_id") > F.col("_ad")))
+    )
+    return rank_topk(j.filter(keep).select("query_id", "doc_id", "score"), k)
+
+
+def _rescore_epilogue(
+    first: DataFrame,
+    hits: DataFrame,
+    mu: float,
+    total: int,
+    window_size: int,
+    query_weight: float,
+    rescore_weight: float,
+    k: int,
+    round_dp: int | None,
+) -> DataFrame:
+    """Shared window-select + LMD-restricted-rescore + combine of both
+    rescore paths — identical by construction.  The second pass is
+    restricted to the window BEFORE its per-doc aggregation (via
+    `_lmd_scored(restrict=win)`), so pass-2 shuffle cost is bounded by
+    queries × window_size, never the match set."""
+    first = _maybe_round(first, round_dp)
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc_id"))
+    win = (
+        first.withColumn("_r", F.row_number().over(w))
+        .filter(F.col("_r") <= window_size)
+        .select("query_id", "doc_id", F.col("score").alias("_fs"))
+    )
+    second = _maybe_round(
+        _lmd_scored(hits, mu, total, restrict=win), round_dp
+    ).select("query_id", "doc_id", F.col("score").alias("_ls"))
+    comb = win.join(second, ["query_id", "doc_id"], "left").select(
+        "query_id",
+        "doc_id",
+        (
+            F.lit(float(query_weight)) * F.col("_fs")
+            + F.lit(float(rescore_weight)) * F.coalesce(F.col("_ls"), F.lit(0.0))
+        ).alias("score"),
+    )
+    return rank_topk(_maybe_round(comb, round_dp), k)
+
+
 def search_after_topk(
     docs: DataFrame,
     queries: DataFrame,
@@ -1516,22 +1590,10 @@ def search_after_topk(
     comparison and ranking, so a cursor captured from a previous page's
     (rounded) output always splits the order identically cross-engine.
     """
-    scored = _maybe_round(
+    return _search_after_epilogue(
         bm25_scores(docs, queries, conf=conf, text_col=text_col, id_col=id_col),
-        round_dp,
+        after, k, round_dp,
     )
-    cur = after.select(
-        "query_id",
-        F.col("after_score").cast("double").alias("_as"),
-        F.col("after_doc_id").alias("_ad"),
-    )
-    j = scored.join(F.broadcast(cur), "query_id", "left")
-    keep = (
-        F.col("_as").isNull()
-        | (F.col("score") < F.col("_as"))
-        | ((F.col("score") == F.col("_as")) & (F.col("doc_id") > F.col("_ad")))
-    )
-    return rank_topk(j.filter(keep).select("query_id", "doc_id", "score"), k)
 
 
 def rescore_topk(
@@ -1573,30 +1635,16 @@ def rescore_topk(
     n_docs, avgdl, total = int(cs["n_docs"]), float(cs["avgdl"]), int(cs["sum_dl"])
     qt = query_terms(queries)
     qt_idf = qt.join(term_stats(post), "term").withColumn("idf", idf_col(n_docs, "df"))
-    first = _maybe_round(_score_terms(post, ds, avgdl, qt_idf, conf), round_dp)
-    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc_id"))
-    win = (
-        first.withColumn("_r", F.row_number().over(w))
-        .filter(F.col("_r") <= window_size)
-        .select("query_id", "doc_id", F.col("score").alias("_fs"))
-    )
+    first = _score_terms(post, ds, avgdl, qt_idf, conf)
     hits = (
         post.join(F.broadcast(qt), "term")
         .join(ds, "doc_id")
         .select("query_id", "term", "doc_id", "tf", "dl")
     )
-    second = _maybe_round(_lmd_scored(hits, mu, total), round_dp).select(
-        "query_id", "doc_id", F.col("score").alias("_ls")
+    return _rescore_epilogue(
+        first, hits, mu, total, window_size, query_weight, rescore_weight,
+        k, round_dp,
     )
-    comb = win.join(second, ["query_id", "doc_id"], "left").select(
-        "query_id",
-        "doc_id",
-        (
-            F.lit(float(query_weight)) * F.col("_fs")
-            + F.lit(float(rescore_weight)) * F.coalesce(F.col("_ls"), F.lit(0.0))
-        ).alias("score"),
-    )
-    return rank_topk(_maybe_round(comb, round_dp), k)
 
 
 def _regexp_patterns(queries: DataFrame, text_col: str = "query_text") -> DataFrame:
@@ -1692,19 +1740,9 @@ def search_after_topk_indexed(
     set comes from pruned posting blocks (zero corpus joins), then the same
     keyset-cursor filter + top-k.  Page N costs one pruned scan — identical
     to page 1, the search_after contract at 100 TB."""
-    scored = _maybe_round(_indexed_scored(spark, idx, queries), round_dp)
-    cur = after.select(
-        "query_id",
-        F.col("after_score").cast("double").alias("_as"),
-        F.col("after_doc_id").alias("_ad"),
+    return _search_after_epilogue(
+        _indexed_scored(spark, idx, queries), after, k, round_dp
     )
-    j = scored.join(F.broadcast(cur), "query_id", "left")
-    keep = (
-        F.col("_as").isNull()
-        | (F.col("score") < F.col("_as"))
-        | ((F.col("score") == F.col("_as")) & (F.col("doc_id") > F.col("_ad")))
-    )
-    return rank_topk(j.filter(keep).select("query_id", "doc_id", "score"), k)
 
 
 def rescore_topk_indexed(
@@ -1735,23 +1773,8 @@ def rescore_topk_indexed(
     me = match_enumerate(spark, idx, queries, with_dl=True)
     # first pass through the ONE shared indexed scoring join
     # (_indexed_contrib) — never a private reimplementation
-    first = _maybe_round(_indexed_scored(spark, idx, queries), round_dp)
-    ww = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc_id"))
-    win = (
-        first.withColumn("_r", F.row_number().over(ww))
-        .filter(F.col("_r") <= window_size)
-        .select("query_id", "doc_id", F.col("score").alias("_fs"))
+    first = _indexed_scored(spark, idx, queries)
+    return _rescore_epilogue(
+        first, me.select("query_id", "term", "doc_id", "tf", "dl"), mu, total,
+        window_size, query_weight, rescore_weight, k, round_dp,
     )
-    second = _maybe_round(
-        _lmd_scored(me.select("query_id", "term", "doc_id", "tf", "dl"), mu, total),
-        round_dp,
-    ).select("query_id", "doc_id", F.col("score").alias("_ls"))
-    comb = win.join(second, ["query_id", "doc_id"], "left").select(
-        "query_id",
-        "doc_id",
-        (
-            F.lit(float(query_weight)) * F.col("_fs")
-            + F.lit(float(rescore_weight)) * F.coalesce(F.col("_ls"), F.lit(0.0))
-        ).alias("score"),
-    )
-    return rank_topk(_maybe_round(comb, round_dp), k)

@@ -141,3 +141,58 @@ def test_delete_by_query_and_requery(spark, docs, conf, idx_path):
     # re-running the same delete-by-query sees an empty match set (no-op)
     idx3 = delete_by_query(spark, idx_path, single, delete_tag="dbq2")
     assert idx3.tombstones_array().size == len(matched)
+
+
+def test_append_refuses_tombstoned_ids(spark, docs, conf, idx_path):
+    from igd_spark import append_index
+
+    q, t1, _ = _q(spark, docs)
+    idx = open_index(spark, idx_path)
+    victim = search(spark, idx, q, k=1, engine="spark").collect()[0]["doc_id"]
+    delete_docs(
+        spark, idx_path,
+        spark.createDataFrame([(int(victim),)], "doc_id long"),
+        delete_tag="readd",
+    )
+    readd = docs.filter(F.col("doc_id") == victim)
+    with pytest.raises(ValueError, match="tombstoned"):
+        append_index(spark, idx_path, readd, batch_tag="readd_batch")
+    # after expunge the id is free again
+    compact_index(spark, idx_path)
+    idx2 = append_index(spark, idx_path, readd, batch_tag="readd_batch2")
+    assert victim in {
+        r["doc_id"] for r in search(spark, idx2, q, k=25, engine="spark").collect()
+    }
+
+
+def test_expunge_shrinks_n_salts(spark, tiny_docs, tmp_path):
+    """Deleting all of a hot term's postings in the upper salts must shrink
+    the rebuilt dictionary's n_salts to max surviving salt + 1."""
+    cf = IndexConf(block_size=16, n_shards=4, salt_df_threshold=8, max_salts=4)
+    docs = assign_doc_ids(tiny_docs, cf).cache()
+    path = str(tmp_path / "salted")
+    idx = build_index(spark, docs, path, conf=cf)
+    hot = (
+        idx.dictionary.filter(F.col("n_salts") > 1)
+        .orderBy(F.desc("df"), "term").limit(1).collect()
+    )
+    assert hot, "fixture must produce at least one salted term"
+    term, old_salts = hot[0]["term"], int(hot[0]["n_salts"])
+    # delete every doc holding the term except those in salt 0's blocks
+    seg = idx.segments.filter(F.col("term") == term)
+    keep_salt0 = {r["salt"] for r in seg.select("salt").distinct().collect()}
+    assert len(keep_salt0) > 1
+    from igd_spark import match_enumerate
+
+    q = spark.createDataFrame([(0, term)], "query_id long, query_text string")
+    all_ids = [r["doc_id"] for r in
+               match_enumerate(spark, idx, q).select("doc_id").distinct().collect()]
+    # deleting ALL the term's docs leaves n_salts row absent entirely;
+    # delete all but one doc so exactly one salt can survive
+    dead = all_ids[1:]
+    delete_docs(spark, path, spark.createDataFrame([(i,) for i in dead], "doc_id long"))
+    idx2 = compact_index(spark, path)
+    row = idx2.dictionary.filter(F.col("term") == term).collect()
+    assert row, "one posting survives"
+    assert row[0]["df"] == 1
+    assert int(row[0]["n_salts"]) <= old_salts
