@@ -109,6 +109,14 @@ RESCORE_WINDOW = 30
 RESCORE_QW = 1.0
 RESCORE_RW = 2.0
 TV_MOD = 211                  # term_vectors request: doc_id % TV_MOD == 0
+MF_FIELDS = {"text": 1.0, "source": 2.0}   # ES most_fields boosts
+MF_QUERY_SET: list[tuple[int, str]] = [
+    (0, "src7 table"),          # body term + keyword-field term
+    (1, "spark join"),          # body-only
+    (2, "src0 src19 query"),    # two keyword values + body term
+    (3, "zzznotavocab src3"),   # keyword-only hit
+    (4, "merge sort src12"),
+]
 DEL_MOD = 137                 # delete set: doc_id % DEL_MOD == 0
 DECAY_ORIGIN = 200.0          # function_score gauss decay on n_chars
 DECAY_SCALE = 120.0
@@ -730,6 +738,27 @@ def q_more_like_this(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_more_like_this_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # seed vectors from seed-doc tokenization + dictionary df; scoring off
+    # pruned blocks — must hash-match the corpus MLT
+    from igd_spark import more_like_this_indexed
+
+    idx = _built_index(spark, sf_dir)
+    return more_like_this_indexed(
+        spark, idx, _docs(spark, sf_dir), list(MLT_SEEDS), n_terms=MLT_TERMS,
+        k=K, round_dp=6,
+    )
+
+
+def q_explain_scores_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # the same Explanation rows decoded from pruned blocks (df/idf from the
+    # dictionary sidecar) — the weights every indexed scorer sums
+    from igd_spark import explain_scores_indexed
+
+    idx = _built_index(spark, sf_dir)
+    return explain_scores_indexed(spark, idx, _queries_df(spark), round_dp=6)
+
+
 def _fuzzy_queries_df(spark: SparkSession) -> DataFrame:
     return spark.createDataFrame(
         [(int(q), t) for q, t in FUZZY_QUERY_SET],
@@ -1030,6 +1059,31 @@ def q_bm25_topk_expunged(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _rank_rounded(out.select("query_id", "doc_id", "score"), K)
 
 
+def q_index_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # ES _stats introspection — gate checks the corpus-derivable columns
+    # (n_blocks/batches/deletes are layout state, pytest-covered)
+    from igd_spark import index_stats
+
+    idx = _built_index(spark, sf_dir)
+    return index_stats(idx).select(
+        "n_docs", F.round("avgdl", 6).alias("avgdl"), "sum_dl",
+        "n_terms", "n_postings",
+    )
+
+
+def q_multi_field_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # ES multi_match most_fields: per-field BM25 stats, boosted sum
+    from igd_spark import multi_field_bm25_topk
+
+    qs = spark.createDataFrame(
+        [(int(q), t) for q, t in MF_QUERY_SET],
+        "query_id long, query_text string",
+    )
+    return multi_field_bm25_topk(
+        _docs(spark, sf_dir), qs, MF_FIELDS, k=K, round_dp=6
+    )
+
+
 def q_term_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
     # ES _termvectors: per requested doc, (term, tf) + global df + dl
     from igd_spark import term_vectors
@@ -1248,6 +1302,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "search_after_indexed": q_search_after_indexed,
         "rescore_topk": q_rescore_topk,
         "rescore_topk_indexed": q_rescore_topk_indexed,
+        "more_like_this_indexed": q_more_like_this_indexed,
+        "explain_scores_indexed": q_explain_scores_indexed,
         "stats_agg_indexed": q_stats_agg_indexed,
         "histogram_agg_indexed": q_histogram_agg_indexed,
         "cardinality_agg_indexed": q_cardinality_agg_indexed,
@@ -1257,6 +1313,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "regexp_bm25_topk_indexed": q_regexp_bm25_topk_indexed,
         "term_vectors": q_term_vectors,
         "function_score_decay": q_function_score_decay,
+        "multi_field_bm25_topk": q_multi_field_bm25_topk,
+        "index_stats": q_index_stats,
         "bm25_topk_deleted": q_bm25_topk_deleted,
         "bm25_topk_expunged": q_bm25_topk_expunged,
         "match_enumerate": q_match_enumerate,
@@ -2740,6 +2798,59 @@ FROM post p JOIN ts USING (term) JOIN dl ON p.doc_id = dl.doc_id
 WHERE p.doc_id % {TV_MOD} = 0
 """
 
+    # multi-field: each field gets its OWN tokenization/df/dl/avgdl chain
+    # (Lucene per-field statistics), boosted per MF_FIELDS, summed per doc
+    _mfvals = ", ".join(f"({q}::BIGINT, '{t}')" for q, t in MF_QUERY_SET)
+    _mf_chains = []
+    for _i, (_fcol, _boost) in enumerate(sorted(MF_FIELDS.items())):
+        _mf_chains.append(f"""
+tl{_i} AS (SELECT doc_id, list_filter(regexp_split_to_array(lower("{_fcol}"),
+  '[^a-z0-9]+'), x -> x <> '') AS tl FROM documents),
+toks{_i} AS (SELECT doc_id, unnest(tl) AS term FROM tl{_i}),
+post{_i} AS (SELECT doc_id, term, count(*)::INT AS tf FROM toks{_i} GROUP BY 1, 2),
+dl{_i} AS (SELECT doc_id, len(tl)::INT AS dl FROM tl{_i}),
+cs{_i} AS (SELECT count(*)::BIGINT AS n_docs,
+           (sum(dl)::DOUBLE / count(*)) AS avgdl FROM dl{_i}),
+ts{_i} AS (SELECT term, count(*)::BIGINT AS df FROM post{_i} GROUP BY 1),
+scored{_i} AS (
+  SELECT qt.query_id, p.doc_id,
+         {_boost} * sum( ln((cs{_i}.n_docs - ts{_i}.df + 0.5)
+                            / (ts{_i}.df + 0.5) + 1.0)
+              * p.tf * {K1 + 1.0}
+              / (p.tf + {K1} * (1.0 - {B} + {B} * dl{_i}.dl / cs{_i}.avgdl)) ) AS s
+  FROM qterms qt JOIN ts{_i} USING (term) JOIN post{_i} p USING (term)
+  JOIN dl{_i} ON p.doc_id = dl{_i}.doc_id CROSS JOIN cs{_i}
+  GROUP BY 1, 2)""")
+    _mf_union = " UNION ALL ".join(
+        f"SELECT * FROM scored{_j}" for _j in range(len(MF_FIELDS))
+    )
+    sql["multi_field_bm25_topk"] = f"""
+WITH mq(query_id, query_text) AS (VALUES {_mfvals}),
+qterms AS (SELECT DISTINCT query_id, unnest(list_filter(
+  regexp_split_to_array(lower(query_text), '[^a-z0-9]+'), x -> x <> '')) AS term
+  FROM mq),{",".join(_mf_chains)},
+combined AS (
+  SELECT query_id, doc_id, sum(s) AS s
+  FROM ({_mf_union}) GROUP BY 1, 2),
+ranked AS (
+  SELECT query_id, doc_id, round(s, 6) AS score,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY round(s, 6) DESC, doc_id ASC)::INT AS rank
+  FROM combined)
+SELECT query_id, rank, doc_id, score FROM ranked WHERE rank <= {K}
+"""
+
+    sql["index_stats"] = f"""
+WITH {_TL}, {_TOKS}, {_POST}, {_DL}, {_CS}, {_TS}
+SELECT cs.n_docs, round(cs.avgdl, 6) AS avgdl,
+       (SELECT sum(dl) FROM dl)::BIGINT AS sum_dl,
+       (SELECT count(*) FROM ts)::BIGINT AS n_terms,
+       (SELECT count(*) FROM post)::BIGINT AS n_postings
+FROM cs
+"""
+
+    sql["more_like_this_indexed"] = sql["more_like_this"]
+    sql["explain_scores_indexed"] = sql["explain_scores"]
     sql["stats_agg_indexed"] = sql["stats_agg"]
     sql["histogram_agg_indexed"] = sql["histogram_agg"]
     sql["cardinality_agg_indexed"] = sql["cardinality_agg"]

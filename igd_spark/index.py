@@ -877,3 +877,71 @@ def open_index(
     tombstones = _list_tombstones(path)
     meta["deletes"] = len(tombstones)
     return InvertedIndex(spark, path, meta, batches=batches, tombstones=tombstones)
+
+
+def index_stats(idx: InvertedIndex) -> DataFrame:
+    """Index-level statistics — the ES ``_stats`` / ``_segments``
+    introspection surface: ONE row of
+    (n_docs, avgdl, sum_dl, n_terms, n_postings, n_blocks, n_batches,
+    n_deletes, appends, compactions).  n_postings counts stored (doc, term)
+    pairs (each posting lives in exactly one salt), n_blocks the physical
+    block rows.  Corpus quantities come from the handle's folded metadata
+    (O(1)); n_terms/n_postings/n_blocks are one narrow aggregation over the
+    dictionary / segment tables — vocab- and block-count-sized, never
+    corpus-sized."""
+    seg = idx.segments.agg(
+        F.count("*").cast("long").alias("n_blocks"),
+        F.coalesce(F.sum("n"), F.lit(0)).cast("long").alias("n_postings"),
+    ).collect()[0]
+    n_terms = idx.dictionary.count()
+    row = (
+        int(idx.n_docs),
+        float(idx.avgdl),
+        int(idx.meta["corpus"].get("sum_dl", 0)),
+        int(n_terms),
+        int(seg["n_postings"]),
+        int(seg["n_blocks"]),
+        len(idx.batches),
+        len(idx.tombstone_tags),
+        int(idx.meta.get("appends", 0)),
+        int(idx.meta.get("compactions", 0)),
+    )
+    return idx.spark.createDataFrame(
+        [row],
+        "n_docs long, avgdl double, sum_dl long, n_terms long, "
+        "n_postings long, n_blocks long, n_batches int, n_deletes int, "
+        "appends int, compactions int",
+    )
+
+
+def snapshot_index(path: str, dest: str) -> str:
+    """Point-in-time copy of an index's COMMITTED state — the ES snapshot
+    API analog.  Copies base tables, committed append batches, tombstones,
+    metadata, and lineage; excludes ``_staging`` (in-flight junk is not
+    state).  Refuses a dirty index (unfinished mutation marker) and an
+    existing destination.  Because every mutation publishes via atomic
+    renames of whole directories, a snapshot taken between mutations is
+    internally consistent by construction; like purge_staging, don't run
+    it concurrently with a mutation (maintenance-window discipline).
+
+    At production scale this is the Iceberg snapshot-export / S3 prefix
+    copy; here it is a directory tree copy."""
+    import shutil
+
+    if os.path.exists(_lineage_path(path, _INPROGRESS)):
+        raise RuntimeError(
+            f"index at {path} has an unfinished mutation; repair before snapshotting"
+        )
+    if os.path.exists(dest):
+        raise FileExistsError(f"snapshot destination already exists: {dest}")
+    shutil.copytree(path, dest, ignore=shutil.ignore_patterns("_staging"))
+    return dest
+
+
+def restore_index(spark: SparkSession, snapshot: str, dest: str) -> InvertedIndex:
+    """Restore a `snapshot_index` copy to a new location and open it — the
+    ES restore API analog.  The restored index is a fully independent
+    live index (appends/deletes/compactions on it do not touch the
+    snapshot)."""
+    snapshot_index(snapshot, dest)
+    return open_index(spark, dest)

@@ -1778,3 +1778,138 @@ def rescore_topk_indexed(
         first, me.select("query_id", "term", "doc_id", "tf", "dl"), mu, total,
         window_size, query_weight, rescore_weight, k, round_dp,
     )
+
+
+def explain_scores_indexed(
+    spark,
+    idx,
+    queries: DataFrame,
+    round_dp: int | None = None,
+) -> DataFrame:
+    """`explain_scores` off a persisted index: the same per-(query, doc,
+    term) BM25 ingredient breakdown, with tf/dl decoded from pruned posting
+    blocks and df/idf from the dictionary sidecar — zero corpus joins.
+    Rides `_indexed_contrib` (the ONE indexed scoring join), so the
+    explained weights are BY CONSTRUCTION the ones every indexed scorer
+    sums."""
+    qt = query_terms(queries)
+    qidf = (
+        idx.dictionary.join(F.broadcast(qt.select("query_id", "term")), "term")
+        .select(
+            "query_id", "term", F.col("df").cast("long").alias("df"),
+            idf_col(idx.n_docs, "df").alias("idf"),
+        )
+    )
+    j = _indexed_contrib(spark, idx, queries, qterms=qt, qidf=qidf)
+    out = j.select(
+        "query_id", "doc_id", "term", "tf", "dl", "df", "idf",
+        F.col("_w").alias("weight"),
+    )
+    if round_dp is not None:
+        out = out.withColumn("idf", F.round("idf", round_dp)).withColumn(
+            "weight", F.round("weight", round_dp)
+        )
+    return out
+
+
+def more_like_this_indexed(
+    spark,
+    idx,
+    docs: DataFrame,
+    seed_ids,
+    n_terms: int = 10,
+    k: int = 10,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    round_dp: int | None = None,
+) -> DataFrame:
+    """`more_like_this` off a persisted index: seed term-vectors come from
+    tokenizing ONLY the seed docs (left-semi BEFORE tokenization — the ES
+    term-vectors fetch), df/idf from the dictionary sidecar, and the
+    resulting disjunctive query runs through the shared indexed scorer
+    (pruned blocks, zero corpus-sized joins).  ``docs`` supplies only the
+    seed rows' text."""
+    if isinstance(seed_ids, DataFrame):
+        if "doc_id" in seed_ids.columns:
+            scol = "doc_id"
+        elif len(seed_ids.columns) == 1:
+            scol = seed_ids.columns[0]
+        else:
+            raise ValueError(
+                "seed_ids DataFrame must have a doc_id column or exactly one "
+                f"column, got {seed_ids.columns}"
+            )
+        seeds = seed_ids.select(F.col(scol).alias("_sid")).distinct()
+    else:
+        seeds = spark.createDataFrame(
+            [(int(s),) for s in seed_ids], "_sid long"
+        ).distinct()
+    seed_docs = docs.join(
+        F.broadcast(seeds), docs[id_col] == seeds["_sid"], "left_semi"
+    )
+    seed_post = postings(seed_docs, text_col=text_col, id_col=id_col, conf=idx.conf)
+    kw = seed_post.join(
+        F.broadcast(
+            idx.dictionary.select("term", "df").join(
+                F.broadcast(seed_post.select("term").distinct()), "term"
+            )
+        ),
+        "term",
+    ).select(
+        F.col("doc_id").alias("query_id"),
+        "term",
+        (F.col("tf") * F.log(F.lit(float(idx.n_docs)) / F.col("df"))).alias("tfidf"),
+    )
+    if round_dp is not None:
+        kw = kw.withColumn("tfidf", F.round("tfidf", round_dp))
+    wk = Window.partitionBy("query_id").orderBy(F.desc("tfidf"), F.asc("term"))
+    qt = (
+        kw.withColumn("_rn", F.row_number().over(wk))
+        .filter(F.col("_rn") <= n_terms)
+        .select("query_id", "term")
+    )
+    scored = _indexed_scored(spark, idx, None, qterms=qt).filter(
+        F.col("query_id") != F.col("doc_id")
+    )
+    return rank_topk(_maybe_round(scored, round_dp), k)
+
+
+def multi_field_bm25_topk(
+    docs: DataFrame,
+    queries: DataFrame,
+    fields: dict[str, float],
+    k: int = 10,
+    conf: IndexConf = DEFAULT_CONF,
+    id_col: str = "doc_id",
+    round_dp: int | None = None,
+) -> DataFrame:
+    """Multi-field retrieval — the ES ``multi_match`` (``most_fields``) /
+    BM25F-lite surface: each entry of ``fields`` (column → boost) is scored
+    as its OWN BM25 field with its OWN df / dl / avgdl (Lucene keeps
+    per-field statistics — a term's rarity in a short keyword field is not
+    its rarity in the body), and the document's final score is
+    Σ_f boost_f · bm25_f(q, d).  A doc matching in ANY field is a hit
+    (most_fields semantics; best_fields would take greatest() instead —
+    one-line variant).
+
+    Scale: one postings/doc-stats pass PER FIELD (each a narrow projection
+    scan — exactly what Lucene's per-field inverted indexes cost), then a
+    union + fine-keyed (query_id, doc_id) hash agg; no corpus-sized joins
+    beyond the per-field scorer plans.
+    """
+    if not fields:
+        raise ValueError("fields must map at least one column to a boost")
+    parts = []
+    for fcol, boost in fields.items():
+        s = bm25_scores(docs, queries, conf=conf, text_col=fcol, id_col=id_col)
+        parts.append(
+            s.select(
+                "query_id", "doc_id",
+                (F.col("score") * F.lit(float(boost))).alias("score"),
+            )
+        )
+    u = parts[0]
+    for p in parts[1:]:
+        u = u.unionByName(p)
+    comb = u.groupBy("query_id", "doc_id").agg(F.sum("score").alias("score"))
+    return rank_topk(_maybe_round(comb, round_dp), k)

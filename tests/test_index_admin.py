@@ -1,0 +1,106 @@
+"""Index administration surface: multi-field retrieval, _stats
+introspection, and snapshot/restore."""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from igd_spark import (
+    IndexConf,
+    build_index,
+    delete_docs,
+    exact_bm25_topk,
+    index_stats,
+    multi_field_bm25_topk,
+    open_index,
+    restore_index,
+    search,
+    snapshot_index,
+)
+from igd_spark.corpus import assign_doc_ids
+
+
+@pytest.fixture(scope="module")
+def docs(spark, tiny_docs):
+    return assign_doc_ids(tiny_docs).cache()
+
+
+def _queries(spark, rows):
+    return spark.createDataFrame(rows, "query_id long, query_text string")
+
+
+def test_multi_field_sums_per_field_bm25(spark, docs):
+    from igd_spark.stats import term_stats
+    from igd_spark.tokenizer import postings
+
+    ts = term_stats(postings(docs)).filter((F.col("df") >= 15) & (F.col("df") <= 80))
+    t = ts.orderBy("term").limit(1).collect()[0]["term"]
+    role = docs.select("role").distinct().orderBy("role").limit(1).collect()[0]["role"]
+    q = _queries(spark, [(0, f"{t} {role}")])
+    fields = {"text": 1.0, "role": 3.0}
+    out = multi_field_bm25_topk(docs, q, fields, k=2000, round_dp=9).toPandas()
+    # brute force: per-field exact scorers with own stats, boosted sum
+    want = {}
+    for fcol, boost in fields.items():
+        one_field = docs.select("doc_id", F.col(fcol).alias("text"))
+        part = exact_bm25_topk(one_field, q, k=10**6).toPandas()
+        for r in part.itertuples():
+            want[r.doc_id] = want.get(r.doc_id, 0.0) + boost * r.score
+    got = {r.doc_id: r.score for r in out.itertuples()}
+    assert set(got) == set(want)
+    for d, s in got.items():
+        assert s == pytest.approx(round(want[d], 9), abs=2e-9)
+    with pytest.raises(ValueError):
+        multi_field_bm25_topk(docs, q, {})
+
+
+def test_index_stats_and_snapshot_restore(spark, docs, tmp_path):
+    conf = IndexConf(block_size=32, n_shards=8, salt_df_threshold=64, max_salts=4)
+    path = str(tmp_path / "idx")
+    idx = build_index(spark, docs, path, conf=conf)
+    st = index_stats(idx).collect()[0]
+    assert st["n_docs"] == docs.count()
+    assert st["n_postings"] == st["sum_dl"] or st["n_postings"] <= st["sum_dl"]
+    # n_postings = distinct (doc, term) pairs; sum_dl = token occurrences
+    from igd_spark.tokenizer import postings
+
+    assert st["n_postings"] == postings(docs).count()
+    assert st["n_terms"] == idx.dictionary.count()
+    assert st["n_blocks"] > 0 and st["n_batches"] == 0 and st["n_deletes"] == 0
+
+    from igd_spark.stats import term_stats
+
+    t = (
+        term_stats(postings(docs)).filter(F.col("df") >= 20)
+        .orderBy("term").limit(1).collect()[0]["term"]
+    )
+    q = _queries(spark, [(0, t)])
+    pre = search(spark, idx, q, k=10, engine="spark").toPandas()
+    assert len(pre) == 10
+
+    snap = str(tmp_path / "snap")
+    snapshot_index(path, snap)
+    with pytest.raises(FileExistsError):
+        snapshot_index(path, snap)
+
+    # mutate the ORIGINAL: delete its entire top-10
+    dead = spark.createDataFrame(
+        pd.DataFrame({"doc_id": pre["doc_id"].tolist()})
+    )
+    idx2 = delete_docs(spark, path, dead, delete_tag="snap_t")
+    assert index_stats(idx2).collect()[0]["n_deletes"] == 1
+    post = search(spark, idx2, q, k=10, engine="spark").toPandas()
+    assert not set(pre["doc_id"]) & set(post["doc_id"])
+
+    # the snapshot is untouched; restore yields the pre-delete results
+    rest = restore_index(spark, snap, str(tmp_path / "restored"))
+    got = search(spark, rest, q, k=10, engine="spark").toPandas()
+    a = pre.sort_values(["query_id", "rank"]).reset_index(drop=True)
+    b = got.sort_values(["query_id", "rank"]).reset_index(drop=True)
+    assert a["doc_id"].equals(b["doc_id"])
+    assert (abs(a["score"] - b["score"]) < 1e-12).all()
+    # restored index is independent: deleting there leaves the snapshot dir alone
+    delete_docs(spark, str(tmp_path / "restored"), dead, delete_tag="r_t")
+    assert open_index(spark, snap).tombstone_tags == []

@@ -832,3 +832,25 @@ def test_term_vectors_bruteforce_and_dictionary_parity(spark, docs, built_idx):
     pd.testing.assert_frame_equal(a, b)
     g = a.groupby("doc_id").agg(tf_sum=("tf", "sum"), dl=("dl", "first"))
     assert (g["tf_sum"] == g["dl"]).all(), "per-doc tf must sum to dl"
+
+
+def test_mlt_and_explain_indexed_identity(spark, docs, built_idx):
+    from igd_spark import (
+        explain_scores,
+        explain_scores_indexed,
+        more_like_this,
+        more_like_this_indexed,
+    )
+
+    seeds = [r["doc_id"] for r in docs.select("doc_id").orderBy("doc_id").limit(3).collect()]
+    a = _sorted(more_like_this(docs, seeds, n_terms=5, k=20,
+                               conf=built_idx.conf, round_dp=9))
+    b = _sorted(more_like_this_indexed(spark, built_idx, docs, seeds,
+                                       n_terms=5, k=20, round_dp=9))
+    pd.testing.assert_frame_equal(a, b, check_dtype=False)
+
+    t1, t2 = _pick_terms(docs, 2)
+    q = _queries(spark, [(0, f"{t1} {t2}")])
+    c = _sorted(explain_scores(docs, q, conf=built_idx.conf, round_dp=9))
+    d = _sorted(explain_scores_indexed(spark, built_idx, q, round_dp=9))
+    pd.testing.assert_frame_equal(c, d, check_dtype=False)
