@@ -326,6 +326,27 @@ def main() -> int:
         f"scanned schemas: {r_schemas}",
     )
 
+    # indexed aggregations: pruned block scan for the match set, the corpus
+    # appearing ONLY as a narrow attribute projection (never the text)
+    from igd_spark import rescore_topk_indexed, stats_agg_indexed
+
+    splan = fmt(stats_agg_indexed(spark, idx, docs, ql_q, "turn_idx"))
+    assert_pruned_scan("stats_agg_indexed scan", splan)
+    s_schemas = re.findall(r"ReadSchema: struct<([^>]*)>", splan)
+    check(
+        "stats_agg_indexed reads the corpus only as (doc_id, value) — no text",
+        bool(s_schemas) and not any("text:" in s for s in s_schemas),
+        f"scanned schemas: {s_schemas}",
+    )
+    rsplan = fmt(rescore_topk_indexed(spark, idx, ql_q, window_size=10))
+    assert_pruned_scan("rescore_topk_indexed scan", rsplan)
+    rs_schemas = re.findall(r"ReadSchema: struct<([^>]*)>", rsplan)
+    check(
+        "rescore_topk_indexed never scans the corpus text",
+        bool(rs_schemas) and not any("text:" in s for s in rs_schemas),
+        f"scanned schemas: {rs_schemas}",
+    )
+
     # 11. parsed query language: one composed plan, no cartesian; the
     # indexed path stays on pruned blocks and never touches corpus text
     from igd_spark import parsed_bm25_topk, parsed_bm25_topk_indexed
