@@ -1059,6 +1059,22 @@ def q_bm25_topk_expunged(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _rank_rounded(out.select("query_id", "doc_id", "score"), K)
 
 
+def q_rank_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # ES _rank_eval: precision/recall/MRR/NDCG@K of the bm25 ranking
+    # against deterministic synthetic judgments (grade = doc_id % 4 over
+    # the match set — same literal rule in the oracle)
+    from igd_spark import rank_eval
+    from igd_spark.search import bm25_scores
+
+    docs, qs = _docs(spark, sf_dir), _queries_df(spark)
+    scored = bm25_scores(docs, qs)
+    res = _rank_rounded(scored, K)
+    jd = scored.select(
+        "query_id", "doc_id", (F.col("doc_id") % 4).cast("int").alias("grade")
+    )
+    return rank_eval(res, jd, k=K, round_dp=6)
+
+
 def q_index_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     # ES _stats introspection — gate checks the corpus-derivable columns
     # (n_blocks/batches/deletes are layout state, pytest-covered)
@@ -1315,6 +1331,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "function_score_decay": q_function_score_decay,
         "multi_field_bm25_topk": q_multi_field_bm25_topk,
         "index_stats": q_index_stats,
+        "rank_eval": q_rank_eval,
         "bm25_topk_deleted": q_bm25_topk_deleted,
         "bm25_topk_expunged": q_bm25_topk_expunged,
         "match_enumerate": q_match_enumerate,
@@ -2838,6 +2855,47 @@ ranked AS (
                             ORDER BY round(s, 6) DESC, doc_id ASC)::INT AS rank
   FROM combined)
 SELECT query_id, rank, doc_id, score FROM ranked WHERE rank <= {K}
+"""
+
+    sql["rank_eval"] = f"""
+WITH {_TL}, {_TOKS}, {_POST}, {_DL}, {_CS}, {_TS}, {_QT}, {_SCORED},
+ranked AS (
+  SELECT query_id, doc_id, round(s, 6) AS score,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY round(s, 6) DESC, doc_id ASC)::INT AS rank
+  FROM scored),
+res AS (SELECT query_id, rank, doc_id FROM ranked WHERE rank <= {K}),
+jd AS (SELECT query_id, doc_id, (doc_id % 4)::INT AS grade FROM scored),
+hit AS (
+  SELECT r.query_id, r.rank, r.doc_id, j.grade
+  FROM res r LEFT JOIN jd j ON j.query_id = r.query_id AND j.doc_id = r.doc_id),
+perq AS (
+  SELECT query_id, count(*)::BIGINT AS n_retrieved,
+         sum(CASE WHEN grade >= 1 THEN 1 ELSE 0 END)::BIGINT AS n_rel_ret,
+         min(CASE WHEN grade >= 1 THEN rank END) AS first_rel,
+         sum(CASE WHEN grade IS NOT NULL
+                  THEN (pow(2.0, grade) - 1.0) / log2(rank + 1.0)
+                  ELSE 0.0 END) AS dcg
+  FROM hit GROUP BY 1),
+ideal AS (
+  SELECT query_id, sum((pow(2.0, grade) - 1.0) / log2(ir + 1.0)) AS idcg
+  FROM (SELECT query_id, grade, doc_id,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY grade DESC, doc_id ASC) AS ir
+        FROM jd)
+  WHERE ir <= {K} GROUP BY 1),
+tot AS (SELECT query_id, count(*)::BIGINT AS n_relevant
+        FROM jd WHERE grade >= 1 GROUP BY 1)
+SELECT p.query_id, p.n_retrieved, coalesce(t.n_relevant, 0) AS n_relevant,
+       round(p.n_rel_ret::DOUBLE / p.n_retrieved, 6) AS "precision",
+       round(CASE WHEN coalesce(t.n_relevant, 0) > 0
+                  THEN p.n_rel_ret::DOUBLE / t.n_relevant ELSE 0.0 END, 6) AS recall,
+       round(CASE WHEN p.first_rel IS NOT NULL
+                  THEN 1.0 / p.first_rel ELSE 0.0 END, 6) AS mrr,
+       round(CASE WHEN coalesce(i.idcg, 0.0) > 0.0
+                  THEN p.dcg / i.idcg ELSE 0.0 END, 6) AS ndcg
+FROM perq p LEFT JOIN tot t ON t.query_id = p.query_id
+LEFT JOIN ideal i ON i.query_id = p.query_id
 """
 
     sql["index_stats"] = f"""

@@ -253,6 +253,10 @@ def main() -> None:
         "near_match_indexed",
         "dedup_clusters",
         "boilerplate_clean",
+        "significant_terms",
+        "multi_field_bm25_topk",
+        "rescore_topk",
+        "rank_eval",
     ):
         fn = em.queries()[name]
         # best-of-2 (first run doubles as warm-up): single-shot timings of
