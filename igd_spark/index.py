@@ -883,25 +883,31 @@ def index_stats(idx: InvertedIndex) -> DataFrame:
     """Index-level statistics — the ES ``_stats`` / ``_segments``
     introspection surface: ONE row of
     (n_docs, avgdl, sum_dl, n_terms, n_postings, n_blocks, n_batches,
-    n_deletes, appends, compactions).  n_postings counts stored (doc, term)
-    pairs (each posting lives in exactly one salt), n_blocks the physical
-    block rows.  Corpus quantities come from the handle's folded metadata
-    (O(1)); n_terms/n_postings/n_blocks are one narrow aggregation over the
-    dictionary / segment tables — vocab- and block-count-sized, never
-    corpus-sized."""
+    n_deleted_docs, n_delete_batches, appends, compactions).
+    ``n_deleted_docs`` is the ES ``docs.deleted`` count (distinct
+    tombstoned ids — THE number the compact-when-it-grows guidance keys
+    on); ``n_delete_batches`` the tombstone commit count.  n_postings
+    counts stored (doc, term) pairs (each posting lives in exactly one
+    salt), n_blocks the physical block rows.  Corpus quantities come from
+    the handle's folded metadata (O(1) — sum_dl is always present:
+    open_index enforces schema v2); n_terms/n_postings/n_blocks are one
+    narrow aggregation over the dictionary / segment tables — vocab- and
+    block-count-sized, never corpus-sized."""
     seg = idx.segments.agg(
         F.count("*").cast("long").alias("n_blocks"),
         F.coalesce(F.sum("n"), F.lit(0)).cast("long").alias("n_postings"),
     ).collect()[0]
     n_terms = idx.dictionary.count()
+    tomb = idx.tombstones_array()
     row = (
         int(idx.n_docs),
         float(idx.avgdl),
-        int(idx.meta["corpus"].get("sum_dl", 0)),
+        int(idx.meta["corpus"]["sum_dl"]),
         int(n_terms),
         int(seg["n_postings"]),
         int(seg["n_blocks"]),
         len(idx.batches),
+        int(tomb.size) if tomb is not None else 0,
         len(idx.tombstone_tags),
         int(idx.meta.get("appends", 0)),
         int(idx.meta.get("compactions", 0)),
@@ -909,8 +915,8 @@ def index_stats(idx: InvertedIndex) -> DataFrame:
     return idx.spark.createDataFrame(
         [row],
         "n_docs long, avgdl double, sum_dl long, n_terms long, "
-        "n_postings long, n_blocks long, n_batches int, n_deletes int, "
-        "appends int, compactions int",
+        "n_postings long, n_blocks long, n_batches int, n_deleted_docs long, "
+        "n_delete_batches int, appends int, compactions int",
     )
 
 

@@ -1202,6 +1202,26 @@ def boosted_bm25_topk(
     return rank_topk(_maybe_round(boosted, round_dp), k)
 
 
+def _seed_frame(spark, seed_ids, alias: str) -> DataFrame:
+    """Normalize MoreLikeThis seed input (DataFrame with a doc_id column,
+    one-column DataFrame, or iterable of ids) to a distinct one-column
+    frame named ``alias`` — shared by both MLT paths."""
+    if isinstance(seed_ids, DataFrame):
+        if "doc_id" in seed_ids.columns:
+            scol = "doc_id"
+        elif len(seed_ids.columns) == 1:
+            scol = seed_ids.columns[0]
+        else:
+            raise ValueError(
+                "seed_ids DataFrame must have a doc_id column or exactly one "
+                f"column, got {seed_ids.columns}"
+            )
+        return seed_ids.select(F.col(scol).alias(alias)).distinct()
+    return spark.createDataFrame(
+        [(int(s),) for s in seed_ids], f"{alias} long"
+    ).distinct()
+
+
 def more_like_this(
     docs: DataFrame,
     seed_ids,
@@ -1231,21 +1251,7 @@ def more_like_this(
     the all-pairs similarity operators (similarity.py), not MLT.
     """
     spark = docs.sparkSession
-    if isinstance(seed_ids, DataFrame):
-        if "doc_id" in seed_ids.columns:
-            scol = "doc_id"
-        elif len(seed_ids.columns) == 1:
-            scol = seed_ids.columns[0]
-        else:
-            raise ValueError(
-                "seed_ids DataFrame must have a doc_id column or exactly one "
-                f"column, got {seed_ids.columns}"
-            )
-        seeds = seed_ids.select(F.col(scol).alias("doc_id")).distinct()
-    else:
-        seeds = spark.createDataFrame(
-            [(int(s),) for s in seed_ids], "doc_id long"
-        ).distinct()
+    seeds = _seed_frame(spark, seed_ids, "doc_id")
     post, ds, n_docs, avgdl = _corpus_parts(docs, conf, text_col, id_col)
     ts = term_stats(post)
     seed_post = post.join(F.broadcast(seeds), "doc_id")
@@ -1829,21 +1835,7 @@ def more_like_this_indexed(
     resulting disjunctive query runs through the shared indexed scorer
     (pruned blocks, zero corpus-sized joins).  ``docs`` supplies only the
     seed rows' text."""
-    if isinstance(seed_ids, DataFrame):
-        if "doc_id" in seed_ids.columns:
-            scol = "doc_id"
-        elif len(seed_ids.columns) == 1:
-            scol = seed_ids.columns[0]
-        else:
-            raise ValueError(
-                "seed_ids DataFrame must have a doc_id column or exactly one "
-                f"column, got {seed_ids.columns}"
-            )
-        seeds = seed_ids.select(F.col(scol).alias("_sid")).distinct()
-    else:
-        seeds = spark.createDataFrame(
-            [(int(s),) for s in seed_ids], "_sid long"
-        ).distinct()
+    seeds = _seed_frame(spark, seed_ids, "_sid")
     seed_docs = docs.join(
         F.broadcast(seeds), docs[id_col] == seeds["_sid"], "left_semi"
     )

@@ -59,8 +59,16 @@ def rank_eval(
     if k <= 0:
         raise ValueError(f"k must be positive, got {k}")
     res = results.select("query_id", "rank", "doc_id").filter(F.col("rank") <= k)
-    j = judgments.select(
-        "query_id", "doc_id", F.col("grade").cast("int").alias("grade")
+    # one rating per (query, doc) — duplicate judgment rows (two rater
+    # files grading the same doc) take the MAX grade, the ES convention;
+    # without this the left join below would fan out and inflate every
+    # metric past 1.0
+    j = (
+        judgments.select(
+            "query_id", "doc_id", F.col("grade").cast("int").alias("grade")
+        )
+        .groupBy("query_id", "doc_id")
+        .agg(F.max("grade").alias("grade"))
     )
     rel = F.col("grade") >= int(relevant_grade)
     gain = F.pow(F.lit(2.0), F.col("grade")) - F.lit(1.0)

@@ -178,21 +178,29 @@ def test_expunge_shrinks_n_salts(spark, tiny_docs, tmp_path):
     )
     assert hot, "fixture must produce at least one salted term"
     term, old_salts = hot[0]["term"], int(hot[0]["n_salts"])
-    # delete every doc holding the term except those in salt 0's blocks
     seg = idx.segments.filter(F.col("term") == term)
-    keep_salt0 = {r["salt"] for r in seg.select("salt").distinct().collect()}
-    assert len(keep_salt0) > 1
+    salts = sorted(r["salt"] for r in seg.select("salt").distinct().collect())
+    assert len(salts) > 1, "hot term must physically span multiple salts"
+    # pick the SURVIVOR from the minimum salt's blocks (first_doc is a doc
+    # known to live there), so after deleting every other posting of the
+    # term only min-salt blocks survive and the recompute MUST strictly
+    # shrink n_salts to min_salt + 1
+    min_salt = salts[0]
+    survivor = int(
+        seg.filter(F.col("salt") == min_salt)
+        .orderBy("block_id").limit(1).collect()[0]["first_doc"]
+    )
     from igd_spark import match_enumerate
 
     q = spark.createDataFrame([(0, term)], "query_id long, query_text string")
-    all_ids = [r["doc_id"] for r in
-               match_enumerate(spark, idx, q).select("doc_id").distinct().collect()]
-    # deleting ALL the term's docs leaves n_salts row absent entirely;
-    # delete all but one doc so exactly one salt can survive
-    dead = all_ids[1:]
+    all_ids = {r["doc_id"] for r in
+               match_enumerate(spark, idx, q).select("doc_id").distinct().collect()}
+    dead = sorted(all_ids - {survivor})
     delete_docs(spark, path, spark.createDataFrame([(i,) for i in dead], "doc_id long"))
     idx2 = compact_index(spark, path)
     row = idx2.dictionary.filter(F.col("term") == term).collect()
     assert row, "one posting survives"
     assert row[0]["df"] == 1
-    assert int(row[0]["n_salts"]) <= old_salts
+    # strict pin of the recompute: max surviving salt + 1, smaller than before
+    assert int(row[0]["n_salts"]) == min_salt + 1
+    assert int(row[0]["n_salts"]) < old_salts

@@ -62,13 +62,14 @@ def test_index_stats_and_snapshot_restore(spark, docs, tmp_path):
     idx = build_index(spark, docs, path, conf=conf)
     st = index_stats(idx).collect()[0]
     assert st["n_docs"] == docs.count()
-    assert st["n_postings"] == st["sum_dl"] or st["n_postings"] <= st["sum_dl"]
     # n_postings = distinct (doc, term) pairs; sum_dl = token occurrences
+    assert st["n_postings"] <= st["sum_dl"]
     from igd_spark.tokenizer import postings
 
     assert st["n_postings"] == postings(docs).count()
     assert st["n_terms"] == idx.dictionary.count()
-    assert st["n_blocks"] > 0 and st["n_batches"] == 0 and st["n_deletes"] == 0
+    assert st["n_blocks"] > 0 and st["n_batches"] == 0
+    assert st["n_deleted_docs"] == 0 and st["n_delete_batches"] == 0
 
     from igd_spark.stats import term_stats
 
@@ -90,7 +91,10 @@ def test_index_stats_and_snapshot_restore(spark, docs, tmp_path):
         pd.DataFrame({"doc_id": pre["doc_id"].tolist()})
     )
     idx2 = delete_docs(spark, path, dead, delete_tag="snap_t")
-    assert index_stats(idx2).collect()[0]["n_deletes"] == 1
+    st2 = index_stats(idx2).collect()[0]
+    # docs.deleted semantics: the DOC count, not the batch count
+    assert st2["n_deleted_docs"] == len(pre["doc_id"].unique())
+    assert st2["n_delete_batches"] == 1
     post = search(spark, idx2, q, k=10, engine="spark").toPandas()
     assert not set(pre["doc_id"]) & set(post["doc_id"])
 

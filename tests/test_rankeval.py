@@ -60,3 +60,16 @@ def test_rank_eval_k_truncation(spark):
     assert r3["recall"] == pytest.approx(1.0)
     # single judged doc: DCG@3 = 3/log2(4), IDCG = 3/log2(2) -> ndcg = 1/2
     assert r3["ndcg"] == pytest.approx(math.log2(2) / math.log2(4), abs=1e-12)
+
+
+def test_rank_eval_duplicate_judgments_take_max_grade(spark):
+    # two rater files grade the same (query, doc): the join must not fan
+    # out (ES keeps one rating per doc — max here), metrics stay <= 1
+    res = _res(spark, [(0, 1, 10), (0, 2, 11)])
+    jd = _jd(spark, [(0, 10, 0), (0, 10, 2), (0, 11, 1), (0, 11, 1)])
+    r = rank_eval(res, jd, k=10).collect()[0]
+    assert r["n_retrieved"] == 2
+    assert r["n_relevant"] == 2
+    assert r["precision"] == pytest.approx(1.0)
+    assert r["recall"] == pytest.approx(1.0)
+    assert 0.0 < r["ndcg"] <= 1.0
