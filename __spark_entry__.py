@@ -118,6 +118,8 @@ MF_QUERY_SET: list[tuple[int, str]] = [
     (4, "merge sort src12"),
 ]
 DEL_MOD = 137                 # delete set: doc_id % DEL_MOD == 0
+ANALYZE_MOD = 347             # _analyze request: doc_id % ANALYZE_MOD == 0
+SPAN_FIRST_END = 10           # SpanFirstQuery position bound
 DECAY_ORIGIN = 200.0          # function_score gauss decay on n_chars
 DECAY_SCALE = 120.0
 # Lucene RegexpQuery: one regex per query, full-term match, patterns kept
@@ -1059,6 +1061,31 @@ def q_bm25_topk_expunged(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _rank_rounded(out.select("query_id", "doc_id", "score"), K)
 
 
+def q_analyze(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # ES _analyze: the exact analysis chain, exposed — (doc_id, pos, token)
+    from igd_spark import analyze
+
+    docs = _docs(spark, sf_dir).filter(F.col("doc_id") % ANALYZE_MOD == 0)
+    return analyze(docs)
+
+
+def q_span_first_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Lucene SpanFirstQuery: query-term occurrences at pos < END
+    from igd_spark import span_first_match
+
+    return span_first_match(
+        _docs(spark, sf_dir), _queries_df(spark), SPAN_FIRST_END
+    )
+
+
+def q_span_first_match_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # same, off the pruned positional index
+    from igd_spark import span_first_match_indexed
+
+    idx = _built_index(spark, sf_dir)
+    return span_first_match_indexed(spark, idx, _queries_df(spark), SPAN_FIRST_END)
+
+
 def q_rank_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     # ES _rank_eval: precision/recall/MRR/NDCG@K of the bm25 ranking
     # against deterministic synthetic judgments (grade = doc_id % 4 over
@@ -1332,6 +1359,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multi_field_bm25_topk": q_multi_field_bm25_topk,
         "index_stats": q_index_stats,
         "rank_eval": q_rank_eval,
+        "analyze": q_analyze,
+        "span_first_match": q_span_first_match,
+        "span_first_match_indexed": q_span_first_match_indexed,
         "bm25_topk_deleted": q_bm25_topk_deleted,
         "bm25_topk_expunged": q_bm25_topk_expunged,
         "match_enumerate": q_match_enumerate,
@@ -2856,6 +2886,24 @@ ranked AS (
   FROM combined)
 SELECT query_id, rank, doc_id, score FROM ranked WHERE rank <= {K}
 """
+
+    sql["analyze"] = f"""
+WITH {_TL}
+SELECT doc_id, i - 1 AS pos, tl[i] AS token
+FROM (SELECT doc_id, tl, unnest(generate_series(1, len(tl))) AS i FROM tldocs)
+WHERE doc_id % {ANALYZE_MOD} = 0
+"""
+
+    sql["span_first_match"] = f"""
+WITH {_TL}, {_QT},
+pp AS (SELECT doc_id, i - 1 AS pos, tl[i] AS term
+       FROM (SELECT doc_id, tl, unnest(generate_series(1, len(tl))) AS i FROM tldocs)),
+hits AS (
+  SELECT qt.query_id, pp.doc_id
+  FROM qterms qt JOIN pp USING (term) WHERE pp.pos < {SPAN_FIRST_END})
+SELECT query_id, doc_id, count(*)::BIGINT AS n_hits FROM hits GROUP BY 1, 2
+"""
+    sql["span_first_match_indexed"] = sql["span_first_match"]
 
     sql["rank_eval"] = f"""
 WITH {_TL}, {_TOKS}, {_POST}, {_DL}, {_CS}, {_TS}, {_QT}, {_SCORED},

@@ -1287,3 +1287,50 @@ def source_hits(
         "nr",
         F.coalesce(F.col("hits"), F.lit(0)).cast("long").alias("hits"),
     )
+
+
+def span_first_match(
+    docs: DataFrame,
+    queries: DataFrame,
+    end: int,
+    conf: IndexConf = DEFAULT_CONF,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Position-bounded matching — the Lucene SpanFirstQuery surface:
+    (query_id, doc_id, n_hits) for docs where a query term occurs at token
+    position < ``end`` (0-based, the `positional_postings` coordinate).
+    The classic use is "match in the title/opening": for transcripts,
+    "the conversation OPENS with this term".
+
+    Scale: the occurrence stream with the position predicate pushed below
+    the join+agg — at 100 TB the indexed variant reads only the query
+    terms' positional blocks."""
+    if end <= 0:
+        raise ValueError(f"end must be positive, got {end}")
+    occ = positional_postings(docs, text_col=text_col, id_col=id_col, conf=conf)
+    qt = query_terms(queries)
+    j = occ.join(F.broadcast(qt), "term").filter(F.col("pos") < end)
+    return j.groupBy("query_id", "doc_id").agg(
+        F.count("*").cast("long").alias("n_hits")
+    )
+
+
+def span_first_match_indexed(
+    spark: SparkSession,
+    idx: InvertedIndex,
+    queries: DataFrame,
+    end: int,
+) -> DataFrame:
+    """`span_first_match` off the persisted positional index: only the
+    query terms' positional blocks are read (shard partitions +
+    In(term_id) row-group pruning via `positional_enumerate`), tombstones
+    respected."""
+    if end <= 0:
+        raise ValueError(f"end must be positive, got {end}")
+    occ = positional_enumerate(spark, idx, queries)
+    return (
+        occ.filter(F.col("pos") < end)
+        .groupBy("query_id", "doc_id")
+        .agg(F.count("*").cast("long").alias("n_hits"))
+    )

@@ -248,3 +248,33 @@ def term_id_col(term: Column | str = "term") -> Column:
     so no global dictionary pass is needed at 10^12-turn scale)."""
     c = F.col(term) if isinstance(term, str) else term
     return F.xxhash64(c)
+
+
+def analyze(
+    docs,
+    conf=None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+):
+    """The ES ``_analyze`` API: expose the exact analysis chain (tokenize →
+    stopword filter → min-length filter) the index applies — (id, pos,
+    token), one row per SURVIVING token, ``pos`` its 0-based position in
+    the post-filter stream (the same coordinate `positional_postings`
+    stores, so an analyze row at pos p is exactly what a phrase/span query
+    will see at p).  The debugging surface for "why didn't my phrase
+    match": run the doc and the query through the same chain and look.
+
+    Pure JVM expressions (split + filter + posexplode) — no UDF, no
+    shuffle beyond the source partitioning."""
+    from pyspark.sql import functions as F
+
+    from igd_spark.config import DEFAULT_CONF
+
+    conf = conf or DEFAULT_CONF
+    toks = F.filter(
+        tokens_col(F.col(text_col), conf.token_split_re),
+        _analyzer_pred(conf.stopwords, conf.min_token_len),
+    )
+    return docs.select(
+        F.col(id_col).alias("doc_id"), F.posexplode(toks).alias("pos", "token")
+    )

@@ -854,3 +854,50 @@ def test_mlt_and_explain_indexed_identity(spark, docs, built_idx):
     c = _sorted(explain_scores(docs, q, conf=built_idx.conf, round_dp=9))
     d = _sorted(explain_scores_indexed(spark, built_idx, q, round_dp=9))
     pd.testing.assert_frame_equal(c, d, check_dtype=False)
+
+
+def test_analyze_matches_index_analyzer(spark, docs):
+    from igd_spark import IndexConf, analyze
+    from igd_spark.stats import doc_stats
+
+    conf = IndexConf(stopwords=("the", "a"), min_token_len=2)
+    out = analyze(docs.limit(20), conf=conf)
+    rows = out.collect()
+    assert rows
+    for r in rows:
+        assert r["token"] not in ("the", "a") and len(r["token"]) >= 2
+    # per-doc token count == the dl the index stores (the _analyze contract:
+    # what you see is what gets indexed)
+    got = {r["doc_id"]: r["cnt"] for r in
+           out.groupBy("doc_id").count().withColumnRenamed("count", "cnt").collect()}
+    dl = {r["doc_id"]: r["dl"] for r in doc_stats(docs.limit(20), conf=conf).collect()}
+    for d, c in got.items():
+        assert c == dl[d]
+    # positions are contiguous 0..dl-1 in the post-filter stream
+    one = sorted(r["pos"] for r in rows if r["doc_id"] == rows[0]["doc_id"])
+    assert one == list(range(len(one)))
+
+
+def test_span_first_indexed_identity(spark, docs, built_idx):
+    from igd_spark import span_first_match, span_first_match_indexed
+
+    t1, t2 = _pick_terms(docs, 2)
+    q = _queries(spark, [(0, f"{t1} {t2}"), (1, "zzznotavocab")])
+    a = _sorted(span_first_match(docs, q, 6, conf=built_idx.conf))
+    b = _sorted(span_first_match_indexed(spark, built_idx, q, 6))
+    pd.testing.assert_frame_equal(a, b, check_dtype=False)
+    # the bound is real: end=1 admits only the position-0 token, so no doc
+    # can register more than one qualifying occurrence
+    first_only = span_first_match(docs, q, 1, conf=built_idx.conf)
+    assert first_only.filter("n_hits > 1").count() == 0
+    # and it matches exactly the docs whose position-0 token is a query term
+    from igd_spark.search import positional_postings
+
+    openers = (
+        positional_postings(docs, conf=built_idx.conf)
+        .filter((F.col("pos") == 0) & F.col("term").isin(t1, t2))
+        .select("doc_id").distinct().count()
+    )
+    assert first_only.filter(F.col("query_id") == 0).count() == openers
+    with pytest.raises(ValueError):
+        span_first_match(docs, q, 0)
