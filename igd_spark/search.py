@@ -1000,6 +1000,32 @@ def phrase_match(
     return _anchor_hits(j, plen)
 
 
+def _literal_pos_qdict(idx: InvertedIndex, qt: DataFrame) -> DataFrame:
+    """Dictionary resolution for the POSITIONAL readers (phrase / NEAR /
+    span / positional_enumerate).  Positions store the RAW token stream
+    (occurrences_spimi keeps every non-empty token — the literal
+    phrase/span contract, config.py), so a query term the ANALYZER removed
+    from the logical dictionary (stopword / sub-min-length) must still
+    resolve here or the indexed paths silently diverge from their
+    corpus-scan twins: term_id is the stateless content hash
+    (xxhash64 == the dictionary's own ids) and analyzer-filtered terms are
+    never salted (the hot table is built from INDEXED postings), so
+    (xxhash64(term), n_salts=1) is exact for them.  ``qt``: any tiny
+    (…payload…, term) frame; returns it with (term_id, n_salts) attached
+    for EVERY row."""
+    resolved = idx.dictionary.join(F.broadcast(qt), "term").select(
+        *qt.columns, "term_id", "n_salts"
+    )
+    have = {r["term"] for r in resolved.select("term").distinct().collect()}
+    missing = qt.filter(~F.col("term").isin(*sorted(have))) if have else qt
+    missing = missing.select(
+        *qt.columns,
+        F.xxhash64("term").alias("term_id"),
+        F.lit(1).cast("int").alias("n_salts"),
+    )
+    return resolved.unionByName(missing)
+
+
 def _pruned_position_blocks(idx: InvertedIndex, qdict: DataFrame) -> DataFrame | None:
     """Shared pruning prologue of the positional readers (phrase + NEAR):
     ``qdict`` is the dictionary slice carrying at least (term_id, n_salts)
@@ -1044,7 +1070,9 @@ def phrase_match_indexed(
     out_empty = "query_id long, doc_id long, n_hits long"
     pterms = _phrase_terms(phrases, conf.token_split_re)
     plen = pterms.groupBy("query_id").agg(F.count("*").alias("phrase_len"))
-    qdict = idx.dictionary.join(F.broadcast(pterms), "term").select(
+    # literal resolution: a stopword inside a phrase still matches the raw
+    # positional stream, exactly like the corpus-scan phrase_match
+    qdict = _literal_pos_qdict(idx, pterms).select(
         "query_id", "term_id", "offset", "n_salts"
     )
     blocks = _pruned_position_blocks(idx, qdict)
@@ -1098,7 +1126,9 @@ def positional_enumerate(
     from igd_spark.build import shards_for
 
     qt = terms.select("query_id", "term") if terms is not None else query_terms(queries)
-    qdict = idx.dictionary.join(F.broadcast(qt), "term").select(
+    # literal resolution (see _literal_pos_qdict): analyzer-filtered query
+    # terms still enumerate their raw-stream occurrences
+    qdict = _literal_pos_qdict(idx, qt).select(
         "query_id", "term", "term_id", "n_salts"
     )
     blocks = _pruned_position_blocks(idx, qdict)

@@ -251,30 +251,28 @@ def term_id_col(term: Column | str = "term") -> Column:
 
 
 def analyze(
-    docs,
-    conf=None,
+    docs: DataFrame,
+    conf: IndexConf = DEFAULT_CONF,
     text_col: str = "text",
     id_col: str = "doc_id",
-):
+) -> DataFrame:
     """The ES ``_analyze`` API: expose the exact analysis chain (tokenize →
-    stopword filter → min-length filter) the index applies — (id, pos,
-    token), one row per SURVIVING token, ``pos`` its 0-based position in
-    the post-filter stream (the same coordinate `positional_postings`
-    stores, so an analyze row at pos p is exactly what a phrase/span query
-    will see at p).  The debugging surface for "why didn't my phrase
-    match": run the doc and the query through the same chain and look.
+    stopword filter → min-length filter) the index applies — (doc_id, pos,
+    token), one row per SURVIVING token.  ``pos`` is the token's 0-based
+    position in the RAW (pre-filter) stream — the coordinate the
+    positional index stores (occurrences_spimi keeps every non-empty
+    token; config.py's literal-phrase contract) — so an analyzed-away
+    token leaves a position GAP, exactly Lucene's StopFilter
+    position-increment behavior.  An analyze row at pos p is therefore
+    exactly what a phrase/span query will see at p, which is the whole
+    debugging use: run the doc through the chain and look.
 
-    Pure JVM expressions (split + filter + posexplode) — no UDF, no
-    shuffle beyond the source partitioning."""
-    from pyspark.sql import functions as F
+    Pure JVM expressions (split + posexplode + scalar filter) — no UDF, no
+    corpus-sized shuffle."""
+    from igd_spark.search import positional_postings
 
-    from igd_spark.config import DEFAULT_CONF
-
-    conf = conf or DEFAULT_CONF
-    toks = F.filter(
-        tokens_col(F.col(text_col), conf.token_split_re),
-        _analyzer_pred(conf.stopwords, conf.min_token_len),
-    )
-    return docs.select(
-        F.col(id_col).alias("doc_id"), F.posexplode(toks).alias("pos", "token")
+    occ = positional_postings(docs, text_col=text_col, id_col=id_col, conf=conf)
+    pred = _analyzer_pred(conf.stopwords, conf.min_token_len)
+    return occ.filter(pred(F.col("term"))).select(
+        "doc_id", "pos", F.col("term").alias("token")
     )

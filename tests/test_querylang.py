@@ -857,25 +857,41 @@ def test_mlt_and_explain_indexed_identity(spark, docs, built_idx):
 
 
 def test_analyze_matches_index_analyzer(spark, docs):
+    from collections import defaultdict
+
     from igd_spark import IndexConf, analyze
+    from igd_spark.search import positional_postings
     from igd_spark.stats import doc_stats
 
     conf = IndexConf(stopwords=("the", "a"), min_token_len=2)
-    out = analyze(docs.limit(20), conf=conf)
+    # deterministic sample: a doc_id predicate, not an unordered limit
+    ids = sorted(r["doc_id"] for r in docs.select("doc_id").collect())[:20]
+    sample = docs.filter(F.col("doc_id").isin(ids)).cache()
+    out = analyze(sample, conf=conf)
     rows = out.collect()
     assert rows
     for r in rows:
         assert r["token"] not in ("the", "a") and len(r["token"]) >= 2
-    # per-doc token count == the dl the index stores (the _analyze contract:
-    # what you see is what gets indexed)
-    got = {r["doc_id"]: r["cnt"] for r in
-           out.groupBy("doc_id").count().withColumnRenamed("count", "cnt").collect()}
-    dl = {r["doc_id"]: r["dl"] for r in doc_stats(docs.limit(20), conf=conf).collect()}
+    # per-doc surviving-token count == the dl the index stores (the
+    # _analyze contract: what you see is what gets indexed)
+    got = defaultdict(int)
+    for r in rows:
+        got[r["doc_id"]] += 1
+    dl = {r["doc_id"]: r["dl"] for r in doc_stats(sample, conf=conf).collect()}
     for d, c in got.items():
         assert c == dl[d]
-    # positions are contiguous 0..dl-1 in the post-filter stream
-    one = sorted(r["pos"] for r in rows if r["doc_id"] == rows[0]["doc_id"])
-    assert one == list(range(len(one)))
+    # positions are RAW-stream coordinates: every analyze row is literally
+    # present at that position in positional_postings (gap semantics) —
+    # the coordinate a phrase/span query will see
+    raw = {(r["doc_id"], r["pos"]): r["term"]
+           for r in positional_postings(sample, conf=conf).collect()}
+    for r in rows:
+        assert raw[(r["doc_id"], r["pos"])] == r["token"]
+    # and the filtered-out raw positions are exactly the analyzed-away ones
+    kept = {(r["doc_id"], r["pos"]) for r in rows}
+    for (d, p), t in raw.items():
+        if (d, p) not in kept:
+            assert t in ("the", "a") or len(t) < 2
 
 
 def test_span_first_indexed_identity(spark, docs, built_idx):
