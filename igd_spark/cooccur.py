@@ -65,7 +65,11 @@ def term_cooccurrence(
         keep = post.groupBy("term").agg(F.count("*").alias("df")).filter(
             F.col("df") >= min_df
         ).select("term")
-        post = post.join(F.broadcast(keep), "term")
+        # No broadcast hint: with a low min_df at corpus scale the keep-set
+        # is vocab-sized, and F.broadcast would bypass AQE's size check and
+        # OOM the driver. LEFT SEMI lets AQE pick broadcast when the set is
+        # actually small and shuffle-hash otherwise.
+        post = post.join(keep, "term", "left_semi")
     a = post.select("doc_id", F.col("term").alias("term_a"))
     b = post.select("doc_id", F.col("term").alias("term_b"))
     return (

@@ -1012,18 +1012,24 @@ def _literal_pos_qdict(idx: InvertedIndex, qt: DataFrame) -> DataFrame:
     never salted (the hot table is built from INDEXED postings), so
     (xxhash64(term), n_salts=1) is exact for them.  ``qt``: any tiny
     (…payload…, term) frame; returns it with (term_id, n_salts) attached
-    for EVERY row."""
-    resolved = idx.dictionary.join(F.broadcast(qt), "term").select(
-        *qt.columns, "term_id", "n_salts"
+    for EVERY row.
+
+    Fully LAZY: because term_id is xxhash64(term) for EVERY term (indexed
+    or analyzer-filtered, term_id_col in tokenizer.py), the dictionary
+    only supplies n_salts — fetched with one broadcast left join (build
+    side = the tiny resolved slice) and defaulted to 1 via coalesce.  No
+    driver job runs here; the ONLY positional-prologue collect is
+    _pruned_position_blocks' single (term_id, n_salts) fetch (the r4
+    two-collect shape regressed phrase_match_indexed ~50%)."""
+    terms = qt.select("term").distinct()
+    nsalts = idx.dictionary.join(F.broadcast(terms), "term").select(
+        "term", F.col("n_salts").alias("_dict_n_salts")
     )
-    have = {r["term"] for r in resolved.select("term").distinct().collect()}
-    missing = qt.filter(~F.col("term").isin(*sorted(have))) if have else qt
-    missing = missing.select(
+    return qt.join(F.broadcast(nsalts), "term", "left").select(
         *qt.columns,
         F.xxhash64("term").alias("term_id"),
-        F.lit(1).cast("int").alias("n_salts"),
+        F.coalesce("_dict_n_salts", F.lit(1)).cast("int").alias("n_salts"),
     )
-    return resolved.unionByName(missing)
 
 
 def _pruned_position_blocks(idx: InvertedIndex, qdict: DataFrame) -> DataFrame | None:
