@@ -457,6 +457,39 @@ def q_embedding_ivf_ann_nprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_ann_topk(e, _emb_queries(spark, sf_dir), anchors, k=K, nprobe=IVF_NPROBE)
 
 
+_EMB_INDEX_CACHE: dict[str, object] = {}
+
+
+def _built_emb_index(spark: SparkSession, sf_dir: str):
+    from igd_spark import build_embedding_index
+
+    if sf_dir not in _EMB_INDEX_CACHE:
+        path = tempfile.mkdtemp(prefix="igd_eidx_") + "/eidx"
+        _EMB_INDEX_CACHE[sf_dir] = build_embedding_index(
+            spark, _emb(spark, sf_dir), path, n_anchors=N_ANCHORS
+        )
+    return _EMB_INDEX_CACHE[sf_dir]
+
+
+def q_embedding_lsh_ann_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lsh_ann_topk against the PERSISTED bucket-partitioned embedding index
+    (embindex.py): probe = partition-pruned scan of the query buckets, never
+    a full rescan. Rank-identical to embedding_lsh_ann → same oracle."""
+    from igd_spark import lsh_ann_topk_indexed
+
+    eidx = _built_emb_index(spark, sf_dir)
+    return lsh_ann_topk_indexed(spark, eidx, _emb_queries(spark, sf_dir), k=K)
+
+
+def q_embedding_ivf_ann_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ivf_ann_topk against the PERSISTED cell-partitioned inverted file —
+    rank-identical to embedding_ivf_ann → same oracle."""
+    from igd_spark import ivf_ann_topk_indexed
+
+    eidx = _built_emb_index(spark, sf_dir)
+    return ivf_ann_topk_indexed(spark, eidx, _emb_queries(spark, sf_dir), k=K)
+
+
 def q_phrase_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     # consecutive-position phrase occurrence counts (token-space stab join)
     from igd_spark.search import phrase_match
@@ -1387,6 +1420,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_lsh_ann": q_embedding_lsh_ann,
         "embedding_ivf_ann": q_embedding_ivf_ann,
         "embedding_ivf_ann_nprobe": q_embedding_ivf_ann_nprobe,
+        "embedding_lsh_ann_indexed": q_embedding_lsh_ann_indexed,
+        "embedding_ivf_ann_indexed": q_embedding_ivf_ann_indexed,
         "corpus_curate": q_corpus_curate,
         "events_sessionize": q_events_sessionize,
         "phrase_match": q_phrase_match,
@@ -3002,5 +3037,10 @@ ranked AS (
   FROM boosted)
 SELECT query_id, rank, doc_id, score FROM ranked WHERE rank <= {K}
 """
+
+    # the persisted-index ANN probes are rank-identical to the in-memory
+    # operators by construction (embindex.py) — same oracle
+    sql["embedding_lsh_ann_indexed"] = sql["embedding_lsh_ann"]
+    sql["embedding_ivf_ann_indexed"] = sql["embedding_ivf_ann"]
 
     return sql

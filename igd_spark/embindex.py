@@ -1,0 +1,239 @@
+"""Persisted embedding / ANN index — the `.igd` discipline applied to the
+embedding table.
+
+The in-memory ANN operators (similarity.py: lsh_ann_topk / ivf_ann_topk)
+recompute the bucket/cell assignment over the FULL embedding table on every
+call — correct, but a full scan per query batch. The reference's entire
+reason for the persisted `.igd` artifact (src/igd_base.c:396-461) is that a
+query should PRUNE a prebuilt layout instead of rescanning; the inverted
+index side already mirrors that (index.py). This module gives embeddings the
+same treatment:
+
+    build (once)              probe (every query batch)
+    ---------------------     ---------------------------------------
+    assign cell/bucket        derive the query's cells/buckets (tiny)
+    write partitioned by it   partition-pruned scan of ONLY those dirs
+    store vnorm               broadcast-join queries, GEMM-free rescore
+
+On-disk layout (Parquet; 1:1 with an Iceberg table partitioned the same
+way — the sandbox has no Iceberg runtime, see index.py's header for the
+mapping discipline):
+
+    <path>/_meta.json   anchors (verbatim), n_vectors, dim, schema version
+                        (the 12-byte header analog, src/igd_base.c:408-410)
+    <path>/ivf/         (vec_id, ev array<double>, vnorm) partitioned by
+                        cell = argmin-L2 anchor (ivf_bucket_col) — the
+                        inverted-file coarse quantizer; a probe touches
+                        nprobe/|anchors| of the data
+    <path>/lsh/         the same rows partitioned by
+                        bucket = packed sign bits (lsh_bucket_col) — a
+                        probe touches 1/2^n_anchors of the data
+
+Rank identity with the in-memory variants is by construction, not by luck:
+the stored `ev` is the SAME float64 cast (_dvec) both paths apply, `vnorm`
+is norm_col evaluated once at build (doubles round-trip parquet exactly),
+and the cell/bucket columns use the very expressions the in-memory
+operators use — so the pruned scan sees exactly the rows the in-memory
+join would keep, and the rounded-cosine tie-break is identical.
+
+At 100 TB: cells/buckets are the partition spec, so Spark's partition
+pruning (visible as PartitionFilters in the scan node) bounds IO before any
+row is read; the broadcast query side never shuffles the corpus; file
+sizing inside a hot cell is the writer's repartition(cell) — one shuffle at
+build, zero at probe.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from igd_spark.similarity import (
+    _dvec,
+    dot_col,
+    ivf_bucket_col,
+    ivf_probe_cells,
+    lsh_bucket_col,
+    norm_col,
+    pick_anchors,
+)
+
+EMB_SCHEMA_VERSION = 1
+
+
+class EmbeddingIndex:
+    """Open handle over a persisted embedding index (A3-analog: cheap,
+    metadata-only; the data tables are lazy reads)."""
+
+    def __init__(self, spark: SparkSession, path: str, meta: dict):
+        self.spark = spark
+        self.path = path
+        self.meta = meta
+        self.anchors: list[list[float]] = [
+            [float(x) for x in a] for a in meta["anchors"]
+        ]
+
+    @property
+    def ivf(self) -> DataFrame:
+        return self.spark.read.parquet(os.path.join(self.path, "ivf"))
+
+    @property
+    def lsh(self) -> DataFrame:
+        return self.spark.read.parquet(os.path.join(self.path, "lsh"))
+
+    @property
+    def n_vectors(self) -> int:
+        return int(self.meta["n_vectors"])
+
+    @property
+    def dim(self) -> int:
+        return int(self.meta["dim"])
+
+    def cell_counts(self) -> DataFrame:
+        """(layout, part, n_vectors) — per-partition occupancy, the
+        introspection surface (A7 analog: IGDr's per-bin counts,
+        IGDr/R/IGDr.R:86-159). Reads parquet footers + partition dirs only."""
+        ivf = self.ivf.groupBy(F.col("cell").alias("part")).agg(
+            F.count("*").cast("long").alias("n_vectors")
+        ).select(F.lit("ivf").alias("layout"), "part", "n_vectors")
+        lsh = self.lsh.groupBy(F.col("bucket").alias("part")).agg(
+            F.count("*").cast("long").alias("n_vectors")
+        ).select(F.lit("lsh").alias("layout"), "part", "n_vectors")
+        return ivf.unionByName(lsh)
+
+
+def build_embedding_index(
+    spark: SparkSession,
+    emb: DataFrame,
+    path: str,
+    anchors: list[list[float]] | None = None,
+    n_anchors: int = 8,
+    emb_id: str = "vec_id",
+    emb_col: str = "embedding",
+) -> EmbeddingIndex:
+    """Build + persist both ANN layouts in ONE corpus pass each.
+
+    The build is two partitioned writes over a shared float64 projection:
+    `repartition(cell)` / `repartition(bucket)` ahead of `partitionBy` keeps
+    one writer task per partition value (no small-file explosion from every
+    task writing every cell), which is also the one-and-only shuffle per
+    layout. Anchors are frozen verbatim into _meta.json — a probe against a
+    different anchor set is a different index, exactly like a different
+    tokenizer is a different inverted index."""
+    if os.path.exists(os.path.join(path, "_meta.json")):
+        # existing-db guard (B9 analog, src/igd_create.c:480-482)
+        raise FileExistsError(f"embedding index already exists at {path}")
+    if anchors is None:
+        anchors = pick_anchors(emb, n_anchors, emb_id=emb_id, emb_col=emb_col)
+    anchors = [[float(x) for x in a] for a in anchors]
+
+    base = emb.select(
+        F.col(emb_id).alias("vec_id"), _dvec(emb_col).alias("ev")
+    ).withColumn("vnorm", norm_col(F.col("ev")))
+
+    ivf_rows = base.withColumn("cell", ivf_bucket_col(F.col("ev"), anchors))
+    ivf_rows.repartition("cell").write.mode("overwrite").partitionBy(
+        "cell"
+    ).parquet(os.path.join(path, "ivf"))
+
+    lsh_rows = base.withColumn("bucket", lsh_bucket_col(F.col("ev"), anchors))
+    lsh_rows.repartition("bucket").write.mode("overwrite").partitionBy(
+        "bucket"
+    ).parquet(os.path.join(path, "lsh"))
+
+    first = emb.select(F.size(F.col(emb_col)).alias("d")).first()
+    meta = {
+        "schema_version": EMB_SCHEMA_VERSION,
+        "anchors": anchors,
+        "n_vectors": spark.read.parquet(os.path.join(path, "ivf")).count(),
+        "dim": int(first["d"]) if first is not None else 0,
+    }
+    with open(os.path.join(path, "_meta.json"), "w") as f:
+        json.dump(meta, f, indent=1)
+    return EmbeddingIndex(spark, path, meta)
+
+
+def open_embedding_index(spark: SparkSession, path: str) -> EmbeddingIndex:
+    with open(os.path.join(path, "_meta.json")) as f:
+        meta = json.load(f)
+    if int(meta.get("schema_version", -1)) > EMB_SCHEMA_VERSION:
+        raise ValueError(
+            f"embedding index at {path} has schema_version "
+            f"{meta['schema_version']} > reader {EMB_SCHEMA_VERSION}"
+        )
+    return EmbeddingIndex(spark, path, meta)
+
+
+def _ranked_topk(scored: DataFrame, k: int) -> DataFrame:
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "vec_id", "cos")
+    )
+
+
+def lsh_ann_topk_indexed(
+    spark: SparkSession,
+    eidx: EmbeddingIndex,
+    queries: DataFrame,
+    k: int = 10,
+    q_id: str = "query_id",
+    q_col: str = "query_vec",
+) -> DataFrame:
+    """(query_id, rank, vec_id, cos) — lsh_ann_topk against the PERSISTED
+    bucket-partitioned layout. Prologue: hash the (tiny) query set with the
+    index's frozen anchors, collect the distinct buckets (ONE driver job on
+    a query-sized frame — the same prune-set discipline as the inverted
+    index's shard/term prologue, search.py), then scan ONLY those bucket
+    partitions (PartitionFilters) and broadcast-join the queries. Rank- and
+    score-identical to lsh_ann_topk(emb, queries, anchors) by construction."""
+    q = queries.select(
+        F.col(q_id).alias("query_id"), _dvec(q_col).alias("qv")
+    ).withColumn("bucket", lsh_bucket_col(F.col("qv"), eidx.anchors))
+    brows = q.select("bucket").distinct().collect()
+    if not brows:
+        return spark.createDataFrame(
+            [], "query_id long, rank int, vec_id long, cos double"
+        )
+    buckets = sorted(int(r["bucket"]) for r in brows)
+    scan = eidx.lsh.filter(F.col("bucket").isin(buckets))
+    j = scan.join(F.broadcast(q), "bucket")
+    cos = dot_col(F.col("qv"), F.col("ev")) / (norm_col(F.col("qv")) * F.col("vnorm"))
+    return _ranked_topk(
+        j.select("query_id", "vec_id", F.round(cos, 6).alias("cos")), k
+    )
+
+
+def ivf_ann_topk_indexed(
+    spark: SparkSession,
+    eidx: EmbeddingIndex,
+    queries: DataFrame,
+    k: int = 10,
+    nprobe: int = 1,
+    q_id: str = "query_id",
+    q_col: str = "query_vec",
+) -> DataFrame:
+    """(query_id, rank, vec_id, cos) — ivf_ann_topk against the PERSISTED
+    cell-partitioned inverted file. The probe set is each query's nprobe
+    nearest cells (ivf_probe_cells, identical scoring/tie-break to the
+    build-time quantizer); the scan reads ONLY those cell partitions.
+    nprobe stays the recall knob: IO grows as nprobe/|anchors| of the
+    corpus, never a full scan. Rank- and score-identical to
+    ivf_ann_topk(emb, queries, anchors, nprobe) by construction."""
+    probe = ivf_probe_cells(queries, eidx.anchors, nprobe, q_id=q_id, q_col=q_col)
+    crows = probe.select("cell").distinct().collect()
+    if not crows:
+        return spark.createDataFrame(
+            [], "query_id long, rank int, vec_id long, cos double"
+        )
+    cells = sorted(int(r["cell"]) for r in crows)
+    scan = eidx.ivf.filter(F.col("cell").isin(cells))
+    j = scan.join(F.broadcast(probe), "cell")
+    cos = dot_col(F.col("qv"), F.col("ev")) / (norm_col(F.col("qv")) * F.col("vnorm"))
+    return _ranked_topk(
+        j.select("query_id", "vec_id", F.round(cos, 6).alias("cos")), k
+    )

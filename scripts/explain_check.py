@@ -366,6 +366,58 @@ def main() -> int:
         f"scanned schemas: {pi_schemas}",
     )
 
+    # 12. persisted embedding/ANN index (embindex.py): the probe must be a
+    # partition-pruned scan of the cell/bucket dirs — never a full rescan of
+    # the embedding table — with the tiny query side broadcast
+    import numpy as np
+    import pandas as pd
+
+    from igd_spark import (
+        build_embedding_index,
+        ivf_ann_topk_indexed,
+        lsh_ann_topk_indexed,
+    )
+
+    rng = np.random.RandomState(11)
+    emb_pdf = pd.DataFrame(
+        {
+            "vec_id": np.arange(400, dtype=np.int64),
+            "embedding": [list(map(float, v)) for v in rng.randn(400, 16)],
+        }
+    )
+    emb_df = spark.createDataFrame(emb_pdf)
+    epath = tempfile.mkdtemp(prefix="igd_explain_emb_") + "/eidx"
+    eidx = build_embedding_index(spark, emb_df, epath, n_anchors=8)
+    eq = emb_df.filter("vec_id < 3").selectExpr(
+        "vec_id as query_id", "embedding as query_vec"
+    )
+
+    ivplan = fmt(ivf_ann_topk_indexed(spark, eidx, eq, k=5, nprobe=2))
+    iv_pf = re.search(r"PartitionFilters: \[([^\]]+)\]", ivplan)
+    check(
+        "ivf_ann_topk_indexed: cell partition pruning (non-empty PartitionFilters)",
+        bool(iv_pf) and "cell" in iv_pf.group(1)
+        and ("IN" in iv_pf.group(1).upper() or "in(" in iv_pf.group(1).lower()),
+        f"PartitionFilters={iv_pf.group(1)[:120] if iv_pf else 'ABSENT/EMPTY'}",
+    )
+    check(
+        "ivf_ann_topk_indexed: probe side broadcast, no cartesian",
+        "BroadcastHashJoin" in ivplan and "CartesianProduct" not in ivplan,
+    )
+
+    lvplan = fmt(lsh_ann_topk_indexed(spark, eidx, eq, k=5))
+    lv_pf = re.search(r"PartitionFilters: \[([^\]]+)\]", lvplan)
+    check(
+        "lsh_ann_topk_indexed: bucket partition pruning (non-empty PartitionFilters)",
+        bool(lv_pf) and "bucket" in lv_pf.group(1)
+        and ("IN" in lv_pf.group(1).upper() or "in(" in lv_pf.group(1).lower()),
+        f"PartitionFilters={lv_pf.group(1)[:120] if lv_pf else 'ABSENT/EMPTY'}",
+    )
+    check(
+        "lsh_ann_topk_indexed: probe side broadcast, no cartesian",
+        "BroadcastHashJoin" in lvplan and "CartesianProduct" not in lvplan,
+    )
+
     n_fail = sum(1 for _, ok, _ in checks if not ok)
     print(f"\n{len(checks) - n_fail}/{len(checks)} plan checks passed")
     return 1 if n_fail else 0

@@ -1,0 +1,104 @@
+"""Persisted embedding/ANN index: build → probe rank-identity vs the
+in-memory operators, reopen-from-disk identity, existing-guard, and the
+partition-pruning plan assertion (the whole point of persisting)."""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from igd_spark import (
+    build_embedding_index,
+    ivf_ann_topk,
+    ivf_ann_topk_indexed,
+    lsh_ann_topk,
+    lsh_ann_topk_indexed,
+    open_embedding_index,
+    pick_anchors,
+)
+
+N_VEC, DIM = 300, 16
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    rng = np.random.RandomState(7)
+    V = rng.randn(N_VEC, DIM).astype(np.float32)
+    pdf = pd.DataFrame({"vec_id": np.arange(N_VEC, dtype=np.int64),
+                        "embedding": [list(map(float, v)) for v in V]})
+    return spark.createDataFrame(pdf).cache()
+
+
+@pytest.fixture(scope="module")
+def queries(spark, emb):
+    return emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    ).cache()
+
+
+@pytest.fixture(scope="module")
+def eidx(spark, emb, tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("embidx") / "eidx")
+    return build_embedding_index(spark, emb, path, n_anchors=8)
+
+
+def _rows(df):
+    return [tuple(r) for r in df.orderBy("query_id", "rank").collect()]
+
+
+def test_lsh_indexed_rank_identical(spark, emb, queries, eidx):
+    anchors = pick_anchors(emb, 8)
+    assert eidx.anchors == [[float(x) for x in a] for a in anchors]
+    mem = lsh_ann_topk(emb, queries, anchors, k=10)
+    idx = lsh_ann_topk_indexed(spark, eidx, queries, k=10)
+    assert _rows(mem) == _rows(idx)
+
+
+def test_ivf_indexed_rank_identical(spark, emb, queries, eidx):
+    anchors = pick_anchors(emb, 8)
+    for nprobe in (1, 2):
+        mem = ivf_ann_topk(emb, queries, anchors, k=10, nprobe=nprobe)
+        idx = ivf_ann_topk_indexed(spark, eidx, queries, k=10, nprobe=nprobe)
+        assert _rows(mem) == _rows(idx), f"nprobe={nprobe}"
+
+
+def test_reopen_identical(spark, queries, eidx):
+    re = open_embedding_index(spark, eidx.path)
+    assert re.anchors == eidx.anchors and re.n_vectors == N_VEC and re.dim == DIM
+    a = ivf_ann_topk_indexed(spark, eidx, queries, k=10)
+    b = ivf_ann_topk_indexed(spark, re, queries, k=10)
+    assert _rows(a) == _rows(b)
+
+
+def test_existing_guard(spark, emb, eidx):
+    with pytest.raises(FileExistsError):
+        build_embedding_index(spark, emb, eidx.path)
+
+
+def test_probe_scan_partition_pruned(spark, eidx):
+    """The probe must read only the probed cell partitions: the scan node
+    carries a PartitionFilters entry on `cell`, and the pruned read plans
+    strictly fewer partitions than the full table."""
+    scan = eidx.ivf.filter(F.col("cell").isin([0, 1]))
+    plan = scan._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "cell" in plan
+    n_cells = eidx.ivf.select("cell").distinct().count()
+    assert n_cells > 2  # the assertion below is vacuous otherwise
+    pruned = {r["cell"] for r in scan.select("cell").distinct().collect()}
+    assert pruned <= {0, 1}
+
+
+def test_cell_counts_cover_corpus(spark, eidx):
+    cc = eidx.cell_counts().collect()
+    for layout in ("ivf", "lsh"):
+        assert sum(r["n_vectors"] for r in cc if r["layout"] == layout) == N_VEC
+
+
+def test_empty_and_oov_queries(spark, eidx):
+    empty = spark.createDataFrame([], "query_id long, query_vec array<float>")
+    assert lsh_ann_topk_indexed(spark, eidx, empty).count() == 0
+    assert ivf_ann_topk_indexed(spark, eidx, empty).count() == 0
