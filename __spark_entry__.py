@@ -1160,6 +1160,39 @@ def q_multi_field_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_MF_INDEX_CACHE: dict[str, object] = {}
+
+
+def _built_field_indexes(spark: SparkSession, sf_dir: str):
+    from igd_spark import IndexConf
+    from igd_spark.querylang import build_field_indexes
+
+    if sf_dir not in _MF_INDEX_CACHE:
+        path = tempfile.mkdtemp(prefix="igd_mfidx_") + "/mf"
+        conf = IndexConf(
+            block_size=64, n_shards=16, salt_df_threshold=1024, max_salts=8
+        )
+        _MF_INDEX_CACHE[sf_dir] = build_field_indexes(
+            spark, _docs(spark, sf_dir), path, MF_FIELDS, conf=conf
+        )
+    return _MF_INDEX_CACHE[sf_dir]
+
+
+def q_multi_field_bm25_topk_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """most_fields over PERSISTED per-field indexes (Lucene's per-field
+    inverted files as field=<col> subdirectories): each field contributes
+    from its own pruned block scan — no corpus re-tokenize per batch.
+    Rank-identical to multi_field_bm25_topk → same oracle."""
+    from igd_spark.querylang import multi_field_bm25_topk_indexed
+
+    qs = spark.createDataFrame(
+        [(int(q), t) for q, t in MF_QUERY_SET],
+        "query_id long, query_text string",
+    )
+    fidx = _built_field_indexes(spark, sf_dir)
+    return multi_field_bm25_topk_indexed(spark, fidx, qs, k=K, round_dp=6)
+
+
 def q_term_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
     # ES _termvectors: per requested doc, (term, tf) + global df + dl
     from igd_spark import term_vectors
@@ -1390,6 +1423,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "term_vectors": q_term_vectors,
         "function_score_decay": q_function_score_decay,
         "multi_field_bm25_topk": q_multi_field_bm25_topk,
+        "multi_field_bm25_topk_indexed": q_multi_field_bm25_topk_indexed,
         "index_stats": q_index_stats,
         "rank_eval": q_rank_eval,
         "analyze": q_analyze,
@@ -3042,5 +3076,7 @@ SELECT query_id, rank, doc_id, score FROM ranked WHERE rank <= {K}
     # operators by construction (embindex.py) — same oracle
     sql["embedding_lsh_ann_indexed"] = sql["embedding_lsh_ann"]
     sql["embedding_ivf_ann_indexed"] = sql["embedding_ivf_ann"]
+    # per-field persisted indexes combine exactly like the corpus scan
+    sql["multi_field_bm25_topk_indexed"] = sql["multi_field_bm25_topk"]
 
     return sql

@@ -1905,3 +1905,78 @@ def multi_field_bm25_topk(
         u = u.unionByName(p)
     comb = u.groupBy("query_id", "doc_id").agg(F.sum("score").alias("score"))
     return rank_topk(_maybe_round(comb, round_dp), k)
+
+
+def build_field_indexes(
+    spark,
+    docs: DataFrame,
+    path: str,
+    fields: dict[str, float],
+    conf: IndexConf = DEFAULT_CONF,
+    id_col: str = "doc_id",
+    resume: bool = False,
+) -> dict[str, tuple[object, float]]:
+    """Build one persisted inverted index PER FIELD under
+    ``<path>/field=<col>/`` — Lucene's per-field inverted index structure
+    expressed as per-field segment subdirectories (each field keeps its OWN
+    dictionary/df, doc_stats/dl and avgdl, which is exactly what
+    multi-field scoring needs; the reference's single-axis layout is the
+    one-field special case, src/igd_base.c:396-461).  Returns
+    {field: (InvertedIndex, boost)} ready for multi_field_bm25_topk_indexed.
+    Each sub-build is the standard stage-committed build (lineage, resume,
+    existing-db guard) — a crashed multi-field build resumes per field."""
+    from igd_spark.index import build_index
+
+    out: dict[str, tuple[object, float]] = {}
+    for fcol, boost in fields.items():
+        sub = f"{path}/field={fcol}"
+        fdocs = docs.select(F.col(id_col).alias("doc_id"), F.col(fcol).alias("text"))
+        out[fcol] = (
+            build_index(spark, fdocs, sub, conf=conf, resume=resume),
+            float(boost),
+        )
+    return out
+
+
+def open_field_indexes(
+    spark, path: str, fields: dict[str, float]
+) -> dict[str, tuple[object, float]]:
+    """Open handles over a build_field_indexes layout."""
+    from igd_spark.index import open_index
+
+    return {
+        fcol: (open_index(spark, f"{path}/field={fcol}"), float(boost))
+        for fcol, boost in fields.items()
+    }
+
+
+def multi_field_bm25_topk_indexed(
+    spark,
+    field_indexes: dict[str, tuple[object, float]],
+    queries: DataFrame,
+    k: int = 10,
+    round_dp: int | None = None,
+) -> DataFrame:
+    """`multi_field_bm25_topk` over PERSISTED per-field indexes
+    (build_field_indexes): each field's contribution comes from its own
+    pruned posting-block scan via the shared `_indexed_contrib` join — per
+    query batch the cost is Σ_f (query terms' blocks in field f), never a
+    corpus re-tokenize.  most_fields combination (boosted sum across
+    fields) and the rank/tie-break discipline are identical to the
+    corpus-scan variant, hence the same oracle."""
+    if not field_indexes:
+        raise ValueError("field_indexes must contain at least one field")
+    parts = []
+    for fcol, (idx, boost) in field_indexes.items():
+        scored = _indexed_scored(spark, idx, queries)
+        parts.append(
+            scored.select(
+                "query_id", "doc_id",
+                (F.col("score") * F.lit(float(boost))).alias("score"),
+            )
+        )
+    u = parts[0]
+    for p in parts[1:]:
+        u = u.unionByName(p)
+    comb = u.groupBy("query_id", "doc_id").agg(F.sum("score").alias("score"))
+    return rank_topk(_maybe_round(comb, round_dp), k)

@@ -50,8 +50,13 @@ def main() -> int:
     # In(term_id, ...) set test — a vacuous match cannot pass.
     def assert_pruned_scan(tag: str, plan: str) -> None:
         pf = re.search(r"PartitionFilters: \[([^\]]+)\]", plan)
+        # a 1-element prune list is optimized In -> EqualTo; both are real
+        # membership tests (the vacuous forms the r2 defect shipped are
+        # still rejected: empty filters / bare IsNotNull never match)
         pf_ok = bool(pf) and "shard" in pf.group(1) and (
-            " IN " in pf.group(1) or "IN (" in pf.group(1) or "in(" in pf.group(1).lower()
+            " IN " in pf.group(1) or "IN (" in pf.group(1)
+            or "in(" in pf.group(1).lower()
+            or re.search(r"shard#\d+ = \d+", pf.group(1)) is not None
         )
         check(
             f"{tag}: shard partition pruning (non-empty PartitionFilters)",
@@ -59,9 +64,9 @@ def main() -> int:
             f"PartitionFilters={pf.group(1)[:120] if pf else 'ABSENT/EMPTY'}",
         )
         check(
-            f"{tag}: In(term_id) pushed to parquet",
-            "In(term_id" in plan,
-            "no In(term_id ...) in PushedFilters",
+            f"{tag}: In/EqualTo(term_id) pushed to parquet",
+            "In(term_id" in plan or "EqualTo(term_id," in plan,
+            "no In/EqualTo(term_id ...) in PushedFilters",
         )
 
     plan = search(spark, idx, queries, k=5, engine="spark")._jdf.queryExecution().explainString(
@@ -364,6 +369,41 @@ def main() -> int:
         "parsed_bm25_topk_indexed never scans the corpus text",
         bool(pi_schemas) and not any("text:" in s for s in pi_schemas),
         f"scanned schemas: {pi_schemas}",
+    )
+
+    # 11b. multi-field over per-field persisted indexes: every field's
+    # contribution is a pruned block scan; the corpus text never appears
+    from igd_spark import build_field_indexes, multi_field_bm25_topk_indexed
+
+    mfpath = tempfile.mkdtemp(prefix="igd_explain_mf_")
+    fidx = build_field_indexes(spark, docs, mfpath, {"text": 1.0, "role": 2.0},
+                               conf=conf)
+    mf_q = spark.createDataFrame(
+        [(0, "error user")], "query_id long, query_text string"
+    )  # one body term + one role term, so BOTH field indexes are probed
+    mfplan = fmt(multi_field_bm25_topk_indexed(spark, fidx, mf_q, k=5))
+    assert_pruned_scan("multi_field_bm25_topk_indexed scan", mfplan)
+    mf_schemas = re.findall(r"ReadSchema: struct<([^>]*)>", mfplan)
+    check(
+        "multi_field_bm25_topk_indexed never scans the corpus text",
+        bool(mf_schemas) and not any("text:" in s for s in mf_schemas),
+        f"scanned schemas: {mf_schemas}",
+    )
+    mf_locs = [s for s in re.findall(r"Location:[^\n]*", mfplan)
+               if "segments" in s]
+    check(
+        "multi_field_bm25_topk_indexed: one pruned segment scan per matched field",
+        len(mf_locs) >= 2,
+        f"segment scans: {len(mf_locs)}",
+    )
+    # a field with zero matching terms must constant-fold its scan away
+    mfplan0 = fmt(multi_field_bm25_topk_indexed(spark, fidx, ql_q, k=5))
+    mf_locs0 = [s for s in re.findall(r"Location:[^\n]*", mfplan0)
+                if "field=role" in s and "segments" in s]
+    check(
+        "multi_field_bm25_topk_indexed: unmatched field's segment scan folds to empty",
+        not mf_locs0,
+        f"role-field scans present: {mf_locs0}",
     )
 
     # 12. persisted embedding/ANN index (embindex.py): the probe must be a

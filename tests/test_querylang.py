@@ -917,3 +917,34 @@ def test_span_first_indexed_identity(spark, docs, built_idx):
     assert first_only.filter(F.col("query_id") == 0).count() == openers
     with pytest.raises(ValueError):
         span_first_match(docs, q, 0)
+
+
+def test_multi_field_indexed_identity(spark, docs, tmp_path_factory):
+    """Per-field persisted indexes (field=<col> subdirs) must reproduce the
+    corpus-scan most_fields ranking exactly, and reopen from disk."""
+    from igd_spark import (
+        build_field_indexes,
+        multi_field_bm25_topk,
+        multi_field_bm25_topk_indexed,
+        open_field_indexes,
+    )
+
+    fields = {"text": 1.0, "role": 2.5}
+    t1, t2 = _pick_terms(docs, 2)
+    q = _queries(
+        spark,
+        [(0, f"{t1} user"), (1, t2), (2, "assistant"), (3, "zzznotavocab")],
+    )
+    mem = _sorted(multi_field_bm25_topk(docs, q, fields, k=K, round_dp=6))
+
+    path = str(tmp_path_factory.mktemp("mfidx"))
+    fidx = build_field_indexes(spark, docs, path, fields)
+    idx = _sorted(multi_field_bm25_topk_indexed(spark, fidx, q, k=K, round_dp=6))
+    pd.testing.assert_frame_equal(mem, idx, check_dtype=False)
+
+    reopened = open_field_indexes(spark, path, fields)
+    idx2 = _sorted(multi_field_bm25_topk_indexed(spark, reopened, q, k=K, round_dp=6))
+    pd.testing.assert_frame_equal(mem, idx2, check_dtype=False)
+
+    with pytest.raises(ValueError):
+        multi_field_bm25_topk_indexed(spark, {}, q)
