@@ -59,6 +59,15 @@ def _tokenize_one(text: str, split_re: str) -> list[str]:
     return sorted({t for t in re.split(split_re, (text or "").lower()) if t})
 
 
+def _tokenize_ordered(text: str, split_re: str) -> list[str]:
+    """IN-ORDER tokens, duplicates kept — the phrase contract (matches
+    tokens_col + the non-empty filter, so offsets line up with
+    search._phrase_terms' dense re-ranked offsets)."""
+    import re
+
+    return [t for t in re.split(split_re, (text or "").lower()) if t]
+
+
 class LocalSearcher:
     """Per-index driver-side searcher. Holds the memoized dictionary slice
     (the reference keeps the whole dictionary resident, src/igd_base.c:312-321;
@@ -93,6 +102,12 @@ class LocalSearcher:
             OrderedDict()
         )
         self._cache_postings = 0
+        # positional sibling: term_id → (occurrence doc_ids, positions);
+        # only populated on store_positions=True indexes
+        self._pos_cache: "OrderedDict[int, tuple[np.ndarray, np.ndarray]]" = (
+            OrderedDict()
+        )
+        self._pos_cache_occ = 0
 
     # --- table roots (base ∪ committed batch dirs) -------------------------
     def _table_dirs(self, sub: str) -> list[str]:
@@ -384,6 +399,371 @@ class LocalSearcher:
         interactive queries serve warm)."""
         out = self.search_n([(0, query_text)], k=k, min_tf=min_tf)
         return out[["rank", "doc_id", "score"]].reset_index(drop=True)
+
+
+    # --- positional driver path (phrase / NEAR / span_first) ---------------
+    # The in-process siblings of phrase_match_indexed / near_match_indexed /
+    # span_first_match_indexed: same pruned reads (shard dirs + term_id
+    # row-group skipping) against the positions tables, same anchor/window
+    # semantics as the Spark epilogues (_anchor_hits / _near_epilogue) —
+    # rank-identical by construction, pytest-pinned. Admission is two-tier
+    # and IO-free-first (pos_batch_cost): parquet FOOTER row counts bound
+    # the occurrence volume before any data read, so a stopword's
+    # billion-occurrence position list over a trillion-turn index bails to
+    # the cluster with zero IO.
+
+    def _lookup_terms_literal(
+        self, terms: list[str]
+    ) -> dict[str, tuple[int, int, int]]:
+        """term → (term_id, df, n_salts) under the LITERAL positional
+        contract (search._literal_pos_qdict): analyzer-removed terms miss
+        the dictionary but still live in the raw position stream under
+        term_id = xxhash64(term) with salt 1; df = -1 marks them UNKNOWN
+        (admission must then lean on footer bounds, never the dictionary)."""
+        from igd_spark.hashing import xxh64_py
+
+        found = self._lookup_terms(terms)
+        out: dict[str, tuple[int, int, int]] = {}
+        for t in terms:
+            out[t] = found[t] if t in found else (xxh64_py(t), -1, 1)
+        return out
+
+    def _pos_dirs(self, shards: list[int]) -> list[str]:
+        return [
+            d
+            for root in self._table_dirs("positions")
+            for s in shards
+            if os.path.isdir(d := os.path.join(root, f"shard={s}"))
+        ]
+
+    def pos_footer_rows(self, term_ids: list[int], shards: list[int]) -> int:
+        """Σ num_rows over row groups whose term_id min/max admits any
+        queried term — from parquet FOOTERS only, zero data IO. Each row is
+        one block of ≤ conf.block_size occurrences, so rows × block_size
+        upper-bounds the occurrence volume a payload read could return."""
+        import pyarrow.dataset as pads
+
+        total = 0
+        tset = sorted(term_ids)
+        for d in self._pos_dirs(shards):
+            for frag in pads.dataset(d).get_fragments():
+                frag.ensure_complete_metadata()
+                md = frag.metadata
+                for rg in range(md.num_row_groups):
+                    g = md.row_group(rg)
+                    stats = None
+                    for ci in range(g.num_columns):
+                        col = g.column(ci)
+                        if col.path_in_schema == "term_id":
+                            stats = col.statistics
+                            break
+                    if stats is None or not stats.has_min_max:
+                        total += g.num_rows  # no stats → assume it matches
+                        continue
+                    lo, hi = int(stats.min), int(stats.max)
+                    if any(lo <= t <= hi for t in tset):
+                        total += g.num_rows
+        return total
+
+    def _read_pos_blocks(
+        self, term_ids: list[int], shards: list[int]
+    ) -> pd.DataFrame:
+        import pyarrow.compute as pc
+        import pyarrow.dataset as pads
+
+        cols = ["term_id", "n", "doc_ids", "poss"]
+        dirs = self._pos_dirs(shards)
+        if not dirs:
+            return pd.DataFrame(columns=cols)
+        union = pads.dataset([pads.dataset(d) for d in dirs])
+        return union.to_table(
+            columns=cols, filter=pc.field("term_id").isin(term_ids)
+        ).to_pandas()
+
+    def _ensure_pos_lists(self, tmap: dict[str, tuple[int, int, int]]) -> None:
+        """Fault missing terms' occurrence lists into the positional LRU —
+        one pruned read for all misses, the same segmented decode as
+        _ensure_lists (occurrence doc ids are non-decreasing with zero
+        gaps; every block's first value is absolute)."""
+        missing = sorted(
+            {tid for (tid, _, _) in tmap.values() if tid not in self._pos_cache}
+        )
+        for (tid, _, _) in tmap.values():
+            if tid in self._pos_cache:
+                self._pos_cache.move_to_end(tid)
+        if not missing:
+            return
+        mset = set(missing)
+        shards = sorted(
+            {
+                s
+                for (tid, _, ns) in tmap.values()
+                if tid in mset
+                for s in shards_for(tid, ns, self.conf.n_shards)
+            }
+        )
+        blocks = self._read_pos_blocks(missing, shards)
+        grouped: dict[int, tuple] = {}
+        if len(blocks):
+            n_arr = blocks["n"].to_numpy(dtype=np.int64)
+            vals = codec.varint_decode(
+                b"".join(bytes(x) for x in blocks["doc_ids"])
+            ).astype(np.int64)
+            ends = np.cumsum(n_arr)
+            c = np.cumsum(vals)
+            cpad = np.concatenate(([0], c))
+            d_all = c - np.repeat(cpad[ends - n_arr], n_arr)
+            p_all = codec.varint_decode(
+                b"".join(bytes(x) for x in blocks["poss"])
+            ).astype(np.int64)
+            starts = np.concatenate(([0], ends[:-1]))
+            tids_arr = blocks["term_id"].to_numpy(dtype=np.int64)
+            if self._deleted is not None and self._deleted.size:
+                from igd_spark.build import _live_mask
+
+                keep = _live_mask(d_all, self._deleted)
+                surv = np.concatenate(([0], np.cumsum(keep.astype(np.int64))))
+                d_all, p_all = d_all[keep], p_all[keep]
+                starts, ends = surv[starts], surv[ends]
+            for tid in np.unique(tids_arr):
+                rows = np.flatnonzero(tids_arr == tid)
+                idxs = np.concatenate(
+                    [np.arange(starts[i], ends[i]) for i in rows]
+                )
+                grouped[int(tid)] = (d_all[idxs], p_all[idxs])
+        empty2 = (np.empty(0, dtype=np.int64), np.empty(0, dtype=np.int64))
+        for tid in missing:
+            d, p = grouped.get(tid, empty2)
+            self._pos_cache[tid] = (d, p)
+            self._pos_cache_occ += d.size
+        protect = {tid for (tid, _, _) in tmap.values()}
+        while (
+            self._pos_cache_occ > self.CACHE_MAX_POSTINGS
+            and len(self._pos_cache) > len(protect)
+        ):
+            old_tid, entry = self._pos_cache.popitem(last=False)
+            if old_tid in protect:
+                self._pos_cache[old_tid] = entry
+                break
+            self._pos_cache_occ -= entry[0].size
+
+    def pos_batch_cost(
+        self, texts: list[str], max_occ: int
+    ) -> tuple[bool, int]:
+        """(admit, bound) — can this batch's positional work run in-process?
+
+        Tier 0 (free): cached lists cost nothing; dictionary df bounds
+        nothing for positions (occurrences ≥ df), so every uncached term
+        goes to tier 1. Tier 1 (footers only): Σ row-group rows × block
+        size upper-bounds the payload read. The bound is conservative (a
+        matching row group may hold other terms' rows too) — fine: the
+        failure mode is demoting a small batch to the cluster, never
+        admitting a huge one to the driver."""
+        terms = sorted(
+            {
+                t
+                for text in texts
+                for t in _tokenize_ordered(text, self.conf.token_split_re)
+            }
+        )
+        if not terms:
+            return True, 0
+        tmap = self._lookup_terms_literal(terms)
+        uncached = {
+            t: v for t, v in tmap.items() if v[0] not in self._pos_cache
+        }
+        if not uncached:
+            return True, 0
+        term_ids = sorted({tid for (tid, _, _) in uncached.values()})
+        shards = sorted(
+            {
+                s
+                for (tid, _, ns) in uncached.values()
+                for s in shards_for(tid, ns, self.conf.n_shards)
+            }
+        )
+        bound = self.pos_footer_rows(term_ids, shards) * self.conf.block_size
+        return bound <= max_occ, bound
+
+    def _pos_lists_for(
+        self, texts: list[str]
+    ) -> dict[str, tuple[np.ndarray, np.ndarray]]:
+        """term → (occurrence doc_ids, positions) for every distinct token
+        of ``texts``, faulting through the positional LRU."""
+        terms = sorted(
+            {
+                t
+                for text in texts
+                for t in _tokenize_ordered(text, self.conf.token_split_re)
+            }
+        )
+        if not terms:
+            return {}
+        tmap = self._lookup_terms_literal(terms)
+        self._ensure_pos_lists(tmap)
+        return {t: self._pos_cache[tid] for t, (tid, _, _) in tmap.items()}
+
+    def phrase_n(self, phrases: list[tuple[int, str]]) -> pd.DataFrame:
+        """(query_id, doc_id, n_hits) — exact phrase counts, zero Spark
+        jobs. Same anchor semantics as _anchor_hits: anchor a hits iff
+        every phrase offset i has an occurrence at position a+i."""
+        lists = self._pos_lists_for([t for _, t in phrases])
+        out_q, out_d, out_n = [], [], []
+        for qid, text in phrases:
+            toks = _tokenize_ordered(text, self.conf.token_split_re)
+            plen = len(toks)
+            if plen == 0:
+                continue
+            parts = []
+            ok = True
+            for off, t in enumerate(toks):
+                d, p = lists.get(t, (None, None))
+                if d is None or not d.size:
+                    ok = False  # a zero-occurrence offset kills every anchor
+                    break
+                parts.append((d, p - off))
+            if not ok:
+                continue
+            docs = np.concatenate([x[0] for x in parts])
+            anch = np.concatenate([x[1] for x in parts])
+            m = anch >= 0
+            docs, anch = docs[m], anch[m]
+            if not docs.size:
+                continue
+            ud, dinv = np.unique(docs, return_inverse=True)
+            amax = int(anch.max()) + 1
+            key = dinv.astype(np.int64) * amax + anch
+            uk, counts = np.unique(key, return_counts=True)
+            hits = uk[counts == plen]
+            if not hits.size:
+                continue
+            nh = np.bincount((hits // amax).astype(np.int64), minlength=ud.size)
+            nz = np.flatnonzero(nh)
+            out_q.append(np.full(nz.size, qid, dtype=np.int64))
+            out_d.append(ud[nz])
+            out_n.append(nh[nz].astype(np.int64))
+        if not out_q:
+            return pd.DataFrame(
+                {
+                    "query_id": pd.Series(dtype="int64"),
+                    "doc_id": pd.Series(dtype="int64"),
+                    "n_hits": pd.Series(dtype="int64"),
+                }
+            )
+        return pd.DataFrame(
+            {
+                "query_id": np.concatenate(out_q),
+                "doc_id": np.concatenate(out_d),
+                "n_hits": np.concatenate(out_n),
+            }
+        )
+
+    def near_n(
+        self, queries: list[tuple[int, str]], window: int
+    ) -> pd.DataFrame:
+        """(query_id, doc_id, min_span, n_anchors) — NEAR/slop proximity,
+        zero Spark jobs. Mirrors _near_epilogue exactly: an anchor is ANY
+        occurrence position p; [p, p+window] hits when every required term
+        occurs inside; span = max over terms of (first in-window
+        occurrence) − p."""
+        lists = self._pos_lists_for([t for _, t in queries])
+        rows = []
+        for qid, text in queries:
+            terms = sorted(set(_tokenize_ordered(text, self.conf.token_split_re)))
+            n_req = len(terms)
+            if n_req == 0:
+                continue
+            parts = [
+                (lists[t][0], lists[t][1], ti)
+                for ti, t in enumerate(terms)
+                if t in lists and lists[t][0].size
+            ]
+            if len(parts) < n_req:
+                continue  # an absent term can never complete a window
+            d = np.concatenate([x[0] for x in parts])
+            p = np.concatenate([x[1] for x in parts])
+            tix = np.concatenate(
+                [np.full(x[0].size, x[2], dtype=np.int64) for x in parts]
+            )
+            order = np.lexsort((p, d))
+            d, p, tix = d[order], p[order], tix[order]
+            bounds = np.concatenate(
+                ([0], np.flatnonzero(d[1:] != d[:-1]) + 1, [d.size])
+            )
+            for bi in range(bounds.size - 1):
+                s, e = bounds[bi], bounds[bi + 1]
+                dp, dt = p[s:e], tix[s:e]
+                best_span, n_anchors = None, 0
+                for a in np.unique(dp):
+                    m = (dp >= a) & (dp <= a + window)
+                    wt = dt[m]
+                    if np.unique(wt).size < n_req:
+                        continue
+                    wp = dp[m]
+                    # first in-window occurrence per term, then max
+                    mx = 0
+                    for t_ in np.unique(wt):
+                        mn = int(wp[wt == t_].min())
+                        if mn > mx:
+                            mx = mn
+                    span = mx - int(a)
+                    n_anchors += 1
+                    if best_span is None or span < best_span:
+                        best_span = span
+                if n_anchors:
+                    rows.append((qid, int(d[s]), int(best_span), n_anchors))
+        return pd.DataFrame(
+            rows, columns=["query_id", "doc_id", "min_span", "n_anchors"]
+        ).astype(
+            {"query_id": "int64", "doc_id": "int64",
+             "min_span": "int32", "n_anchors": "int64"}
+        ) if rows else pd.DataFrame(
+            {
+                "query_id": pd.Series(dtype="int64"),
+                "doc_id": pd.Series(dtype="int64"),
+                "min_span": pd.Series(dtype="int32"),
+                "n_anchors": pd.Series(dtype="int64"),
+            }
+        )
+
+    def span_first_n(
+        self, queries: list[tuple[int, str]], end: int
+    ) -> pd.DataFrame:
+        """(query_id, doc_id, n_hits) — SpanFirst (pos < end), zero Spark
+        jobs; counts every in-bound occurrence of every distinct query
+        term, like span_first_match_indexed's groupBy count."""
+        lists = self._pos_lists_for([t for _, t in queries])
+        out_q, out_d, out_n = [], [], []
+        for qid, text in queries:
+            terms = sorted(set(_tokenize_ordered(text, self.conf.token_split_re)))
+            parts = [lists[t] for t in terms if t in lists and lists[t][0].size]
+            if not parts:
+                continue
+            d = np.concatenate([x[0] for x in parts])
+            p = np.concatenate([x[1] for x in parts])
+            m = p < end
+            d = d[m]
+            if not d.size:
+                continue
+            ud, counts = np.unique(d, return_counts=True)
+            out_q.append(np.full(ud.size, qid, dtype=np.int64))
+            out_d.append(ud)
+            out_n.append(counts.astype(np.int64))
+        if not out_q:
+            return pd.DataFrame(
+                {
+                    "query_id": pd.Series(dtype="int64"),
+                    "doc_id": pd.Series(dtype="int64"),
+                    "n_hits": pd.Series(dtype="int64"),
+                }
+            )
+        return pd.DataFrame(
+            {
+                "query_id": np.concatenate(out_q),
+                "doc_id": np.concatenate(out_d),
+                "n_hits": np.concatenate(out_n),
+            }
+        )
 
 
 def local_searcher(idx) -> LocalSearcher:

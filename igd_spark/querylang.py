@@ -1153,12 +1153,34 @@ def near_match_indexed(
     idx,
     queries: DataFrame,
     window: int = 8,
+    engine: str = "auto",
+    telemetry: dict | None = None,
 ) -> DataFrame:
     """`near_match` against the persisted positional index: occurrences
     come from `positional_enumerate`'s shard/term-pruned block scan —
-    only the query terms' position blocks are read, never the corpus."""
-    from igd_spark.search import positional_enumerate, query_terms as _qt
+    only the query terms' position blocks are read, never the corpus.
+    engine="auto" tries the in-process driver route (LocalSearcher.near_n
+    — zero Spark jobs) under the search._try_positional_route occurrence
+    budgets; "driver" demands it; "spark" forces the distributed plan."""
+    from igd_spark.search import (
+        _materialize_local_queries,
+        _try_positional_route,
+        positional_enumerate,
+        query_terms as _qt,
+    )
 
+    routed = _try_positional_route(
+        spark, idx, queries, engine,
+        lambda ls, rows: ls.near_n(rows, window),
+        "query_id long, doc_id long, min_span int, n_anchors long",
+        telemetry=telemetry,
+    )
+    if routed is not None:
+        return routed
+    import pandas as _pd
+
+    if isinstance(queries, (_pd.DataFrame, list, tuple)):
+        queries = _materialize_local_queries(spark, queries)
     qt = _qt(queries)
     nq = qt.groupBy("query_id").agg(F.countDistinct("term").alias("n_required"))
     occ = positional_enumerate(spark, idx, queries, terms=qt).select(

@@ -554,6 +554,53 @@ def _driver_budgets(conf: IndexConf) -> tuple[int, int]:
     )
 
 
+def _stats_small_plan(df: DataFrame, conf: IndexConf) -> bool:
+    """Is this query batch provably small enough for a one-collect
+    prologue? Decided from FREE Catalyst statistics (no job). Three tiers
+    (see the search() docstring for the rationale):
+      1. rowCount defined (LocalRelation, post-agg plans) → compare rows.
+      2. every leaf is driver-local (LogicalRDD / LocalRelation /
+         OneRowRelation) → the data originated in driver memory → small.
+      3. known sizeInBytes (file scans) → compare bytes. Unknown-stats
+         plans with non-local leaves (streaming sources) → huge."""
+    import os as _os
+
+    max_rows = int(
+        _os.environ.get("IGD_SEARCH_SMALL_MAX_ROWS", conf.search_small_max_rows)
+    )
+    _LOCAL_LEAVES = ("LocalRelation", "LogicalRDD", "OneRowRelation")
+    try:
+        plan = df._jdf.queryExecution().optimizedPlan()
+        st = plan.stats()
+        rc = st.rowCount()
+        if rc.isDefined():
+            return int(str(rc.get())) <= max_rows
+        leaves = plan.collectLeaves()
+
+        def _local(leaf) -> bool:
+            name = leaf.nodeName()
+            if name not in _LOCAL_LEAVES:
+                return False
+            if name != "LogicalRDD":
+                return True
+            # LogicalRDD also wraps genuinely DISTRIBUTED rdds
+            # (sc.textFile over a lake, foreachBatch micro-batches) —
+            # "came from createDataFrame" alone does not bound the
+            # size. Partition count is the cheap discriminator: a
+            # parallelized driver-local batch has ≤ defaultParallelism
+            # partitions, a lake-scale rdd has thousands. The bound is
+            # a heuristic (few-huge-partition rdds misclassify); such
+            # callers should repartition or pre-materialize queries.
+            cap = max(64, 2 * df.sparkSession.sparkContext.defaultParallelism)
+            return int(leaf.rdd().getNumPartitions()) <= cap
+
+        if all(_local(leaves.apply(i)) for i in range(leaves.size())):
+            return True
+        return int(str(st.sizeInBytes())) <= max(max_rows * 160, 1)
+    except Exception:
+        return True
+
+
 def _tombstones_bc(spark: SparkSession, idx: InvertedIndex):
     """Per-handle cached Spark broadcast of the sorted deleted-doc array
     (None without deletes) — built once, reused by every search on this
@@ -635,6 +682,81 @@ def _try_driver_route(
         telemetry["route_ms"] = 1000 * (time.perf_counter() - t0)
         telemetry["batch_cost_postings"] = cost
     return spark.createDataFrame(pdf, TOPK_SCHEMA)
+
+
+def _try_positional_route(
+    spark: SparkSession,
+    idx: InvertedIndex,
+    queries,
+    engine: str,
+    compute,
+    schema: str,
+    telemetry: dict | None = None,
+) -> DataFrame | None:
+    """Driver-route admission for the POSITIONAL operators (phrase / NEAR /
+    span_first `*_indexed`) — the in-process siblings that erase the
+    per-batch Spark scheduling floor for interactive proximity queries,
+    exactly like _try_driver_route does for BM25 (the getOverlaps
+    in-process analog, src_py/igd_py.pyx:31-38).
+
+    Admission mirrors _try_driver_route but budgets OCCURRENCES (positions
+    carry every occurrence, not one posting per doc): the batch must be
+    provably driver-local, ≤ driver_search_max_queries distinct queries,
+    and LocalSearcher.pos_batch_cost's parquet-FOOTER bound (zero data IO)
+    must fit driver_search_max_postings — a stopword phrase over a
+    trillion-turn index demotes to the cluster before reading a byte.
+    ``compute(ls, rows) -> pd.DataFrame`` runs the kernel; returns None to
+    fall through to the distributed plan ("auto"); engine="driver" raises
+    on a budget miss (explicit ask, loud no)."""
+    if engine == "spark":
+        return None
+    if engine not in ("auto", "driver"):
+        raise ValueError("engine must be 'auto', 'driver' or 'spark'")
+    from igd_spark.local import local_searcher
+
+    conf = idx.conf
+    max_q, max_post = _driver_budgets(conf)
+
+    def bail(reason: str) -> None:
+        if engine == "driver":
+            raise ValueError(
+                f"engine='driver' requested but {reason}; use engine='auto' "
+                "or 'spark', or raise IndexConf.driver_search_* budgets"
+            )
+
+    if not conf.store_positions:
+        bail("the index stores no positions")
+        return None
+    if max_q <= 0 or max_post <= 0:
+        bail("the driver route is disabled (budget <= 0)")
+        return None
+    if isinstance(queries, (pd.DataFrame, list, tuple)):
+        rows = _as_local_rows(queries)
+    else:
+        if not _stats_small_plan(queries, conf):
+            bail("the query batch is not provably driver-local")
+            return None
+        rows = [
+            (int(r["query_id"]), r["query_text"])
+            for r in queries.select("query_id", "query_text").collect()
+        ]
+    t0 = time.perf_counter()
+    if len({qid for qid, _ in rows}) > max_q:
+        bail(f"batch has >{max_q} queries (driver_search_max_queries)")
+        return None
+    ls = local_searcher(idx)
+    ok, bound = ls.pos_batch_cost([t for _, t in rows], max_post)
+    if not ok:
+        bail(
+            f"positional footer bound {bound} occurrences > "
+            f"driver_search_max_postings={max_post}"
+        )
+        return None
+    pdf = compute(ls, rows)
+    if telemetry is not None:
+        telemetry["route_ms"] = 1000 * (time.perf_counter() - t0)
+        telemetry["pos_cost_bound"] = bound
+    return spark.createDataFrame(pdf, schema)
 
 
 def search(
@@ -729,42 +851,7 @@ def search(
     #   3. known sizeInBytes (file scans) → compare bytes. Unknown-stats
     #      plans with non-local leaves (streaming sources etc.) → huge.
     def _stats_small(df: DataFrame) -> bool:
-        import os as _os
-
-        max_rows = int(
-            _os.environ.get("IGD_SEARCH_SMALL_MAX_ROWS", conf.search_small_max_rows)
-        )
-        _LOCAL_LEAVES = ("LocalRelation", "LogicalRDD", "OneRowRelation")
-        try:
-            plan = df._jdf.queryExecution().optimizedPlan()
-            st = plan.stats()
-            rc = st.rowCount()
-            if rc.isDefined():
-                return int(str(rc.get())) <= max_rows
-            leaves = plan.collectLeaves()
-
-            def _local(leaf) -> bool:
-                name = leaf.nodeName()
-                if name not in _LOCAL_LEAVES:
-                    return False
-                if name != "LogicalRDD":
-                    return True
-                # LogicalRDD also wraps genuinely DISTRIBUTED rdds
-                # (sc.textFile over a lake, foreachBatch micro-batches) —
-                # "came from createDataFrame" alone does not bound the
-                # size. Partition count is the cheap discriminator: a
-                # parallelized driver-local batch has ≤ defaultParallelism
-                # partitions, a lake-scale rdd has thousands. The bound is
-                # a heuristic (few-huge-partition rdds misclassify); such
-                # callers should repartition or pre-materialize queries.
-                cap = max(64, 2 * df.sparkSession.sparkContext.defaultParallelism)
-                return int(leaf.rdd().getNumPartitions()) <= cap
-
-            if all(_local(leaves.apply(i)) for i in range(leaves.size())):
-                return True
-            return int(str(st.sizeInBytes())) <= max(max_rows * 160, 1)
-        except Exception:
-            return True
+        return _stats_small_plan(df, conf)
 
     # --- driver route (engine auto/driver): in-process kernel, zero jobs ---
     if engine != "spark" and n_buckets is None:
@@ -1059,7 +1146,11 @@ def _pruned_position_blocks(idx: InvertedIndex, qdict: DataFrame) -> DataFrame |
 
 
 def phrase_match_indexed(
-    spark: SparkSession, idx: InvertedIndex, phrases: DataFrame
+    spark: SparkSession,
+    idx: InvertedIndex,
+    phrases: DataFrame,
+    engine: str = "auto",
+    telemetry: dict | None = None,
 ) -> DataFrame:
     """(query_id, doc_id, n_hits) — phrase_match against the PERSISTED
     positional index (store_positions=True builds): the gType
@@ -1071,9 +1162,22 @@ def phrase_match_indexed(
     decode kernel emits (query_id, doc_id, anchor) → the SAME anchor
     epilogue as phrase_match. Per call it touches only the phrase terms'
     blocks — no corpus re-tokenization, the fix for the
-    full-scan-per-phrase-batch scale killer."""
+    full-scan-per-phrase-batch scale killer.
+
+    engine="auto" (default) first tries the in-process driver route
+    (LocalSearcher.phrase_n — zero Spark jobs, ms-scale warm) under the
+    same occurrence budgets as _try_positional_route; "driver" demands it
+    (raises on budget miss); "spark" forces the distributed plan."""
     conf = idx.conf
     out_empty = "query_id long, doc_id long, n_hits long"
+    routed = _try_positional_route(
+        spark, idx, phrases, engine,
+        lambda ls, rows: ls.phrase_n(rows), out_empty, telemetry=telemetry,
+    )
+    if routed is not None:
+        return routed
+    if isinstance(phrases, (pd.DataFrame, list, tuple)):
+        phrases = _materialize_local_queries(spark, phrases)
     pterms = _phrase_terms(phrases, conf.token_split_re)
     plen = pterms.groupBy("query_id").agg(F.count("*").alias("phrase_len"))
     # literal resolution: a stopword inside a phrase still matches the raw
@@ -1357,13 +1461,27 @@ def span_first_match_indexed(
     idx: InvertedIndex,
     queries: DataFrame,
     end: int,
+    engine: str = "auto",
+    telemetry: dict | None = None,
 ) -> DataFrame:
     """`span_first_match` off the persisted positional index: only the
     query terms' positional blocks are read (shard partitions +
     In(term_id) row-group pruning via `positional_enumerate`), tombstones
-    respected."""
+    respected.  engine="auto" tries the in-process driver route
+    (LocalSearcher.span_first_n) under the _try_positional_route budgets;
+    "driver" demands it; "spark" forces the distributed plan."""
     if end <= 0:
         raise ValueError(f"end must be positive, got {end}")
+    routed = _try_positional_route(
+        spark, idx, queries, engine,
+        lambda ls, rows: ls.span_first_n(rows, end),
+        "query_id long, doc_id long, n_hits long",
+        telemetry=telemetry,
+    )
+    if routed is not None:
+        return routed
+    if isinstance(queries, (pd.DataFrame, list, tuple)):
+        queries = _materialize_local_queries(spark, queries)
     occ = positional_enumerate(spark, idx, queries)
     return (
         occ.filter(F.col("pos") < end)

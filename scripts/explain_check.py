@@ -163,6 +163,7 @@ def main() -> int:
     piplan = fmt(phrase_match_indexed(
         spark, pidx,
         spark.createDataFrame([(0, "error timeout")], "query_id long, query_text string"),
+        engine="spark",  # the audit wants the DISTRIBUTED plan, not the driver route
     ))
     assert_pruned_scan("positional phrase scan", piplan)
     pi_schemas = re.findall(r"ReadSchema: struct<([^>]*)>", piplan)
@@ -266,7 +267,7 @@ def main() -> int:
     # 9. proximity off the positional index: pruned blocks, never the corpus
     from igd_spark import near_match_indexed
 
-    nplan = fmt(near_match_indexed(spark, pidx, ql_q, window=6))
+    nplan = fmt(near_match_indexed(spark, pidx, ql_q, window=6, engine="spark"))
     assert_pruned_scan("near_match_indexed scan", nplan)
     np_schemas = re.findall(r"ReadSchema: struct<([^>]*)>", nplan)
     check(
