@@ -1362,6 +1362,69 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
+        # ORDER IS THE DRIVER'S VERIFICATION ROTATION: the gate checks the
+        # FIRST 50 entries per round, so entries lead in driver-staleness
+        # order (never-driver-verified first, then least-recently green).
+        # Re-rotate each round from CORRECTNESS_r{N}.json (VERDICT r4 #1).
+        "explain_scores_indexed": q_explain_scores_indexed,
+        "stats_agg_indexed": q_stats_agg_indexed,
+        "histogram_agg_indexed": q_histogram_agg_indexed,
+        "cardinality_agg_indexed": q_cardinality_agg_indexed,
+        "significant_terms_indexed": q_significant_terms_indexed,
+        "top_hits_agg_indexed": q_top_hits_agg_indexed,
+        "regexp_bm25_topk": q_regexp_bm25_topk,
+        "regexp_bm25_topk_indexed": q_regexp_bm25_topk_indexed,
+        "term_vectors": q_term_vectors,
+        "function_score_decay": q_function_score_decay,
+        "multi_field_bm25_topk": q_multi_field_bm25_topk,
+        "multi_field_bm25_topk_indexed": q_multi_field_bm25_topk_indexed,
+        "index_stats": q_index_stats,
+        "rank_eval": q_rank_eval,
+        "analyze": q_analyze,
+        "span_first_match": q_span_first_match,
+        "span_first_match_indexed": q_span_first_match_indexed,
+        "bm25_topk_deleted": q_bm25_topk_deleted,
+        "bm25_topk_expunged": q_bm25_topk_expunged,
+        "term_cooccurrence_capped": q_term_cooccurrence_capped,
+        "source_hits": q_source_hits,
+        "keywords_topk": q_keywords_topk,
+        "source_hits_mintf": q_source_hits_mintf,
+        "embedding_lsh_ann_indexed": q_embedding_lsh_ann_indexed,
+        "embedding_ivf_ann_indexed": q_embedding_ivf_ann_indexed,
+        "match_enumerate": q_match_enumerate,
+        "term_cooccurrence": q_term_cooccurrence,
+        "term_cooccurrence_mintf": q_term_cooccurrence_mintf,
+        "source_overlap": q_source_overlap,
+        "dedup_exact": q_dedup_exact,
+        "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+        "dedup_minhash_lsh": q_dedup_minhash_lsh,
+        "dedup_simhash": q_dedup_simhash,
+        "minhash_signatures": q_minhash_signatures,
+        "simhash_sketch": q_simhash_sketch,
+        "fingerprint": q_fingerprint,
+        "text_stats": q_text_stats,
+        "lang_id": q_lang_id,
+        "embedding_cosine_topk": q_embedding_cosine_topk,
+        "embedding_neardup": q_embedding_neardup,
+        "embedding_neardup_banded": q_embedding_neardup_banded,
+        "embedding_lsh_ann": q_embedding_lsh_ann,
+        "embedding_ivf_ann": q_embedding_ivf_ann,
+        "embedding_ivf_ann_nprobe": q_embedding_ivf_ann_nprobe,
+        "corpus_curate": q_corpus_curate,
+        "events_sessionize": q_events_sessionize,
+        "phrase_match": q_phrase_match,
+        "phrase_match_indexed": q_phrase_match_indexed,
+        "token_counts": q_token_counts,
+        "seqpare_pairs": q_seqpare_pairs,
+        "seqpare_scores": q_seqpare_scores,
+        "media_frame_sample": q_media_frame_sample,
+        "media_stats": q_media_stats,
+        "media_features": q_media_features,
+        "dedup_clusters": q_dedup_clusters,
+        "boilerplate_clean": q_boilerplate_clean,
+        "repetition_stats": q_repetition_stats,
+        "sample_stratified": q_sample_stratified,
+        "pack_sequences": q_pack_sequences,
         "postings": q_postings,
         "doc_stats": q_doc_stats,
         "corpus_stats": q_corpus_stats,
@@ -1412,65 +1475,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rescore_topk": q_rescore_topk,
         "rescore_topk_indexed": q_rescore_topk_indexed,
         "more_like_this_indexed": q_more_like_this_indexed,
-        "explain_scores_indexed": q_explain_scores_indexed,
-        "stats_agg_indexed": q_stats_agg_indexed,
-        "histogram_agg_indexed": q_histogram_agg_indexed,
-        "cardinality_agg_indexed": q_cardinality_agg_indexed,
-        "significant_terms_indexed": q_significant_terms_indexed,
-        "top_hits_agg_indexed": q_top_hits_agg_indexed,
-        "regexp_bm25_topk": q_regexp_bm25_topk,
-        "regexp_bm25_topk_indexed": q_regexp_bm25_topk_indexed,
-        "term_vectors": q_term_vectors,
-        "function_score_decay": q_function_score_decay,
-        "multi_field_bm25_topk": q_multi_field_bm25_topk,
-        "multi_field_bm25_topk_indexed": q_multi_field_bm25_topk_indexed,
-        "index_stats": q_index_stats,
-        "rank_eval": q_rank_eval,
-        "analyze": q_analyze,
-        "span_first_match": q_span_first_match,
-        "span_first_match_indexed": q_span_first_match_indexed,
-        "bm25_topk_deleted": q_bm25_topk_deleted,
-        "bm25_topk_expunged": q_bm25_topk_expunged,
-        "match_enumerate": q_match_enumerate,
-        "term_cooccurrence": q_term_cooccurrence,
-        "term_cooccurrence_mintf": q_term_cooccurrence_mintf,
-        "term_cooccurrence_capped": q_term_cooccurrence_capped,
-        "source_hits": q_source_hits,
-        "keywords_topk": q_keywords_topk,
-        "source_hits_mintf": q_source_hits_mintf,
-        "source_overlap": q_source_overlap,
-        "dedup_exact": q_dedup_exact,
-        "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
-        "dedup_minhash_lsh": q_dedup_minhash_lsh,
-        "dedup_simhash": q_dedup_simhash,
-        "minhash_signatures": q_minhash_signatures,
-        "simhash_sketch": q_simhash_sketch,
-        "fingerprint": q_fingerprint,
-        "text_stats": q_text_stats,
-        "lang_id": q_lang_id,
-        "embedding_cosine_topk": q_embedding_cosine_topk,
-        "embedding_neardup": q_embedding_neardup,
-        "embedding_neardup_banded": q_embedding_neardup_banded,
-        "embedding_lsh_ann": q_embedding_lsh_ann,
-        "embedding_ivf_ann": q_embedding_ivf_ann,
-        "embedding_ivf_ann_nprobe": q_embedding_ivf_ann_nprobe,
-        "embedding_lsh_ann_indexed": q_embedding_lsh_ann_indexed,
-        "embedding_ivf_ann_indexed": q_embedding_ivf_ann_indexed,
-        "corpus_curate": q_corpus_curate,
-        "events_sessionize": q_events_sessionize,
-        "phrase_match": q_phrase_match,
-        "phrase_match_indexed": q_phrase_match_indexed,
-        "token_counts": q_token_counts,
-        "seqpare_pairs": q_seqpare_pairs,
-        "seqpare_scores": q_seqpare_scores,
-        "media_frame_sample": q_media_frame_sample,
-        "media_stats": q_media_stats,
-        "media_features": q_media_features,
-        "dedup_clusters": q_dedup_clusters,
-        "boilerplate_clean": q_boilerplate_clean,
-        "repetition_stats": q_repetition_stats,
-        "sample_stratified": q_sample_stratified,
-        "pack_sequences": q_pack_sequences,
     }
 
 

@@ -1374,10 +1374,14 @@ def _fuzzy_candidates(
     dictionary: DataFrame,
     max_edits: int,
     mode: str,
+    qv: DataFrame | None = None,
 ) -> DataFrame:
     """(query_id, qterm, term, df, boost) — every dictionary term within
     ``max_edits`` of each query term, boost floored at 0 (shared by
-    `fuzzy_expand` and `suggest_terms`)."""
+    `fuzzy_expand` and `suggest_terms`).  ``qv`` optionally supplies the
+    query-side deletion variants precomputed (and cached) by a compiled
+    percolator — (query_id, qterm, variant) — so repeated micro-batches
+    skip re-deriving them (mode="deletes" only)."""
     qt = qterms.select("query_id", F.col("term").alias("qterm"))
     dct = dictionary.select("term", "df")
     if mode == "scan":
@@ -1386,7 +1390,10 @@ def _fuzzy_candidates(
             F.levenshtein(F.col("term"), F.col("qterm")) <= max_edits,
         )
     elif mode == "deletes":
-        qv = qt.withColumn("variant", F.explode(_deletion_variants("qterm", max_edits)))
+        if qv is None:
+            qv = qt.withColumn(
+                "variant", F.explode(_deletion_variants("qterm", max_edits))
+            )
         dv = dct.withColumn("variant", F.explode(_deletion_variants("term", max_edits)))
         cand = (
             dv.join(F.broadcast(qv), "variant")

@@ -234,3 +234,53 @@ def test_parse_query_fuzz_never_crashes():
                 assert set(c.text) <= set("abcdefghijklmnopqrstuvwxyz0123456789*?")
 
     check()
+
+
+def test_compiled_percolator_matches_uncompiled(spark, docs):
+    """compile_percolator: identical results to per-call percolate on every
+    clause kind (term/must/must_not/prefix/wildcard/fuzzy/phrase), across
+    SUCCESSIVE batches, with the compile cost paid once."""
+    from igd_spark import compile_percolator, percolate
+
+    t1, t2, t3 = _pick_terms(docs, 3)
+    phrase = _occurring_phrase(docs)
+    standing = [
+        (0, f"+{t1} {t2} -{t3}"),
+        (1, f'"{phrase}" {t2[:3]}*'),
+        (2, f"{t1[:-1]}x~1 {t2}"),
+        (3, f"{t1[:2]}?{t1[3:]} {t2}"),
+        (4, "+zzznotavocab"),
+    ]
+    comp = compile_percolator(spark, standing)
+    batches = [
+        docs.filter(F.col("doc_id") % 3 == i).cache() for i in range(3)
+    ]
+    try:
+        any_rows = 0
+        for b in batches:
+            want = _sorted(percolate(b, standing, round_dp=9))
+            got = _sorted(percolate(b, comp, round_dp=9))
+            pd.testing.assert_frame_equal(got, want)
+            any_rows += len(want)
+        assert any_rows > 0
+        # the phrase standing query must fire on at least one batch, or the
+        # compiled phrase path went untested
+        fired = pd.concat(
+            [percolate(b, comp).toPandas() for b in batches]
+        )
+        assert (fired["query_id"] == 1).any()
+    finally:
+        comp.unpersist()
+        for b in batches:
+            b.unpersist()
+
+
+def test_compiled_percolator_empty_batch_and_set(spark, docs):
+    from igd_spark import compile_percolator, percolate
+
+    comp = compile_percolator(spark, [(0, "+table")])
+    out = percolate(docs.filter(F.lit(False)), comp)
+    assert out.count() == 0 and out.columns == ["query_id", "doc_id", "score"]
+    comp.unpersist()
+    empty = compile_percolator(spark, [])
+    assert percolate(docs, empty).count() == 0
