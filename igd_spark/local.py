@@ -59,6 +59,29 @@ def _tokenize_one(text: str, split_re: str) -> list[str]:
     return sorted({t for t in re.split(split_re, (text or "").lower()) if t})
 
 
+def _round_half_up_spark(arr: np.ndarray, dp: int) -> np.ndarray:
+    """Spark F.round(double, dp) parity for NON-NEGATIVE arrays: Spark
+    rounds BigDecimal.valueOf(x) — i.e. the SHORTEST decimal repr of the
+    double — with HALF_UP.  Vectorized floor(x·10^dp + 0.5) agrees except
+    within a ~ulp band of the .5 boundary, where the exact decimal-string
+    path decides (repr(float) is the same shortest repr as Java's
+    Double.toString)."""
+    scale = 10.0 ** dp
+    scaled = arr * scale
+    out = np.floor(scaled + 0.5) / scale
+    sus = np.abs(scaled - np.floor(scaled) - 0.5) < 1e-6
+    if sus.any():
+        from decimal import ROUND_HALF_UP, Decimal
+
+        q = Decimal(1).scaleb(-dp)
+        out = out.copy()
+        for i in np.flatnonzero(sus):
+            out[i] = float(
+                Decimal(repr(float(arr[i]))).quantize(q, rounding=ROUND_HALF_UP)
+            )
+    return out
+
+
 def _tokenize_ordered(text: str, split_re: str) -> list[str]:
     """IN-ORDER tokens, duplicates kept — the phrase contract (matches
     tokens_col + the non-empty filter, so offsets line up with
@@ -399,6 +422,98 @@ class LocalSearcher:
         interactive queries serve warm)."""
         out = self.search_n([(0, query_text)], k=k, min_tf=min_tf)
         return out[["rank", "doc_id", "score"]].reset_index(drop=True)
+
+    def bool_n(
+        self,
+        queries: list[tuple[int, str, str | None]],
+        k: int = 10,
+        round_dp: int | None = None,
+    ) -> pd.DataFrame:
+        """(query_id, rank, doc_id, score) — conjunctive AND + NOT
+        retrieval, zero Spark jobs: the in-process sibling of
+        bool_bm25_topk_indexed.  Semantics mirror querylang._bool_epilogue
+        exactly: a doc qualifies iff it contains EVERY analyzed distinct
+        query term (stop-filter contract — analyzed-away terms are dropped,
+        a corpus-absent term makes the query match nothing), docs holding
+        ANY indexed exclude term are removed, the surviving docs keep their
+        disjunctive BM25 score, rounded (Spark HALF_UP) BEFORE ranking when
+        ``round_dp`` is set.  ``queries``: (query_id, query_text,
+        exclude_text|None) triples; duplicate query_ids merge."""
+        conf = self.conf
+        stop = set(conf.stopwords)
+        mlen = conf.min_token_len
+
+        per_q: dict[int, set[str]] = {}
+        per_ex: dict[int, set[str]] = {}
+        for qid, text, ex in queries:
+            qid = int(qid)
+            toks = {
+                t
+                for t in _tokenize_one(text, conf.token_split_re)
+                if len(t) >= mlen and t not in stop
+            }
+            per_q.setdefault(qid, set()).update(toks)
+            per_ex.setdefault(qid, set()).update(
+                _tokenize_one(ex, conf.token_split_re) if ex else ()
+            )
+        union_terms = sorted(
+            set().union(*per_q.values(), *per_ex.values()) if per_q else set()
+        )
+        if not union_terms:
+            return _EMPTY_BATCH.copy()
+        tmap = self._lookup_terms(union_terms)
+        found = {t: v for t, v in tmap.items()}
+        self._ensure_lists(found)
+
+        k1, b, avgdl = conf.k1, conf.b, self.avgdl
+        contrib: dict[str, tuple[np.ndarray, np.ndarray]] = {}
+        for t, (tid, df, _) in found.items():
+            d, tf, dl = self._list_cache[tid]
+            idf = float(np.log1p((self.n_docs - df + 0.5) / (df + 0.5)))
+            w = tf * (k1 + 1.0) / (tf + k1 * (1.0 - b + b * dl / avgdl))
+            contrib[t] = (d, idf * w)
+
+        out_rows = []
+        for qid in sorted(per_q):
+            terms = sorted(per_q[qid])
+            if not terms or any(t not in contrib for t in terms):
+                continue  # all-stopword or corpus-absent term: AND matches nothing
+            parts = [contrib[t] for t in terms]
+            ids = np.concatenate([p[0] for p in parts])
+            if not ids.size:
+                continue
+            ws = np.concatenate([p[1] for p in parts])
+            uids, inv = np.unique(ids, return_inverse=True)
+            scores = np.bincount(inv, weights=ws, minlength=uids.size)
+            counts = np.bincount(inv, minlength=uids.size)
+            keep = counts == len(terms)
+            ex_lists = [
+                contrib[t][0] for t in sorted(per_ex.get(qid, ()))
+                if t in contrib and contrib[t][0].size
+            ]
+            if ex_lists:
+                keep &= ~np.isin(uids, np.concatenate(ex_lists))
+            uids, scores = uids[keep], scores[keep]
+            if not uids.size:
+                continue
+            if round_dp is not None:
+                scores = _round_half_up_spark(scores, round_dp)
+            order = np.lexsort((uids, -scores))[:k]
+            out_rows.append((qid, uids[order], scores[order]))
+        if not out_rows:
+            return _EMPTY_BATCH.copy()
+        return pd.DataFrame(
+            {
+                "query_id": np.concatenate(
+                    [np.full(u.size, q, dtype=np.int64) for q, u, _ in out_rows]
+                ),
+                "rank": np.concatenate(
+                    [np.arange(1, u.size + 1, dtype=np.int32) for _, u, _ in out_rows]
+                ),
+                "doc_id": np.concatenate([u for _, u, _ in out_rows]),
+                "score": np.concatenate([s for _, _, s in out_rows]),
+            }
+        )
 
 
     # --- positional driver path (phrase / NEAR / span_first) ---------------

@@ -940,11 +940,41 @@ def bool_bm25_topk_indexed(
     k: int = 10,
     exclude_col: str | None = None,
     round_dp: int | None = None,
+    engine: str = "auto",
+    telemetry: dict | None = None,
 ) -> DataFrame:
     """`bool_bm25_topk` over a persisted index: AND + NOT with only the
     required/excluded terms' posting blocks scanned.  The NOT clause is a
     second pruned enumeration of the exclude terms — cost bounded by their
-    df, never by the corpus."""
+    df, never by the corpus.  engine="auto" first tries the in-process
+    driver route (LocalSearcher.bool_n — zero Spark jobs, ms-scale warm)
+    under the BM25 postings budgets; "driver" demands it; "spark" forces
+    the distributed plan."""
+    from igd_spark.search import _materialize_local_queries, _try_bool_route
+
+    routed = _try_bool_route(
+        spark, idx, queries, exclude_col, k, round_dp, engine,
+        telemetry=telemetry,
+    )
+    if routed is not None:
+        return routed
+    import pandas as _pd
+
+    if isinstance(queries, (_pd.DataFrame, list, tuple)):
+        if exclude_col:
+            rows = (
+                list(map(tuple, queries[["query_id", "query_text",
+                                         exclude_col]].itertuples(index=False)))
+                if isinstance(queries, _pd.DataFrame) else
+                [(int(r[0]), r[1], r[2] if len(r) > 2 else None)
+                 for r in queries]
+            )
+            queries = spark.createDataFrame(
+                rows,
+                f"query_id long, query_text string, {exclude_col} string",
+            )
+        else:
+            queries = _materialize_local_queries(spark, queries)
     qt = _analyzed_qt(query_terms(queries), idx.conf)
     nq = qt.groupBy("query_id").agg(F.countDistinct("term").alias("n_required"))
     scored = _indexed_scored(

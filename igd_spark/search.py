@@ -684,6 +684,83 @@ def _try_driver_route(
     return spark.createDataFrame(pdf, TOPK_SCHEMA)
 
 
+def _try_bool_route(
+    spark: SparkSession,
+    idx: InvertedIndex,
+    queries,
+    exclude_col: str | None,
+    k: int,
+    round_dp: int | None,
+    engine: str,
+    telemetry: dict | None = None,
+) -> DataFrame | None:
+    """Driver-route admission for conjunctive boolean retrieval
+    (bool_bm25_topk_indexed): LocalSearcher.bool_n under the SAME
+    dictionary-df postings budget as the BM25 route — the cost covers the
+    conjunctive AND the exclude terms' lists, both of which the kernel
+    reads.  Returns None to fall through ("auto"); engine="driver" raises
+    on a budget miss."""
+    if engine == "spark":
+        return None
+    if engine not in ("auto", "driver"):
+        raise ValueError("engine must be 'auto', 'driver' or 'spark'")
+    from igd_spark.local import local_searcher
+
+    conf = idx.conf
+    max_q, max_post = _driver_budgets(conf)
+
+    def bail(reason: str) -> None:
+        if engine == "driver":
+            raise ValueError(
+                f"engine='driver' requested but {reason}; use engine='auto' "
+                "or 'spark', or raise IndexConf.driver_search_* budgets"
+            )
+
+    if max_q <= 0 or max_post <= 0:
+        bail("the driver route is disabled (budget <= 0)")
+        return None
+    cols = ["query_id", "query_text"] + ([exclude_col] if exclude_col else [])
+    if isinstance(queries, (list, tuple)):
+        rows = [
+            (int(r[0]), r[1], (r[2] if exclude_col and len(r) > 2 else None))
+            for r in queries
+        ]
+    elif isinstance(queries, pd.DataFrame):
+        rows = [
+            (int(r[0]), None if pd.isna(r[1]) else r[1],
+             None if not exclude_col or pd.isna(r[2]) else r[2])
+            for r in queries[cols].itertuples(index=False)
+        ] if exclude_col else [
+            (int(r[0]), None if pd.isna(r[1]) else r[1], None)
+            for r in queries[cols].itertuples(index=False)
+        ]
+    else:
+        if not _stats_small_plan(queries, conf):
+            bail("the query batch is not provably driver-local")
+            return None
+        rows = [
+            (int(r["query_id"]), r["query_text"],
+             r[exclude_col] if exclude_col else None)
+            for r in queries.select(*cols).collect()
+        ]
+    t0 = time.perf_counter()
+    if len({qid for qid, _, _ in rows}) > max_q:
+        bail(f"batch has >{max_q} queries (driver_search_max_queries)")
+        return None
+    ls = local_searcher(idx)
+    cost = ls.batch_cost(
+        [(q, f"{t or ''} {e or ''}") for q, t, e in rows]
+    )
+    if cost > max_post:
+        bail(f"batch scores {cost} postings > driver_search_max_postings={max_post}")
+        return None
+    pdf = ls.bool_n(rows, k=k, round_dp=round_dp)
+    if telemetry is not None:
+        telemetry["route_ms"] = 1000 * (time.perf_counter() - t0)
+        telemetry["batch_cost_postings"] = cost
+    return spark.createDataFrame(pdf, TOPK_SCHEMA)
+
+
 def _try_positional_route(
     spark: SparkSession,
     idx: InvertedIndex,
