@@ -271,6 +271,56 @@ def main() -> None:
         timings[name] = min(runs)
         log(f"{name}: {cnt} rows, runs={[round(r, 2) for r in runs]}")
 
+    # --- r5 driver routes: proximity/bool in-process latency + A/B ----------
+    # phrase_match_indexed above now measures the DEFAULT path (auto →
+    # driver route); the A/B below pins the distributed positional plan so
+    # the r4 double-collect regression attribution stays measurable.
+    idx_g = em._built_index(spark, SF_DIR)
+    from igd_spark import phrase_match_indexed as _pmi
+
+    runs = []
+    for _ in range(2):
+        t0 = time.perf_counter()
+        _pmi(spark, idx_g, em._phrases_df(spark), engine="spark").count()
+        runs.append(time.perf_counter() - t0)
+    extra["phrase_indexed_spark_sec"] = min(runs)
+    lsg = local_searcher(idx_g)
+    ph_rows = [(int(q), t) for q, t in em.PHRASES]
+    lsg.phrase_n(ph_rows)  # warm the positional LRU
+    plat = []
+    for row in ph_rows:
+        t0 = time.perf_counter()
+        lsg.phrase_n([row])
+        plat.append(time.perf_counter() - t0)
+    plat.sort()
+    extra["phrase_warm_p50_ms"] = 1000.0 * plat[len(plat) // 2]
+    bool_rows = [(int(q), t, e) for q, t, e in em.BOOL_QUERY_SET]
+    lsg.bool_n(bool_rows, k=10, round_dp=6)  # warm
+    t0 = time.perf_counter()
+    lsg.bool_n(bool_rows, k=10, round_dp=6)
+    extra["bool_warm_batch_ms"] = 1000.0 * (time.perf_counter() - t0)
+    log(f"phrase_indexed spark A/B {extra['phrase_indexed_spark_sec']:.2f}s; "
+        f"phrase warm p50 {extra['phrase_warm_p50_ms']:.2f} ms; "
+        f"bool warm batch {extra['bool_warm_batch_ms']:.2f} ms")
+
+    # --- compiled percolator: steady-state per-batch cost --------------------
+    # 4 successive micro-batches against a compiled standing set — the
+    # number that must stay flat across batches (queryparse.CompiledQueries)
+    from igd_spark import compile_percolator, percolate
+
+    comp = compile_percolator(spark, em.PARSED_QUERY_SET)
+    pdocs = em._docs(spark, SF_DIR)
+    batches = [pdocs.filter(F.col("doc_id") % 4 == i) for i in range(4)]
+    per_batch = []
+    for bdf in batches:
+        t0 = time.perf_counter()
+        percolate(bdf, comp, round_dp=6).count()
+        per_batch.append(round(time.perf_counter() - t0, 3))
+    comp.unpersist()
+    extra["percolate_batch_secs"] = per_batch
+    timings["percolate_compiled_batch"] = per_batch[-1]
+    log(f"compiled percolate per-batch secs: {per_batch}")
+
     # --- arrow GEMM ANN over embeddings --------------------------------------
     from igd_spark import cosine_topk_arrow
 
@@ -301,6 +351,10 @@ def _emit(timings: dict, extra: dict, sf: float, n_turns: int, t_all: float) -> 
         "search_qps_1000q": round(extra.get("search_qps_1000q", 0.0), 2),
         "search_one_p50_ms": round(extra.get("search_one_p50_ms", 0.0), 1),
         "search_one_warm_p50_ms": round(extra.get("search_one_warm_p50_ms", 0.0), 2),
+        "phrase_indexed_spark_sec": round(extra.get("phrase_indexed_spark_sec", 0.0), 3),
+        "phrase_warm_p50_ms": round(extra.get("phrase_warm_p50_ms", 0.0), 2),
+        "bool_warm_batch_ms": round(extra.get("bool_warm_batch_ms", 0.0), 2),
+        "percolate_batch_secs": extra.get("percolate_batch_secs", []),
         "search_100q_engine": extra.get("search_100q_engine", "?"),
         "search_1000q_engine": extra.get("search_1000q_engine", "?"),
         "search_100q_breakdown_ms": {
