@@ -423,6 +423,138 @@ class LocalSearcher:
         out = self.search_n([(0, query_text)], k=k, min_tf=min_tf)
         return out[["rank", "doc_id", "score"]].reset_index(drop=True)
 
+    # --- dictionary-expansion driver path (prefix / wildcard) --------------
+
+    def vocab_rows(self) -> int:
+        """Total dictionary rows from parquet FOOTERS only (cached) — the
+        IO-free admission bound for the expansion probes: the pattern scan
+        reads the dictionary's term column, so a vocab that outgrows the
+        driver budget demotes to the distributed expansion with zero IO."""
+        if getattr(self, "_vocab_rows", None) is None:
+            import pyarrow.dataset as pads
+
+            total = 0
+            for d in self._table_dirs("dictionary"):
+                for frag in pads.dataset(d).get_fragments():
+                    frag.ensure_complete_metadata()
+                    total += frag.metadata.num_rows
+            self._vocab_rows = total
+        return self._vocab_rows
+
+    def expand_patterns(
+        self, pats: list[str], like: bool
+    ) -> dict[str, list[str]]:
+        """pattern → matching dictionary terms.  ``like=False`` treats each
+        pattern as a PREFIX (Spark `startswith` parity); ``like=True`` as a
+        SQL LIKE pattern with %/_ wildcards (pyarrow match_like == Spark
+        `term LIKE pat`).  One filtered read per table dir covers ALL
+        uncached patterns (OR of the per-pattern exprs); matched terms'
+        (term_id, df, n_salts) rows fold into the dictionary cache with the
+        same base+delta fold as _lookup_terms, so the subsequent scoring
+        probe is free."""
+        import re as _re
+
+        import pyarrow.compute as pc
+        import pyarrow.dataset as pads
+
+        cache: dict[tuple[bool, str], list[str]] = getattr(
+            self, "_expand_cache", None
+        ) or {}
+        self._expand_cache = cache
+        missing = [p for p in pats if (like, p) not in cache]
+        if missing:
+            exprs = [
+                pc.match_like(pc.field("term"), p) if like
+                else pc.starts_with(pc.field("term"), p)
+                for p in missing
+            ]
+            flt = exprs[0]
+            for e in exprs[1:]:
+                flt = flt | e
+            found: dict[str, list[tuple[int, int, int]]] = {}
+            for d in self._table_dirs("dictionary"):
+                t = pads.dataset(d).to_table(
+                    columns=["term", "term_id", "df", "n_salts"], filter=flt
+                )
+                for term, tid, df, ns in zip(
+                    t["term"].to_pylist(), t["term_id"].to_pylist(),
+                    t["df"].to_pylist(), t["n_salts"].to_pylist(),
+                ):
+                    found.setdefault(term, []).append((int(tid), int(df), int(ns)))
+            for term, rows in found.items():
+                self._dict_cache[term] = (
+                    rows[0][0],
+                    sum(r[1] for r in rows),
+                    max(r[2] for r in rows),
+                )
+            terms = sorted(found)
+            for p in missing:
+                if like:
+                    rx = _re.compile(
+                        "".join(".*" if c == "%" else "." if c == "_"
+                                else _re.escape(c) for c in p)
+                    )
+                    cache[(True, p)] = [t for t in terms if rx.fullmatch(t)]
+                else:
+                    cache[(False, p)] = [t for t in terms if t.startswith(p)]
+        return {p: cache[(like, p)] for p in pats}
+
+    def score_terms_n(
+        self,
+        per_q: dict[int, list[str]],
+        k: int = 10,
+        round_dp: int | None = None,
+    ) -> pd.DataFrame:
+        """(query_id, rank, doc_id, score) — BM25 top-k where each query's
+        term set is EXPLICIT (the dictionary-expansion routes: prefix /
+        wildcard).  Same math, rounding-before-rank and tie-break as the
+        distributed `_indexed_scored` → `rank_topk` chain."""
+        union_terms = sorted(set().union(*per_q.values())) if per_q else []
+        if not union_terms:
+            return _EMPTY_BATCH.copy()
+        tmap = self._lookup_terms(union_terms)
+        if not tmap:
+            return _EMPTY_BATCH.copy()
+        self._ensure_lists(tmap)
+        conf = self.conf
+        k1, b, avgdl = conf.k1, conf.b, self.avgdl
+        contrib: dict[str, tuple[np.ndarray, np.ndarray]] = {}
+        for t, (tid, df, _) in tmap.items():
+            d, tf, dl = self._list_cache[tid]
+            idf = float(np.log1p((self.n_docs - df + 0.5) / (df + 0.5)))
+            w = tf * (k1 + 1.0) / (tf + k1 * (1.0 - b + b * dl / avgdl))
+            contrib[t] = (d, idf * w)
+        out_rows = []
+        for qid in sorted(per_q):
+            parts = [
+                contrib[t] for t in sorted(set(per_q[qid]))
+                if t in contrib and contrib[t][0].size
+            ]
+            if not parts:
+                continue
+            ids = np.concatenate([p[0] for p in parts])
+            ws = np.concatenate([p[1] for p in parts])
+            uids, inv = np.unique(ids, return_inverse=True)
+            scores = np.bincount(inv, weights=ws, minlength=uids.size)
+            if round_dp is not None:
+                scores = _round_half_up_spark(scores, round_dp)
+            order = np.lexsort((uids, -scores))[:k]
+            out_rows.append((qid, uids[order], scores[order]))
+        if not out_rows:
+            return _EMPTY_BATCH.copy()
+        return pd.DataFrame(
+            {
+                "query_id": np.concatenate(
+                    [np.full(u.size, q, dtype=np.int64) for q, u, _ in out_rows]
+                ),
+                "rank": np.concatenate(
+                    [np.arange(1, u.size + 1, dtype=np.int32) for _, u, _ in out_rows]
+                ),
+                "doc_id": np.concatenate([u for _, u, _ in out_rows]),
+                "score": np.concatenate([s for _, _, s in out_rows]),
+            }
+        )
+
     def bool_n(
         self,
         queries: list[tuple[int, str, str | None]],

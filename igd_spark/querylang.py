@@ -585,11 +585,28 @@ def wildcard_bm25_topk_indexed(
     k: int = 10,
     round_dp: int | None = None,
     max_expanded_terms: int = 65_536,
+    engine: str = "auto",
+    telemetry: dict | None = None,
 ) -> DataFrame:
     """`wildcard_bm25_topk` over a persisted index: patterns expand against
     the index's own dictionary, then only the expanded terms' posting
     blocks are read (same pruned scan and ``max_expanded_terms``
-    driver-OOM guard as `prefix_bm25_topk_indexed`)."""
+    driver-OOM guard as `prefix_bm25_topk_indexed`).  engine="auto" first
+    tries the in-process driver route (pyarrow match_like probe — exact
+    Spark `LIKE` parity — + LocalSearcher.score_terms_n) under the same
+    budgets; "driver" demands it; "spark" forces the distributed plan."""
+    from igd_spark.search import _materialize_local_queries, _try_expand_route
+
+    routed = _try_expand_route(
+        spark, idx, queries, k, round_dp, engine, like=True,
+        max_expanded_terms=max_expanded_terms, telemetry=telemetry,
+    )
+    if routed is not None:
+        return routed
+    import pandas as _pd
+
+    if isinstance(queries, (_pd.DataFrame, list, tuple)):
+        queries = _materialize_local_queries(spark, queries)
     pats = _wildcard_patterns(queries).withColumn(
         "pat", F.translate("pattern", "*?", "%_")
     )
@@ -1041,6 +1058,8 @@ def prefix_bm25_topk_indexed(
     k: int = 10,
     round_dp: int | None = None,
     max_expanded_terms: int = 65_536,
+    engine: str = "auto",
+    telemetry: dict | None = None,
 ) -> DataFrame:
     """`prefix_bm25_topk` over a persisted index: prefixes expand against
     the index's own dictionary (vocab-sized scan vs a broadcast prefix
@@ -1052,7 +1071,24 @@ def prefix_bm25_topk_indexed(
     large vocab fraction would be a driver OOM, not a slow query:
     ``max_expanded_terms`` bounds it with a clear error instead.  Raise
     the cap deliberately, or use the corpus-scan `prefix_bm25_topk`
-    (fully distributed expansion) for monster prefixes."""
+    (fully distributed expansion) for monster prefixes.
+
+    engine="auto" first tries the in-process driver route (pyarrow
+    starts_with probe of the dictionary + LocalSearcher.score_terms_n)
+    under search._try_expand_route's vocab/expansion/postings budgets;
+    "driver" demands it; "spark" forces the distributed plan."""
+    from igd_spark.search import _materialize_local_queries, _try_expand_route
+
+    routed = _try_expand_route(
+        spark, idx, queries, k, round_dp, engine, like=False,
+        max_expanded_terms=max_expanded_terms, telemetry=telemetry,
+    )
+    if routed is not None:
+        return routed
+    import pandas as _pd
+
+    if isinstance(queries, (_pd.DataFrame, list, tuple)):
+        queries = _materialize_local_queries(spark, queries)
     prefixes = query_terms(queries).withColumnRenamed("term", "prefix")
     expanded = (
         idx.dictionary.join(

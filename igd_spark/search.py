@@ -684,6 +684,113 @@ def _try_driver_route(
     return spark.createDataFrame(pdf, TOPK_SCHEMA)
 
 
+def _try_expand_route(
+    spark: SparkSession,
+    idx: InvertedIndex,
+    queries,
+    k: int,
+    round_dp: int | None,
+    engine: str,
+    like: bool,
+    max_expanded_terms: int,
+    telemetry: dict | None = None,
+) -> DataFrame | None:
+    """Driver-route admission for the dictionary-expansion scorers
+    (prefix_bm25_topk_indexed / wildcard_bm25_topk_indexed).  Three-tier,
+    IO-free-first: (1) the parquet-footer VOCAB row count must fit the
+    postings budget — the pattern probe reads the dictionary's term
+    column, so a 10^12-turn vocabulary demotes before any IO; (2) the
+    expansion is capped by ``max_expanded_terms`` with the SAME loud
+    ValueError as the distributed path (_collect_expansion — a cap hit is
+    a contract violation on both engines, never a silent demotion);
+    (3) the expanded terms' Σdf must fit the postings budget."""
+    if engine == "spark":
+        return None
+    if engine not in ("auto", "driver"):
+        raise ValueError("engine must be 'auto', 'driver' or 'spark'")
+    import re as _re
+
+    from igd_spark.local import _tokenize_one, local_searcher
+
+    conf = idx.conf
+    max_q, max_post = _driver_budgets(conf)
+
+    def bail(reason: str) -> None:
+        if engine == "driver":
+            raise ValueError(
+                f"engine='driver' requested but {reason}; use engine='auto' "
+                "or 'spark', or raise IndexConf.driver_search_* budgets"
+            )
+
+    if max_q <= 0 or max_post <= 0:
+        bail("the driver route is disabled (budget <= 0)")
+        return None
+    if isinstance(queries, (pd.DataFrame, list, tuple)):
+        rows = _as_local_rows(queries)
+    else:
+        if not _stats_small_plan(queries, conf):
+            bail("the query batch is not provably driver-local")
+            return None
+        rows = [
+            (int(r["query_id"]), r["query_text"])
+            for r in queries.select("query_id", "query_text").collect()
+        ]
+    t0 = time.perf_counter()
+    per_q_pats: dict[int, set[str]] = {}
+    for qid, text in rows:
+        if like:
+            # _wildcard_patterns parity: tokens keep the * / ? metachars
+            toks = {
+                t for t in _re.split(r"[^a-z0-9*?]+", (text or "").lower()) if t
+            }
+            toks = {t.translate(str.maketrans("*?", "%_")) for t in toks}
+        else:
+            toks = set(_tokenize_one(text, conf.token_split_re))
+        per_q_pats.setdefault(int(qid), set()).update(toks)
+    if len(per_q_pats) > max_q:
+        bail(f"batch has >{max_q} queries (driver_search_max_queries)")
+        return None
+    ls = local_searcher(idx)
+    all_pats = sorted(set().union(*per_q_pats.values()) if per_q_pats else set())
+    if not all_pats:
+        return spark.createDataFrame([], TOPK_SCHEMA)
+    uncached = [
+        p for p in all_pats
+        if (like, p) not in getattr(ls, "_expand_cache", {})
+    ]
+    if uncached and ls.vocab_rows() > max_post:
+        bail(
+            f"dictionary has {ls.vocab_rows()} rows > "
+            f"driver_search_max_postings={max_post} (expansion probe budget)"
+        )
+        return None
+    exp = ls.expand_patterns(all_pats, like=like)
+    per_q = {
+        qid: sorted(set().union(*(exp[p] for p in pats)) if pats else set())
+        for qid, pats in per_q_pats.items()
+    }
+    n_pairs = sum(len(ts) for ts in per_q.values())
+    if n_pairs > max_expanded_terms:
+        # the SAME contract as the distributed cap — loud, engine-independent
+        what = "wildcard" if like else "prefix"
+        raise ValueError(
+            f"{what} expansion exceeds max_expanded_terms={max_expanded_terms};"
+            f" raise the cap or use the corpus-scan {what} path "
+            "(distributed expansion)"
+        )
+    tmap = ls._lookup_terms(sorted(set().union(*per_q.values()) if per_q else set()))
+    cost = sum(tmap[t][1] for ts in per_q.values() for t in ts if t in tmap)
+    if cost > max_post:
+        bail(f"expansion scores {cost} postings > driver_search_max_postings={max_post}")
+        return None
+    pdf = ls.score_terms_n(per_q, k=k, round_dp=round_dp)
+    if telemetry is not None:
+        telemetry["route_ms"] = 1000 * (time.perf_counter() - t0)
+        telemetry["expanded_terms"] = n_pairs
+        telemetry["batch_cost_postings"] = cost
+    return spark.createDataFrame(pdf, TOPK_SCHEMA)
+
+
 def _try_bool_route(
     spark: SparkSession,
     idx: InvertedIndex,

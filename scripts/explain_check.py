@@ -243,7 +243,7 @@ def main() -> int:
     # 8. index-backed querylang: pruned block scans, never the corpus text
     from igd_spark import bool_bm25_topk_indexed, filtered_bm25_topk_indexed
 
-    iqplan = fmt(bool_bm25_topk_indexed(spark, idx, bq, exclude_col="exclude_text"))
+    iqplan = fmt(bool_bm25_topk_indexed(spark, idx, bq, exclude_col="exclude_text", engine="spark"))
     assert_pruned_scan("bool_bm25_topk_indexed scan", iqplan)
     iq_schemas = re.findall(r"ReadSchema: struct<([^>]*)>", iqplan)
     check(
@@ -292,7 +292,7 @@ def main() -> int:
     wq = spark.createDataFrame(
         [(0, "err*r tim*")], "query_id long, query_text string"
     )
-    wplan = fmt(wildcard_bm25_topk_indexed(spark, idx, wq))
+    wplan = fmt(wildcard_bm25_topk_indexed(spark, idx, wq, engine="spark"))
     assert_pruned_scan("wildcard_bm25_topk_indexed scan", wplan)
     w_schemas = re.findall(r"ReadSchema: struct<([^>]*)>", wplan)
     check(
