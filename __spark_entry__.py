@@ -905,6 +905,21 @@ def q_percolate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return percolate(_docs(spark, sf_dir), PARSED_QUERY_SET, round_dp=6)
 
 
+def q_percolate_compiled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # percolation through a COMPILED standing-query set (parse + clause
+    # tables built once, cached, broadcast per batch) — must be
+    # value-identical to per-call percolate, hence the same oracle
+    from igd_spark import compile_percolator, percolate
+
+    comp = compile_percolator(spark, PARSED_QUERY_SET)
+    try:
+        out = percolate(_docs(spark, sf_dir), comp, round_dp=6)
+        out = out.localCheckpoint()  # materialize before unpersisting the tables
+    finally:
+        comp.unpersist()
+    return out
+
+
 def q_suggest_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     # "did you mean": top corrections per query term by (similarity, df)
     from igd_spark import suggest_terms
@@ -1366,6 +1381,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # FIRST 50 entries per round, so entries lead in driver-staleness
         # order (never-driver-verified first, then least-recently green).
         # Re-rotate each round from CORRECTNESS_r{N}.json (VERDICT r4 #1).
+        "percolate_compiled": q_percolate_compiled,
         "explain_scores_indexed": q_explain_scores_indexed,
         "stats_agg_indexed": q_stats_agg_indexed,
         "histogram_agg_indexed": q_histogram_agg_indexed,
@@ -2741,6 +2757,8 @@ JOIN dl ON p.doc_id = dl.doc_id CROSS JOIN cs
         _parsed_core
         + "\nSELECT query_id, doc_id, round(s, 6) AS score FROM hits\n"
     )
+
+    sql["percolate_compiled"] = sql["percolate"]
 
     sql["facet_counts"] = f"""
 WITH {_TL}, {_TOKS}, {_POST}, {_DL}, {_CS}, {_TS}, {_QT},
