@@ -117,6 +117,16 @@ MF_QUERY_SET: list[tuple[int, str]] = [
     (3, "zzznotavocab src3"),   # keyword-only hit
     (4, "merge sort src12"),
 ]
+MSM_MIN = 2                   # minimum_should_match threshold
+COLLAPSE_COL = "source"       # ES field-collapse key
+DISMAX_TIE = 0.3              # dis_max tie_breaker
+COMPLETE_N = 5                # completion-suggester fan-out
+COMPLETE_QUERY_SET: list[tuple[int, str]] = [
+    (0, "tab"), (1, "cust"), (2, "zzz"), (3, "sl"), (4, "merge"),
+]
+PCT_LIST = (25.0, 50.0, 75.0, 99.0)   # ES percentiles agg
+DH_HOUR_MOD = 1000            # synthetic ts = 2026-01-01 + (doc_id % MOD) hours
+DH_INTERVAL = "day"           # date_histogram calendar interval
 DEL_MOD = 137                 # delete set: doc_id % DEL_MOD == 0
 ANALYZE_MOD = 347             # _analyze request: doc_id % ANALYZE_MOD == 0
 SPAN_FIRST_END = 10           # SpanFirstQuery position bound
@@ -1208,6 +1218,161 @@ def q_multi_field_bm25_topk_indexed(spark: SparkSession, sf_dir: str) -> DataFra
     return multi_field_bm25_topk_indexed(spark, fidx, qs, k=K, round_dp=6)
 
 
+def q_msm_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # ES/Lucene minimum_should_match: >= MSM_MIN distinct query terms
+    from igd_spark import msm_bm25_topk
+
+    return msm_bm25_topk(
+        _docs(spark, sf_dir), _queries_df(spark),
+        min_should_match=MSM_MIN, k=K, round_dp=6,
+    )
+
+
+def q_msm_bm25_topk_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # same contract over pruned posting blocks — rank-identical, same oracle
+    from igd_spark import msm_bm25_topk_indexed
+
+    return msm_bm25_topk_indexed(
+        spark, _built_index(spark, sf_dir), _queries_df(spark),
+        min_should_match=MSM_MIN, k=K, round_dp=6,
+    )
+
+
+def q_collapse_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # ES field collapsing: best doc per COLLAPSE_COL value, then top-k heads
+    from igd_spark import collapse_topk
+
+    return collapse_topk(
+        _docs(spark, sf_dir), _queries_df(spark), COLLAPSE_COL, k=K, round_dp=6
+    )
+
+
+def q_collapse_topk_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from igd_spark import collapse_topk_indexed
+
+    keys = _docs(spark, sf_dir).select(
+        "doc_id", F.col(COLLAPSE_COL).alias("ckey")
+    )
+    return collapse_topk_indexed(
+        spark, _built_index(spark, sf_dir), _queries_df(spark), keys,
+        k=K, round_dp=6,
+    )
+
+
+def q_dismax_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # ES dis_max / best_fields: best field's score + tie_breaker × the rest
+    from igd_spark import dismax_bm25_topk
+
+    qs = spark.createDataFrame(
+        [(int(q), t) for q, t in MF_QUERY_SET],
+        "query_id long, query_text string",
+    )
+    return dismax_bm25_topk(
+        _docs(spark, sf_dir), qs, MF_FIELDS, tie_breaker=DISMAX_TIE,
+        k=K, round_dp=6,
+    )
+
+
+def q_dismax_bm25_topk_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from igd_spark import dismax_bm25_topk_indexed
+
+    qs = spark.createDataFrame(
+        [(int(q), t) for q, t in MF_QUERY_SET],
+        "query_id long, query_text string",
+    )
+    fidx = _built_field_indexes(spark, sf_dir)
+    return dismax_bm25_topk_indexed(
+        spark, fidx, qs, tie_breaker=DISMAX_TIE, k=K, round_dp=6
+    )
+
+
+def q_highlight(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # ES highlighter: snippets' window with the matched span tag-wrapped by
+    # position arithmetic (no regex), so any SQL engine reproduces it exactly
+    from igd_spark import highlight
+
+    return highlight(
+        _docs(spark, sf_dir), _queries_df(spark), k=K, width=SNIPPET_WIDTH
+    )
+
+
+def q_highlight_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from igd_spark import highlight_indexed
+
+    return highlight_indexed(
+        spark, _built_index(spark, sf_dir), _queries_df(spark),
+        _docs(spark, sf_dir), k=K, width=SNIPPET_WIDTH,
+    )
+
+
+def q_complete_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # ES completion suggester at the term layer: prefix → top-n vocab terms
+    # by (df desc, term asc); dictionary = term_stats (the index dictionary
+    # is a pytest-pinned drop-in)
+    from igd_spark import complete_terms, postings
+    from igd_spark.stats import term_stats
+
+    qs = spark.createDataFrame(
+        [(int(q), t) for q, t in COMPLETE_QUERY_SET],
+        "query_id long, query_text string",
+    )
+    ts = term_stats(postings(_docs(spark, sf_dir)))
+    return complete_terms(qs, ts, n=COMPLETE_N)
+
+
+def q_percentiles_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # ES percentiles agg — gate verifies the EXACT path (linear interpolation
+    # == ANSI percentile_cont); approx=True is the mergeable-sketch 100 TB path
+    from igd_spark import percentiles_agg
+
+    return percentiles_agg(
+        _docs(spark, sf_dir), _queries_df(spark), STATS_VALUE_COL,
+        percents=list(PCT_LIST), round_dp=6,
+    )
+
+
+def q_percentiles_agg_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from igd_spark import percentiles_agg_indexed
+
+    return percentiles_agg_indexed(
+        spark, _built_index(spark, sf_dir), _docs(spark, sf_dir),
+        _queries_df(spark), STATS_VALUE_COL, percents=list(PCT_LIST),
+        round_dp=6,
+    )
+
+
+def _docs_with_ts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents + a deterministic synthetic timestamp (the table carries
+    none): ts = 2026-01-01 + (doc_id % DH_HOUR_MOD) hours, computed
+    identically in the oracle SQL."""
+    return _docs(spark, sf_dir).withColumn(
+        "ts",
+        F.expr(
+            f"timestampadd(HOUR, CAST(doc_id % {DH_HOUR_MOD} AS INT), "
+            f"TIMESTAMP'2026-01-01 00:00:00')"
+        ),
+    )
+
+
+def q_date_histogram_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # ES date_histogram (calendar_interval=day) over the match set
+    from igd_spark import date_histogram_agg
+
+    return date_histogram_agg(
+        _docs_with_ts(spark, sf_dir), _queries_df(spark), "ts",
+        interval=DH_INTERVAL,
+    )
+
+
+def q_date_histogram_agg_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from igd_spark import date_histogram_agg_indexed
+
+    return date_histogram_agg_indexed(
+        spark, _built_index(spark, sf_dir), _docs_with_ts(spark, sf_dir),
+        _queries_df(spark), "ts", interval=DH_INTERVAL,
+    )
+
+
 def q_term_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
     # ES _termvectors: per requested doc, (term, tf) + global df + dl
     from igd_spark import term_vectors
@@ -1407,6 +1572,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "source_hits_mintf": q_source_hits_mintf,
         "embedding_lsh_ann_indexed": q_embedding_lsh_ann_indexed,
         "embedding_ivf_ann_indexed": q_embedding_ivf_ann_indexed,
+        "msm_bm25_topk": q_msm_bm25_topk,
+        "msm_bm25_topk_indexed": q_msm_bm25_topk_indexed,
+        "collapse_topk": q_collapse_topk,
+        "collapse_topk_indexed": q_collapse_topk_indexed,
+        "dismax_bm25_topk": q_dismax_bm25_topk,
+        "dismax_bm25_topk_indexed": q_dismax_bm25_topk_indexed,
+        "highlight": q_highlight,
+        "highlight_indexed": q_highlight_indexed,
+        "complete_terms": q_complete_terms,
+        "percentiles_agg": q_percentiles_agg,
+        "percentiles_agg_indexed": q_percentiles_agg_indexed,
+        "date_histogram_agg": q_date_histogram_agg,
+        "date_histogram_agg_indexed": q_date_histogram_agg_indexed,
         "match_enumerate": q_match_enumerate,
         "term_cooccurrence": q_term_cooccurrence,
         "term_cooccurrence_mintf": q_term_cooccurrence_mintf,
@@ -2817,6 +2995,120 @@ WHERE d."{CARD_FIELD}" IS NOT NULL
 GROUP BY 1
 """
 
+    # percentiles agg (exact path == ANSI percentile_cont): one aggregate
+    # per requested percentile, long-format output
+    _pct_parts = " UNION ALL ".join(
+        f"SELECT query_id, {p}::DOUBLE AS pct, "
+        f"round(quantile_cont(v, {p / 100.0}), 6)::DOUBLE AS value "
+        f"FROM sv GROUP BY query_id"
+        for p in PCT_LIST
+    )
+    sql["percentiles_agg"] = f"""
+WITH {_TL}, {_TOKS}, {_POST}, {_DL}, {_CS}, {_TS}, {_QT}, {_SCORED},
+vals AS (SELECT doc_id, "{STATS_VALUE_COL}"::DOUBLE AS v FROM documents
+         WHERE "{STATS_VALUE_COL}" IS NOT NULL),
+sv AS (SELECT s.query_id, v FROM scored s JOIN vals USING (doc_id))
+{_pct_parts}
+"""
+
+    # date_histogram (calendar day) over the synthetic deterministic ts;
+    # DuckDB's date_trunc('day') yields DATE, so cast back to TIMESTAMP to
+    # match Spark's timestamp bucket
+    sql["date_histogram_agg"] = f"""
+WITH {_TL}, {_TOKS}, {_POST}, {_DL}, {_CS}, {_TS}, {_QT}, {_SCORED},
+tsv AS (SELECT doc_id, TIMESTAMP '2026-01-01 00:00:00'
+               + (doc_id % {DH_HOUR_MOD}) * INTERVAL 1 HOUR AS ts
+        FROM documents)
+SELECT s.query_id, date_trunc('{DH_INTERVAL}', tsv.ts)::TIMESTAMP AS bucket,
+       count(*)::BIGINT AS n_docs
+FROM scored s JOIN tsv USING (doc_id) GROUP BY 1, 2
+"""
+
+    # minimum_should_match: the boolean scorer's distinct-match count with a
+    # >= threshold instead of the AND equality
+    sql["msm_bm25_topk"] = f"""
+WITH {_TL}, {_TOKS}, {_POST}, {_DL}, {_CS}, {_TS}, {_QT},
+scored AS (
+  SELECT qt.query_id, p.doc_id, sum({{_W}}) AS s,
+         count(DISTINCT p.term)::BIGINT AS n_matched
+  FROM qterms qt JOIN ts USING (term) JOIN post p USING (term)
+  JOIN dl ON p.doc_id = dl.doc_id CROSS JOIN cs
+  GROUP BY 1, 2),
+ranked AS (
+  SELECT query_id, doc_id, round(s, 6) AS score,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY round(s, 6) DESC, doc_id ASC)::INT AS rank
+  FROM scored WHERE n_matched >= {MSM_MIN})
+SELECT query_id, rank, doc_id, score FROM ranked WHERE rank <= {K}
+""".replace("{_W}", _W)
+
+    # field collapsing: group-head window (score desc, doc_id asc) below the
+    # rank window, rounding BEFORE both windows
+    sql["collapse_topk"] = f"""
+WITH {_TL}, {_TOKS}, {_POST}, {_DL}, {_CS}, {_TS}, {_QT}, {_SCORED},
+keyed AS (
+  SELECT s.query_id, s.doc_id, d."{COLLAPSE_COL}" AS ckey,
+         round(s.s, 6) AS score
+  FROM scored s JOIN documents d ON d.doc_id = s.doc_id),
+heads AS (
+  SELECT query_id, doc_id, ckey, score FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id, ckey
+                                 ORDER BY score DESC, doc_id ASC) AS gr
+    FROM keyed) WHERE gr = 1),
+ranked AS (
+  SELECT query_id, doc_id, ckey, score,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY score DESC, doc_id ASC)::INT AS rank
+  FROM heads)
+SELECT query_id, rank, doc_id, ckey, score FROM ranked WHERE rank <= {K}
+"""
+
+    # highlighter: the snippets plan with the fragment assembled from three
+    # substrings + literal tags (pure position arithmetic in both engines)
+    sql["highlight"] = f"""
+WITH {_TL}, {_TOKS}, {_POST}, {_DL}, {_CS}, {_TS}, {_QT}, {_SCORED},
+topk AS (
+  SELECT query_id, doc_id, rank FROM (
+    SELECT query_id, doc_id,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY round(s, 6) DESC, doc_id ASC)::INT AS rank
+    FROM scored) WHERE rank <= {K}),
+matches AS (
+  SELECT DISTINCT qt.query_id, p.doc_id, p.term
+  FROM qterms qt JOIN post p USING (term)),
+cand AS (
+  SELECT m.query_id, t.rank, m.doc_id, m.term,
+         strpos(lower(d.text), m.term)::INT AS pos, d.text
+  FROM matches m
+  JOIN topk t ON t.query_id = m.query_id AND t.doc_id = m.doc_id
+  JOIN documents d ON d.doc_id = m.doc_id),
+first AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id, doc_id
+                               ORDER BY pos ASC, term ASC) AS rn
+  FROM cand)
+SELECT query_id, rank, doc_id, term, pos,
+       substr(text, greatest(1, pos - {SNIPPET_WIDTH}),
+              pos - greatest(1, pos - {SNIPPET_WIDTH}))
+       || '<em>' || substr(text, pos, len(term)) || '</em>'
+       || substr(text, pos + len(term), {SNIPPET_WIDTH}) AS fragment
+FROM first WHERE rn = 1
+"""
+    sql["highlight_indexed"] = sql["highlight"]
+
+    # completion suggester: prefix LIKE-expansion against the vocabulary,
+    # ranked (df desc, term asc)
+    _cqvals = ", ".join(f"({q}::BIGINT, '{t}')" for q, t in COMPLETE_QUERY_SET)
+    sql["complete_terms"] = f"""
+WITH {_TL}, {_TOKS}, {_POST}, {_TS},
+cq(query_id, prefix) AS (VALUES {_cqvals})
+SELECT query_id, rank, term, df FROM (
+  SELECT c.query_id, ts.term, ts.df::BIGINT AS df,
+         row_number() OVER (PARTITION BY c.query_id
+                            ORDER BY ts.df DESC, ts.term ASC)::INT AS rank
+  FROM cq c JOIN ts ON ts.term LIKE c.prefix || '%')
+WHERE rank <= {COMPLETE_N}
+"""
+
     sql["significant_terms"] = f"""
 WITH {_TL}, {_TOKS}, {_POST}, {_DL}, {_CS}, {_TS}, {_QT}, {_SCORED},
 m AS (SELECT DISTINCT query_id, doc_id FROM scored),
@@ -2978,6 +3270,26 @@ ranked AS (
 SELECT query_id, rank, doc_id, score FROM ranked WHERE rank <= {K}
 """
 
+    # dis_max / best_fields: the same per-field chains, combined as
+    # max + tie_breaker * (sum - max) instead of most_fields' plain sum
+    sql["dismax_bm25_topk"] = f"""
+WITH mq(query_id, query_text) AS (VALUES {_mfvals}),
+qterms AS (SELECT DISTINCT query_id, unnest(list_filter(
+  regexp_split_to_array(lower(query_text), '[^a-z0-9]+'), x -> x <> '')) AS term
+  FROM mq),{",".join(_mf_chains)},
+combined AS (
+  SELECT query_id, doc_id,
+         max(s) + {DISMAX_TIE} * (sum(s) - max(s)) AS s
+  FROM ({_mf_union}) GROUP BY 1, 2),
+ranked AS (
+  SELECT query_id, doc_id, round(s, 6) AS score,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY round(s, 6) DESC, doc_id ASC)::INT AS rank
+  FROM combined)
+SELECT query_id, rank, doc_id, score FROM ranked WHERE rank <= {K}
+"""
+    sql["dismax_bm25_topk_indexed"] = sql["dismax_bm25_topk"]
+
     sql["analyze"] = f"""
 WITH {_TL}
 SELECT doc_id, i - 1 AS pos, tl[i] AS token
@@ -3049,6 +3361,10 @@ FROM cs
     sql["more_like_this_indexed"] = sql["more_like_this"]
     sql["explain_scores_indexed"] = sql["explain_scores"]
     sql["stats_agg_indexed"] = sql["stats_agg"]
+    sql["percentiles_agg_indexed"] = sql["percentiles_agg"]
+    sql["date_histogram_agg_indexed"] = sql["date_histogram_agg"]
+    sql["msm_bm25_topk_indexed"] = sql["msm_bm25_topk"]
+    sql["collapse_topk_indexed"] = sql["collapse_topk"]
     sql["histogram_agg_indexed"] = sql["histogram_agg"]
     sql["cardinality_agg_indexed"] = sql["cardinality_agg"]
     sql["significant_terms_indexed"] = sql["significant_terms"]

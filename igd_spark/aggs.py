@@ -40,6 +40,10 @@ __all__ = [
     "stats_agg_indexed",
     "histogram_agg",
     "histogram_agg_indexed",
+    "date_histogram_agg",
+    "date_histogram_agg_indexed",
+    "percentiles_agg",
+    "percentiles_agg_indexed",
     "cardinality_agg",
     "cardinality_agg_indexed",
     "significant_terms",
@@ -97,6 +101,61 @@ def _hist_epilogue(m: DataFrame, vals: DataFrame, interval: float) -> DataFrame:
         .groupBy("query_id", "bucket")
         .agg(F.count("*").cast("long").alias("n_docs"))
     )
+
+
+_DATE_INTERVALS = ("hour", "day", "week", "month", "quarter", "year")
+
+
+def _date_hist_epilogue(
+    m: DataFrame, docs: DataFrame, ts_col: str, id_col: str, interval: str
+) -> DataFrame:
+    if interval not in _DATE_INTERVALS:
+        raise ValueError(
+            f"interval must be one of {_DATE_INTERVALS}, got {interval!r}"
+        )
+    tvals = docs.select(
+        F.col(id_col).alias("doc_id"), F.col(ts_col).alias("_ts")
+    ).filter(F.col("_ts").isNotNull())
+    return (
+        m.join(tvals, "doc_id")
+        .withColumn("bucket", F.date_trunc(interval, F.col("_ts")))
+        .groupBy("query_id", "bucket")
+        .agg(F.count("*").cast("long").alias("n_docs"))
+    )
+
+
+def _pct_epilogue(
+    m: DataFrame,
+    vals: DataFrame,
+    percents: list[float],
+    approx: bool,
+    accuracy: int,
+    round_dp: int | None,
+) -> DataFrame:
+    if not percents:
+        raise ValueError("percents must name at least one percentile")
+    pcts = [float(p) for p in percents]
+    if any(p < 0.0 or p > 100.0 for p in pcts):
+        raise ValueError(f"percents must lie in [0, 100], got {pcts}")
+    fracs = F.array(*[F.lit(p / 100.0) for p in pcts])
+    agg = (
+        F.percentile_approx("v", fracs, F.lit(int(accuracy)))
+        if approx
+        else F.percentile("v", fracs)
+    )
+    res = m.join(vals, "doc_id").groupBy("query_id").agg(agg.alias("_qs"))
+    pairs = F.arrays_zip(
+        F.array(*[F.lit(p) for p in pcts]).alias("pct"),
+        F.col("_qs").alias("value"),
+    )
+    out = res.select("query_id", F.explode(pairs).alias("_z")).select(
+        "query_id",
+        F.col("_z.pct").cast("double").alias("pct"),
+        F.col("_z.value").cast("double").alias("value"),
+    )
+    if round_dp is not None:
+        out = out.withColumn("value", F.round("value", round_dp))
+    return out
 
 
 def _card_epilogue(
@@ -192,6 +251,64 @@ def histogram_agg(
     """
     m = _match_set(docs, queries, conf, text_col, id_col)
     return _hist_epilogue(m, _vals(docs, value_col, id_col), interval)
+
+
+def date_histogram_agg(
+    docs: DataFrame,
+    queries: DataFrame,
+    ts_col: str,
+    interval: str = "day",
+    conf: IndexConf = DEFAULT_CONF,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """The ES ``date_histogram`` bucket aggregation: per query, calendar
+    buckets over the match set — (query_id, bucket:timestamp, n_docs) with
+    bucket = date_trunc(interval, ts) (ES ``calendar_interval``; hour /
+    day / week / month / quarter / year).  NULL timestamps are skipped;
+    empty buckets are not emitted (``min_doc_count=1``).  The session is
+    UTC-pinned (session.py) so bucket edges are engine-stable.
+
+    Scale: identical shape to `histogram_agg` — one sparse match-set join
+    against the (doc_id, ts) two-column projection, then a hash agg on the
+    fine (query_id, bucket) key; map-side combine keeps the shuffle at
+    distinct (query, bucket) pairs, never matched docs.
+    """
+    m = _match_set(docs, queries, conf, text_col, id_col)
+    return _date_hist_epilogue(m, docs, ts_col, id_col, interval)
+
+
+def percentiles_agg(
+    docs: DataFrame,
+    queries: DataFrame,
+    value_col: str,
+    percents: list[float] = (25.0, 50.0, 75.0, 95.0, 99.0),
+    approx: bool = False,
+    accuracy: int = 10000,
+    conf: IndexConf = DEFAULT_CONF,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    round_dp: int | None = None,
+) -> DataFrame:
+    """The ES ``percentiles`` metric aggregation: per query, the requested
+    percentiles of a numeric field over the match set, long-format
+    (query_id, pct, value).  NULL-valued docs are skipped; a query with no
+    valued matches yields no rows.
+
+    ``approx=False`` (default, gate-verified) is exact: Spark's
+    ``percentile`` with linear interpolation between closest ranks — the
+    same definition as ANSI ``percentile_cont`` / DuckDB ``quantile_cont``,
+    so oracles agree bit-for-bit on the same doubles.  ``approx=True`` is
+    the 100 TB path: ``percentile_approx`` (Greenwald-Khanna sketch,
+    ``accuracy`` controlling error ~1/accuracy), mergeable map-side so the
+    shuffle carries one sketch per query instead of every value — the same
+    sketch-vs-exact split as `cardinality_agg` (ES itself computes this agg
+    with t-digest, also a mergeable sketch).
+    """
+    m = _match_set(docs, queries, conf, text_col, id_col)
+    return _pct_epilogue(
+        m, _vals(docs, value_col, id_col), list(percents), approx, accuracy, round_dp
+    )
 
 
 def cardinality_agg(
@@ -388,6 +505,40 @@ def histogram_agg_indexed(
 ) -> DataFrame:
     m = _indexed_match_set(spark, idx, queries)
     return _hist_epilogue(m, _vals(docs, value_col, id_col), interval)
+
+
+def date_histogram_agg_indexed(
+    spark,
+    idx,
+    docs: DataFrame,
+    queries: DataFrame,
+    ts_col: str,
+    interval: str = "day",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """`date_histogram_agg` with the match set from pruned index blocks;
+    ``docs`` supplies only the (doc_id, ts) projection."""
+    m = _indexed_match_set(spark, idx, queries)
+    return _date_hist_epilogue(m, docs, ts_col, id_col, interval)
+
+
+def percentiles_agg_indexed(
+    spark,
+    idx,
+    docs: DataFrame,
+    queries: DataFrame,
+    value_col: str,
+    percents: list[float] = (25.0, 50.0, 75.0, 95.0, 99.0),
+    approx: bool = False,
+    accuracy: int = 10000,
+    id_col: str = "doc_id",
+    round_dp: int | None = None,
+) -> DataFrame:
+    """`percentiles_agg` with the match set from pruned index blocks."""
+    m = _indexed_match_set(spark, idx, queries)
+    return _pct_epilogue(
+        m, _vals(docs, value_col, id_col), list(percents), approx, accuracy, round_dp
+    )
 
 
 def cardinality_agg_indexed(

@@ -2075,3 +2075,329 @@ def multi_field_bm25_topk_indexed(
         u = u.unionByName(p)
     comb = u.groupBy("query_id", "doc_id").agg(F.sum("score").alias("score"))
     return rank_topk(_maybe_round(comb, round_dp), k)
+
+
+# ---------------------------------------------------------------------------
+# minimum_should_match, field collapsing, dis_max, highlighting, completion
+# ---------------------------------------------------------------------------
+
+
+def _msm_epilogue(
+    scored: DataFrame, msm: int, k: int, round_dp: int | None
+) -> DataFrame:
+    """Shared minimum_should_match filter + ranking of both paths (the
+    `_bool_epilogue` discipline).  ``scored`` carries n_matched."""
+    hits = scored.filter(F.col("n_matched") >= int(msm)).select(
+        "query_id", "doc_id", "score"
+    )
+    return rank_topk(_maybe_round(hits, round_dp), k)
+
+
+def msm_bm25_topk(
+    docs: DataFrame,
+    queries: DataFrame,
+    min_should_match: int = 2,
+    k: int = 10,
+    conf: IndexConf = DEFAULT_CONF,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    round_dp: int | None = None,
+) -> DataFrame:
+    """The ES/Lucene ``minimum_should_match`` contract on a bag of SHOULD
+    terms: a doc qualifies iff it contains at least ``min_should_match``
+    DISTINCT query terms, and qualifying docs keep their ordinary
+    disjunctive BM25 score.  msm=1 degrades to `exact_bm25_topk`; msm =
+    number of query terms degrades to `bool_bm25_topk`'s AND (both
+    pytest-pinned).  Terms the analyzer removes don't count toward the
+    requirement (they could never match — the stop-filter contract), but
+    unlike the AND operator the requirement itself is the user's absolute
+    number, as in Lucene's BooleanQuery.setMinimumNumberShouldMatch.
+
+    Scale: the per-(query, doc) distinct-match count rides the scorer's
+    existing hash aggregate (one extra countDistinct) — same plan as
+    `bool_bm25_topk` minus the n_required broadcast join.
+    """
+    if min_should_match < 1:
+        raise ValueError(f"min_should_match must be >= 1, got {min_should_match}")
+    post, ds, n_docs, avgdl = _corpus_parts(docs, conf, text_col, id_col)
+    qt = query_terms(queries)
+    ts = term_stats(post)
+    qt_idf = qt.join(ts, "term").withColumn("idf", idf_col(n_docs, "df"))
+    scored = _score_terms(
+        post, ds, avgdl, qt_idf, conf,
+        extra_aggs=(F.countDistinct("term").alias("n_matched"),),
+    )
+    return _msm_epilogue(scored, min_should_match, k, round_dp)
+
+
+def msm_bm25_topk_indexed(
+    spark,
+    idx,
+    queries: DataFrame,
+    min_should_match: int = 2,
+    k: int = 10,
+    round_dp: int | None = None,
+) -> DataFrame:
+    """`msm_bm25_topk` over pruned posting blocks — the distinct-match
+    count aggregates the same `_indexed_contrib` join every indexed scorer
+    shares; zero corpus joins."""
+    if min_should_match < 1:
+        raise ValueError(f"min_should_match must be >= 1, got {min_should_match}")
+    scored = _indexed_scored(
+        spark, idx, queries,
+        extra_aggs=(F.countDistinct("term").alias("n_matched"),),
+    )
+    return _msm_epilogue(scored, min_should_match, k, round_dp)
+
+
+def _collapse_epilogue(
+    scored: DataFrame, keys: DataFrame, k: int, round_dp: int | None
+) -> DataFrame:
+    """Shared collapse of both paths: keep the best doc per (query,
+    collapse key), then rank the group heads.  Rounding happens BEFORE the
+    head window (cross-engine rank stability applies to BOTH windows).
+    NULL keys form one group (SQL GROUP BY semantics; documented)."""
+    scored = _maybe_round(scored, round_dp)
+    hits = scored.join(keys, "doc_id")
+    wg = Window.partitionBy("query_id", "ckey").orderBy(
+        F.desc("score"), F.asc("doc_id")
+    )
+    heads = (
+        hits.withColumn("_gr", F.row_number().over(wg))
+        .filter(F.col("_gr") == 1)
+        .drop("_gr")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc_id"))
+    return (
+        heads.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "doc_id", "ckey", "score")
+    )
+
+
+def collapse_topk(
+    docs: DataFrame,
+    queries: DataFrame,
+    collapse_col: str,
+    k: int = 10,
+    conf: IndexConf = DEFAULT_CONF,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    round_dp: int | None = None,
+) -> DataFrame:
+    """The ES ``collapse`` (field collapsing) surface: BM25 top-k where at
+    most ONE doc per distinct ``collapse_col`` value survives — the
+    highest-scoring doc of each group (score desc, doc_id asc within the
+    group, the Q11 tie-break), then ordinary top-k over the group heads.
+    For transcripts, collapsing on conv_id yields "best turn per
+    conversation" — the diversified result list `group_bm25_topk` ranks
+    by aggregate mass instead.  Output: (query_id, rank, doc_id, ckey,
+    score).
+
+    Scale: one (doc_id, key) two-column projection joined to the sparse
+    scored set, then two windows over it keyed (query_id[, ckey]) — the
+    `group_bm25_topk` shape with a head-select instead of a sum.
+    """
+    scored = bm25_scores(docs, queries, conf=conf, text_col=text_col, id_col=id_col)
+    keys = docs.select(
+        F.col(id_col).alias("doc_id"), F.col(collapse_col).alias("ckey")
+    )
+    return _collapse_epilogue(scored, keys, k, round_dp)
+
+
+def collapse_topk_indexed(
+    spark,
+    idx,
+    queries: DataFrame,
+    doc_keys: DataFrame,
+    k: int = 10,
+    key_col: str = "ckey",
+    round_dp: int | None = None,
+) -> DataFrame:
+    """`collapse_topk` over a persisted index.  ``doc_keys`` is the
+    (doc_id, key) mapping — the two-column corpus projection; the scored
+    side comes from pruned blocks, so the join shuffles hits plus the
+    mapping only."""
+    scored = _indexed_scored(spark, idx, queries)
+    keys = doc_keys.select("doc_id", F.col(key_col).alias("ckey"))
+    return _collapse_epilogue(scored, keys, k, round_dp)
+
+
+def _dismax_epilogue(
+    parts: list[DataFrame], tie_breaker: float, k: int, round_dp: int | None
+) -> DataFrame:
+    """Shared dis_max combine: score = max_f + tie_breaker · (Σ_f − max_f)
+    over the per-field boosted scores."""
+    u = parts[0]
+    for p in parts[1:]:
+        u = u.unionByName(p)
+    tie = F.lit(float(tie_breaker))
+    comb = u.groupBy("query_id", "doc_id").agg(
+        (F.max("score") + tie * (F.sum("score") - F.max("score"))).alias("score")
+    )
+    return rank_topk(_maybe_round(comb, round_dp), k)
+
+
+def dismax_bm25_topk(
+    docs: DataFrame,
+    queries: DataFrame,
+    fields: dict[str, float],
+    tie_breaker: float = 0.0,
+    k: int = 10,
+    conf: IndexConf = DEFAULT_CONF,
+    id_col: str = "doc_id",
+    round_dp: int | None = None,
+) -> DataFrame:
+    """The ES ``dis_max`` / ``multi_match best_fields`` surface: each field
+    scores as its own BM25 (own df/dl/avgdl, boosted), and the document
+    takes its BEST field's score plus ``tie_breaker`` × the other fields'
+    scores — Lucene's DisjunctionMaxQuery.  tie_breaker=0 is pure best-
+    field; tie_breaker=1 degrades to `multi_field_bm25_topk`'s most_fields
+    sum (pytest-pinned).
+
+    Scale: identical to `multi_field_bm25_topk` — one narrow projection
+    scan per field, union, fine-keyed hash agg (max and sum both combine
+    map-side).
+    """
+    if not fields:
+        raise ValueError("fields must map at least one column to a boost")
+    parts = [
+        bm25_scores(docs, queries, conf=conf, text_col=fcol, id_col=id_col)
+        .select(
+            "query_id", "doc_id",
+            (F.col("score") * F.lit(float(boost))).alias("score"),
+        )
+        for fcol, boost in fields.items()
+    ]
+    return _dismax_epilogue(parts, tie_breaker, k, round_dp)
+
+
+def dismax_bm25_topk_indexed(
+    spark,
+    field_indexes: dict[str, tuple[object, float]],
+    queries: DataFrame,
+    tie_breaker: float = 0.0,
+    k: int = 10,
+    round_dp: int | None = None,
+) -> DataFrame:
+    """`dismax_bm25_topk` over persisted per-field indexes
+    (build_field_indexes) — per-field pruned-block scans, the
+    `multi_field_bm25_topk_indexed` plan with the dis_max combine."""
+    if not field_indexes:
+        raise ValueError("field_indexes must contain at least one field")
+    parts = [
+        _indexed_scored(spark, idx, queries)
+        .select(
+            "query_id", "doc_id",
+            (F.col("score") * F.lit(float(boost))).alias("score"),
+        )
+        for fcol, (idx, boost) in field_indexes.items()
+    ]
+    return _dismax_epilogue(parts, tie_breaker, k, round_dp)
+
+
+def highlight(
+    docs: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    width: int = 30,
+    pre_tag: str = "<em>",
+    post_tag: str = "</em>",
+    conf: IndexConf = DEFAULT_CONF,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    top: DataFrame | None = None,
+) -> DataFrame:
+    """The ES highlighter surface over `snippets`' window: the keyword-in-
+    context cut with the matched term wrapped in ``pre_tag``/``post_tag``
+    — (query_id, rank, doc_id, term, pos, fragment).  The wrapped span is
+    the ORIGINAL text at the match position (case preserved inside the
+    tags, as ES does), selected by the same earliest-occurrence rule as
+    `snippets`; the fragment is assembled by position arithmetic (three
+    substrings + the tags), NOT regex replacement, so any SQL engine
+    reproduces it bit-for-bit.
+
+    Scale: exactly `snippets` — the only corpus touch is fetching the
+    top-k winners' texts; pass ``top`` from an indexed scorer and no
+    corpus pass happens at all.
+    """
+    if top is None:
+        top = exact_bm25_topk(
+            docs, queries, k=k, conf=conf, text_col=text_col, id_col=id_col
+        )
+    qt = query_terms(queries)
+    texts = docs.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("_text"))
+    hits = top.select("query_id", "doc_id", "rank").join(texts, "doc_id")
+    cand = hits.join(F.broadcast(qt), "query_id").filter(
+        F.array_contains(tokens_col(F.col("_text"), conf.token_split_re), F.col("term"))
+    )
+    cand = cand.withColumn("pos", F.instr(F.lower(F.col("_text")), F.col("term")))
+    w = Window.partitionBy("query_id", "doc_id").orderBy(F.asc("pos"), F.asc("term"))
+    first = cand.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") == 1)
+    start = F.greatest(F.lit(1), F.col("pos") - F.lit(width))
+    tlen = F.length("term")
+    frag = F.concat(
+        F.substring(F.col("_text"), start, F.col("pos") - start),
+        F.lit(pre_tag),
+        F.substring(F.col("_text"), F.col("pos"), tlen),
+        F.lit(post_tag),
+        F.substring(F.col("_text"), F.col("pos") + tlen, F.lit(width)),
+    )
+    return first.select(
+        "query_id", "rank", "doc_id", "term", "pos", frag.alias("fragment")
+    )
+
+
+def highlight_indexed(
+    spark,
+    idx,
+    queries: DataFrame,
+    docs: DataFrame,
+    k: int = 10,
+    width: int = 30,
+    pre_tag: str = "<em>",
+    post_tag: str = "</em>",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    round_dp: int | None = None,
+) -> DataFrame:
+    """`highlight` with the top-k from the index-backed scorer (the
+    `snippets_indexed` discipline: corpus touched only for k × queries
+    winning texts)."""
+    top = rank_topk(_maybe_round(_indexed_scored(spark, idx, queries), round_dp), k)
+    return highlight(
+        docs, queries, k=k, width=width, pre_tag=pre_tag, post_tag=post_tag,
+        conf=idx.conf, text_col=text_col, id_col=id_col, top=top,
+    )
+
+
+def complete_terms(
+    queries: DataFrame,
+    dictionary: DataFrame,
+    n: int = 5,
+    text_col: str = "query_text",
+) -> DataFrame:
+    """The ES completion-suggester surface at the term layer: for each
+    query (whose text is a prefix being typed), the top ``n`` dictionary
+    terms with that prefix ranked by popularity — (query_id, rank, term,
+    df), order (df desc, term asc).  ``dictionary`` is `term_stats` output
+    or `InvertedIndex.dictionary`, so completions come from the index
+    sidecar (vocab-sized, never a corpus scan); empty/NULL prefixes yield
+    no rows rather than the whole vocabulary.
+
+    Scale: one broadcast of the (tiny) prefix set against the vocab-sized
+    dictionary + a per-query window over the matches — the
+    `prefix_bm25_topk` expansion with a rank epilogue instead of scoring.
+    """
+    pre = queries.select(
+        "query_id", F.lower(F.trim(F.col(text_col))).alias("_prefix")
+    ).filter(F.col("_prefix") != "")
+    m = dictionary.select("term", "df").join(
+        F.broadcast(pre), F.col("term").startswith(F.col("_prefix"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("df"), F.asc("term"))
+    return (
+        m.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= n)
+        .select("query_id", "rank", "term", F.col("df").cast("long").alias("df"))
+    )

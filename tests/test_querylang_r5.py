@@ -1,0 +1,360 @@
+"""Round-5 query-surface additions: minimum_should_match, field collapsing,
+dis_max (best_fields), highlighting, completion suggestions, percentiles and
+date_histogram aggregations.  Semantics pinned against the plain scorer /
+numpy on the tiny transcript fixture; indexed twins pinned row-identical to
+their corpus-path operators (cross-engine value identity is the gate's job)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from igd_spark.corpus import assign_doc_ids
+from igd_spark.search import bm25_scores, exact_bm25_topk, query_terms
+from igd_spark.stats import term_stats
+from igd_spark.tokenizer import postings
+
+K = 10
+
+
+@pytest.fixture(scope="module")
+def docs(spark, tiny_docs):
+    return assign_doc_ids(tiny_docs).cache()
+
+
+@pytest.fixture(scope="module")
+def r5_idx(spark, docs, tmp_path_factory):
+    from igd_spark import IndexConf, build_index
+
+    conf = IndexConf(block_size=32, n_shards=8, salt_df_threshold=64, max_salts=4)
+    path = str(tmp_path_factory.mktemp("r5idx") / "idx")
+    return build_index(spark, docs, path, conf=conf)
+
+
+def _queries(spark, rows, schema="query_id long, query_text string"):
+    return spark.createDataFrame(rows, schema)
+
+
+def _pick_terms(docs, n=4, lo=5, hi=40):
+    ts = term_stats(postings(docs)).filter(
+        (F.col("df") >= lo) & (F.col("df") <= hi)
+    )
+    return [r["term"] for r in ts.orderBy("term").limit(n).collect()]
+
+
+def _sorted(df):
+    return df.toPandas().sort_values(list(df.columns)).reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# minimum_should_match
+# ---------------------------------------------------------------------------
+
+
+def test_msm_degenerate_bounds(spark, docs):
+    """msm=1 == plain disjunctive top-k; msm=n_terms == boolean AND."""
+    from igd_spark import bool_bm25_topk, msm_bm25_topk
+
+    t1, t2 = _pick_terms(docs, 2)
+    q = _queries(spark, [(0, f"{t1} {t2}")])
+    plain = _sorted(exact_bm25_topk(docs, q, k=K))
+    msm1 = _sorted(msm_bm25_topk(docs, q, min_should_match=1, k=K))
+    pd.testing.assert_frame_equal(plain, msm1, check_dtype=False)
+
+    allq = _sorted(bool_bm25_topk(docs, q, k=K))
+    msm2 = _sorted(msm_bm25_topk(docs, q, min_should_match=2, k=K))
+    pd.testing.assert_frame_equal(allq, msm2, check_dtype=False)
+
+    with pytest.raises(ValueError):
+        msm_bm25_topk(docs, q, min_should_match=0)
+
+
+def test_msm_counts_distinct_terms(spark, docs):
+    """Every returned doc token-matches >= msm distinct query terms."""
+    from igd_spark import msm_bm25_topk
+
+    t1, t2, t3 = _pick_terms(docs, 3)
+    q = _queries(spark, [(0, f"{t1} {t2} {t3}")])
+    out = msm_bm25_topk(docs, q, min_should_match=2, k=10_000).toPandas()
+    post = (
+        postings(docs)
+        .filter(F.col("term").isin([t1, t2, t3]))
+        .select("doc_id", "term")
+        .toPandas()
+    )
+    n_by_doc = post.groupby("doc_id")["term"].nunique()
+    for d in out["doc_id"]:
+        assert n_by_doc.get(d, 0) >= 2
+
+
+def test_msm_indexed_identity(spark, docs, r5_idx):
+    from igd_spark import msm_bm25_topk, msm_bm25_topk_indexed
+
+    t1, t2, t3 = _pick_terms(docs, 3)
+    q = _queries(spark, [(0, f"{t1} {t2}"), (1, f"{t1} {t2} {t3}"), (2, "zzznota")])
+    a = _sorted(msm_bm25_topk(docs, q, min_should_match=2, k=K,
+                              conf=r5_idx.conf, round_dp=6))
+    b = _sorted(msm_bm25_topk_indexed(spark, r5_idx, q, min_should_match=2,
+                                      k=K, round_dp=6))
+    pd.testing.assert_frame_equal(a, b, check_dtype=False)
+
+
+# ---------------------------------------------------------------------------
+# collapse (field collapsing)
+# ---------------------------------------------------------------------------
+
+
+def test_collapse_one_per_key_and_head(spark, docs):
+    from igd_spark import collapse_topk
+
+    (t1,) = _pick_terms(docs, 1)
+    q = _queries(spark, [(0, t1)])
+    out = collapse_topk(docs, q, "conv_id", k=10_000, round_dp=6).toPandas()
+    # one survivor per collapse key
+    assert out.groupby("ckey").size().max() == 1
+    # each survivor is its group's argmax (score desc, doc_id asc)
+    scored = bm25_scores(docs, q).withColumn("score", F.round("score", 6))
+    full = (
+        scored.join(docs.select("doc_id", "conv_id"), "doc_id")
+        .toPandas()
+        .sort_values(["score", "doc_id"], ascending=[False, True])
+    )
+    heads = full.groupby("conv_id").first().reset_index()
+    expect = {r.conv_id: r.doc_id for r in heads.itertuples()}
+    for r in out.itertuples():
+        assert expect[r.ckey] == r.doc_id
+    # ranking over heads follows the Q11 tie-break
+    srt = out.sort_values("rank")
+    assert list(srt["score"]) == sorted(srt["score"], reverse=True)
+
+
+def test_collapse_indexed_identity(spark, docs, r5_idx):
+    from igd_spark import collapse_topk, collapse_topk_indexed
+
+    t1, t2 = _pick_terms(docs, 2)
+    q = _queries(spark, [(0, t1), (1, f"{t1} {t2}")])
+    a = _sorted(collapse_topk(docs, q, "conv_id", k=K, conf=r5_idx.conf,
+                              round_dp=6))
+    keys = docs.select("doc_id", F.col("conv_id").alias("ckey"))
+    b = _sorted(collapse_topk_indexed(spark, r5_idx, q, keys, k=K, round_dp=6))
+    pd.testing.assert_frame_equal(a, b, check_dtype=False)
+
+
+# ---------------------------------------------------------------------------
+# dis_max / best_fields
+# ---------------------------------------------------------------------------
+
+
+def test_dismax_bounds_and_tie_breaker(spark, docs):
+    from igd_spark import dismax_bm25_topk, multi_field_bm25_topk
+
+    t1, t2 = _pick_terms(docs, 2)
+    fields = {"text": 1.0, "role": 2.0}
+    q = _queries(spark, [(0, f"{t1} user"), (1, t2), (2, "assistant")])
+    # tie_breaker=1 degrades to most_fields (sum across fields)
+    mf = _sorted(multi_field_bm25_topk(docs, q, fields, k=K, round_dp=6))
+    dm1 = _sorted(dismax_bm25_topk(docs, q, fields, tie_breaker=1.0, k=K,
+                                   round_dp=6))
+    pd.testing.assert_frame_equal(mf, dm1, check_dtype=False)
+
+    # tie_breaker=0 is the pure best field: score == max over per-field scores
+    dm0 = dismax_bm25_topk(docs, q, fields, tie_breaker=0.0, k=10_000,
+                           round_dp=6).toPandas()
+    per = []
+    for fcol, boost in fields.items():
+        s = bm25_scores(docs, q, text_col=fcol).toPandas()
+        s["score"] *= boost
+        per.append(s)
+    mx = (
+        pd.concat(per)
+        .groupby(["query_id", "doc_id"])["score"]
+        .max()
+        .round(6)
+    )
+    for r in dm0.itertuples():
+        assert r.score == pytest.approx(mx.loc[(r.query_id, r.doc_id)], abs=1e-6)
+
+    with pytest.raises(ValueError):
+        dismax_bm25_topk(docs, q, {})
+
+
+def test_dismax_indexed_identity(spark, docs, tmp_path_factory):
+    from igd_spark import (
+        build_field_indexes,
+        dismax_bm25_topk,
+        dismax_bm25_topk_indexed,
+    )
+
+    fields = {"text": 1.0, "role": 2.0}
+    t1, t2 = _pick_terms(docs, 2)
+    q = _queries(spark, [(0, f"{t1} user"), (1, t2)])
+    mem = _sorted(dismax_bm25_topk(docs, q, fields, tie_breaker=0.3, k=K,
+                                   round_dp=6))
+    path = str(tmp_path_factory.mktemp("dmidx"))
+    fidx = build_field_indexes(spark, docs, path, fields)
+    idx = _sorted(dismax_bm25_topk_indexed(spark, fidx, q, tie_breaker=0.3,
+                                           k=K, round_dp=6))
+    pd.testing.assert_frame_equal(mem, idx, check_dtype=False)
+
+
+# ---------------------------------------------------------------------------
+# highlight
+# ---------------------------------------------------------------------------
+
+
+def test_highlight_fragment_math(spark, docs):
+    from igd_spark import highlight, snippets
+
+    t1, t2 = _pick_terms(docs, 2)
+    q = _queries(spark, [(0, f"{t1} {t2}")])
+    hl = highlight(docs, q, k=K, width=20).toPandas()
+    sn = snippets(docs, q, k=K, width=20).toPandas()
+    assert len(hl) == len(sn)
+    texts = {r["doc_id"]: r["text"] for r in docs.select("doc_id", "text").collect()}
+    merged = hl.merge(sn, on=["query_id", "rank", "doc_id", "term", "pos"])
+    assert len(merged) == len(hl)  # same term/pos selection rule
+    for r in hl.itertuples():
+        text = texts[r.doc_id]
+        # the tagged span is the ORIGINAL text at the match position
+        tagged = f"<em>{text[r.pos - 1:r.pos - 1 + len(r.term)]}</em>"
+        assert tagged in r.fragment
+        # untagging reproduces the plain snippet cut
+        plain = r.fragment.replace("<em>", "").replace("</em>", "")
+        start = max(0, r.pos - 1 - 20)
+        assert plain == text[start:r.pos - 1 + len(r.term) + 20]
+
+
+def test_highlight_indexed_identity(spark, docs, r5_idx):
+    from igd_spark import highlight, highlight_indexed
+
+    t1, t2 = _pick_terms(docs, 2)
+    q = _queries(spark, [(0, f"{t1} {t2}"), (1, t2)])
+    a = _sorted(highlight(docs, q, k=K, conf=r5_idx.conf))
+    b = _sorted(highlight_indexed(spark, r5_idx, q, docs, k=K))
+    pd.testing.assert_frame_equal(a, b, check_dtype=False)
+
+
+# ---------------------------------------------------------------------------
+# completion suggester
+# ---------------------------------------------------------------------------
+
+
+def test_complete_terms_ranking(spark, docs):
+    from igd_spark import complete_terms
+
+    ts = term_stats(postings(docs))
+    vocab = {r["term"]: r["df"] for r in ts.collect()}
+    prefix = sorted(vocab)[0][:2]
+    q = _queries(spark, [(0, prefix), (1, "zzzzzzz"), (2, "")])
+    out = complete_terms(q, ts, n=3).toPandas()
+    expect = sorted(
+        ((t, d) for t, d in vocab.items() if t.startswith(prefix)),
+        key=lambda td: (-td[1], td[0]),
+    )[:3]
+    got = out[out["query_id"] == 0].sort_values("rank")
+    assert list(zip(got["term"], got["df"])) == expect
+    assert (out["query_id"] != 1).all()  # no-match prefix yields nothing
+    assert (out["query_id"] != 2).all()  # empty prefix yields nothing
+
+
+def test_complete_terms_index_dictionary(spark, docs, r5_idx):
+    from igd_spark import complete_terms
+
+    ts = term_stats(postings(docs, conf=r5_idx.conf))
+    prefix = sorted(r["term"] for r in ts.select("term").collect())[0][:2]
+    q = _queries(spark, [(0, prefix)])
+    a = _sorted(complete_terms(q, ts, n=5))
+    b = _sorted(complete_terms(q, r5_idx.dictionary, n=5))
+    pd.testing.assert_frame_equal(a, b, check_dtype=False)
+
+
+# ---------------------------------------------------------------------------
+# percentiles / date_histogram aggregations
+# ---------------------------------------------------------------------------
+
+
+def test_percentiles_exact_vs_numpy(spark, docs):
+    from igd_spark import percentiles_agg
+
+    (t1,) = _pick_terms(docs, 1)
+    q = _queries(spark, [(0, t1)])
+    ids = {
+        r["doc_id"]
+        for r in postings(docs).filter(F.col("term") == t1).select("doc_id").collect()
+    }
+    vals = np.array(
+        [
+            r["turn_idx"]
+            for r in docs.select("doc_id", "turn_idx").collect()
+            if r["doc_id"] in ids and r["turn_idx"] is not None
+        ],
+        dtype=float,
+    )
+    pcts = [25.0, 50.0, 75.0, 99.0]
+    out = percentiles_agg(docs, q, "turn_idx", percents=pcts).toPandas()
+    assert len(out) == len(pcts)
+    for r in out.itertuples():
+        # Spark exact percentile == numpy linear interpolation
+        assert r.value == pytest.approx(np.percentile(vals, r.pct), abs=1e-9)
+
+    with pytest.raises(ValueError):
+        percentiles_agg(docs, q, "turn_idx", percents=[])
+    with pytest.raises(ValueError):
+        percentiles_agg(docs, q, "turn_idx", percents=[120.0])
+
+
+def test_percentiles_approx_close(spark, docs):
+    from igd_spark import percentiles_agg
+
+    (t1,) = _pick_terms(docs, 1)
+    q = _queries(spark, [(0, t1)])
+    exact = percentiles_agg(docs, q, "turn_idx", percents=[50.0]).collect()[0]
+    approx = percentiles_agg(
+        docs, q, "turn_idx", percents=[50.0], approx=True
+    ).collect()[0]
+    # GK sketch at default accuracy is near-exact at fixture scale
+    assert abs(approx["value"] - exact["value"]) <= 1.0
+
+
+def test_date_histogram_buckets(spark, docs):
+    from igd_spark import date_histogram_agg
+
+    (t1,) = _pick_terms(docs, 1)
+    q = _queries(spark, [(0, t1)])
+    ids = {
+        r["doc_id"]
+        for r in postings(docs).filter(F.col("term") == t1).select("doc_id").collect()
+    }
+    out = date_histogram_agg(docs, q, "ts", interval="day").toPandas()
+    n_ts = docs.filter(F.col("ts").isNotNull()).filter(
+        F.col("doc_id").isin(list(ids))
+    ).count()
+    assert out["n_docs"].sum() == n_ts
+    for b in out["bucket"]:
+        assert (b.hour, b.minute, b.second, b.microsecond) == (0, 0, 0, 0)
+
+    with pytest.raises(ValueError):
+        date_histogram_agg(docs, q, "ts", interval="fortnight")
+
+
+def test_new_aggs_indexed_identity(spark, docs, r5_idx):
+    from igd_spark import (
+        date_histogram_agg,
+        date_histogram_agg_indexed,
+        percentiles_agg,
+        percentiles_agg_indexed,
+    )
+
+    t1, t2 = _pick_terms(docs, 2)
+    q = _queries(spark, [(0, t1), (1, f"{t1} {t2}")])
+    conf = r5_idx.conf
+    pairs = [
+        (percentiles_agg(docs, q, "turn_idx", conf=conf, round_dp=6),
+         percentiles_agg_indexed(spark, r5_idx, docs, q, "turn_idx", round_dp=6)),
+        (date_histogram_agg(docs, q, "ts", interval="hour", conf=conf),
+         date_histogram_agg_indexed(spark, r5_idx, docs, q, "ts", interval="hour")),
+    ]
+    for a, b in pairs:
+        pd.testing.assert_frame_equal(_sorted(a), _sorted(b), check_dtype=False)
