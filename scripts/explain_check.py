@@ -353,6 +353,50 @@ def main() -> int:
         f"scanned schemas: {rs_schemas}",
     )
 
+    # 10b. round-5 indexed query/agg operators: same discipline — match set
+    # from pruned blocks, corpus only as narrow projections (never text)
+    from igd_spark import (
+        collapse_topk_indexed,
+        date_histogram_agg_indexed,
+        msm_bm25_topk_indexed,
+        percentiles_agg_indexed,
+    )
+    from pyspark.sql import functions as F
+
+    msplan = fmt(msm_bm25_topk_indexed(spark, idx, ql_q, min_should_match=2))
+    assert_pruned_scan("msm_bm25_topk_indexed scan", msplan)
+    ms_schemas = re.findall(r"ReadSchema: struct<([^>]*)>", msplan)
+    check(
+        "msm_bm25_topk_indexed never scans the corpus text",
+        bool(ms_schemas) and not any("text:" in s for s in ms_schemas),
+        f"scanned schemas: {ms_schemas}",
+    )
+    ckeys = docs.select("doc_id", F.col("conv_id").alias("ckey"))
+    cplan = fmt(collapse_topk_indexed(spark, idx, ql_q, ckeys, k=5))
+    assert_pruned_scan("collapse_topk_indexed scan", cplan)
+    c_schemas = re.findall(r"ReadSchema: struct<([^>]*)>", cplan)
+    check(
+        "collapse_topk_indexed reads the corpus only as (doc_id, key) — no text",
+        bool(c_schemas) and not any("text:" in s for s in c_schemas),
+        f"scanned schemas: {c_schemas}",
+    )
+    pcplan = fmt(percentiles_agg_indexed(spark, idx, docs, ql_q, "turn_idx"))
+    assert_pruned_scan("percentiles_agg_indexed scan", pcplan)
+    pc_schemas = re.findall(r"ReadSchema: struct<([^>]*)>", pcplan)
+    check(
+        "percentiles_agg_indexed never scans the corpus text",
+        bool(pc_schemas) and not any("text:" in s for s in pc_schemas),
+        f"scanned schemas: {pc_schemas}",
+    )
+    dhplan = fmt(date_histogram_agg_indexed(spark, idx, docs, ql_q, "ts"))
+    assert_pruned_scan("date_histogram_agg_indexed scan", dhplan)
+    dh_schemas = re.findall(r"ReadSchema: struct<([^>]*)>", dhplan)
+    check(
+        "date_histogram_agg_indexed reads the corpus only as (doc_id, ts) — no text",
+        bool(dh_schemas) and not any("text:" in s for s in dh_schemas),
+        f"scanned schemas: {dh_schemas}",
+    )
+
     # 11. parsed query language: one composed plan, no cartesian; the
     # indexed path stays on pruned blocks and never touches corpus text
     from igd_spark import parsed_bm25_topk, parsed_bm25_topk_indexed
@@ -397,6 +441,18 @@ def main() -> int:
         len(mf_locs) >= 2,
         f"segment scans: {len(mf_locs)}",
     )
+    # dis_max over the same per-field indexes: identical scan discipline
+    from igd_spark import dismax_bm25_topk_indexed
+
+    dmplan = fmt(dismax_bm25_topk_indexed(spark, fidx, mf_q, tie_breaker=0.3, k=5))
+    assert_pruned_scan("dismax_bm25_topk_indexed scan", dmplan)
+    dm_schemas = re.findall(r"ReadSchema: struct<([^>]*)>", dmplan)
+    check(
+        "dismax_bm25_topk_indexed never scans the corpus text",
+        bool(dm_schemas) and not any("text:" in s for s in dm_schemas),
+        f"scanned schemas: {dm_schemas}",
+    )
+
     # a field with zero matching terms must constant-fold its scan away
     mfplan0 = fmt(multi_field_bm25_topk_indexed(spark, fidx, ql_q, k=5))
     mf_locs0 = [s for s in re.findall(r"Location:[^\n]*", mfplan0)
