@@ -1320,6 +1320,21 @@ def q_complete_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     return complete_terms(qs, ts, n=COMPLETE_N)
 
 
+def q_complete_terms_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # completion over the persisted index's dictionary (auto-routes to the
+    # in-process driver probe when the vocab fits the budget) — identical
+    # output to the corpus-dictionary path, hence the same oracle
+    from igd_spark import complete_terms_indexed
+
+    qs = spark.createDataFrame(
+        [(int(q), t) for q, t in COMPLETE_QUERY_SET],
+        "query_id long, query_text string",
+    )
+    return complete_terms_indexed(
+        spark, _built_index(spark, sf_dir), qs, n=COMPLETE_N
+    )
+
+
 def q_percentiles_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     # ES percentiles agg — gate verifies the EXACT path (linear interpolation
     # == ANSI percentile_cont); approx=True is the mergeable-sketch 100 TB path
@@ -1581,6 +1596,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "highlight": q_highlight,
         "highlight_indexed": q_highlight_indexed,
         "complete_terms": q_complete_terms,
+        "complete_terms_indexed": q_complete_terms_indexed,
         "percentiles_agg": q_percentiles_agg,
         "percentiles_agg_indexed": q_percentiles_agg_indexed,
         "date_histogram_agg": q_date_histogram_agg,
@@ -3365,6 +3381,7 @@ FROM cs
     sql["date_histogram_agg_indexed"] = sql["date_histogram_agg"]
     sql["msm_bm25_topk_indexed"] = sql["msm_bm25_topk"]
     sql["collapse_topk_indexed"] = sql["collapse_topk"]
+    sql["complete_terms_indexed"] = sql["complete_terms"]
     sql["histogram_agg_indexed"] = sql["histogram_agg"]
     sql["cardinality_agg_indexed"] = sql["cardinality_agg"]
     sql["significant_terms_indexed"] = sql["significant_terms"]

@@ -555,6 +555,35 @@ class LocalSearcher:
             }
         )
 
+    def complete(self, per_q: dict[int, str], n: int = 5) -> pd.DataFrame:
+        """(query_id, rank, term, df) — top-n dictionary completions per
+        prefix, (df desc, term asc): the `complete_terms` epilogue over an
+        `expand_patterns` probe.  Zero posting-block IO — the autocomplete
+        hot path touches only the (cached) dictionary slice, which is why
+        this route exists: completion is the most latency-sensitive query
+        shape there is (fired per keystroke)."""
+        pats = sorted({p for p in per_q.values() if p})
+        exp = self.expand_patterns(pats, like=False) if pats else {}
+        qids, ranks, terms, dfs = [], [], [], []
+        for qid in sorted(per_q):
+            p = per_q[qid]
+            if not p:
+                continue
+            cands = sorted(
+                ((self._dict_cache[t][1], t) for t in exp.get(p, ())),
+                key=lambda dt: (-dt[0], dt[1]),
+            )[:n]
+            for r, (df, t) in enumerate(cands, 1):
+                qids.append(qid); ranks.append(r); terms.append(t); dfs.append(df)
+        return pd.DataFrame(
+            {
+                "query_id": pd.array(qids, dtype="int64"),
+                "rank": pd.array(ranks, dtype="int32"),
+                "term": pd.array(terms, dtype=object),
+                "df": pd.array(dfs, dtype="int64"),
+            }
+        )
+
     def bool_n(
         self,
         queries: list[tuple[int, str, str | None]],

@@ -2401,3 +2401,91 @@ def complete_terms(
         .filter(F.col("rank") <= n)
         .select("query_id", "rank", "term", F.col("df").cast("long").alias("df"))
     )
+
+
+def complete_terms_indexed(
+    spark,
+    idx,
+    queries: DataFrame,
+    n: int = 5,
+    engine: str = "auto",
+    telemetry: dict | None = None,
+) -> DataFrame:
+    """`complete_terms` over a persisted index's dictionary, with an
+    in-process driver route: autocomplete fires per keystroke, so the
+    latency floor matters more here than for any other operator.
+
+    engine="auto" serves the batch driver-side when the dictionary fits
+    the probe budget (parquet-footer row count vs
+    ``IndexConf.driver_search_max_postings`` — the `_try_expand_route`
+    admission, IO-free before the decision): one pyarrow starts_with
+    read per uncached prefix set, ms-scale, zero Spark jobs, and the
+    matched dictionary slice stays cached for the *scoring* routes (a
+    completion followed by searching the completed term hits a warm
+    cache).  "driver" demands the route (loud error on a budget miss);
+    "spark" forces the distributed LIKE-expansion plan — identical
+    output by construction (same dictionary, same (df desc, term asc)
+    rank).  At 10^12 turns the vocabulary outgrows the driver budget and
+    "auto" demotes to the distributed plan."""
+    if engine not in ("auto", "driver", "spark"):
+        raise ValueError("engine must be 'auto', 'driver' or 'spark'")
+    import time as _time
+
+    import pandas as _pd
+
+    from igd_spark.local import local_searcher
+    from igd_spark.search import (
+        _as_local_rows,
+        _driver_budgets,
+        _materialize_local_queries,
+        _stats_small_plan,
+    )
+
+    _COMPLETE_SCHEMA = "query_id long, rank int, term string, df long"
+    if engine != "spark":
+        _, max_post = _driver_budgets(idx.conf)
+
+        def bail(reason: str) -> None:
+            if engine == "driver":
+                raise ValueError(
+                    f"engine='driver' requested but {reason}; use "
+                    "engine='auto' or 'spark', or raise "
+                    "IndexConf.driver_search_* budgets"
+                )
+
+        rows = None
+        if max_post <= 0:
+            bail("the driver route is disabled (budget <= 0)")
+        elif isinstance(queries, (_pd.DataFrame, list, tuple)):
+            rows = _as_local_rows(queries)
+        elif _stats_small_plan(queries, idx.conf):
+            rows = [
+                (int(r["query_id"]), r["query_text"])
+                for r in queries.select("query_id", "query_text").collect()
+            ]
+        else:
+            bail("the query batch is not provably driver-local")
+        if rows is not None:
+            ls = local_searcher(idx)
+            per_q = {qid: (txt or "").strip().lower() for qid, txt in rows}
+            uncached = [
+                p for p in set(per_q.values())
+                if p and (False, p) not in getattr(ls, "_expand_cache", {})
+            ]
+            if uncached and ls.vocab_rows() > max_post:
+                bail(
+                    f"dictionary has {ls.vocab_rows()} rows > "
+                    f"driver_search_max_postings={max_post} (probe budget)"
+                )
+            else:
+                t0 = _time.perf_counter()
+                pdf = ls.complete(per_q, n=n)
+                if telemetry is not None:
+                    telemetry["route_ms"] = 1000 * (_time.perf_counter() - t0)
+                    telemetry["engine"] = "driver"
+                return spark.createDataFrame(pdf, _COMPLETE_SCHEMA)
+    if isinstance(queries, (_pd.DataFrame, list, tuple)):
+        queries = _materialize_local_queries(spark, queries)
+    if telemetry is not None:
+        telemetry["engine"] = "spark"
+    return complete_terms(queries, idx.dictionary, n=n)

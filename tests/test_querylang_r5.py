@@ -270,6 +270,27 @@ def test_complete_terms_index_dictionary(spark, docs, r5_idx):
     pd.testing.assert_frame_equal(a, b, check_dtype=False)
 
 
+def test_complete_terms_indexed_driver_route_identity(spark, docs, r5_idx):
+    """The in-process autocomplete route must equal the distributed
+    LIKE-expansion plan, including empty/no-match prefixes, and the driver
+    route must actually engage (zero Spark jobs in the kernel)."""
+    from igd_spark import complete_terms_indexed
+
+    ts = term_stats(postings(docs, conf=r5_idx.conf))
+    prefix = sorted(r["term"] for r in ts.select("term").collect())[0][:2]
+    q = [(0, prefix), (1, "zzzzzzz"), (2, ""), (3, prefix[:1])]
+    tel: dict = {}
+    drv = _sorted(complete_terms_indexed(
+        spark, r5_idx, q, n=4, engine="driver", telemetry=tel))
+    assert tel["engine"] == "driver" and tel["route_ms"] >= 0.0
+    qdf = _queries(spark, q)
+    spk = _sorted(complete_terms_indexed(spark, r5_idx, qdf, n=4, engine="spark"))
+    pd.testing.assert_frame_equal(drv, spk, check_dtype=False)
+
+    with pytest.raises(ValueError):
+        complete_terms_indexed(spark, r5_idx, q, engine="bogus")
+
+
 # ---------------------------------------------------------------------------
 # percentiles / date_histogram aggregations
 # ---------------------------------------------------------------------------
