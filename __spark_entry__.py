@@ -54,6 +54,7 @@ COOC_CAP_MIN_DF = 20
 KEYWORDS_K = 3
 N_EMB_QUERIES = 5
 N_ANCHORS = 8
+EMB_FILTER_MOD = 3            # filtered-kNN allowed set: vec_id % MOD == 0
 COS_NEARDUP_TH = 0.3
 N_FRAMES = 4
 SESSION_GAP_MIN = 30
@@ -467,6 +468,16 @@ def q_embedding_ivf_ann_nprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_ann_topk(e, _emb_queries(spark, sf_dir), anchors, k=K, nprobe=IVF_NPROBE)
 
 
+def q_embedding_cosine_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # filtered kNN (the ES knn `filter` contract): candidates restricted
+    # BEFORE scoring/top-k, so all k results satisfy the predicate
+    from igd_spark import cosine_topk
+
+    e = _emb(spark, sf_dir)
+    allowed = e.filter(F.col("vec_id") % EMB_FILTER_MOD == 0).select("vec_id")
+    return cosine_topk(e, _emb_queries(spark, sf_dir), k=K, allowed=allowed)
+
+
 _EMB_INDEX_CACHE: dict[str, object] = {}
 
 
@@ -498,6 +509,20 @@ def q_embedding_ivf_ann_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     eidx = _built_emb_index(spark, sf_dir)
     return ivf_ann_topk_indexed(spark, eidx, _emb_queries(spark, sf_dir), k=K)
+
+
+def q_embedding_ivf_filtered_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # filtered kNN over the persisted inverted file: the allowed semi-join
+    # applies AFTER cell partition pruning (touches only the probed cells)
+    from igd_spark import ivf_ann_topk_indexed
+
+    eidx = _built_emb_index(spark, sf_dir)
+    allowed = _emb(spark, sf_dir).filter(
+        F.col("vec_id") % EMB_FILTER_MOD == 0
+    ).select("vec_id")
+    return ivf_ann_topk_indexed(
+        spark, eidx, _emb_queries(spark, sf_dir), k=K, allowed=allowed
+    )
 
 
 def q_phrase_match(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1587,6 +1612,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "source_hits_mintf": q_source_hits_mintf,
         "embedding_lsh_ann_indexed": q_embedding_lsh_ann_indexed,
         "embedding_ivf_ann_indexed": q_embedding_ivf_ann_indexed,
+        "embedding_cosine_filtered": q_embedding_cosine_filtered,
+        "embedding_ivf_filtered_indexed": q_embedding_ivf_filtered_indexed,
         "msm_bm25_topk": q_msm_bm25_topk,
         "msm_bm25_topk_indexed": q_msm_bm25_topk_indexed,
         "collapse_topk": q_collapse_topk,
@@ -2041,6 +2068,20 @@ r AS (SELECT query_id, vec_id, cos,
 SELECT query_id, rank, vec_id, cos FROM r WHERE rank <= {K}
 """
 
+    # filtered kNN: the candidate CTE restricted to the allowed set — the
+    # predicate applies BEFORE the top-k window in both engines
+    sql["embedding_cosine_filtered"] = f"""
+WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv FROM embeddings
+           WHERE vec_id < {N_EMB_QUERIES}),
+e AS (SELECT vec_id, embedding::DOUBLE[] AS ev FROM embeddings
+      WHERE vec_id % {EMB_FILTER_MOD} = 0),
+s AS (SELECT query_id, vec_id, {_EMB_COS} AS cos FROM q CROSS JOIN e),
+r AS (SELECT query_id, vec_id, cos,
+             row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id ASC)::INT AS rank
+      FROM s)
+SELECT query_id, rank, vec_id, cos FROM r WHERE rank <= {K}
+"""
+
     sql["embedding_neardup"] = f"""
 WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
 s AS (
@@ -2119,6 +2160,15 @@ r AS (SELECT query_id, vec_id, cos,
       FROM s)
 SELECT query_id, rank, vec_id, cos FROM r WHERE rank <= {K}
 """
+
+    # filtered kNN over the inverted file: cell assignment is a per-vector
+    # property (computed over ALL vectors); the allowed predicate restricts
+    # the CANDIDATES inside the probed cell, before the top-k window
+    sql["embedding_ivf_filtered_indexed"] = sql["embedding_ivf_ann"].replace(
+        "JOIN e ON e.vec_id = ecell.vec_id),",
+        f"JOIN e ON e.vec_id = ecell.vec_id"
+        f" AND e.vec_id % {EMB_FILTER_MOD} = 0),",
+    )
 
     sql["token_counts"] = r"""
 SELECT doc_id,

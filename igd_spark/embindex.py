@@ -183,6 +183,7 @@ def lsh_ann_topk_indexed(
     k: int = 10,
     q_id: str = "query_id",
     q_col: str = "query_vec",
+    allowed: DataFrame | None = None,
 ) -> DataFrame:
     """(query_id, rank, vec_id, cos) — lsh_ann_topk against the PERSISTED
     bucket-partitioned layout. Prologue: hash the (tiny) query set with the
@@ -190,7 +191,10 @@ def lsh_ann_topk_indexed(
     a query-sized frame — the same prune-set discipline as the inverted
     index's shard/term prologue, search.py), then scan ONLY those bucket
     partitions (PartitionFilters) and broadcast-join the queries. Rank- and
-    score-identical to lsh_ann_topk(emb, queries, anchors) by construction."""
+    score-identical to lsh_ann_topk(emb, queries, anchors) by construction.
+    ``allowed`` (vec_id rows) pre-filters candidates AFTER partition
+    pruning (filtered kNN: all k results satisfy the predicate; the
+    semi-join touches only the pruned buckets' rows)."""
     q = queries.select(
         F.col(q_id).alias("query_id"), _dvec(q_col).alias("qv")
     ).withColumn("bucket", lsh_bucket_col(F.col("qv"), eidx.anchors))
@@ -201,6 +205,8 @@ def lsh_ann_topk_indexed(
         )
     buckets = sorted(int(r["bucket"]) for r in brows)
     scan = eidx.lsh.filter(F.col("bucket").isin(buckets))
+    if allowed is not None:
+        scan = scan.join(allowed.select("vec_id"), "vec_id", "left_semi")
     j = scan.join(F.broadcast(q), "bucket")
     cos = dot_col(F.col("qv"), F.col("ev")) / (norm_col(F.col("qv")) * F.col("vnorm"))
     return _ranked_topk(
@@ -216,6 +222,7 @@ def ivf_ann_topk_indexed(
     nprobe: int = 1,
     q_id: str = "query_id",
     q_col: str = "query_vec",
+    allowed: DataFrame | None = None,
 ) -> DataFrame:
     """(query_id, rank, vec_id, cos) — ivf_ann_topk against the PERSISTED
     cell-partitioned inverted file. The probe set is each query's nprobe
@@ -223,7 +230,9 @@ def ivf_ann_topk_indexed(
     build-time quantizer); the scan reads ONLY those cell partitions.
     nprobe stays the recall knob: IO grows as nprobe/|anchors| of the
     corpus, never a full scan. Rank- and score-identical to
-    ivf_ann_topk(emb, queries, anchors, nprobe) by construction."""
+    ivf_ann_topk(emb, queries, anchors, nprobe) by construction.
+    ``allowed`` (vec_id rows) pre-filters candidates AFTER partition
+    pruning (filtered kNN; the semi-join touches only the pruned cells)."""
     probe = ivf_probe_cells(queries, eidx.anchors, nprobe, q_id=q_id, q_col=q_col)
     crows = probe.select("cell").distinct().collect()
     if not crows:
@@ -232,6 +241,8 @@ def ivf_ann_topk_indexed(
         )
     cells = sorted(int(r["cell"]) for r in crows)
     scan = eidx.ivf.filter(F.col("cell").isin(cells))
+    if allowed is not None:
+        scan = scan.join(allowed.select("vec_id"), "vec_id", "left_semi")
     j = scan.join(F.broadcast(probe), "cell")
     cos = dot_col(F.col("qv"), F.col("ev")) / (norm_col(F.col("qv")) * F.col("vnorm"))
     return _ranked_topk(

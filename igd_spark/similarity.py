@@ -59,15 +59,36 @@ def cosine_scores(
     return j.select("query_id", "vec_id", F.round(cos, 6).alias("cos"))
 
 
+def _apply_allowed(e: DataFrame, allowed: DataFrame | None) -> DataFrame:
+    """Pre-filter for filtered vector search (the ES kNN ``filter``
+    contract): restrict the CANDIDATE set before scoring and top-k, so all
+    k results satisfy the predicate — post-filtering a top-k would return
+    fewer than k.  ``allowed`` is a (vec_id) frame (any extra columns
+    ignored); the semi-join keys on the fine-grained id, so at scale it
+    shuffles the candidate set, never the full corpus (and under a
+    partition-pruned probe, only the pruned scan's rows)."""
+    if allowed is None:
+        return e
+    return e.join(allowed.select("vec_id"), "vec_id", "left_semi")
+
+
 def cosine_topk(
     emb: DataFrame,
     queries: DataFrame,
     k: int = 10,
+    allowed: DataFrame | None = None,
     **kw,
 ) -> DataFrame:
     """(query_id, rank, vec_id, cos) — brute-force exact top-k per query,
     tie-break (cos desc, vec_id asc) on the ROUNDED score so ranking is
-    reproducible across engines."""
+    reproducible across engines.  ``allowed`` pre-filters candidates
+    (filtered kNN; see `_apply_allowed`) — applied to the embedding side
+    BEFORE scoring, so excluded vectors' cosines are never computed."""
+    if allowed is not None:
+        emb_id = kw.get("emb_id", "vec_id")
+        emb = emb.join(
+            allowed.select(F.col("vec_id").alias(emb_id)), emb_id, "left_semi"
+        )
     scored = cosine_scores(emb, queries, **kw)
     w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("vec_id"))
     return (
@@ -222,14 +243,17 @@ def lsh_ann_topk(
     emb_col: str = "embedding",
     q_id: str = "query_id",
     q_col: str = "query_vec",
+    allowed: DataFrame | None = None,
 ) -> DataFrame:
     """(query_id, rank, vec_id, cos) — approximate top-k: score only corpus
     vectors in the query's LSH bucket. At 100 TB the corpus is written
     partitioned by bucket → the probe is a partition-pruned scan + broadcast
-    join, touching 1/2^n_anchors of the data."""
+    join, touching 1/2^n_anchors of the data.  ``allowed`` (vec_id rows)
+    pre-filters candidates (filtered kNN, `_apply_allowed`)."""
     e = emb.select(F.col(emb_id).alias("vec_id"), _dvec(emb_col).alias("ev")).withColumn(
         "bucket", lsh_bucket_col(F.col("ev"), anchors)
     )
+    e = _apply_allowed(e, allowed)
     q = queries.select(F.col(q_id).alias("query_id"), _dvec(q_col).alias("qv")).withColumn(
         "bucket", lsh_bucket_col(F.col("qv"), anchors)
     )
@@ -297,15 +321,18 @@ def ivf_ann_topk(
     emb_col: str = "embedding",
     q_id: str = "query_id",
     q_col: str = "query_vec",
+    allowed: DataFrame | None = None,
 ) -> DataFrame:
     """(query_id, rank, vec_id, cos) — IVF-style approximate top-k: corpus
     vectors are coarse-quantized to their nearest anchor (inverted file);
     each query probes its nprobe nearest cells. At 100 TB the corpus is
     written partitioned by cell → partition-pruned scan, nprobe/|anchors|
-    of the data; nprobe is the recall knob."""
+    of the data; nprobe is the recall knob.  ``allowed`` (vec_id rows)
+    pre-filters candidates (filtered kNN, `_apply_allowed`)."""
     e = emb.select(F.col(emb_id).alias("vec_id"), _dvec(emb_col).alias("ev")).withColumn(
         "cell", ivf_bucket_col(F.col("ev"), anchors)
     )
+    e = _apply_allowed(e, allowed)
     q = ivf_probe_cells(queries, anchors, nprobe, q_id=q_id, q_col=q_col)
     j = e.join(F.broadcast(q), "cell")
     cos = dot_col(F.col("qv"), F.col("ev")) / (norm_col(F.col("qv")) * norm_col(F.col("ev")))

@@ -102,3 +102,33 @@ def test_empty_and_oov_queries(spark, eidx):
     empty = spark.createDataFrame([], "query_id long, query_vec array<float>")
     assert lsh_ann_topk_indexed(spark, eidx, empty).count() == 0
     assert ivf_ann_topk_indexed(spark, eidx, empty).count() == 0
+
+
+def test_filtered_knn_prefilter_semantics(spark, emb, queries, eidx):
+    """Filtered kNN (the ES knn `filter` contract): every result satisfies
+    the predicate, k results still come back when the allowed subset is
+    large enough (pre-filter, not post-filter), and the filtered indexed
+    probes equal the filtered in-memory operators."""
+    from igd_spark import cosine_topk
+
+    allowed = emb.filter(F.col("vec_id") % 3 == 0).select("vec_id")
+    allowed_ids = {r["vec_id"] for r in allowed.collect()}
+
+    top = cosine_topk(emb, queries, k=10, allowed=allowed)
+    rows = top.collect()
+    assert rows and all(r["vec_id"] in allowed_ids for r in rows)
+    # pre-filter: full k per query (allowed subset ≫ k)
+    assert top.groupBy("query_id").count().agg(F.min("count")).collect()[0][0] == 10
+    # equals brute force over the restricted corpus
+    sub = cosine_topk(emb.join(allowed, "vec_id", "left_semi"), queries, k=10)
+    assert _rows(top) == _rows(sub)
+
+    anchors = pick_anchors(emb, 8)
+    for mem_fn, idx_fn, kw in (
+        (lsh_ann_topk, lsh_ann_topk_indexed, {}),
+        (ivf_ann_topk, ivf_ann_topk_indexed, {"nprobe": 2}),
+    ):
+        mem = mem_fn(emb, queries, anchors, k=10, allowed=allowed, **kw)
+        idxr = idx_fn(spark, eidx, queries, k=10, allowed=allowed, **kw)
+        assert _rows(mem) == _rows(idxr)
+        assert all(r["vec_id"] in allowed_ids for r in idxr.collect())
