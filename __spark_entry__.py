@@ -1330,6 +1330,20 @@ def q_highlight_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_did_you_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # phrase-suggester-lite: whole-query correction — OOV tokens replaced
+    # by their best in-vocabulary neighbour, in original token order
+    from igd_spark import did_you_mean, postings
+    from igd_spark.stats import term_stats
+
+    qs = spark.createDataFrame(
+        [(int(q), t) for q, t in FUZZY_QUERY_SET],
+        "query_id long, query_text string",
+    )
+    ts = term_stats(postings(_docs(spark, sf_dir)))
+    return did_you_mean(qs, ts, max_edits=FUZZY_MAX_EDITS)
+
+
 def q_complete_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     # ES completion suggester at the term layer: prefix → top-n vocab terms
     # by (df desc, term asc); dictionary = term_stats (the index dictionary
@@ -1624,6 +1638,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "highlight_indexed": q_highlight_indexed,
         "complete_terms": q_complete_terms,
         "complete_terms_indexed": q_complete_terms_indexed,
+        "did_you_mean": q_did_you_mean,
         "percentiles_agg": q_percentiles_agg,
         "percentiles_agg_indexed": q_percentiles_agg_indexed,
         "date_histogram_agg": q_date_histogram_agg,
@@ -2848,6 +2863,40 @@ ranked AS (
   FROM cand WHERE boost_raw > 0)
 SELECT query_id, qterm, rank, suggestion, boost, df
 FROM ranked WHERE rank <= {SUGGEST_N}
+"""
+
+    # did-you-mean: per-position token stream, OOV tokens corrected to the
+    # best in-vocab neighbour (boost desc, df desc, term asc), rejoined in
+    # original order; unranked raw-boost ordering (no 6dp rounding) matches
+    # the Spark side, which ranks the identical IEEE doubles
+    sql["did_you_mean"] = f"""
+WITH {_TL}, {_TOKS}, {_POST}, {_TS},
+fq(query_id, query_text) AS (VALUES {_fqvals}),
+qtl AS (SELECT query_id, list_filter(regexp_split_to_array(lower(query_text),
+  '[^a-z0-9]+'), x -> x <> '') AS tl FROM fq),
+ptoks AS (SELECT query_id, i - 1 AS pos, tl[i] AS qterm
+          FROM (SELECT query_id, tl, unnest(generate_series(1, len(tl))) AS i
+                FROM qtl)),
+oov AS (SELECT DISTINCT query_id, qterm FROM ptoks
+        WHERE qterm NOT IN (SELECT term FROM ts)),
+cand AS (
+  SELECT oov.query_id, oov.qterm, ts.term, ts.df,
+         greatest(0.0, 1.0 - levenshtein(ts.term, oov.qterm)::DOUBLE
+                  / least(length(ts.term), length(oov.qterm))) AS boost
+  FROM oov JOIN ts ON levenshtein(ts.term, oov.qterm) <= {FUZZY_MAX_EDITS}),
+best AS (
+  SELECT query_id, qterm, term FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id, qterm
+                                 ORDER BY boost DESC, df DESC, term ASC) AS rn
+    FROM cand WHERE boost > 0) WHERE rn = 1),
+corr AS (
+  SELECT p.query_id, p.pos, coalesce(b.term, p.qterm) AS ct,
+         CASE WHEN b.term IS NOT NULL THEN 1 ELSE 0 END AS ch
+  FROM ptoks p LEFT JOIN best b
+    ON b.query_id = p.query_id AND b.qterm = p.qterm)
+SELECT query_id, string_agg(ct, ' ' ORDER BY pos) AS suggestion,
+       sum(ch)::BIGINT AS n_changed
+FROM corr GROUP BY 1
 """
 
     # parsed query language: the oracle evaluates the SAME clause table the

@@ -2489,3 +2489,69 @@ def complete_terms_indexed(
     if telemetry is not None:
         telemetry["engine"] = "spark"
     return complete_terms(queries, idx.dictionary, n=n)
+
+
+def did_you_mean(
+    queries: DataFrame,
+    dictionary: DataFrame,
+    max_edits: int = 1,
+    mode: str = "deletes",
+    conf: IndexConf = DEFAULT_CONF,
+    text_col: str = "query_text",
+) -> DataFrame:
+    """Whole-query spelling correction (the ES phrase-suggester surface,
+    collate-lite): every query token NOT in the dictionary is replaced by
+    its best in-vocabulary neighbour within ``max_edits`` Levenshtein
+    (ranked boost desc, df desc, term asc — `suggest_terms`' order); tokens
+    already in the vocabulary, and tokens with no in-distance neighbour,
+    pass through unchanged.  Output one row per query: (query_id,
+    suggestion, n_changed) with the corrected tokens rejoined by single
+    spaces in original token order (a query whose text analyzes to zero
+    tokens yields no row).
+
+    Unlike `suggest_terms` (per-term candidate lists), this is the "did
+    you mean: <corrected query>" shape a search box shows; unlike the ES
+    phrase suggester it does not re-rank candidate phrases by collation
+    queries — corrections are per-token (the standard SymSpell compound
+    shape).
+
+    Scale: candidate generation is `_fuzzy_candidates`' SymSpell deletion
+    EQUI-join (vocab explodes to ≤d-deletion variants once; never a
+    vocab × queries theta scan); everything else is query-sized.  The
+    correction for a token depends only on the dictionary, so repeated
+    tokens across queries share the same join rows.
+    """
+    toks = queries.select(
+        "query_id",
+        F.posexplode(
+            tokens_col(F.col(text_col), conf.token_split_re)
+        ).alias("pos", "qterm"),
+    )
+    qt = toks.select("query_id", F.col("qterm").alias("term")).distinct()
+    # OOV terms only — in-vocab tokens are already correct
+    oov = qt.join(dictionary.select("term"), "term", "left_anti")
+    cand = _fuzzy_candidates(oov, dictionary, max_edits, mode).filter(
+        F.col("boost") > 0.0
+    )
+    w = Window.partitionBy("query_id", "qterm").orderBy(
+        F.desc("boost"), F.desc("df"), F.asc("term")
+    )
+    best = (
+        cand.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select("query_id", "qterm", F.col("term").alias("_corr"))
+    )
+    j = toks.join(best, ["query_id", "qterm"], "left")
+    ct = F.coalesce(F.col("_corr"), F.col("qterm"))
+    ch = F.when(F.col("_corr").isNotNull(), 1).otherwise(0)
+    per_tok = j.select("query_id", "pos", ct.alias("_ct"), ch.alias("_ch"))
+    return per_tok.groupBy("query_id").agg(
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "_ct"))),
+                lambda x: x["_ct"],
+            ),
+        ).alias("suggestion"),
+        F.sum("_ch").cast("long").alias("n_changed"),
+    )

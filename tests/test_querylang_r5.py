@@ -379,3 +379,48 @@ def test_new_aggs_indexed_identity(spark, docs, r5_idx):
     ]
     for a, b in pairs:
         pd.testing.assert_frame_equal(_sorted(a), _sorted(b), check_dtype=False)
+
+
+def test_did_you_mean_semantics(spark, docs):
+    """OOV tokens corrected to the best neighbour, in-vocab tokens kept,
+    original token order preserved, uncorrectable tokens pass through."""
+    from igd_spark import did_you_mean
+
+    ts = term_stats(postings(docs))
+    vocab = {r["term"]: r["df"] for r in ts.collect()}
+    good = sorted(t for t in vocab if len(t) >= 4)[0]
+    typo = good[:-1] + ("x" if good[-1] != "x" else "y")  # 1 substitution
+    assert typo not in vocab
+    q = _queries(spark, [
+        (0, f"{good} {typo}"),      # in-vocab + correctable
+        (1, "zzzzqqqqzzzz"),        # uncorrectable -> unchanged, n_changed 0
+        (2, good),                  # all in-vocab
+    ])
+    out = {r["query_id"]: r for r in did_you_mean(q, ts, max_edits=1).collect()}
+    r0 = out[0]
+    parts = r0["suggestion"].split(" ")
+    assert parts[0] == good                 # in-vocab token untouched
+    assert parts[1] in vocab                # typo corrected INTO the vocab
+    assert r0["n_changed"] == 1
+    # best-candidate rule: boost desc, df desc, term asc at distance<=1
+    import numpy as np
+    def lev1(a, b):
+        if a == b: return 0
+        la, lb = len(a), len(b)
+        if abs(la - lb) > 1: return 2
+        d = np.zeros((la + 1, lb + 1), dtype=int)
+        d[:, 0] = np.arange(la + 1); d[0, :] = np.arange(lb + 1)
+        for i in range(1, la + 1):
+            for j in range(1, lb + 1):
+                d[i, j] = min(d[i-1, j] + 1, d[i, j-1] + 1,
+                              d[i-1, j-1] + (a[i-1] != b[j-1]))
+        return d[la, lb]
+    cands = [
+        (1.0 - lev1(t, typo) / min(len(t), len(typo)), vocab[t], t)
+        for t in vocab if lev1(t, typo) <= 1
+    ]
+    cands = [c for c in cands if c[0] > 0]
+    expect = sorted(cands, key=lambda c: (-c[0], -c[1], c[2]))[0][2]
+    assert parts[1] == expect
+    assert out[1]["suggestion"] == "zzzzqqqqzzzz" and out[1]["n_changed"] == 0
+    assert out[2]["suggestion"] == good and out[2]["n_changed"] == 0
