@@ -1330,6 +1330,40 @@ def q_highlight_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_match_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # the ES _count API: size of each query's disjunctive match set
+    from igd_spark import match_count
+
+    return match_count(_docs(spark, sf_dir), _queries_df(spark))
+
+
+def q_match_count_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from igd_spark import match_count_indexed
+
+    return match_count_indexed(
+        spark, _built_index(spark, sf_dir), _queries_df(spark)
+    )
+
+
+def q_sort_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # the ES sort clause: match set ordered by a field, not relevance
+    from igd_spark import sort_topk
+
+    return sort_topk(
+        _docs(spark, sf_dir), _queries_df(spark), STATS_VALUE_COL, k=K,
+        ascending=False,
+    )
+
+
+def q_sort_topk_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from igd_spark import sort_topk_indexed
+
+    return sort_topk_indexed(
+        spark, _built_index(spark, sf_dir), _docs(spark, sf_dir),
+        _queries_df(spark), STATS_VALUE_COL, k=K, ascending=False,
+    )
+
+
 def q_did_you_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
     # phrase-suggester-lite: whole-query correction — OOV tokens replaced
     # by their best in-vocabulary neighbour, in original token order
@@ -1639,6 +1673,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "complete_terms": q_complete_terms,
         "complete_terms_indexed": q_complete_terms_indexed,
         "did_you_mean": q_did_you_mean,
+        "match_count": q_match_count,
+        "match_count_indexed": q_match_count_indexed,
+        "sort_topk": q_sort_topk,
+        "sort_topk_indexed": q_sort_topk_indexed,
         "percentiles_agg": q_percentiles_agg,
         "percentiles_agg_indexed": q_percentiles_agg_indexed,
         "date_histogram_agg": q_date_histogram_agg,
@@ -3109,6 +3147,27 @@ FROM scored s JOIN documents d USING (doc_id)
 WHERE d."{CARD_FIELD}" IS NOT NULL
 GROUP BY 1
 """
+
+    # the _count API: match-set size per query
+    sql["match_count"] = f"""
+WITH {_TL}, {_TOKS}, {_POST}, {_DL}, {_CS}, {_TS}, {_QT}, {_SCORED}
+SELECT query_id, count(*)::BIGINT AS n_matched FROM scored GROUP BY 1
+"""
+    sql["match_count_indexed"] = sql["match_count"]
+
+    # sort clause: match set ordered by a document field (desc, doc_id asc)
+    sql["sort_topk"] = f"""
+WITH {_TL}, {_TOKS}, {_POST}, {_DL}, {_CS}, {_TS}, {_QT}, {_SCORED},
+vals AS (SELECT doc_id, "{STATS_VALUE_COL}" AS v FROM documents
+         WHERE "{STATS_VALUE_COL}" IS NOT NULL),
+ranked AS (
+  SELECT s.query_id, s.doc_id, vals.v,
+         row_number() OVER (PARTITION BY s.query_id
+                            ORDER BY vals.v DESC, s.doc_id ASC)::INT AS rank
+  FROM scored s JOIN vals USING (doc_id))
+SELECT query_id, rank, doc_id, v AS sort_value FROM ranked WHERE rank <= {K}
+"""
+    sql["sort_topk_indexed"] = sql["sort_topk"]
 
     # percentiles agg (exact path == ANSI percentile_cont): one aggregate
     # per requested percentile, long-format output

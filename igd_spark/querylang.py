@@ -2555,3 +2555,92 @@ def did_you_mean(
         ).alias("suggestion"),
         F.sum("_ch").cast("long").alias("n_changed"),
     )
+
+
+def match_count(
+    docs: DataFrame,
+    queries: DataFrame,
+    conf: IndexConf = DEFAULT_CONF,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """The ES ``_count`` API: (query_id, n_matched) — the size of each
+    query's disjunctive match set (the same set every aggregation and the
+    scorer rank over).  A query matching nothing yields no row (callers
+    coalesce to 0).
+
+    Scale: the scorer's plan with the final agg keyed query_id only —
+    output rows = number of queries, fully map-side combinable.
+    """
+    m = bm25_scores(docs, queries, conf=conf, text_col=text_col, id_col=id_col)
+    return m.groupBy("query_id").agg(
+        F.count("*").cast("long").alias("n_matched")
+    )
+
+
+def match_count_indexed(spark, idx, queries: DataFrame) -> DataFrame:
+    """`match_count` from pruned posting blocks — zero corpus work."""
+    m = _indexed_scored(spark, idx, queries)
+    return m.groupBy("query_id").agg(
+        F.count("*").cast("long").alias("n_matched")
+    )
+
+
+def _sort_epilogue(
+    m: DataFrame, vals: DataFrame, k: int, ascending: bool
+) -> DataFrame:
+    hits = m.select("query_id", "doc_id").join(vals, "doc_id")
+    order = F.asc("v") if ascending else F.desc("v")
+    w = Window.partitionBy("query_id").orderBy(order, F.asc("doc_id"))
+    return (
+        hits.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "doc_id", F.col("v").alias("sort_value"))
+    )
+
+
+def sort_topk(
+    docs: DataFrame,
+    queries: DataFrame,
+    sort_col: str,
+    k: int = 10,
+    ascending: bool = False,
+    conf: IndexConf = DEFAULT_CONF,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """The ES ``sort`` clause: top-k of the match set ordered by a document
+    FIELD instead of relevance — (query_id, rank, doc_id, sort_value),
+    ties broken doc_id asc (the Q11 discipline applied to field sorts).
+    NULL-valued docs are dropped (ES puts them last/first by option; the
+    engine's contract is the common missing="_last" + omitted tail).
+    "newest matching turns" is `sort_topk(docs, q, "ts")`.
+
+    Scale: the match set joins a (doc_id, value) two-column projection and
+    one window per query — same shape as `collapse_topk` minus the group
+    head select.
+    """
+    m = bm25_scores(docs, queries, conf=conf, text_col=text_col, id_col=id_col)
+    vals = docs.select(
+        F.col(id_col).alias("doc_id"), F.col(sort_col).alias("v")
+    ).filter(F.col("v").isNotNull())
+    return _sort_epilogue(m, vals, k, ascending)
+
+
+def sort_topk_indexed(
+    spark,
+    idx,
+    docs: DataFrame,
+    queries: DataFrame,
+    sort_col: str,
+    k: int = 10,
+    ascending: bool = False,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """`sort_topk` with the match set from pruned index blocks; ``docs``
+    supplies only the (doc_id, value) projection."""
+    m = _indexed_scored(spark, idx, queries)
+    vals = docs.select(
+        F.col(id_col).alias("doc_id"), F.col(sort_col).alias("v")
+    ).filter(F.col("v").isNotNull())
+    return _sort_epilogue(m, vals, k, ascending)

@@ -424,3 +424,39 @@ def test_did_you_mean_semantics(spark, docs):
     assert parts[1] == expect
     assert out[1]["suggestion"] == "zzzzqqqqzzzz" and out[1]["n_changed"] == 0
     assert out[2]["suggestion"] == good and out[2]["n_changed"] == 0
+
+
+def test_match_count_and_sort_topk(spark, docs, r5_idx):
+    """_count equals the distinct match-set size; sort_topk orders by the
+    field with doc_id tie-break; indexed twins identical."""
+    from igd_spark import (
+        match_count,
+        match_count_indexed,
+        sort_topk,
+        sort_topk_indexed,
+    )
+
+    t1, t2 = _pick_terms(docs, 2)
+    q = _queries(spark, [(0, f"{t1} {t2}"), (1, "zzznotavocab")])
+    conf = r5_idx.conf
+
+    mc = {r["query_id"]: r["n_matched"] for r in match_count(docs, q, conf=conf).collect()}
+    expect = (
+        bm25_scores(docs, q, conf=conf).select("query_id", "doc_id").distinct()
+        .groupBy("query_id").count().collect()
+    )
+    assert mc == {r["query_id"]: r["count"] for r in expect}
+    assert 1 not in mc  # no-match query yields no row
+
+    st = sort_topk(docs, q, "turn_idx", k=5, conf=conf).toPandas()
+    for qid, grp in st.groupby("query_id"):
+        g = grp.sort_values("rank")
+        keys = list(zip(-g["sort_value"], g["doc_id"]))
+        assert keys == sorted(keys)
+
+    a = _sorted(match_count(docs, q, conf=conf))
+    b = _sorted(match_count_indexed(spark, r5_idx, q))
+    pd.testing.assert_frame_equal(a, b, check_dtype=False)
+    c = _sorted(sort_topk(docs, q, "turn_idx", k=5, conf=conf))
+    d = _sorted(sort_topk_indexed(spark, r5_idx, docs, q, "turn_idx", k=5))
+    pd.testing.assert_frame_equal(c, d, check_dtype=False)
