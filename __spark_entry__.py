@@ -1330,6 +1330,25 @@ def q_highlight_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_redact_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # PII scrubbing over deterministically injected PII (the corpus text
+    # itself carries none): same injection expression in the oracle SQL
+    from igd_spark import redact_pii
+
+    docs = _docs(spark, sf_dir)
+    injected = docs.withColumn(
+        "text",
+        F.concat(
+            F.coalesce(F.col("text"), F.lit("")),
+            F.lit(" contact a"), F.col("doc_id").cast("string"),
+            F.lit("@ex.com ip 10.0."),
+            (F.col("doc_id") % 256).cast("string"),
+            F.lit(".7 ssn 123-45-6789 tel 555-867-5309"),
+        ),
+    )
+    return redact_pii(injected)
+
+
 def q_match_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the ES _count API: size of each query's disjunctive match set
     from igd_spark import match_count
@@ -1673,6 +1692,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "complete_terms": q_complete_terms,
         "complete_terms_indexed": q_complete_terms_indexed,
         "did_you_mean": q_did_you_mean,
+        "redact_pii": q_redact_pii,
         "match_count": q_match_count,
         "match_count_indexed": q_match_count_indexed,
         "sort_topk": q_sort_topk,
@@ -3147,6 +3167,33 @@ FROM scored s JOIN documents d USING (doc_id)
 WHERE d."{CARD_FIELD}" IS NOT NULL
 GROUP BY 1
 """
+
+    # PII redaction: the SAME injected text, the SAME sequential
+    # count-then-replace chain (each pattern over the previous stage's
+    # output); patterns live in the Java∩RE2 shared subset
+    from igd_spark.trainprep import PII_PATTERNS as _PII
+
+    _pii_chain = [
+        "inj AS (SELECT doc_id, coalesce(text, '') || ' contact a' || doc_id"
+        " || '@ex.com ip 10.0.' || (doc_id % 256)"
+        " || '.7 ssn 123-45-6789 tel 555-867-5309' AS t FROM documents)"
+    ]
+    _prev = "inj"
+    for _i, (_n, _pat, _tag) in enumerate(_PII):
+        _pii_chain.append(
+            f"s{_i} AS (SELECT doc_id,"
+            f" len(regexp_extract_all(t, '{_pat}'))::BIGINT AS c{_i},"
+            f" regexp_replace(t, '{_pat}', '{_tag}', 'g') AS t"
+            f"{''.join(f', c{_j}' for _j in range(_i))}"
+            f" FROM {_prev})"
+        )
+        _prev = f"s{_i}"
+    _pii_sum = " + ".join(f"c{_i}" for _i in range(len(_PII)))
+    sql["redact_pii"] = (
+        "WITH " + ",\n".join(_pii_chain)
+        + f"\nSELECT doc_id, t AS clean_text, ({_pii_sum})::BIGINT AS n_redacted"
+        + f" FROM {_prev}\n"
+    )
 
     # the _count API: match-set size per query
     sql["match_count"] = f"""

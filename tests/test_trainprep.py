@@ -314,3 +314,27 @@ def test_decontaminate_benchmark_without_doc_id(spark, tiny_docs):
     assert out.sort_values("doc_id").reset_index(drop=True).equals(
         ref.sort_values("doc_id").reset_index(drop=True)
     )
+
+
+def test_redact_pii_patterns(spark):
+    """Each PII class redacts to its tag; counts audit total matches;
+    clean text redacts nothing; NULL text -> ''."""
+    from igd_spark import redact_pii
+
+    rows = [
+        (0, "mail me at jo.doe+x@sub.example.org today"),
+        (1, "ssn 123-45-6789 and phone 555-867-5309"),
+        (2, "server at 192.168.001.250 port 80"),
+        (3, "plain prose, nothing sensitive"),
+        (4, None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in redact_pii(df).collect()}
+    assert out[0]["clean_text"] == "mail me at <EMAIL> today"
+    assert out[0]["n_redacted"] == 1
+    assert out[1]["clean_text"] == "ssn <SSN> and phone <PHONE>"
+    assert out[1]["n_redacted"] == 2
+    assert out[2]["clean_text"] == "server at <IP> port 80"
+    assert out[2]["n_redacted"] == 1
+    assert out[3]["clean_text"] == rows[3][1] and out[3]["n_redacted"] == 0
+    assert out[4]["clean_text"] == "" and out[4]["n_redacted"] == 0
