@@ -129,6 +129,8 @@ PCT_LIST = (25.0, 50.0, 75.0, 99.0)   # ES percentiles agg
 DH_HOUR_MOD = 1000            # synthetic ts = 2026-01-01 + (doc_id % MOD) hours
 DH_INTERVAL = "day"           # date_histogram calendar interval
 DEL_MOD = 137                 # delete set: doc_id % DEL_MOD == 0
+TURNS_PER_CONV = 8            # synthetic transcript shape: conv = doc_id div 8
+CTX_WINDOW = 1                # context_turns: hit ± 1 neighboring turn
 ANALYZE_MOD = 347             # _analyze request: doc_id % ANALYZE_MOD == 0
 SPAN_FIRST_END = 10           # SpanFirstQuery position bound
 DECAY_ORIGIN = 200.0          # function_score gauss decay on n_chars
@@ -1480,6 +1482,36 @@ def q_date_histogram_agg_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _docs_with_conv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents + the deterministic synthetic transcript shape (the gate
+    table is flat): conv_id = doc_id div TURNS_PER_CONV, turn_idx =
+    doc_id % TURNS_PER_CONV — computed identically in the oracle SQL."""
+    return (
+        _docs(spark, sf_dir)
+        .withColumn("conv_id", F.expr(f"doc_id div {TURNS_PER_CONV}"))
+        .withColumn("turn_idx", F.expr(f"doc_id % {TURNS_PER_CONV}"))
+    )
+
+
+def q_context_turns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # hit ± CTX_WINDOW neighboring turns within the conversation
+    from igd_spark import context_turns
+
+    return context_turns(
+        _docs_with_conv(spark, sf_dir), _queries_df(spark),
+        k=K, window=CTX_WINDOW,
+    )
+
+
+def q_context_turns_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from igd_spark import context_turns_indexed
+
+    return context_turns_indexed(
+        spark, _built_index(spark, sf_dir), _docs_with_conv(spark, sf_dir),
+        _queries_df(spark), k=K, window=CTX_WINDOW, round_dp=6,
+    )
+
+
 def q_term_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
     # ES _termvectors: per requested doc, (term, tf) + global df + dl
     from igd_spark import term_vectors
@@ -1653,6 +1685,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # FIRST 50 entries per round, so entries lead in driver-staleness
         # order (never-driver-verified first, then least-recently green).
         # Re-rotate each round from CORRECTNESS_r{N}.json (VERDICT r4 #1).
+        "context_turns": q_context_turns,
+        "context_turns_indexed": q_context_turns_indexed,
         "percolate_compiled": q_percolate_compiled,
         "explain_scores_indexed": q_explain_scores_indexed,
         "stats_agg_indexed": q_stats_agg_indexed,
@@ -2687,6 +2721,33 @@ SELECT query_id, rank, doc_id, term, pos,
               {2 * SNIPPET_WIDTH} + len(term)) AS snippet
 FROM first WHERE rn = 1
 """.replace("{_W}", _W)
+
+    sql["context_turns"] = f"""
+WITH {_TL}, {_TOKS}, {_POST}, {_DL}, {_CS}, {_TS}, {_QT},
+scored AS (
+  SELECT qt.query_id, p.doc_id, sum({{_W}}) AS s
+  FROM qterms qt JOIN ts USING (term) JOIN post p USING (term)
+  JOIN dl ON p.doc_id = dl.doc_id CROSS JOIN cs
+  GROUP BY 1, 2),
+topk AS (
+  SELECT query_id, doc_id, rank FROM (
+    SELECT query_id, doc_id,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY round(s, 6) DESC, doc_id ASC)::INT AS rank
+    FROM scored) WHERE rank <= {K}),
+conv AS (
+  SELECT doc_id, doc_id // {TURNS_PER_CONV} AS conv_id,
+         doc_id % {TURNS_PER_CONV} AS turn_idx, text FROM documents),
+offs AS (SELECT o::INT AS off FROM range(-{CTX_WINDOW}, {CTX_WINDOW + 1}) t(o)),
+ctx AS (
+  SELECT t.query_id, t.rank, t.doc_id, o.off AS "offset",
+         c.conv_id, c.turn_idx + o.off AS ctx_turn
+  FROM topk t JOIN conv c USING (doc_id) CROSS JOIN offs o)
+SELECT ctx.query_id, ctx.rank, ctx.doc_id, ctx."offset",
+       n.doc_id AS ctx_doc_id, n.text AS ctx_text
+FROM ctx JOIN conv n ON n.conv_id = ctx.conv_id AND n.turn_idx = ctx.ctx_turn
+""".replace("{_W}", _W)
+    sql["context_turns_indexed"] = sql["context_turns"]
 
     # indexed querylang variants must be value-identical to the DataFrame
     # paths (same contract as bm25_topk_indexed), so they share oracles

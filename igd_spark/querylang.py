@@ -2644,3 +2644,103 @@ def sort_topk_indexed(
         F.col(id_col).alias("doc_id"), F.col(sort_col).alias("v")
     ).filter(F.col("v").isNotNull())
     return _sort_epilogue(m, vals, k, ascending)
+
+
+# ---------------------------------------------------------------------------
+# Hit-context fetch (transcript inner window)
+# ---------------------------------------------------------------------------
+
+
+def _context_epilogue(
+    top: DataFrame,
+    docs: DataFrame,
+    window: int,
+    conv_col: str,
+    turn_col: str,
+    text_col: str,
+    id_col: str,
+) -> DataFrame:
+    """Shared neighbor fetch: hits × offsets equi-joined back to the corpus
+    on (conversation, turn + offset)."""
+    key = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.col(conv_col).alias("_conv"),
+        F.col(turn_col).alias("_turn"),
+    )
+    hits = key.join(F.broadcast(top.select("query_id", "rank", "doc_id")), "doc_id")
+    ctx = hits.withColumn(
+        "offset", F.explode(F.sequence(F.lit(-window), F.lit(window)))
+    ).withColumn("_ctx_turn", F.col("_turn") + F.col("offset"))
+    nbr = docs.select(
+        F.col(conv_col).alias("_conv"),
+        F.col(turn_col).alias("_ctx_turn"),
+        F.col(id_col).alias("ctx_doc_id"),
+        F.col(text_col).alias("ctx_text"),
+    )
+    out = nbr.join(
+        F.broadcast(
+            ctx.select("query_id", "rank", "doc_id", "offset", "_conv", "_ctx_turn")
+        ),
+        ["_conv", "_ctx_turn"],
+    )
+    return out.select("query_id", "rank", "doc_id", "offset", "ctx_doc_id", "ctx_text")
+
+
+def context_turns(
+    docs: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    window: int = 1,
+    conv_col: str = "conv_id",
+    turn_col: str = "turn_idx",
+    conf: IndexConf = DEFAULT_CONF,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    top: DataFrame | None = None,
+) -> DataFrame:
+    """Surrounding-turn fetch for the transcript shape (north-star input:
+    one doc = one (conv_id, turn_idx) turn): for each BM25 top-k hit,
+    return the hit turn plus its ±``window`` neighbors WITHIN the same
+    conversation — (query_id, rank, doc_id, offset, ctx_doc_id, ctx_text).
+    This is the "show the hit in conversational context" read an agent-
+    transcript / RAG user issues after every search (the reference's
+    enumerate-overlaps analog, src/igd_search.c:537-620: hits expand to
+    the covering region rows; here they expand to neighboring turns).
+
+    Neighbors that would fall outside the conversation (turn < 0 or past
+    the last turn) are simply absent — an equi-join non-match, not a NULL
+    row.  offset = 0 returns the hit turn itself, so every hit contributes
+    at least one row.
+
+    Scale: the hit side is k × |queries| rows — always broadcast.  The
+    corpus is touched twice, both as narrow projections with the broadcast
+    on the small side: once on doc_id to recover the hit's (conv, turn)
+    key, once on (conv, turn) to fetch the ≤ (2·window+1) neighbor texts.
+    No range join, no window function, no per-conversation grouping — at
+    100 TB both probes are Bloom/DPP-prunable broadcast hash joins.
+    """
+    if top is None:
+        top = exact_bm25_topk(
+            docs, queries, k=k, conf=conf, text_col=text_col, id_col=id_col
+        )
+    return _context_epilogue(top, docs, window, conv_col, turn_col, text_col, id_col)
+
+
+def context_turns_indexed(
+    spark,
+    idx,
+    docs: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    window: int = 1,
+    conv_col: str = "conv_id",
+    turn_col: str = "turn_idx",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    round_dp: int | None = None,
+) -> DataFrame:
+    """`context_turns` with the top-k from the persisted index: the corpus
+    appears only in the two hit-sized broadcast probes (key recovery +
+    neighbor text fetch) — no full pass, no re-tokenize."""
+    top = rank_topk(_maybe_round(_indexed_scored(spark, idx, queries), round_dp), k)
+    return _context_epilogue(top, docs, window, conv_col, turn_col, text_col, id_col)

@@ -460,3 +460,70 @@ def test_match_count_and_sort_topk(spark, docs, r5_idx):
     c = _sorted(sort_topk(docs, q, "turn_idx", k=5, conf=conf))
     d = _sorted(sort_topk_indexed(spark, r5_idx, docs, q, "turn_idx", k=5))
     pd.testing.assert_frame_equal(c, d, check_dtype=False)
+
+
+# ---------------------------------------------------------------------------
+# context_turns (hit ± w neighboring turns)
+# ---------------------------------------------------------------------------
+
+
+def test_context_turns_neighbors(spark, docs):
+    """Every hit yields its own turn at offset 0; every context row is the
+    hit's conversation at turn_idx + offset; conversation edges are absent
+    rows, never NULLs."""
+    from igd_spark import context_turns
+
+    t1, t2 = _pick_terms(docs, 2)
+    q = _queries(spark, [(0, f"{t1} {t2}")])
+    top = exact_bm25_topk(docs, q, k=K)
+    out = context_turns(docs, q, k=K, window=1)
+    pdf = out.toPandas()
+    assert not pdf.isnull().any().any()
+
+    key = docs.select("doc_id", "conv_id", "turn_idx").toPandas()
+    by_id = key.set_index("doc_id")
+    hits = top.toPandas()
+    # offset 0 = the hit itself, present for every hit
+    zero = pdf[pdf["offset"] == 0]
+    assert set(zip(zero["query_id"], zero["doc_id"])) == set(
+        zip(hits["query_id"], hits["doc_id"])
+    )
+    assert (zero["ctx_doc_id"] == zero["doc_id"]).all()
+    # every row: same conversation, turn_idx shifted by offset
+    for row in pdf.itertuples():
+        hit, ctx = by_id.loc[row.doc_id], by_id.loc[row.ctx_doc_id]
+        assert ctx["conv_id"] == hit["conv_id"]
+        assert ctx["turn_idx"] == hit["turn_idx"] + row.offset
+    # edge turns contribute fewer rows, not NULL rows
+    n_turns = key.groupby("conv_id")["turn_idx"].agg(["min", "max"])
+    for row in hits.itertuples():
+        h = by_id.loc[row.doc_id]
+        lo, hi = n_turns.loc[h["conv_id"]]
+        expect = int(h["turn_idx"] > lo) + 1 + int(h["turn_idx"] < hi)
+        got = len(pdf[(pdf["query_id"] == row.query_id) & (pdf["doc_id"] == row.doc_id)])
+        assert got == expect
+
+
+def test_context_turns_window_zero_is_topk(spark, docs):
+    from igd_spark import context_turns
+
+    t1 = _pick_terms(docs, 1)[0]
+    q = _queries(spark, [(0, t1)])
+    out = _sorted(
+        context_turns(docs, q, k=K, window=0).select("query_id", "doc_id", "ctx_doc_id")
+    )
+    top = exact_bm25_topk(docs, q, k=K)
+    exp = _sorted(
+        top.select("query_id", "doc_id", F.col("doc_id").alias("ctx_doc_id"))
+    )
+    pd.testing.assert_frame_equal(out, exp, check_dtype=False)
+
+
+def test_context_turns_indexed_identity(spark, docs, r5_idx):
+    from igd_spark import context_turns, context_turns_indexed
+
+    t1, t2, t3 = _pick_terms(docs, 3)
+    q = _queries(spark, [(0, f"{t1} {t3}"), (1, t2)])
+    corpus = _sorted(context_turns(docs, q, k=K, window=2))
+    indexed = _sorted(context_turns_indexed(spark, r5_idx, docs, q, k=K, window=2))
+    pd.testing.assert_frame_equal(corpus, indexed, check_dtype=False)
