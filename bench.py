@@ -257,6 +257,7 @@ def main() -> None:
         "multi_field_bm25_topk",
         "rescore_topk",
         "rank_eval",
+        "context_turns_indexed",
     ):
         fn = em.queries()[name]
         # best-of-2 (first run doubles as warm-up): single-shot timings of

@@ -397,6 +397,15 @@ def main() -> int:
         f"scanned schemas: {dh_schemas}",
     )
 
+    from igd_spark import context_turns_indexed
+
+    ctplan = fmt(context_turns_indexed(spark, idx, docs, ql_q, k=5, window=1))
+    assert_pruned_scan("context_turns_indexed scan", ctplan)
+    check(
+        "context_turns_indexed: hit-sized sides broadcast, no cartesian",
+        "BroadcastHashJoin" in ctplan and "CartesianProduct" not in ctplan,
+    )
+
     # 11. parsed query language: one composed plan, no cartesian; the
     # indexed path stays on pruned blocks and never touches corpus text
     from igd_spark import parsed_bm25_topk, parsed_bm25_topk_indexed
