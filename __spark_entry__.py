@@ -131,6 +131,15 @@ DH_INTERVAL = "day"           # date_histogram calendar interval
 DEL_MOD = 137                 # delete set: doc_id % DEL_MOD == 0
 TURNS_PER_CONV = 8            # synthetic transcript shape: conv = doc_id div 8
 CTX_WINDOW = 1                # context_turns: hit ± 1 neighboring turn
+NEG_BOOST = 0.5               # boosting query negative_boost factor
+BOOSTING_QUERY_SET: list[tuple[int, str, str | None]] = [
+    (0, "spark join", "slow"),               # demote the slow-sense docs
+    (1, "customer order line", "merge sort"),
+    (2, "the", None),                        # no negative clause
+    (3, "table scan fast", "zzznotavocab"),  # negative matches nothing
+    (4, "hash agg window", "the"),           # negative demotes nearly all
+]
+RANGE_BOUNDS = ((None, 150.0), (150.0, 300.0), (300.0, None))  # ES range agg on n_chars
 ANALYZE_MOD = 347             # _analyze request: doc_id % ANALYZE_MOD == 0
 SPAN_FIRST_END = 10           # SpanFirstQuery position bound
 DECAY_ORIGIN = 200.0          # function_score gauss decay on n_chars
@@ -1536,6 +1545,51 @@ def q_function_score_decay(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _boosting_queries_df(spark: SparkSession) -> DataFrame:
+    return spark.createDataFrame(
+        [(int(q), t, n) for q, t, n in BOOSTING_QUERY_SET],
+        "query_id long, query_text string, negative_text string",
+    )
+
+
+def q_boosting_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # ES boosting query: negative-clause docs demoted by ×NEG_BOOST
+    from igd_spark import boosting_bm25_topk
+
+    return boosting_bm25_topk(
+        _docs(spark, sf_dir), _boosting_queries_df(spark),
+        negative_boost=NEG_BOOST, k=K, round_dp=6,
+    )
+
+
+def q_boosting_bm25_topk_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from igd_spark import boosting_bm25_topk_indexed
+
+    return boosting_bm25_topk_indexed(
+        spark, _built_index(spark, sf_dir), _boosting_queries_df(spark),
+        negative_boost=NEG_BOOST, k=K, round_dp=6,
+    )
+
+
+def q_range_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # ES range agg: explicit [from, to) buckets, zero counts emitted
+    from igd_spark import range_agg
+
+    return range_agg(
+        _docs(spark, sf_dir), _queries_df(spark), STATS_VALUE_COL,
+        ranges=list(RANGE_BOUNDS),
+    )
+
+
+def q_range_agg_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from igd_spark import range_agg_indexed
+
+    return range_agg_indexed(
+        spark, _built_index(spark, sf_dir), _docs(spark, sf_dir),
+        _queries_df(spark), STATS_VALUE_COL, ranges=list(RANGE_BOUNDS),
+    )
+
+
 def _regexp_queries_df(spark: SparkSession) -> DataFrame:
     return spark.createDataFrame(
         [(int(q), t) for q, t in REGEXP_QUERY_SET],
@@ -1687,6 +1741,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # Re-rotate each round from CORRECTNESS_r{N}.json (VERDICT r4 #1).
         "context_turns": q_context_turns,
         "context_turns_indexed": q_context_turns_indexed,
+        "boosting_bm25_topk": q_boosting_bm25_topk,
+        "boosting_bm25_topk_indexed": q_boosting_bm25_topk_indexed,
+        "range_agg": q_range_agg,
+        "range_agg_indexed": q_range_agg_indexed,
         "percolate_compiled": q_percolate_compiled,
         "explain_scores_indexed": q_explain_scores_indexed,
         "stats_agg_indexed": q_stats_agg_indexed,
@@ -2721,6 +2779,65 @@ SELECT query_id, rank, doc_id, term, pos,
               {2 * SNIPPET_WIDTH} + len(term)) AS snippet
 FROM first WHERE rn = 1
 """.replace("{_W}", _W)
+
+    _boostvals = ", ".join(
+        f"({q}::BIGINT, '{t}', " + ("NULL::VARCHAR" if n is None else f"'{n}'") + ")"
+        for q, t, n in BOOSTING_QUERY_SET
+    )
+    sql["boosting_bm25_topk"] = f"""
+WITH {_TL}, {_TOKS}, {_POST}, {_DL}, {_CS}, {_TS},
+qb(query_id, query_text, neg_text) AS (VALUES {_boostvals}),
+qterms AS (SELECT DISTINCT query_id, unnest(list_filter(
+  regexp_split_to_array(lower(query_text), '[^a-z0-9]+'), x -> x <> '')) AS term FROM qb),
+nterms AS (SELECT DISTINCT query_id, unnest(list_filter(
+  regexp_split_to_array(lower(neg_text), '[^a-z0-9]+'), x -> x <> '')) AS term
+  FROM qb WHERE neg_text IS NOT NULL),
+scored AS (
+  SELECT qt.query_id, p.doc_id, sum({{_W}}) AS s
+  FROM qterms qt JOIN ts USING (term) JOIN post p USING (term)
+  JOIN dl ON p.doc_id = dl.doc_id CROSS JOIN cs
+  GROUP BY 1, 2),
+neg AS (SELECT DISTINCT n.query_id, p.doc_id FROM nterms n JOIN post p USING (term)),
+dem AS (
+  SELECT s.query_id, s.doc_id,
+         round(s.s * CASE WHEN ng.doc_id IS NOT NULL THEN {NEG_BOOST} ELSE 1.0 END,
+               6) AS score
+  FROM scored s LEFT JOIN neg ng
+    ON ng.query_id = s.query_id AND ng.doc_id = s.doc_id),
+ranked AS (
+  SELECT query_id, doc_id, score,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY score DESC, doc_id ASC)::INT AS rank
+  FROM dem)
+SELECT query_id, rank, doc_id, score FROM ranked WHERE rank <= {K}
+""".replace("{_W}", _W)
+    sql["boosting_bm25_topk_indexed"] = sql["boosting_bm25_topk"]
+
+    _rangevals = ", ".join(
+        "("
+        + ("NULL::DOUBLE" if lo is None else f"{lo}::DOUBLE") + ", "
+        + ("NULL::DOUBLE" if hi is None else f"{hi}::DOUBLE") + ")"
+        for lo, hi in RANGE_BOUNDS
+    )
+    sql["range_agg"] = f"""
+WITH {_TL}, {_TOKS}, {_POST}, {_QT},
+m AS (SELECT DISTINCT qt.query_id, p.doc_id FROM qterms qt JOIN post p USING (term)),
+r(range_from, range_to) AS (VALUES {_rangevals}),
+qids AS (SELECT DISTINCT query_id FROM q),
+hits AS (
+  SELECT m.query_id, r.range_from, r.range_to, count(*)::BIGINT AS c
+  FROM m JOIN documents d USING (doc_id)
+  JOIN r ON (r.range_from IS NULL OR d.{STATS_VALUE_COL} >= r.range_from)
+        AND (r.range_to IS NULL OR d.{STATS_VALUE_COL} < r.range_to)
+  WHERE d.{STATS_VALUE_COL} IS NOT NULL
+  GROUP BY 1, 2, 3),
+grid AS (SELECT query_id, range_from, range_to FROM qids CROSS JOIN r)
+SELECT g.query_id, g.range_from, g.range_to, coalesce(h.c, 0)::BIGINT AS n_docs
+FROM grid g LEFT JOIN hits h ON h.query_id = g.query_id
+  AND h.range_from IS NOT DISTINCT FROM g.range_from
+  AND h.range_to IS NOT DISTINCT FROM g.range_to
+"""
+    sql["range_agg_indexed"] = sql["range_agg"]
 
     sql["context_turns"] = f"""
 WITH {_TL}, {_TOKS}, {_POST}, {_DL}, {_CS}, {_TS}, {_QT},

@@ -44,6 +44,8 @@ __all__ = [
     "date_histogram_agg_indexed",
     "percentiles_agg",
     "percentiles_agg_indexed",
+    "range_agg",
+    "range_agg_indexed",
     "cardinality_agg",
     "cardinality_agg_indexed",
     "significant_terms",
@@ -101,6 +103,72 @@ def _hist_epilogue(m: DataFrame, vals: DataFrame, interval: float) -> DataFrame:
         .groupBy("query_id", "bucket")
         .agg(F.count("*").cast("long").alias("n_docs"))
     )
+
+
+def _range_epilogue(
+    m: DataFrame, vals: DataFrame, queries: DataFrame, ranges
+) -> DataFrame:
+    """Shared range roll-up: ranges is [(from, to), ...] with None = open
+    bound; from inclusive, to exclusive (the ES contract).  Every requested
+    (query, range) pair is emitted, zero counts included — unlike the
+    histogram aggs, the ES range agg returns all its requested buckets."""
+    if not ranges:
+        raise ValueError("ranges must be a non-empty list of (from, to)")
+    spark = m.sparkSession
+    rdf = spark.createDataFrame(
+        [(None if lo is None else float(lo), None if hi is None else float(hi))
+         for lo, hi in ranges],
+        "range_from double, range_to double",
+    )
+    j = m.join(vals, "doc_id")
+    cond = (
+        (F.col("range_from").isNull() | (F.col("v") >= F.col("range_from")))
+        & (F.col("range_to").isNull() | (F.col("v") < F.col("range_to")))
+    )
+    counts = (
+        j.join(F.broadcast(rdf), cond)
+        .groupBy("query_id", "range_from", "range_to")
+        .agg(F.count("*").cast("long").alias("_c"))
+        .withColumnRenamed("query_id", "_qid")
+        .withColumnRenamed("range_from", "_rf")
+        .withColumnRenamed("range_to", "_rt")
+    )
+    grid = queries.select("query_id").distinct().crossJoin(F.broadcast(rdf))
+    out = grid.join(
+        counts,
+        (F.col("query_id") == F.col("_qid"))
+        & F.col("range_from").eqNullSafe(F.col("_rf"))
+        & F.col("range_to").eqNullSafe(F.col("_rt")),
+        "left",
+    )
+    return out.select(
+        "query_id", "range_from", "range_to",
+        F.coalesce(F.col("_c"), F.lit(0)).cast("long").alias("n_docs"),
+    )
+
+
+def range_agg(
+    docs: DataFrame,
+    queries: DataFrame,
+    value_col: str,
+    ranges,
+    conf: IndexConf = DEFAULT_CONF,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """The ES ``range`` bucket aggregation: per query, doc counts within
+    explicit [from, to) bounds over the match set — (query_id, range_from,
+    range_to, n_docs).  Bounds may overlap (a doc counts in every range it
+    falls in) and may be open (None); all requested ranges are returned,
+    zero counts included.  NULL-valued docs are skipped.
+
+    Scale: the requested ranges are a literal handful of rows — always
+    broadcast; the match set joins the (doc_id, value) two-column
+    projection once, then a hash agg on the fine (query_id, range) key.
+    The final zero-fill joins two query-sized frames.
+    """
+    m = _match_set(docs, queries, conf, text_col, id_col)
+    return _range_epilogue(m, _vals(docs, value_col, id_col), queries, ranges)
 
 
 _DATE_INTERVALS = ("hour", "day", "week", "month", "quarter", "year")
@@ -505,6 +573,21 @@ def histogram_agg_indexed(
 ) -> DataFrame:
     m = _indexed_match_set(spark, idx, queries)
     return _hist_epilogue(m, _vals(docs, value_col, id_col), interval)
+
+
+def range_agg_indexed(
+    spark,
+    idx,
+    docs: DataFrame,
+    queries: DataFrame,
+    value_col: str,
+    ranges,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """`range_agg` with the match set from pruned index blocks; ``docs``
+    supplies only the (doc_id, value) projection."""
+    m = _indexed_match_set(spark, idx, queries)
+    return _range_epilogue(m, _vals(docs, value_col, id_col), queries, ranges)
 
 
 def date_histogram_agg_indexed(

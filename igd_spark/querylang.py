@@ -2744,3 +2744,94 @@ def context_turns_indexed(
     neighbor text fetch) — no full pass, no re-tokenize."""
     top = rank_topk(_maybe_round(_indexed_scored(spark, idx, queries), round_dp), k)
     return _context_epilogue(top, docs, window, conv_col, turn_col, text_col, id_col)
+
+
+# ---------------------------------------------------------------------------
+# Boosting query (positive clause demoted by a negative clause)
+# ---------------------------------------------------------------------------
+
+
+def _boosting_epilogue(
+    scored: DataFrame,
+    demoted: DataFrame,
+    negative_boost: float,
+    k: int,
+    round_dp: int | None,
+) -> DataFrame:
+    """Shared demotion + ranking of both boosting paths: docs in the
+    ``demoted`` (query_id, doc_id) set keep their positive score × the
+    negative_boost factor."""
+    out = scored.join(
+        demoted.withColumn("_neg", F.lit(True)), ["query_id", "doc_id"], "left"
+    )
+    score = F.when(
+        F.col("_neg"), F.col("score") * F.lit(float(negative_boost))
+    ).otherwise(F.col("score"))
+    return rank_topk(
+        _maybe_round(out.select("query_id", "doc_id", score.alias("score")), round_dp),
+        k,
+    )
+
+
+def boosting_bm25_topk(
+    docs: DataFrame,
+    queries: DataFrame,
+    negative_boost: float = 0.5,
+    k: int = 10,
+    conf: IndexConf = DEFAULT_CONF,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    negative_col: str = "negative_text",
+    round_dp: int | None = None,
+) -> DataFrame:
+    """The Lucene/ES ``boosting`` query: docs are matched and scored by the
+    positive clause (``query_text``, ordinary disjunctive BM25); any doc
+    ALSO containing a term of the negative clause (``negative_col``) keeps
+    its rank eligibility but has its score multiplied by
+    ``negative_boost`` (0 < nb < 1 demotes — the "relevant but about the
+    wrong sense" downranking ES exposes; a NULL/empty negative clause
+    demotes nothing).  Unlike the NOT arm of `bool_bm25_topk`, demoted
+    docs stay in the result set.
+
+    Scale: exactly the disjunctive scorer's plan plus one left join
+    against the negative terms' match set — bounded by the negative
+    terms' postings × queries, never a second corpus pass (the postings
+    frame is shared).
+    """
+    post, ds, n_docs, avgdl = _corpus_parts(docs, conf, text_col, id_col)
+    qt = query_terms(queries)
+    ts = term_stats(post)
+    qt_idf = qt.join(ts, "term").withColumn("idf", idf_col(n_docs, "df"))
+    scored = _score_terms(post, ds, avgdl, qt_idf, conf)
+    neg = query_terms(queries, text_col=negative_col)
+    demoted = (
+        post.join(F.broadcast(neg), "term")
+        .select("query_id", "doc_id")
+        .dropDuplicates(["query_id", "doc_id"])
+    )
+    return _boosting_epilogue(scored, demoted, negative_boost, k, round_dp)
+
+
+def boosting_bm25_topk_indexed(
+    spark,
+    idx,
+    queries: DataFrame,
+    negative_boost: float = 0.5,
+    k: int = 10,
+    negative_col: str = "negative_text",
+    round_dp: int | None = None,
+) -> DataFrame:
+    """`boosting_bm25_topk` over a persisted index: the negative clause is
+    a second pruned enumeration of its terms' posting blocks (cost bounded
+    by their df), joined left against the positive scores — no corpus
+    table anywhere in the plan."""
+    from igd_spark.search import match_enumerate
+
+    scored = _indexed_scored(spark, idx, queries)
+    exq = queries.select("query_id", F.col(negative_col).alias("query_text"))
+    demoted = (
+        match_enumerate(spark, idx, exq)
+        .select("query_id", "doc_id")
+        .dropDuplicates(["query_id", "doc_id"])
+    )
+    return _boosting_epilogue(scored, demoted, negative_boost, k, round_dp)

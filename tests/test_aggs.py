@@ -217,3 +217,55 @@ def test_search_after_rescore_indexed_identity(spark, docs, agg_idx):
     d = srt(rescore_topk_indexed(spark, agg_idx, q, window_size=9,
                                  rescore_weight=2.0, k=5, round_dp=6))
     pd.testing.assert_frame_equal(c, d, check_dtype=False)
+
+
+def test_range_agg_semantics(spark, docs):
+    """ES range contract: [from, to) bounds, overlapping ranges double-count,
+    every requested (query, range) pair emitted — zero counts included."""
+    from igd_spark import range_agg
+
+    term = _mid_term(docs)
+    q = _queries(spark, [(0, term), (1, "zzznotavocab")])
+    ranges = [(None, 3.0), (2.0, 6.0), (2.0, None)]  # overlapping, open ends
+    out = range_agg(docs, q, "turn_idx", ranges).toPandas()
+    # full grid: 2 queries x 3 ranges, zero rows present for the OOV query
+    assert len(out) == 6
+    assert (out[out["query_id"] == 1]["n_docs"] == 0).all()
+
+    vals = {
+        r["doc_id"]: r["turn_idx"]
+        for r in docs.select("doc_id", "turn_idx").collect()
+    }
+    hits = _match_ids(docs, term)
+    for lo, hi in ranges:
+        exp = sum(
+            1 for d in hits
+            if (lo is None or vals[d] >= lo) and (hi is None or vals[d] < hi)
+        )
+        row = out[
+            (out["query_id"] == 0)
+            & (out["range_from"].isna() if lo is None else (out["range_from"] == lo))
+            & (out["range_to"].isna() if hi is None else (out["range_to"] == hi))
+        ]
+        assert len(row) == 1 and int(row["n_docs"].iloc[0]) == exp
+
+
+def test_range_agg_indexed_identity(spark, docs, agg_idx):
+    import pandas as pd
+
+    from igd_spark import range_agg, range_agg_indexed
+
+    term = _mid_term(docs)
+    q = _queries(spark, [(0, term)])
+    ranges = [(None, 4.0), (4.0, None)]
+    a = range_agg(docs, q, "turn_idx", ranges).toPandas()
+    b = range_agg_indexed(spark, agg_idx, docs, q, "turn_idx", ranges).toPandas()
+    key = ["query_id", "range_from", "range_to"]
+    pd.testing.assert_frame_equal(
+        a.sort_values(key).reset_index(drop=True),
+        b.sort_values(key).reset_index(drop=True),
+        check_dtype=False,
+    )
+
+    with pytest.raises(ValueError):
+        range_agg(docs, q, "turn_idx", [])

@@ -527,3 +527,55 @@ def test_context_turns_indexed_identity(spark, docs, r5_idx):
     corpus = _sorted(context_turns(docs, q, k=K, window=2))
     indexed = _sorted(context_turns_indexed(spark, r5_idx, docs, q, k=K, window=2))
     pd.testing.assert_frame_equal(corpus, indexed, check_dtype=False)
+
+
+# ---------------------------------------------------------------------------
+# boosting query (negative-clause demotion)
+# ---------------------------------------------------------------------------
+
+
+def _boost_q(spark, rows):
+    return spark.createDataFrame(
+        rows, "query_id long, query_text string, negative_text string"
+    )
+
+
+def test_boosting_demotes_by_factor(spark, docs):
+    """Demoted docs keep eligibility at score × nb; clean docs unchanged;
+    nb=1.0 degenerates to the plain top-k."""
+    from igd_spark import boosting_bm25_topk
+    from igd_spark.search import bm25_scores
+    from igd_spark.tokenizer import postings
+
+    t1, t2, t3 = _pick_terms(docs, 3)
+    q = _boost_q(spark, [(0, f"{t1} {t2}", t3)])
+    plain = bm25_scores(docs, q).toPandas().set_index("doc_id")["score"]
+    neg_ids = {
+        r["doc_id"]
+        for r in postings(docs).filter(F.col("term") == t3).select("doc_id").collect()
+    }
+    out = boosting_bm25_topk(docs, q, negative_boost=0.25, k=10_000).toPandas()
+    for row in out.itertuples():
+        exp = plain[row.doc_id] * (0.25 if row.doc_id in neg_ids else 1.0)
+        assert abs(row.score - exp) < 1e-9
+
+    ident = _sorted(boosting_bm25_topk(docs, q, negative_boost=1.0, k=K))
+    base = _sorted(exact_bm25_topk(docs, q, k=K))
+    pd.testing.assert_frame_equal(ident, base, check_dtype=False)
+
+
+def test_boosting_null_negative_and_indexed_identity(spark, docs, r5_idx):
+    from igd_spark import boosting_bm25_topk, boosting_bm25_topk_indexed
+
+    t1, t2, t3 = _pick_terms(docs, 3)
+    q = _boost_q(spark, [(0, f"{t1} {t2}", t3), (1, t2, None)])
+    corpus = _sorted(boosting_bm25_topk(docs, q, negative_boost=0.5, k=K, round_dp=6))
+    indexed = _sorted(
+        boosting_bm25_topk_indexed(spark, r5_idx, q, negative_boost=0.5, k=K, round_dp=6)
+    )
+    pd.testing.assert_frame_equal(corpus, indexed, check_dtype=False)
+    # the NULL-negative query must equal its plain top-k
+    plain = _sorted(exact_bm25_topk(docs, q.filter("query_id = 1"), k=K))
+    sub = corpus[corpus["query_id"] == 1].reset_index(drop=True)
+    assert list(sub["doc_id"]) == list(plain["doc_id"])
+    assert np.allclose(sub["score"], np.round(plain["score"], 6))
