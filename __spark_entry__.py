@@ -140,6 +140,7 @@ BOOSTING_QUERY_SET: list[tuple[int, str, str | None]] = [
     (4, "hash agg window", "the"),           # negative demotes nearly all
 ]
 RANGE_BOUNDS = ((None, 150.0), (150.0, 300.0), (300.0, None))  # ES range agg on n_chars
+MISSING_MOD = 7               # synthetic nullable field: NULL iff doc_id % 7 == 0
 ANALYZE_MOD = 347             # _analyze request: doc_id % ANALYZE_MOD == 0
 SPAN_FIRST_END = 10           # SpanFirstQuery position bound
 DECAY_ORIGIN = 200.0          # function_score gauss decay on n_chars
@@ -1590,6 +1591,50 @@ def q_range_agg_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_adjacency_matrix_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # ES adjacency_matrix: per query pair, |match(a) ∩ match(b)|
+    from igd_spark import adjacency_matrix_agg
+
+    return adjacency_matrix_agg(_docs(spark, sf_dir), _queries_df(spark))
+
+
+def q_adjacency_matrix_agg_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from igd_spark import adjacency_matrix_agg_indexed
+
+    return adjacency_matrix_agg_indexed(
+        spark, _built_index(spark, sf_dir), _queries_df(spark)
+    )
+
+
+def _docs_with_tool(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents + a deterministic nullable field (the gate table has no
+    NULLs): tool = NULL iff doc_id % MISSING_MOD == 0, else 'tool<d%3>' —
+    computed identically in the oracle SQL."""
+    return _docs(spark, sf_dir).withColumn(
+        "tool",
+        F.expr(
+            f"CASE WHEN doc_id % {MISSING_MOD} = 0 THEN NULL "
+            f"ELSE concat('tool', CAST(doc_id % 3 AS STRING)) END"
+        ),
+    )
+
+
+def q_missing_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # ES missing agg: matched docs whose field is NULL
+    from igd_spark import missing_agg
+
+    return missing_agg(_docs_with_tool(spark, sf_dir), _queries_df(spark), "tool")
+
+
+def q_missing_agg_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from igd_spark import missing_agg_indexed
+
+    return missing_agg_indexed(
+        spark, _built_index(spark, sf_dir), _docs_with_tool(spark, sf_dir),
+        _queries_df(spark), "tool",
+    )
+
+
 def _regexp_queries_df(spark: SparkSession) -> DataFrame:
     return spark.createDataFrame(
         [(int(q), t) for q, t in REGEXP_QUERY_SET],
@@ -1745,6 +1790,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "boosting_bm25_topk_indexed": q_boosting_bm25_topk_indexed,
         "range_agg": q_range_agg,
         "range_agg_indexed": q_range_agg_indexed,
+        "adjacency_matrix_agg": q_adjacency_matrix_agg,
+        "adjacency_matrix_agg_indexed": q_adjacency_matrix_agg_indexed,
+        "missing_agg": q_missing_agg,
+        "missing_agg_indexed": q_missing_agg_indexed,
         "percolate_compiled": q_percolate_compiled,
         "explain_scores_indexed": q_explain_scores_indexed,
         "stats_agg_indexed": q_stats_agg_indexed,
@@ -2838,6 +2887,28 @@ FROM grid g LEFT JOIN hits h ON h.query_id = g.query_id
   AND h.range_to IS NOT DISTINCT FROM g.range_to
 """
     sql["range_agg_indexed"] = sql["range_agg"]
+
+    sql["adjacency_matrix_agg"] = f"""
+WITH {_TL}, {_TOKS}, {_POST}, {_QT},
+m AS (SELECT DISTINCT qt.query_id, p.doc_id FROM qterms qt JOIN post p USING (term))
+SELECT a.query_id AS query_a, b.query_id AS query_b, count(*)::BIGINT AS n_docs
+FROM m a JOIN m b ON a.doc_id = b.doc_id AND a.query_id <= b.query_id
+GROUP BY 1, 2
+"""
+    sql["adjacency_matrix_agg_indexed"] = sql["adjacency_matrix_agg"]
+
+    sql["missing_agg"] = f"""
+WITH {_TL}, {_TOKS}, {_POST}, {_QT},
+m AS (SELECT DISTINCT qt.query_id, p.doc_id FROM qterms qt JOIN post p USING (term)),
+t AS (SELECT doc_id,
+             CASE WHEN doc_id % {MISSING_MOD} = 0 THEN NULL
+                  ELSE 'tool' || (doc_id % 3)::VARCHAR END AS tool
+      FROM documents)
+SELECT m.query_id, count(*)::BIGINT AS n_missing
+FROM m JOIN t USING (doc_id) WHERE t.tool IS NULL
+GROUP BY 1
+"""
+    sql["missing_agg_indexed"] = sql["missing_agg"]
 
     sql["context_turns"] = f"""
 WITH {_TL}, {_TOKS}, {_POST}, {_DL}, {_CS}, {_TS}, {_QT},

@@ -46,6 +46,10 @@ __all__ = [
     "percentiles_agg_indexed",
     "range_agg",
     "range_agg_indexed",
+    "adjacency_matrix_agg",
+    "adjacency_matrix_agg_indexed",
+    "missing_agg",
+    "missing_agg_indexed",
     "cardinality_agg",
     "cardinality_agg_indexed",
     "significant_terms",
@@ -681,3 +685,83 @@ def top_hits_agg_indexed(
         docs.select(F.col(id_col).alias("doc_id"), F.col(facet_col).alias("facet")),
         k_buckets, k_hits, round_dp,
     )
+
+
+def _adjacency_epilogue(m: DataFrame) -> DataFrame:
+    """Shared intersection count: match-set self-join on doc_id, upper
+    triangle incl. diagonal (query_a == query_b is the plain match count,
+    the ES adjacency_matrix contract); only non-empty cells are emitted."""
+    a = m.select(F.col("query_id").alias("query_a"), "doc_id")
+    b = m.select(F.col("query_id").alias("query_b"), "doc_id")
+    return (
+        a.join(b, "doc_id")
+        .filter(F.col("query_a") <= F.col("query_b"))
+        .groupBy("query_a", "query_b")
+        .agg(F.count("*").cast("long").alias("n_docs"))
+    )
+
+
+def adjacency_matrix_agg(
+    docs: DataFrame,
+    queries: DataFrame,
+    conf: IndexConf = DEFAULT_CONF,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """The ES ``adjacency_matrix`` bucket aggregation with the query batch
+    as the named filters: per pair of queries, how many docs match BOTH —
+    (query_a, query_b, n_docs), upper triangle, diagonal = each query's
+    own match count, empty intersections omitted (min_doc_count=1).
+
+    Scale: the self-join key is doc_id and the per-doc fanout is the
+    number of queries matching that doc — bounded by the query batch (ES
+    caps the filter count at 100 for the same quadratic reason), never by
+    the corpus; the final agg is a fine-keyed (query_a, query_b) hash agg
+    with map-side combine.
+    """
+    m = _match_set(docs, queries, conf, text_col, id_col)
+    return _adjacency_epilogue(m)
+
+
+def adjacency_matrix_agg_indexed(spark, idx, queries: DataFrame) -> DataFrame:
+    """`adjacency_matrix_agg` with the match set from pruned index blocks —
+    no corpus table anywhere in the plan."""
+    return _adjacency_epilogue(_indexed_match_set(spark, idx, queries))
+
+
+def _missing_epilogue(m: DataFrame, docs: DataFrame, field: str, id_col: str) -> DataFrame:
+    nulls = docs.filter(F.col(field).isNull()).select(F.col(id_col).alias("doc_id"))
+    return (
+        m.join(nulls, "doc_id", "left_semi")
+        .groupBy("query_id")
+        .agg(F.count("*").cast("long").alias("n_missing"))
+    )
+
+
+def missing_agg(
+    docs: DataFrame,
+    queries: DataFrame,
+    field: str,
+    conf: IndexConf = DEFAULT_CONF,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """The ES ``missing`` bucket aggregation: per query, how many matched
+    docs carry a NULL ``field`` — (query_id, n_missing); queries whose
+    match set has no NULL-field docs are omitted (min_doc_count=1).
+
+    Scale: the NULL-id side is a one-column pushdown scan (IsNull reaches
+    the parquet reader), semi-joined against the match set — no wide rows
+    move.
+    """
+    m = _match_set(docs, queries, conf, text_col, id_col)
+    return _missing_epilogue(m, docs, field, id_col)
+
+
+def missing_agg_indexed(
+    spark, idx, docs: DataFrame, queries: DataFrame, field: str,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """`missing_agg` with the match set from pruned index blocks; ``docs``
+    supplies only the NULL-field doc_id scan."""
+    return _missing_epilogue(_indexed_match_set(spark, idx, queries), docs, field, id_col)

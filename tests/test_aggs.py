@@ -269,3 +269,67 @@ def test_range_agg_indexed_identity(spark, docs, agg_idx):
 
     with pytest.raises(ValueError):
         range_agg(docs, q, "turn_idx", [])
+
+
+def test_adjacency_matrix_semantics(spark, docs):
+    """Diagonal = each query's own match count; off-diagonal = exact
+    intersection size; upper triangle only, empty cells omitted."""
+    from igd_spark import adjacency_matrix_agg
+
+    ts = term_stats(postings(docs)).filter(
+        (F.col("df") >= 10) & (F.col("df") <= 60)
+    )
+    t1, t2 = [r["term"] for r in ts.orderBy("term").limit(2).collect()]
+    q = _queries(spark, [(0, t1), (1, t2), (2, "zzznotavocab")])
+    out = adjacency_matrix_agg(docs, q).toPandas()
+    s1, s2 = _match_ids(docs, t1), _match_ids(docs, t2)
+
+    def cell(a, b):
+        rows = out[(out["query_a"] == a) & (out["query_b"] == b)]
+        return int(rows["n_docs"].iloc[0]) if len(rows) else 0
+
+    assert cell(0, 0) == len(s1) and cell(1, 1) == len(s2)
+    assert cell(0, 1) == len(s1 & s2)
+    assert (out["query_a"] <= out["query_b"]).all()
+    # the OOV query appears nowhere (empty match set)
+    assert not ((out["query_a"] == 2) | (out["query_b"] == 2)).any()
+
+
+def test_missing_agg_and_indexed_identity(spark, docs, agg_idx):
+    import pandas as pd
+
+    from igd_spark import (
+        adjacency_matrix_agg,
+        adjacency_matrix_agg_indexed,
+        missing_agg,
+        missing_agg_indexed,
+    )
+
+    term = _mid_term(docs)
+    q = _queries(spark, [(0, term)])
+    # tool is the transcript fixture's nullable column
+    out = missing_agg(docs, q, "tool").toPandas()
+    null_ids = {
+        r["doc_id"] for r in docs.filter(F.col("tool").isNull()).select("doc_id").collect()
+    }
+    exp = len(_match_ids(docs, term) & null_ids)
+    if exp == 0:
+        assert len(out) == 0
+    else:
+        assert len(out) == 1 and int(out["n_missing"].iloc[0]) == exp
+
+    b = missing_agg_indexed(spark, agg_idx, docs, q, "tool").toPandas()
+    pd.testing.assert_frame_equal(
+        out.sort_values("query_id").reset_index(drop=True),
+        b.sort_values("query_id").reset_index(drop=True),
+        check_dtype=False,
+    )
+    q2 = _queries(spark, [(0, term), (1, "the")])
+    a2 = adjacency_matrix_agg(docs, q2).toPandas()
+    b2 = adjacency_matrix_agg_indexed(spark, agg_idx, q2).toPandas()
+    key = ["query_a", "query_b"]
+    pd.testing.assert_frame_equal(
+        a2.sort_values(key).reset_index(drop=True),
+        b2.sort_values(key).reset_index(drop=True),
+        check_dtype=False,
+    )
