@@ -1255,6 +1255,31 @@ def q_multi_field_bm25_topk_indexed(spark: SparkSession, sf_dir: str) -> DataFra
     return multi_field_bm25_topk_indexed(spark, fidx, qs, k=K, round_dp=6)
 
 
+def _mf_queries_df(spark: SparkSession) -> DataFrame:
+    return spark.createDataFrame(
+        [(int(q), t) for q, t in MF_QUERY_SET],
+        "query_id long, query_text string",
+    )
+
+
+def q_combined_fields_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # ES combined_fields (BM25F): fields merged BEFORE saturation
+    from igd_spark import combined_fields_bm25_topk
+
+    return combined_fields_bm25_topk(
+        _docs(spark, sf_dir), _mf_queries_df(spark), MF_FIELDS, k=K, round_dp=6
+    )
+
+
+def q_combined_fields_bm25_topk_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from igd_spark import combined_fields_bm25_topk_indexed
+
+    fidx = _built_field_indexes(spark, sf_dir)
+    return combined_fields_bm25_topk_indexed(
+        spark, fidx, _mf_queries_df(spark), k=K, round_dp=6
+    )
+
+
 def q_msm_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # ES/Lucene minimum_should_match: >= MSM_MIN distinct query terms
     from igd_spark import msm_bm25_topk
@@ -1794,6 +1819,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "adjacency_matrix_agg_indexed": q_adjacency_matrix_agg_indexed,
         "missing_agg": q_missing_agg,
         "missing_agg_indexed": q_missing_agg_indexed,
+        "combined_fields_bm25_topk": q_combined_fields_bm25_topk,
+        "combined_fields_bm25_topk_indexed": q_combined_fields_bm25_topk_indexed,
         "percolate_compiled": q_percolate_compiled,
         "explain_scores_indexed": q_explain_scores_indexed,
         "stats_agg_indexed": q_stats_agg_indexed,
@@ -3887,5 +3914,48 @@ SELECT query_id, rank, doc_id, score FROM ranked WHERE rank <= {K}
     sql["embedding_ivf_ann_indexed"] = sql["embedding_ivf_ann"]
     # per-field persisted indexes combine exactly like the corpus scan
     sql["multi_field_bm25_topk_indexed"] = sql["multi_field_bm25_topk"]
+
+    # combined_fields (BM25F): weighted per-field tf/dl merged BEFORE
+    # saturation; df on the merged postings (term in ANY field)
+    _cf_chains = []
+    for _i, (_fcol, _w) in enumerate(sorted(MF_FIELDS.items())):
+        _cf_chains.append(f"""
+ctl{_i} AS (SELECT doc_id, list_filter(regexp_split_to_array(lower("{_fcol}"),
+  '[^a-z0-9]+'), x -> x <> '') AS tl FROM documents),
+cpost{_i} AS (SELECT doc_id, term, {_w} * count(*) AS wtf
+  FROM (SELECT doc_id, unnest(tl) AS term FROM ctl{_i}) GROUP BY doc_id, term),
+cdl{_i} AS (SELECT doc_id, {_w} * len(tl) AS wdl FROM ctl{_i})""")
+    _cf_post_union = " UNION ALL ".join(
+        f"SELECT * FROM cpost{_j}" for _j in range(len(MF_FIELDS))
+    )
+    _cf_dl_union = " UNION ALL ".join(
+        f"SELECT * FROM cdl{_j}" for _j in range(len(MF_FIELDS))
+    )
+    sql["combined_fields_bm25_topk"] = f"""
+WITH mq(query_id, query_text) AS (VALUES {_mfvals}),
+qterms AS (SELECT DISTINCT query_id, unnest(list_filter(
+  regexp_split_to_array(lower(query_text), '[^a-z0-9]+'), x -> x <> '')) AS term
+  FROM mq),{",".join(_cf_chains)},
+cpost AS (SELECT doc_id, term, sum(wtf) AS tf FROM ({_cf_post_union}) GROUP BY 1, 2),
+cdl AS (SELECT doc_id, sum(wdl) AS dl FROM ({_cf_dl_union}) GROUP BY 1),
+ccs AS (SELECT count(*)::BIGINT AS n_docs,
+               (sum(dl)::DOUBLE / count(*)) AS avgdl FROM cdl),
+cts AS (SELECT term, count(*)::BIGINT AS df FROM cpost GROUP BY 1),
+scored AS (
+  SELECT qt.query_id, p.doc_id,
+         sum( ln((ccs.n_docs - cts.df + 0.5) / (cts.df + 0.5) + 1.0)
+              * p.tf * {K1 + 1.0}
+              / (p.tf + {K1} * (1.0 - {B} + {B} * cdl.dl / ccs.avgdl)) ) AS s
+  FROM qterms qt JOIN cts USING (term) JOIN cpost p USING (term)
+  JOIN cdl ON p.doc_id = cdl.doc_id CROSS JOIN ccs
+  GROUP BY 1, 2),
+ranked AS (
+  SELECT query_id, doc_id, round(s, 6) AS score,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY round(s, 6) DESC, doc_id ASC)::INT AS rank
+  FROM scored)
+SELECT query_id, rank, doc_id, score FROM ranked WHERE rank <= {K}
+"""
+    sql["combined_fields_bm25_topk_indexed"] = sql["combined_fields_bm25_topk"]
 
     return sql

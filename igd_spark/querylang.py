@@ -2835,3 +2835,121 @@ def boosting_bm25_topk_indexed(
         .dropDuplicates(["query_id", "doc_id"])
     )
     return _boosting_epilogue(scored, demoted, negative_boost, k, round_dp)
+
+
+# ---------------------------------------------------------------------------
+# combined_fields (BM25F): fields merged into one synthetic field
+# ---------------------------------------------------------------------------
+
+
+def _union_all(parts: list[DataFrame]) -> DataFrame:
+    u = parts[0]
+    for p in parts[1:]:
+        u = u.unionByName(p)
+    return u
+
+
+def combined_fields_bm25_topk(
+    docs: DataFrame,
+    queries: DataFrame,
+    fields: dict[str, float],
+    k: int = 10,
+    conf: IndexConf = DEFAULT_CONF,
+    id_col: str = "doc_id",
+    round_dp: int | None = None,
+) -> DataFrame:
+    """The ES ``combined_fields`` query — BM25F: unlike ``most_fields``
+    (`multi_field_bm25_topk`, per-field BM25 scores summed), the fields
+    are merged into ONE synthetic field BEFORE saturation:
+
+        tf(t, d)  = Σ_f  w_f · tf_f(t, d)
+        dl(d)     = Σ_f  w_f · dl_f(d)        (avgdl from these dls)
+        df(t)     = |{d : t in ANY field of d}|
+        score     = Σ_t idf(df) · BM25(tf, dl)
+
+    so a term spread across several fields saturates once (most_fields
+    over-counts it once per field) — the principled cross-field scorer
+    (Robertson et al.'s BM25F, the ES combined_fields contract with
+    per-field ``^boost`` as w_f).
+
+    Scale: one postings/doc-stats pass per field (narrow projection
+    scans), one (doc_id, term) hash agg to merge, then exactly the plain
+    scorer's plan; no corpus-sized joins beyond the per-field passes.
+    """
+    if not fields:
+        raise ValueError("fields must map at least one column to a weight")
+    posts, dls = [], []
+    for fcol, w in fields.items():
+        p = postings(docs, text_col=fcol, id_col=id_col, conf=conf)
+        posts.append(
+            p.select("doc_id", "term", (F.col("tf") * F.lit(float(w))).alias("wtf"))
+        )
+        d = doc_stats(docs, text_col=fcol, id_col=id_col, conf=conf)
+        dls.append(d.select("doc_id", (F.col("dl") * F.lit(float(w))).alias("wdl")))
+    post = _union_all(posts).groupBy("doc_id", "term").agg(F.sum("wtf").alias("tf"))
+    ds = _union_all(dls).groupBy("doc_id").agg(F.sum("wdl").alias("dl"))
+    cs = corpus_stats(ds).collect()[0]
+    n_docs, avgdl = int(cs["n_docs"]), float(cs["avgdl"])
+    ts = term_stats(post)
+    qt = query_terms(queries)
+    qt_idf = qt.join(ts, "term").withColumn("idf", idf_col(n_docs, "df"))
+    scored = _score_terms(post, ds, avgdl, qt_idf, conf)
+    return rank_topk(_maybe_round(scored, round_dp), k)
+
+
+def combined_fields_bm25_topk_indexed(
+    spark,
+    field_indexes: dict[str, tuple[object, float]],
+    queries: DataFrame,
+    k: int = 10,
+    round_dp: int | None = None,
+) -> DataFrame:
+    """`combined_fields_bm25_topk` over PERSISTED per-field indexes
+    (build_field_indexes).  Per field, the query terms' posting blocks are
+    enumerated (pruned scans); weighted tfs merge on (query_id, term,
+    doc_id).  The combined df of a query term is the distinct-doc count of
+    that union — exact, and computed only over the query terms' blocks.
+    Combined dls come from the indexes' own doc_stats tables (weighted
+    union — narrow index-internal two-column scans; all fields must cover
+    the same doc set, which build_field_indexes guarantees by projecting
+    one corpus), and avgdl = Σ_f w_f · avgdl_f for the same reason.  No
+    corpus table anywhere in the plan; rank-identity with the corpus
+    variant is gate-enforced.
+    """
+    from igd_spark.search import match_enumerate
+
+    if not field_indexes:
+        raise ValueError("field_indexes must contain at least one field")
+    qt = query_terms(queries)
+    parts, dls = [], []
+    n_docs, avgdl, conf = None, 0.0, None
+    for fcol, (idx, w) in field_indexes.items():
+        me = match_enumerate(spark, idx, queries, terms=qt)
+        parts.append(
+            me.select(
+                "query_id", "term", "doc_id",
+                (F.col("tf") * F.lit(float(w))).alias("wtf"),
+            )
+        )
+        dls.append(
+            idx.doc_stats.select(
+                "doc_id", (F.col("dl") * F.lit(float(w))).alias("wdl")
+            )
+        )
+        n_docs, avgdl, conf = idx.n_docs, avgdl + float(w) * float(idx.avgdl), idx.conf
+    post = (
+        _union_all(parts)
+        .groupBy("query_id", "term", "doc_id")
+        .agg(F.sum("wtf").alias("tf"))
+    )
+    ts = post.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    ds = _union_all(dls).groupBy("doc_id").agg(F.sum("wdl").alias("dl"))
+    qidf = (
+        qt.join(ts, "term")
+        .withColumn("idf", idf_col(n_docs, "df"))
+        .select("query_id", "term", "idf")
+    )
+    j = post.join(F.broadcast(qidf), ["query_id", "term"]).join(ds, "doc_id")
+    w_col = bm25_weight_col(F.col("idf"), "tf", "dl", avgdl, conf.k1, conf.b)
+    scored = j.groupBy("query_id", "doc_id").agg(F.sum(w_col).alias("score"))
+    return rank_topk(_maybe_round(scored, round_dp), k)

@@ -579,3 +579,68 @@ def test_boosting_null_negative_and_indexed_identity(spark, docs, r5_idx):
     sub = corpus[corpus["query_id"] == 1].reset_index(drop=True)
     assert list(sub["doc_id"]) == list(plain["doc_id"])
     assert np.allclose(sub["score"], np.round(plain["score"], 6))
+
+
+# ---------------------------------------------------------------------------
+# combined_fields (BM25F)
+# ---------------------------------------------------------------------------
+
+
+def test_combined_fields_single_field_degenerates_to_plain(spark, docs):
+    """One field at weight 1.0 is ordinary BM25 — the BM25F merge must be
+    the identity when there is nothing to merge."""
+    from igd_spark import combined_fields_bm25_topk
+
+    t1, t2 = _pick_terms(docs, 2)
+    q = _queries(spark, [(0, f"{t1} {t2}")])
+    cf = _sorted(combined_fields_bm25_topk(docs, q, {"text": 1.0}, k=K, round_dp=6))
+    plain = exact_bm25_topk(docs, q, k=K)
+    plain = _sorted(
+        plain.withColumn("score", F.round("score", 6))
+    )
+    pd.testing.assert_frame_equal(cf, plain, check_dtype=False)
+
+    with pytest.raises(ValueError):
+        combined_fields_bm25_topk(docs, q, {})
+
+
+def test_combined_fields_saturates_once_vs_most_fields(spark, docs):
+    """A term present in BOTH fields saturates once under BM25F: with both
+    fields at weight 1.0 and the term in role and text, the combined score
+    must differ from most_fields' per-field-sum on some doc."""
+    from igd_spark import combined_fields_bm25_topk, multi_field_bm25_topk
+
+    # 'user'/'assistant' live in role; pick a term guaranteed in role
+    roles = [r["role"] for r in docs.select("role").distinct().collect()]
+    term = sorted(roles)[0].lower()
+    q = _queries(spark, [(0, term)])
+    fields = {"text": 1.0, "role": 1.0}
+    cf = combined_fields_bm25_topk(docs, q, fields, k=K, round_dp=6).toPandas()
+    mf = multi_field_bm25_topk(docs, q, fields, k=K, round_dp=6).toPandas()
+    assert len(cf) and len(mf)
+    # both non-empty; scores must not be the per-field sum (saturation once)
+    merged = cf.merge(mf, on=["query_id", "doc_id"], suffixes=("_cf", "_mf"))
+    assert (merged["score_cf"] != merged["score_mf"]).any()
+
+
+def test_combined_fields_indexed_identity(spark, docs, tmp_path_factory):
+    from igd_spark import (
+        build_field_indexes,
+        combined_fields_bm25_topk,
+        combined_fields_bm25_topk_indexed,
+    )
+    from igd_spark import IndexConf
+
+    t1, t2 = _pick_terms(docs, 2)
+    q = _queries(spark, [(0, f"{t1} {t2}"), (1, t1)])
+    fields = {"text": 1.0, "role": 2.0}
+    conf = IndexConf(block_size=32, n_shards=8, salt_df_threshold=64, max_salts=4)
+    path = str(tmp_path_factory.mktemp("cfidx") / "idx")
+    fidx = build_field_indexes(spark, docs, path, fields, conf=conf)
+    corpus = _sorted(
+        combined_fields_bm25_topk(docs, q, fields, k=K, conf=conf, round_dp=6)
+    )
+    indexed = _sorted(
+        combined_fields_bm25_topk_indexed(spark, fidx, q, k=K, round_dp=6)
+    )
+    pd.testing.assert_frame_equal(corpus, indexed, check_dtype=False)
