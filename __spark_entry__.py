@@ -141,6 +141,12 @@ BOOSTING_QUERY_SET: list[tuple[int, str, str | None]] = [
 ]
 RANGE_BOUNDS = ((None, 150.0), (150.0, 300.0), (300.0, None))  # ES range agg on n_chars
 MISSING_MOD = 7               # synthetic nullable field: NULL iff doc_id % 7 == 0
+# pinned query editorial list: (query_id, pin_pos, doc_id) — ids chosen to
+# exist at every SF (documents doc_id starts at 0); 42/7 for a matching
+# query, 0 for a stopword-ish query, 99/3 where the pin may not match
+PIN_SET: list[tuple[int, int, int]] = [
+    (0, 1, 42), (0, 2, 7), (3, 1, 0), (5, 1, 99), (5, 2, 3),
+]
 ANALYZE_MOD = 347             # _analyze request: doc_id % ANALYZE_MOD == 0
 SPAN_FIRST_END = 10           # SpanFirstQuery position bound
 DECAY_ORIGIN = 200.0          # function_score gauss decay on n_chars
@@ -1660,6 +1666,32 @@ def q_missing_agg_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _pins_df(spark: SparkSession) -> DataFrame:
+    return spark.createDataFrame(
+        [(int(q), int(p), int(d)) for q, p, d in PIN_SET],
+        "query_id long, pin_pos int, doc_id long",
+    )
+
+
+def q_pinned_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # ES pinned query: editorial ids first (in pin order), organic after
+    from igd_spark import pinned_bm25_topk
+
+    return pinned_bm25_topk(
+        _docs(spark, sf_dir), _queries_df(spark), _pins_df(spark),
+        k=K, round_dp=6,
+    )
+
+
+def q_pinned_bm25_topk_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from igd_spark import pinned_bm25_topk_indexed
+
+    return pinned_bm25_topk_indexed(
+        spark, _built_index(spark, sf_dir), _queries_df(spark), _pins_df(spark),
+        k=K, round_dp=6,
+    )
+
+
 def _regexp_queries_df(spark: SparkSession) -> DataFrame:
     return spark.createDataFrame(
         [(int(q), t) for q, t in REGEXP_QUERY_SET],
@@ -1821,6 +1853,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "missing_agg_indexed": q_missing_agg_indexed,
         "combined_fields_bm25_topk": q_combined_fields_bm25_topk,
         "combined_fields_bm25_topk_indexed": q_combined_fields_bm25_topk_indexed,
+        "pinned_bm25_topk": q_pinned_bm25_topk,
+        "pinned_bm25_topk_indexed": q_pinned_bm25_topk_indexed,
         "percolate_compiled": q_percolate_compiled,
         "explain_scores_indexed": q_explain_scores_indexed,
         "stats_agg_indexed": q_stats_agg_indexed,
@@ -3957,5 +3991,39 @@ ranked AS (
 SELECT query_id, rank, doc_id, score FROM ranked WHERE rank <= {K}
 """
     sql["combined_fields_bm25_topk_indexed"] = sql["combined_fields_bm25_topk"]
+
+    _pinvals = ", ".join(
+        f"({q}::BIGINT, {p}, {d}::BIGINT)" for q, p, d in PIN_SET
+    )
+    sql["pinned_bm25_topk"] = f"""
+WITH {_TL}, {_TOKS}, {_POST}, {_DL}, {_CS}, {_TS}, {_QT},
+scored AS (
+  SELECT qt.query_id, p.doc_id, sum({{_W}}) AS s
+  FROM qterms qt JOIN ts USING (term) JOIN post p USING (term)
+  JOIN dl ON p.doc_id = dl.doc_id CROSS JOIN cs
+  GROUP BY 1, 2),
+pins(query_id, pin_pos, doc_id) AS (VALUES {_pinvals}),
+pinned AS (
+  SELECT p.query_id, p.pin_pos::INT AS rank, p.doc_id, round(s.s, 6) AS score
+  FROM pins p LEFT JOIN scored s
+    ON s.query_id = p.query_id AND s.doc_id = p.doc_id),
+np AS (SELECT query_id, count(*)::INT AS npin FROM pins GROUP BY 1),
+org AS (
+  SELECT s.query_id, s.doc_id, round(s.s, 6) AS score
+  FROM scored s LEFT JOIN pins p
+    ON p.query_id = s.query_id AND p.doc_id = s.doc_id
+  WHERE p.doc_id IS NULL),
+ranked AS (
+  SELECT o.query_id,
+         (row_number() OVER (PARTITION BY o.query_id
+                             ORDER BY o.score DESC, o.doc_id ASC)
+          + coalesce(np.npin, 0))::INT AS rank,
+         o.doc_id, o.score
+  FROM org o LEFT JOIN np ON np.query_id = o.query_id)
+SELECT query_id, rank, doc_id, score
+FROM (SELECT * FROM pinned UNION ALL SELECT * FROM ranked)
+WHERE rank <= {K}
+""".replace("{_W}", _W)
+    sql["pinned_bm25_topk_indexed"] = sql["pinned_bm25_topk"]
 
     return sql

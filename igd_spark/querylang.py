@@ -2953,3 +2953,80 @@ def combined_fields_bm25_topk_indexed(
     w_col = bm25_weight_col(F.col("idf"), "tf", "dl", avgdl, conf.k1, conf.b)
     scored = j.groupBy("query_id", "doc_id").agg(F.sum(w_col).alias("score"))
     return rank_topk(_maybe_round(scored, round_dp), k)
+
+
+# ---------------------------------------------------------------------------
+# Pinned query (promoted ids ranked first)
+# ---------------------------------------------------------------------------
+
+
+def _pinned_epilogue(
+    scored: DataFrame,
+    pins: DataFrame,
+    k: int,
+    round_dp: int | None,
+) -> DataFrame:
+    """Shared promotion of both pinned paths: pins (query_id, pin_pos,
+    doc_id) occupy ranks 1..P in pin order — matching or not (score NULL
+    when the pinned doc doesn't match the query); organic results follow
+    at P+1.. with the pinned ids excluded, under the usual tie-break."""
+    sc = _maybe_round(scored, round_dp)
+    pinned = (
+        F.broadcast(pins)
+        .join(sc, ["query_id", "doc_id"], "left")
+        .select(
+            "query_id", F.col("pin_pos").cast("int").alias("rank"),
+            "doc_id", "score",
+        )
+    )
+    npin = pins.groupBy("query_id").agg(F.count("*").cast("int").alias("_np"))
+    org = sc.join(F.broadcast(pins.select("query_id", "doc_id")),
+                  ["query_id", "doc_id"], "left_anti")
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc_id"))
+    org = (
+        org.withColumn("_rn", F.row_number().over(w))
+        .join(F.broadcast(npin), "query_id", "left")
+        .select(
+            "query_id",
+            (F.col("_rn") + F.coalesce(F.col("_np"), F.lit(0))).cast("int").alias("rank"),
+            "doc_id", "score",
+        )
+    )
+    return pinned.unionByName(org).filter(F.col("rank") <= k)
+
+
+def pinned_bm25_topk(
+    docs: DataFrame,
+    queries: DataFrame,
+    pins: DataFrame,
+    k: int = 10,
+    conf: IndexConf = DEFAULT_CONF,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    round_dp: int | None = None,
+) -> DataFrame:
+    """The ES ``pinned`` query: per query, an editorially promoted id list
+    (``pins``: query_id, pin_pos, doc_id) occupies the top ranks in its
+    given order — the pinned docs need not match the query at all (score
+    is NULL then) — and organic BM25 results follow below, with the pinned
+    ids removed from the organic stream (no doc appears twice).
+
+    Scale: the pin list is editorial — tiny, always broadcast; the organic
+    stream is exactly the plain scorer's plan plus one broadcast anti-join
+    and a per-query count; the rank offset join is query-sized.
+    """
+    scored = bm25_scores(docs, queries, conf=conf, text_col=text_col, id_col=id_col)
+    return _pinned_epilogue(scored, pins, k, round_dp)
+
+
+def pinned_bm25_topk_indexed(
+    spark,
+    idx,
+    queries: DataFrame,
+    pins: DataFrame,
+    k: int = 10,
+    round_dp: int | None = None,
+) -> DataFrame:
+    """`pinned_bm25_topk` with the organic stream from pruned index blocks
+    — the pin joins touch only query-sized frames."""
+    return _pinned_epilogue(_indexed_scored(spark, idx, queries), pins, k, round_dp)

@@ -644,3 +644,52 @@ def test_combined_fields_indexed_identity(spark, docs, tmp_path_factory):
         combined_fields_bm25_topk_indexed(spark, fidx, q, k=K, round_dp=6)
     )
     pd.testing.assert_frame_equal(corpus, indexed, check_dtype=False)
+
+
+# ---------------------------------------------------------------------------
+# pinned query (editorial promotion)
+# ---------------------------------------------------------------------------
+
+
+def test_pinned_order_and_organic_tail(spark, docs):
+    """Pins occupy ranks 1..P in pin order (matching or not, score NULL when
+    non-matching); organic results follow pins-excluded in scorer order."""
+    from igd_spark import pinned_bm25_topk
+
+    t1, t2 = _pick_terms(docs, 2)
+    q = _queries(spark, [(0, f"{t1} {t2}")])
+    top = exact_bm25_topk(docs, q, k=K).toPandas().sort_values("rank")
+    organic_ids = list(top["doc_id"])
+    # pin one matching doc (the organic #2) and one guaranteed non-match
+    non_match = int(
+        docs.join(
+            bm25_scores(docs, q).select("doc_id"), "doc_id", "left_anti"
+        ).selectExpr("min(doc_id)").collect()[0][0]
+    )
+    pins = spark.createDataFrame(
+        [(0, 1, non_match), (0, 2, int(organic_ids[1]))],
+        "query_id long, pin_pos int, doc_id long",
+    )
+    out = pinned_bm25_topk(docs, q, pins, k=K, round_dp=6).toPandas()
+    out = out.sort_values("rank").reset_index(drop=True)
+    assert out.loc[0, "doc_id"] == non_match and pd.isna(out.loc[0, "score"])
+    assert out.loc[1, "doc_id"] == organic_ids[1] and not pd.isna(out.loc[1, "score"])
+    # organic tail: original order minus the pinned doc, offset by 2
+    expect_tail = [d for d in organic_ids if d != organic_ids[1]][: K - 2]
+    assert list(out["doc_id"][2:]) == expect_tail
+    assert list(out["rank"]) == list(range(1, len(out) + 1))
+
+
+def test_pinned_indexed_identity(spark, docs, r5_idx):
+    from igd_spark import pinned_bm25_topk, pinned_bm25_topk_indexed
+
+    t1, t2 = _pick_terms(docs, 2)
+    q = _queries(spark, [(0, f"{t1} {t2}"), (1, t1)])
+    ids = [int(r["doc_id"]) for r in docs.select("doc_id").orderBy("doc_id").limit(3).collect()]
+    pins = spark.createDataFrame(
+        [(0, 1, ids[0]), (0, 2, ids[1]), (1, 1, ids[2])],
+        "query_id long, pin_pos int, doc_id long",
+    )
+    a = _sorted(pinned_bm25_topk(docs, q, pins, k=K, round_dp=6))
+    b = _sorted(pinned_bm25_topk_indexed(spark, r5_idx, q, pins, k=K, round_dp=6))
+    pd.testing.assert_frame_equal(a, b, check_dtype=False)
