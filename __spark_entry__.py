@@ -291,6 +291,25 @@ def q_bm25_topk_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _rank_rounded(out.select("query_id", "doc_id", "score"), K)
 
 
+_RESHARD_CACHE: dict[str, object] = {}
+
+
+def q_bm25_topk_resharded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES shrink/split analog: re-shard the persisted index (16 → 5 shards,
+    ONE shuffle of the packed block table, zero decode/re-tokenize —
+    index.reshard_index) and search the result. Same oracle as bm25_topk:
+    rank identity THROUGH a topology change is the contract."""
+    from igd_spark import reshard_index
+    from igd_spark import search as _search_mod
+
+    if sf_dir not in _RESHARD_CACHE:
+        base = _built_index(spark, sf_dir)
+        dest = tempfile.mkdtemp(prefix="igd_rs_") + "/idx"
+        _RESHARD_CACHE[sf_dir] = reshard_index(spark, base.path, dest, n_shards=5)
+    out = _search_mod(spark, _RESHARD_CACHE[sf_dir], _queries_df(spark), k=K + 15)
+    return _rank_rounded(out.select("query_id", "doc_id", "score"), K)
+
+
 def q_match_enumerate(spark: SparkSession, sf_dir: str) -> DataFrame:
     from igd_spark import match_enumerate
 
@@ -1856,6 +1875,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pinned_bm25_topk": q_pinned_bm25_topk,
         "pinned_bm25_topk_indexed": q_pinned_bm25_topk_indexed,
         "percolate_compiled": q_percolate_compiled,
+        "bm25_topk_resharded": q_bm25_topk_resharded,
         "explain_scores_indexed": q_explain_scores_indexed,
         "stats_agg_indexed": q_stats_agg_indexed,
         "histogram_agg_indexed": q_histogram_agg_indexed,
@@ -2112,6 +2132,8 @@ def oracle_sql() -> dict[str, str]:
     sql["bm25_topk"] = _bm25_sql()
     sql["bm25_topk_mintf"] = _bm25_sql(min_tf=MIN_TF)
     sql["bm25_topk_indexed"] = _bm25_sql()  # must equal the index-free path
+    # reshard (16 → 5 shards) must be invisible to ranking
+    sql["bm25_topk_resharded"] = _bm25_sql()
 
     sql["match_enumerate"] = f"""
 WITH {_TL}, {_TOKS}, {_POST}, {_QT}

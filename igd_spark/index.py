@@ -951,3 +951,94 @@ def restore_index(spark: SparkSession, snapshot: str, dest: str) -> InvertedInde
     snapshot)."""
     snapshot_index(snapshot, dest)
     return open_index(spark, dest)
+
+
+def reshard_index(
+    spark: SparkSession, path: str, dest: str, n_shards: int
+) -> InvertedIndex:
+    """Re-shard an index to a new shard count — the ES shrink/split API
+    analog, run as maintenance when a deployment's executor count outgrows
+    (or no longer justifies) the build-time n_shards.
+
+    The whole operation is ONE shuffle of the PACKED block table, never a
+    corpus pass: shard is a DERIVED quantity, (term_id % n + salt) % n
+    (build.shard_col), not baked into any payload, so every block row moves
+    wholesale — no decode, no re-tokenize, no re-sort (within a (term, salt)
+    list the block_id order is shard-independent). Contrast the reference,
+    where changing the bin geometry (-b, src/igd_create.c:454-457) forces a
+    full re-ingest because records are physically duplicated per tile at
+    insert time (src/igd_base.c:162-172). At 10^12 turns this is the
+    difference between O(index bytes) and O(corpus bytes) for a topology
+    change.
+
+    Writes a NEW index at ``dest`` (production: write a new Iceberg table,
+    then swap the serving alias); the source stays untouched and serveable.
+    Committed append batches fold into the new base (same fold the readers
+    apply); tombstones are copied verbatim — doc ids are shard-independent,
+    so deletes survive unchanged and the next compact_index on ``dest``
+    expunges them as usual.  Salting survives too: shards_for() spreads a
+    hot term's salts over consecutive shards mod ANY n, so a salt count
+    chosen at build keeps working (n_shards < max_salts just overlaps some
+    probe shards — correct, merely less spread)."""
+    import shutil
+
+    from igd_spark.build import shard_col
+    from igd_spark.session import kernel_parallelism
+
+    if n_shards < 1:
+        raise ValueError(f"n_shards must be >= 1, got {n_shards}")
+    if os.path.exists(os.path.join(dest, "_meta.json")):
+        raise FileExistsError(f"index already exists at {dest}")
+    idx = open_index(spark, path)  # refuses a dirty source
+    t0 = time.time()
+    os.makedirs(dest, exist_ok=True)
+    n_parts = kernel_parallelism(spark, n_shards)
+
+    def _move_blocks(df: DataFrame, sub: str) -> None:
+        out = df.withColumn(
+            "shard", shard_col(F.col("term_id"), F.col("salt"), n_shards)
+        )
+        # same write discipline as build/compact: partition-sorted so term
+        # runs stay contiguous for row-group min/max pruning
+        (
+            out.repartition(n_parts, "shard")
+            .sortWithinPartitions("shard", "term_id", "salt", "block_id")
+            .write.mode("overwrite")
+            .partitionBy("shard")
+            .parquet(os.path.join(dest, sub))
+        )
+        _write_lineage(dest, sub, {"rows": -1, "secs": time.time() - t0})
+
+    _move_blocks(idx.segments, "segments")
+    if idx.conf.store_positions:
+        _move_blocks(idx.positions, "positions")
+    # dictionary/doc_stats are shard-independent; write the FOLDED views so
+    # dest starts with a clean single-row-per-term base (cheap compaction
+    # for free — both tables are vocab-/corpus-row-sized, not posting-sized)
+    idx.dictionary.select("term", "term_id", "df", "n_salts").write.mode(
+        "overwrite"
+    ).parquet(os.path.join(dest, "dictionary"))
+    _write_lineage(dest, "dictionary", {"rows": -1, "secs": time.time() - t0})
+    idx.doc_stats.write.mode("overwrite").parquet(os.path.join(dest, "doc_stats"))
+    _write_lineage(dest, "doc_stats", {"rows": -1, "secs": time.time() - t0})
+    for tag in idx.tombstone_tags:
+        shutil.copytree(
+            os.path.join(_tombstones_root(path), tag),
+            os.path.join(_tombstones_root(dest), tag),
+        )
+    idx.dictionary.unpersist()
+    old_n = idx.conf.n_shards
+    meta = {
+        **idx.meta,  # corpus stats already folded over batches by open_index
+        "conf": {**asdict(idx.conf), "n_shards": n_shards},
+        "appends": 0,
+        "resharded": {"from": path, "old_n_shards": old_n, "new_n_shards": n_shards},
+    }
+    with open(os.path.join(dest, "_meta.json"), "w") as f:
+        json.dump(meta, f, indent=1)
+    _write_lineage(
+        dest,
+        f"reshard_{old_n}_to_{n_shards}",
+        {"rows": -1, "secs": time.time() - t0},
+    )
+    return open_index(spark, dest)
