@@ -191,6 +191,15 @@ PHRASES: list[tuple[int, str]] = [
     (3, "slow key"),
     (4, "zzznotavocab table"),
 ]
+# match_phrase_prefix (search-as-you-type): last token is a PREFIX
+PHRASE_PREFIX_SET: list[tuple[int, str]] = [
+    (0, "table ha"),        # -> hash
+    (1, "customer jo"),     # -> join
+    (2, "merge group va"),  # 3-token; -> value/vector
+    (3, "s"),               # pure prefix: many expansions, the cap binds
+    (4, "table zzz"),       # expands to nothing -> 0 hits
+]
+MAX_PHRASE_EXPANSIONS = 3
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -308,6 +317,33 @@ def q_bm25_topk_resharded(spark: SparkSession, sf_dir: str) -> DataFrame:
         _RESHARD_CACHE[sf_dir] = reshard_index(spark, base.path, dest, n_shards=5)
     out = _search_mod(spark, _RESHARD_CACHE[sf_dir], _queries_df(spark), k=K + 15)
     return _rank_rounded(out.select("query_id", "doc_id", "score"), K)
+
+
+def _phrase_prefix_df(spark: SparkSession) -> DataFrame:
+    return spark.createDataFrame(
+        PHRASE_PREFIX_SET, "query_id long, query_text string"
+    )
+
+
+def q_match_phrase_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # ES match_phrase_prefix (search-as-you-type): literal tokens
+    # consecutive + any capped term-order expansion at the last position
+    from igd_spark import match_phrase_prefix
+
+    return match_phrase_prefix(
+        _docs(spark, sf_dir),
+        _phrase_prefix_df(spark),
+        max_expansions=MAX_PHRASE_EXPANSIONS,
+    )
+
+
+def q_match_phrase_prefix_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from igd_spark import match_phrase_prefix_indexed
+
+    idx = _built_index(spark, sf_dir)
+    return match_phrase_prefix_indexed(
+        spark, idx, _phrase_prefix_df(spark), max_expansions=MAX_PHRASE_EXPANSIONS
+    )
 
 
 def q_match_enumerate(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1876,6 +1912,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pinned_bm25_topk_indexed": q_pinned_bm25_topk_indexed,
         "percolate_compiled": q_percolate_compiled,
         "bm25_topk_resharded": q_bm25_topk_resharded,
+        "match_phrase_prefix": q_match_phrase_prefix,
+        "match_phrase_prefix_indexed": q_match_phrase_prefix_indexed,
         "explain_scores_indexed": q_explain_scores_indexed,
         "stats_agg_indexed": q_stats_agg_indexed,
         "histogram_agg_indexed": q_histogram_agg_indexed,
@@ -2586,6 +2624,36 @@ SELECT query_id, doc_id, count(*)::BIGINT AS n_hits FROM hits GROUP BY 1, 2
 """
     # index-backed phrase path must be value-identical to the corpus scan
     sql["phrase_match_indexed"] = sql["phrase_match"]
+
+    _PPVALUES = ", ".join(f"({q}::BIGINT, '{t}')" for q, t in PHRASE_PREFIX_SET)
+    sql["match_phrase_prefix"] = f"""
+WITH {_TL},
+pp AS (SELECT doc_id, i - 1 AS pos, tl[i] AS term
+       FROM (SELECT doc_id, tl, unnest(generate_series(1, len(tl))) AS i FROM tldocs)),
+vocab AS (SELECT DISTINCT unnest(tl) AS term FROM tldocs),
+ph(query_id, query_text) AS (VALUES {_PPVALUES}),
+qtl AS (SELECT query_id, list_filter(regexp_split_to_array(lower(query_text),
+        '[^a-z0-9]+'), x -> x <> '') AS tl FROM ph),
+pt AS (SELECT query_id, i - 1 AS "offset", tl[i] AS term, len(tl) AS plen
+       FROM (SELECT query_id, tl, unnest(generate_series(1, len(tl))) AS i FROM qtl)),
+lits AS (SELECT query_id, term, "offset" FROM pt WHERE "offset" < plen - 1),
+pre AS (SELECT query_id, term AS prefix, "offset" FROM pt WHERE "offset" = plen - 1),
+expd AS (SELECT query_id, term, "offset" FROM (
+           SELECT p.query_id, v.term, p."offset",
+                  row_number() OVER (PARTITION BY p.query_id ORDER BY v.term) AS rn
+           FROM pre p JOIN vocab v ON starts_with(v.term, p.prefix))
+         WHERE rn <= {MAX_PHRASE_EXPANSIONS}),
+pt2 AS (SELECT * FROM lits UNION ALL SELECT * FROM expd),
+plen AS (SELECT query_id, len(tl) AS plen FROM qtl),
+j AS (SELECT pt2.query_id, pp.doc_id, pp.pos - pt2."offset" AS anchor
+      FROM pp JOIN pt2 USING (term)),
+h AS (SELECT query_id, doc_id, anchor, count(*) AS c FROM j GROUP BY 1, 2, 3),
+hits AS (SELECT h.query_id, h.doc_id FROM h JOIN plen USING (query_id)
+         WHERE h.c = plen.plen AND h.anchor >= 0)
+SELECT query_id, doc_id, count(*)::BIGINT AS n_hits FROM hits GROUP BY 1, 2
+"""
+    # the indexed twin must be value-identical to the corpus scan
+    sql["match_phrase_prefix_indexed"] = sql["match_phrase_prefix"]
 
     gap_us = SESSION_GAP_MIN * 60 * 1_000_000
     sql["events_sessionize"] = f"""

@@ -1372,35 +1372,164 @@ def phrase_match_indexed(
     blocks = _pruned_position_blocks(idx, qdict)
     if blocks is None:
         return spark.createDataFrame([], out_empty)
+    j = idx.live_docs(blocks.mapInPandas(_explode_anchors, schema=_ANCHOR_SCHEMA))
+    return _anchor_hits(j, plen)
 
-    anchor_schema = T.StructType(
-        [
-            T.StructField("query_id", T.LongType(), False),
-            T.StructField("doc_id", T.LongType(), False),
-            T.StructField("anchor", T.IntegerType(), False),
-        ]
+
+_ANCHOR_SCHEMA = T.StructType(
+    [
+        T.StructField("query_id", T.LongType(), False),
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("anchor", T.IntegerType(), False),
+    ]
+)
+
+
+def _explode_anchors(it):
+    """Shared positional decode kernel (phrase / phrase-prefix): pruned
+    position blocks carrying (query_id, offset) → (query_id, doc_id,
+    anchor = pos - offset) rows for the anchor-counting epilogue."""
+    for pdf in it:
+        outs = []
+        for row in pdf.itertuples():
+            d = codec.decode_doc_ids(bytes(row.doc_ids))  # cumsum decode:
+            # zero gaps (multi-occurrence docs) restore repeats correctly
+            p = codec.varint_decode(bytes(row.poss)).astype(np.int64)
+            outs.append(
+                pd.DataFrame(
+                    {
+                        "query_id": np.full(d.size, row.query_id, dtype=np.int64),
+                        "doc_id": d,
+                        "anchor": (p - int(row.offset)).astype(np.int32),
+                    }
+                )
+            )
+        if outs:
+            yield pd.concat(outs)
+
+
+def _phrase_prefix_parts(
+    phrases: DataFrame, split_re: str
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """Split each phrase into its literal (term, offset) rows and its LAST
+    token as a prefix row — the match_phrase_prefix decomposition.  Returns
+    (literals, prefixes(query_id, prefix, offset), plen); plen counts the
+    full phrase INCLUDING the prefix position."""
+    pterms = _phrase_terms(phrases, split_re)
+    plen = pterms.groupBy("query_id").agg(F.count("*").alias("phrase_len"))
+    pt = pterms.join(F.broadcast(plen), "query_id")
+    literals = pt.filter(F.col("offset") < F.col("phrase_len") - 1).select(
+        "query_id", "term", "offset"
+    )
+    prefixes = pt.filter(F.col("offset") == F.col("phrase_len") - 1).select(
+        "query_id", F.col("term").alias("prefix"), "offset"
+    )
+    return literals, prefixes, plen
+
+
+def _cap_expansions(exp: DataFrame, max_expansions: int) -> DataFrame:
+    """Keep the first max_expansions vocabulary terms per query in TERM
+    ORDER — the Lucene TermsEnum iteration-order contract ES
+    match_phrase_prefix inherits (deterministic, so both engines and the
+    oracle cap identically)."""
+    w = Window.partitionBy("query_id").orderBy(F.asc("term"))
+    return (
+        exp.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= max_expansions)
+        .select("query_id", "term", "offset")
     )
 
-    def explode_anchors(it):
-        for pdf in it:
-            outs = []
-            for row in pdf.itertuples():
-                d = codec.decode_doc_ids(bytes(row.doc_ids))  # cumsum decode:
-                # zero gaps (multi-occurrence docs) restore repeats correctly
-                p = codec.varint_decode(bytes(row.poss)).astype(np.int64)
-                outs.append(
-                    pd.DataFrame(
-                        {
-                            "query_id": np.full(d.size, row.query_id, dtype=np.int64),
-                            "doc_id": d,
-                            "anchor": (p - int(row.offset)).astype(np.int32),
-                        }
-                    )
-                )
-            if outs:
-                yield pd.concat(outs)
 
-    j = idx.live_docs(blocks.mapInPandas(explode_anchors, schema=anchor_schema))
+def match_phrase_prefix(
+    docs: DataFrame,
+    phrases: DataFrame,
+    max_expansions: int = 50,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    conf: IndexConf = DEFAULT_CONF,
+) -> DataFrame:
+    """(query_id, doc_id, n_hits) — the ES ``match_phrase_prefix`` query
+    (search-as-you-type): the phrase's last token is a PREFIX, expanded
+    against the term dictionary (capped at ``max_expansions`` in term
+    order, the Lucene contract), and an occurrence is counted wherever the
+    literal tokens appear consecutively followed by any expansion at the
+    final position.  A one-token phrase degenerates to counting prefix-term
+    occurrences.
+
+    Expansions come from the ANALYZED vocabulary (same contract as
+    prefix_bm25_topk and the indexed twin's dictionary probe) — an
+    analyzer-removed token never expands; literal offsets match the raw
+    positional stream exactly like phrase_match.
+
+    Plan: one corpus tokenize (this is the index-free path — repeated
+    workloads use match_phrase_prefix_indexed), a vocab-sized distinct for
+    the dictionary, broadcast-nested-loop expansion (vocab × a handful of
+    prefixes), then the phrase anchor join-and-count with the expansion
+    rows standing at the last offset.  At any anchor at most one expansion
+    can match (one token occupies the final position), so the shared
+    count-equals-length epilogue stays exact."""
+    from igd_spark.tokenizer import _analyzer_pred
+
+    pp = positional_postings(docs, text_col=text_col, id_col=id_col, conf=conf)
+    literals, prefixes, plen = _phrase_prefix_parts(phrases, conf.token_split_re)
+    pred = _analyzer_pred(conf.stopwords, conf.min_token_len)
+    vocab = pp.select("term").filter(pred(F.col("term"))).distinct()
+    exp = _cap_expansions(
+        vocab.join(F.broadcast(prefixes), F.col("term").startswith(F.col("prefix"))),
+        max_expansions,
+    )
+    pterms2 = literals.unionByName(exp)
+    j = pp.join(F.broadcast(pterms2), "term").select(
+        "query_id", "doc_id", (F.col("pos") - F.col("offset")).alias("anchor")
+    )
+    return _anchor_hits(j, plen)
+
+
+def match_phrase_prefix_indexed(
+    spark: SparkSession,
+    idx: InvertedIndex,
+    phrases: DataFrame,
+    max_expansions: int = 50,
+) -> DataFrame:
+    """match_phrase_prefix over a PERSISTED positional index
+    (store_positions=True): the prefix expands against the index's own
+    dictionary (vocab-sized scan × broadcast prefixes, capped in term
+    order), then only the literal + expanded terms' position blocks are
+    read — shard partitions + In(term_id) pruned, zero corpus scans, the
+    same persist-don't-rescan discipline as every other ``*_indexed`` twin
+    (src/igd_base.c:396-461).  Value-identical to the corpus path by
+    construction: both feed the same anchor epilogue, and the expansion cap
+    is deterministic (term order) on both sides.
+
+    The expansion is materialized driver-side ONCE (≤ queries ×
+    max_expansions rows — bounded by the cap, unlike the uncapped
+    prefix_bm25_topk expansion which needs its own guard): the pruned-scan
+    prologue and the block join would otherwise re-run the vocab scan per
+    action."""
+    conf = idx.conf
+    out_empty = "query_id long, doc_id long, n_hits long"
+    if isinstance(phrases, (pd.DataFrame, list, tuple)):
+        phrases = _materialize_local_queries(spark, phrases)
+    literals, prefixes, plen = _phrase_prefix_parts(phrases, conf.token_split_re)
+    exp = _cap_expansions(
+        idx.dictionary.join(
+            F.broadcast(prefixes), F.col("term").startswith(F.col("prefix"))
+        ),
+        max_expansions,
+    )
+    exp_rows = exp.collect()
+    if not exp_rows:
+        # every phrase needs its prefix slot filled; no expansion anywhere
+        # means no query can reach count == phrase_len
+        return spark.createDataFrame([], out_empty)
+    qterms = literals.unionByName(spark.createDataFrame(exp_rows, exp.schema))
+    qdict = _literal_pos_qdict(idx, qterms).select(
+        "query_id", "term_id", "offset", "n_salts"
+    )
+    blocks = _pruned_position_blocks(idx, qdict)
+    if blocks is None:
+        return spark.createDataFrame([], out_empty)
+    j = idx.live_docs(blocks.mapInPandas(_explode_anchors, schema=_ANCHOR_SCHEMA))
     return _anchor_hits(j, plen)
 
 

@@ -173,6 +173,34 @@ def main() -> int:
         f"scanned schemas: {pi_schemas}",
     )
 
+    # 5b. match_phrase_prefix_indexed: same pruned positional scan, corpus
+    # never read (expansion runs on the dictionary, blocks pruned to the
+    # literal + expanded term set)
+    from igd_spark import match_phrase_prefix_indexed
+
+    mpplan = fmt(match_phrase_prefix_indexed(
+        spark, pidx,
+        spark.createDataFrame([(0, "error t0000")], "query_id long, query_text string"),
+        max_expansions=4,
+    ))
+    assert_pruned_scan("match_phrase_prefix positional scan", mpplan)
+    mp_schemas = re.findall(r"ReadSchema: struct<([^>]*)>", mpplan)
+    check(
+        "match_phrase_prefix_indexed plan never touches the corpus table",
+        bool(mp_schemas) and not any("text:" in s for s in mp_schemas),
+        f"scanned schemas: {mp_schemas}",
+    )
+
+    # 5c. resharded index: the derived-shard rewrite keeps partition pruning
+    # + In(term_id) pushdown intact under the NEW shard count
+    from igd_spark import reshard_index as _rs
+    from igd_spark import search as _search_fn
+
+    rpath = tempfile.mkdtemp(prefix="igd_explain_rs_") + "/idx"
+    ridx = _rs(spark, ppath, rpath, n_shards=3)
+    rplan = fmt(_search_fn(spark, ridx, queries, k=5, engine="spark"))
+    assert_pruned_scan("resharded segment scan", rplan)
+
     # 6. round-3 training-prep operators ---------------------------------------
     from igd_spark import pack_sequences, remove_boilerplate, sample_stratified
 

@@ -160,3 +160,51 @@ def test_analyzer_filtered_terms_match_literally_indexed(spark, tiny_docs, tmp_p
     )
     n_raw = occ.filter(F.col("term") == stop).count()
     assert positional_enumerate(spark, idx, q).count() == n_raw
+
+
+def test_match_phrase_prefix_parity_and_semantics(spark, pos_index):
+    """ES match_phrase_prefix: indexed twin == corpus scan at several cap
+    values; full-term prefix degenerates to phrase_match; empty expansion
+    yields zero rows."""
+    from igd_spark import match_phrase_prefix, match_phrase_prefix_indexed
+
+    docs, _, idx = pos_index
+    rows = [
+        (0, "t00000 time"),  # literal + prefix -> timeout
+        (1, "t0000"),        # pure prefix: t00000..t00009 expansions
+        (2, "error zzz"),    # prefix expands to nothing
+    ]
+    ph = spark.createDataFrame(rows, "query_id long, query_text string")
+    for me in (4, 50):
+        got = _key(match_phrase_prefix_indexed(spark, idx, ph, max_expansions=me))
+        want = _key(match_phrase_prefix(docs, ph, max_expansions=me, conf=CONF))
+        assert got == want, f"max_expansions={me}"
+        assert not [r for r in got if r[0] == 2]  # no-expansion query: 0 rows
+    # prefix == a full vocab term whose expansion set is exactly itself
+    # ("timeout" is the only term starting with "timeout"): must equal
+    # the plain phrase
+    ph2 = spark.createDataFrame(
+        [(0, "error timeout")], "query_id long, query_text string"
+    )
+    assert _key(match_phrase_prefix(docs, ph2, conf=CONF)) == _key(
+        phrase_match(docs, ph2, conf=CONF)
+    )
+
+
+def test_match_phrase_prefix_cap_is_term_order(spark, pos_index):
+    """With the cap binding, the kept expansions are the lexicographically
+    FIRST terms (the Lucene TermsEnum order contract): cap=2 on 't0000' ==
+    the per-doc sum of the single-term phrases 't00000' + 't00001'."""
+    from collections import Counter
+
+    from igd_spark import match_phrase_prefix_indexed
+
+    docs, _, idx = pos_index
+    ph = spark.createDataFrame([(0, "t0000")], "query_id long, query_text string")
+    got = set(_key(match_phrase_prefix_indexed(spark, idx, ph, max_expansions=2)))
+    want: Counter = Counter()
+    for t in ("t00000", "t00001"):
+        one = spark.createDataFrame([(0, t)], "query_id long, query_text string")
+        for _, d, n in _key(phrase_match(docs, one, conf=CONF)):
+            want[d] += n
+    assert got == {(0, d, n) for d, n in want.items()}
