@@ -151,6 +151,9 @@ ANALYZE_MOD = 347             # _analyze request: doc_id % ANALYZE_MOD == 0
 SPAN_FIRST_END = 10           # SpanFirstQuery position bound
 DECAY_ORIGIN = 200.0          # function_score gauss decay on n_chars
 DECAY_SCALE = 120.0
+DF_ORIGIN = 300.0             # distance_feature on n_chars (additive)
+DF_PIVOT = 100.0
+DF_BOOST = 3.0
 # Lucene RegexpQuery: one regex per query, full-term match, patterns kept
 # in the Java∩RE2 shared subset (classes, alternation, quantifiers)
 REGEXP_QUERY_SET: list[tuple[int, str]] = [
@@ -1632,6 +1635,29 @@ def q_function_score_decay(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_distance_feature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # ES distance_feature: bm25 + boost·pivot/(pivot+|n_chars−origin|) —
+    # the ADDITIVE proximity/recency booster (vs the multiplicative decay)
+    from igd_spark import distance_feature_topk
+
+    return distance_feature_topk(
+        _docs(spark, sf_dir), _queries_df(spark),
+        field="n_chars", origin=DF_ORIGIN, pivot=DF_PIVOT, boost=DF_BOOST,
+        k=K, round_dp=6,
+    )
+
+
+def q_distance_feature_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from igd_spark import distance_feature_topk_indexed
+
+    idx = _built_index(spark, sf_dir)
+    return distance_feature_topk_indexed(
+        spark, idx, _queries_df(spark), _docs(spark, sf_dir),
+        field="n_chars", origin=DF_ORIGIN, pivot=DF_PIVOT, boost=DF_BOOST,
+        k=K, round_dp=6,
+    )
+
+
 def _boosting_queries_df(spark: SparkSession) -> DataFrame:
     return spark.createDataFrame(
         [(int(q), t, n) for q, t, n in BOOSTING_QUERY_SET],
@@ -1914,6 +1940,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_topk_resharded": q_bm25_topk_resharded,
         "match_phrase_prefix": q_match_phrase_prefix,
         "match_phrase_prefix_indexed": q_match_phrase_prefix_indexed,
+        "distance_feature": q_distance_feature,
+        "distance_feature_indexed": q_distance_feature_indexed,
         "explain_scores_indexed": q_explain_scores_indexed,
         "stats_agg_indexed": q_stats_agg_indexed,
         "histogram_agg_indexed": q_histogram_agg_indexed,
@@ -4031,6 +4059,23 @@ ranked AS (
   FROM boosted)
 SELECT query_id, rank, doc_id, score FROM ranked WHERE rank <= {K}
 """
+
+    sql["distance_feature"] = f"""
+WITH {_TL}, {_TOKS}, {_POST}, {_DL}, {_CS}, {_TS}, {_QT}, {_SCORED},
+boosted AS (
+  SELECT s.query_id, s.doc_id,
+         s.s + coalesce({DF_BOOST} * {DF_PIVOT}
+                 / ({DF_PIVOT} + abs(d.n_chars - {DF_ORIGIN})), 0.0) AS s
+  FROM scored s JOIN documents d ON d.doc_id = s.doc_id),
+ranked AS (
+  SELECT query_id, doc_id, round(s, 6) AS score,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY round(s, 6) DESC, doc_id ASC)::INT AS rank
+  FROM boosted)
+SELECT query_id, rank, doc_id, score FROM ranked WHERE rank <= {K}
+"""
+    # the indexed twin shares the oracle (rank identity through the index)
+    sql["distance_feature_indexed"] = sql["distance_feature"]
 
     # the persisted-index ANN probes are rank-identical to the in-memory
     # operators by construction (embindex.py) — same oracle

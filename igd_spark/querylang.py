@@ -334,6 +334,86 @@ def boosted_bm25_topk_indexed(
     return rank_topk(_maybe_round(boosted, round_dp), k)
 
 
+def _distance_feature_epilogue(
+    scored: DataFrame,
+    docs: DataFrame,
+    field: str,
+    origin: float,
+    pivot: float,
+    boost: float,
+    id_col: str,
+    k: int,
+    round_dp: int | None,
+) -> DataFrame:
+    """Shared tail of both distance_feature paths: join the sparse scored
+    set to the (doc_id, feature) projection and ADD the feature.  A NULL
+    field contributes 0 (the ES contract: a doc missing the field simply
+    gets no boost — it must not vanish from, or NULL-poison, the top-k)."""
+    dist = F.abs(F.col(field).cast("double") - F.lit(float(origin)))
+    feat = F.lit(float(boost)) * F.lit(float(pivot)) / (F.lit(float(pivot)) + dist)
+    fdf = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.coalesce(feat, F.lit(0.0)).alias("_feat"),
+    )
+    out = scored.join(fdf, "doc_id").select(
+        "query_id", "doc_id", (F.col("score") + F.col("_feat")).alias("score")
+    )
+    return rank_topk(_maybe_round(out, round_dp), k)
+
+
+def distance_feature_topk(
+    docs: DataFrame,
+    queries: DataFrame,
+    field: str,
+    origin: float,
+    pivot: float,
+    boost: float = 1.0,
+    k: int = 10,
+    conf: IndexConf = DEFAULT_CONF,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    round_dp: int | None = None,
+) -> DataFrame:
+    """The ES ``distance_feature`` query: final score = BM25 +
+    boost × pivot / (pivot + |field − origin|) — the recency/proximity
+    booster.  ADDITIVE, unlike function_score decay (boosted_bm25_topk ×
+    multiplier): at dist = 0 the feature contributes exactly ``boost``, at
+    dist = pivot exactly boost/2, and it decays hyperbolically — a far doc
+    keeps its relevance score instead of being crushed toward 0.  Date
+    fields: pass epoch seconds/millis as ``field`` values and origin/pivot
+    in the same unit (ES's "7d" pivot is just a duration in millis).
+
+    Scale: the feature rides a (doc_id, field) two-column pushdown scan
+    joined to the sparse scored set on doc_id — the boosted/group join
+    shape; nothing corpus-wide beyond that narrow projection."""
+    scored = bm25_scores(docs, queries, conf=conf, text_col=text_col, id_col=id_col)
+    return _distance_feature_epilogue(
+        scored, docs, field, origin, pivot, boost, id_col, k, round_dp
+    )
+
+
+def distance_feature_topk_indexed(
+    spark,
+    idx,
+    queries: DataFrame,
+    docs: DataFrame,
+    field: str,
+    origin: float,
+    pivot: float,
+    boost: float = 1.0,
+    k: int = 10,
+    id_col: str = "doc_id",
+    round_dp: int | None = None,
+) -> DataFrame:
+    """`distance_feature_topk` over a persisted index: BM25 comes from the
+    query terms' pruned posting blocks; ``docs`` is touched only for the
+    narrow (doc_id, field) projection joined to the sparse scored set."""
+    scored = _indexed_scored(spark, idx, queries)
+    return _distance_feature_epilogue(
+        scored, docs, field, origin, pivot, boost, id_col, k, round_dp
+    )
+
+
 def facet_counts_indexed(
     spark,
     idx,

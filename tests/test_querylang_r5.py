@@ -693,3 +693,63 @@ def test_pinned_indexed_identity(spark, docs, r5_idx):
     a = _sorted(pinned_bm25_topk(docs, q, pins, k=K, round_dp=6))
     b = _sorted(pinned_bm25_topk_indexed(spark, r5_idx, q, pins, k=K, round_dp=6))
     pd.testing.assert_frame_equal(a, b, check_dtype=False)
+
+
+def test_distance_feature_additive_contract(spark, docs):
+    """score = bm25 + boost·pivot/(pivot+dist): dist=0 adds exactly boost,
+    dist=pivot exactly boost/2, NULL field exactly 0 — checked per doc
+    against the plain scorer."""
+    from igd_spark import distance_feature_topk
+
+    q = _queries(spark, [(0, "error timeout")])
+    boost, pivot = 4.0, 50.0
+    # synthesize a controllable feature column: dl-based distances
+    base = bm25_scores(docs, q)
+    with_field = docs.withColumn(
+        "feat",
+        F.when(F.col("turn_idx") == 0, F.lit(None).cast("double"))  # NULL arm
+        .when(F.col("turn_idx") % 2 == 1, F.lit(100.0))             # dist=0
+        .otherwise(F.lit(150.0)),                                   # dist=pivot
+    )
+    got = {
+        r["doc_id"]: r["score"]
+        for r in distance_feature_topk(
+            with_field, q, field="feat", origin=100.0, pivot=pivot,
+            boost=boost, k=10_000,
+        ).collect()
+    }
+    plain = {r["doc_id"]: r["score"] for r in base.collect()}
+    arms = {
+        r["doc_id"]: r["arm"]
+        for r in with_field.select(
+            "doc_id",
+            F.when(F.col("turn_idx") == 0, "null")
+            .when(F.col("turn_idx") % 2 == 1, "zero")
+            .otherwise("pivot")
+            .alias("arm"),
+        ).collect()
+    }
+    assert got, "scored set is non-empty"
+    for d, s in got.items():
+        want = {"null": 0.0, "zero": boost, "pivot": boost / 2.0}[arms[d]]
+        assert abs(s - (plain[d] + want)) < 1e-9, (d, arms[d])
+
+
+def test_distance_feature_indexed_identity(spark, docs, r5_idx):
+    from igd_spark import distance_feature_topk, distance_feature_topk_indexed
+
+    q = _queries(spark, [(0, "error timeout"), (1, "t00001 t00002")])
+    docs_f = docs.withColumn("feat", (F.col("turn_idx") * 37 % 211).cast("double"))
+    a = _sorted(
+        distance_feature_topk(
+            docs_f, q, field="feat", origin=90.0, pivot=40.0, boost=2.0,
+            k=K, round_dp=6,
+        )
+    )
+    b = _sorted(
+        distance_feature_topk_indexed(
+            spark, r5_idx, q, docs_f, field="feat", origin=90.0, pivot=40.0,
+            boost=2.0, k=K, round_dp=6,
+        )
+    )
+    pd.testing.assert_frame_equal(a, b, check_dtype=False)
