@@ -953,6 +953,45 @@ def restore_index(spark: SparkSession, snapshot: str, dest: str) -> InvertedInde
     return open_index(spark, dest)
 
 
+def set_alias(root: str, name: str, target: str) -> str:
+    """Point alias ``name`` (under directory ``root``) at index ``target``
+    — the ES index-alias API analog, and the publication half of every
+    rewrite-into-a-new-path maintenance op here (reshard_index,
+    restore_index): build/reshard to a fresh path, then one atomic alias
+    swap makes it live; readers opened through the alias before the swap
+    keep their snapshot (open handles hold their own path), readers after
+    the swap get the new index. No data moves.
+
+    The alias is a tiny JSON file published via write-to-tmp + os.rename —
+    the same single-atomic-rename commit discipline as batch/tombstone
+    publication (in production: an Iceberg catalog pointer / table-name
+    swap). ``target`` must already be a valid index (refuses otherwise —
+    an alias must never dangle)."""
+    if not os.path.exists(os.path.join(target, "_meta.json")):
+        raise FileNotFoundError(f"alias target is not an index: {target}")
+    os.makedirs(root, exist_ok=True)
+    final = os.path.join(root, f"{name}.alias.json")
+    tmp = final + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump({"name": name, "target": os.path.abspath(target),
+                   "updated_at": time.time()}, f, indent=1)
+    os.rename(tmp, final)  # atomic publish/swap
+    return final
+
+
+def resolve_alias(root: str, name: str) -> str:
+    """Target path of alias ``name`` — FileNotFoundError if absent."""
+    with open(os.path.join(root, f"{name}.alias.json")) as f:
+        return json.load(f)["target"]
+
+
+def open_alias(spark: SparkSession, root: str, name: str) -> InvertedIndex:
+    """open_index through an alias — the handle snapshots the CURRENT
+    target; later alias swaps don't affect it (same isolation as batch
+    snapshots)."""
+    return open_index(spark, resolve_alias(root, name))
+
+
 def reshard_index(
     spark: SparkSession, path: str, dest: str, n_shards: int
 ) -> InvertedIndex:

@@ -143,3 +143,31 @@ def test_guards(spark, src):
     if os.path.exists(os.path.join(dest, "_meta.json")):
         with pytest.raises(FileExistsError):
             reshard_index(spark, path, dest, n_shards=3)
+
+
+def test_alias_swap_publishes_reshard(spark, src):
+    """The reshard→alias-swap lifecycle: serve through an alias, reshard to
+    a new path, swap; handles opened before the swap keep their snapshot,
+    handles after see the new shard count — same results either way."""
+    from igd_spark import open_alias, reshard_index, resolve_alias, set_alias
+
+    root, path, idx, _ = src
+    arow = os.path.join(root, "aliases")
+    set_alias(arow, "serving", path)
+    before = open_alias(spark, arow, "serving")
+    assert before.n_shards() == 8 and resolve_alias(arow, "serving").endswith("idx")
+    dest = os.path.join(root, "resharded_6")
+    reshard_index(spark, path, dest, n_shards=6)
+    set_alias(arow, "serving", dest)  # atomic swap
+    after = open_alias(spark, arow, "serving")
+    assert after.n_shards() == 6
+    assert before.n_shards() == 8  # pre-swap handle keeps its snapshot
+    assert _ranked(spark, after) == _ranked(spark, before)
+
+
+def test_alias_refuses_dangling_target(src):
+    from igd_spark import set_alias
+
+    root, _, _, _ = src
+    with pytest.raises(FileNotFoundError):
+        set_alias(os.path.join(root, "aliases"), "bad", os.path.join(root, "nope"))
