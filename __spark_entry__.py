@@ -1658,6 +1658,33 @@ def q_distance_feature_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _docs_with_msm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # deterministic per-doc requirement 1..3 (the minimum_should_match_field)
+    return _docs(spark, sf_dir).withColumn(
+        "msm_req", (F.lit(1) + F.col("doc_id") % 3).cast("int")
+    )
+
+
+def q_terms_set(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # ES terms_set: per-DOC minimum distinct-match requirement from a field
+    from igd_spark import terms_set_topk
+
+    return terms_set_topk(
+        _docs_with_msm(spark, sf_dir), _queries_df(spark),
+        msm_field="msm_req", k=K, round_dp=6,
+    )
+
+
+def q_terms_set_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from igd_spark import terms_set_topk_indexed
+
+    idx = _built_index(spark, sf_dir)
+    return terms_set_topk_indexed(
+        spark, idx, _queries_df(spark), _docs_with_msm(spark, sf_dir),
+        msm_field="msm_req", k=K, round_dp=6,
+    )
+
+
 def _boosting_queries_df(spark: SparkSession) -> DataFrame:
     return spark.createDataFrame(
         [(int(q), t, n) for q, t, n in BOOSTING_QUERY_SET],
@@ -1942,6 +1969,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "match_phrase_prefix_indexed": q_match_phrase_prefix_indexed,
         "distance_feature": q_distance_feature,
         "distance_feature_indexed": q_distance_feature_indexed,
+        "terms_set": q_terms_set,
+        "terms_set_indexed": q_terms_set_indexed,
         "explain_scores_indexed": q_explain_scores_indexed,
         "stats_agg_indexed": q_stats_agg_indexed,
         "histogram_agg_indexed": q_histogram_agg_indexed,
@@ -4076,6 +4105,30 @@ SELECT query_id, rank, doc_id, score FROM ranked WHERE rank <= {K}
 """
     # the indexed twin shares the oracle (rank identity through the index)
     sql["distance_feature_indexed"] = sql["distance_feature"]
+
+    sql["terms_set"] = f"""
+WITH {_TL}, {_TOKS}, {_POST}, {_DL}, {_CS}, {_TS}, {_QT},
+scored AS (
+  SELECT qt.query_id, p.doc_id,
+         sum( ln((cs.n_docs - ts.df + 0.5) / (ts.df + 0.5) + 1.0)
+              * p.tf * {K1 + 1.0}
+              / (p.tf + {K1} * (1.0 - {B} + {B} * dl.dl / cs.avgdl)) ) AS s,
+         count(DISTINCT p.term) AS m
+  FROM qterms qt JOIN ts USING (term) JOIN post p USING (term)
+  JOIN dl ON p.doc_id = dl.doc_id CROSS JOIN cs
+  GROUP BY 1, 2),
+hits AS (
+  SELECT s.query_id, s.doc_id, s.s FROM scored s
+  JOIN documents d ON d.doc_id = s.doc_id
+  WHERE s.m >= 1 + d.doc_id % 3),
+ranked AS (
+  SELECT query_id, doc_id, round(s, 6) AS score,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY round(s, 6) DESC, doc_id ASC)::INT AS rank
+  FROM hits)
+SELECT query_id, rank, doc_id, score FROM ranked WHERE rank <= {K}
+"""
+    sql["terms_set_indexed"] = sql["terms_set"]
 
     # the persisted-index ANN probes are rank-identical to the in-memory
     # operators by construction (embindex.py) — same oracle

@@ -2230,6 +2230,82 @@ def msm_bm25_topk_indexed(
     return _msm_epilogue(scored, min_should_match, k, round_dp)
 
 
+def _terms_set_epilogue(
+    scored: DataFrame,
+    docs: DataFrame,
+    msm_field: str,
+    id_col: str,
+    k: int,
+    round_dp: int | None,
+) -> DataFrame:
+    """Shared tail of both terms_set paths: join the per-DOC required-match
+    count and keep docs whose distinct-match count meets it.  A NULL or
+    missing requirement never matches (NULL comparison is false — the ES
+    contract for docs without the minimum_should_match_field); a
+    requirement larger than the query's term count simply never matches,
+    as in ES (no clamping)."""
+    req = docs.select(
+        F.col(id_col).alias("doc_id"), F.col(msm_field).cast("int").alias("_req")
+    )
+    hits = (
+        scored.join(req, "doc_id")
+        .filter(F.col("n_matched") >= F.col("_req"))
+        .select("query_id", "doc_id", "score")
+    )
+    return rank_topk(_maybe_round(hits, round_dp), k)
+
+
+def terms_set_topk(
+    docs: DataFrame,
+    queries: DataFrame,
+    msm_field: str,
+    k: int = 10,
+    conf: IndexConf = DEFAULT_CONF,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    round_dp: int | None = None,
+) -> DataFrame:
+    """The ES ``terms_set`` query: like minimum_should_match, but the
+    required number of distinct matching terms is read PER DOCUMENT from
+    ``msm_field`` (ES's minimum_should_match_field) — the "match if the doc
+    itself says how many of these tags must hit" shape.  Qualifying docs
+    keep their ordinary disjunctive BM25 score; a doc with requirement 1 is
+    plain OR, with requirement = |terms| plain AND, per doc.
+
+    Scale: the scorer's existing hash aggregate grows one countDistinct;
+    the requirement rides a (doc_id, field) two-column pushdown projection
+    joined to the SPARSE scored set — never a corpus-wide pass."""
+    post, ds, n_docs, avgdl = _corpus_parts(docs, conf, text_col, id_col)
+    qt = query_terms(queries)
+    ts = term_stats(post)
+    qt_idf = qt.join(ts, "term").withColumn("idf", idf_col(n_docs, "df"))
+    scored = _score_terms(
+        post, ds, avgdl, qt_idf, conf,
+        extra_aggs=(F.countDistinct("term").alias("n_matched"),),
+    )
+    return _terms_set_epilogue(scored, docs, msm_field, id_col, k, round_dp)
+
+
+def terms_set_topk_indexed(
+    spark,
+    idx,
+    queries: DataFrame,
+    docs: DataFrame,
+    msm_field: str,
+    k: int = 10,
+    id_col: str = "doc_id",
+    round_dp: int | None = None,
+) -> DataFrame:
+    """`terms_set_topk` over pruned posting blocks: BM25 + distinct-match
+    count from the shared `_indexed_contrib` join; ``docs`` touched only
+    for the (doc_id, requirement) projection."""
+    scored = _indexed_scored(
+        spark, idx, queries,
+        extra_aggs=(F.countDistinct("term").alias("n_matched"),),
+    )
+    return _terms_set_epilogue(scored, docs, msm_field, id_col, k, round_dp)
+
+
 def _collapse_epilogue(
     scored: DataFrame, keys: DataFrame, k: int, round_dp: int | None
 ) -> DataFrame:

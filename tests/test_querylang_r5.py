@@ -753,3 +753,34 @@ def test_distance_feature_indexed_identity(spark, docs, r5_idx):
         )
     )
     pd.testing.assert_frame_equal(a, b, check_dtype=False)
+
+
+def test_terms_set_per_doc_requirement(spark, docs):
+    """terms_set: requirement read per doc — req=1 behaves as OR, req=|q|
+    as AND, NULL req never matches; checked against msm at the two
+    degenerate settings."""
+    from igd_spark import msm_bm25_topk, terms_set_topk
+
+    terms = _pick_terms(docs, n=3)
+    q = _queries(spark, [(0, " ".join(terms))])
+    big_k = 10_000
+    for req, msm in ((1, 1), (3, 3)):
+        d = docs.withColumn("req", F.lit(req).cast("int"))
+        a = _sorted(terms_set_topk(d, q, msm_field="req", k=big_k, round_dp=6))
+        b = _sorted(msm_bm25_topk(docs, q, min_should_match=msm, k=big_k, round_dp=6))
+        pd.testing.assert_frame_equal(a, b, check_dtype=False)
+    d_null = docs.withColumn("req", F.lit(None).cast("int"))
+    assert terms_set_topk(d_null, q, msm_field="req", k=big_k).count() == 0
+
+
+def test_terms_set_indexed_identity(spark, docs, r5_idx):
+    from igd_spark import terms_set_topk, terms_set_topk_indexed
+
+    terms = _pick_terms(docs, n=3)
+    q = _queries(spark, [(0, " ".join(terms)), (1, f"{terms[0]} {terms[1]}")])
+    d = docs.withColumn("req", (F.lit(1) + F.col("doc_id") % 3).cast("int"))
+    a = _sorted(terms_set_topk(d, q, msm_field="req", k=K, round_dp=6))
+    b = _sorted(
+        terms_set_topk_indexed(spark, r5_idx, q, d, msm_field="req", k=K, round_dp=6)
+    )
+    pd.testing.assert_frame_equal(a, b, check_dtype=False)
