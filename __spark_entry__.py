@@ -154,6 +154,8 @@ DECAY_SCALE = 120.0
 DF_ORIGIN = 300.0             # distance_feature on n_chars (additive)
 DF_PIVOT = 100.0
 DF_BOOST = 3.0
+RF_PIVOT = 250.0              # rank_feature saturation on n_chars
+RF_BOOST = 2.0
 # Lucene RegexpQuery: one regex per query, full-term match, patterns kept
 # in the Java∩RE2 shared subset (classes, alternation, quantifiers)
 REGEXP_QUERY_SET: list[tuple[int, str]] = [
@@ -1658,6 +1660,28 @@ def q_distance_feature_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_rank_feature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # ES rank_feature (saturation): bm25 + boost·f/(f+pivot) on n_chars
+    from igd_spark import rank_feature_topk
+
+    return rank_feature_topk(
+        _docs(spark, sf_dir), _queries_df(spark),
+        field="n_chars", function="saturation", pivot=RF_PIVOT, boost=RF_BOOST,
+        k=K, round_dp=6,
+    )
+
+
+def q_rank_feature_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from igd_spark import rank_feature_topk_indexed
+
+    idx = _built_index(spark, sf_dir)
+    return rank_feature_topk_indexed(
+        spark, idx, _queries_df(spark), _docs(spark, sf_dir),
+        field="n_chars", function="saturation", pivot=RF_PIVOT, boost=RF_BOOST,
+        k=K, round_dp=6,
+    )
+
+
 def _docs_with_msm(spark: SparkSession, sf_dir: str) -> DataFrame:
     # deterministic per-doc requirement 1..3 (the minimum_should_match_field)
     return _docs(spark, sf_dir).withColumn(
@@ -1971,6 +1995,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "distance_feature_indexed": q_distance_feature_indexed,
         "terms_set": q_terms_set,
         "terms_set_indexed": q_terms_set_indexed,
+        "rank_feature": q_rank_feature,
+        "rank_feature_indexed": q_rank_feature_indexed,
         "explain_scores_indexed": q_explain_scores_indexed,
         "stats_agg_indexed": q_stats_agg_indexed,
         "histogram_agg_indexed": q_histogram_agg_indexed,
@@ -4129,6 +4155,21 @@ ranked AS (
 SELECT query_id, rank, doc_id, score FROM ranked WHERE rank <= {K}
 """
     sql["terms_set_indexed"] = sql["terms_set"]
+
+    sql["rank_feature"] = f"""
+WITH {_TL}, {_TOKS}, {_POST}, {_DL}, {_CS}, {_TS}, {_QT}, {_SCORED},
+boosted AS (
+  SELECT s.query_id, s.doc_id,
+         s.s + coalesce({RF_BOOST} * d.n_chars / (d.n_chars + {RF_PIVOT}), 0.0) AS s
+  FROM scored s JOIN documents d ON d.doc_id = s.doc_id),
+ranked AS (
+  SELECT query_id, doc_id, round(s, 6) AS score,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY round(s, 6) DESC, doc_id ASC)::INT AS rank
+  FROM boosted)
+SELECT query_id, rank, doc_id, score FROM ranked WHERE rank <= {K}
+"""
+    sql["rank_feature_indexed"] = sql["rank_feature"]
 
     # the persisted-index ANN probes are rank-identical to the in-memory
     # operators by construction (embindex.py) — same oracle

@@ -334,23 +334,19 @@ def boosted_bm25_topk_indexed(
     return rank_topk(_maybe_round(boosted, round_dp), k)
 
 
-def _distance_feature_epilogue(
+def _feature_epilogue(
     scored: DataFrame,
     docs: DataFrame,
-    field: str,
-    origin: float,
-    pivot: float,
-    boost: float,
+    feat: Column,
     id_col: str,
     k: int,
     round_dp: int | None,
 ) -> DataFrame:
-    """Shared tail of both distance_feature paths: join the sparse scored
-    set to the (doc_id, feature) projection and ADD the feature.  A NULL
-    field contributes 0 (the ES contract: a doc missing the field simply
-    gets no boost — it must not vanish from, or NULL-poison, the top-k)."""
-    dist = F.abs(F.col(field).cast("double") - F.lit(float(origin)))
-    feat = F.lit(float(boost)) * F.lit(float(pivot)) / (F.lit(float(pivot)) + dist)
+    """Shared tail of the feature-booster queries (distance_feature,
+    rank_feature): join the sparse scored set to the (doc_id, feature)
+    projection and ADD the feature.  A NULL feature contributes 0 (the ES
+    contract: a doc missing the field simply gets no boost — it must not
+    vanish from, or NULL-poison, the top-k)."""
     fdf = docs.select(
         F.col(id_col).alias("doc_id"),
         F.coalesce(feat, F.lit(0.0)).alias("_feat"),
@@ -359,6 +355,40 @@ def _distance_feature_epilogue(
         "query_id", "doc_id", (F.col("score") + F.col("_feat")).alias("score")
     )
     return rank_topk(_maybe_round(out, round_dp), k)
+
+
+def _distance_feature_col(field: str, origin: float, pivot: float, boost: float) -> Column:
+    dist = F.abs(F.col(field).cast("double") - F.lit(float(origin)))
+    return F.lit(float(boost)) * F.lit(float(pivot)) / (F.lit(float(pivot)) + dist)
+
+
+def _rank_feature_col(
+    field: str,
+    function: str,
+    boost: float,
+    pivot: float | None,
+    scaling_factor: float,
+    exponent: float,
+) -> Column:
+    """The three ES rank_feature score functions over a non-negative
+    per-doc feature: saturation f/(f+pivot) (bounded [0,1)), log
+    ln(scaling_factor + f) (unbounded, for wide-range features), sigmoid
+    f^exp/(f^exp + pivot^exp) (tunable knee)."""
+    f = F.col(field).cast("double")
+    if function == "saturation":
+        if pivot is None:
+            raise ValueError("saturation requires pivot")
+        feat = f / (f + F.lit(float(pivot)))
+    elif function == "log":
+        feat = F.log(F.lit(float(scaling_factor)) + f)
+    elif function == "sigmoid":
+        if pivot is None:
+            raise ValueError("sigmoid requires pivot")
+        e = float(exponent)
+        feat = F.pow(f, e) / (F.pow(f, e) + F.lit(float(pivot) ** e))
+    else:
+        raise ValueError(f"unknown rank_feature function: {function!r}")
+    return F.lit(float(boost)) * feat
 
 
 def distance_feature_topk(
@@ -387,8 +417,9 @@ def distance_feature_topk(
     joined to the sparse scored set on doc_id — the boosted/group join
     shape; nothing corpus-wide beyond that narrow projection."""
     scored = bm25_scores(docs, queries, conf=conf, text_col=text_col, id_col=id_col)
-    return _distance_feature_epilogue(
-        scored, docs, field, origin, pivot, boost, id_col, k, round_dp
+    return _feature_epilogue(
+        scored, docs, _distance_feature_col(field, origin, pivot, boost),
+        id_col, k, round_dp,
     )
 
 
@@ -409,9 +440,58 @@ def distance_feature_topk_indexed(
     query terms' pruned posting blocks; ``docs`` is touched only for the
     narrow (doc_id, field) projection joined to the sparse scored set."""
     scored = _indexed_scored(spark, idx, queries)
-    return _distance_feature_epilogue(
-        scored, docs, field, origin, pivot, boost, id_col, k, round_dp
+    return _feature_epilogue(
+        scored, docs, _distance_feature_col(field, origin, pivot, boost),
+        id_col, k, round_dp,
     )
+
+
+def rank_feature_topk(
+    docs: DataFrame,
+    queries: DataFrame,
+    field: str,
+    function: str = "saturation",
+    pivot: float | None = None,
+    boost: float = 1.0,
+    scaling_factor: float = 1.0,
+    exponent: float = 1.0,
+    k: int = 10,
+    conf: IndexConf = DEFAULT_CONF,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    round_dp: int | None = None,
+) -> DataFrame:
+    """The ES ``rank_feature`` query: BM25 + boost × S(feature), where S is
+    saturation (f/(f+pivot)), log (ln(scaling_factor+f)) or sigmoid
+    (f^exp/(f^exp+pivot^exp)) — static per-doc relevance signals
+    (pagerank-ish quality, length priors) folded additively into the
+    score.  NULL features contribute 0 (missing field ⇒ no boost).  Same
+    narrow-projection join shape as distance_feature."""
+    scored = bm25_scores(docs, queries, conf=conf, text_col=text_col, id_col=id_col)
+    feat = _rank_feature_col(field, function, boost, pivot, scaling_factor, exponent)
+    return _feature_epilogue(scored, docs, feat, id_col, k, round_dp)
+
+
+def rank_feature_topk_indexed(
+    spark,
+    idx,
+    queries: DataFrame,
+    docs: DataFrame,
+    field: str,
+    function: str = "saturation",
+    pivot: float | None = None,
+    boost: float = 1.0,
+    scaling_factor: float = 1.0,
+    exponent: float = 1.0,
+    k: int = 10,
+    id_col: str = "doc_id",
+    round_dp: int | None = None,
+) -> DataFrame:
+    """`rank_feature_topk` over a persisted index (pruned posting blocks +
+    the narrow feature projection)."""
+    scored = _indexed_scored(spark, idx, queries)
+    feat = _rank_feature_col(field, function, boost, pivot, scaling_factor, exponent)
+    return _feature_epilogue(scored, docs, feat, id_col, k, round_dp)
 
 
 def facet_counts_indexed(

@@ -784,3 +784,55 @@ def test_terms_set_indexed_identity(spark, docs, r5_idx):
         terms_set_topk_indexed(spark, r5_idx, q, d, msm_field="req", k=K, round_dp=6)
     )
     pd.testing.assert_frame_equal(a, b, check_dtype=False)
+
+
+def test_rank_feature_functions(spark, docs):
+    """The three ES rank_feature score functions: saturation is bounded by
+    boost and hits boost/2 at f=pivot; log == boost·ln(sf+f); sigmoid with
+    exponent 1 == saturation.  Checked per doc vs the plain scorer."""
+    import math
+
+    from igd_spark import rank_feature_topk
+
+    q = _queries(spark, [(0, "error timeout")])
+    boost, pivot = 3.0, 40.0
+    d = docs.withColumn("feat", (F.col("turn_idx") * 10).cast("double"))
+    plain = {r["doc_id"]: r["score"] for r in bm25_scores(docs, q).collect()}
+    feats = {r["doc_id"]: r["feat"] for r in d.select("doc_id", "feat").collect()}
+
+    def got(fn, **kw):
+        return {
+            r["doc_id"]: r["score"]
+            for r in rank_feature_topk(
+                d, q, field="feat", function=fn, boost=boost, k=10_000, **kw
+            ).collect()
+        }
+
+    sat = got("saturation", pivot=pivot)
+    for doc, s in sat.items():
+        f = feats[doc]
+        assert abs(s - (plain[doc] + boost * f / (f + pivot))) < 1e-9
+        assert s - plain[doc] < boost  # bounded
+    lg = got("log", scaling_factor=1.0)
+    for doc, s in lg.items():
+        assert abs(s - (plain[doc] + boost * math.log(1.0 + feats[doc]))) < 1e-9
+    sig = got("sigmoid", pivot=pivot, exponent=1.0)
+    for doc, s in sig.items():
+        assert abs(s - sat[doc]) < 1e-9  # exponent 1 degenerates to saturation
+    with pytest.raises(ValueError):
+        rank_feature_topk(d, q, field="feat", function="saturation")  # no pivot
+    with pytest.raises(ValueError):
+        rank_feature_topk(d, q, field="feat", function="nope", pivot=1.0)
+
+
+def test_rank_feature_indexed_identity(spark, docs, r5_idx):
+    from igd_spark import rank_feature_topk, rank_feature_topk_indexed
+
+    q = _queries(spark, [(0, "error timeout"), (1, "t00001 t00002")])
+    d = docs.withColumn("feat", (F.col("turn_idx") * 7 % 50).cast("double"))
+    a = _sorted(rank_feature_topk(d, q, "feat", "sigmoid", pivot=20.0,
+                                  exponent=2.0, boost=1.5, k=K, round_dp=6))
+    b = _sorted(rank_feature_topk_indexed(spark, r5_idx, q, d, "feat", "sigmoid",
+                                          pivot=20.0, exponent=2.0, boost=1.5,
+                                          k=K, round_dp=6))
+    pd.testing.assert_frame_equal(a, b, check_dtype=False)
