@@ -300,9 +300,20 @@ def main() -> None:
     t0 = time.perf_counter()
     lsg.bool_n(bool_rows, k=10, round_dp=6)
     extra["bool_warm_batch_ms"] = 1000.0 * (time.perf_counter() - t0)
+    # search-as-you-type: per-keystroke phrase-prefix latency, warm route
+    pp_rows = [(int(q), t) for q, t in em.PHRASE_PREFIX_SET]
+    lsg.phrase_prefix_n(pp_rows, em.MAX_PHRASE_EXPANSIONS)  # warm caches
+    pplat = []
+    for row in pp_rows:
+        t0 = time.perf_counter()
+        lsg.phrase_prefix_n([row], em.MAX_PHRASE_EXPANSIONS)
+        pplat.append(time.perf_counter() - t0)
+    pplat.sort()
+    extra["phrase_prefix_warm_p50_ms"] = 1000.0 * pplat[len(pplat) // 2]
     log(f"phrase_indexed spark A/B {extra['phrase_indexed_spark_sec']:.2f}s; "
         f"phrase warm p50 {extra['phrase_warm_p50_ms']:.2f} ms; "
-        f"bool warm batch {extra['bool_warm_batch_ms']:.2f} ms")
+        f"bool warm batch {extra['bool_warm_batch_ms']:.2f} ms; "
+        f"phrase-prefix warm p50 {extra['phrase_prefix_warm_p50_ms']:.2f} ms")
 
     # --- compiled percolator: steady-state per-batch cost --------------------
     # 4 successive micro-batches against a compiled standing set — the
@@ -354,6 +365,9 @@ def _emit(timings: dict, extra: dict, sf: float, n_turns: int, t_all: float) -> 
         "search_one_warm_p50_ms": round(extra.get("search_one_warm_p50_ms", 0.0), 2),
         "phrase_indexed_spark_sec": round(extra.get("phrase_indexed_spark_sec", 0.0), 3),
         "phrase_warm_p50_ms": round(extra.get("phrase_warm_p50_ms", 0.0), 2),
+        "phrase_prefix_warm_p50_ms": round(
+            extra.get("phrase_prefix_warm_p50_ms", 0.0), 2
+        ),
         "bool_warm_batch_ms": round(extra.get("bool_warm_batch_ms", 0.0), 2),
         "percolate_batch_secs": extra.get("percolate_batch_secs", []),
         "search_100q_engine": extra.get("search_100q_engine", "?"),

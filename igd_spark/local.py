@@ -842,9 +842,17 @@ class LocalSearcher:
                 for t in _tokenize_ordered(text, self.conf.token_split_re)
             }
         )
+        return self.pos_terms_cost(terms, max_occ)
+
+    def pos_terms_cost(
+        self, terms: list[str], max_occ: int
+    ) -> tuple[bool, int]:
+        """pos_batch_cost over an EXPLICIT term set — the admission bound
+        for routes whose term set is not the tokenized text (phrase-prefix
+        expansions)."""
         if not terms:
             return True, 0
-        tmap = self._lookup_terms_literal(terms)
+        tmap = self._lookup_terms_literal(sorted(set(terms)))
         uncached = {
             t: v for t, v in tmap.items() if v[0] not in self._pos_cache
         }
@@ -873,11 +881,60 @@ class LocalSearcher:
                 for t in _tokenize_ordered(text, self.conf.token_split_re)
             }
         )
+        return self._pos_lists_for_terms(terms)
+
+    def _pos_lists_for_terms(
+        self, terms: list[str]
+    ) -> dict[str, tuple[np.ndarray, np.ndarray]]:
+        """_pos_lists_for over an explicit term set (expansion routes)."""
         if not terms:
             return {}
-        tmap = self._lookup_terms_literal(terms)
+        tmap = self._lookup_terms_literal(sorted(set(terms)))
         self._ensure_pos_lists(tmap)
         return {t: self._pos_cache[tid] for t, (tid, _, _) in tmap.items()}
+
+    @staticmethod
+    def _count_anchor_hits(parts, plen):
+        """Anchor counting shared by phrase_n / phrase_prefix_n: ``parts``
+        is a list of (doc_ids, anchors) arrays (one per offset; the prefix
+        group contributes ONE concatenated pair — a position holds one
+        token, so the group can fill its offset at most once per anchor).
+        Returns (doc_ids, n_hits) of docs where some anchor collected all
+        ``plen`` offsets, or None."""
+        docs = np.concatenate([x[0] for x in parts])
+        anch = np.concatenate([x[1] for x in parts])
+        m = anch >= 0
+        docs, anch = docs[m], anch[m]
+        if not docs.size:
+            return None
+        ud, dinv = np.unique(docs, return_inverse=True)
+        amax = int(anch.max()) + 1
+        key = dinv.astype(np.int64) * amax + anch
+        uk, counts = np.unique(key, return_counts=True)
+        hits = uk[counts == plen]
+        if not hits.size:
+            return None
+        nh = np.bincount((hits // amax).astype(np.int64), minlength=ud.size)
+        nz = np.flatnonzero(nh)
+        return ud[nz], nh[nz].astype(np.int64)
+
+    @staticmethod
+    def _hits_frame(out_q, out_d, out_n) -> pd.DataFrame:
+        if not out_q:
+            return pd.DataFrame(
+                {
+                    "query_id": pd.Series(dtype="int64"),
+                    "doc_id": pd.Series(dtype="int64"),
+                    "n_hits": pd.Series(dtype="int64"),
+                }
+            )
+        return pd.DataFrame(
+            {
+                "query_id": np.concatenate(out_q),
+                "doc_id": np.concatenate(out_d),
+                "n_hits": np.concatenate(out_n),
+            }
+        )
 
     def phrase_n(self, phrases: list[tuple[int, str]]) -> pd.DataFrame:
         """(query_id, doc_id, n_hits) — exact phrase counts, zero Spark
@@ -900,39 +957,81 @@ class LocalSearcher:
                 parts.append((d, p - off))
             if not ok:
                 continue
-            docs = np.concatenate([x[0] for x in parts])
-            anch = np.concatenate([x[1] for x in parts])
-            m = anch >= 0
-            docs, anch = docs[m], anch[m]
-            if not docs.size:
+            hit = self._count_anchor_hits(parts, plen)
+            if hit is None:
                 continue
-            ud, dinv = np.unique(docs, return_inverse=True)
-            amax = int(anch.max()) + 1
-            key = dinv.astype(np.int64) * amax + anch
-            uk, counts = np.unique(key, return_counts=True)
-            hits = uk[counts == plen]
-            if not hits.size:
+            ud, nh = hit
+            out_q.append(np.full(ud.size, qid, dtype=np.int64))
+            out_d.append(ud)
+            out_n.append(nh)
+        return self._hits_frame(out_q, out_d, out_n)
+
+    def phrase_prefix_terms(
+        self, phrases: list[tuple[int, str]], max_expansions: int
+    ) -> tuple[dict[int, tuple[list[str], list[str]]], set[str]]:
+        """Decompose each phrase for match_phrase_prefix: qid →
+        (literal tokens, capped expansion terms of the LAST token), plus
+        the union term set (the admission/IO footprint).  Expansions come
+        from the dictionary probe (expand_patterns returns term-sorted
+        matches, so the [:max_expansions] slice IS the Lucene term-order
+        cap)."""
+        per_q: dict[int, tuple[list[str], list[str]]] = {}
+        prefixes = set()
+        for qid, text in phrases:
+            toks = _tokenize_ordered(text, self.conf.token_split_re)
+            if toks:
+                prefixes.add(toks[-1])
+        exp = self.expand_patterns(sorted(prefixes), like=False)
+        all_terms: set[str] = set()
+        for qid, text in phrases:
+            toks = _tokenize_ordered(text, self.conf.token_split_re)
+            if not toks:
                 continue
-            nh = np.bincount((hits // amax).astype(np.int64), minlength=ud.size)
-            nz = np.flatnonzero(nh)
-            out_q.append(np.full(nz.size, qid, dtype=np.int64))
-            out_d.append(ud[nz])
-            out_n.append(nh[nz].astype(np.int64))
-        if not out_q:
-            return pd.DataFrame(
-                {
-                    "query_id": pd.Series(dtype="int64"),
-                    "doc_id": pd.Series(dtype="int64"),
-                    "n_hits": pd.Series(dtype="int64"),
-                }
-            )
-        return pd.DataFrame(
-            {
-                "query_id": np.concatenate(out_q),
-                "doc_id": np.concatenate(out_d),
-                "n_hits": np.concatenate(out_n),
-            }
-        )
+            lits, group = toks[:-1], exp[toks[-1]][:max_expansions]
+            per_q[int(qid)] = (lits, group)
+            if group:  # no expansion ⇒ the query can never match: skip IO
+                all_terms.update(lits)
+                all_terms.update(group)
+        return per_q, all_terms
+
+    def phrase_prefix_n(
+        self, phrases: list[tuple[int, str]], max_expansions: int
+    ) -> pd.DataFrame:
+        """(query_id, doc_id, n_hits) — match_phrase_prefix in-process:
+        literal offsets as phrase_n; the last offset is the OR of the
+        prefix's capped dictionary expansions (their occurrence lists
+        concatenated — disjoint per position by construction)."""
+        per_q, all_terms = self.phrase_prefix_terms(phrases, max_expansions)
+        lists = self._pos_lists_for_terms(sorted(all_terms))
+        out_q, out_d, out_n = [], [], []
+        for qid, (lits, group) in per_q.items():
+            plen = len(lits) + 1
+            parts = []
+            ok = True
+            for off, t in enumerate(lits):
+                d, p = lists.get(t, (None, None))
+                if d is None or not d.size:
+                    ok = False
+                    break
+                parts.append((d, p - off))
+            if not ok:
+                continue
+            gparts = [
+                lists[t] for t in group if t in lists and lists[t][0].size
+            ]
+            if not gparts:
+                continue  # empty expansion group: no anchor can complete
+            gd = np.concatenate([x[0] for x in gparts])
+            gp = np.concatenate([x[1] for x in gparts])
+            parts.append((gd, gp - (plen - 1)))
+            hit = self._count_anchor_hits(parts, plen)
+            if hit is None:
+                continue
+            ud, nh = hit
+            out_q.append(np.full(ud.size, qid, dtype=np.int64))
+            out_d.append(ud)
+            out_n.append(nh)
+        return self._hits_frame(out_q, out_d, out_n)
 
     def near_n(
         self, queries: list[tuple[int, str]], window: int

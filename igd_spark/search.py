@@ -1485,11 +1485,100 @@ def match_phrase_prefix(
     return _anchor_hits(j, plen)
 
 
+def _try_phrase_prefix_route(
+    spark: SparkSession,
+    idx: InvertedIndex,
+    phrases,
+    max_expansions: int,
+    engine: str,
+    telemetry: dict | None = None,
+) -> DataFrame | None:
+    """Driver-route admission for match_phrase_prefix — the search-as-you-
+    type query is THE interactive positional shape (one keystroke per
+    call), so it gets the same in-process path as phrase/NEAR/expansion.
+    Admission composes the two existing gates, all IO-free-first: the
+    dictionary probe is budgeted by parquet-footer vocab rows (the
+    _try_expand_route tier-1 bound), then the LITERAL + CAPPED-EXPANSION
+    term set's positional footprint by footer row counts
+    (pos_terms_cost).  Returns None to fall through ("auto");
+    engine="driver" raises on any budget miss."""
+    if engine == "spark":
+        return None
+    if engine not in ("auto", "driver"):
+        raise ValueError("engine must be 'auto', 'driver' or 'spark'")
+    from igd_spark.local import local_searcher
+
+    conf = idx.conf
+    max_q, max_post = _driver_budgets(conf)
+
+    def bail(reason: str) -> None:
+        if engine == "driver":
+            raise ValueError(
+                f"engine='driver' requested but {reason}; use engine='auto' "
+                "or 'spark', or raise IndexConf.driver_search_* budgets"
+            )
+
+    if not conf.store_positions:
+        bail("the index stores no positions")
+        return None
+    if max_q <= 0 or max_post <= 0:
+        bail("the driver route is disabled (budget <= 0)")
+        return None
+    if isinstance(phrases, (pd.DataFrame, list, tuple)):
+        rows = _as_local_rows(phrases)
+    else:
+        if not _stats_small_plan(phrases, conf):
+            bail("the query batch is not provably driver-local")
+            return None
+        rows = [
+            (int(r["query_id"]), r["query_text"])
+            for r in phrases.select("query_id", "query_text").collect()
+        ]
+    t0 = time.perf_counter()
+    if len({qid for qid, _ in rows}) > max_q:
+        bail(f"batch has >{max_q} queries (driver_search_max_queries)")
+        return None
+    ls = local_searcher(idx)
+    from igd_spark.local import _tokenize_ordered
+
+    prefixes = {
+        toks[-1]
+        for _, text in rows
+        if (toks := _tokenize_ordered(text, conf.token_split_re))
+    }
+    uncached = [
+        p for p in prefixes
+        if (False, p) not in getattr(ls, "_expand_cache", {})
+    ]
+    if uncached and ls.vocab_rows() > max_post:
+        bail(
+            f"dictionary has {ls.vocab_rows()} rows > "
+            f"driver_search_max_postings={max_post} (expansion probe budget)"
+        )
+        return None
+    per_q, all_terms = ls.phrase_prefix_terms(rows, max_expansions)
+    ok, bound = ls.pos_terms_cost(sorted(all_terms), max_post)
+    if not ok:
+        bail(
+            f"positional footer bound {bound} occurrences > "
+            f"driver_search_max_postings={max_post}"
+        )
+        return None
+    pdf = ls.phrase_prefix_n(rows, max_expansions)
+    if telemetry is not None:
+        telemetry["route_ms"] = 1000 * (time.perf_counter() - t0)
+        telemetry["pos_cost_bound"] = bound
+        telemetry["expanded_terms"] = sum(len(g) for _, g in per_q.values())
+    return spark.createDataFrame(pdf, "query_id long, doc_id long, n_hits long")
+
+
 def match_phrase_prefix_indexed(
     spark: SparkSession,
     idx: InvertedIndex,
     phrases: DataFrame,
     max_expansions: int = 50,
+    engine: str = "auto",
+    telemetry: dict | None = None,
 ) -> DataFrame:
     """match_phrase_prefix over a PERSISTED positional index
     (store_positions=True): the prefix expands against the index's own
@@ -1505,9 +1594,19 @@ def match_phrase_prefix_indexed(
     max_expansions rows — bounded by the cap, unlike the uncapped
     prefix_bm25_topk expansion which needs its own guard): the pruned-scan
     prologue and the block join would otherwise re-run the vocab scan per
-    action."""
+    action.
+
+    engine="auto" (default) first tries the in-process driver route
+    (LocalSearcher.phrase_prefix_n — zero Spark jobs, the per-keystroke
+    path) under _try_phrase_prefix_route's vocab + occurrence budgets;
+    "driver" demands it; "spark" forces the distributed plan."""
     conf = idx.conf
     out_empty = "query_id long, doc_id long, n_hits long"
+    routed = _try_phrase_prefix_route(
+        spark, idx, phrases, max_expansions, engine, telemetry=telemetry
+    )
+    if routed is not None:
+        return routed
     if isinstance(phrases, (pd.DataFrame, list, tuple)):
         phrases = _materialize_local_queries(spark, phrases)
     literals, prefixes, plen = _phrase_prefix_parts(phrases, conf.token_split_re)

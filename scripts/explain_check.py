@@ -182,6 +182,7 @@ def main() -> int:
         spark, pidx,
         spark.createDataFrame([(0, "error t0000")], "query_id long, query_text string"),
         max_expansions=4,
+        engine="spark",  # the audit wants the DISTRIBUTED plan
     ))
     assert_pruned_scan("match_phrase_prefix positional scan", mpplan)
     mp_schemas = re.findall(r"ReadSchema: struct<([^>]*)>", mpplan)

@@ -176,10 +176,15 @@ def test_match_phrase_prefix_parity_and_semantics(spark, pos_index):
     ]
     ph = spark.createDataFrame(rows, "query_id long, query_text string")
     for me in (4, 50):
-        got = _key(match_phrase_prefix_indexed(spark, idx, ph, max_expansions=me))
         want = _key(match_phrase_prefix(docs, ph, max_expansions=me, conf=CONF))
-        assert got == want, f"max_expansions={me}"
-        assert not [r for r in got if r[0] == 2]  # no-expansion query: 0 rows
+        for eng in ("spark", "driver"):  # distributed plan AND in-process route
+            got = _key(
+                match_phrase_prefix_indexed(
+                    spark, idx, ph, max_expansions=me, engine=eng
+                )
+            )
+            assert got == want, f"max_expansions={me}, engine={eng}"
+            assert not [r for r in got if r[0] == 2]  # no-expansion query: 0 rows
     # prefix == a full vocab term whose expansion set is exactly itself
     # ("timeout" is the only term starting with "timeout"): must equal
     # the plain phrase
