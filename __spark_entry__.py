@@ -196,6 +196,15 @@ PHRASES: list[tuple[int, str]] = [
     (3, "slow key"),
     (4, "zzznotavocab table"),
 ]
+# intervals query, ordered mode: tokens in order, total gaps <= max_gaps
+INTERVALS_MAX_GAPS = 2
+INTERVALS_SET: list[tuple[int, str]] = [
+    (0, "table value"),          # ordered pair
+    (1, "value table"),          # reversed order: different matches
+    (2, "merge group value"),    # ordered triple
+    (3, "customer zzznotavocab"),  # absent term -> nothing
+    (4, "query"),                # single token: every occurrence anchors
+]
 # match_phrase_prefix (search-as-you-type): last token is a PREFIX
 PHRASE_PREFIX_SET: list[tuple[int, str]] = [
     (0, "table ha"),        # -> hash
@@ -322,6 +331,28 @@ def q_bm25_topk_resharded(spark: SparkSession, sf_dir: str) -> DataFrame:
         _RESHARD_CACHE[sf_dir] = reshard_index(spark, base.path, dest, n_shards=5)
     out = _search_mod(spark, _RESHARD_CACHE[sf_dir], _queries_df(spark), k=K + 15)
     return _rank_rounded(out.select("query_id", "doc_id", "score"), K)
+
+
+def _intervals_df(spark: SparkSession) -> DataFrame:
+    return spark.createDataFrame(INTERVALS_SET, "query_id long, query_text string")
+
+
+def q_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # ES intervals (ordered, max_gaps): ordered chain within the gap budget
+    from igd_spark import intervals_match
+
+    return intervals_match(
+        _docs(spark, sf_dir), _intervals_df(spark), max_gaps=INTERVALS_MAX_GAPS
+    )
+
+
+def q_intervals_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from igd_spark import intervals_match_indexed
+
+    idx = _built_index(spark, sf_dir)
+    return intervals_match_indexed(
+        spark, idx, _intervals_df(spark), max_gaps=INTERVALS_MAX_GAPS
+    )
 
 
 def _phrase_prefix_df(spark: SparkSession) -> DataFrame:
@@ -1997,6 +2028,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "terms_set_indexed": q_terms_set_indexed,
         "rank_feature": q_rank_feature,
         "rank_feature_indexed": q_rank_feature_indexed,
+        "intervals": q_intervals,
+        "intervals_indexed": q_intervals_indexed,
         "explain_scores_indexed": q_explain_scores_indexed,
         "stats_agg_indexed": q_stats_agg_indexed,
         "histogram_agg_indexed": q_histogram_agg_indexed,
@@ -2737,6 +2770,41 @@ SELECT query_id, doc_id, count(*)::BIGINT AS n_hits FROM hits GROUP BY 1, 2
 """
     # the indexed twin must be value-identical to the corpus scan
     sql["match_phrase_prefix_indexed"] = sql["match_phrase_prefix"]
+
+    _IVVALUES = ", ".join(f"({q}::BIGINT, '{t}')" for q, t in INTERVALS_SET)
+    sql["intervals"] = f"""
+WITH RECURSIVE {_TL},
+pp AS (SELECT doc_id, i - 1 AS pos, tl[i] AS term
+       FROM (SELECT doc_id, tl, unnest(generate_series(1, len(tl))) AS i FROM tldocs)),
+iv(query_id, query_text) AS (VALUES {_IVVALUES}),
+qtl AS (SELECT query_id, list_filter(regexp_split_to_array(lower(query_text),
+        '[^a-z0-9]+'), x -> x <> '') AS tl FROM iv),
+pt AS (SELECT query_id, i - 1 AS "offset", tl[i] AS term
+       FROM (SELECT query_id, tl, unnest(generate_series(1, len(tl))) AS i FROM qtl)),
+plen AS (SELECT query_id, len(tl)::INT AS plen FROM qtl),
+occ AS (SELECT pt.query_id, pp.doc_id, pt."offset", pp.pos
+        FROM pp JOIN pt USING (term)),
+chains(query_id, doc_id, a, cur, i) AS (
+  SELECT query_id, doc_id, pos, pos, 0 FROM occ WHERE "offset" = 0
+  UNION ALL
+  SELECT c.query_id, c.doc_id, c.a, o.pos, c.i + 1
+  FROM chains c
+  JOIN plen pl ON pl.query_id = c.query_id
+  JOIN occ o ON o.query_id = c.query_id AND o.doc_id = c.doc_id
+   AND o."offset" = c.i + 1 AND o.pos > c.cur
+   AND o.pos <= c.a + pl.plen - 1 + {INTERVALS_MAX_GAPS}
+  WHERE c.i + 1 < pl.plen),
+done AS (
+  SELECT c.query_id, c.doc_id, c.a, min(c.cur) AS mend
+  FROM chains c JOIN plen pl ON pl.query_id = c.query_id
+  WHERE c.i = pl.plen - 1
+  GROUP BY 1, 2, 3)
+SELECT d.query_id, d.doc_id, count(*)::BIGINT AS n_anchors,
+       min(d.mend - d.a + 1 - pl.plen)::INT AS min_gaps
+FROM done d JOIN plen pl USING (query_id)
+GROUP BY 1, 2
+"""
+    sql["intervals_indexed"] = sql["intervals"]
 
     gap_us = SESSION_GAP_MIN * 60 * 1_000_000
     sql["events_sessionize"] = f"""

@@ -1632,6 +1632,166 @@ def match_phrase_prefix_indexed(
     return _anchor_hits(j, plen)
 
 
+_OCC_SCHEMA = T.StructType(
+    [
+        T.StructField("query_id", T.LongType(), False),
+        T.StructField("offset", T.IntegerType(), False),
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("pos", T.IntegerType(), False),
+    ]
+)
+
+
+def _explode_offset_pos(it):
+    """Positional decode kernel for the OFFSET-tagged readers (intervals):
+    pruned blocks carrying (query_id, offset) → raw (query_id, offset,
+    doc_id, pos) occurrence rows."""
+    for pdf in it:
+        outs = []
+        for row in pdf.itertuples():
+            d = codec.decode_doc_ids(bytes(row.doc_ids))
+            p = codec.varint_decode(bytes(row.poss)).astype(np.int64)
+            outs.append(
+                pd.DataFrame(
+                    {
+                        "query_id": np.full(d.size, row.query_id, dtype=np.int64),
+                        "offset": np.full(d.size, row.offset, dtype=np.int32),
+                        "doc_id": d,
+                        "pos": p.astype(np.int32),
+                    }
+                )
+            )
+        if outs:
+            yield pd.concat(outs)
+
+
+_INTERVALS_SCHEMA = T.StructType(
+    [
+        T.StructField("query_id", T.LongType(), False),
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("n_anchors", T.LongType(), False),
+        T.StructField("min_gaps", T.IntegerType(), False),
+    ]
+)
+
+
+def _intervals_epilogue(occ: DataFrame, plen: DataFrame, max_gaps: int) -> DataFrame:
+    """Shared tail of both intervals paths.  ``occ``: (query_id, doc_id,
+    offset, pos) occurrence rows of the query sequence's offsets; ``plen``:
+    (query_id, phrase_len).
+
+    ONE aggregation shuffles each candidate doc's occurrence list together
+    (docs missing any offset are dropped right there — the candidate
+    filter), then an Arrow kernel runs the greedy ordered chain per
+    candidate: from every offset-0 occurrence a, repeatedly take the
+    SMALLEST offset-i position > previous (earliest-completion greedy is
+    optimal, so if it busts the width bound no chain from a fits).  An
+    anchor matches iff its chain ends within a + (n-1) + max_gaps (the ES
+    total-gaps contract: gaps = span_width − n).  Per-candidate work is
+    linear-ish in its query-term occurrences (n·log per anchor) — bounded
+    by doc length, the phrase-kernel bound."""
+    agg = (
+        occ.groupBy("query_id", "doc_id")
+        .agg(
+            F.countDistinct("offset").alias("n_off"),
+            F.collect_list(F.struct("offset", "pos")).alias("occs"),
+        )
+        .join(F.broadcast(plen), "query_id")
+        .filter(F.col("n_off") == F.col("phrase_len"))
+        .select("query_id", "doc_id", "phrase_len", "occs")
+    )
+    big = np.iinfo(np.int64).max
+
+    def kernel(it):
+        for pdf in it:
+            q_out, d_out, na_out, mg_out = [], [], [], []
+            for row in pdf.itertuples():
+                n = int(row.phrase_len)
+                per_off: dict[int, list[int]] = {}
+                for o in row.occs:
+                    per_off.setdefault(int(o["offset"]), []).append(int(o["pos"]))
+                P = [np.array(sorted(per_off[i]), dtype=np.int64) for i in range(n)]
+                a = P[0]
+                cur = a.copy()
+                alive = np.ones(a.size, dtype=bool)
+                for i in range(1, n):
+                    j = np.searchsorted(P[i], cur, side="right")
+                    ok = j < P[i].size
+                    cur = np.where(ok, P[i][np.minimum(j, P[i].size - 1)], big)
+                    alive &= ok
+                alive &= cur <= a + (n - 1) + max_gaps
+                if not alive.any():
+                    continue
+                q_out.append(int(row.query_id))
+                d_out.append(int(row.doc_id))
+                na_out.append(int(alive.sum()))
+                mg_out.append(int((cur[alive] - a[alive]).min()) - (n - 1))
+            if q_out:
+                yield pd.DataFrame(
+                    {
+                        "query_id": np.array(q_out, dtype=np.int64),
+                        "doc_id": np.array(d_out, dtype=np.int64),
+                        "n_anchors": np.array(na_out, dtype=np.int64),
+                        "min_gaps": np.array(mg_out, dtype=np.int32),
+                    }
+                )
+
+    return agg.mapInPandas(kernel, schema=_INTERVALS_SCHEMA)
+
+
+def intervals_match(
+    docs: DataFrame,
+    queries: DataFrame,
+    max_gaps: int = 0,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    conf: IndexConf = DEFAULT_CONF,
+) -> DataFrame:
+    """(query_id, doc_id, n_anchors, min_gaps) — the ES ``intervals`` query,
+    ordered mode: the query's tokens must appear IN ORDER with total gaps
+    ≤ ``max_gaps`` (gaps = matched-span width − token count; max_gaps=0 is
+    exactly the phrase contract, pytest-pinned).  ``n_anchors`` counts the
+    first-token occurrences from which an ordered chain completes within
+    the bound; ``min_gaps`` is the tightest chain's gap count (0 = a
+    perfect phrase occurrence exists).
+
+    This is the index-free path (one corpus tokenize per call); repeated
+    interval workloads use intervals_match_indexed over the persisted
+    positional blocks."""
+    pp = positional_postings(docs, text_col=text_col, id_col=id_col, conf=conf)
+    pterms = _phrase_terms(queries, conf.token_split_re)
+    plen = pterms.groupBy("query_id").agg(F.count("*").alias("phrase_len"))
+    occ = pp.join(F.broadcast(pterms), "term").select(
+        "query_id", "doc_id", "offset", "pos"
+    )
+    return _intervals_epilogue(occ, plen, max_gaps)
+
+
+def intervals_match_indexed(
+    spark: SparkSession,
+    idx: InvertedIndex,
+    queries: DataFrame,
+    max_gaps: int = 0,
+) -> DataFrame:
+    """`intervals_match` over the persisted positional index: same
+    dictionary-resolution + shard/In(term_id)-pruned block scan as
+    phrase_match_indexed, then the shared greedy-chain epilogue — per call
+    it reads only the sequence's position blocks, never the corpus."""
+    conf = idx.conf
+    if isinstance(queries, (pd.DataFrame, list, tuple)):
+        queries = _materialize_local_queries(spark, queries)
+    pterms = _phrase_terms(queries, conf.token_split_re)
+    plen = pterms.groupBy("query_id").agg(F.count("*").alias("phrase_len"))
+    qdict = _literal_pos_qdict(idx, pterms).select(
+        "query_id", "term_id", "offset", "n_salts"
+    )
+    blocks = _pruned_position_blocks(idx, qdict)
+    if blocks is None:
+        return spark.createDataFrame([], _INTERVALS_SCHEMA)
+    occ = idx.live_docs(blocks.mapInPandas(_explode_offset_pos, schema=_OCC_SCHEMA))
+    return _intervals_epilogue(occ, plen, max_gaps)
+
+
 def positional_enumerate(
     spark: SparkSession,
     idx: InvertedIndex,

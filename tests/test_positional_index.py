@@ -213,3 +213,64 @@ def test_match_phrase_prefix_cap_is_term_order(spark, pos_index):
         for _, d, n in _key(phrase_match(docs, one, conf=CONF)):
             want[d] += n
     assert got == {(0, d, n) for d, n in want.items()}
+
+
+def test_intervals_semantics_and_parity(spark, pos_index):
+    """ES intervals (ordered, max_gaps): max_gaps=0 degenerates to the
+    phrase contract (anchors == exact occurrences, min_gaps 0); matches
+    grow monotonically with the gap budget; indexed twin == corpus scan."""
+    from igd_spark import intervals_match, intervals_match_indexed
+
+    docs, _, idx = pos_index
+    ph = spark.createDataFrame(
+        [(0, "error timeout"), (1, "the import"), (2, "t00000")],
+        "query_id long, query_text string",
+    )
+    tight = intervals_match(docs, ph, max_gaps=0, conf=CONF)
+    want_phrase = _key(phrase_match(docs, ph, conf=CONF))
+    got_phrase = sorted(
+        (r["query_id"], r["doc_id"], r["n_anchors"]) for r in tight.collect()
+    )
+    assert got_phrase == want_phrase
+    assert all(r["min_gaps"] == 0 for r in tight.collect())
+
+    loose = intervals_match(docs, ph, max_gaps=3, conf=CONF)
+    t_set = {(r["query_id"], r["doc_id"]) for r in tight.collect()}
+    l_set = {(r["query_id"], r["doc_id"]) for r in loose.collect()}
+    assert t_set <= l_set  # the gap budget only ever ADDS matches
+    # strict growth is pinned on a constructed doc (order test below);
+    # anchors can only grow per retained doc
+    t_anch = {(r["query_id"], r["doc_id"]): r["n_anchors"] for r in tight.collect()}
+    l_anch = {(r["query_id"], r["doc_id"]): r["n_anchors"] for r in loose.collect()}
+    assert all(l_anch[k] >= v for k, v in t_anch.items())
+
+    def key4(df):
+        return sorted(
+            (r["query_id"], r["doc_id"], r["n_anchors"], r["min_gaps"])
+            for r in df.collect()
+        )
+
+    for mg in (0, 2):
+        a = key4(intervals_match(docs, ph, max_gaps=mg, conf=CONF))
+        b = key4(intervals_match_indexed(spark, idx, ph, max_gaps=mg))
+        assert a == b, f"max_gaps={mg}"
+
+
+def test_intervals_order_matters(spark, pos_index):
+    """'x y' and 'y x' are different ordered intervals: build a probe doc
+    pair where only one direction fits the budget."""
+    from igd_spark import intervals_match
+
+    rows = [
+        (100, "alpha beta gap gap gap beta"),  # alpha..beta ordered, gaps 0 AND 4
+        (101, "beta gap alpha"),               # beta..alpha ordered, 1 gap
+    ]
+    d = spark.createDataFrame(rows, "doc_id long, text string")
+    fwd = spark.createDataFrame([(0, "alpha beta")], "query_id long, query_text string")
+    rev = spark.createDataFrame([(0, "beta alpha")], "query_id long, query_text string")
+    f = {(r["doc_id"]): (r["n_anchors"], r["min_gaps"])
+         for r in intervals_match(d, fwd, max_gaps=1).collect()}
+    r_ = {(r["doc_id"]): (r["n_anchors"], r["min_gaps"])
+          for r in intervals_match(d, rev, max_gaps=1).collect()}
+    assert f == {100: (1, 0)}     # only the adjacent pair fits gaps<=1
+    assert r_ == {101: (1, 1)}    # reversed matches only the other doc
