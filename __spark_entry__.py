@@ -196,6 +196,16 @@ PHRASES: list[tuple[int, str]] = [
     (3, "slow key"),
     (4, "zzznotavocab table"),
 ]
+# composite agg: multi-source buckets with keyset pagination
+COMPOSITE_SOURCES = ["lang", "source"]
+COMPOSITE_SIZE = 7
+COMPOSITE_AFTER = ("en", "src12")
+# filters agg: named predicate buckets (SQL exprs valid in both engines)
+FILTERS_AGG = {
+    "f_en": "lang = 'en'",
+    "f_long": "n_chars >= 300",
+    "f_short": "n_chars < 120",
+}
 # intervals query, ordered mode: tokens in order, total gaps <= max_gaps
 INTERVALS_MAX_GAPS = 2
 INTERVALS_SET: list[tuple[int, str]] = [
@@ -331,6 +341,52 @@ def q_bm25_topk_resharded(spark: SparkSession, sf_dir: str) -> DataFrame:
         _RESHARD_CACHE[sf_dir] = reshard_index(spark, base.path, dest, n_shards=5)
     out = _search_mod(spark, _RESHARD_CACHE[sf_dir], _queries_df(spark), k=K + 15)
     return _rank_rounded(out.select("query_id", "doc_id", "score"), K)
+
+
+def q_composite_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # ES composite agg: (lang, source) bucket tuples in key order, page 1
+    from igd_spark import composite_agg
+
+    return composite_agg(
+        _docs(spark, sf_dir), _queries_df(spark),
+        sources=COMPOSITE_SOURCES, size=COMPOSITE_SIZE,
+    )
+
+
+def q_composite_agg_after(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # page 2: buckets strictly after the keyset cursor
+    from igd_spark import composite_agg
+
+    return composite_agg(
+        _docs(spark, sf_dir), _queries_df(spark),
+        sources=COMPOSITE_SOURCES, size=COMPOSITE_SIZE, after=COMPOSITE_AFTER,
+    )
+
+
+def q_composite_agg_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from igd_spark import composite_agg_indexed
+
+    idx = _built_index(spark, sf_dir)
+    return composite_agg_indexed(
+        spark, idx, _docs(spark, sf_dir), _queries_df(spark),
+        sources=COMPOSITE_SOURCES, size=COMPOSITE_SIZE,
+    )
+
+
+def q_filters_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # ES filters agg: named predicate buckets, zero counts included
+    from igd_spark import filters_agg
+
+    return filters_agg(_docs(spark, sf_dir), _queries_df(spark), FILTERS_AGG)
+
+
+def q_filters_agg_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from igd_spark import filters_agg_indexed
+
+    idx = _built_index(spark, sf_dir)
+    return filters_agg_indexed(
+        spark, idx, _docs(spark, sf_dir), _queries_df(spark), FILTERS_AGG
+    )
 
 
 def _intervals_df(spark: SparkSession) -> DataFrame:
@@ -2030,6 +2086,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rank_feature_indexed": q_rank_feature_indexed,
         "intervals": q_intervals,
         "intervals_indexed": q_intervals_indexed,
+        "composite_agg": q_composite_agg,
+        "composite_agg_after": q_composite_agg_after,
+        "composite_agg_indexed": q_composite_agg_indexed,
+        "filters_agg": q_filters_agg,
+        "filters_agg_indexed": q_filters_agg_indexed,
         "explain_scores_indexed": q_explain_scores_indexed,
         "stats_agg_indexed": q_stats_agg_indexed,
         "histogram_agg_indexed": q_histogram_agg_indexed,
@@ -2805,6 +2866,49 @@ FROM done d JOIN plen pl USING (query_id)
 GROUP BY 1, 2
 """
     sql["intervals_indexed"] = sql["intervals"]
+
+    _COMPOSITE_CORE = f"""
+WITH {_TL}, {_TOKS}, {_POST}, {_QT},
+m AS (SELECT DISTINCT qt.query_id, p.doc_id FROM qterms qt JOIN post p USING (term)),
+b AS (SELECT m.query_id, d.lang, d.source, count(*)::BIGINT AS n_docs
+      FROM m JOIN documents d USING (doc_id)
+      WHERE d.lang IS NOT NULL AND d.source IS NOT NULL
+      GROUP BY 1, 2, 3),
+rk AS (SELECT *, row_number() OVER (PARTITION BY query_id
+                                    ORDER BY lang, source) AS rn
+       FROM b{{after}})
+SELECT query_id, lang, source, n_docs FROM rk WHERE rn <= {COMPOSITE_SIZE}
+"""
+    sql["composite_agg"] = _COMPOSITE_CORE.format(after="")
+    sql["composite_agg_after"] = _COMPOSITE_CORE.format(
+        after=(
+            f" WHERE lang > '{COMPOSITE_AFTER[0]}' OR (lang = "
+            f"'{COMPOSITE_AFTER[0]}' AND source > '{COMPOSITE_AFTER[1]}')"
+        )
+    )
+    sql["composite_agg_indexed"] = sql["composite_agg"]
+
+    _fnames = ", ".join(f"('{n}')" for n in sorted(FILTERS_AGG))
+    _fcase = " ".join(
+        f"WHEN '{n}' THEN a.{n}" for n in sorted(FILTERS_AGG)
+    )
+    _fsums = ", ".join(
+        f"sum(CASE WHEN d.{FILTERS_AGG[n]} THEN 1 ELSE 0 END)::BIGINT AS {n}"
+        for n in sorted(FILTERS_AGG)
+    )
+    sql["filters_agg"] = f"""
+WITH {_TL}, {_TOKS}, {_POST}, {_QT},
+m AS (SELECT DISTINCT qt.query_id, p.doc_id FROM qterms qt JOIN post p USING (term)),
+agg AS (SELECT m.query_id, {_fsums}
+        FROM m JOIN documents d USING (doc_id) GROUP BY 1),
+qids AS (SELECT DISTINCT query_id FROM q),
+names(filter_name) AS (VALUES {_fnames}),
+grid AS (SELECT query_id, filter_name FROM qids CROSS JOIN names)
+SELECT g.query_id, g.filter_name,
+       coalesce(CASE g.filter_name {_fcase} END, 0)::BIGINT AS n_docs
+FROM grid g LEFT JOIN agg a USING (query_id)
+"""
+    sql["filters_agg_indexed"] = sql["filters_agg"]
 
     gap_us = SESSION_GAP_MIN * 60 * 1_000_000
     sql["events_sessionize"] = f"""

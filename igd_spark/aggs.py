@@ -50,6 +50,10 @@ __all__ = [
     "adjacency_matrix_agg_indexed",
     "missing_agg",
     "missing_agg_indexed",
+    "composite_agg",
+    "composite_agg_indexed",
+    "filters_agg",
+    "filters_agg_indexed",
     "cardinality_agg",
     "cardinality_agg_indexed",
     "significant_terms",
@@ -765,3 +769,159 @@ def missing_agg_indexed(
     """`missing_agg` with the match set from pruned index blocks; ``docs``
     supplies only the NULL-field doc_id scan."""
     return _missing_epilogue(_indexed_match_set(spark, idx, queries), docs, field, id_col)
+
+
+def _composite_epilogue(
+    m: DataFrame,
+    docs: DataFrame,
+    sources: list[str],
+    size: int,
+    after: tuple | None,
+    id_col: str,
+) -> DataFrame:
+    """Shared tail of both composite paths: bucket the match set on the
+    source-column tuple, apply the strictly-after keyset cursor, keep the
+    first ``size`` buckets per query in key order."""
+    if not sources:
+        raise ValueError("composite_agg needs at least one source column")
+    proj = docs.select(F.col(id_col).alias("doc_id"), *[F.col(s) for s in sources])
+    j = m.select("query_id", "doc_id").join(proj, "doc_id")
+    for s in sources:  # missing_bucket=false (the ES default): NULLs skipped
+        j = j.filter(F.col(s).isNotNull())
+    g = j.groupBy("query_id", *sources).agg(
+        F.count("*").cast("long").alias("n_docs")
+    )
+    if after is not None:
+        if len(after) != len(sources):
+            raise ValueError("after cursor must have one value per source")
+        # lexicographic strictly-greater-than the cursor tuple
+        cond = F.lit(False)
+        prefix_eq = F.lit(True)
+        for s, v in zip(sources, after):
+            cond = cond | (prefix_eq & (F.col(s) > F.lit(v)))
+            prefix_eq = prefix_eq & (F.col(s) == F.lit(v))
+        g = g.filter(cond)
+    w = Window.partitionBy("query_id").orderBy(*[F.asc(s) for s in sources])
+    return (
+        g.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= int(size))
+        .drop("_rn")
+    )
+
+
+def composite_agg(
+    docs: DataFrame,
+    queries: DataFrame,
+    sources: list[str],
+    size: int = 10,
+    after: tuple | None = None,
+    conf: IndexConf = DEFAULT_CONF,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """The ES ``composite`` aggregation: multi-source bucket tuples in key
+    order with KEYSET pagination — (query_id, *sources, n_docs), the first
+    ``size`` buckets strictly AFTER the ``after`` cursor tuple.  This is
+    ES's answer to paginating a huge-cardinality terms agg (a plain terms
+    agg must hold size×shard buckets; composite streams them in key order)
+    — and the same reason search_after beats from/size for hits.  NULL
+    source values are skipped (missing_bucket=false, the ES default).
+
+    Scale: one fine-keyed hash agg (map-side combinable — shuffle rows =
+    distinct buckets, not matched docs); the after-cursor is a lexicographic
+    filter PUSHED BELOW the window, so page N aggregates only buckets past
+    the cursor; the row_number window ranks buckets (grouped rows), never
+    documents."""
+    m = _match_set(docs, queries, conf, text_col, id_col)
+    return _composite_epilogue(m, docs, sources, size, after, id_col)
+
+
+def composite_agg_indexed(
+    spark,
+    idx,
+    docs: DataFrame,
+    queries: DataFrame,
+    sources: list[str],
+    size: int = 10,
+    after: tuple | None = None,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """`composite_agg` with the match set from pruned index blocks; ``docs``
+    supplies only the (doc_id, sources…) projection."""
+    m = _indexed_match_set(spark, idx, queries)
+    return _composite_epilogue(m, docs, sources, size, after, id_col)
+
+
+def _filters_epilogue(
+    m: DataFrame,
+    docs: DataFrame,
+    filters: dict[str, str],
+    queries: DataFrame,
+    id_col: str,
+) -> DataFrame:
+    """Shared tail of both filters paths: evaluate every named predicate
+    once over the joined match set, one hash agg keyed query_id, then
+    unpivot to (query_id, filter_name, n_docs) — every requested (query,
+    name) pair emitted, zero counts included (the ES filters agg always
+    returns all named buckets)."""
+    if not filters:
+        raise ValueError("filters_agg needs at least one named filter")
+    names = sorted(filters)
+    j = m.select("query_id", "doc_id").join(
+        docs.withColumnRenamed(id_col, "doc_id"), "doc_id"
+    )
+    aggs = [
+        F.sum(F.when(F.expr(filters[n]), 1).otherwise(0)).cast("long").alias(n)
+        for n in names
+    ]
+    wide = j.groupBy("query_id").agg(*aggs)
+    stack = F.expr(
+        "stack({n}, {pairs}) as (filter_name, n_docs)".format(
+            n=len(names),
+            pairs=", ".join(f"'{n}', `{n}`" for n in names),
+        )
+    )
+    long = wide.select("query_id", stack)
+    # zero-count completeness: a query matching no docs at all still gets
+    # its named buckets
+    qids = queries.select("query_id").distinct()
+    grid = qids.crossJoin(
+        m.sparkSession.createDataFrame([(n,) for n in names], "filter_name string")
+    )
+    return grid.join(long, ["query_id", "filter_name"], "left").select(
+        "query_id", "filter_name",
+        F.coalesce("n_docs", F.lit(0)).cast("long").alias("n_docs"),
+    )
+
+
+def filters_agg(
+    docs: DataFrame,
+    queries: DataFrame,
+    filters: dict[str, str],
+    conf: IndexConf = DEFAULT_CONF,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """The ES ``filters`` aggregation: named predicate buckets over the
+    match set — (query_id, filter_name, n_docs), every named bucket always
+    present (zero counts included).  Each filter is a SQL boolean
+    expression over the document columns (NULL predicate = not counted).
+
+    Scale: all predicates evaluate in ONE pass over the joined match set
+    (a single hash agg keyed query_id, one conditional sum per name — no
+    per-filter scans); the bucket grid is queries × names, both tiny."""
+    m = _match_set(docs, queries, conf, text_col, id_col)
+    return _filters_epilogue(m, docs, filters, queries, id_col)
+
+
+def filters_agg_indexed(
+    spark,
+    idx,
+    docs: DataFrame,
+    queries: DataFrame,
+    filters: dict[str, str],
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """`filters_agg` with the match set from pruned index blocks."""
+    m = _indexed_match_set(spark, idx, queries)
+    return _filters_epilogue(m, docs, filters, queries, id_col)

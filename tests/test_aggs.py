@@ -333,3 +333,74 @@ def test_missing_agg_and_indexed_identity(spark, docs, agg_idx):
         b2.sort_values(key).reset_index(drop=True),
         check_dtype=False,
     )
+
+
+def test_composite_keyset_pagination(spark, docs):
+    """composite: page 1 and the after-cursor page are disjoint, contiguous
+    in key order, and together equal the first 2·size buckets of the full
+    key-ordered bucket list; NULL source values are skipped."""
+    from igd_spark import composite_agg
+
+    term = _mid_term(docs)
+    q = _queries(spark, [(0, term)])
+    d = docs.withColumn(
+        "grp", F.when(F.col("turn_idx") == 0, None).otherwise(
+            F.concat(F.lit("g"), (F.col("turn_idx") % 4).cast("string"))
+        )
+    ).withColumn("role2", F.col("role"))
+    size = 3
+    full = composite_agg(d, q, sources=["grp", "role2"], size=10_000)
+    allb = sorted(
+        ((r["grp"], r["role2"]), r["n_docs"]) for r in full.collect()
+    )
+    assert all(k[0] is not None for k, _ in allb)  # NULLs skipped
+    p1 = composite_agg(d, q, sources=["grp", "role2"], size=size)
+    k1 = sorted((r["grp"], r["role2"]) for r in p1.collect())
+    cursor = k1[-1]
+    p2 = composite_agg(d, q, sources=["grp", "role2"], size=size, after=cursor)
+    k2 = sorted((r["grp"], r["role2"]) for r in p2.collect())
+    assert not (set(k1) & set(k2))
+    assert k1 + k2 == [k for k, _ in allb[: 2 * size]]
+    assert all(k > cursor for k in k2)  # strictly after, lexicographic
+
+
+def test_composite_indexed_identity(spark, docs, tmp_path_factory):
+    from igd_spark import IndexConf, build_index, composite_agg, composite_agg_indexed
+
+    conf = IndexConf(block_size=32, n_shards=8)
+    path = str(tmp_path_factory.mktemp("caggidx") / "idx")
+    idx = build_index(spark, docs, path, conf=conf)
+    q = _queries(spark, [(0, _mid_term(docs)), (1, "error timeout")])
+    a = sorted(
+        map(tuple, composite_agg(docs, q, sources=["role"], size=5).collect())
+    )
+    b = sorted(
+        map(
+            tuple,
+            composite_agg_indexed(
+                spark, idx, docs, q, sources=["role"], size=5
+            ).collect(),
+        )
+    )
+    assert a == b and len(a) > 0
+
+
+def test_filters_agg_complete_grid(spark, docs):
+    """filters: every named bucket appears for every query (zero counts
+    included), counts equal brute force."""
+    from igd_spark import filters_agg
+
+    term = _mid_term(docs)
+    q = _queries(spark, [(0, term), (1, "zzznotaterm")])
+    flt = {"f_user": "role = 'user'", "f_never": "turn_idx < 0"}
+    out = {
+        (r["query_id"], r["filter_name"]): r["n_docs"]
+        for r in filters_agg(docs, q, flt).collect()
+    }
+    assert set(out) == {(0, "f_user"), (0, "f_never"), (1, "f_user"), (1, "f_never")}
+    assert out[(1, "f_user")] == 0 and out[(0, "f_never")] == 0
+    m = _match_ids(docs, term)
+    want = docs.filter(
+        F.col("doc_id").isin(list(m)) & (F.col("role") == "user")
+    ).count()
+    assert out[(0, "f_user")] == want
