@@ -192,6 +192,41 @@ def main() -> int:
         f"scanned schemas: {mp_schemas}",
     )
 
+    # 5b2. intervals_match_indexed: pruned positional scan, corpus never read
+    from igd_spark import intervals_match_indexed
+
+    ivplan = fmt(intervals_match_indexed(
+        spark, pidx,
+        spark.createDataFrame([(0, "error timeout")], "query_id long, query_text string"),
+        max_gaps=2,
+    ))
+    assert_pruned_scan("intervals positional scan", ivplan)
+    iv_schemas = re.findall(r"ReadSchema: struct<([^>]*)>", ivplan)
+    check(
+        "intervals_indexed plan never touches the corpus table",
+        bool(iv_schemas) and not any("text:" in s for s in iv_schemas),
+        f"scanned schemas: {iv_schemas}",
+    )
+
+    # 5b3. composite_agg_indexed: match set from pruned blocks; the docs
+    # side is a NARROW (doc_id, sources...) projection — text never read
+    from igd_spark import composite_agg_indexed
+
+    docs_disk = spark.read.parquet(docs_on_disk)
+    cplan = fmt(composite_agg_indexed(
+        spark, idx, docs_disk, queries, sources=["role"], size=5,
+    ))
+    c_schemas = re.findall(r"ReadSchema: struct<([^>]*)>", cplan)
+    check(
+        "composite_agg_indexed: corpus scan projects only (doc_id, sources)",
+        bool(c_schemas) and not any("text:" in s for s in c_schemas),
+        f"scanned schemas: {c_schemas}",
+    )
+    check(
+        "composite_agg_indexed: bucket ranking window, no cartesian",
+        "CartesianProduct" not in cplan,
+    )
+
     # 5c. resharded index: the derived-shard rewrite keeps partition pruning
     # + In(term_id) pushdown intact under the NEW shard count
     from igd_spark import reshard_index as _rs
