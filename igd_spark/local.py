@@ -1033,6 +1033,70 @@ class LocalSearcher:
             out_n.append(nh)
         return self._hits_frame(out_q, out_d, out_n)
 
+    def intervals_n(
+        self, queries: list[tuple[int, str]], max_gaps: int
+    ) -> pd.DataFrame:
+        """(query_id, doc_id, n_anchors, min_gaps) — the ordered intervals
+        query in-process (search.intervals_match semantics): per candidate
+        doc, the vectorized greedy chain from every offset-0 occurrence,
+        matched iff its chain ends within first + (n-1) + max_gaps."""
+        lists = self._pos_lists_for([t for _, t in queries])
+        big = np.iinfo(np.int64).max
+        out_q, out_d, out_a, out_g = [], [], [], []
+        for qid, text in queries:
+            toks = _tokenize_ordered(text, self.conf.token_split_re)
+            n = len(toks)
+            if n == 0:
+                continue
+            seqs = []
+            ok = True
+            for t in toks:
+                d, p = lists.get(t, (None, None))
+                if d is None or not d.size:
+                    ok = False
+                    break
+                # a salted term's cached list concatenates per-salt blocks —
+                # doc ids are NOT globally sorted; the per-doc slicing below
+                # requires them to be
+                order = np.argsort(d, kind="stable")
+                seqs.append((d[order], p.astype(np.int64)[order]))
+            if not ok:
+                continue
+            cand = seqs[0][0]
+            for d, _ in seqs[1:]:
+                cand = np.intersect1d(cand, d)
+            cand = np.unique(cand)
+            for doc in cand:
+                # per-offset position slices (occurrence doc_ids ascending)
+                P = []
+                for d, p in seqs:
+                    lo = np.searchsorted(d, doc, side="left")
+                    hi = np.searchsorted(d, doc, side="right")
+                    P.append(np.sort(p[lo:hi]))
+                a = P[0]
+                cur = a.copy()
+                alive = np.ones(a.size, dtype=bool)
+                for i in range(1, n):
+                    j = np.searchsorted(P[i], cur, side="right")
+                    okk = j < P[i].size
+                    cur = np.where(okk, P[i][np.minimum(j, P[i].size - 1)], big)
+                    alive &= okk
+                alive &= cur <= a + (n - 1) + max_gaps
+                if not alive.any():
+                    continue
+                out_q.append(int(qid))
+                out_d.append(int(doc))
+                out_a.append(int(alive.sum()))
+                out_g.append(int((cur[alive] - a[alive]).min()) - (n - 1))
+        return pd.DataFrame(
+            {
+                "query_id": pd.Series(out_q, dtype="int64"),
+                "doc_id": pd.Series(out_d, dtype="int64"),
+                "n_anchors": pd.Series(out_a, dtype="int64"),
+                "min_gaps": pd.Series(out_g, dtype="int32"),
+            }
+        )
+
     def near_n(
         self, queries: list[tuple[int, str]], window: int
     ) -> pd.DataFrame:

@@ -1772,12 +1772,26 @@ def intervals_match_indexed(
     idx: InvertedIndex,
     queries: DataFrame,
     max_gaps: int = 0,
+    engine: str = "auto",
+    telemetry: dict | None = None,
 ) -> DataFrame:
     """`intervals_match` over the persisted positional index: same
     dictionary-resolution + shard/In(term_id)-pruned block scan as
     phrase_match_indexed, then the shared greedy-chain epilogue — per call
-    it reads only the sequence's position blocks, never the corpus."""
+    it reads only the sequence's position blocks, never the corpus.
+
+    engine="auto" first tries the in-process driver route
+    (LocalSearcher.intervals_n) under the positional occurrence budgets;
+    "driver" demands it; "spark" forces the distributed plan."""
     conf = idx.conf
+    routed = _try_positional_route(
+        spark, idx, queries, engine,
+        lambda ls, rows: ls.intervals_n(rows, max_gaps),
+        "query_id long, doc_id long, n_anchors long, min_gaps int",
+        telemetry=telemetry,
+    )
+    if routed is not None:
+        return routed
     if isinstance(queries, (pd.DataFrame, list, tuple)):
         queries = _materialize_local_queries(spark, queries)
     pterms = _phrase_terms(queries, conf.token_split_re)

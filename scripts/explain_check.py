@@ -199,6 +199,7 @@ def main() -> int:
         spark, pidx,
         spark.createDataFrame([(0, "error timeout")], "query_id long, query_text string"),
         max_gaps=2,
+        engine="spark",  # the audit wants the DISTRIBUTED plan
     ))
     assert_pruned_scan("intervals positional scan", ivplan)
     iv_schemas = re.findall(r"ReadSchema: struct<([^>]*)>", ivplan)

@@ -252,8 +252,11 @@ def test_intervals_semantics_and_parity(spark, pos_index):
 
     for mg in (0, 2):
         a = key4(intervals_match(docs, ph, max_gaps=mg, conf=CONF))
-        b = key4(intervals_match_indexed(spark, idx, ph, max_gaps=mg))
-        assert a == b, f"max_gaps={mg}"
+        for eng in ("spark", "driver"):  # distributed plan AND in-process route
+            b = key4(
+                intervals_match_indexed(spark, idx, ph, max_gaps=mg, engine=eng)
+            )
+            assert a == b, f"max_gaps={mg}, engine={eng}"
 
 
 def test_intervals_order_matters(spark, pos_index):
