@@ -156,6 +156,9 @@ DF_PIVOT = 100.0
 DF_BOOST = 3.0
 RF_PIVOT = 250.0              # rank_feature saturation on n_chars
 RF_BOOST = 2.0
+# script_score: ANSI-ish expression over (_score, doc columns) — the SAME
+# string runs in Spark SQL and the DuckDB oracle
+SCRIPT_SCORE = "sqrt(_score) * 2.0 + n_chars / 500.0"
 # Lucene RegexpQuery: one regex per query, full-term match, patterns kept
 # in the Java∩RE2 shared subset (classes, alternation, quantifiers)
 REGEXP_QUERY_SET: list[tuple[int, str]] = [
@@ -1769,6 +1772,25 @@ def q_rank_feature_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_script_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # ES script_score: arbitrary expression over _score + doc columns
+    from igd_spark import script_score_topk
+
+    return script_score_topk(
+        _docs(spark, sf_dir), _queries_df(spark), SCRIPT_SCORE, k=K, round_dp=6
+    )
+
+
+def q_script_score_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from igd_spark import script_score_topk_indexed
+
+    idx = _built_index(spark, sf_dir)
+    return script_score_topk_indexed(
+        spark, idx, _queries_df(spark), _docs(spark, sf_dir), SCRIPT_SCORE,
+        k=K, round_dp=6,
+    )
+
+
 def _docs_with_msm(spark: SparkSession, sf_dir: str) -> DataFrame:
     # deterministic per-doc requirement 1..3 (the minimum_should_match_field)
     return _docs(spark, sf_dir).withColumn(
@@ -2091,6 +2113,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "composite_agg_indexed": q_composite_agg_indexed,
         "filters_agg": q_filters_agg,
         "filters_agg_indexed": q_filters_agg_indexed,
+        "script_score": q_script_score,
+        "script_score_indexed": q_script_score_indexed,
         "explain_scores_indexed": q_explain_scores_indexed,
         "stats_agg_indexed": q_stats_agg_indexed,
         "histogram_agg_indexed": q_histogram_agg_indexed,
@@ -4342,6 +4366,22 @@ ranked AS (
 SELECT query_id, rank, doc_id, score FROM ranked WHERE rank <= {K}
 """
     sql["rank_feature_indexed"] = sql["rank_feature"]
+
+    _SCRIPT_ORACLE = SCRIPT_SCORE.replace("_score", "s.s")
+    sql["script_score"] = f"""
+WITH {_TL}, {_TOKS}, {_POST}, {_DL}, {_CS}, {_TS}, {_QT}, {_SCORED},
+ev AS (
+  SELECT s.query_id, s.doc_id, ({_SCRIPT_ORACLE}) AS s
+  FROM scored s JOIN documents d ON d.doc_id = s.doc_id
+  WHERE ({_SCRIPT_ORACLE}) IS NOT NULL),
+ranked AS (
+  SELECT query_id, doc_id, round(s, 6) AS score,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY round(s, 6) DESC, doc_id ASC)::INT AS rank
+  FROM ev)
+SELECT query_id, rank, doc_id, score FROM ranked WHERE rank <= {K}
+"""
+    sql["script_score_indexed"] = sql["script_score"]
 
     # the persisted-index ANN probes are rank-identical to the in-memory
     # operators by construction (embindex.py) — same oracle

@@ -446,6 +446,70 @@ def distance_feature_topk_indexed(
     )
 
 
+def _script_score_epilogue(
+    scored: DataFrame,
+    docs: DataFrame,
+    script: str,
+    id_col: str,
+    k: int,
+    round_dp: int | None,
+) -> DataFrame:
+    """Shared tail of both script_score paths: expose the relevance score
+    as ``_score``, evaluate the script expression over (_score, doc
+    columns), rank on the result.  Rows where the script evaluates to NULL
+    are dropped (the ES contract: a script must produce a number; a
+    NULL-scoring doc cannot occupy a rank slot).  Catalyst prunes the doc
+    scan to exactly the columns the expression references."""
+    j = scored.select(
+        "query_id", "doc_id", F.col("score").alias("_score")
+    ).join(docs.withColumnRenamed(id_col, "doc_id"), "doc_id")
+    out = j.select(
+        "query_id", "doc_id", F.expr(script).cast("double").alias("score")
+    ).filter(F.col("score").isNotNull())
+    return rank_topk(_maybe_round(out, round_dp), k)
+
+
+def script_score_topk(
+    docs: DataFrame,
+    queries: DataFrame,
+    script: str,
+    k: int = 10,
+    conf: IndexConf = DEFAULT_CONF,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    round_dp: int | None = None,
+) -> DataFrame:
+    """The ES ``script_score`` query: the final score is an ARBITRARY
+    numeric SQL expression over ``_score`` (the BM25 relevance) and the
+    document columns — the general function_score escape hatch
+    (boosted_bm25_topk is the multiplicative special case,
+    distance_feature / rank_feature the additive ones).  The expression is
+    Spark SQL (the sandbox's painless-script analog); because it is
+    ANSI-ish, the SAME string runs on the DuckDB oracle.
+
+    Scale: the script rides the scored-set join against a doc projection
+    Catalyst prunes to the expression's referenced columns — no wide rows
+    move unless the script asks for them."""
+    scored = bm25_scores(docs, queries, conf=conf, text_col=text_col, id_col=id_col)
+    return _script_score_epilogue(scored, docs, script, id_col, k, round_dp)
+
+
+def script_score_topk_indexed(
+    spark,
+    idx,
+    queries: DataFrame,
+    docs: DataFrame,
+    script: str,
+    k: int = 10,
+    id_col: str = "doc_id",
+    round_dp: int | None = None,
+) -> DataFrame:
+    """`script_score_topk` over a persisted index (pruned posting blocks +
+    the expression-pruned doc projection)."""
+    scored = _indexed_scored(spark, idx, queries)
+    return _script_score_epilogue(scored, docs, script, id_col, k, round_dp)
+
+
 def rank_feature_topk(
     docs: DataFrame,
     queries: DataFrame,

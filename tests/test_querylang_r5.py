@@ -836,3 +836,44 @@ def test_rank_feature_indexed_identity(spark, docs, r5_idx):
                                           pivot=20.0, exponent=2.0, boost=1.5,
                                           k=K, round_dp=6))
     pd.testing.assert_frame_equal(a, b, check_dtype=False)
+
+
+def test_script_score_semantics(spark, docs):
+    """script_score: the expression sees _score and doc columns; NULL
+    evaluations drop the doc; pure '_score' degenerates to the plain
+    ranking."""
+    import math
+
+    from igd_spark import script_score_topk
+
+    q = _queries(spark, [(0, "error timeout")])
+    big_k = 10_000
+    plain = {r["doc_id"]: r["score"] for r in bm25_scores(docs, q).collect()}
+    got = {
+        r["doc_id"]: r["score"]
+        for r in script_score_topk(
+            docs, q, "sqrt(_score) * 2.0 + turn_idx / 10.0", k=big_k
+        ).collect()
+    }
+    ti = {r["doc_id"]: r["turn_idx"] for r in docs.select("doc_id", "turn_idx").collect()}
+    assert got and set(got) == set(plain)
+    for d, s in got.items():
+        assert abs(s - (math.sqrt(plain[d]) * 2.0 + ti[d] / 10.0)) < 1e-9
+    # NULL-evaluating docs vanish from the ranking
+    nulled = script_score_topk(
+        docs, q, "CASE WHEN turn_idx = 0 THEN NULL ELSE _score END", k=big_k
+    )
+    kept = {r["doc_id"] for r in nulled.collect()}
+    assert kept and all(ti[d] != 0 for d in kept)
+    assert kept == {d for d in plain if ti[d] != 0}
+
+
+def test_script_score_indexed_identity(spark, docs, r5_idx):
+    from igd_spark import script_score_topk, script_score_topk_indexed
+
+    q = _queries(spark, [(0, "error timeout"), (1, "t00001 t00002")])
+    expr = "sqrt(_score) + n_chars / 300.0"
+    d = docs.withColumn("n_chars", F.length("text"))
+    a = _sorted(script_score_topk(d, q, expr, k=K, round_dp=6))
+    b = _sorted(script_score_topk_indexed(spark, r5_idx, q, d, expr, k=K, round_dp=6))
+    pd.testing.assert_frame_equal(a, b, check_dtype=False)
