@@ -441,6 +441,32 @@ def q_match_phrase_prefix_indexed(spark: SparkSession, sf_dir: str) -> DataFrame
     )
 
 
+_FED_CACHE: dict[str, list] = {}
+
+
+def q_bm25_topk_federated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES cross-index search, exact (dfs) statistics: the corpus is split
+    into TWO separately-built indexes (the time-partition shape) and one
+    federated query scores over both with global stats. Same oracle as
+    bm25_topk: rank identity THROUGH federation is the contract."""
+    from igd_spark import IndexConf, build_index, search_federated
+    from igd_spark import search as _search_mod  # noqa: F401 (parity import)
+
+    if sf_dir not in _FED_CACHE:
+        conf = IndexConf(
+            block_size=64, n_shards=8, salt_df_threshold=1024, max_salts=4
+        )
+        docs = _docs(spark, sf_dir)
+        idxs = []
+        for m in (0, 1):
+            path = tempfile.mkdtemp(prefix=f"igd_fed{m}_") + "/idx"
+            part = docs.filter(F.pmod(F.col("doc_id"), F.lit(2)) == m)
+            idxs.append(build_index(spark, part, path, conf=conf))
+        _FED_CACHE[sf_dir] = idxs
+    out = search_federated(spark, _FED_CACHE[sf_dir], _queries_df(spark), k=K + 15)
+    return _rank_rounded(out.select("query_id", "doc_id", "score"), K)
+
+
 def q_match_enumerate(spark: SparkSession, sf_dir: str) -> DataFrame:
     from igd_spark import match_enumerate
 
@@ -2115,6 +2141,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "filters_agg_indexed": q_filters_agg_indexed,
         "script_score": q_script_score,
         "script_score_indexed": q_script_score_indexed,
+        "bm25_topk_federated": q_bm25_topk_federated,
         "explain_scores_indexed": q_explain_scores_indexed,
         "stats_agg_indexed": q_stats_agg_indexed,
         "histogram_agg_indexed": q_histogram_agg_indexed,
@@ -2373,6 +2400,9 @@ def oracle_sql() -> dict[str, str]:
     sql["bm25_topk_indexed"] = _bm25_sql()  # must equal the index-free path
     # reshard (16 → 5 shards) must be invisible to ranking
     sql["bm25_topk_resharded"] = _bm25_sql()
+    # federation over two half-corpus indexes with global (dfs) stats must
+    # be invisible to ranking too
+    sql["bm25_topk_federated"] = _bm25_sql()
 
     sql["match_enumerate"] = f"""
 WITH {_TL}, {_TOKS}, {_POST}, {_QT}

@@ -1806,6 +1806,82 @@ def intervals_match_indexed(
     return _intervals_epilogue(occ, plen, max_gaps)
 
 
+def search_federated(
+    spark: SparkSession,
+    indexes: list,
+    queries: DataFrame,
+    k: int = 10,
+    round_dp: int | None = None,
+) -> DataFrame:
+    """One query batch over SEVERAL persisted indexes with GLOBAL
+    statistics — the ES cross-index search (``GET /idx1,idx2/_search``) in
+    its exact dfs_query_then_fetch form.  This is the time-partitioned
+    deployment shape at 10^12 turns: one index per day/month of
+    transcripts, queries federate over the partitions a time filter
+    selects, retention = dropping an index directory, and reshard/alias
+    maintenance stays per-partition-sized.
+
+    Scoring uses the UNION corpus statistics — n_docs/avgdl summed from
+    the member metas (O(1), no jobs), per-term df = Σ member dictionary
+    rows — so results are RANK-IDENTICAL to one merged index over the
+    union corpus (the reshard discipline applied to federation;
+    gate-enforced against the single-corpus oracle).  ES's default
+    query_then_fetch scores with per-shard statistics and gives
+    partitioning-dependent ranks; we implement the exact mode.
+
+    Per member the work is the standard pruned-block enumeration
+    (match_enumerate with_dl — shard partitions + In(term_id), tombstones
+    anti-joined per member, zero corpus joins); the per-member frames
+    union (Catalyst pushes the pruning into each branch) into ONE scoring
+    aggregate.  Doc ids must be unique across members, which time
+    partitions are by construction.  Member configs must agree on the
+    analyzer and BM25 constants (validated loudly)."""
+    if not indexes:
+        raise ValueError("search_federated needs at least one index")
+    c0 = indexes[0].conf
+    for i in indexes[1:]:
+        c = i.conf
+        same = (
+            c.k1 == c0.k1 and c.b == c0.b
+            and c.token_split_re == c0.token_split_re
+            and c.stopwords == c0.stopwords
+            and c.min_token_len == c0.min_token_len
+        )
+        if not same:
+            raise ValueError(
+                "federated members disagree on analyzer/BM25 config "
+                f"({i.path} vs {indexes[0].path}); scores would be undefined"
+            )
+    n_docs = sum(int(i.n_docs) for i in indexes)
+    sum_dl = sum(int(i.meta["corpus"]["sum_dl"]) for i in indexes)
+    avgdl = (sum_dl / n_docs) if n_docs else 0.0
+    qt = query_terms(queries)
+    qterms = qt.select("term").distinct()
+    df_parts = [
+        i.dictionary.join(F.broadcast(qterms), "term").select("term", "df")
+        for i in indexes
+    ]
+    df_u = df_parts[0]
+    for p in df_parts[1:]:
+        df_u = df_u.unionByName(p)
+    df_g = df_u.groupBy("term").agg(F.sum("df").alias("df"))
+    enums = [
+        match_enumerate(spark, i, queries, with_dl=True) for i in indexes
+    ]
+    me = enums[0]
+    for e in enums[1:]:
+        me = me.unionByName(e)
+    w = bm25_weight_col(idf_col(n_docs, "df"), "tf", "dl", avgdl, c0.k1, c0.b)
+    scored = (
+        me.join(F.broadcast(df_g), "term")
+        .groupBy("query_id", "doc_id")
+        .agg(F.sum(w).alias("score"))
+    )
+    if round_dp is not None:
+        scored = scored.withColumn("score", F.round("score", round_dp))
+    return rank_topk(scored, k)
+
+
 def positional_enumerate(
     spark: SparkSession,
     idx: InvertedIndex,
