@@ -705,6 +705,34 @@ def q_embedding_ivf_ann_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_ann_topk_indexed(spark, eidx, _emb_queries(spark, sf_dir), k=K)
 
 
+def q_embedding_ivf_ann_appended(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental embedding index: build over HALF the vectors, append the
+    other half as a committed batch (frozen anchors), probe the union.
+    Same oracle as embedding_ivf_ann: append must be invisible to
+    ranking."""
+    from igd_spark import (
+        append_embedding_index,
+        build_embedding_index,
+        ivf_ann_topk_indexed,
+        pick_anchors,
+    )
+
+    key = f"{sf_dir}::appended"
+    if key not in _EMB_INDEX_CACHE:
+        e = _emb(spark, sf_dir)
+        anchors = pick_anchors(e, N_ANCHORS)  # anchors from the FULL set
+        path = tempfile.mkdtemp(prefix="igd_eidx_app_") + "/eidx"
+        build_embedding_index(
+            spark, e.filter(F.col("vec_id") % 2 == 0), path, anchors=anchors
+        )
+        _EMB_INDEX_CACHE[key] = append_embedding_index(
+            spark, path, e.filter(F.col("vec_id") % 2 == 1), batch_tag="gate_b1"
+        )
+    return ivf_ann_topk_indexed(
+        spark, _EMB_INDEX_CACHE[key], _emb_queries(spark, sf_dir), k=K
+    )
+
+
 def q_embedding_ivf_filtered_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     # filtered kNN over the persisted inverted file: the allowed semi-join
     # applies AFTER cell partition pruning (touches only the probed cells)
@@ -2142,6 +2170,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "script_score": q_script_score,
         "script_score_indexed": q_script_score_indexed,
         "bm25_topk_federated": q_bm25_topk_federated,
+        "embedding_ivf_ann_appended": q_embedding_ivf_ann_appended,
         "explain_scores_indexed": q_explain_scores_indexed,
         "stats_agg_indexed": q_stats_agg_indexed,
         "histogram_agg_indexed": q_histogram_agg_indexed,
@@ -4417,6 +4446,8 @@ SELECT query_id, rank, doc_id, score FROM ranked WHERE rank <= {K}
     # operators by construction (embindex.py) — same oracle
     sql["embedding_lsh_ann_indexed"] = sql["embedding_lsh_ann"]
     sql["embedding_ivf_ann_indexed"] = sql["embedding_ivf_ann"]
+    # half-build + appended batch must rank identically to the full build
+    sql["embedding_ivf_ann_appended"] = sql["embedding_ivf_ann"]
     # per-field persisted indexes combine exactly like the corpus scan
     sql["multi_field_bm25_topk_indexed"] = sql["multi_field_bm25_topk"]
 

@@ -64,25 +64,58 @@ from igd_spark.similarity import (
 EMB_SCHEMA_VERSION = 1
 
 
+def _emb_batches_root(path: str) -> str:
+    return os.path.join(path, "batches")
+
+
+def _emb_list_batches(path: str) -> list[str]:
+    root = _emb_batches_root(path)
+    if not os.path.isdir(root):
+        return []
+    return sorted(
+        t for t in os.listdir(root)
+        if os.path.isdir(os.path.join(root, t))
+    )
+
+
 class EmbeddingIndex:
     """Open handle over a persisted embedding index (A3-analog: cheap,
-    metadata-only; the data tables are lazy reads)."""
+    metadata-only; the data tables are lazy reads).
 
-    def __init__(self, spark: SparkSession, path: str, meta: dict):
+    Like the inverted-index handle, this is a SNAPSHOT over the base
+    tables plus the append batches committed at open time; the table
+    properties union base ∪ batches per layout, and partition pruning
+    pushes into every branch (Catalyst pushes filters through Union)."""
+
+    def __init__(
+        self, spark: SparkSession, path: str, meta: dict,
+        batches: list[str] | None = None,
+    ):
         self.spark = spark
         self.path = path
         self.meta = meta
+        self.batches: list[str] = list(batches) if batches is not None else []
         self.anchors: list[list[float]] = [
             [float(x) for x in a] for a in meta["anchors"]
         ]
 
+    def _union_read(self, sub: str) -> DataFrame:
+        out = self.spark.read.parquet(os.path.join(self.path, sub))
+        for tag in self.batches:
+            out = out.unionByName(
+                self.spark.read.parquet(
+                    os.path.join(_emb_batches_root(self.path), tag, sub)
+                )
+            )
+        return out
+
     @property
     def ivf(self) -> DataFrame:
-        return self.spark.read.parquet(os.path.join(self.path, "ivf"))
+        return self._union_read("ivf")
 
     @property
     def lsh(self) -> DataFrame:
-        return self.spark.read.parquet(os.path.join(self.path, "lsh"))
+        return self._union_read("lsh")
 
     @property
     def n_vectors(self) -> int:
@@ -164,7 +197,104 @@ def open_embedding_index(spark: SparkSession, path: str) -> EmbeddingIndex:
             f"embedding index at {path} has schema_version "
             f"{meta['schema_version']} > reader {EMB_SCHEMA_VERSION}"
         )
-    return EmbeddingIndex(spark, path, meta)
+    # fold committed append batches into n_vectors (additive, like the
+    # inverted index's corpus-stats fold)
+    batches = _emb_list_batches(path)
+    n = int(meta["n_vectors"])
+    for tag in batches:
+        with open(
+            os.path.join(_emb_batches_root(path), tag, "delta.json")
+        ) as f:
+            n += int(json.load(f)["n_vectors"])
+    meta = {**meta, "n_vectors": n}
+    return EmbeddingIndex(spark, path, meta, batches=batches)
+
+
+def append_embedding_index(
+    spark: SparkSession,
+    path: str,
+    emb: DataFrame,
+    batch_tag: str | None = None,
+    emb_id: str = "vec_id",
+    emb_col: str = "embedding",
+) -> EmbeddingIndex:
+    """Append vectors to a persisted embedding index — the FAISS/Lucene
+    add-to-existing-IVF contract: new vectors are assigned to cells and
+    buckets with the FROZEN build-time anchors (re-clustering would be a
+    different index; the Lucene analog is that appends never change the
+    analyzer), so probe results over the union equal a fresh build over
+    the union at the same anchors (pytest- and gate-enforced).
+
+    COMMIT PROTOCOL: identical to append_index — the batch's two layout
+    tables plus delta.json are written under _staging/<tag>/, then ONE
+    os.rename publishes batches/<tag>/.  The batch dir is data, commit
+    record, and idempotency marker at once; base tables are never
+    rewritten; open handles keep their snapshot.  vec_ids must be new
+    (disjoint from the existing index).
+
+    At 10^12-turn scale this is the living-RAG maintenance path: daily
+    embedding deltas land as batches, probes union-prune base + batches,
+    and compact_embedding_index folds them back when the batch list
+    grows."""
+    idx = open_embedding_index(spark, path)
+    if batch_tag is None:
+        batch_tag = "append_" + os.urandom(8).hex()
+    final = os.path.join(_emb_batches_root(path), batch_tag)
+    if os.path.isdir(final):  # replayed tag: committed batch is a no-op
+        return idx
+    first = emb.select(F.size(F.col(emb_col)).alias("d")).first()
+    dim = int(first["d"]) if first is not None else 0
+    if idx.meta.get("dim") and dim and dim != int(idx.meta["dim"]):
+        raise ValueError(
+            f"append dim {dim} != index dim {idx.meta['dim']} at {path}"
+        )
+    staging = os.path.join(path, "_staging", batch_tag)
+    base = emb.select(
+        F.col(emb_id).alias("vec_id"), _dvec(emb_col).alias("ev")
+    ).withColumn("vnorm", norm_col(F.col("ev")))
+    ivf_rows = base.withColumn("cell", ivf_bucket_col(F.col("ev"), idx.anchors))
+    ivf_rows.repartition("cell").write.mode("overwrite").partitionBy(
+        "cell"
+    ).parquet(os.path.join(staging, "ivf"))
+    lsh_rows = base.withColumn("bucket", lsh_bucket_col(F.col("ev"), idx.anchors))
+    lsh_rows.repartition("bucket").write.mode("overwrite").partitionBy(
+        "bucket"
+    ).parquet(os.path.join(staging, "lsh"))
+    n_new = spark.read.parquet(os.path.join(staging, "ivf")).count()
+    with open(os.path.join(staging, "delta.json"), "w") as f:
+        json.dump({"n_vectors": int(n_new)}, f)
+    os.makedirs(_emb_batches_root(path), exist_ok=True)
+    os.rename(staging, final)  # the single atomic publish
+    return open_embedding_index(spark, path)
+
+
+def compact_embedding_index(spark: SparkSession, path: str) -> EmbeddingIndex:
+    """Fold committed append batches back into the base layout tables (one
+    repartitioned write per layout — same cost shape as a build over the
+    union) and refresh _meta.json; restores single-scan-per-partition
+    reads after many small appends."""
+    import shutil
+
+    idx = open_embedding_index(spark, path)
+    if not idx.batches:
+        return idx
+    for sub, part in (("ivf", "cell"), ("lsh", "bucket")):
+        tmp = os.path.join(path, f"{sub}_compacted")
+        idx._union_read(sub).repartition(part).write.mode(
+            "overwrite"
+        ).partitionBy(part).parquet(tmp)
+        old = os.path.join(path, f"{sub}_old")
+        os.rename(os.path.join(path, sub), old)
+        os.rename(tmp, os.path.join(path, sub))
+        shutil.rmtree(old)
+    meta = {**idx.meta, "n_vectors": int(idx.n_vectors)}
+    with open(os.path.join(path, "_meta.json"), "w") as f:
+        json.dump(meta, f, indent=1)
+    for tag in idx.batches:
+        shutil.rmtree(os.path.join(_emb_batches_root(path), tag), ignore_errors=True)
+    if not _emb_list_batches(path):
+        shutil.rmtree(_emb_batches_root(path), ignore_errors=True)
+    return open_embedding_index(spark, path)
 
 
 def _ranked_topk(scored: DataFrame, k: int) -> DataFrame:

@@ -132,3 +132,49 @@ def test_filtered_knn_prefilter_semantics(spark, emb, queries, eidx):
         idxr = idx_fn(spark, eidx, queries, k=10, allowed=allowed, **kw)
         assert _rows(mem) == _rows(idxr)
         assert all(r["vec_id"] in allowed_ids for r in idxr.collect())
+
+
+def test_append_equals_full_build(spark, emb, queries, tmp_path_factory):
+    """append_embedding_index with frozen anchors: probes over base ∪
+    batch equal a fresh full build at the same anchors, for BOTH layouts;
+    a replayed batch tag is a no-op; dim mismatch is refused."""
+    from igd_spark import append_embedding_index, open_embedding_index
+
+    anchors = pick_anchors(emb, 8)
+    root = tmp_path_factory.mktemp("embapp")
+    full = build_embedding_index(spark, emb, str(root / "full"), anchors=anchors)
+    half_path = str(root / "half")
+    build_embedding_index(
+        spark, emb.filter(F.col("vec_id") % 2 == 0), half_path, anchors=anchors
+    )
+    appended = append_embedding_index(
+        spark, half_path, emb.filter(F.col("vec_id") % 2 == 1), batch_tag="b1"
+    )
+    assert appended.n_vectors == full.n_vectors
+    for fn in (ivf_ann_topk_indexed, lsh_ann_topk_indexed):
+        a = _rows(fn(spark, full, queries, k=7))
+        b = _rows(fn(spark, appended, queries, k=7))
+        assert a == b and len(a) > 0, fn.__name__
+    # idempotent replay: same tag, nothing changes
+    replay = append_embedding_index(
+        spark, half_path, emb.filter(F.col("vec_id") % 2 == 1), batch_tag="b1"
+    )
+    assert replay.n_vectors == full.n_vectors
+    # dim guard
+    bad = emb.limit(3).select(
+        "vec_id", F.slice("embedding", 1, 4).alias("embedding")
+    )
+    with pytest.raises(ValueError, match="dim"):
+        append_embedding_index(spark, half_path, bad, batch_tag="b2")
+    # compact folds the batch and preserves results
+    from igd_spark import compact_embedding_index
+
+    compacted = compact_embedding_index(spark, half_path)
+    assert not compacted.batches and compacted.n_vectors == full.n_vectors
+    for fn in (ivf_ann_topk_indexed, lsh_ann_topk_indexed):
+        a = _rows(fn(spark, full, queries, k=7))
+        b = _rows(fn(spark, compacted, queries, k=7))
+        assert a == b, fn.__name__
+    # reopen sees the compacted state identically
+    reopened = open_embedding_index(spark, half_path)
+    assert reopened.n_vectors == full.n_vectors
