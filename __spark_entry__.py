@@ -199,6 +199,9 @@ PHRASES: list[tuple[int, str]] = [
     (3, "slow key"),
     (4, "zzznotavocab table"),
 ]
+# chunk_documents: RAG-prep fixed-token chunking with overlap
+CHUNK_TOKENS = 20
+CHUNK_OVERLAP = 5
 # composite agg: multi-source buckets with keyset pagination
 COMPOSITE_SOURCES = ["lang", "source"]
 COMPOSITE_SIZE = 7
@@ -344,6 +347,15 @@ def q_bm25_topk_resharded(spark: SparkSession, sf_dir: str) -> DataFrame:
         _RESHARD_CACHE[sf_dir] = reshard_index(spark, base.path, dest, n_shards=5)
     out = _search_mod(spark, _RESHARD_CACHE[sf_dir], _queries_df(spark), k=K + 15)
     return _rank_rounded(out.select("query_id", "doc_id", "score"), K)
+
+
+def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # RAG-prep: fixed-token chunks with overlap, pure JVM array ops
+    from igd_spark import chunk_documents
+
+    return chunk_documents(
+        _docs(spark, sf_dir), chunk_tokens=CHUNK_TOKENS, overlap=CHUNK_OVERLAP
+    )
 
 
 def q_composite_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2171,6 +2183,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "script_score_indexed": q_script_score_indexed,
         "bm25_topk_federated": q_bm25_topk_federated,
         "embedding_ivf_ann_appended": q_embedding_ivf_ann_appended,
+        "chunk_documents": q_chunk_documents,
         "explain_scores_indexed": q_explain_scores_indexed,
         "stats_agg_indexed": q_stats_agg_indexed,
         "histogram_agg_indexed": q_histogram_agg_indexed,
@@ -2992,6 +3005,23 @@ SELECT g.query_id, g.filter_name,
 FROM grid g LEFT JOIN agg a USING (query_id)
 """
     sql["filters_agg_indexed"] = sql["filters_agg"]
+
+    _CSTEP = CHUNK_TOKENS - CHUNK_OVERLAP
+    sql["chunk_documents"] = f"""
+WITH {_TL},
+n AS (SELECT doc_id, tl, len(tl) AS n FROM tldocs),
+c AS (SELECT doc_id, tl,
+             CASE WHEN n <= 0 THEN 0
+                  ELSE 1 + ceil(greatest(n - {CHUNK_TOKENS}, 0) / {_CSTEP}.0)
+             END::INT AS n_chunks
+      FROM n),
+e AS (SELECT doc_id, i - 1 AS chunk_id,
+             tl[(i-1)*{_CSTEP} + 1 : (i-1)*{_CSTEP} + {CHUNK_TOKENS}] AS ctoks
+      FROM (SELECT doc_id, tl, unnest(generate_series(1, n_chunks)) AS i FROM c))
+SELECT doc_id, chunk_id::INT AS chunk_id,
+       array_to_string(ctoks, ' ') AS chunk_text, len(ctoks)::INT AS n_tokens
+FROM e
+"""
 
     gap_us = SESSION_GAP_MIN * 60 * 1_000_000
     sql["events_sessionize"] = f"""

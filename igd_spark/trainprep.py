@@ -372,3 +372,59 @@ def redact_pii(
         out.alias("clean_text"),
         n.alias("n_redacted"),
     )
+
+
+def chunk_documents(
+    docs: DataFrame,
+    chunk_tokens: int = 128,
+    overlap: int = 0,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Fixed-size token chunking with overlap — the RAG / context-window
+    prep staple: (doc_id, chunk_id, chunk_text, n_tokens), chunk i covering
+    tokens [i·step, i·step + chunk_tokens) of the analyzer token stream,
+    step = chunk_tokens − overlap.  The LAST chunk is the first one whose
+    window reaches the end of the doc (no shorter-than-overlap tail
+    duplicates); an empty/NULL doc yields no chunks.  chunk_text is the
+    token-joined form (one space) — the same normalized stream every other
+    operator here scores, so chunk postings == slice of doc postings.
+
+    Scale: pure JVM expressions — one tokenize, one sequence/transform
+    over the token ARRAY per doc (no shuffle at all, no Python), then one
+    explode; output row count = Σ ceil-ish(n/step), each row carrying only
+    its own slice."""
+    if chunk_tokens < 1:
+        raise ValueError(f"chunk_tokens must be >= 1, got {chunk_tokens}")
+    if not (0 <= overlap < chunk_tokens):
+        raise ValueError(
+            f"overlap must be in [0, chunk_tokens), got {overlap}"
+        )
+    step = chunk_tokens - overlap
+    # NULL text == empty doc (no chunks) — without the coalesce, size(NULL)
+    # is NULL and the chunk-count arithmetic fabricates one NULL chunk
+    toks = nonempty_tokens(F.coalesce(F.col(text_col), F.lit("")))
+    n = F.size(toks)
+    # number of chunks: 1 + ceil(max(n - chunk_tokens, 0) / step)
+    n_chunks = F.when(n <= 0, F.lit(0)).otherwise(
+        F.lit(1)
+        + F.ceil(F.greatest(n - F.lit(chunk_tokens), F.lit(0)) / F.lit(step))
+    ).cast("int")
+    chunks = F.transform(
+        F.sequence(F.lit(0), n_chunks - 1),
+        lambda i: F.slice(toks, i * step + 1, chunk_tokens),
+    )
+    exploded = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(
+            F.when(n_chunks > 0, chunks).otherwise(
+                F.array().cast("array<array<string>>")
+            )
+        ).alias("chunk_id", "_ctoks"),
+    )
+    return exploded.select(
+        "doc_id",
+        F.col("chunk_id").cast("int").alias("chunk_id"),
+        F.array_join("_ctoks", " ").alias("chunk_text"),
+        F.size("_ctoks").cast("int").alias("n_tokens"),
+    )

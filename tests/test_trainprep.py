@@ -338,3 +338,35 @@ def test_redact_pii_patterns(spark):
     assert out[2]["n_redacted"] == 1
     assert out[3]["clean_text"] == rows[3][1] and out[3]["n_redacted"] == 0
     assert out[4]["clean_text"] == "" and out[4]["n_redacted"] == 0
+
+
+def test_chunk_documents_coverage_and_overlap(spark):
+    """Chunks tile the token stream: concatenating each chunk's non-overlap
+    prefix reconstructs the doc; overlap region of chunk i+1 equals the
+    tail of chunk i; short and empty docs behave."""
+    from igd_spark import chunk_documents
+
+    rows = [
+        (1, " ".join(f"w{i:02d}" for i in range(23))),  # 23 tokens
+        (2, "a b c"),                                    # shorter than chunk
+        (3, ""),                                         # empty -> no chunks
+        (4, None),                                       # NULL -> no chunks
+    ]
+    d = spark.createDataFrame(rows, "doc_id long, text string")
+    out = chunk_documents(d, chunk_tokens=10, overlap=3)
+    got = {
+        (r["doc_id"], r["chunk_id"]): (r["chunk_text"], r["n_tokens"])
+        for r in out.collect()
+    }
+    # doc 1: step 7 -> chunks at 0,7,14 (1 + ceil(13/7) = 3)
+    assert {k for k in got if k[0] == 1} == {(1, 0), (1, 1), (1, 2)}
+    c0, c1, c2 = (got[(1, i)][0].split() for i in range(3))
+    assert c0 == [f"w{i:02d}" for i in range(10)]
+    assert c1[:3] == c0[-3:] and c2[:3] == c1[-3:]  # overlap contract
+    assert c2 == [f"w{i:02d}" for i in range(14, 23)] and got[(1, 2)][1] == 9
+    assert got[(2, 0)] == ("a b c", 3) and len([k for k in got if k[0] == 2]) == 1
+    assert not [k for k in got if k[0] in (3, 4)]
+    with pytest.raises(ValueError):
+        chunk_documents(d, chunk_tokens=5, overlap=5)
+    with pytest.raises(ValueError):
+        chunk_documents(d, chunk_tokens=0)
