@@ -499,22 +499,18 @@ class LocalSearcher:
                     cache[(False, p)] = [t for t in terms if t.startswith(p)]
         return {p: cache[(like, p)] for p in pats}
 
-    def score_terms_n(
-        self,
-        per_q: dict[int, list[str]],
-        k: int = 10,
-        round_dp: int | None = None,
-    ) -> pd.DataFrame:
-        """(query_id, rank, doc_id, score) — BM25 top-k where each query's
-        term set is EXPLICIT (the dictionary-expansion routes: prefix /
-        wildcard).  Same math, rounding-before-rank and tie-break as the
-        distributed `_indexed_scored` → `rank_topk` chain."""
+    def _scored_arrays(self, per_q: dict[int, list[str]]):
+        """Yield (query_id, doc_ids, UNROUNDED scores) — the full
+        disjunctive match set per query over explicit term lists.  Shared
+        kernel of score_terms_n (top-k tail) and scored_map_n (the
+        multi-field combine routes, which must see EVERY matching doc per
+        field before combining)."""
         union_terms = sorted(set().union(*per_q.values())) if per_q else []
         if not union_terms:
-            return _EMPTY_BATCH.copy()
+            return
         tmap = self._lookup_terms(union_terms)
         if not tmap:
-            return _EMPTY_BATCH.copy()
+            return
         self._ensure_lists(tmap)
         conf = self.conf
         k1, b, avgdl = conf.k1, conf.b, self.avgdl
@@ -524,7 +520,6 @@ class LocalSearcher:
             idf = float(np.log1p((self.n_docs - df + 0.5) / (df + 0.5)))
             w = tf * (k1 + 1.0) / (tf + k1 * (1.0 - b + b * dl / avgdl))
             contrib[t] = (d, idf * w)
-        out_rows = []
         for qid in sorted(per_q):
             parts = [
                 contrib[t] for t in sorted(set(per_q[qid]))
@@ -536,6 +531,43 @@ class LocalSearcher:
             ws = np.concatenate([p[1] for p in parts])
             uids, inv = np.unique(ids, return_inverse=True)
             scores = np.bincount(inv, weights=ws, minlength=uids.size)
+            yield qid, uids, scores
+
+    def scored_map_n(self, per_q: dict[int, list[str]]) -> pd.DataFrame:
+        """(query_id, doc_id, score) — the FULL unrounded match set per
+        query (no top-k): the per-field building block of the multi-field
+        driver routes."""
+        rows = list(self._scored_arrays(per_q))
+        if not rows:
+            return pd.DataFrame(
+                {
+                    "query_id": pd.Series(dtype="int64"),
+                    "doc_id": pd.Series(dtype="int64"),
+                    "score": pd.Series(dtype="float64"),
+                }
+            )
+        return pd.DataFrame(
+            {
+                "query_id": np.concatenate(
+                    [np.full(u.size, q, dtype=np.int64) for q, u, _ in rows]
+                ),
+                "doc_id": np.concatenate([u for _, u, _ in rows]),
+                "score": np.concatenate([s for _, _, s in rows]),
+            }
+        )
+
+    def score_terms_n(
+        self,
+        per_q: dict[int, list[str]],
+        k: int = 10,
+        round_dp: int | None = None,
+    ) -> pd.DataFrame:
+        """(query_id, rank, doc_id, score) — BM25 top-k where each query's
+        term set is EXPLICIT (the dictionary-expansion routes: prefix /
+        wildcard).  Same math, rounding-before-rank and tie-break as the
+        distributed `_indexed_scored` → `rank_topk` chain."""
+        out_rows = []
+        for qid, uids, scores in self._scored_arrays(per_q):
             if round_dp is not None:
                 scores = _round_half_up_spark(scores, round_dp)
             order = np.lexsort((uids, -scores))[:k]

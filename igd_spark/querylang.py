@@ -2269,12 +2269,132 @@ def open_field_indexes(
     }
 
 
+def _try_field_route(
+    spark,
+    field_indexes: dict[str, tuple[object, float]],
+    queries,
+    k: int,
+    round_dp: int | None,
+    engine: str,
+    combine,
+    telemetry: dict | None = None,
+) -> DataFrame | None:
+    """Driver-route admission for the PER-FIELD scorers (multi_field /
+    dis_max over build_field_indexes layouts): one LocalSearcher per field
+    index, each producing its FULL unrounded match map (scored_map_n — a
+    field's non-top-k doc can still win the combined rank), combined in
+    pandas, rounded-then-ranked with the shared tie-break.  Admission =
+    Σ_fields per-field postings bound (each field's batch_cost is the same
+    IO-free dictionary-df budget search_n uses) against
+    driver_search_max_postings; ≤ driver_search_max_queries queries.
+    ``combine(pdf) -> pdf`` reduces the boosted per-field rows to one
+    (query_id, doc_id, score) per pair."""
+    if engine == "spark":
+        return None
+    if engine not in ("auto", "driver"):
+        raise ValueError("engine must be 'auto', 'driver' or 'spark'")
+    import numpy as np
+    import pandas as pd
+
+    from igd_spark.local import (
+        _round_half_up_spark,
+        _tokenize_one,
+        local_searcher,
+    )
+    from igd_spark.search import (
+        TOPK_SCHEMA,
+        _as_local_rows,
+        _driver_budgets,
+        _stats_small_plan,
+    )
+
+    first_idx = next(iter(field_indexes.values()))[0]
+    conf = first_idx.conf
+    max_q, max_post = _driver_budgets(conf)
+
+    def bail(reason: str) -> None:
+        if engine == "driver":
+            raise ValueError(
+                f"engine='driver' requested but {reason}; use engine='auto' "
+                "or 'spark', or raise IndexConf.driver_search_* budgets"
+            )
+
+    if max_q <= 0 or max_post <= 0:
+        bail("the driver route is disabled (budget <= 0)")
+        return None
+    if isinstance(queries, (pd.DataFrame, list, tuple)):
+        rows = _as_local_rows(queries)
+    else:
+        if not _stats_small_plan(queries, conf):
+            bail("the query batch is not provably driver-local")
+            return None
+        rows = [
+            (int(r["query_id"]), r["query_text"])
+            for r in queries.select("query_id", "query_text").collect()
+        ]
+    import time as _time
+
+    t0 = _time.perf_counter()
+    if len({qid for qid, _ in rows}) > max_q:
+        bail(f"batch has >{max_q} queries (driver_search_max_queries)")
+        return None
+    per_q = {
+        int(qid): sorted(set(_tokenize_one(text, conf.token_split_re)))
+        for qid, text in rows
+    }
+    searchers = {f: local_searcher(idx) for f, (idx, _) in field_indexes.items()}
+    total = 0
+    for f, ls in searchers.items():
+        total += ls.batch_cost(rows)
+    if total > max_post:
+        bail(
+            f"Σ per-field postings bound {total} > "
+            f"driver_search_max_postings={max_post}"
+        )
+        return None
+    frames = []
+    for f, (idx, boost) in field_indexes.items():
+        pdf = searchers[f].scored_map_n(per_q)
+        if len(pdf):
+            pdf = pdf.assign(score=pdf["score"] * float(boost))
+            frames.append(pdf)
+    if not frames:
+        return spark.createDataFrame([], TOPK_SCHEMA)
+    comb = combine(pd.concat(frames, ignore_index=True))
+    if round_dp is not None:
+        comb = comb.assign(
+            score=_round_half_up_spark(
+                comb["score"].to_numpy(dtype=np.float64), round_dp
+            )
+        )
+    comb = comb.sort_values(
+        ["query_id", "score", "doc_id"], ascending=[True, False, True]
+    )
+    comb = comb.assign(
+        rank=(comb.groupby("query_id").cumcount() + 1).astype("int32")
+    )
+    comb = comb[comb["rank"] <= int(k)][["query_id", "rank", "doc_id", "score"]]
+    if telemetry is not None:
+        telemetry["route_ms"] = 1000 * (_time.perf_counter() - t0)
+        telemetry["batch_cost_postings"] = total
+    return spark.createDataFrame(comb, TOPK_SCHEMA)
+
+
+def _mf_sum_combine(pdf):
+    return (
+        pdf.groupby(["query_id", "doc_id"], as_index=False)
+        .agg(score=("score", "sum"))
+    )
+
+
 def multi_field_bm25_topk_indexed(
     spark,
     field_indexes: dict[str, tuple[object, float]],
     queries: DataFrame,
     k: int = 10,
     round_dp: int | None = None,
+    engine: str = "auto",
+    telemetry: dict | None = None,
 ) -> DataFrame:
     """`multi_field_bm25_topk` over PERSISTED per-field indexes
     (build_field_indexes): each field's contribution comes from its own
@@ -2282,9 +2402,20 @@ def multi_field_bm25_topk_indexed(
     query batch the cost is Σ_f (query terms' blocks in field f), never a
     corpus re-tokenize.  most_fields combination (boosted sum across
     fields) and the rank/tie-break discipline are identical to the
-    corpus-scan variant, hence the same oracle."""
+    corpus-scan variant, hence the same oracle.
+
+    engine="auto" first tries the in-process per-field driver route
+    (_try_field_route — one LocalSearcher per field, full match maps
+    combined in pandas) under the summed per-field postings budgets;
+    "driver" demands it; "spark" forces the distributed plan."""
     if not field_indexes:
         raise ValueError("field_indexes must contain at least one field")
+    routed = _try_field_route(
+        spark, field_indexes, queries, k, round_dp, engine,
+        _mf_sum_combine, telemetry=telemetry,
+    )
+    if routed is not None:
+        return routed
     parts = []
     for fcol, (idx, boost) in field_indexes.items():
         scored = _indexed_scored(spark, idx, queries)
@@ -2579,12 +2710,30 @@ def dismax_bm25_topk_indexed(
     tie_breaker: float = 0.0,
     k: int = 10,
     round_dp: int | None = None,
+    engine: str = "auto",
+    telemetry: dict | None = None,
 ) -> DataFrame:
     """`dismax_bm25_topk` over persisted per-field indexes
     (build_field_indexes) — per-field pruned-block scans, the
-    `multi_field_bm25_topk_indexed` plan with the dis_max combine."""
+    `multi_field_bm25_topk_indexed` plan with the dis_max combine; same
+    engine="auto" driver route with the max + tie·rest reduction."""
     if not field_indexes:
         raise ValueError("field_indexes must contain at least one field")
+
+    def _dm_combine(pdf):
+        tie = float(tie_breaker)
+        g = pdf.groupby(["query_id", "doc_id"], as_index=False).agg(
+            mx=("score", "max"), sm=("score", "sum")
+        )
+        g["score"] = g["mx"] + tie * (g["sm"] - g["mx"])
+        return g[["query_id", "doc_id", "score"]]
+
+    routed = _try_field_route(
+        spark, field_indexes, queries, k, round_dp, engine,
+        _dm_combine, telemetry=telemetry,
+    )
+    if routed is not None:
+        return routed
     parts = [
         _indexed_scored(spark, idx, queries)
         .select(

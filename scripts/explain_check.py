@@ -500,7 +500,7 @@ def main() -> int:
     mf_q = spark.createDataFrame(
         [(0, "error user")], "query_id long, query_text string"
     )  # one body term + one role term, so BOTH field indexes are probed
-    mfplan = fmt(multi_field_bm25_topk_indexed(spark, fidx, mf_q, k=5))
+    mfplan = fmt(multi_field_bm25_topk_indexed(spark, fidx, mf_q, k=5, engine="spark"))
     assert_pruned_scan("multi_field_bm25_topk_indexed scan", mfplan)
     mf_schemas = re.findall(r"ReadSchema: struct<([^>]*)>", mfplan)
     check(
@@ -518,7 +518,7 @@ def main() -> int:
     # dis_max over the same per-field indexes: identical scan discipline
     from igd_spark import dismax_bm25_topk_indexed
 
-    dmplan = fmt(dismax_bm25_topk_indexed(spark, fidx, mf_q, tie_breaker=0.3, k=5))
+    dmplan = fmt(dismax_bm25_topk_indexed(spark, fidx, mf_q, tie_breaker=0.3, k=5, engine="spark"))
     assert_pruned_scan("dismax_bm25_topk_indexed scan", dmplan)
     dm_schemas = re.findall(r"ReadSchema: struct<([^>]*)>", dmplan)
     check(
@@ -528,7 +528,7 @@ def main() -> int:
     )
 
     # a field with zero matching terms must constant-fold its scan away
-    mfplan0 = fmt(multi_field_bm25_topk_indexed(spark, fidx, ql_q, k=5))
+    mfplan0 = fmt(multi_field_bm25_topk_indexed(spark, fidx, ql_q, k=5, engine="spark"))
     mf_locs0 = [s for s in re.findall(r"Location:[^\n]*", mfplan0)
                 if "field=role" in s and "segments" in s]
     check(

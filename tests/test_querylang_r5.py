@@ -877,3 +877,48 @@ def test_script_score_indexed_identity(spark, docs, r5_idx):
     a = _sorted(script_score_topk(d, q, expr, k=K, round_dp=6))
     b = _sorted(script_score_topk_indexed(spark, r5_idx, q, d, expr, k=K, round_dp=6))
     pd.testing.assert_frame_equal(a, b, check_dtype=False)
+
+
+def test_field_route_engine_identity(spark, docs, tmp_path_factory):
+    """multi_field/dismax per-field DRIVER route == distributed plan,
+    rank-for-rank; engine='driver' raises when the budgets are off."""
+    from igd_spark import (
+        IndexConf,
+        build_field_indexes,
+        dismax_bm25_topk_indexed,
+        multi_field_bm25_topk_indexed,
+    )
+
+    conf = IndexConf(block_size=32, n_shards=4)
+    path = str(tmp_path_factory.mktemp("fridx") / "mf")
+    d2 = docs.withColumn("tool2", F.coalesce("tool", F.lit("none")))
+    fidx = build_field_indexes(
+        spark, d2, path, {"text": 1.0, "tool2": 2.0}, conf=conf
+    )
+    q = _queries(spark, [(0, "error timeout"), (1, "t00001 none")])
+    for fn, kw in (
+        (multi_field_bm25_topk_indexed, {}),
+        (dismax_bm25_topk_indexed, {"tie_breaker": 0.3}),
+    ):
+        a = _sorted(fn(spark, fidx, q, k=K, round_dp=6, engine="spark", **kw))
+        b = _sorted(fn(spark, fidx, q, k=K, round_dp=6, engine="driver", **kw))
+        pd.testing.assert_frame_equal(a, b, check_dtype=False)
+        assert len(a) > 0
+    # budget miss is loud under engine='driver' (conf is frozen: swap in a
+    # budget-1 replacement on the handle, restore after)
+    import dataclasses
+
+    tiny = [(i, f"t{i:05d}") for i in range(3)]
+    olds = {f: fidx[f][0].conf for f in fidx}
+    try:
+        for f in fidx:
+            fidx[f][0].conf = dataclasses.replace(
+                olds[f], driver_search_max_postings=1
+            )
+        with pytest.raises(ValueError, match="postings"):
+            multi_field_bm25_topk_indexed(
+                spark, fidx, _queries(spark, tiny), engine="driver"
+            )
+    finally:
+        for f in fidx:
+            fidx[f][0].conf = olds[f]
