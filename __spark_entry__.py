@@ -128,6 +128,8 @@ COMPLETE_QUERY_SET: list[tuple[int, str]] = [
 PCT_LIST = (25.0, 50.0, 75.0, 99.0)   # ES percentiles agg
 DH_HOUR_MOD = 1000            # synthetic ts = 2026-01-01 + (doc_id % MOD) hours
 DH_INTERVAL = "day"           # date_histogram calendar interval
+BSEL_MIN_DOCS = 22            # bucket_selector keep-threshold (binds: drops ~half)
+BSORT_SIZE = 5                # bucket_sort per-query truncation
 DEL_MOD = 137                 # delete set: doc_id % DEL_MOD == 0
 TURNS_PER_CONV = 8            # synthetic transcript shape: conv = doc_id div 8
 CTX_WINDOW = 1                # context_turns: hit ± 1 neighboring turn
@@ -1739,6 +1741,68 @@ def q_date_histogram_agg_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _dh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The pipeline aggs' parent series: the date_histogram day buckets."""
+    from igd_spark import date_histogram_agg
+
+    return date_histogram_agg(
+        _docs_with_ts(spark, sf_dir), _queries_df(spark), "ts",
+        interval=DH_INTERVAL,
+    )
+
+
+def q_derivative_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # ES derivative pipeline agg over the date_histogram parent
+    from igd_spark import derivative_agg
+
+    return derivative_agg(_dh_buckets(spark, sf_dir))
+
+
+def q_derivative_agg_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from igd_spark import date_histogram_agg_indexed, derivative_agg
+
+    dh = date_histogram_agg_indexed(
+        spark, _built_index(spark, sf_dir), _docs_with_ts(spark, sf_dir),
+        _queries_df(spark), "ts", interval=DH_INTERVAL,
+    )
+    return derivative_agg(dh)
+
+
+def q_cumulative_sum_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from igd_spark import cumulative_sum_agg
+
+    return cumulative_sum_agg(_dh_buckets(spark, sf_dir))
+
+
+def q_moving_fn_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # unweighted avg over the 3 buckets BEFORE each bucket (ES shift=0)
+    from igd_spark import moving_fn_agg
+
+    return moving_fn_agg(_dh_buckets(spark, sf_dir), window=3, shift=0, fn="avg")
+
+
+def q_serial_diff_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from igd_spark import serial_diff_agg
+
+    return serial_diff_agg(_dh_buckets(spark, sf_dir), lag=2)
+
+
+def q_bucket_selector_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from igd_spark import bucket_selector_agg
+
+    return bucket_selector_agg(
+        _dh_buckets(spark, sf_dir), f"n_docs >= {BSEL_MIN_DOCS}"
+    )
+
+
+def q_bucket_sort_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from igd_spark import bucket_sort_agg
+
+    return bucket_sort_agg(
+        _dh_buckets(spark, sf_dir), [("n_docs", "desc")], size=BSORT_SIZE
+    )
+
+
 def _docs_with_conv(spark: SparkSession, sf_dir: str) -> DataFrame:
     """documents + the deterministic synthetic transcript shape (the gate
     table is flat): conv_id = doc_id div TURNS_PER_CONV, turn_idx =
@@ -2148,6 +2212,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # FIRST 50 entries per round, so entries lead in driver-staleness
         # order (never-driver-verified first, then least-recently green).
         # Re-rotate each round from CORRECTNESS_r{N}.json (VERDICT r4 #1).
+        "derivative_agg": q_derivative_agg,
+        "derivative_agg_indexed": q_derivative_agg_indexed,
+        "cumulative_sum_agg": q_cumulative_sum_agg,
+        "moving_fn_agg": q_moving_fn_agg,
+        "serial_diff_agg": q_serial_diff_agg,
+        "bucket_selector_agg": q_bucket_selector_agg,
+        "bucket_sort_agg": q_bucket_sort_agg,
         "context_turns": q_context_turns,
         "context_turns_indexed": q_context_turns_indexed,
         "boosting_bm25_topk": q_boosting_bm25_topk,
@@ -4011,6 +4082,45 @@ tsv AS (SELECT doc_id, TIMESTAMP '2026-01-01 00:00:00'
 SELECT s.query_id, date_trunc('{DH_INTERVAL}', tsv.ts)::TIMESTAMP AS bucket,
        count(*)::BIGINT AS n_docs
 FROM scored s JOIN tsv USING (doc_id) GROUP BY 1, 2
+"""
+
+    # pipeline aggs: window functions over the date_histogram parent series
+    _dh_sub = f"({sql['date_histogram_agg']})"
+    _w = "PARTITION BY query_id ORDER BY bucket"
+    sql["derivative_agg"] = f"""
+SELECT query_id, bucket, n_docs,
+       n_docs::DOUBLE - lag(n_docs::DOUBLE) OVER ({_w}) AS derivative
+FROM {_dh_sub} dh
+"""
+    sql["derivative_agg_indexed"] = sql["derivative_agg"]
+    sql["cumulative_sum_agg"] = f"""
+SELECT query_id, bucket, n_docs,
+       sum(n_docs::DOUBLE) OVER ({_w}
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cumulative
+FROM {_dh_sub} dh
+"""
+    sql["moving_fn_agg"] = f"""
+SELECT query_id, bucket, n_docs,
+       avg(n_docs::DOUBLE) OVER ({_w}
+           ROWS BETWEEN 3 PRECEDING AND 1 PRECEDING) AS moving_avg
+FROM {_dh_sub} dh
+"""
+    sql["serial_diff_agg"] = f"""
+SELECT query_id, bucket, n_docs,
+       n_docs::DOUBLE - lag(n_docs::DOUBLE, 2) OVER ({_w}) AS serial_diff
+FROM {_dh_sub} dh
+"""
+    sql["bucket_selector_agg"] = f"""
+SELECT query_id, bucket, n_docs FROM {_dh_sub} dh
+WHERE n_docs >= {BSEL_MIN_DOCS}
+"""
+    sql["bucket_sort_agg"] = f"""
+WITH ranked AS (
+  SELECT query_id, bucket, n_docs,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY n_docs DESC, bucket ASC)::INT AS pos
+  FROM {_dh_sub} dh)
+SELECT query_id, bucket, n_docs, pos FROM ranked WHERE pos <= {BSORT_SIZE}
 """
 
     # minimum_should_match: the boolean scorer's distinct-match count with a

@@ -60,6 +60,12 @@ __all__ = [
     "significant_terms_indexed",
     "top_hits_agg",
     "top_hits_agg_indexed",
+    "derivative_agg",
+    "cumulative_sum_agg",
+    "moving_fn_agg",
+    "serial_diff_agg",
+    "bucket_selector_agg",
+    "bucket_sort_agg",
 ]
 
 
@@ -925,3 +931,130 @@ def filters_agg_indexed(
     """`filters_agg` with the match set from pruned index blocks."""
     m = _indexed_match_set(spark, idx, queries)
     return _filters_epilogue(m, docs, filters, queries, id_col)
+
+
+# ---------------------------------------------------------------------------
+# Pipeline aggregations — the ES pipeline-agg family (derivative,
+# cumulative_sum, moving_fn, serial_diff, bucket_selector, bucket_sort)
+# computed over a PARENT bucket series, i.e. the output frame of
+# `date_histogram_agg` / `histogram_agg` (query_id, bucket, <metric>).
+#
+# The reference has no aggregation layer at all (its one aggregate is the
+# hits counter, src/igd_search.c:491); in the Lucene/ES ecosystem these
+# are second-order aggs that post-process sibling buckets, and they are
+# exactly window functions over the per-query ordered bucket series.
+#
+# Gap policy: the parent emits only non-empty buckets (min_doc_count=1),
+# so lag/window neighbors are the previous EXISTING bucket — the ES
+# ``gap_policy: skip`` semantic.
+#
+# 100 TB notes: the bucket series per query is bounded by time-range /
+# interval (years of daily buckets ≈ 10^3 rows), never by the corpus; the
+# window is partitioned on query_id, one tiny exchange over an input that
+# the parent agg already reduced with map-side combine.  Pipeline aggs
+# therefore add ZERO corpus work — they reshape the parent's output.
+
+
+def _series_window(order_col: str) -> Window:
+    return Window.partitionBy("query_id").orderBy(order_col)
+
+
+def derivative_agg(
+    buckets: DataFrame, metric: str = "n_docs", order_col: str = "bucket"
+) -> DataFrame:
+    """The ES ``derivative`` pipeline agg: per query, metric[i] -
+    metric[i-1] over the bucket series in ``order_col`` order.  The first
+    bucket has no derivative (NULL), matching ES emitting the bucket
+    without a derivative value."""
+    w = _series_window(order_col)
+    v = F.col(metric).cast("double")
+    return buckets.withColumn("derivative", v - F.lag(v, 1).over(w))
+
+
+def cumulative_sum_agg(
+    buckets: DataFrame, metric: str = "n_docs", order_col: str = "bucket"
+) -> DataFrame:
+    """The ES ``cumulative_sum`` pipeline agg: running sum of the metric
+    over the per-query bucket series (defined for every bucket)."""
+    w = _series_window(order_col).rowsBetween(Window.unboundedPreceding, 0)
+    return buckets.withColumn(
+        "cumulative", F.sum(F.col(metric).cast("double")).over(w)
+    )
+
+
+_MOVING_FNS = {"avg": F.avg, "min": F.min, "max": F.max, "sum": F.sum}
+
+
+def moving_fn_agg(
+    buckets: DataFrame,
+    metric: str = "n_docs",
+    window: int = 3,
+    shift: int = 0,
+    fn: str = "avg",
+    order_col: str = "bucket",
+) -> DataFrame:
+    """The ES ``moving_fn`` pipeline agg (unweighted avg / min / max /
+    sum): a sliding window of ``window`` buckets ending ``shift`` buckets
+    past the previous one — with the ES default shift=0 the window is the
+    ``window`` buckets BEFORE the current bucket, excluding it
+    ([i-window, i-1]); positive shifts slide the window forward (shift=1
+    includes the current bucket).  An empty window yields NULL (ES: null
+    result for the leading buckets)."""
+    if fn not in _MOVING_FNS:
+        raise ValueError(f"fn must be one of {sorted(_MOVING_FNS)}, got {fn!r}")
+    if window < 1:
+        raise ValueError("window must be >= 1")
+    lo, hi = -window + shift, -1 + shift
+    w = _series_window(order_col).rowsBetween(lo, hi)
+    return buckets.withColumn(
+        f"moving_{fn}", _MOVING_FNS[fn](F.col(metric).cast("double")).over(w)
+    )
+
+
+def serial_diff_agg(
+    buckets: DataFrame,
+    metric: str = "n_docs",
+    lag: int = 1,
+    order_col: str = "bucket",
+) -> DataFrame:
+    """The ES ``serial_diff`` pipeline agg: metric[i] - metric[i-lag]
+    (seasonal differencing); the first ``lag`` buckets have NULL."""
+    if lag < 1:
+        raise ValueError("lag must be >= 1")
+    w = _series_window(order_col)
+    v = F.col(metric).cast("double")
+    return buckets.withColumn("serial_diff", v - F.lag(v, lag).over(w))
+
+
+def bucket_selector_agg(buckets: DataFrame, predicate: str) -> DataFrame:
+    """The ES ``bucket_selector`` pipeline agg: keep only the buckets for
+    which the SQL ``predicate`` over the bucket's metric columns is true
+    (NULL / false buckets are dropped, the ES contract)."""
+    return buckets.filter(F.expr(predicate))
+
+
+def bucket_sort_agg(
+    buckets: DataFrame,
+    sort: list[tuple[str, str]],
+    size: int | None = None,
+    frm: int = 0,
+    order_col: str = "bucket",
+) -> DataFrame:
+    """The ES ``bucket_sort`` pipeline agg: order the per-query bucket
+    list by ``sort`` ([(column, 'asc'|'desc'), ...]; ``order_col`` asc is
+    always the final tie-break so truncation is deterministic) and apply
+    ``from``/``size`` truncation.  Emits ``pos`` (1-based position within
+    the sorted list) so the retained order survives in a set-shaped
+    result."""
+    cols = []
+    for c, d in sort:
+        if d not in ("asc", "desc"):
+            raise ValueError(f"sort direction must be asc|desc, got {d!r}")
+        cols.append(F.col(c).asc() if d == "asc" else F.col(c).desc())
+    cols.append(F.col(order_col).asc())
+    w = Window.partitionBy("query_id").orderBy(*cols)
+    out = buckets.withColumn("pos", F.row_number().over(w).cast("int"))
+    out = out.filter(F.col("pos") > frm)
+    if size is not None:
+        out = out.filter(F.col("pos") <= frm + size)
+    return out
