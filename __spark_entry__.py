@@ -130,6 +130,7 @@ DH_HOUR_MOD = 1000            # synthetic ts = 2026-01-01 + (doc_id % MOD) hours
 DH_INTERVAL = "day"           # date_histogram calendar interval
 BSEL_MIN_DOCS = 22            # bucket_selector keep-threshold (binds: drops ~half)
 BSORT_SIZE = 5                # bucket_sort per-query truncation
+HC_MIN_CHILDREN = 2           # has_child min_children bound
 DEL_MOD = 137                 # delete set: doc_id % DEL_MOD == 0
 TURNS_PER_CONV = 8            # synthetic transcript shape: conv = doc_id div 8
 CTX_WINDOW = 1                # context_turns: hit ± 1 neighboring turn
@@ -1814,6 +1815,74 @@ def _docs_with_conv(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_has_child(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # ES has_child: rank conversations whose turns match, score_mode=max,
+    # with the min_children bound tested before ranking
+    from igd_spark import has_child_topk
+
+    return has_child_topk(
+        _docs_with_conv(spark, sf_dir), _queries_df(spark),
+        parent_col="conv_id", k=K, score_mode="max",
+        min_children=HC_MIN_CHILDREN, round_dp=6,
+    )
+
+
+def q_has_child_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from igd_spark import has_child_topk_indexed
+
+    parents = _docs_with_conv(spark, sf_dir).select(
+        "doc_id", F.col("conv_id").alias("parent_id")
+    )
+    return has_child_topk_indexed(
+        spark, _built_index(spark, sf_dir), _queries_df(spark), parents,
+        k=K, score_mode="max", min_children=HC_MIN_CHILDREN, round_dp=6,
+    )
+
+
+def _parent_frames(spark: SparkSession, sf_dir: str):
+    """Parent/child split of the gate corpus: the conversation's first turn
+    (doc_id % TURNS_PER_CONV == 0) is the parent document, keyed by
+    conv_id; every turn is a child."""
+    docs = _docs_with_conv(spark, sf_dir)
+    parent_docs = docs.filter(F.col("turn_idx") == 0).select("conv_id", "text")
+    return parent_docs, docs.select("doc_id", "conv_id")
+
+
+def q_has_parent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # ES has_parent with score=true: children inherit the parent's score
+    from igd_spark import has_parent_topk
+
+    parent_docs, children = _parent_frames(spark, sf_dir)
+    return has_parent_topk(
+        parent_docs, children, _queries_df(spark),
+        parent_col="conv_id", k=K, score=True, round_dp=6,
+    )
+
+
+_PARENT_IDX_CACHE: dict[str, object] = {}
+
+
+def q_has_parent_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # the per-type parent index of the Lucene join field: a second
+    # persisted index whose doc_id IS the parent key
+    from igd_spark import IndexConf, build_index, has_parent_topk_indexed
+
+    parent_docs, children = _parent_frames(spark, sf_dir)
+    if sf_dir not in _PARENT_IDX_CACHE:
+        path = tempfile.mkdtemp(prefix="igd_paridx_") + "/idx"
+        conf = IndexConf(block_size=64, n_shards=8, salt_df_threshold=1024)
+        _PARENT_IDX_CACHE[sf_dir] = build_index(
+            spark,
+            parent_docs.select(F.col("conv_id").alias("doc_id"), "text"),
+            path, conf=conf,
+        )
+    ch = children.withColumnRenamed("conv_id", "parent_id")
+    return has_parent_topk_indexed(
+        spark, _PARENT_IDX_CACHE[sf_dir], _queries_df(spark), ch,
+        k=K, score=True, round_dp=6,
+    )
+
+
 def q_context_turns(spark: SparkSession, sf_dir: str) -> DataFrame:
     # hit ± CTX_WINDOW neighboring turns within the conversation
     from igd_spark import context_turns
@@ -2219,6 +2288,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "serial_diff_agg": q_serial_diff_agg,
         "bucket_selector_agg": q_bucket_selector_agg,
         "bucket_sort_agg": q_bucket_sort_agg,
+        "has_child": q_has_child,
+        "has_child_indexed": q_has_child_indexed,
+        "has_parent": q_has_parent,
+        "has_parent_indexed": q_has_parent_indexed,
         "context_turns": q_context_turns,
         "context_turns_indexed": q_context_turns_indexed,
         "boosting_bm25_topk": q_boosting_bm25_topk,
@@ -4122,6 +4195,51 @@ WITH ranked AS (
   FROM {_dh_sub} dh)
 SELECT query_id, bucket, n_docs, pos FROM ranked WHERE pos <= {BSORT_SIZE}
 """
+
+    # has_child: parents (conv = doc_id div TURNS_PER_CONV) ranked by the
+    # max matching-child score, min_children bound BEFORE ranking; rounding
+    # happens after the roll-up (the Spark epilogue's discipline)
+    sql["has_child"] = f"""
+WITH {_TL}, {_TOKS}, {_POST}, {_DL}, {_CS}, {_TS}, {_QT}, {_SCORED},
+par AS (
+  SELECT query_id, doc_id // {TURNS_PER_CONV} AS parent_id,
+         max(s) AS s, count(*)::BIGINT AS n_children
+  FROM scored GROUP BY 1, 2
+  HAVING count(*) >= {HC_MIN_CHILDREN}),
+ranked AS (
+  SELECT query_id, parent_id, n_children, round(s, 6) AS score,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY round(s, 6) DESC, parent_id ASC)::INT AS rank
+  FROM par)
+SELECT query_id, rank, parent_id, n_children, score
+FROM ranked WHERE rank <= {K}
+"""
+    sql["has_child_indexed"] = sql["has_child"]
+
+    # has_parent: parent docs are the first turns re-keyed by conv id, BM25
+    # runs over the PARENT corpus only (its own dl/df/avgdl); children
+    # inherit the parent's rounded score
+    _PTL = (
+        f"tldocs AS (SELECT doc_id // {TURNS_PER_CONV} AS doc_id, "
+        "list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), "
+        "x -> x <> '') AS tl FROM documents "
+        f"WHERE doc_id % {TURNS_PER_CONV} = 0)"
+    )
+    sql["has_parent"] = f"""
+WITH {_PTL}, {_TOKS}, {_POST}, {_DL}, {_CS}, {_TS}, {_QT}, {_SCORED},
+ch AS (SELECT doc_id, doc_id // {TURNS_PER_CONV} AS parent_id FROM documents),
+j AS (
+  SELECT s.query_id, ch.doc_id, ch.parent_id, round(s.s, 6) AS score
+  FROM scored s JOIN ch ON ch.parent_id = s.doc_id),
+ranked AS (
+  SELECT query_id, doc_id, parent_id, score,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY score DESC, doc_id ASC)::INT AS rank
+  FROM j)
+SELECT query_id, rank, doc_id, parent_id, score
+FROM ranked WHERE rank <= {K}
+"""
+    sql["has_parent_indexed"] = sql["has_parent"]
 
     # minimum_should_match: the boolean scorer's distinct-match count with a
     # >= threshold instead of the AND equality

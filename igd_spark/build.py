@@ -133,15 +133,19 @@ def _pack_blocks(
     bstarts = np.flatnonzero(rel % bs == 0)
     bends = np.concatenate((bstarts[1:], [n]))
     # per-block delta encoding: raw doc id at each block start, gaps inside
-    diffs = np.empty(n, dtype=np.int64)
-    diffs[0] = d[0]
-    diffs[1:] = d[1:] - d[:-1]
-    diffs[bstarts] = d[bstarts]
+    # (mod-2^64 uint64 gaps + a DIRECT id comparison, so full-range hashed
+    # int64 doc ids with >2^63 gaps encode correctly — see codec)
+    du = d.astype(np.uint64)
+    diffs = du.copy()
+    diffs[1:] -= du[:-1]
+    diffs[bstarts] = du[bstarts]
     inblock = np.ones(n, dtype=bool)
     inblock[bstarts] = False
-    if not (diffs[inblock] > 0).all():
+    mono = np.ones(n, dtype=bool)
+    mono[1:] = d[1:] > d[:-1]
+    if not mono[inblock].all():
         raise ValueError("doc_ids must be strictly increasing within a block")
-    dstream, doff = codec.varint_encode_offsets(diffs.astype(np.uint64))
+    dstream, doff = codec.varint_encode_offsets(diffs)
     tstream, toff = codec.varint_encode_offsets(t.astype(np.uint64))
     lstream, loff = codec.varint_encode_offsets(dl.astype(np.uint64))
     w = t * (k1 + 1.0) / (t + k1 * (1.0 - b + b * dl.astype(np.float64) / avgdl))
@@ -382,15 +386,17 @@ def _pack_positions_kernel(conf: IndexConf):
         rel = np.arange(n, dtype=np.int64) - np.repeat(gstarts, gsizes)
         bstarts = np.flatnonzero(rel % bs == 0)
         bends = np.concatenate((bstarts[1:], [n]))
-        diffs = np.empty(n, dtype=np.int64)
-        diffs[0] = d[0]
-        diffs[1:] = d[1:] - d[:-1]
-        diffs[bstarts] = d[bstarts]
+        du = d.astype(np.uint64)
+        diffs = du.copy()
+        diffs[1:] -= du[:-1]
+        diffs[bstarts] = du[bstarts]
         inblock = np.ones(n, dtype=bool)
         inblock[bstarts] = False
-        if not (diffs[inblock] >= 0).all():
+        mono = np.ones(n, dtype=bool)
+        mono[1:] = d[1:] >= d[:-1]
+        if not mono[inblock].all():
             raise ValueError("occurrence doc_ids must be non-decreasing within a block")
-        dstream, doff = codec.varint_encode_offsets(diffs.astype(np.uint64))
+        dstream, doff = codec.varint_encode_offsets(diffs)
         pstream, poff = codec.varint_encode_offsets(p.astype(np.uint64))
         return pd.DataFrame(
             {

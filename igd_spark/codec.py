@@ -103,12 +103,14 @@ def encode_doc_ids(doc_ids: np.ndarray) -> bytes:
     d = np.ascontiguousarray(doc_ids, dtype=np.int64)
     if d.size == 0:
         return b""
-    if d.size > 1 and not (np.diff(d) > 0).all():
+    # compare ids directly, never their diffs: full-range int64 ids (e.g.
+    # hashed/interned keys) can have gaps past 2^63 that wrap a signed
+    # diff negative even though the sequence is increasing
+    if d.size > 1 and not (d[1:] > d[:-1]).all():
         raise ValueError("doc_ids must be strictly increasing within a block")
-    deltas = np.empty(d.size, dtype=np.uint64)
-    deltas[0] = np.uint64(d[0])
-    if d.size > 1:
-        deltas[1:] = np.diff(d).astype(np.uint64)
+    du = d.astype(np.uint64)
+    deltas = du.copy()
+    deltas[1:] -= du[:-1]  # mod-2^64 gaps; decode's wrapping cumsum inverts
     return varint_encode(deltas)
 
 
@@ -126,12 +128,11 @@ def encode_occ_doc_ids(doc_ids: np.ndarray) -> bytes:
     d = np.ascontiguousarray(doc_ids, dtype=np.int64)
     if d.size == 0:
         return b""
-    if d.size > 1 and not (np.diff(d) >= 0).all():
+    if d.size > 1 and not (d[1:] >= d[:-1]).all():  # direct, overflow-safe
         raise ValueError("occurrence doc_ids must be non-decreasing within a block")
-    deltas = np.empty(d.size, dtype=np.uint64)
-    deltas[0] = np.uint64(d[0])
-    if d.size > 1:
-        deltas[1:] = np.diff(d).astype(np.uint64)
+    du = d.astype(np.uint64)
+    deltas = du.copy()
+    deltas[1:] -= du[:-1]  # mod-2^64 gaps; decode's wrapping cumsum inverts
     return varint_encode(deltas)
 
 

@@ -3479,3 +3479,196 @@ def pinned_bm25_topk_indexed(
     """`pinned_bm25_topk` with the organic stream from pruned index blocks
     — the pin joins touch only query-sized frames."""
     return _pinned_epilogue(_indexed_scored(spark, idx, queries), pins, k, round_dp)
+
+
+# ---------------------------------------------------------------------------
+# Parent/child join queries — the ES/Lucene join field (has_child,
+# has_parent).  The transcript shape IS parent/child data: conversations
+# are parents keyed by conv_id, turns are their children (the reference's
+# one level of structure is the per-dataset grouping of regions,
+# src/igd_create.c:346-433; Lucene's join field generalizes it to scored
+# parent/child retrieval).
+
+
+def _has_child_epilogue(
+    scored: DataFrame,
+    parents: DataFrame,
+    score_mode: str,
+    min_children: int,
+    max_children: int | None,
+    k: int,
+    round_dp: int | None,
+) -> DataFrame:
+    modes = {"max": F.max, "sum": F.sum, "avg": F.avg, "min": F.min}
+    if score_mode not in modes and score_mode != "none":
+        raise ValueError(
+            f"score_mode must be one of {sorted(modes) + ['none']}, got {score_mode!r}"
+        )
+    agg_fn = modes.get(score_mode, F.max)
+    g = (
+        scored.join(parents, "doc_id")
+        .groupBy("query_id", "parent_id")
+        .agg(
+            agg_fn("score").alias("score"),
+            F.count("*").cast("long").alias("n_children"),
+        )
+        .filter(F.col("n_children") >= min_children)
+    )
+    if max_children is not None:
+        g = g.filter(F.col("n_children") <= max_children)
+    if score_mode == "none":
+        # filter context: constant score, deterministic id order (ES
+        # returns parents with score 0 in this mode)
+        g = g.withColumn("score", F.lit(0.0))
+    g = _maybe_round(g, round_dp)
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("parent_id"))
+    return (
+        g.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "parent_id", "n_children", "score")
+    )
+
+
+def has_child_topk(
+    docs: DataFrame,
+    queries: DataFrame,
+    parent_col: str = "conv_id",
+    k: int = 10,
+    score_mode: str = "max",
+    min_children: int = 1,
+    max_children: int | None = None,
+    conf: IndexConf = DEFAULT_CONF,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    round_dp: int | None = None,
+) -> DataFrame:
+    """The ES ``has_child`` query: rank PARENTS whose children match the
+    (BM25) inner query — (query_id, rank, parent_id, n_children, score).
+    ``score_mode`` folds the matching children's scores into the parent
+    score (max / sum / avg / min, or ``none`` for the unscored filter
+    context, where every surviving parent carries score 0 and ranks by
+    id).  ``min_children`` / ``max_children`` bound the number of MATCHING
+    children a parent needs, tested BEFORE ranking (the ES contract).
+    Tie-break mirrors Q11: (score desc, parent_id asc) on scores rounded
+    before ranking.
+
+    For transcripts: "conversations in which at least m turns mention X".
+    `conv_bm25_topk` is the degenerate sum/no-bounds case of this.
+
+    Scale: the scored side is sparse (query-term postings); the parent key
+    rides a two-column (doc_id, parent) projection joined on doc_id; the
+    roll-up is a fine-keyed (query_id, parent) hash agg with map-side
+    combine.  Nothing touches unmatched children.
+    """
+    scored = bm25_scores(docs, queries, conf=conf, text_col=text_col, id_col=id_col)
+    parents = docs.select(
+        F.col(id_col).alias("doc_id"), F.col(parent_col).alias("parent_id")
+    )
+    return _has_child_epilogue(
+        scored, parents, score_mode, min_children, max_children, k, round_dp
+    )
+
+
+def has_child_topk_indexed(
+    spark,
+    idx,
+    queries: DataFrame,
+    doc_parents: DataFrame,
+    k: int = 10,
+    score_mode: str = "max",
+    min_children: int = 1,
+    max_children: int | None = None,
+    parent_col: str = "parent_id",
+    round_dp: int | None = None,
+) -> DataFrame:
+    """`has_child_topk` with the child match set from pruned index blocks;
+    ``doc_parents`` is the (doc_id, parent) mapping projection."""
+    scored = _indexed_scored(spark, idx, queries)
+    parents = doc_parents.select("doc_id", F.col(parent_col).alias("parent_id"))
+    return _has_child_epilogue(
+        scored, parents, score_mode, min_children, max_children, k, round_dp
+    )
+
+
+def _has_parent_epilogue(
+    parent_scored: DataFrame,
+    children: DataFrame,
+    score: bool,
+    k: int,
+    round_dp: int | None,
+) -> DataFrame:
+    ps = _maybe_round(
+        parent_scored.withColumnRenamed("doc_id", "parent_id"), round_dp
+    )
+    if not score:
+        ps = ps.withColumn("score", F.lit(0.0))
+    j = children.join(ps, "parent_id")
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc_id"))
+    return (
+        j.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "doc_id", "parent_id", "score")
+    )
+
+
+def has_parent_topk(
+    parent_docs: DataFrame,
+    child_docs: DataFrame,
+    queries: DataFrame,
+    parent_col: str = "conv_id",
+    k: int = 10,
+    score: bool = True,
+    conf: IndexConf = DEFAULT_CONF,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    round_dp: int | None = None,
+) -> DataFrame:
+    """The ES ``has_parent`` query: return CHILD docs whose parent matches
+    the (BM25) inner query — (query_id, rank, doc_id, parent_id, score).
+    ``parent_docs`` is the parent table keyed by ``parent_col`` with its
+    own ``text_col`` (the scored side); ``child_docs`` carries
+    (``id_col``, ``parent_col``).  With ``score=True`` every child
+    inherits its parent's score (the ES ``score: true`` mode); with
+    ``score=False`` (the ES default) the parent match is a filter and
+    children rank deterministically by id at score 0.  Tie-break:
+    (score desc, doc_id asc) on parent scores rounded before the join.
+
+    For transcripts: "turns inside conversations whose opening/summary
+    matches X" — the parent frame is whatever conversation-level document
+    you maintain (first turn, title, rolling summary).
+
+    Scale: parents score sparsely (their own postings); the child fetch is
+    ONE equi-join of the (child, parent) two-column projection against the
+    sparse matched-parent set — semi-join-shaped, Bloom/DPP-prunable at
+    100 TB, and the per-parent fanout is conversation length, never
+    corpus-scale.
+    """
+    parent_scored = bm25_scores(
+        parent_docs, queries, conf=conf, text_col=text_col, id_col=parent_col
+    )
+    children = child_docs.select(
+        F.col(id_col).alias("doc_id"), F.col(parent_col).alias("parent_id")
+    )
+    return _has_parent_epilogue(parent_scored, children, score, k, round_dp)
+
+
+def has_parent_topk_indexed(
+    spark,
+    parent_idx,
+    queries: DataFrame,
+    child_parents: DataFrame,
+    k: int = 10,
+    score: bool = True,
+    parent_col: str = "parent_id",
+    id_col: str = "doc_id",
+    round_dp: int | None = None,
+) -> DataFrame:
+    """`has_parent_topk` with the parent match set from a persisted index
+    built OVER THE PARENT TABLE (doc_id = parent key — the per-type index
+    Lucene keeps for the join field); ``child_parents`` is the
+    (child, parent) mapping projection."""
+    parent_scored = _indexed_scored(spark, parent_idx, queries)
+    children = child_parents.select(
+        F.col(id_col).alias("doc_id"), F.col(parent_col).alias("parent_id")
+    )
+    return _has_parent_epilogue(parent_scored, children, score, k, round_dp)

@@ -228,6 +228,46 @@ def main() -> int:
         "CartesianProduct" not in cplan,
     )
 
+    # 5b4. has_child_topk_indexed: child match set from pruned blocks, the
+    # parent mapping rides a narrow (doc_id, parent) projection — no text
+    from igd_spark import has_child_topk_indexed
+    from pyspark.sql import functions as F
+
+    hc_parents = docs_disk.select(
+        "doc_id", F.expr("doc_id div 8").alias("parent_id")
+    )
+    hplan = fmt(has_child_topk_indexed(
+        spark, idx, queries, hc_parents, k=5, score_mode="max", round_dp=6,
+    ))
+    assert_pruned_scan("has_child_indexed segment scan", hplan)
+    h_schemas = re.findall(r"ReadSchema: struct<([^>]*)>", hplan)
+    check(
+        "has_child_indexed: corpus scan never reads text",
+        bool(h_schemas) and not any("text:" in s for s in h_schemas),
+        f"scanned schemas: {h_schemas}",
+    )
+    check(
+        "has_child_indexed: no cartesian",
+        "CartesianProduct" not in hplan,
+    )
+
+    # 5b5. pipeline agg over the indexed date_histogram parent: the window
+    # adds NO extra scan — same number of corpus file scans as the parent
+    from igd_spark import date_histogram_agg_indexed, derivative_agg
+
+    ddocs = docs_disk.withColumn(
+        "ts2",
+        F.expr("timestampadd(DAY, CAST(doc_id % 4 AS INT), TIMESTAMP'2026-01-01')"),
+    )
+    dh_parent = date_histogram_agg_indexed(spark, idx, ddocs, queries, "ts2")
+    pplan = fmt(derivative_agg(dh_parent))
+    parent_scans = fmt(dh_parent).count("Scan parquet")
+    check(
+        "derivative over indexed date_histogram adds no scan",
+        pplan.count("Scan parquet") == parent_scans,
+        f"parent={parent_scans} pipeline={pplan.count('Scan parquet')}",
+    )
+
     # 5c. resharded index: the derived-shard rewrite keeps partition pruning
     # + In(term_id) pushdown intact under the NEW shard count
     from igd_spark import reshard_index as _rs

@@ -46,3 +46,24 @@ def test_varint_compression_wins():
     d = np.arange(0, 10_000, 3, dtype=np.int64)
     enc = codec.encode_doc_ids(d)
     assert len(enc) < d.size * 2
+
+
+@settings(max_examples=100, deadline=None)
+@given(
+    st.lists(
+        st.integers(min_value=-(2**63), max_value=2**63 - 1),
+        min_size=1, max_size=300, unique=True,
+    )
+)
+def test_docids_roundtrip_full_int64_range(vals):
+    # hashed/interned doc ids span the full signed range; gaps past 2^63
+    # must survive the mod-2^64 delta encoding (overflow regression)
+    d = np.array(sorted(vals), dtype=np.int64)
+    out = codec.decode_doc_ids(codec.encode_doc_ids(d))
+    assert (out == d).all()
+
+
+def test_docids_giant_gap_exact():
+    d = np.array([-(2**63), 2**63 - 1], dtype=np.int64)
+    out = codec.decode_doc_ids(codec.encode_doc_ids(d))
+    assert (out == d).all()
