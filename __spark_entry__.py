@@ -131,6 +131,9 @@ DH_INTERVAL = "day"           # date_histogram calendar interval
 BSEL_MIN_DOCS = 22            # bucket_selector keep-threshold (binds: drops ~half)
 BSORT_SIZE = 5                # bucket_sort per-query truncation
 HC_MIN_CHILDREN = 2           # has_child min_children bound
+RARE_MAX_DC = 21              # rare_terms max_doc_count (binds non-vacuously:
+                              # match-set source counts span 14..25 at sf0.01)
+WAVG_WEIGHT = "1 + doc_id % 5"  # weighted_avg synthetic weight expression
 DEL_MOD = 137                 # delete set: doc_id % DEL_MOD == 0
 TURNS_PER_CONV = 8            # synthetic transcript shape: conv = doc_id div 8
 CTX_WINDOW = 1                # context_turns: hit ± 1 neighboring turn
@@ -1815,6 +1818,62 @@ def _docs_with_conv(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_rare_terms_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # ES rare_terms: long-tail source values (<= RARE_MAX_DC matching docs)
+    from igd_spark import rare_terms_agg
+
+    return rare_terms_agg(
+        _docs(spark, sf_dir), _queries_df(spark), "source",
+        max_doc_count=RARE_MAX_DC,
+    )
+
+
+def q_rare_terms_agg_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from igd_spark import rare_terms_agg_indexed
+
+    return rare_terms_agg_indexed(
+        spark, _built_index(spark, sf_dir), _docs(spark, sf_dir),
+        _queries_df(spark), "source", max_doc_count=RARE_MAX_DC,
+    )
+
+
+def q_multi_terms_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # ES multi_terms: (lang, source) tuple buckets, top-8 by count
+    from igd_spark import multi_terms_agg
+
+    return multi_terms_agg(
+        _docs(spark, sf_dir), _queries_df(spark), ["lang", "source"], size=8
+    )
+
+
+def q_multi_terms_agg_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from igd_spark import multi_terms_agg_indexed
+
+    return multi_terms_agg_indexed(
+        spark, _built_index(spark, sf_dir), _docs(spark, sf_dir),
+        _queries_df(spark), ["lang", "source"], size=8,
+    )
+
+
+def q_weighted_avg_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # ES weighted_avg over n_chars with a deterministic synthetic weight
+    from igd_spark import weighted_avg_agg
+
+    return weighted_avg_agg(
+        _docs(spark, sf_dir), _queries_df(spark), STATS_VALUE_COL,
+        WAVG_WEIGHT, round_dp=6,
+    )
+
+
+def q_weighted_avg_agg_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from igd_spark import weighted_avg_agg_indexed
+
+    return weighted_avg_agg_indexed(
+        spark, _built_index(spark, sf_dir), _docs(spark, sf_dir),
+        _queries_df(spark), STATS_VALUE_COL, WAVG_WEIGHT, round_dp=6,
+    )
+
+
 def q_has_child(spark: SparkSession, sf_dir: str) -> DataFrame:
     # ES has_child: rank conversations whose turns match, score_mode=max,
     # with the min_children bound tested before ranking
@@ -2288,6 +2347,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "serial_diff_agg": q_serial_diff_agg,
         "bucket_selector_agg": q_bucket_selector_agg,
         "bucket_sort_agg": q_bucket_sort_agg,
+        "rare_terms_agg": q_rare_terms_agg,
+        "rare_terms_agg_indexed": q_rare_terms_agg_indexed,
+        "multi_terms_agg": q_multi_terms_agg,
+        "multi_terms_agg_indexed": q_multi_terms_agg_indexed,
+        "weighted_avg_agg": q_weighted_avg_agg,
+        "weighted_avg_agg_indexed": q_weighted_avg_agg_indexed,
         "has_child": q_has_child,
         "has_child_indexed": q_has_child_indexed,
         "has_parent": q_has_parent,
@@ -4195,6 +4260,46 @@ WITH ranked AS (
   FROM {_dh_sub} dh)
 SELECT query_id, bucket, n_docs, pos FROM ranked WHERE pos <= {BSORT_SIZE}
 """
+
+    # rare_terms: long-tail source values over the match set
+    sql["rare_terms_agg"] = f"""
+WITH {_TL}, {_TOKS}, {_POST}, {_DL}, {_CS}, {_TS}, {_QT}, {_SCORED},
+vals AS (SELECT doc_id, source AS value FROM documents WHERE source IS NOT NULL)
+SELECT s.query_id, value, count(*)::BIGINT AS n_docs
+FROM scored s JOIN vals USING (doc_id)
+GROUP BY 1, 2 HAVING count(*) <= {RARE_MAX_DC}
+"""
+    sql["rare_terms_agg_indexed"] = sql["rare_terms_agg"]
+
+    # multi_terms: (lang, source) tuple buckets, count-desc/value-asc top-8
+    sql["multi_terms_agg"] = f"""
+WITH {_TL}, {_TOKS}, {_POST}, {_DL}, {_CS}, {_TS}, {_QT}, {_SCORED},
+g AS (
+  SELECT s.query_id, d.lang, d.source, count(*)::BIGINT AS n_docs
+  FROM scored s JOIN documents d USING (doc_id)
+  WHERE d.lang IS NOT NULL AND d.source IS NOT NULL
+  GROUP BY 1, 2, 3),
+ranked AS (
+  SELECT query_id, lang, source, n_docs,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY n_docs DESC, lang ASC, source ASC)::INT AS rank
+  FROM g)
+SELECT query_id, rank, lang, source, n_docs FROM ranked WHERE rank <= 8
+"""
+    sql["multi_terms_agg_indexed"] = sql["multi_terms_agg"]
+
+    # weighted_avg over n_chars with the deterministic synthetic weight
+    sql["weighted_avg_agg"] = f"""
+WITH {_TL}, {_TOKS}, {_POST}, {_DL}, {_CS}, {_TS}, {_QT}, {_SCORED}
+SELECT s.query_id,
+       round(sum(d."{STATS_VALUE_COL}"::DOUBLE * ({WAVG_WEIGHT}))
+             / sum(({WAVG_WEIGHT})::DOUBLE), 6) AS weighted_avg,
+       count(*)::BIGINT AS n_docs
+FROM scored s JOIN documents d USING (doc_id)
+WHERE d."{STATS_VALUE_COL}" IS NOT NULL
+GROUP BY 1
+"""
+    sql["weighted_avg_agg_indexed"] = sql["weighted_avg_agg"]
 
     # has_child: parents (conv = doc_id div TURNS_PER_CONV) ranked by the
     # max matching-child score, min_children bound BEFORE ranking; rounding

@@ -66,6 +66,12 @@ __all__ = [
     "serial_diff_agg",
     "bucket_selector_agg",
     "bucket_sort_agg",
+    "rare_terms_agg",
+    "rare_terms_agg_indexed",
+    "multi_terms_agg",
+    "multi_terms_agg_indexed",
+    "weighted_avg_agg",
+    "weighted_avg_agg_indexed",
 ]
 
 
@@ -1058,3 +1064,192 @@ def bucket_sort_agg(
     if size is not None:
         out = out.filter(F.col("pos") <= frm + size)
     return out
+
+
+# ---------------------------------------------------------------------------
+# rare_terms / multi_terms / weighted_avg — the remaining ES bucket/metric
+# aggs a transcript-search user reaches for (long-tail values, tuple
+# buckets, weighted roll-ups).
+
+
+def _rare_epilogue(
+    m: DataFrame, docs: DataFrame, field: str, max_doc_count: int, id_col: str
+) -> DataFrame:
+    vals = docs.select(
+        F.col(id_col).alias("doc_id"), F.col(field).alias("value")
+    ).filter(F.col("value").isNotNull())
+    return (
+        m.join(vals, "doc_id")
+        .groupBy("query_id", "value")
+        .agg(F.count("*").cast("long").alias("n_docs"))
+        .filter(F.col("n_docs") <= max_doc_count)
+    )
+
+
+def rare_terms_agg(
+    docs: DataFrame,
+    queries: DataFrame,
+    field: str,
+    max_doc_count: int = 1,
+    conf: IndexConf = DEFAULT_CONF,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """The ES ``rare_terms`` aggregation: the LONG-TAIL inverse of terms —
+    field values matched by at most ``max_doc_count`` docs in the match
+    set ((query_id, value, n_docs); NULL values skipped).  "Which error
+    codes / tools appear in only one or two matching turns".
+
+    Scale: ES approximates this with a CuckooFilter because its per-shard
+    collectors cannot hold the full long tail; the map-side-combined hash
+    agg on the fine (query_id, value) key IS the exact mergeable form here
+    — the shuffle carries distinct (query, value) pairs, and the ≤ filter
+    applies post-merge, so results are exact at any cluster size (no
+    false-positive band, which ES documents as inherent to its sketch).
+    """
+    if max_doc_count < 1:
+        raise ValueError("max_doc_count must be >= 1")
+    m = _match_set(docs, queries, conf, text_col, id_col)
+    return _rare_epilogue(m, docs, field, max_doc_count, id_col)
+
+
+def rare_terms_agg_indexed(
+    spark,
+    idx,
+    docs: DataFrame,
+    queries: DataFrame,
+    field: str,
+    max_doc_count: int = 1,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """`rare_terms_agg` with the match set from pruned index blocks."""
+    m = _indexed_match_set(spark, idx, queries)
+    return _rare_epilogue(m, docs, field, max_doc_count, id_col)
+
+
+def _multi_terms_epilogue(
+    m: DataFrame, docs: DataFrame, fields: list[str], size: int, id_col: str
+) -> DataFrame:
+    vals = docs.select(F.col(id_col).alias("doc_id"), *fields)
+    cond = F.lit(True)
+    for f in fields:
+        cond = cond & F.col(f).isNotNull()
+    g = (
+        m.join(vals, "doc_id")
+        .filter(cond)
+        .groupBy("query_id", *fields)
+        .agg(F.count("*").cast("long").alias("n_docs"))
+    )
+    order = [F.desc("n_docs")] + [F.asc(f) for f in fields]
+    w = Window.partitionBy("query_id").orderBy(*order)
+    return (
+        g.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= size)
+        .select("query_id", "rank", *fields, "n_docs")
+    )
+
+
+def multi_terms_agg(
+    docs: DataFrame,
+    queries: DataFrame,
+    fields: list[str],
+    size: int = 10,
+    conf: IndexConf = DEFAULT_CONF,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """The ES ``multi_terms`` aggregation: buckets keyed by a TUPLE of
+    fields, top-``size`` per query by (count desc, values asc) —
+    (query_id, rank, <fields...>, n_docs).  A doc missing ANY key field is
+    skipped (the ES contract: multi_terms emits no partial tuples).
+
+    Scale: one hash agg on the fine (query_id, fields...) key with
+    map-side combine, then the per-query ranking window over distinct
+    buckets — bucket count bounded by the value-tuple cardinality of the
+    match set, never its row count.  The ES doc_count_error of deep terms
+    orderings does not arise: the agg is exact post-shuffle.
+    """
+    if not fields:
+        raise ValueError("multi_terms_agg needs at least one field")
+    if size < 1:
+        raise ValueError("size must be >= 1")
+    m = _match_set(docs, queries, conf, text_col, id_col)
+    return _multi_terms_epilogue(m, docs, fields, size, id_col)
+
+
+def multi_terms_agg_indexed(
+    spark,
+    idx,
+    docs: DataFrame,
+    queries: DataFrame,
+    fields: list[str],
+    size: int = 10,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """`multi_terms_agg` with the match set from pruned index blocks."""
+    m = _indexed_match_set(spark, idx, queries)
+    return _multi_terms_epilogue(m, docs, fields, size, id_col)
+
+
+def _wavg_epilogue(
+    m: DataFrame,
+    docs: DataFrame,
+    value_col: str,
+    weight_expr: str,
+    id_col: str,
+    round_dp: int | None,
+) -> DataFrame:
+    vals = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.col(value_col).cast("double").alias("_v"),
+        F.expr(weight_expr).cast("double").alias("_w"),
+    ).filter(F.col("_v").isNotNull() & F.col("_w").isNotNull())
+    out = (
+        m.join(vals, "doc_id")
+        .groupBy("query_id")
+        .agg(
+            (F.sum(F.col("_v") * F.col("_w")) / F.sum("_w")).alias("weighted_avg"),
+            F.count("*").cast("long").alias("n_docs"),
+        )
+    )
+    if round_dp is not None:
+        out = out.withColumn("weighted_avg", F.round("weighted_avg", round_dp))
+    return out
+
+
+def weighted_avg_agg(
+    docs: DataFrame,
+    queries: DataFrame,
+    value_col: str,
+    weight_expr: str,
+    conf: IndexConf = DEFAULT_CONF,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    round_dp: int | None = None,
+) -> DataFrame:
+    """The ES ``weighted_avg`` metric aggregation: Σ(value·weight)/Σweight
+    over the match set — (query_id, weighted_avg, n_docs).  ``weight_expr``
+    is a SQL expression over the doc columns (ES reads the weight from a
+    field; an expression subsumes that).  Docs with NULL value or weight
+    are skipped (the ES missing-skip default).
+
+    Scale: one partial-aggregating hash agg keyed query_id over the sparse
+    match set joined to a narrow (doc_id, value, weight) projection.
+    """
+    m = _match_set(docs, queries, conf, text_col, id_col)
+    return _wavg_epilogue(m, docs, value_col, weight_expr, id_col, round_dp)
+
+
+def weighted_avg_agg_indexed(
+    spark,
+    idx,
+    docs: DataFrame,
+    queries: DataFrame,
+    value_col: str,
+    weight_expr: str,
+    id_col: str = "doc_id",
+    round_dp: int | None = None,
+) -> DataFrame:
+    """`weighted_avg_agg` with the match set from pruned index blocks."""
+    m = _indexed_match_set(spark, idx, queries)
+    return _wavg_epilogue(m, docs, value_col, weight_expr, id_col, round_dp)

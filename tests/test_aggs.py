@@ -404,3 +404,94 @@ def test_filters_agg_complete_grid(spark, docs):
         F.col("doc_id").isin(list(m)) & (F.col("role") == "user")
     ).count()
     assert out[(0, "f_user")] == want
+
+
+def test_rare_terms_bruteforce(spark, docs):
+    from collections import Counter
+
+    from igd_spark import rare_terms_agg
+
+    term = _mid_term(docs)
+    ids = _match_ids(docs, term)
+    tools = {
+        r["doc_id"]: r["tool"]
+        for r in docs.select("doc_id", "tool").collect()
+        if r["tool"] is not None
+    }
+    counts = Counter(tools[d] for d in ids if d in tools)
+    for mdc in (1, 2, 5):
+        out = rare_terms_agg(docs, _queries(spark, [(0, term)]), "tool", mdc).collect()
+        assert {(r["value"], r["n_docs"]) for r in out} == {
+            (v, c) for v, c in counts.items() if c <= mdc
+        }
+    with pytest.raises(ValueError):
+        rare_terms_agg(docs, _queries(spark, [(0, term)]), "tool", 0)
+
+
+def test_multi_terms_bruteforce(spark, docs):
+    from collections import Counter
+
+    from igd_spark import multi_terms_agg
+
+    term = _mid_term(docs)
+    ids = _match_ids(docs, term)
+    rows = {
+        r["doc_id"]: (r["role"], r["tool"])
+        for r in docs.select("doc_id", "role", "tool").collect()
+    }
+    counts = Counter(
+        rows[d] for d in ids if rows[d][0] is not None and rows[d][1] is not None
+    )
+    expect = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))[:4]
+    out = multi_terms_agg(
+        docs, _queries(spark, [(0, term)]), ["role", "tool"], size=4
+    ).collect()
+    got = [((r["role"], r["tool"]), r["n_docs"]) for r in sorted(out, key=lambda r: r["rank"])]
+    assert got == expect
+    with pytest.raises(ValueError):
+        multi_terms_agg(docs, _queries(spark, [(0, term)]), [], size=4)
+
+
+def test_weighted_avg_bruteforce(spark, docs):
+    from igd_spark import weighted_avg_agg
+
+    term = _mid_term(docs)
+    ids = _match_ids(docs, term)
+    rows = {
+        r["doc_id"]: r["turn_idx"]
+        for r in docs.select("doc_id", "turn_idx").collect()
+    }
+    num = sum(rows[d] * (1 + d % 3) for d in ids if rows[d] is not None)
+    den = sum((1 + d % 3) for d in ids if rows[d] is not None)
+    out = weighted_avg_agg(
+        docs, _queries(spark, [(0, term)]), "turn_idx", "1 + doc_id % 3"
+    ).collect()
+    assert len(out) == 1
+    assert out[0]["weighted_avg"] == pytest.approx(num / den)
+    assert out[0]["n_docs"] == sum(1 for d in ids if rows[d] is not None)
+
+
+def test_rare_multi_wavg_indexed_identity(spark, docs, agg_idx):
+    from igd_spark import (
+        multi_terms_agg,
+        multi_terms_agg_indexed,
+        rare_terms_agg,
+        rare_terms_agg_indexed,
+        weighted_avg_agg,
+        weighted_avg_agg_indexed,
+    )
+
+    q = _queries(spark, [(0, _mid_term(docs)), (1, "error timeout")])
+    a = rare_terms_agg(docs, q, "tool", 2, conf=agg_idx.conf).collect()
+    b = rare_terms_agg_indexed(spark, agg_idx, docs, q, "tool", 2).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+    a = multi_terms_agg(docs, q, ["role", "tool"], size=5, conf=agg_idx.conf).collect()
+    b = multi_terms_agg_indexed(spark, agg_idx, docs, q, ["role", "tool"], size=5).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+    a = weighted_avg_agg(
+        docs, q, "turn_idx", "1 + doc_id % 3", conf=agg_idx.conf, round_dp=6
+    ).collect()
+    b = weighted_avg_agg_indexed(
+        spark, agg_idx, docs, q, "turn_idx", "1 + doc_id % 3", round_dp=6
+    ).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
