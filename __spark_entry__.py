@@ -131,6 +131,7 @@ DH_INTERVAL = "day"           # date_histogram calendar interval
 BSEL_MIN_DOCS = 22            # bucket_selector keep-threshold (binds: drops ~half)
 BSORT_SIZE = 5                # bucket_sort per-query truncation
 HC_MIN_CHILDREN = 2           # has_child min_children bound
+LMJM_LAMBDA = 0.3             # LM Jelinek-Mercer smoothing weight
 RARE_MAX_DC = 21              # rare_terms max_doc_count (binds non-vacuously:
                               # match-set source counts span 14..25 at sf0.01)
 WAVG_WEIGHT = "1 + doc_id % 5"  # weighted_avg synthetic weight expression
@@ -1818,6 +1819,39 @@ def _docs_with_conv(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Lucene ClassicSimilarity (pre-BM25 TF-IDF default)
+    from igd_spark import tfidf_topk
+
+    return tfidf_topk(_docs(spark, sf_dir), _queries_df(spark), k=K, round_dp=6)
+
+
+def q_tfidf_topk_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from igd_spark import tfidf_topk_indexed
+
+    return tfidf_topk_indexed(
+        spark, _built_index(spark, sf_dir), _queries_df(spark), k=K, round_dp=6
+    )
+
+
+def q_lm_jm_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # LM Jelinek-Mercer smoothing (Lucene LMJelinekMercerSimilarity)
+    from igd_spark import lm_jelinek_mercer_topk
+
+    return lm_jelinek_mercer_topk(
+        _docs(spark, sf_dir), _queries_df(spark), lam=LMJM_LAMBDA, k=K, round_dp=6
+    )
+
+
+def q_lm_jm_topk_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from igd_spark import lm_jelinek_mercer_topk_indexed
+
+    return lm_jelinek_mercer_topk_indexed(
+        spark, _built_index(spark, sf_dir), _queries_df(spark),
+        lam=LMJM_LAMBDA, k=K, round_dp=6,
+    )
+
+
 def q_rare_terms_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     # ES rare_terms: long-tail source values (<= RARE_MAX_DC matching docs)
     from igd_spark import rare_terms_agg
@@ -2347,6 +2381,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "serial_diff_agg": q_serial_diff_agg,
         "bucket_selector_agg": q_bucket_selector_agg,
         "bucket_sort_agg": q_bucket_sort_agg,
+        "tfidf_topk": q_tfidf_topk,
+        "tfidf_topk_indexed": q_tfidf_topk_indexed,
+        "lm_jm_topk": q_lm_jm_topk,
+        "lm_jm_topk_indexed": q_lm_jm_topk_indexed,
         "rare_terms_agg": q_rare_terms_agg,
         "rare_terms_agg_indexed": q_rare_terms_agg_indexed,
         "multi_terms_agg": q_multi_terms_agg,
@@ -4260,6 +4298,46 @@ WITH ranked AS (
   FROM {_dh_sub} dh)
 SELECT query_id, bucket, n_docs, pos FROM ranked WHERE pos <= {BSORT_SIZE}
 """
+
+    # ClassicSimilarity TF-IDF: sqrt(tf) · (1+ln(N/(df+1)))² / sqrt(dl)
+    sql["tfidf_topk"] = f"""
+WITH {_TL}, {_TOKS}, {_POST}, {_DL}, {_CS}, {_TS}, {_QT},
+scored AS (
+  SELECT qt.query_id, p.doc_id,
+         sum( sqrt(p.tf) * pow(1.0 + ln(cs.n_docs / (ts.df + 1.0)), 2)
+              / sqrt(dl.dl) ) AS s
+  FROM qterms qt JOIN ts USING (term) JOIN post p USING (term)
+  JOIN dl ON p.doc_id = dl.doc_id CROSS JOIN cs
+  GROUP BY 1, 2),
+ranked AS (
+  SELECT query_id, doc_id, round(s, 6) AS score,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY round(s, 6) DESC, doc_id ASC)::INT AS rank
+  FROM scored)
+SELECT query_id, rank, doc_id, score FROM ranked WHERE rank <= {K}
+"""
+    sql["tfidf_topk_indexed"] = sql["tfidf_topk"]
+
+    # LM Jelinek-Mercer: ln(1 + ((1-λ)·tf/dl) / (λ·cf/total))
+    sql["lm_jm_topk"] = f"""
+WITH {_TL}, {_TOKS}, {_POST}, {_DL}, {_CS}, {_TS}, {_QT},
+cf AS (SELECT term, sum(tf)::DOUBLE AS cf FROM post GROUP BY 1),
+tot AS (SELECT sum(dl)::DOUBLE AS total FROM dl),
+scored AS (
+  SELECT qt.query_id, p.doc_id,
+         sum( ln(1.0 + (({1.0 - LMJM_LAMBDA}) * p.tf / dl.dl)
+                        / ({LMJM_LAMBDA} * cf.cf / tot.total)) ) AS s
+  FROM qterms qt JOIN post p USING (term) JOIN cf USING (term)
+  JOIN dl ON p.doc_id = dl.doc_id CROSS JOIN tot
+  GROUP BY 1, 2),
+ranked AS (
+  SELECT query_id, doc_id, round(s, 6) AS score,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY round(s, 6) DESC, doc_id ASC)::INT AS rank
+  FROM scored)
+SELECT query_id, rank, doc_id, score FROM ranked WHERE rank <= {K}
+"""
+    sql["lm_jm_topk_indexed"] = sql["lm_jm_topk"]
 
     # rare_terms: long-tail source values over the match set
     sql["rare_terms_agg"] = f"""

@@ -3672,3 +3672,140 @@ def has_parent_topk_indexed(
         F.col(id_col).alias("doc_id"), F.col(parent_col).alias("parent_id")
     )
     return _has_parent_epilogue(parent_scored, children, score, k, round_dp)
+
+
+# ---------------------------------------------------------------------------
+# Additional similarities — Lucene's other stock scorers: ClassicSimilarity
+# (the pre-BM25 TF-IDF default) and LM Jelinek-Mercer.  Same plan shape as
+# the BM25/LM-Dirichlet scorers; only the per-term weight changes.
+
+
+def _tfidf_scored(hits: DataFrame, n_docs: int) -> DataFrame:
+    """Shared ClassicSimilarity epilogue — ``hits``: (query_id, term,
+    doc_id, tf, dl), EVERY posting of every matched term, so the per-term
+    window count IS the true df.  Contribution = sqrt(tf) · idf² /
+    sqrt(dl) with idf = 1 + ln(N/(df+1)) — Lucene ClassicSimilarity
+    post-7.0 (no coord, no queryNorm; both were removed and neither
+    affects ranking)."""
+    wdf = Window.partitionBy("query_id", "term")
+    # one posting row per (term, doc) by construction, so count == df
+    h = hits.withColumn("df", F.count("*").over(wdf))
+    idf = F.lit(1.0) + F.log(F.lit(float(n_docs)) / (F.col("df") + F.lit(1.0)))
+    contrib = F.sqrt(F.col("tf")) * idf * idf / F.sqrt(F.col("dl"))
+    return h.groupBy("query_id", "doc_id").agg(F.sum(contrib).alias("score"))
+
+
+def tfidf_topk(
+    docs: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    conf: IndexConf = DEFAULT_CONF,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    round_dp: int | None = None,
+) -> DataFrame:
+    """Classic TF-IDF retrieval (Lucene ClassicSimilarity, the pre-6.0
+    default similarity): score = Σ_t sqrt(tf)·(1+ln(N/(df+1)))²/sqrt(dl).
+    Kept for parity with corpora ranked under the old default; BM25
+    (`exact_bm25_topk`) is the better-calibrated modern scorer.
+
+    Scale: the BM25 scorer's exact plan plus one window exchange keyed
+    (query_id, term) for df — computed over the matched postings
+    themselves, no vocab-sized side agg."""
+    post = postings(docs, text_col=text_col, id_col=id_col, conf=conf)
+    ds = doc_stats(docs, text_col=text_col, id_col=id_col, conf=conf)
+    n_docs = int(corpus_stats(ds).collect()[0]["n_docs"])
+    qt = query_terms(queries)
+    hits = (
+        post.join(F.broadcast(qt), "term")
+        .join(ds, "doc_id")
+        .select("query_id", "term", "doc_id", "tf", "dl")
+    )
+    return rank_topk(_maybe_round(_tfidf_scored(hits, n_docs), round_dp), k)
+
+
+def tfidf_topk_indexed(
+    spark,
+    idx,
+    queries: DataFrame,
+    k: int = 10,
+    round_dp: int | None = None,
+) -> DataFrame:
+    """`tfidf_topk` over a persisted index: tf, dl, and df all come from
+    the enumerated pruned blocks; N from the index's corpus metadata.
+    Zero corpus joins."""
+    from igd_spark.search import match_enumerate
+
+    n_docs = int(idx.meta["corpus"]["n_docs"])
+    me = match_enumerate(spark, idx, queries, with_dl=True)
+    hits = me.select("query_id", "term", "doc_id", "tf", "dl")
+    return rank_topk(_maybe_round(_tfidf_scored(hits, n_docs), round_dp), k)
+
+
+def _lmjm_scored(hits: DataFrame, lam: float, total_tokens: int) -> DataFrame:
+    """Shared LM Jelinek-Mercer epilogue: contribution per matched term =
+    ln(1 + ((1-λ)·tf/dl) / (λ·cf/total)) — Lucene LMJelinekMercerSimilarity
+    (always positive for tf > 0, no clamp needed); cf via the same
+    complete-postings window as LM-Dirichlet."""
+    if not (0.0 < lam < 1.0):
+        raise ValueError(f"lambda must be in (0, 1), got {lam}")
+    wcf = Window.partitionBy("query_id", "term")
+    h = hits.withColumn("cf", F.sum("tf").over(wcf))
+    p_c = F.col("cf") / F.lit(float(total_tokens))
+    x = (F.lit(1.0 - lam) * F.col("tf") / F.col("dl")) / (F.lit(lam) * p_c)
+    return (
+        h.withColumn("w", F.log(F.lit(1.0) + x))
+        .groupBy("query_id", "doc_id")
+        .agg(F.sum("w").alias("score"))
+    )
+
+
+def lm_jelinek_mercer_topk(
+    docs: DataFrame,
+    queries: DataFrame,
+    lam: float = 0.1,
+    k: int = 10,
+    conf: IndexConf = DEFAULT_CONF,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    round_dp: int | None = None,
+) -> DataFrame:
+    """Language-model retrieval with Jelinek-Mercer (linear interpolation)
+    smoothing — Lucene LMJelinekMercerSimilarity; λ≈0.1 suits short
+    (title-like) queries, λ≈0.7 verbose ones (Zhai & Lafferty 2001).
+
+    Scale: identical plan to `lm_dirichlet_topk` — one window exchange on
+    (query_id, term) for cf over the matched postings."""
+    post = postings(docs, text_col=text_col, id_col=id_col, conf=conf)
+    ds = doc_stats(docs, text_col=text_col, id_col=id_col, conf=conf)
+    total = int(corpus_stats(ds).collect()[0]["sum_dl"])
+    qt = query_terms(queries)
+    hits = (
+        post.join(F.broadcast(qt), "term")
+        .join(ds, "doc_id")
+        .select("query_id", "term", "doc_id", "tf", "dl")
+    )
+    return rank_topk(_maybe_round(_lmjm_scored(hits, lam, total), round_dp), k)
+
+
+def lm_jelinek_mercer_topk_indexed(
+    spark,
+    idx,
+    queries: DataFrame,
+    lam: float = 0.1,
+    k: int = 10,
+    round_dp: int | None = None,
+) -> DataFrame:
+    """`lm_jelinek_mercer_topk` over a persisted index — enumerated pruned
+    blocks supply tf/dl/cf, metadata the exact total token count."""
+    from igd_spark.search import match_enumerate
+
+    total = int(idx.meta["corpus"].get("sum_dl", 0))
+    if total <= 0:
+        raise ValueError(
+            "index metadata lacks exact sum_dl (pre-v2 layout?) — rebuild "
+            "or use lm_jelinek_mercer_topk (corpus-scan path)"
+        )
+    me = match_enumerate(spark, idx, queries, with_dl=True)
+    hits = me.select("query_id", "term", "doc_id", "tf", "dl")
+    return rank_topk(_maybe_round(_lmjm_scored(hits, lam, total), round_dp), k)
