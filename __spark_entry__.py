@@ -12,6 +12,7 @@ hashes are stable across Spark/DuckDB summation-order differences.
 
 from __future__ import annotations
 
+import os
 import tempfile
 from collections.abc import Callable
 
@@ -1819,6 +1820,53 @@ def _docs_with_conv(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_unigram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # per-doc perplexity under the corpus unigram MLE (the KenLM stand-in)
+    from igd_spark import unigram_perplexity
+
+    return unigram_perplexity(_docs(spark, sf_dir), round_dp=6)
+
+
+_ROLLOVER_CACHE: dict[str, list] = {}
+
+
+def q_bm25_topk_rollover(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ES ILM write path end-to-end: half the corpus into generation 1
+    behind a write alias, rollover on max_docs (new EMPTY generation +
+    atomic alias swap), second half APPENDED through the alias, then one
+    federated search over both generations with exact global stats.  Same
+    oracle as bm25_topk — the whole lifecycle must be rank-invisible."""
+    from igd_spark import (
+        IndexConf, append_index, build_index, open_index, resolve_alias,
+        rollover_index, search_federated, set_alias,
+    )
+
+    if sf_dir not in _ROLLOVER_CACHE:
+        conf = IndexConf(block_size=64, n_shards=8, salt_df_threshold=1024,
+                         max_salts=4)
+        docs = _docs(spark, sf_dir)
+        base = tempfile.mkdtemp(prefix="igd_roll_")
+        gen1 = os.path.join(base, "turns-000001")
+        root = os.path.join(base, "aliases")
+        build_index(
+            spark, docs.filter(F.pmod(F.col("doc_id"), F.lit(2)) == 0),
+            gen1, conf=conf,
+        )
+        set_alias(root, "turns-write", gen1)
+        r = rollover_index(spark, root, "turns-write", max_docs=1)
+        assert r["rolled"] and r["new_target"].endswith("turns-000002")
+        append_index(
+            spark, resolve_alias(root, "turns-write"),
+            docs.filter(F.pmod(F.col("doc_id"), F.lit(2)) == 1),
+        )
+        _ROLLOVER_CACHE[sf_dir] = [
+            open_index(spark, gen1),
+            open_index(spark, resolve_alias(root, "turns-write")),
+        ]
+    out = search_federated(spark, _ROLLOVER_CACHE[sf_dir], _queries_df(spark), k=K + 15)
+    return _rank_rounded(out.select("query_id", "doc_id", "score"), K)
+
+
 def q_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Lucene ClassicSimilarity (pre-BM25 TF-IDF default)
     from igd_spark import tfidf_topk
@@ -2381,6 +2429,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "serial_diff_agg": q_serial_diff_agg,
         "bucket_selector_agg": q_bucket_selector_agg,
         "bucket_sort_agg": q_bucket_sort_agg,
+        "unigram_perplexity": q_unigram_perplexity,
+        "bm25_topk_rollover": q_bm25_topk_rollover,
         "tfidf_topk": q_tfidf_topk,
         "tfidf_topk_indexed": q_tfidf_topk_indexed,
         "lm_jm_topk": q_lm_jm_topk,
@@ -2692,6 +2742,9 @@ def oracle_sql() -> dict[str, str]:
     # federation over two half-corpus indexes with global (dfs) stats must
     # be invisible to ranking too
     sql["bm25_topk_federated"] = _bm25_sql()
+    # ...and so must the whole rollover lifecycle (empty generation, alias
+    # swap, append-through-alias, federated read over generations)
+    sql["bm25_topk_rollover"] = _bm25_sql()
 
     sql["match_enumerate"] = f"""
 WITH {_TL}, {_TOKS}, {_POST}, {_QT}
@@ -4297,6 +4350,17 @@ WITH ranked AS (
                             ORDER BY n_docs DESC, bucket ASC)::INT AS pos
   FROM {_dh_sub} dh)
 SELECT query_id, bucket, n_docs, pos FROM ranked WHERE pos <= {BSORT_SIZE}
+"""
+
+    # unigram perplexity under the corpus MLE LM
+    sql["unigram_perplexity"] = f"""
+WITH {_TL}, {_TOKS}, {_POST},
+cf AS (SELECT term, sum(tf)::BIGINT AS cf FROM post GROUP BY 1),
+tot AS (SELECT sum(cf)::DOUBLE AS total FROM cf)
+SELECT p.doc_id, sum(p.tf)::BIGINT AS n_tokens,
+       round(exp(-sum(p.tf * ln(cf.cf / tot.total)) / sum(p.tf)), 6)::DOUBLE AS ppl
+FROM post p JOIN cf USING (term) CROSS JOIN tot
+GROUP BY 1
 """
 
     # ClassicSimilarity TF-IDF: sqrt(tf) · (1+ln(N/(df+1)))² / sqrt(dl)

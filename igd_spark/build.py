@@ -611,8 +611,11 @@ def build_all(
         n_dropped = int(f_dropped.result())
         hot_rows = f_hot.result()
     cs_row = corpus_stats(ds).collect()[0]
-    n_docs, avgdl = int(cs_row["n_docs"]), float(cs_row["avgdl"])
-    sum_dl = int(cs_row["sum_dl"])
+    # empty corpus is legal (a rollover target starts as an empty
+    # generation and fills by append): avgdl has no docs to average over
+    n_docs = int(cs_row["n_docs"] or 0)
+    avgdl = float(cs_row["avgdl"]) if cs_row["avgdl"] is not None else 0.0
+    sum_dl = int(cs_row["sum_dl"] or 0)
     hot = spark.createDataFrame(hot_rows, "term string, n_salts int")
     dictionary = ts.join(F.broadcast(hot), "term", "left").select(
         "term",

@@ -176,15 +176,37 @@ class InvertedIndex:
         self._tombstones: DataFrame | None = None
         self._tombstones_np = None
 
+    def _read_table(self, path: str, sub: str) -> DataFrame:
+        # a legal boundary, not corruption: an EMPTY generation (the
+        # rollover target before its first append) has zero block rows,
+        # and a zero-row partitionBy write emits a committed dir with no
+        # data files — nothing for schema inference to read.  Serve the
+        # typed empty table; every downstream plan handles 0 blocks.
+        # (A MISSING dir is still an error: these tables are committed by
+        # the build's lineage protocol, absent ⇒ broken index.)
+        from igd_spark.build import BLOCK_SCHEMA, POS_BLOCK_SCHEMA
+
+        # both schemas already carry `shard` (partitionBy lifts it into the
+        # directory layout on write; read restores it)
+        schemas = {"segments": BLOCK_SCHEMA, "positions": POS_BLOCK_SCHEMA}
+        if sub in schemas and os.path.isdir(path) and not any(
+            f.endswith(".parquet")
+            for _r, _d, fs in os.walk(path) for f in fs
+        ):
+            return self.spark.createDataFrame([], schemas[sub])
+        return self.spark.read.parquet(path)
+
     def _union_read(self, sub: str) -> DataFrame:
         """base/<sub> ∪ batches/<tag>/<sub> for every committed batch —
         each branch is its own parquet scan, so shard partition pruning and
         row-group min/max pushdown apply per branch (Catalyst pushes
         filters through Union)."""
-        out = self.spark.read.parquet(os.path.join(self.path, sub))
+        out = self._read_table(os.path.join(self.path, sub), sub)
         for tag in self.batches:
             out = out.unionByName(
-                self.spark.read.parquet(os.path.join(_batches_root(self.path), tag, sub))
+                self._read_table(
+                    os.path.join(_batches_root(self.path), tag, sub), sub
+                )
             )
         return out
 
@@ -1081,3 +1103,102 @@ def reshard_index(
         {"rows": -1, "secs": time.time() - t0},
     )
     return open_index(spark, dest)
+
+
+def _dir_bytes(path: str) -> int:
+    total = 0
+    for root, _dirs, files in os.walk(path):
+        for f in files:
+            try:
+                total += os.path.getsize(os.path.join(root, f))
+            except OSError:
+                pass
+    return total
+
+
+def _next_generation(target: str) -> str:
+    """ES rollover naming: `name-NNNNNN` increments the numeric suffix;
+    a target without one gets `-000002` (its implicit generation is 1)."""
+    base = os.path.basename(os.path.normpath(target))
+    parent = os.path.dirname(os.path.normpath(target))
+    head, _sep, tail = base.rpartition("-")
+    if head and tail.isdigit():
+        nxt = f"{head}-{int(tail) + 1:0{len(tail)}d}"
+    else:
+        nxt = f"{base}-000002"
+    return os.path.join(parent, nxt)
+
+
+def rollover_index(
+    spark: SparkSession,
+    root: str,
+    name: str,
+    max_docs: int | None = None,
+    max_age_s: float | None = None,
+    max_bytes: int | None = None,
+    conf: "IndexConf | None" = None,
+    dry_run: bool = False,
+) -> dict:
+    """The ES ILM ``rollover`` API: when the write alias's CURRENT target
+    breaches any condition, create a fresh EMPTY generation next to it
+    (``-NNNNNN`` suffix incremented) and atomically swap the alias.  The
+    old generation stays on disk for reads — `search_federated` over the
+    generations is the read path (exact global stats, rank-identical to
+    one merged index), retention = deleting a generation directory.
+
+    Conditions (any-of, the ES contract; None = not tested):
+      max_docs   — live doc count from the index metadata (O(1), the
+                   additive corpus stats appends maintain)
+      max_age_s  — seconds since the generation was created (_meta.json
+                   mtime: written once at build, never rewritten)
+      max_bytes  — on-disk bytes of the generation (directory walk here;
+                   in production the table format's snapshot statistics)
+
+    Returns {rolled, old_target, new_target, conditions} where
+    ``conditions`` holds each tested condition's measured value and
+    verdict.  ``dry_run=True`` evaluates without creating or swapping.
+    The new generation is built with the old one's IndexConf unless
+    ``conf`` overrides it; the empty build is a legal index (searches
+    return 0 rows) that fills by `append_index`.
+
+    Contrast the reference: its database is create-once (igd_create runs
+    to completion, src/igd_create.c:50-88) with no serving-pointer layer;
+    rollover is the piece that makes the batched ingest an ENDLESS write
+    path — bounded-size generations, O(1) swap, per-generation
+    maintenance (reshard/compact/retire) that never touches the full
+    history.
+    """
+    from igd_spark.corpus import TRANSCRIPT_SCHEMA, assign_doc_ids
+
+    target = resolve_alias(root, name)
+    idx = open_index(spark, target)
+    n_docs = int(idx.meta["corpus"]["n_docs"])
+    age_s = time.time() - os.path.getmtime(os.path.join(target, "_meta.json"))
+    evaluated: dict[str, dict] = {}
+    if max_docs is not None:
+        evaluated["max_docs"] = {"value": n_docs, "limit": max_docs,
+                                 "met": n_docs >= max_docs}
+    if max_age_s is not None:
+        evaluated["max_age_s"] = {"value": age_s, "limit": max_age_s,
+                                  "met": age_s >= max_age_s}
+    if max_bytes is not None:
+        size = _dir_bytes(target)
+        evaluated["max_bytes"] = {"value": size, "limit": max_bytes,
+                                  "met": size >= max_bytes}
+    if not evaluated:
+        raise ValueError("rollover_index needs at least one condition")
+    rolled = any(c["met"] for c in evaluated.values())
+    out = {"rolled": rolled, "old_target": target, "new_target": None,
+           "conditions": evaluated}
+    if not rolled or dry_run:
+        out["rolled"] = rolled and not dry_run
+        out["would_roll"] = rolled
+        return out
+    new_path = _next_generation(target)
+    empty = assign_doc_ids(
+        spark.createDataFrame([], TRANSCRIPT_SCHEMA), idx.conf
+    )
+    build_index(spark, empty, new_path, conf=conf or idx.conf)
+    set_alias(root, name, new_path)  # atomic swap — writers follow the alias
+    out["new_target"] = new_path
+    return out

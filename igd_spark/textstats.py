@@ -258,3 +258,69 @@ def keywords_topk(
         .filter(F.col("rank") <= k)
         .select("doc_id", "rank", "term", "tfidf")
     )
+
+
+def unigram_perplexity(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    lm: DataFrame | None = None,
+    total_tokens: int | None = None,
+    alpha: float = 0.0,
+    round_dp: int | None = None,
+) -> DataFrame:
+    """Per-document perplexity under a unigram language model — the cheap
+    KenLM stand-in every pretraining-data pipeline scores with (low ppl ≈
+    ordinary prose, high ppl ≈ gibberish/boilerplate/wrong-language):
+    (doc_id, n_tokens, ppl) with ppl = exp(-(1/n) Σ_t tf·ln p(t)); empty
+    docs have no tokens to score and yield no row.
+
+    By default the LM is the corpus itself (MLE — no zeros, since every
+    scored token was counted).  Pass ``lm`` ((term, cf) rows from a
+    REFERENCE corpus, e.g. `term_stats`-shaped counts off a trusted slice)
+    plus ``total_tokens`` to score against an external model; then Lidstone
+    smoothing with ``alpha`` > 0 handles OOV terms: p = (cf+α)/(total+α·V)
+    with V the LM vocabulary size (+1 for the OOV bucket).
+
+    Scale: term counts are one map-side-combined agg keyed term
+    (vocab-sized output); the score join is postings ⋈ cf on term then a
+    hash agg on doc_id — the index build's own shuffle shape, nothing
+    corpus-squared.  Training the LM once and persisting it amortizes the
+    cf agg across scoring runs.
+    """
+    from igd_spark.tokenizer import postings as _post
+
+    p = _post(docs, text_col=text_col, id_col=id_col)
+    if lm is None:
+        lm = p.groupBy("term").agg(F.sum("tf").cast("long").alias("cf"))
+        total_row = lm.agg(
+            F.sum("cf").alias("t"), F.count("*").alias("v")
+        ).collect()[0]
+        total, vocab = int(total_row["t"] or 0), int(total_row["v"] or 0)
+    else:
+        lm = lm.select("term", F.col("cf").cast("long").alias("cf"))
+        if total_tokens is None:
+            raise ValueError("external lm needs total_tokens")
+        total, vocab = int(total_tokens), lm.count()
+    if alpha < 0:
+        raise ValueError("alpha must be >= 0")
+    if alpha == 0.0:
+        j = p.join(lm, "term")  # MLE: OOV terms are silently unscorable
+        logp = F.log(F.col("cf") / F.lit(float(total)))
+    else:
+        j = p.join(lm, "term", "left")
+        denom = float(total) + alpha * (vocab + 1)
+        logp = F.log(
+            (F.coalesce(F.col("cf"), F.lit(0)) + F.lit(alpha)) / F.lit(denom)
+        )
+    scored = j.groupBy(F.col("doc_id")).agg(
+        F.sum(F.col("tf") * logp).alias("_lp"),
+        F.sum("tf").cast("long").alias("n_tokens"),
+    )
+    ppl = F.exp(-F.col("_lp") / F.col("n_tokens"))
+    out = scored.select(
+        "doc_id", "n_tokens",
+        (F.round(ppl, round_dp) if round_dp is not None else ppl)
+        .cast("double").alias("ppl"),
+    )
+    return out

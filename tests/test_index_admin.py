@@ -108,3 +108,60 @@ def test_index_stats_and_snapshot_restore(spark, docs, tmp_path):
     # restored index is independent: deleting there leaves the snapshot dir alone
     delete_docs(spark, str(tmp_path / "restored"), dead, delete_tag="r_t")
     assert open_index(spark, snap).tombstone_tags == []
+
+
+def test_rollover_lifecycle(spark, docs, tmp_path):
+    from igd_spark import (
+        append_index,
+        open_alias,
+        resolve_alias,
+        rollover_index,
+        search_federated,
+        set_alias,
+    )
+
+    conf = IndexConf(block_size=32, n_shards=4)
+    root = str(tmp_path / "aliases")
+    gen1 = str(tmp_path / "logs-000001")
+    half1 = docs.filter(F.pmod(F.col("doc_id"), F.lit(2)) == 0)
+    half2 = docs.filter(F.pmod(F.col("doc_id"), F.lit(2)) == 1)
+    build_index(spark, half1, gen1, conf=conf)
+    set_alias(root, "logs-write", gen1)
+
+    # conditions not met → no-op, alias unchanged
+    r = rollover_index(spark, root, "logs-write", max_docs=10**9)
+    assert not r["rolled"] and resolve_alias(root, "logs-write") == gen1
+
+    # dry_run reports would_roll without creating anything
+    r = rollover_index(spark, root, "logs-write", max_docs=1, dry_run=True)
+    assert r["would_roll"] and not r["rolled"]
+    assert resolve_alias(root, "logs-write") == gen1
+    import os as _os
+
+    assert not _os.path.exists(str(tmp_path / "logs-000002"))
+
+    # real rollover: generation increments, alias swaps, old gen readable
+    r = rollover_index(spark, root, "logs-write", max_docs=1)
+    assert r["rolled"] and r["new_target"].endswith("logs-000002")
+    assert resolve_alias(root, "logs-write") == r["new_target"]
+    assert open_index(spark, gen1).meta["corpus"]["n_docs"] > 0
+
+    # the write path continues through the alias into the empty generation
+    append_index(spark, resolve_alias(root, "logs-write"), half2)
+    q = _queries(spark, [(0, "error timeout"), (1, "deploy")])
+    fed = search_federated(
+        spark,
+        [open_index(spark, gen1), open_alias(spark, root, "logs-write")],
+        q, k=8, round_dp=6,
+    ).collect()
+    from igd_spark.querylang import _maybe_round
+    from igd_spark.search import bm25_scores, rank_topk
+
+    exact = rank_topk(
+        _maybe_round(bm25_scores(docs, q, conf=conf), 6), 8
+    ).collect()
+    assert sorted(map(tuple, fed)) == sorted(map(tuple, exact))
+
+    # condition validation
+    with pytest.raises(ValueError):
+        rollover_index(spark, root, "logs-write")

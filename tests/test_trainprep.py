@@ -370,3 +370,51 @@ def test_chunk_documents_coverage_and_overlap(spark):
         chunk_documents(d, chunk_tokens=5, overlap=5)
     with pytest.raises(ValueError):
         chunk_documents(d, chunk_tokens=0)
+
+
+def test_unigram_perplexity_bruteforce(spark, tiny_docs):
+    import math
+    from collections import Counter
+
+    from igd_spark import unigram_perplexity
+    from igd_spark.corpus import assign_doc_ids
+    from igd_spark.tokenizer import postings
+
+    docs = assign_doc_ids(tiny_docs)
+    post = postings(docs).collect()
+    cf = Counter()
+    for r in post:
+        cf[r["term"]] += r["tf"]
+    total = sum(cf.values())
+    by_doc: dict = {}
+    for r in post:
+        by_doc.setdefault(r["doc_id"], []).append((r["term"], r["tf"]))
+    out = {r["doc_id"]: r for r in unigram_perplexity(docs).collect()}
+    assert set(out) == set(by_doc)  # empty docs absent from both
+    for d, toks in list(by_doc.items())[:50]:
+        n = sum(tf for _, tf in toks)
+        lp = sum(tf * math.log(cf[t] / total) for t, tf in toks)
+        assert out[d]["n_tokens"] == n
+        assert out[d]["ppl"] == pytest.approx(math.exp(-lp / n), rel=1e-9)
+
+
+def test_unigram_perplexity_external_lm_smoothing(spark, tiny_docs):
+    from igd_spark import unigram_perplexity
+    from igd_spark.corpus import assign_doc_ids
+    from pyspark.sql import functions as F
+
+    # LM trained on half the corpus; the other half scored with Lidstone
+    docs = assign_doc_ids(tiny_docs)
+    half = docs.filter(F.col("doc_id") % 2 == 0)
+    rest = docs.filter(F.col("doc_id") % 2 == 1)
+    from igd_spark.tokenizer import postings
+
+    lm = postings(half).groupBy("term").agg(F.sum("tf").alias("cf"))
+    total = lm.agg(F.sum("cf")).collect()[0][0]
+    out = unigram_perplexity(rest, lm=lm, total_tokens=int(total), alpha=1.0)
+    rows = out.collect()
+    assert rows and all(r["ppl"] > 0 for r in rows)
+    with pytest.raises(ValueError):
+        unigram_perplexity(rest, lm=lm)  # total_tokens required
+    with pytest.raises(ValueError):
+        unigram_perplexity(rest, alpha=-1.0)
