@@ -133,6 +133,7 @@ BSEL_MIN_DOCS = 22            # bucket_selector keep-threshold (binds: drops ~ha
 BSORT_SIZE = 5                # bucket_sort per-query truncation
 HC_MIN_CHILDREN = 2           # has_child min_children bound
 LMJM_LAMBDA = 0.3             # LM Jelinek-Mercer smoothing weight
+AUTODH_TARGET = 10            # auto_date_histogram bucket budget
 RARE_MAX_DC = 21              # rare_terms max_doc_count (binds non-vacuously:
                               # match-set source counts span 14..25 at sf0.01)
 WAVG_WEIGHT = "1 + doc_id % 5"  # weighted_avg synthetic weight expression
@@ -1820,6 +1821,26 @@ def _docs_with_conv(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_auto_date_histogram_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # ES auto_date_histogram: per-query finest calendar interval fitting
+    # the bucket budget
+    from igd_spark import auto_date_histogram_agg
+
+    return auto_date_histogram_agg(
+        _docs_with_ts(spark, sf_dir), _queries_df(spark), "ts",
+        target_buckets=AUTODH_TARGET,
+    )
+
+
+def q_auto_date_histogram_agg_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from igd_spark import auto_date_histogram_agg_indexed
+
+    return auto_date_histogram_agg_indexed(
+        spark, _built_index(spark, sf_dir), _docs_with_ts(spark, sf_dir),
+        _queries_df(spark), "ts", target_buckets=AUTODH_TARGET,
+    )
+
+
 def q_unigram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     # per-doc perplexity under the corpus unigram MLE (the KenLM stand-in)
     from igd_spark import unigram_perplexity
@@ -2422,6 +2443,33 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # FIRST 50 entries per round, so entries lead in driver-staleness
         # order (never-driver-verified first, then least-recently green).
         # Re-rotate each round from CORRECTNESS_r{N}.json (VERDICT r4 #1).
+        "rank_eval": q_rank_eval,
+        "analyze": q_analyze,
+        "span_first_match": q_span_first_match,
+        "span_first_match_indexed": q_span_first_match_indexed,
+        "bm25_topk_deleted": q_bm25_topk_deleted,
+        "bm25_topk_expunged": q_bm25_topk_expunged,
+        "stats_agg_indexed": q_stats_agg_indexed,
+        "histogram_agg_indexed": q_histogram_agg_indexed,
+        "cardinality_agg_indexed": q_cardinality_agg_indexed,
+        "significant_terms_indexed": q_significant_terms_indexed,
+        "top_hits_agg_indexed": q_top_hits_agg_indexed,
+        "regexp_bm25_topk": q_regexp_bm25_topk,
+        "regexp_bm25_topk_indexed": q_regexp_bm25_topk_indexed,
+        "term_vectors": q_term_vectors,
+        "function_score_decay": q_function_score_decay,
+        "multi_field_bm25_topk": q_multi_field_bm25_topk,
+        "multi_field_bm25_topk_indexed": q_multi_field_bm25_topk_indexed,
+        "index_stats": q_index_stats,
+        "source_hits": q_source_hits,
+        "source_hits_mintf": q_source_hits_mintf,
+        "keywords_topk": q_keywords_topk,
+        "term_cooccurrence_capped": q_term_cooccurrence_capped,
+        "explain_scores_indexed": q_explain_scores_indexed,
+        "bm25_topk_resharded": q_bm25_topk_resharded,
+        "bm25_topk_federated": q_bm25_topk_federated,
+        "embedding_ivf_ann_appended": q_embedding_ivf_ann_appended,
+        "percolate_compiled": q_percolate_compiled,
         "derivative_agg": q_derivative_agg,
         "derivative_agg_indexed": q_derivative_agg_indexed,
         "cumulative_sum_agg": q_cumulative_sum_agg,
@@ -2445,6 +2493,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "has_child_indexed": q_has_child_indexed,
         "has_parent": q_has_parent,
         "has_parent_indexed": q_has_parent_indexed,
+        "match_phrase_prefix": q_match_phrase_prefix,
+        "auto_date_histogram_agg": q_auto_date_histogram_agg,
+        "auto_date_histogram_agg_indexed": q_auto_date_histogram_agg_indexed,
         "context_turns": q_context_turns,
         "context_turns_indexed": q_context_turns_indexed,
         "boosting_bm25_topk": q_boosting_bm25_topk,
@@ -2459,9 +2510,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "combined_fields_bm25_topk_indexed": q_combined_fields_bm25_topk_indexed,
         "pinned_bm25_topk": q_pinned_bm25_topk,
         "pinned_bm25_topk_indexed": q_pinned_bm25_topk_indexed,
-        "percolate_compiled": q_percolate_compiled,
-        "bm25_topk_resharded": q_bm25_topk_resharded,
-        "match_phrase_prefix": q_match_phrase_prefix,
         "match_phrase_prefix_indexed": q_match_phrase_prefix_indexed,
         "distance_feature": q_distance_feature,
         "distance_feature_indexed": q_distance_feature_indexed,
@@ -2478,32 +2526,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "filters_agg_indexed": q_filters_agg_indexed,
         "script_score": q_script_score,
         "script_score_indexed": q_script_score_indexed,
-        "bm25_topk_federated": q_bm25_topk_federated,
-        "embedding_ivf_ann_appended": q_embedding_ivf_ann_appended,
         "chunk_documents": q_chunk_documents,
-        "explain_scores_indexed": q_explain_scores_indexed,
-        "stats_agg_indexed": q_stats_agg_indexed,
-        "histogram_agg_indexed": q_histogram_agg_indexed,
-        "cardinality_agg_indexed": q_cardinality_agg_indexed,
-        "significant_terms_indexed": q_significant_terms_indexed,
-        "top_hits_agg_indexed": q_top_hits_agg_indexed,
-        "regexp_bm25_topk": q_regexp_bm25_topk,
-        "regexp_bm25_topk_indexed": q_regexp_bm25_topk_indexed,
-        "term_vectors": q_term_vectors,
-        "function_score_decay": q_function_score_decay,
-        "multi_field_bm25_topk": q_multi_field_bm25_topk,
-        "multi_field_bm25_topk_indexed": q_multi_field_bm25_topk_indexed,
-        "index_stats": q_index_stats,
-        "rank_eval": q_rank_eval,
-        "analyze": q_analyze,
-        "span_first_match": q_span_first_match,
-        "span_first_match_indexed": q_span_first_match_indexed,
-        "bm25_topk_deleted": q_bm25_topk_deleted,
-        "bm25_topk_expunged": q_bm25_topk_expunged,
-        "term_cooccurrence_capped": q_term_cooccurrence_capped,
-        "source_hits": q_source_hits,
-        "keywords_topk": q_keywords_topk,
-        "source_hits_mintf": q_source_hits_mintf,
         "embedding_lsh_ann_indexed": q_embedding_lsh_ann_indexed,
         "embedding_ivf_ann_indexed": q_embedding_ivf_ann_indexed,
         "embedding_cosine_filtered": q_embedding_cosine_filtered,
@@ -4312,6 +4335,38 @@ SELECT s.query_id, date_trunc('{DH_INTERVAL}', tsv.ts)::TIMESTAMP AS bucket,
        count(*)::BIGINT AS n_docs
 FROM scored s JOIN tsv USING (doc_id) GROUP BY 1, 2
 """
+
+    # auto_date_histogram: per-query finest-fitting calendar interval
+    # (hour→year ladder, estimated buckets = span/interval < target), then
+    # the date_histogram at that interval
+    sql["auto_date_histogram_agg"] = f"""
+WITH {_TL}, {_TOKS}, {_POST}, {_DL}, {_CS}, {_TS}, {_QT}, {_SCORED},
+tsv AS (SELECT doc_id, TIMESTAMP '2026-01-01 00:00:00'
+               + (doc_id % {DH_HOUR_MOD}) * INTERVAL 1 HOUR AS ts
+        FROM documents),
+sp AS (SELECT s.query_id, epoch(max(tsv.ts) - min(tsv.ts))::DOUBLE AS span
+       FROM scored s JOIN tsv USING (doc_id) GROUP BY 1),
+iv AS (SELECT query_id,
+  CASE WHEN span / 3600.0 < {AUTODH_TARGET} THEN 'hour'
+       WHEN span / 86400.0 < {AUTODH_TARGET} THEN 'day'
+       WHEN span / 604800.0 < {AUTODH_TARGET} THEN 'week'
+       WHEN span / 2592000.0 < {AUTODH_TARGET} THEN 'month'
+       WHEN span / 7862400.0 < {AUTODH_TARGET} THEN 'quarter'
+       ELSE 'year' END AS interval
+  FROM sp)
+SELECT s.query_id, iv.interval,
+       (CASE iv.interval
+          WHEN 'hour' THEN date_trunc('hour', tsv.ts)
+          WHEN 'day' THEN date_trunc('day', tsv.ts)
+          WHEN 'week' THEN date_trunc('week', tsv.ts)
+          WHEN 'month' THEN date_trunc('month', tsv.ts)
+          WHEN 'quarter' THEN date_trunc('quarter', tsv.ts)
+          ELSE date_trunc('year', tsv.ts) END)::TIMESTAMP AS bucket,
+       count(*)::BIGINT AS n_docs
+FROM scored s JOIN tsv USING (doc_id) JOIN iv USING (query_id)
+GROUP BY 1, 2, 3
+"""
+    sql["auto_date_histogram_agg_indexed"] = sql["auto_date_histogram_agg"]
 
     # pipeline aggs: window functions over the date_histogram parent series
     _dh_sub = f"({sql['date_histogram_agg']})"

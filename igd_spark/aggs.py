@@ -72,6 +72,8 @@ __all__ = [
     "multi_terms_agg_indexed",
     "weighted_avg_agg",
     "weighted_avg_agg_indexed",
+    "auto_date_histogram_agg",
+    "auto_date_histogram_agg_indexed",
 ]
 
 
@@ -1253,3 +1255,93 @@ def weighted_avg_agg_indexed(
     """`weighted_avg_agg` with the match set from pruned index blocks."""
     m = _indexed_match_set(spark, idx, queries)
     return _wavg_epilogue(m, docs, value_col, weight_expr, id_col, round_dp)
+
+
+# auto_date_histogram: ES picks the coarsest calendar interval from a
+# fixed ladder such that the bucket count stays within the target.
+_AUTO_LADDER = ("year", "quarter", "month", "week", "day", "hour")
+_AUTO_SECONDS = {
+    "year": 365 * 86400.0, "quarter": 91 * 86400.0, "month": 30 * 86400.0,
+    "week": 7 * 86400.0, "day": 86400.0, "hour": 3600.0,
+}
+
+
+def _auto_dh_epilogue(
+    m: DataFrame, docs: DataFrame, ts_col: str, id_col: str, target_buckets: int
+) -> DataFrame:
+    tvals = docs.select(
+        F.col(id_col).alias("doc_id"), F.col(ts_col).alias("_ts")
+    ).filter(F.col("_ts").isNotNull())
+    j = m.join(tvals, "doc_id")
+    # per-query span drives the interval pick: coarsest-first ladder,
+    # first interval whose estimated bucket count fits the target (span /
+    # interval-seconds — the deterministic estimate both engines share;
+    # ES's own pick similarly estimates from the shard-collected span)
+    spans = j.groupBy("query_id").agg(
+        (F.unix_timestamp(F.max("_ts")) - F.unix_timestamp(F.min("_ts")))
+        .cast("double").alias("_span")
+    )
+    # FINEST interval whose estimated bucket count fits wins (the ES
+    # contract: as many buckets as possible without exceeding the target);
+    # when-chain evaluates hour → day → ... → year, coarsest as fallback
+    chain = None
+    for name in reversed(_AUTO_LADDER):  # hour ... year
+        fits = (F.col("_span") / F.lit(_AUTO_SECONDS[name])) < F.lit(
+            float(target_buckets)
+        )
+        chain = F.when(fits, F.lit(name)) if chain is None else chain.when(
+            fits, F.lit(name)
+        )
+    spans = spans.withColumn("interval", chain.otherwise(F.lit(_AUTO_LADDER[0])))
+    jj = j.join(F.broadcast(spans.select("query_id", "interval")), "query_id")
+    bucket = F.when(F.col("interval") == "year", F.date_trunc("year", F.col("_ts")))
+    for name in _AUTO_LADDER[1:]:
+        bucket = bucket.when(
+            F.col("interval") == name, F.date_trunc(name, F.col("_ts"))
+        )
+    return (
+        jj.withColumn("bucket", bucket)
+        .groupBy("query_id", "interval", "bucket")
+        .agg(F.count("*").cast("long").alias("n_docs"))
+    )
+
+
+def auto_date_histogram_agg(
+    docs: DataFrame,
+    queries: DataFrame,
+    ts_col: str,
+    target_buckets: int = 10,
+    conf: IndexConf = DEFAULT_CONF,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """The ES ``auto_date_histogram`` aggregation: per query, the COARSEST
+    calendar interval (year → quarter → month → week → day → hour) whose
+    estimated bucket count (time span / interval length) stays under
+    ``target_buckets``, then the date_histogram at that interval —
+    (query_id, interval, bucket, n_docs).  Different queries may land on
+    different intervals (the ES behavior: the pick is per-agg-execution
+    over the matched span).
+
+    Scale: the span probe is one tiny (query_id, min, max) agg over the
+    joined match set; the interval column broadcasts back; bucketing is
+    the date_histogram hash agg.  No corpus-sized exchange anywhere.
+    """
+    if target_buckets < 1:
+        raise ValueError("target_buckets must be >= 1")
+    m = _match_set(docs, queries, conf, text_col, id_col)
+    return _auto_dh_epilogue(m, docs, ts_col, id_col, target_buckets)
+
+
+def auto_date_histogram_agg_indexed(
+    spark,
+    idx,
+    docs: DataFrame,
+    queries: DataFrame,
+    ts_col: str,
+    target_buckets: int = 10,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """`auto_date_histogram_agg` with the match set from pruned blocks."""
+    m = _indexed_match_set(spark, idx, queries)
+    return _auto_dh_epilogue(m, docs, ts_col, id_col, target_buckets)

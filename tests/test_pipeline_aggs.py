@@ -126,3 +126,33 @@ def test_pipeline_over_date_histogram_parent(spark, tiny_docs):
     assert len(out) >= 2
     assert out[-1]["cumulative"] == sum(r["n_docs"] for r in out)
     assert isinstance(out[0]["bucket"], datetime.datetime)
+
+
+def test_auto_date_histogram_interval_pick(spark, tiny_docs):
+    from igd_spark import auto_date_histogram_agg, date_histogram_agg
+    from igd_spark.corpus import assign_doc_ids
+
+    # spread the matched docs over ~40 days
+    docs = assign_doc_ids(tiny_docs).withColumn(
+        "ts2",
+        F.expr(
+            "timestampadd(HOUR, CAST(doc_id % 1000 AS INT), "
+            "TIMESTAMP'2026-01-01 00:00:00')"
+        ),
+    )
+    q = spark.createDataFrame([(0, "error")], "query_id long, query_text string")
+    # target 10 → finest fitting over a ~41-day span is week (≈6 buckets)
+    out = auto_date_histogram_agg(docs, q, "ts2", target_buckets=10).collect()
+    assert {r["interval"] for r in out} == {"week"}
+    # buckets equal the fixed-interval histogram at the picked interval
+    wk = date_histogram_agg(docs, q, "ts2", interval="week").collect()
+    assert {(r["bucket"], r["n_docs"]) for r in out} == {
+        (r["bucket"], r["n_docs"]) for r in wk
+    }
+    # larger budget → finer interval; tiny budget → coarser
+    fine = auto_date_histogram_agg(docs, q, "ts2", target_buckets=50).collect()
+    assert {r["interval"] for r in fine} == {"day"}
+    coarse = auto_date_histogram_agg(docs, q, "ts2", target_buckets=2).collect()
+    assert {r["interval"] for r in coarse} == {"month"}
+    with pytest.raises(ValueError):
+        auto_date_histogram_agg(docs, q, "ts2", target_buckets=0)
