@@ -134,6 +134,8 @@ BSORT_SIZE = 5                # bucket_sort per-query truncation
 HC_MIN_CHILDREN = 2           # has_child min_children bound
 LMJM_LAMBDA = 0.3             # LM Jelinek-Mercer smoothing weight
 AUTODH_TARGET = 10            # auto_date_histogram bucket budget
+SPAN_NOT_EXCLUDE = "query"    # span_not exclusion term
+SPAN_NOT_PRE, SPAN_NOT_POST = 3, 3
 RARE_MAX_DC = 21              # rare_terms max_doc_count (binds non-vacuously:
                               # match-set source counts span 14..25 at sf0.01)
 WAVG_WEIGHT = "1 + doc_id % 5"  # weighted_avg synthetic weight expression
@@ -1821,6 +1823,26 @@ def _docs_with_conv(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_span_not_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Lucene SpanNotQuery: query-term occurrences with no exclusion-term
+    # occurrence within the [pre, post] token window
+    from igd_spark import span_not_match
+
+    return span_not_match(
+        _docs(spark, sf_dir), _queries_df(spark), SPAN_NOT_EXCLUDE,
+        pre=SPAN_NOT_PRE, post=SPAN_NOT_POST,
+    )
+
+
+def q_span_not_match_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from igd_spark import span_not_match_indexed
+
+    return span_not_match_indexed(
+        spark, _built_index(spark, sf_dir), _queries_df(spark),
+        SPAN_NOT_EXCLUDE, pre=SPAN_NOT_PRE, post=SPAN_NOT_POST,
+    )
+
+
 def q_auto_date_histogram_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     # ES auto_date_histogram: per-query finest calendar interval fitting
     # the bucket budget
@@ -2496,6 +2518,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "match_phrase_prefix": q_match_phrase_prefix,
         "auto_date_histogram_agg": q_auto_date_histogram_agg,
         "auto_date_histogram_agg_indexed": q_auto_date_histogram_agg_indexed,
+        "span_not_match": q_span_not_match,
+        "span_not_match_indexed": q_span_not_match_indexed,
         "context_turns": q_context_turns,
         "context_turns_indexed": q_context_turns_indexed,
         "boosting_bm25_topk": q_boosting_bm25_topk,
@@ -4826,6 +4850,25 @@ hits AS (
 SELECT query_id, doc_id, count(*)::BIGINT AS n_hits FROM hits GROUP BY 1, 2
 """
     sql["span_first_match_indexed"] = sql["span_first_match"]
+
+    sql["span_not_match"] = f"""
+WITH {_TL}, {_QT},
+pp AS (SELECT doc_id, i - 1 AS pos, tl[i] AS term
+       FROM (SELECT doc_id, tl, unnest(generate_series(1, len(tl))) AS i FROM tldocs)),
+inc AS (SELECT qt.query_id, pp.doc_id, pp.pos
+        FROM qterms qt JOIN pp USING (term)),
+exc AS (SELECT q.query_id, pp.doc_id, pp.pos
+        FROM (SELECT DISTINCT query_id FROM qterms) q
+        JOIN pp ON pp.term = '{SPAN_NOT_EXCLUDE}'),
+keep AS (
+  SELECT i.query_id, i.doc_id FROM inc i
+  WHERE NOT EXISTS (
+    SELECT 1 FROM exc e
+    WHERE e.query_id = i.query_id AND e.doc_id = i.doc_id
+      AND e.pos BETWEEN i.pos - {SPAN_NOT_PRE} AND i.pos + {SPAN_NOT_POST}))
+SELECT query_id, doc_id, count(*)::BIGINT AS n_hits FROM keep GROUP BY 1, 2
+"""
+    sql["span_not_match_indexed"] = sql["span_not_match"]
 
     sql["rank_eval"] = f"""
 WITH {_TL}, {_TOKS}, {_POST}, {_DL}, {_CS}, {_TS}, {_QT}, {_SCORED},

@@ -2150,3 +2150,100 @@ def span_first_match_indexed(
         .groupBy("query_id", "doc_id")
         .agg(F.count("*").cast("long").alias("n_hits"))
     )
+
+
+def _exclude_queries(queries: DataFrame, exclude) -> DataFrame:
+    """(query_id, query_text) frame for the exclusion side: a plain string
+    applies to every query; a DataFrame must carry (query_id,
+    exclude_text)."""
+    if isinstance(exclude, str):
+        return queries.select(
+            "query_id", F.lit(exclude).alias("query_text")
+        )
+    return exclude.select(
+        "query_id", F.col("exclude_text").alias("query_text")
+    )
+
+
+def _span_not_epilogue(
+    inc: DataFrame, exc: DataFrame, pre: int, post: int
+) -> DataFrame:
+    """Shared tail of both span_not paths: anti-join include occurrences
+    against exclusion occurrences within [pos-pre, pos+post] in the same
+    doc.  The range predicate is a residual filter on the (query_id,
+    doc_id) hash join — per-pair work is occurrence-list sized (≤ dl²
+    worst case on a pathological doc), never corpus-shaped."""
+    if pre < 0 or post < 0:
+        raise ValueError("pre and post must be >= 0")
+    e = exc.select(
+        F.col("query_id").alias("_eq"),
+        F.col("doc_id").alias("_ed"),
+        F.col("pos").alias("_ep"),
+    )
+    survivors = inc.join(
+        e,
+        (F.col("query_id") == F.col("_eq"))
+        & (F.col("doc_id") == F.col("_ed"))
+        & (F.col("_ep") >= F.col("pos") - F.lit(pre))
+        & (F.col("_ep") <= F.col("pos") + F.lit(post)),
+        "left_anti",
+    )
+    return survivors.groupBy("query_id", "doc_id").agg(
+        F.count("*").cast("long").alias("n_hits")
+    )
+
+
+def span_not_match(
+    docs: DataFrame,
+    queries: DataFrame,
+    exclude,
+    pre: int = 0,
+    post: int = 0,
+    conf: IndexConf = DEFAULT_CONF,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """The Lucene SpanNotQuery surface: occurrences of the query terms
+    that have NO exclusion-term occurrence within ``pre`` tokens before
+    or ``post`` after, counted per doc — (query_id, doc_id, n_hits); docs
+    whose every occurrence is excluded are absent.  ``exclude`` is a
+    string (applies to all queries) or a (query_id, exclude_text) frame.
+    pre=post=0 excludes only same-position collisions (never for distinct
+    single terms), larger windows express "error but not near timeout".
+
+    Scale: two occurrence streams off ONE tokenization (both sides join
+    the same positional postings), anti-joined on the fine (query, doc)
+    key with the proximity window as a residual — the indexed variant
+    reads only the two term sets' positional blocks.
+    """
+    occ = positional_postings(docs, text_col=text_col, id_col=id_col, conf=conf)
+    inc = occ.join(F.broadcast(query_terms(queries)), "term").select(
+        "query_id", "doc_id", "pos"
+    )
+    exc = occ.join(
+        F.broadcast(query_terms(_exclude_queries(queries, exclude))), "term"
+    ).select("query_id", "doc_id", "pos")
+    return _span_not_epilogue(inc, exc, pre, post)
+
+
+def span_not_match_indexed(
+    spark: SparkSession,
+    idx: InvertedIndex,
+    queries: DataFrame,
+    exclude,
+    pre: int = 0,
+    post: int = 0,
+) -> DataFrame:
+    """`span_not_match` off the persisted positional index: two pruned
+    positional enumerations (include terms, exclusion terms — shard
+    partitions + In(term_id) row-group pruning each), anti-joined; the
+    corpus table is never in the plan."""
+    if isinstance(queries, (pd.DataFrame, list, tuple)):
+        queries = _materialize_local_queries(spark, queries)
+    inc = positional_enumerate(spark, idx, queries).select(
+        "query_id", "doc_id", "pos"
+    )
+    exc = positional_enumerate(
+        spark, idx, _exclude_queries(queries, exclude)
+    ).select("query_id", "doc_id", "pos")
+    return _span_not_epilogue(inc, exc, pre, post)

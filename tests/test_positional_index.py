@@ -277,3 +277,65 @@ def test_intervals_order_matters(spark, pos_index):
           for r in intervals_match(d, rev, max_gaps=1).collect()}
     assert f == {100: (1, 0)}     # only the adjacent pair fits gaps<=1
     assert r_ == {101: (1, 1)}    # reversed matches only the other doc
+
+
+def test_span_not_semantics_and_indexed_identity(spark, tiny_docs, tmp_path_factory):
+    from igd_spark import (
+        IndexConf, build_index, span_not_match, span_not_match_indexed,
+    )
+    from igd_spark.corpus import assign_doc_ids
+    from igd_spark.search import positional_postings
+    from igd_spark import analyze  # noqa: F401
+
+    docs = assign_doc_ids(tiny_docs).cache()
+    q = spark.createDataFrame(
+        [(0, "error"), (1, "deploy")], "query_id long, query_text string"
+    )
+    # brute force: include occs minus those with an exclude occ in window
+    occ = positional_postings(docs).collect()
+    by_doc: dict = {}
+    for r in occ:
+        by_doc.setdefault(r["doc_id"], []).append((r["term"], r["pos"]))
+    pre, post = 2, 2
+
+    def brute(inc_t, exc_t):
+        out = {}
+        for d, toks in by_doc.items():
+            incs = [p for t, p in toks if t == inc_t]
+            excs = [p for t, p in toks if t == exc_t]
+            n = sum(
+                1 for p in incs
+                if not any(p - pre <= e <= p + post for e in excs)
+            )
+            if n:
+                out[d] = n
+        return out
+
+    got = {
+        (r["query_id"], r["doc_id"]): r["n_hits"]
+        for r in span_not_match(docs, q, "timeout", pre=pre, post=post).collect()
+    }
+    for qid, term in ((0, "error"), (1, "deploy")):
+        expect = brute(term, "timeout")
+        assert {d: n for (g, d), n in got.items() if g == qid} == expect
+
+    # excluding a term absent everywhere keeps every occurrence
+    allkept = {
+        (r["query_id"], r["doc_id"]): r["n_hits"]
+        for r in span_not_match(docs, q, "zzzznotaterm", pre=1, post=1).collect()
+    }
+    plain = {
+        (r["query_id"], r["doc_id"]): r["n_hits"]
+        for r in span_not_match(docs, q, "timeout", pre=0, post=0).collect()
+        # pre=post=0 with distinct terms never collides either
+    }
+    assert allkept == plain
+
+    conf = IndexConf(block_size=32, n_shards=4, store_positions=True)
+    path = str(tmp_path_factory.mktemp("spannot") / "idx")
+    idx = build_index(spark, docs, path, conf=conf)
+    a = span_not_match(docs, q, "timeout", pre=pre, post=post, conf=conf).collect()
+    b = span_not_match_indexed(spark, idx, q, "timeout", pre=pre, post=post).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+    with pytest.raises(ValueError):
+        span_not_match(docs, q, "timeout", pre=-1)
