@@ -381,6 +381,24 @@ def main() -> int:
         f"scanned schemas: {np_schemas}",
     )
 
+    # 9b. span_not off the positional index: BOTH occurrence streams
+    # (include + exclusion) read pruned positional blocks; no corpus text,
+    # no cartesian (the proximity window is a residual on the hash join)
+    from igd_spark import span_not_match_indexed
+
+    snplan = fmt(span_not_match_indexed(spark, pidx, ql_q, "error", pre=2, post=2))
+    assert_pruned_scan("span_not_match_indexed scan", snplan)
+    sn_schemas = re.findall(r"ReadSchema: struct<([^>]*)>", snplan)
+    check(
+        "span_not_match_indexed never scans the corpus text",
+        bool(sn_schemas) and not any("text:" in s for s in sn_schemas),
+        f"scanned schemas: {sn_schemas}",
+    )
+    check(
+        "span_not_match_indexed: anti-join, no cartesian",
+        "CartesianProduct" not in snplan,
+    )
+
     # 10. fuzzy / wildcard over the index: dictionary expansion still yields
     # a pruned posting-block scan, and the corpus table never appears
     from igd_spark import fuzzy_bm25_topk_indexed, wildcard_bm25_topk_indexed
