@@ -136,6 +136,8 @@ LMJM_LAMBDA = 0.3             # LM Jelinek-Mercer smoothing weight
 AUTODH_TARGET = 10            # auto_date_histogram bucket budget
 SPAN_NOT_EXCLUDE = "query"    # span_not exclusion term
 SPAN_NOT_PRE, SPAN_NOT_POST = 3, 3
+SAMPLER_SIZE = 25             # sampler agg per-query sample size
+DIV_MAX_PER_VALUE = 2         # diversified_sampler per-value cap
 RARE_MAX_DC = 21              # rare_terms max_doc_count (binds non-vacuously:
                               # match-set source counts span 14..25 at sf0.01)
 WAVG_WEIGHT = "1 + doc_id % 5"  # weighted_avg synthetic weight expression
@@ -1823,6 +1825,35 @@ def _docs_with_conv(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_sampler_terms_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # ES sampler + terms: buckets over the best-scored SAMPLER_SIZE docs
+    from igd_spark import sampler_terms_agg
+
+    return sampler_terms_agg(
+        _docs(spark, sf_dir), _queries_df(spark), "source",
+        shard_size=SAMPLER_SIZE,
+    )
+
+
+def q_sampler_terms_agg_diversified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # diversified_sampler: per-value cap applied before the sample cut
+    from igd_spark import sampler_terms_agg
+
+    return sampler_terms_agg(
+        _docs(spark, sf_dir), _queries_df(spark), "source",
+        shard_size=SAMPLER_SIZE, max_docs_per_value=DIV_MAX_PER_VALUE,
+    )
+
+
+def q_sampler_terms_agg_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from igd_spark import sampler_terms_agg_indexed
+
+    return sampler_terms_agg_indexed(
+        spark, _built_index(spark, sf_dir), _docs(spark, sf_dir),
+        _queries_df(spark), "source", shard_size=SAMPLER_SIZE,
+    )
+
+
 def q_span_not_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Lucene SpanNotQuery: query-term occurrences with no exclusion-term
     # occurrence within the [pre, post] token window
@@ -2520,6 +2551,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "auto_date_histogram_agg_indexed": q_auto_date_histogram_agg_indexed,
         "span_not_match": q_span_not_match,
         "span_not_match_indexed": q_span_not_match_indexed,
+        "sampler_terms_agg": q_sampler_terms_agg,
+        "sampler_terms_agg_diversified": q_sampler_terms_agg_diversified,
+        "sampler_terms_agg_indexed": q_sampler_terms_agg_indexed,
         "context_turns": q_context_turns,
         "context_turns_indexed": q_context_turns_indexed,
         "boosting_bm25_topk": q_boosting_bm25_topk,
@@ -4869,6 +4903,37 @@ keep AS (
 SELECT query_id, doc_id, count(*)::BIGINT AS n_hits FROM keep GROUP BY 1, 2
 """
     sql["span_not_match_indexed"] = sql["span_not_match"]
+
+    # sampler + terms: buckets over the best-scored sample (rounded-score
+    # cut, doc_id tie-break); diversified adds the per-value cap first
+    sql["sampler_terms_agg"] = f"""
+WITH {_TL}, {_TOKS}, {_POST}, {_DL}, {_CS}, {_TS}, {_QT}, {_SCORED},
+vals AS (SELECT doc_id, source AS value FROM documents WHERE source IS NOT NULL),
+j AS (SELECT s.query_id, s.doc_id, round(s.s, 6) AS score, v.value
+      FROM scored s JOIN vals v USING (doc_id)),
+samp AS (SELECT query_id, doc_id, value,
+                row_number() OVER (PARTITION BY query_id
+                                   ORDER BY score DESC, doc_id ASC) AS r
+         FROM j)
+SELECT query_id, value, count(*)::BIGINT AS n_docs
+FROM samp WHERE r <= {SAMPLER_SIZE} GROUP BY 1, 2
+"""
+    sql["sampler_terms_agg_indexed"] = sql["sampler_terms_agg"]
+    sql["sampler_terms_agg_diversified"] = f"""
+WITH {_TL}, {_TOKS}, {_POST}, {_DL}, {_CS}, {_TS}, {_QT}, {_SCORED},
+vals AS (SELECT doc_id, source AS value FROM documents WHERE source IS NOT NULL),
+j AS (SELECT s.query_id, s.doc_id, round(s.s, 6) AS score, v.value
+      FROM scored s JOIN vals v USING (doc_id)),
+dv AS (SELECT *, row_number() OVER (PARTITION BY query_id, value
+                                    ORDER BY score DESC, doc_id ASC) AS vr
+       FROM j),
+samp AS (SELECT query_id, doc_id, value,
+                row_number() OVER (PARTITION BY query_id
+                                   ORDER BY score DESC, doc_id ASC) AS r
+         FROM dv WHERE vr <= {DIV_MAX_PER_VALUE})
+SELECT query_id, value, count(*)::BIGINT AS n_docs
+FROM samp WHERE r <= {SAMPLER_SIZE} GROUP BY 1, 2
+"""
 
     sql["rank_eval"] = f"""
 WITH {_TL}, {_TOKS}, {_POST}, {_DL}, {_CS}, {_TS}, {_QT}, {_SCORED},

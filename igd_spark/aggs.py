@@ -74,6 +74,8 @@ __all__ = [
     "weighted_avg_agg_indexed",
     "auto_date_histogram_agg",
     "auto_date_histogram_agg_indexed",
+    "sampler_terms_agg",
+    "sampler_terms_agg_indexed",
 ]
 
 
@@ -1345,3 +1347,87 @@ def auto_date_histogram_agg_indexed(
     """`auto_date_histogram_agg` with the match set from pruned blocks."""
     m = _indexed_match_set(spark, idx, queries)
     return _auto_dh_epilogue(m, docs, ts_col, id_col, target_buckets)
+
+
+def _sampler_epilogue(
+    m: DataFrame,
+    docs: DataFrame,
+    field: str,
+    shard_size: int,
+    max_docs_per_value: int | None,
+    id_col: str,
+) -> DataFrame:
+    vals = docs.select(
+        F.col(id_col).alias("doc_id"), F.col(field).alias("value")
+    ).filter(F.col("value").isNotNull())
+    # cut on ROUNDED scores (the cross-engine rank-stability protocol all
+    # topk operators use), ties resolved by doc_id
+    j = m.withColumn("score", F.round("score", 6)).join(vals, "doc_id")
+    if max_docs_per_value is not None:
+        # diversified_sampler: cap docs per field value BEFORE the sample
+        # cut, best-scored first (the ES de-bias step)
+        wv = Window.partitionBy("query_id", "value").orderBy(
+            F.desc("score"), F.asc("doc_id")
+        )
+        j = j.withColumn("_vrank", F.row_number().over(wv)).filter(
+            F.col("_vrank") <= max_docs_per_value
+        )
+    ws = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc_id"))
+    sampled = j.withColumn("_srank", F.row_number().over(ws)).filter(
+        F.col("_srank") <= shard_size
+    )
+    return sampled.groupBy("query_id", "value").agg(
+        F.count("*").cast("long").alias("n_docs")
+    )
+
+
+def sampler_terms_agg(
+    docs: DataFrame,
+    queries: DataFrame,
+    field: str,
+    shard_size: int = 100,
+    max_docs_per_value: int | None = None,
+    conf: IndexConf = DEFAULT_CONF,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """The ES ``sampler`` (and, with ``max_docs_per_value``,
+    ``diversified_sampler``) aggregation composed with a terms sub-agg:
+    bucket counts over only the ``shard_size`` BEST-scored matching docs
+    per query — (query_id, value, n_docs).  The point of the sampler is
+    cost + signal: long-tail matches are noise for "what is this result
+    set about", so sub-aggs run on the quality head.  Deterministic
+    sample cut: (score desc, doc_id asc), scores as produced by the
+    scorer (ties resolved by id, so cross-engine stable).
+    ``max_docs_per_value`` de-biases the sample by capping docs per field
+    value BEFORE the cut (the diversified form; NULL-valued docs are
+    never sampled since they carry no bucket).
+
+    Scale: one ranking window over the sparse match set (the ES analog
+    samples per shard; sampling per query here is EXACT and still
+    bounded — shard_size rows per query survive), then the usual
+    fine-keyed hash agg over a sample-sized frame.
+    """
+    if shard_size < 1:
+        raise ValueError("shard_size must be >= 1")
+    if max_docs_per_value is not None and max_docs_per_value < 1:
+        raise ValueError("max_docs_per_value must be >= 1")
+    m = _match_set(docs, queries, conf, text_col, id_col)
+    return _sampler_epilogue(m, docs, field, shard_size, max_docs_per_value, id_col)
+
+
+def sampler_terms_agg_indexed(
+    spark,
+    idx,
+    docs: DataFrame,
+    queries: DataFrame,
+    field: str,
+    shard_size: int = 100,
+    max_docs_per_value: int | None = None,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """`sampler_terms_agg` with the scored match set from pruned index
+    blocks (scores are rank-identical to the corpus path, so the sample
+    cut is identical)."""
+    m = _indexed_match_set(spark, idx, queries)
+    return _sampler_epilogue(m, docs, field, shard_size, max_docs_per_value, id_col)

@@ -495,3 +495,38 @@ def test_rare_multi_wavg_indexed_identity(spark, docs, agg_idx):
         spark, agg_idx, docs, q, "turn_idx", "1 + doc_id % 3", round_dp=6
     ).collect()
     assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+
+def test_sampler_terms_agg(spark, docs, agg_idx):
+    from igd_spark import sampler_terms_agg, sampler_terms_agg_indexed
+    from igd_spark.search import bm25_scores
+
+    q = _queries(spark, [(0, "error timeout")])
+    # brute force: top-5 by (rounded score desc, doc_id asc), bucket by tool
+    scored = sorted(
+        ((round(r["score"], 6), r["doc_id"]) for r in bm25_scores(docs, q).collect()),
+        key=lambda t: (-t[0], t[1]),
+    )
+    tools = {r["doc_id"]: r["tool"] for r in docs.select("doc_id", "tool").collect()}
+    from collections import Counter
+
+    head = [d for _, d in scored if tools.get(d) is not None][:5]
+    expect = Counter(tools[d] for d in head)
+    out = sampler_terms_agg(docs, q, "tool", shard_size=5).collect()
+    assert {(r["value"], r["n_docs"]) for r in out} == set(expect.items())
+
+    # diversified: per-value cap binds
+    div = sampler_terms_agg(
+        docs, q, "tool", shard_size=5, max_docs_per_value=1
+    ).collect()
+    assert all(r["n_docs"] == 1 for r in div)
+    assert len(div) == min(5, len({tools[d] for _, d in scored if tools.get(d)}))
+
+    # indexed identity
+    a = sampler_terms_agg(docs, q, "tool", shard_size=7, conf=agg_idx.conf).collect()
+    b = sampler_terms_agg_indexed(spark, agg_idx, docs, q, "tool", shard_size=7).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+    with pytest.raises(ValueError):
+        sampler_terms_agg(docs, q, "tool", shard_size=0)
+    with pytest.raises(ValueError):
+        sampler_terms_agg(docs, q, "tool", max_docs_per_value=0)
