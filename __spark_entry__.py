@@ -138,6 +138,8 @@ SPAN_NOT_EXCLUDE = "query"    # span_not exclusion term
 SPAN_NOT_PRE, SPAN_NOT_POST = 3, 3
 SAMPLER_SIZE = 25             # sampler agg per-query sample size
 DIV_MAX_PER_VALUE = 2         # diversified_sampler per-value cap
+KNN_MIN_SIM = 0.28            # knn similarity cutoff (binds: rank-5 cos ~0.30)
+PCTR_VALUES = (175.0, 306.0, 419.0)  # percentile_ranks cut points (quartiles)
 RARE_MAX_DC = 21              # rare_terms max_doc_count (binds non-vacuously:
                               # match-set source counts span 14..25 at sf0.01)
 WAVG_WEIGHT = "1 + doc_id % 5"  # weighted_avg synthetic weight expression
@@ -1825,6 +1827,36 @@ def _docs_with_conv(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_percentile_ranks_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # ES percentile_ranks: % of matched values <= each cut point
+    from igd_spark import percentile_ranks_agg
+
+    return percentile_ranks_agg(
+        _docs(spark, sf_dir), _queries_df(spark), STATS_VALUE_COL,
+        list(PCTR_VALUES), round_dp=6,
+    )
+
+
+def q_percentile_ranks_agg_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from igd_spark import percentile_ranks_agg_indexed
+
+    return percentile_ranks_agg_indexed(
+        spark, _built_index(spark, sf_dir), _docs(spark, sf_dir),
+        _queries_df(spark), STATS_VALUE_COL, list(PCTR_VALUES), round_dp=6,
+    )
+
+
+def q_embedding_cosine_minsim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # ES knn `similarity` cutoff: neighbors below the cosine floor drop
+    # before ranking (queries may return fewer than k rows)
+    from igd_spark import cosine_topk
+
+    return cosine_topk(
+        _emb(spark, sf_dir), _emb_queries(spark, sf_dir), k=K,
+        min_sim=KNN_MIN_SIM,
+    )
+
+
 def q_sampler_terms_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     # ES sampler + terms: buckets over the best-scored SAMPLER_SIZE docs
     from igd_spark import sampler_terms_agg
@@ -2554,6 +2586,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sampler_terms_agg": q_sampler_terms_agg,
         "sampler_terms_agg_diversified": q_sampler_terms_agg_diversified,
         "sampler_terms_agg_indexed": q_sampler_terms_agg_indexed,
+        "percentile_ranks_agg": q_percentile_ranks_agg,
+        "percentile_ranks_agg_indexed": q_percentile_ranks_agg_indexed,
+        "embedding_cosine_minsim": q_embedding_cosine_minsim,
         "context_turns": q_context_turns,
         "context_turns_indexed": q_context_turns_indexed,
         "boosting_bm25_topk": q_boosting_bm25_topk,
@@ -3054,6 +3089,18 @@ s AS (SELECT query_id, vec_id, {_EMB_COS} AS cos FROM q CROSS JOIN e),
 r AS (SELECT query_id, vec_id, cos,
              row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id ASC)::INT AS rank
       FROM s)
+SELECT query_id, rank, vec_id, cos FROM r WHERE rank <= {K}
+"""
+
+    sql["embedding_cosine_minsim"] = f"""
+WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv FROM embeddings
+           WHERE vec_id < {N_EMB_QUERIES}),
+e AS (SELECT vec_id, embedding::DOUBLE[] AS ev FROM embeddings),
+s AS (SELECT query_id, vec_id, {_EMB_COS} AS cos FROM q CROSS JOIN e),
+f AS (SELECT * FROM s WHERE cos >= {KNN_MIN_SIM}),
+r AS (SELECT query_id, vec_id, cos,
+             row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id ASC)::INT AS rank
+      FROM f)
 SELECT query_id, rank, vec_id, cos FROM r WHERE rank <= {K}
 """
 
@@ -4919,6 +4966,22 @@ SELECT query_id, value, count(*)::BIGINT AS n_docs
 FROM samp WHERE r <= {SAMPLER_SIZE} GROUP BY 1, 2
 """
     sql["sampler_terms_agg_indexed"] = sql["sampler_terms_agg"]
+
+    # percentile_ranks: exact cumulative fraction per cut point
+    _pctr_cuts = ", ".join(str(v) for v in PCTR_VALUES)
+    sql["percentile_ranks_agg"] = f"""
+WITH {_TL}, {_TOKS}, {_POST}, {_DL}, {_CS}, {_TS}, {_QT}, {_SCORED},
+vals AS (SELECT doc_id, "{STATS_VALUE_COL}"::DOUBLE AS v FROM documents
+         WHERE "{STATS_VALUE_COL}" IS NOT NULL),
+cuts AS (SELECT unnest([{_pctr_cuts}])::DOUBLE AS value),
+j AS (SELECT s.query_id, v FROM scored s JOIN vals USING (doc_id))
+SELECT j.query_id, cuts.value,
+       round(sum(CASE WHEN j.v <= cuts.value THEN 1 ELSE 0 END) * 100.0
+             / count(*), 6)::DOUBLE AS rank_pct
+FROM j CROSS JOIN cuts
+GROUP BY 1, 2
+"""
+    sql["percentile_ranks_agg_indexed"] = sql["percentile_ranks_agg"]
     sql["sampler_terms_agg_diversified"] = f"""
 WITH {_TL}, {_TOKS}, {_POST}, {_DL}, {_CS}, {_TS}, {_QT}, {_SCORED},
 vals AS (SELECT doc_id, source AS value FROM documents WHERE source IS NOT NULL),

@@ -76,6 +76,8 @@ __all__ = [
     "auto_date_histogram_agg_indexed",
     "sampler_terms_agg",
     "sampler_terms_agg_indexed",
+    "percentile_ranks_agg",
+    "percentile_ranks_agg_indexed",
 ]
 
 
@@ -1431,3 +1433,71 @@ def sampler_terms_agg_indexed(
     cut is identical)."""
     m = _indexed_match_set(spark, idx, queries)
     return _sampler_epilogue(m, docs, field, shard_size, max_docs_per_value, id_col)
+
+
+def _pct_ranks_epilogue(
+    m: DataFrame, vals: DataFrame, values: list[float], round_dp: int | None
+) -> DataFrame:
+    if not values:
+        raise ValueError("values must name at least one cut point")
+    cuts = [float(v) for v in values]
+    j = m.join(vals, "doc_id")
+    aggs = [
+        (
+            F.sum(F.when(F.col("v") <= F.lit(c), 1).otherwise(0))
+            * F.lit(100.0) / F.count("v")
+        ).alias(f"_r{i}")
+        for i, c in enumerate(cuts)
+    ]
+    wide = j.groupBy("query_id").agg(*aggs)
+    pairs = F.arrays_zip(
+        F.array(*[F.lit(c) for c in cuts]).alias("value"),
+        F.array(*[F.col(f"_r{i}") for i in range(len(cuts))]).alias("rank_pct"),
+    )
+    out = wide.select("query_id", F.explode(pairs).alias("_z")).select(
+        "query_id",
+        F.col("_z.value").cast("double").alias("value"),
+        F.col("_z.rank_pct").cast("double").alias("rank_pct"),
+    )
+    if round_dp is not None:
+        out = out.withColumn("rank_pct", F.round("rank_pct", round_dp))
+    return out
+
+
+def percentile_ranks_agg(
+    docs: DataFrame,
+    queries: DataFrame,
+    value_col: str,
+    values: list[float],
+    conf: IndexConf = DEFAULT_CONF,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    round_dp: int | None = None,
+) -> DataFrame:
+    """The ES ``percentile_ranks`` metric aggregation — the inverse of
+    `percentiles_agg`: for each requested cut value, the percentage of the
+    match set's (non-NULL) values that are <= it — long-format (query_id,
+    value, rank_pct).  The exact cumulative-fraction definition (ES
+    interpolates on its t-digest; exactness here is strictly more
+    precise).  A query with no valued matches yields no rows.
+
+    Scale: ONE hash agg keyed query_id with a conditional sum per cut —
+    no sort, no window; the cut list is a literal handful.
+    """
+    m = _match_set(docs, queries, conf, text_col, id_col)
+    return _pct_ranks_epilogue(m, _vals(docs, value_col, id_col), list(values), round_dp)
+
+
+def percentile_ranks_agg_indexed(
+    spark,
+    idx,
+    docs: DataFrame,
+    queries: DataFrame,
+    value_col: str,
+    values: list[float],
+    id_col: str = "doc_id",
+    round_dp: int | None = None,
+) -> DataFrame:
+    """`percentile_ranks_agg` with the match set from pruned index blocks."""
+    m = _indexed_match_set(spark, idx, queries)
+    return _pct_ranks_epilogue(m, _vals(docs, value_col, id_col), list(values), round_dp)

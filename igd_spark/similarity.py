@@ -77,19 +77,26 @@ def cosine_topk(
     queries: DataFrame,
     k: int = 10,
     allowed: DataFrame | None = None,
+    min_sim: float | None = None,
     **kw,
 ) -> DataFrame:
     """(query_id, rank, vec_id, cos) — brute-force exact top-k per query,
     tie-break (cos desc, vec_id asc) on the ROUNDED score so ranking is
     reproducible across engines.  ``allowed`` pre-filters candidates
     (filtered kNN; see `_apply_allowed`) — applied to the embedding side
-    BEFORE scoring, so excluded vectors' cosines are never computed."""
+    BEFORE scoring, so excluded vectors' cosines are never computed.
+    ``min_sim`` is the ES knn ``similarity`` cutoff: candidates below the
+    cosine floor are dropped BEFORE the ranking window (a query may
+    return fewer than k rows), so "only results at least this close"
+    never pads with junk neighbors."""
     if allowed is not None:
         emb_id = kw.get("emb_id", "vec_id")
         emb = emb.join(
             allowed.select(F.col("vec_id").alias(emb_id)), emb_id, "left_semi"
         )
     scored = cosine_scores(emb, queries, **kw)
+    if min_sim is not None:
+        scored = scored.filter(F.col("cos") >= F.lit(float(min_sim)))
     w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("vec_id"))
     return (
         scored.withColumn("rank", F.row_number().over(w))

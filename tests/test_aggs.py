@@ -530,3 +530,34 @@ def test_sampler_terms_agg(spark, docs, agg_idx):
         sampler_terms_agg(docs, q, "tool", shard_size=0)
     with pytest.raises(ValueError):
         sampler_terms_agg(docs, q, "tool", max_docs_per_value=0)
+
+
+def test_percentile_ranks_bruteforce_and_indexed(spark, docs, agg_idx):
+    from igd_spark import percentile_ranks_agg, percentile_ranks_agg_indexed
+
+    term = _mid_term(docs)
+    ids = _match_ids(docs, term)
+    vals = [
+        r["turn_idx"]
+        for r in docs.select("doc_id", "turn_idx").collect()
+        if r["doc_id"] in ids and r["turn_idx"] is not None
+    ]
+    cuts = [1.0, 3.0]
+    out = percentile_ranks_agg(
+        docs, _queries(spark, [(0, term)]), "turn_idx", cuts
+    ).collect()
+    got = {r["value"]: r["rank_pct"] for r in out}
+    for c in cuts:
+        expect = 100.0 * sum(1 for v in vals if v <= c) / len(vals)
+        assert got[c] == pytest.approx(expect)
+    a = percentile_ranks_agg(
+        docs, _queries(spark, [(0, term)]), "turn_idx", cuts,
+        conf=agg_idx.conf, round_dp=6,
+    ).collect()
+    b = percentile_ranks_agg_indexed(
+        spark, agg_idx, docs, _queries(spark, [(0, term)]), "turn_idx", cuts,
+        round_dp=6,
+    ).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+    with pytest.raises(ValueError):
+        percentile_ranks_agg(docs, _queries(spark, [(0, term)]), "turn_idx", [])

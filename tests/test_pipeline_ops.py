@@ -336,3 +336,26 @@ def test_source_overlap_exact_normalizes_pair_orientation(spark):
     got = {(r["src_a"], r["src_b"]): r["n_shared"]
            for r in source_overlap_matrix(docs, granularity="exact").collect()}
     assert got == {("alpha", "zeta"): 2, ("alpha", "alpha"): 1}
+
+
+def test_cosine_topk_min_sim_cutoff(spark):
+    import numpy as np
+
+    from igd_spark import cosine_topk
+
+    rng = np.random.default_rng(11)
+    vecs = rng.normal(size=(40, 8)).astype(float)
+    emb = spark.createDataFrame(
+        [(i, v.tolist()) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<double>",
+    )
+    q = spark.createDataFrame(
+        [(0, vecs[0].tolist())], "query_id long, query_vec array<double>"
+    )
+    base = cosine_topk(emb, q, k=40).collect()
+    th = sorted((r["cos"] for r in base), reverse=True)[9]  # keep exactly 10
+    cut = cosine_topk(emb, q, k=40, min_sim=th).collect()
+    assert len(cut) == 10
+    assert all(r["cos"] >= th for r in cut)
+    # ranks are recomputed over survivors: contiguous from 1
+    assert sorted(r["rank"] for r in cut) == list(range(1, 11))
