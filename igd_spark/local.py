@@ -556,6 +556,93 @@ class LocalSearcher:
             }
         )
 
+    def sim_topk_n(
+        self,
+        queries: list[tuple[int, str]],
+        model: str = "tfidf",
+        k: int = 10,
+        lam: float = 0.1,
+        round_dp: int | None = None,
+    ) -> pd.DataFrame:
+        """(query_id, rank, doc_id, score) — exact top-k under an
+        alternative similarity, in-process.  ``model``: "tfidf" (Lucene
+        ClassicSimilarity: sqrt(tf)·(1+ln(N/(df+1)))²/√dl) or "lm_jm"
+        (Jelinek-Mercer: ln(1 + ((1−λ)tf/dl)/(λ·cf/total))).  df and cf
+        are computed FROM the decoded (tombstone-filtered) lists — the
+        same statistics the cluster twin derives from enumerated pruned
+        blocks, so rank identity holds under deletes; N and total tokens
+        come from the frozen corpus metadata, like the cluster path.
+        These models have no block-max bound, so the full match map is
+        scored (that is exactly what the admission budget priced)."""
+        conf = self.conf
+        per_q: dict[int, set[str]] = {}
+        for qid, text in queries:
+            per_q.setdefault(int(qid), set()).update(
+                _tokenize_one(text, conf.token_split_re)
+            )
+        union_terms = sorted(set().union(*per_q.values())) if per_q else []
+        empty = pd.DataFrame(
+            {
+                "query_id": pd.Series(dtype="int64"),
+                "rank": pd.Series(dtype="int32"),
+                "doc_id": pd.Series(dtype="int64"),
+                "score": pd.Series(dtype="float64"),
+            }
+        )
+        if not union_terms:
+            return empty
+        tmap = self._lookup_terms(union_terms)
+        if not tmap:
+            return empty
+        self._ensure_lists(tmap)
+        if model == "lm_jm":
+            if not (0.0 < lam < 1.0):
+                raise ValueError(f"lambda must be in (0, 1), got {lam}")
+            total = float(self.idx.meta["corpus"].get("sum_dl", 0))
+            if total <= 0:
+                raise ValueError("index metadata lacks exact sum_dl")
+        elif model != "tfidf":
+            raise ValueError(f"model must be tfidf|lm_jm, got {model!r}")
+        contrib: dict[str, tuple[np.ndarray, np.ndarray]] = {}
+        for t, (tid, _df_dict, _) in tmap.items():
+            d, tf, dl = self._list_cache[tid]
+            if not d.size:
+                continue
+            if model == "tfidf":
+                idf = 1.0 + np.log(self.n_docs / (d.size + 1.0))
+                w = np.sqrt(tf) * (idf * idf) / np.sqrt(dl)
+            else:
+                cf = float(tf.sum())
+                w = np.log1p(((1.0 - lam) * tf / dl) / (lam * cf / total))
+            contrib[t] = (d, w)
+        rows = []
+        for qid in sorted(per_q):
+            parts = [contrib[t] for t in sorted(per_q[qid]) if t in contrib]
+            if not parts:
+                continue
+            ids = np.concatenate([p[0] for p in parts])
+            ws = np.concatenate([p[1] for p in parts])
+            uids, inv = np.unique(ids, return_inverse=True)
+            scores = np.bincount(inv, weights=ws, minlength=uids.size)
+            if round_dp is not None:
+                scores = _round_half_up_spark(scores, round_dp)
+            order = np.lexsort((uids, -scores))[:k]
+            rows.append((qid, uids[order], scores[order]))
+        if not rows:
+            return empty
+        return pd.DataFrame(
+            {
+                "query_id": np.concatenate(
+                    [np.full(u.size, q, dtype=np.int64) for q, u, _ in rows]
+                ),
+                "rank": np.concatenate(
+                    [np.arange(1, u.size + 1, dtype=np.int32) for _, u, _ in rows]
+                ),
+                "doc_id": np.concatenate([u for _, u, _ in rows]),
+                "score": np.concatenate([s for _, _, s in rows]),
+            }
+        )
+
     def score_terms_n(
         self,
         per_q: dict[int, list[str]],

@@ -3724,16 +3724,41 @@ def tfidf_topk(
     return rank_topk(_maybe_round(_tfidf_scored(hits, n_docs), round_dp), k)
 
 
+def _try_sim_route(spark, idx, queries, engine, model, k, lam, round_dp):
+    """Driver route for the alternative similarities: same admission gates
+    as search() (query count + Σdf postings budget priced from the
+    dictionary), kernel = LocalSearcher.sim_topk_n.  Returns None to fall
+    through to the distributed plan."""
+    from igd_spark.search import _stats_small_plan, _try_driver_route
+
+    return _try_driver_route(
+        spark, idx, queries, k, 0, engine, None,
+        lambda df: _stats_small_plan(df, idx.conf),
+        runner=lambda ls, rows: ls.sim_topk_n(
+            rows, model=model, k=k, lam=lam, round_dp=round_dp
+        ),
+    )
+
+
 def tfidf_topk_indexed(
     spark,
     idx,
     queries: DataFrame,
     k: int = 10,
     round_dp: int | None = None,
+    engine: str = "auto",
 ) -> DataFrame:
     """`tfidf_topk` over a persisted index: tf, dl, and df all come from
     the enumerated pruned blocks; N from the index's corpus metadata.
-    Zero corpus joins."""
+    Zero corpus joins.  engine="auto" serves small batches from the
+    in-process kernel (rank-identical, pytest-enforced); "spark" forces
+    the distributed plan, "driver" demands the route."""
+    if engine != "spark":
+        routed = _try_sim_route(
+            spark, idx, queries, engine, "tfidf", k, 0.0, round_dp
+        )
+        if routed is not None:
+            return routed
     from igd_spark.search import match_enumerate
 
     n_docs = int(idx.meta["corpus"]["n_docs"])
@@ -3795,9 +3820,17 @@ def lm_jelinek_mercer_topk_indexed(
     lam: float = 0.1,
     k: int = 10,
     round_dp: int | None = None,
+    engine: str = "auto",
 ) -> DataFrame:
     """`lm_jelinek_mercer_topk` over a persisted index — enumerated pruned
-    blocks supply tf/dl/cf, metadata the exact total token count."""
+    blocks supply tf/dl/cf, metadata the exact total token count.  Same
+    engine routing as `tfidf_topk_indexed`."""
+    if engine != "spark":
+        routed = _try_sim_route(
+            spark, idx, queries, engine, "lm_jm", k, lam, round_dp
+        )
+        if routed is not None:
+            return routed
     from igd_spark.search import match_enumerate
 
     total = int(idx.meta["corpus"].get("sum_dl", 0))

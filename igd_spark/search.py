@@ -626,6 +626,7 @@ def _try_driver_route(
     telemetry: dict | None,
     stats_small,
     local_rows: list[tuple[int, str]] | None = None,
+    runner=None,
 ) -> DataFrame | None:
     """Route a small batch to the in-process kernel (LocalSearcher.search_n —
     zero Spark jobs, erases the ~2.5-3 s per-batch scheduling floor, the
@@ -677,7 +678,13 @@ def _try_driver_route(
     if cost > max_post:
         bail(f"batch scores {cost} postings > driver_search_max_postings={max_post}")
         return None
-    pdf = ls.search_n(rows, k=k, min_tf=min_tf, telemetry=telemetry)
+    # runner overrides the kernel (alternative-similarity routes) while
+    # keeping the admission gates above identical — Σdf prices the full
+    # match map those kernels score
+    if runner is not None:
+        pdf = runner(ls, rows)
+    else:
+        pdf = ls.search_n(rows, k=k, min_tf=min_tf, telemetry=telemetry)
     if telemetry is not None:
         telemetry["route_ms"] = 1000 * (time.perf_counter() - t0)
         telemetry["batch_cost_postings"] = cost

@@ -93,3 +93,31 @@ def test_similarities_indexed_identity(spark, docs, sim_idx):
         spark, sim_idx, q, lam=0.2, k=8, round_dp=6
     ).collect()
     assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+
+def test_similarity_driver_route_rank_identity(spark, docs, sim_idx):
+    import time
+
+    q = spark.createDataFrame(
+        [(0, "error timeout"), (1, "deploy")], "query_id long, query_text string"
+    )
+    for model, fn in (
+        ("tfidf", tfidf_topk_indexed),
+        ("lm_jm", lm_jelinek_mercer_topk_indexed),
+    ):
+        a = fn(spark, sim_idx, q, k=8, round_dp=6, engine="spark").collect()
+        b = fn(spark, sim_idx, q, k=8, round_dp=6, engine="driver").collect()
+        assert sorted(map(tuple, a)) == sorted(map(tuple, b)), model
+    # warm driver path is ms-scale (no Spark job): measure the kernel alone
+    from igd_spark.local import local_searcher
+
+    ls = local_searcher(sim_idx)
+    rows = [(0, "error timeout"), (1, "deploy")]
+    ls.sim_topk_n(rows, model="tfidf", k=8, round_dp=6)  # warm the lists
+    t0 = time.perf_counter()
+    ls.sim_topk_n(rows, model="tfidf", k=8, round_dp=6)
+    assert (time.perf_counter() - t0) < 0.25
+    with pytest.raises(ValueError):
+        ls.sim_topk_n(rows, model="bm11")
+    with pytest.raises(ValueError):
+        ls.sim_topk_n(rows, model="lm_jm", lam=1.5)
