@@ -139,6 +139,7 @@ SPAN_NOT_PRE, SPAN_NOT_POST = 3, 3
 SAMPLER_SIZE = 25             # sampler agg per-query sample size
 DIV_MAX_PER_VALUE = 2         # diversified_sampler per-value cap
 KNN_MIN_SIM = 0.28            # knn similarity cutoff (binds: rank-5 cos ~0.30)
+RNDSCORE_SEED = 7             # random_score seed
 PCTR_VALUES = (175.0, 306.0, 419.0)  # percentile_ranks cut points (quartiles)
 RARE_MAX_DC = 21              # rare_terms max_doc_count (binds non-vacuously:
                               # match-set source counts span 14..25 at sf0.01)
@@ -1827,6 +1828,26 @@ def _docs_with_conv(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_random_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # function_score random_score: seeded deterministic uniform over the
+    # match set — also the reproducible match-sampling primitive
+    from igd_spark import random_score_topk
+
+    return random_score_topk(
+        _docs(spark, sf_dir), _queries_df(spark), seed=RNDSCORE_SEED, k=K,
+        round_dp=6,
+    )
+
+
+def q_random_score_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from igd_spark import random_score_topk_indexed
+
+    return random_score_topk_indexed(
+        spark, _built_index(spark, sf_dir), _queries_df(spark),
+        seed=RNDSCORE_SEED, k=K, round_dp=6,
+    )
+
+
 def q_percentile_ranks_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     # ES percentile_ranks: % of matched values <= each cut point
     from igd_spark import percentile_ranks_agg
@@ -2589,6 +2610,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "percentile_ranks_agg": q_percentile_ranks_agg,
         "percentile_ranks_agg_indexed": q_percentile_ranks_agg_indexed,
         "embedding_cosine_minsim": q_embedding_cosine_minsim,
+        "random_score": q_random_score,
+        "random_score_indexed": q_random_score_indexed,
         "context_turns": q_context_turns,
         "context_turns_indexed": q_context_turns_indexed,
         "boosting_bm25_topk": q_boosting_bm25_topk,
@@ -4982,6 +5005,24 @@ FROM j CROSS JOIN cuts
 GROUP BY 1, 2
 """
     sql["percentile_ranks_agg_indexed"] = sql["percentile_ranks_agg"]
+
+    # function_score random_score: the seeded md5-derived uniform both
+    # engines compute bit-identically
+    sql["random_score"] = f"""
+WITH {_TL}, {_TOKS}, {_POST}, {_DL}, {_CS}, {_TS}, {_QT}, {_SCORED},
+r AS (
+  SELECT query_id, doc_id,
+         round((('0x' || substr(md5('{RNDSCORE_SEED}|' || doc_id::VARCHAR), 1, 15))::BIGINT
+                / {float(2**60)}), 6)::DOUBLE AS score
+  FROM scored),
+ranked AS (
+  SELECT query_id, doc_id, score,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY score DESC, doc_id ASC)::INT AS rank
+  FROM r)
+SELECT query_id, rank, doc_id, score FROM ranked WHERE rank <= {K}
+"""
+    sql["random_score_indexed"] = sql["random_score"]
     sql["sampler_terms_agg_diversified"] = f"""
 WITH {_TL}, {_TOKS}, {_POST}, {_DL}, {_CS}, {_TS}, {_QT}, {_SCORED},
 vals AS (SELECT doc_id, source AS value FROM documents WHERE source IS NOT NULL),

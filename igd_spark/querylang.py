@@ -3842,3 +3842,52 @@ def lm_jelinek_mercer_topk_indexed(
     me = match_enumerate(spark, idx, queries, with_dl=True)
     hits = me.select("query_id", "term", "doc_id", "tf", "dl")
     return rank_topk(_maybe_round(_lmjm_scored(hits, lam, total), round_dp), k)
+
+
+def _random_score_epilogue(
+    m: DataFrame, seed: int, k: int, round_dp: int | None
+) -> DataFrame:
+    from igd_spark.hashing import h60_seeded_col
+
+    r = h60_seeded_col(seed, F.col("doc_id").cast("string")) / F.lit(
+        float(2**60)
+    )
+    scored = m.select("query_id", "doc_id").withColumn(
+        "score", r.cast("double")
+    )
+    return rank_topk(_maybe_round(scored, round_dp), k)
+
+
+def random_score_topk(
+    docs: DataFrame,
+    queries: DataFrame,
+    seed: int = 0,
+    k: int = 10,
+    conf: IndexConf = DEFAULT_CONF,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    round_dp: int | None = None,
+) -> DataFrame:
+    """The ES ``function_score`` ``random_score`` mode: matched docs
+    ranked by a SEEDED deterministic uniform in [0, 1) — same seed, same
+    order, on any engine (the md5-derived h60 both the Spark side and the
+    SQL oracle compute).  This is also the training-data sampler's "give
+    me a reproducible random slice of the matches": top-k under a random
+    score IS a uniform sample without replacement.
+
+    Scale: the match set is sparse; the score is one hash expression —
+    no RNG state, no shuffle beyond the ranking window."""
+    m = bm25_scores(docs, queries, conf=conf, text_col=text_col, id_col=id_col)
+    return _random_score_epilogue(m, seed, k, round_dp)
+
+
+def random_score_topk_indexed(
+    spark,
+    idx,
+    queries: DataFrame,
+    seed: int = 0,
+    k: int = 10,
+    round_dp: int | None = None,
+) -> DataFrame:
+    """`random_score_topk` with the match set from pruned index blocks."""
+    return _random_score_epilogue(_indexed_scored(spark, idx, queries), seed, k, round_dp)

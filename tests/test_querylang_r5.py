@@ -922,3 +922,23 @@ def test_field_route_engine_identity(spark, docs, tmp_path_factory):
     finally:
         for f in fidx:
             fidx[f][0].conf = olds[f]
+
+
+def test_random_score_deterministic_and_uniform(spark, tiny_docs):
+    from igd_spark import random_score_topk
+    from igd_spark.corpus import assign_doc_ids
+    from igd_spark.hashing import h60_seeded_py
+
+    docs = assign_doc_ids(tiny_docs)
+    q = spark.createDataFrame([(0, "error")], "query_id long, query_text string")
+    a = random_score_topk(docs, q, seed=3, k=5).collect()
+    b = random_score_topk(docs, q, seed=3, k=5).collect()
+    assert [tuple(r) for r in a] == [tuple(r) for r in b]  # same seed = same order
+    c = random_score_topk(docs, q, seed=4, k=5).collect()
+    assert [r["doc_id"] for r in a] != [r["doc_id"] for r in c]  # seed matters
+    # the score IS the h60-derived uniform, reproducible in plain python
+    for r in a:
+        assert r["score"] == pytest.approx(
+            h60_seeded_py(3, str(r["doc_id"])) / 2**60, rel=1e-12
+        )
+        assert 0.0 <= r["score"] < 1.0
