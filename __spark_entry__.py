@@ -2538,6 +2538,112 @@ def q_rescore_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---- r5 final metric-agg tranche: extended_stats / boxplot / MAD /
+# matrix_stats / top_metrics (ES parity; exact forms) ----
+
+# second numeric field for the two-field aggs, derived identically in the
+# Spark entry and the DuckDB oracle (documents has one native numeric col)
+MATRIX_Y_MOD = 101
+
+
+def _docs_xy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _docs(spark, sf_dir).withColumn(
+        "y2", (F.col("doc_id") % MATRIX_Y_MOD).cast("double")
+    )
+
+
+def q_extended_stats_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from igd_spark import extended_stats_agg
+
+    return extended_stats_agg(
+        _docs(spark, sf_dir), _queries_df(spark), STATS_VALUE_COL, round_dp=6
+    )
+
+
+def q_extended_stats_agg_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from igd_spark import extended_stats_agg_indexed
+
+    idx = _built_index(spark, sf_dir)
+    return extended_stats_agg_indexed(
+        spark, idx, _docs(spark, sf_dir), _queries_df(spark), STATS_VALUE_COL,
+        round_dp=6,
+    )
+
+
+def q_boxplot_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from igd_spark import boxplot_agg
+
+    return boxplot_agg(
+        _docs(spark, sf_dir), _queries_df(spark), STATS_VALUE_COL, round_dp=6
+    )
+
+
+def q_boxplot_agg_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from igd_spark import boxplot_agg_indexed
+
+    idx = _built_index(spark, sf_dir)
+    return boxplot_agg_indexed(
+        spark, idx, _docs(spark, sf_dir), _queries_df(spark), STATS_VALUE_COL,
+        round_dp=6,
+    )
+
+
+def q_mad_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from igd_spark import median_absolute_deviation_agg
+
+    return median_absolute_deviation_agg(
+        _docs(spark, sf_dir), _queries_df(spark), STATS_VALUE_COL, round_dp=6
+    )
+
+
+def q_mad_agg_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from igd_spark import median_absolute_deviation_agg_indexed
+
+    idx = _built_index(spark, sf_dir)
+    return median_absolute_deviation_agg_indexed(
+        spark, idx, _docs(spark, sf_dir), _queries_df(spark), STATS_VALUE_COL,
+        round_dp=6,
+    )
+
+
+def q_matrix_stats_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from igd_spark import matrix_stats_agg
+
+    return matrix_stats_agg(
+        _docs_xy(spark, sf_dir), _queries_df(spark), STATS_VALUE_COL, "y2",
+        round_dp=6,
+    )
+
+
+def q_matrix_stats_agg_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from igd_spark import matrix_stats_agg_indexed
+
+    idx = _built_index(spark, sf_dir)
+    return matrix_stats_agg_indexed(
+        spark, idx, _docs_xy(spark, sf_dir), _queries_df(spark),
+        STATS_VALUE_COL, "y2", round_dp=6,
+    )
+
+
+def q_top_metrics_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from igd_spark import top_metrics_agg
+
+    return top_metrics_agg(
+        _docs_xy(spark, sf_dir), _queries_df(spark), STATS_VALUE_COL, "y2",
+        k=3, round_dp=6,
+    )
+
+
+def q_top_metrics_agg_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from igd_spark import top_metrics_agg_indexed
+
+    idx = _built_index(spark, sf_dir)
+    return top_metrics_agg_indexed(
+        spark, idx, _docs_xy(spark, sf_dir), _queries_df(spark),
+        STATS_VALUE_COL, "y2", k=3, round_dp=6,
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: BM25 top-10 over the sf0.001 documents corpus."""
     return q_bm25_topk(spark, "/root/testdata/sf0.001")
@@ -2572,6 +2678,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "keywords_topk": q_keywords_topk,
         "term_cooccurrence_capped": q_term_cooccurrence_capped,
         "explain_scores_indexed": q_explain_scores_indexed,
+        "extended_stats_agg": q_extended_stats_agg,
+        "extended_stats_agg_indexed": q_extended_stats_agg_indexed,
+        "boxplot_agg": q_boxplot_agg,
+        "boxplot_agg_indexed": q_boxplot_agg_indexed,
+        "median_absolute_deviation_agg": q_mad_agg,
+        "median_absolute_deviation_agg_indexed": q_mad_agg_indexed,
+        "matrix_stats_agg": q_matrix_stats_agg,
+        "matrix_stats_agg_indexed": q_matrix_stats_agg_indexed,
+        "top_metrics_agg": q_top_metrics_agg,
+        "top_metrics_agg_indexed": q_top_metrics_agg_indexed,
         "bm25_topk_resharded": q_bm25_topk_resharded,
         "bm25_topk_federated": q_bm25_topk_federated,
         "embedding_ivf_ann_appended": q_embedding_ivf_ann_appended,
@@ -5005,6 +5121,86 @@ FROM j CROSS JOIN cuts
 GROUP BY 1, 2
 """
     sql["percentile_ranks_agg_indexed"] = sql["percentile_ranks_agg"]
+
+    # extended_stats: population variance/stddev + avg ± 2σ bounds
+    sql["extended_stats_agg"] = f"""
+WITH {_TL}, {_TOKS}, {_POST}, {_DL}, {_CS}, {_TS}, {_QT}, {_SCORED},
+vals AS (SELECT doc_id, "{STATS_VALUE_COL}"::DOUBLE AS v FROM documents
+         WHERE "{STATS_VALUE_COL}" IS NOT NULL)
+SELECT s.query_id, count(v)::BIGINT AS n_docs,
+       round(min(v), 6) AS min_v, round(max(v), 6) AS max_v,
+       round(sum(v), 6) AS sum_v, round(avg(v), 6) AS avg_v,
+       round(sum(v * v), 6) AS sum_sq,
+       round(var_pop(v), 6) AS variance,
+       round(stddev_pop(v), 6) AS std_dev,
+       round(avg(v) + 2.0 * stddev_pop(v), 6) AS std_upper,
+       round(avg(v) - 2.0 * stddev_pop(v), 6) AS std_lower
+FROM scored s JOIN vals USING (doc_id) GROUP BY 1
+"""
+    sql["extended_stats_agg_indexed"] = sql["extended_stats_agg"]
+
+    # boxplot: exact linear-interpolated quartiles (quantile_cont ==
+    # Spark percentile)
+    sql["boxplot_agg"] = f"""
+WITH {_TL}, {_TOKS}, {_POST}, {_DL}, {_CS}, {_TS}, {_QT}, {_SCORED},
+vals AS (SELECT doc_id, "{STATS_VALUE_COL}"::DOUBLE AS v FROM documents
+         WHERE "{STATS_VALUE_COL}" IS NOT NULL),
+sv AS (SELECT s.query_id, v FROM scored s JOIN vals USING (doc_id))
+SELECT query_id,
+       round(quantile_cont(v, 0.0), 6)::DOUBLE AS min_v,
+       round(quantile_cont(v, 0.25), 6)::DOUBLE AS q1,
+       round(quantile_cont(v, 0.5), 6)::DOUBLE AS q2,
+       round(quantile_cont(v, 0.75), 6)::DOUBLE AS q3,
+       round(quantile_cont(v, 1.0), 6)::DOUBLE AS max_v
+FROM sv GROUP BY 1
+"""
+    sql["boxplot_agg_indexed"] = sql["boxplot_agg"]
+
+    # median_absolute_deviation: exact two-pass median-of-deviations
+    sql["median_absolute_deviation_agg"] = f"""
+WITH {_TL}, {_TOKS}, {_POST}, {_DL}, {_CS}, {_TS}, {_QT}, {_SCORED},
+vals AS (SELECT doc_id, "{STATS_VALUE_COL}"::DOUBLE AS v FROM documents
+         WHERE "{STATS_VALUE_COL}" IS NOT NULL),
+sv AS (SELECT s.query_id, v FROM scored s JOIN vals USING (doc_id)),
+med AS (SELECT query_id, quantile_cont(v, 0.5)::DOUBLE AS median_v
+        FROM sv GROUP BY 1)
+SELECT sv.query_id, round(med.median_v, 6)::DOUBLE AS median_v,
+       round(quantile_cont(abs(sv.v - med.median_v), 0.5), 6)::DOUBLE AS mad
+FROM sv JOIN med USING (query_id)
+GROUP BY sv.query_id, med.median_v
+"""
+    sql["median_absolute_deviation_agg_indexed"] = sql["median_absolute_deviation_agg"]
+
+    # matrix_stats over (n_chars, doc_id % MATRIX_Y_MOD): sample moments
+    sql["matrix_stats_agg"] = f"""
+WITH {_TL}, {_TOKS}, {_POST}, {_DL}, {_CS}, {_TS}, {_QT}, {_SCORED},
+vals AS (SELECT doc_id, "{STATS_VALUE_COL}"::DOUBLE AS x,
+                (doc_id % {MATRIX_Y_MOD})::DOUBLE AS y
+         FROM documents WHERE "{STATS_VALUE_COL}" IS NOT NULL)
+SELECT s.query_id, count(*)::BIGINT AS n_docs,
+       round(avg(x), 6) AS mean_x, round(avg(y), 6) AS mean_y,
+       round(var_samp(x), 6) AS var_x, round(var_samp(y), 6) AS var_y,
+       round(covar_samp(x, y), 6) AS covariance,
+       round(corr(x, y), 6) AS correlation
+FROM scored s JOIN vals USING (doc_id) GROUP BY 1
+"""
+    sql["matrix_stats_agg_indexed"] = sql["matrix_stats_agg"]
+
+    # top_metrics: metric value at the top-k sort rows (desc, doc_id tie)
+    sql["top_metrics_agg"] = f"""
+WITH {_TL}, {_TOKS}, {_POST}, {_DL}, {_CS}, {_TS}, {_QT}, {_SCORED},
+vals AS (SELECT doc_id, "{STATS_VALUE_COL}"::DOUBLE AS x,
+                (doc_id % {MATRIX_Y_MOD})::DOUBLE AS y
+         FROM documents WHERE "{STATS_VALUE_COL}" IS NOT NULL),
+j AS (SELECT s.query_id, s.doc_id, v.x, v.y,
+             row_number() OVER (PARTITION BY s.query_id
+                                ORDER BY v.x DESC, s.doc_id ASC)::INT AS rank
+      FROM scored s JOIN vals v USING (doc_id))
+SELECT query_id, rank, doc_id,
+       round(x, 6) AS sort_v, round(y, 6) AS metric_v
+FROM j WHERE rank <= 3
+"""
+    sql["top_metrics_agg_indexed"] = sql["top_metrics_agg"]
 
     # function_score random_score: the seeded md5-derived uniform both
     # engines compute bit-identically

@@ -78,6 +78,16 @@ __all__ = [
     "sampler_terms_agg_indexed",
     "percentile_ranks_agg",
     "percentile_ranks_agg_indexed",
+    "extended_stats_agg",
+    "extended_stats_agg_indexed",
+    "boxplot_agg",
+    "boxplot_agg_indexed",
+    "median_absolute_deviation_agg",
+    "median_absolute_deviation_agg_indexed",
+    "matrix_stats_agg",
+    "matrix_stats_agg_indexed",
+    "top_metrics_agg",
+    "top_metrics_agg_indexed",
 ]
 
 
@@ -1501,3 +1511,319 @@ def percentile_ranks_agg_indexed(
     """`percentile_ranks_agg` with the match set from pruned index blocks."""
     m = _indexed_match_set(spark, idx, queries)
     return _pct_ranks_epilogue(m, _vals(docs, value_col, id_col), list(values), round_dp)
+
+
+def _ext_stats_epilogue(
+    m: DataFrame, vals: DataFrame, sigma: float, round_dp: int | None
+) -> DataFrame:
+    agg = m.join(vals, "doc_id").groupBy("query_id").agg(
+        F.count("v").cast("long").alias("n_docs"),
+        F.min("v").alias("min_v"),
+        F.max("v").alias("max_v"),
+        F.sum("v").alias("sum_v"),
+        F.avg("v").alias("avg_v"),
+        F.sum(F.col("v") * F.col("v")).alias("sum_sq"),
+        F.var_pop("v").alias("variance"),
+        F.stddev_pop("v").alias("std_dev"),
+    )
+    agg = agg.withColumn(
+        "std_upper", F.col("avg_v") + F.lit(float(sigma)) * F.col("std_dev")
+    ).withColumn(
+        "std_lower", F.col("avg_v") - F.lit(float(sigma)) * F.col("std_dev")
+    )
+    if round_dp is not None:
+        for c in ("min_v", "max_v", "sum_v", "avg_v", "sum_sq", "variance",
+                  "std_dev", "std_upper", "std_lower"):
+            agg = agg.withColumn(c, F.round(c, round_dp))
+    return agg
+
+
+def extended_stats_agg(
+    docs: DataFrame,
+    queries: DataFrame,
+    value_col: str,
+    sigma: float = 2.0,
+    conf: IndexConf = DEFAULT_CONF,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    round_dp: int | None = None,
+) -> DataFrame:
+    """The ES ``extended_stats`` metric aggregation: `stats_agg` plus
+    sum-of-squares, population variance/std-deviation, and the
+    avg ± sigma·std bounds (ES default sigma=2).  NULL-valued docs are
+    skipped, matching ES.
+
+    Scale: identical shuffle shape to `stats_agg` — every moment is a
+    partial-aggregable sum over the sparse match-set join, one hash agg
+    keyed query_id; the bounds are post-agg column arithmetic.
+    """
+    m = _match_set(docs, queries, conf, text_col, id_col)
+    return _ext_stats_epilogue(m, _vals(docs, value_col, id_col), sigma, round_dp)
+
+
+def extended_stats_agg_indexed(
+    spark,
+    idx,
+    docs: DataFrame,
+    queries: DataFrame,
+    value_col: str,
+    sigma: float = 2.0,
+    id_col: str = "doc_id",
+    round_dp: int | None = None,
+) -> DataFrame:
+    """`extended_stats_agg` with the match set from pruned index blocks."""
+    m = _indexed_match_set(spark, idx, queries)
+    return _ext_stats_epilogue(m, _vals(docs, value_col, id_col), sigma, round_dp)
+
+
+_BOX_FRACS = (0.0, 0.25, 0.5, 0.75, 1.0)
+
+
+def _boxplot_epilogue(m: DataFrame, vals: DataFrame, round_dp: int | None) -> DataFrame:
+    qarr = F.percentile("v", F.array(*[F.lit(f) for f in _BOX_FRACS]))
+    res = m.join(vals, "doc_id").groupBy("query_id").agg(qarr.alias("_q"))
+    out = res.select(
+        "query_id",
+        F.col("_q")[0].alias("min_v"),
+        F.col("_q")[1].alias("q1"),
+        F.col("_q")[2].alias("q2"),
+        F.col("_q")[3].alias("q3"),
+        F.col("_q")[4].alias("max_v"),
+    )
+    if round_dp is not None:
+        for c in ("min_v", "q1", "q2", "q3", "max_v"):
+            out = out.withColumn(c, F.round(c, round_dp))
+    return out
+
+
+def boxplot_agg(
+    docs: DataFrame,
+    queries: DataFrame,
+    value_col: str,
+    conf: IndexConf = DEFAULT_CONF,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    round_dp: int | None = None,
+) -> DataFrame:
+    """The ES ``boxplot`` metric aggregation: per query (min, q1, q2, q3,
+    max) of a numeric field over the match set.  Quartiles use linear
+    interpolation (Spark ``percentile`` == DuckDB ``quantile_cont``) —
+    exact, strictly more precise than ES's t-digest estimate.
+
+    Scale: one `percentile` hash agg over the sparse match-set join; the
+    exact form sorts per-group value lists — bounded by the match set,
+    never the corpus.  Swap `F.percentile_approx` (t-digest, mergeable,
+    constant memory) past ~10^8-value match sets, the same knob
+    `percentiles_agg(approx=True)` exposes.
+    """
+    m = _match_set(docs, queries, conf, text_col, id_col)
+    return _boxplot_epilogue(m, _vals(docs, value_col, id_col), round_dp)
+
+
+def boxplot_agg_indexed(
+    spark,
+    idx,
+    docs: DataFrame,
+    queries: DataFrame,
+    value_col: str,
+    id_col: str = "doc_id",
+    round_dp: int | None = None,
+) -> DataFrame:
+    """`boxplot_agg` with the match set from pruned index blocks."""
+    m = _indexed_match_set(spark, idx, queries)
+    return _boxplot_epilogue(m, _vals(docs, value_col, id_col), round_dp)
+
+
+def _mad_epilogue(m: DataFrame, vals: DataFrame, round_dp: int | None) -> DataFrame:
+    sv = m.join(vals, "doc_id").select("query_id", "v")
+    med = sv.groupBy("query_id").agg(
+        F.percentile("v", F.lit(0.5)).alias("median_v")
+    )
+    # med is query-count sized — broadcast the rejoin so the deviation pass
+    # adds no shuffle beyond the second per-query agg
+    dev = sv.join(F.broadcast(med), "query_id").select(
+        "query_id", "median_v", F.abs(F.col("v") - F.col("median_v")).alias("_d")
+    )
+    out = dev.groupBy("query_id", "median_v").agg(
+        F.percentile("_d", F.lit(0.5)).alias("mad")
+    )
+    if round_dp is not None:
+        out = out.withColumn("median_v", F.round("median_v", round_dp))
+        out = out.withColumn("mad", F.round("mad", round_dp))
+    return out.select("query_id", "median_v", "mad")
+
+
+def median_absolute_deviation_agg(
+    docs: DataFrame,
+    queries: DataFrame,
+    value_col: str,
+    conf: IndexConf = DEFAULT_CONF,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    round_dp: int | None = None,
+) -> DataFrame:
+    """The ES ``median_absolute_deviation`` metric aggregation:
+    median(|v − median(v)|) per query over the match set, reported with
+    the median itself — the robust dispersion statistic.  Exact (linear-
+    interpolated medians) where ES estimates on a t-digest.
+
+    Scale: two passes over the SAME sparse match-set values — pass 1
+    reduces to one median row per query, which broadcasts back (query-
+    count sized, never data-sized) for the deviation median.  No corpus
+    work, no window.
+    """
+    m = _match_set(docs, queries, conf, text_col, id_col)
+    return _mad_epilogue(m, _vals(docs, value_col, id_col), round_dp)
+
+
+def median_absolute_deviation_agg_indexed(
+    spark,
+    idx,
+    docs: DataFrame,
+    queries: DataFrame,
+    value_col: str,
+    id_col: str = "doc_id",
+    round_dp: int | None = None,
+) -> DataFrame:
+    """`median_absolute_deviation_agg` with the match set from pruned
+    index blocks."""
+    m = _indexed_match_set(spark, idx, queries)
+    return _mad_epilogue(m, _vals(docs, value_col, id_col), round_dp)
+
+
+def _xy_vals(docs: DataFrame, x_col: str, y_col: str, id_col: str) -> DataFrame:
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.col(x_col).cast("double").alias("x"),
+        F.col(y_col).cast("double").alias("y"),
+    ).filter(F.col("x").isNotNull() & F.col("y").isNotNull())
+
+
+def _matrix_epilogue(m: DataFrame, vals: DataFrame, round_dp: int | None) -> DataFrame:
+    agg = m.join(vals, "doc_id").groupBy("query_id").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.avg("x").alias("mean_x"),
+        F.avg("y").alias("mean_y"),
+        F.var_samp("x").alias("var_x"),
+        F.var_samp("y").alias("var_y"),
+        F.covar_samp("x", "y").alias("covariance"),
+        F.corr("x", "y").alias("correlation"),
+    )
+    if round_dp is not None:
+        for c in ("mean_x", "mean_y", "var_x", "var_y", "covariance",
+                  "correlation"):
+            agg = agg.withColumn(c, F.round(c, round_dp))
+    return agg
+
+
+def matrix_stats_agg(
+    docs: DataFrame,
+    queries: DataFrame,
+    x_col: str,
+    y_col: str,
+    conf: IndexConf = DEFAULT_CONF,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    round_dp: int | None = None,
+) -> DataFrame:
+    """The ES ``matrix_stats`` aggregation over a field pair: per query
+    (n_docs, means, sample variances, sample covariance, Pearson
+    correlation) across the match set — ES's multivariate statistics
+    (sample forms, matching ES).  Docs missing EITHER field are skipped
+    (the ES listwise-deletion default; ES's ``missing`` substitution is
+    the caller pre-filling the projection).
+
+    Scale: all five moments are partial-aggregable sums — one hash agg
+    keyed query_id over the sparse (doc_id, x, y) match-set join.
+    """
+    m = _match_set(docs, queries, conf, text_col, id_col)
+    return _matrix_epilogue(m, _xy_vals(docs, x_col, y_col, id_col), round_dp)
+
+
+def matrix_stats_agg_indexed(
+    spark,
+    idx,
+    docs: DataFrame,
+    queries: DataFrame,
+    x_col: str,
+    y_col: str,
+    id_col: str = "doc_id",
+    round_dp: int | None = None,
+) -> DataFrame:
+    """`matrix_stats_agg` with the match set from pruned index blocks."""
+    m = _indexed_match_set(spark, idx, queries)
+    return _matrix_epilogue(m, _xy_vals(docs, x_col, y_col, id_col), round_dp)
+
+
+def _top_metrics_epilogue(
+    m: DataFrame,
+    vals: DataFrame,
+    k: int,
+    ascending: bool,
+    round_dp: int | None,
+) -> DataFrame:
+    j = m.join(vals, "doc_id")
+    order = [
+        F.asc("x") if ascending else F.desc("x"),
+        F.asc("doc_id"),  # deterministic tie-break (ES leaves ties undefined)
+    ]
+    w = Window.partitionBy("query_id").orderBy(*order)
+    out = (
+        j.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= int(k))
+        .select(
+            "query_id", "rank", "doc_id",
+            F.col("x").alias("sort_v"), F.col("y").alias("metric_v"),
+        )
+    )
+    if round_dp is not None:
+        out = out.withColumn("sort_v", F.round("sort_v", round_dp))
+        out = out.withColumn("metric_v", F.round("metric_v", round_dp))
+    return out
+
+
+def top_metrics_agg(
+    docs: DataFrame,
+    queries: DataFrame,
+    sort_col: str,
+    metric_col: str,
+    k: int = 1,
+    ascending: bool = False,
+    conf: IndexConf = DEFAULT_CONF,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    round_dp: int | None = None,
+) -> DataFrame:
+    """The ES ``top_metrics`` aggregation: per query, the metric field's
+    value(s) from the top-``k`` match-set docs under a sort field —
+    (query_id, rank, doc_id, sort_v, metric_v).  Ties (undefined in ES)
+    break deterministically on doc_id asc.  Docs missing either field
+    are skipped.
+
+    Scale: the per-query top-k window runs over the sparse match-set
+    join only (same shape as ranked retrieval's final window — k is
+    tiny, the shuffle key is query_id).
+    """
+    m = _match_set(docs, queries, conf, text_col, id_col)
+    return _top_metrics_epilogue(
+        m, _xy_vals(docs, sort_col, metric_col, id_col), k, ascending, round_dp
+    )
+
+
+def top_metrics_agg_indexed(
+    spark,
+    idx,
+    docs: DataFrame,
+    queries: DataFrame,
+    sort_col: str,
+    metric_col: str,
+    k: int = 1,
+    ascending: bool = False,
+    id_col: str = "doc_id",
+    round_dp: int | None = None,
+) -> DataFrame:
+    """`top_metrics_agg` with the match set from pruned index blocks."""
+    m = _indexed_match_set(spark, idx, queries)
+    return _top_metrics_epilogue(
+        m, _xy_vals(docs, sort_col, metric_col, id_col), k, ascending, round_dp
+    )
