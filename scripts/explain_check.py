@@ -647,6 +647,39 @@ def main() -> int:
         "BroadcastHashJoin" in lvplan and "CartesianProduct" not in lvplan,
     )
 
+    # 12. r5 final metric-agg tranche: the same indexed-agg discipline —
+    # match set from pruned blocks, corpus only as narrow numeric
+    # projections, never the text column
+    from igd_spark import (
+        boxplot_agg_indexed,
+        extended_stats_agg_indexed,
+        matrix_stats_agg_indexed,
+        median_absolute_deviation_agg_indexed,
+        top_metrics_agg_indexed,
+    )
+
+    docs_xy = docs.withColumn("y2", (F.col("doc_id") % 101).cast("double"))
+    for label, df in (
+        ("extended_stats_agg_indexed",
+         extended_stats_agg_indexed(spark, idx, docs, ql_q, "turn_idx")),
+        ("boxplot_agg_indexed",
+         boxplot_agg_indexed(spark, idx, docs, ql_q, "turn_idx")),
+        ("median_absolute_deviation_agg_indexed",
+         median_absolute_deviation_agg_indexed(spark, idx, docs, ql_q, "turn_idx")),
+        ("matrix_stats_agg_indexed",
+         matrix_stats_agg_indexed(spark, idx, docs_xy, ql_q, "turn_idx", "y2")),
+        ("top_metrics_agg_indexed",
+         top_metrics_agg_indexed(spark, idx, docs_xy, ql_q, "turn_idx", "y2", k=3)),
+    ):
+        plan = fmt(df)
+        assert_pruned_scan(f"{label} scan", plan)
+        schemas = re.findall(r"ReadSchema: struct<([^>]*)>", plan)
+        check(
+            f"{label} never scans the corpus text",
+            bool(schemas) and not any("text:" in s for s in schemas),
+            f"scanned schemas: {schemas}",
+        )
+
     n_fail = sum(1 for _, ok, _ in checks if not ok)
     print(f"\n{len(checks) - n_fail}/{len(checks)} plan checks passed")
     return 1 if n_fail else 0
