@@ -103,6 +103,7 @@ FACET_K = 3
 STATS_VALUE_COL = "n_chars"   # numeric field for the ES stats/histogram aggs
 HIST_INTERVAL = 50.0
 CARD_FIELD = "source"
+STRING_STATS_COL = "source"   # keyword field for the ES string_stats agg
 SIGTERMS_K = 5
 SIGTERMS_MIN_FG = 2
 TOPHITS_BUCKETS = 2
@@ -1285,6 +1286,24 @@ def q_wildcard_bm25_topk_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     idx = _built_index(spark, sf_dir)
     return wildcard_bm25_topk_indexed(
+        spark, idx, _wildcard_queries_df(spark), k=K, round_dp=6
+    )
+
+
+_KGRAM_BUILT: set[str] = set()
+
+
+def q_wildcard_bm25_topk_kgram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # k-gram dictionary index (Manning/IR §3.2.2): pattern expansion reads
+    # only the required grams' buckets instead of LIKE-scanning the whole
+    # vocabulary; LIKE-verified, so rank-identical -> same oracle
+    from igd_spark import build_kgram_index, wildcard_bm25_topk_kgram
+
+    idx = _built_index(spark, sf_dir)
+    if idx.path not in _KGRAM_BUILT:
+        build_kgram_index(spark, idx, k=3, n_gbuckets=32)
+        _KGRAM_BUILT.add(idx.path)
+    return wildcard_bm25_topk_kgram(
         spark, idx, _wildcard_queries_df(spark), k=K, round_dp=6
     )
 
@@ -2644,6 +2663,25 @@ def q_top_metrics_agg_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_string_stats_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # ES string_stats metric agg: length stats + character entropy
+    from igd_spark import string_stats_agg
+
+    return string_stats_agg(
+        _docs(spark, sf_dir), _queries_df(spark), STRING_STATS_COL, round_dp=6
+    )
+
+
+def q_string_stats_agg_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from igd_spark import string_stats_agg_indexed
+
+    idx = _built_index(spark, sf_dir)
+    return string_stats_agg_indexed(
+        spark, idx, _docs(spark, sf_dir), _queries_df(spark), STRING_STATS_COL,
+        round_dp=6,
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: BM25 top-10 over the sf0.001 documents corpus."""
     return q_bm25_topk(spark, "/root/testdata/sf0.001")
@@ -2678,6 +2716,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "keywords_topk": q_keywords_topk,
         "term_cooccurrence_capped": q_term_cooccurrence_capped,
         "explain_scores_indexed": q_explain_scores_indexed,
+        "wildcard_bm25_topk_kgram": q_wildcard_bm25_topk_kgram,
+        "string_stats_agg": q_string_stats_agg,
+        "string_stats_agg_indexed": q_string_stats_agg_indexed,
         "extended_stats_agg": q_extended_stats_agg,
         "extended_stats_agg_indexed": q_extended_stats_agg_indexed,
         "boxplot_agg": q_boxplot_agg,
@@ -4171,6 +4212,8 @@ ranked AS (
 SELECT query_id, rank, doc_id, score FROM ranked WHERE rank <= {K}
 """
     sql["wildcard_bm25_topk_indexed"] = sql["wildcard_bm25_topk"]
+    # k-gram expansion is LIKE-verified -> identical match semantics
+    sql["wildcard_bm25_topk_kgram"] = sql["wildcard_bm25_topk"]
 
     _synvals = ", ".join(f"('{t}', '{g}')" for t, g in SYNONYM_SET)
     sql["synonym_bm25_topk"] = f"""
@@ -5138,6 +5181,29 @@ SELECT s.query_id, count(v)::BIGINT AS n_docs,
 FROM scored s JOIN vals USING (doc_id) GROUP BY 1
 """
     sql["extended_stats_agg_indexed"] = sql["extended_stats_agg"]
+
+    # string_stats: length stats + base-2 Shannon entropy over the match
+    # set's character distribution (string_split(s,'') splits to chars in
+    # DuckDB exactly like Spark's split(s,'') minus the trailing empty)
+    sql["string_stats_agg"] = f"""
+WITH {_TL}, {_TOKS}, {_POST}, {_DL}, {_CS}, {_TS}, {_QT}, {_SCORED},
+sv AS (SELECT doc_id, "{STRING_STATS_COL}"::VARCHAR AS s FROM documents
+       WHERE "{STRING_STATS_COL}" IS NOT NULL),
+j AS (SELECT sc.query_id, sv.s FROM scored sc JOIN sv USING (doc_id)),
+base AS (SELECT query_id, count(*)::BIGINT AS n_docs,
+         min(length(s))::BIGINT AS min_len, max(length(s))::BIGINT AS max_len,
+         round(avg(length(s)), 6) AS avg_len FROM j GROUP BY 1),
+chars AS (SELECT query_id, unnest(string_split(s, '')) AS ch FROM j),
+cc AS (SELECT query_id, ch, count(*)::DOUBLE AS c FROM chars
+       WHERE ch <> '' GROUP BY 1, 2),
+tt AS (SELECT query_id, sum(c) AS t FROM cc GROUP BY 1),
+ent AS (SELECT cc.query_id, round(-sum((c / t) * log2(c / t)), 6) AS entropy
+        FROM cc JOIN tt USING (query_id) GROUP BY 1)
+SELECT b.query_id, n_docs, min_len, max_len, avg_len,
+       coalesce(entropy, 0.0) AS entropy
+FROM base b LEFT JOIN ent USING (query_id)
+"""
+    sql["string_stats_agg_indexed"] = sql["string_stats_agg"]
 
     # boxplot: exact linear-interpolated quartiles (quantile_cont ==
     # Spark percentile)

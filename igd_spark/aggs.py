@@ -88,6 +88,8 @@ __all__ = [
     "matrix_stats_agg_indexed",
     "top_metrics_agg",
     "top_metrics_agg_indexed",
+    "string_stats_agg",
+    "string_stats_agg_indexed",
 ]
 
 
@@ -1827,3 +1829,85 @@ def top_metrics_agg_indexed(
     return _top_metrics_epilogue(
         m, _xy_vals(docs, sort_col, metric_col, id_col), k, ascending, round_dp
     )
+
+
+def _string_stats_epilogue(
+    m: DataFrame, svals: DataFrame, round_dp: int | None
+) -> DataFrame:
+    j = m.select("query_id", "doc_id").join(svals, "doc_id")
+    base = j.groupBy("query_id").agg(
+        F.count("s").cast("long").alias("n_docs"),
+        F.min(F.length("s")).cast("long").alias("min_len"),
+        F.max(F.length("s")).cast("long").alias("max_len"),
+        F.avg(F.length("s")).alias("avg_len"),
+    )
+    # Shannon entropy over the character distribution of the match set's
+    # values — two hash aggs on (query, char): the distinct-char key space
+    # is the alphabet (~40), so shuffle rows are O(queries x alphabet),
+    # never O(matched docs x chars)
+    chars = j.select(
+        "query_id", F.explode(F.split("s", "")).alias("ch")
+    ).filter(F.col("ch") != "")
+    cc = chars.groupBy("query_id", "ch").agg(F.count("*").cast("double").alias("c"))
+    tot = cc.groupBy("query_id").agg(F.sum("c").alias("t"))
+    p = F.col("c") / F.col("t")
+    ent = (
+        cc.join(tot, "query_id")
+        .groupBy("query_id")
+        .agg((-F.sum(p * F.log2(p))).alias("entropy"))
+    )
+    out = base.join(ent, "query_id", "left").withColumn(
+        "entropy", F.coalesce("entropy", F.lit(0.0))
+    )
+    if round_dp is not None:
+        out = out.withColumn("avg_len", F.round("avg_len", round_dp)).withColumn(
+            "entropy", F.round("entropy", round_dp)
+        )
+    return out
+
+
+def _svals(docs: DataFrame, value_col: str, id_col: str) -> DataFrame:
+    return docs.select(
+        F.col(id_col).alias("doc_id"), F.col(value_col).cast("string").alias("s")
+    ).filter(F.col("s").isNotNull())
+
+
+def string_stats_agg(
+    docs: DataFrame,
+    queries: DataFrame,
+    value_col: str,
+    conf: IndexConf = DEFAULT_CONF,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    round_dp: int | None = None,
+) -> DataFrame:
+    """The ES ``string_stats`` metric aggregation: per query, count /
+    min / max / avg string length plus the Shannon entropy of the match
+    set's character distribution (the ``show_distribution`` entropy, base
+    2 like ES).  NULL-valued docs are skipped; a match set whose values
+    are all empty strings has entropy 0.
+
+    Scale: one sparse match-set join against the (doc_id, value)
+    projection; the length stats are a single hash agg, and the entropy
+    pass aggregates to the (query, char) key — alphabet-sized, so the
+    exploded char rows combine map-side and the shuffle carries
+    O(queries x |alphabet|) rows.
+    """
+    m = _match_set(docs, queries, conf, text_col, id_col)
+    return _string_stats_epilogue(m, _svals(docs, value_col, id_col), round_dp)
+
+
+def string_stats_agg_indexed(
+    spark,
+    idx,
+    docs: DataFrame,
+    queries: DataFrame,
+    value_col: str,
+    id_col: str = "doc_id",
+    round_dp: int | None = None,
+) -> DataFrame:
+    """`string_stats_agg` with the match set from pruned index blocks;
+    ``docs`` supplies only the (doc_id, value) projection — the corpus
+    text column is never scanned."""
+    m = _indexed_match_set(spark, idx, queries)
+    return _string_stats_epilogue(m, _svals(docs, value_col, id_col), round_dp)

@@ -647,6 +647,47 @@ def main() -> int:
         "BroadcastHashJoin" in lvplan and "CartesianProduct" not in lvplan,
     )
 
+    # 12b. k-gram dictionary index (kgram.py): wildcard expansion must be a
+    # gbucket-partition-pruned scan of the kgrams table with the gram set
+    # pushed to parquet — never a LIKE scan of the whole dictionary
+    from igd_spark import build_kgram_index
+    from igd_spark.kgram import _expand_patterns_kgram, _kgram_meta
+
+    build_kgram_index(spark, idx, k=3, n_gbuckets=16)
+    # the operator collects the expansion before scoring (the
+    # max_expanded_terms guard), so the audit targets the expansion plan —
+    # the stage where the k-gram structure replaces the dictionary scan
+    kgplan = fmt(
+        _expand_patterns_kgram(
+            spark, idx, ["t00*2", "err*r"], _kgram_meta(idx.path)
+        )
+    )
+    kg_pf = [
+        m.group(1)
+        for m in re.finditer(r"PartitionFilters: \[([^\]]*)\]", kgplan)
+        if "gbucket" in m.group(1)
+    ]
+    check(
+        "wildcard_bm25_topk_kgram: gbucket partition pruning (non-empty PartitionFilters)",
+        bool(kg_pf) and any(
+            "IN" in p.upper() or "in(" in p.lower() or re.search(r"gbucket#\d+ = \d+", p)
+            for p in kg_pf
+        ),
+        f"PartitionFilters={kg_pf[:2] if kg_pf else 'ABSENT/EMPTY'}",
+    )
+    check(
+        "wildcard_bm25_topk_kgram: In(gram) pushed to parquet",
+        "In(gram" in kgplan or "EqualTo(gram," in kgplan,
+        "no In/EqualTo(gram ...) in PushedFilters",
+    )
+    check(
+        "wildcard_bm25_topk_kgram: no LIKE over the dictionary scan "
+        "(all patterns prunable here)",
+        "StartsWith(term" not in kgplan
+        and not re.search(r"PushedFilters: \[[^\]]*Like", kgplan),
+        "dictionary LIKE scan present in the kgram plan",
+    )
+
     # 12. r5 final metric-agg tranche: the same indexed-agg discipline —
     # match set from pruned blocks, corpus only as narrow numeric
     # projections, never the text column

@@ -188,3 +188,47 @@ def test_metric_aggs_indexed_identity(spark, docs, agg_idx):
     ]
     for a, b in pairs:
         pd.testing.assert_frame_equal(srt(a), srt(b), check_dtype=False)
+
+
+def test_string_stats_bruteforce(spark, docs):
+    from collections import Counter
+
+    from igd_spark import string_stats_agg
+
+    term = _mid_term(docs)
+    svals = [
+        r["role"]
+        for r in docs.select("doc_id", "role").collect()
+        if r["doc_id"] in {
+            p["doc_id"]
+            for p in postings(docs).filter(F.col("term") == term)
+            .select("doc_id").collect()
+        } and r["role"] is not None
+    ]
+    row = string_stats_agg(docs, _queries(spark, [(0, term)]), "role").collect()[0]
+    assert row["n_docs"] == len(svals)
+    assert row["min_len"] == min(len(s) for s in svals)
+    assert row["max_len"] == max(len(s) for s in svals)
+    assert row["avg_len"] == pytest.approx(
+        sum(len(s) for s in svals) / len(svals)
+    )
+    counts = Counter("".join(svals))
+    tot = sum(counts.values())
+    ent = -sum((c / tot) * math.log2(c / tot) for c in counts.values())
+    assert row["entropy"] == pytest.approx(ent)
+
+
+def test_string_stats_indexed_identity(spark, docs, agg_idx):
+    import pandas as pd
+
+    from igd_spark import string_stats_agg, string_stats_agg_indexed
+
+    term = _mid_term(docs)
+    q = _queries(spark, [(0, term), (1, f"{term} zzznotavocab")])
+    a = string_stats_agg(docs, q, "role", conf=agg_idx.conf, round_dp=6)
+    b = string_stats_agg_indexed(spark, agg_idx, docs, q, "role", round_dp=6)
+
+    def srt(df):
+        return df.toPandas().sort_values(list(df.columns)).reset_index(drop=True)
+
+    pd.testing.assert_frame_equal(srt(a), srt(b), check_dtype=False)
