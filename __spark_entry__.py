@@ -734,6 +734,26 @@ def q_embedding_ivf_ann_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_ann_topk_indexed(spark, eidx, _emb_queries(spark, sf_dir), k=K)
 
 
+_QUANT_BUILT: set[str] = set()
+
+
+def q_embedding_ivf_ann_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES-style int8 quantized kNN: candidates from the 4x-smaller ivf_q8
+    sibling layout (approximate cosine over int8 codes, top k*oversample
+    shortlist), exact rescore of the shortlist against ivf/.  The oracle
+    replicates BOTH stages — quantization, shortlist cut, rescore — so the
+    gate pins the quantized semantics, not just the happy path."""
+    from igd_spark.embindex import build_quantized_layout, ivf_ann_topk_quantized
+
+    eidx = _built_emb_index(spark, sf_dir)
+    if eidx.path not in _QUANT_BUILT:
+        build_quantized_layout(spark, eidx)
+        _QUANT_BUILT.add(eidx.path)
+    return ivf_ann_topk_quantized(
+        spark, eidx, _emb_queries(spark, sf_dir), k=K, nprobe=1, oversample=3
+    )
+
+
 def q_embedding_ivf_ann_appended(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental embedding index: build over HALF the vectors, append the
     other half as a committed batch (frozen anchors), probe the union.
@@ -2719,6 +2739,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "wildcard_bm25_topk_kgram": q_wildcard_bm25_topk_kgram,
         "string_stats_agg": q_string_stats_agg,
         "string_stats_agg_indexed": q_string_stats_agg_indexed,
+        "embedding_ivf_ann_quantized": q_embedding_ivf_ann_quantized,
         "extended_stats_agg": q_extended_stats_agg,
         "extended_stats_agg_indexed": q_extended_stats_agg_indexed,
         "boxplot_agg": q_boxplot_agg,
@@ -3371,6 +3392,58 @@ s AS (
   FROM q JOIN qcell USING (query_id)
   JOIN ecell ON ecell.cell = qcell.cell
   JOIN e ON e.vec_id = ecell.vec_id),
+r AS (SELECT query_id, vec_id, cos,
+             row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id ASC)::INT AS rank
+      FROM s)
+SELECT query_id, rank, vec_id, cos FROM r WHERE rank <= {K}
+"""
+
+    # quantized kNN: the oracle replicates the two-stage pipeline exactly —
+    # per-vector int8 scalar quantization (half-up floor: engine-identical),
+    # approximate-cosine shortlist of k*oversample inside the probed cell,
+    # exact-cosine rescore of the shortlist
+    sql["embedding_ivf_ann_quantized"] = f"""
+WITH anc AS (SELECT vec_id AS anchor_id, embedding::DOUBLE[] AS av,
+                    list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]) / 2.0 AS hn
+             FROM embeddings WHERE vec_id < {N_ANCHORS}),
+e AS (SELECT vec_id, embedding::DOUBLE[] AS ev FROM embeddings),
+escore AS (
+  SELECT e.vec_id, anc.anchor_id,
+         row_number() OVER (PARTITION BY e.vec_id
+             ORDER BY round(list_dot_product(ev, av) - hn, 9) DESC, anchor_id ASC) AS rn
+  FROM e CROSS JOIN anc),
+ecell AS (SELECT vec_id, anchor_id AS cell FROM escore WHERE rn = 1),
+q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv FROM embeddings
+      WHERE vec_id < {N_EMB_QUERIES}),
+qscore AS (
+  SELECT q.query_id, anc.anchor_id,
+         row_number() OVER (PARTITION BY q.query_id
+             ORDER BY round(list_dot_product(qv, av) - hn, 9) DESC, anchor_id ASC) AS rn
+  FROM q CROSS JOIN anc),
+qcell AS (SELECT query_id, anchor_id AS cell FROM qscore WHERE rn = 1),
+qz AS (SELECT vec_id, ev,
+              list_max(list_transform(ev, x -> abs(x))) AS qscale,
+              sqrt(list_dot_product(ev, ev)) AS vnorm FROM e),
+e8 AS (SELECT vec_id, qscale, vnorm,
+              list_transform(ev, x -> floor(127.0 * x /
+                  (CASE WHEN qscale = 0 THEN 1.0 ELSE qscale END) + 0.5)) AS q8
+       FROM qz),
+cand AS (
+  SELECT q.query_id, e8.vec_id,
+         round((e8.qscale / 127.0) * list_dot_product(qv, e8.q8)
+               / (sqrt(list_dot_product(qv, qv)) * e8.vnorm), 6) AS approx
+  FROM q JOIN qcell USING (query_id)
+  JOIN ecell ON ecell.cell = qcell.cell
+  JOIN e8 ON e8.vec_id = ecell.vec_id),
+short AS (
+  SELECT query_id, vec_id FROM (
+    SELECT query_id, vec_id,
+           row_number() OVER (PARTITION BY query_id
+               ORDER BY approx DESC, vec_id ASC) AS arn
+    FROM cand) WHERE arn <= {K * 3}),
+s AS (SELECT short.query_id, e.vec_id, {_EMB_COS} AS cos
+      FROM short JOIN q ON q.query_id = short.query_id
+      JOIN e ON e.vec_id = short.vec_id),
 r AS (SELECT query_id, vec_id, cos,
              row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id ASC)::INT AS rank
       FROM s)

@@ -378,3 +378,159 @@ def ivf_ann_topk_indexed(
     return _ranked_topk(
         j.select("query_id", "vec_id", F.round(cos, 6).alias("cos")), k
     )
+
+
+# ---------------------------------------------------------------------------
+# Scalar-quantized (int8) probe layout — the ES 8.x quantized-kNN shape:
+# candidate generation over a 4x-smaller int8 sibling table, exact rescore
+# of the shortlist against the full-precision vectors.
+# ---------------------------------------------------------------------------
+
+
+def _q8_cols(ev: F.Column) -> tuple[F.Column, F.Column]:
+    """(qscale, q8) per-vector scalar quantization: qscale = max |x_i|,
+    q8_i = floor(127 * x_i / qscale + 0.5) — the explicit half-up floor is
+    used (not round()) so Spark, DuckDB, and numpy produce bit-identical
+    codes; qscale = 0 (the all-zero vector) quantizes to all zeros."""
+    qscale = F.array_max(F.transform(ev, lambda x: F.abs(x)))
+    safe = F.when(qscale == 0.0, F.lit(1.0)).otherwise(qscale)
+    q8 = F.transform(
+        ev, lambda x: F.floor(F.lit(127.0) * x / safe + F.lit(0.5)).cast("tinyint")
+    )
+    return qscale, q8
+
+
+def build_quantized_layout(spark: SparkSession, eidx: EmbeddingIndex) -> None:
+    """Materialize <path>/ivf_q8/: (vec_id, q8 array<tinyint>, qscale,
+    vnorm) partitioned by cell — the same partition spec as ivf/, so the
+    probe's cell pruning applies unchanged while each candidate row is
+    ~4x smaller (int8 codes vs float64 components).  Derived purely from
+    the persisted ivf/ rows, so rebuilding after appends/compaction is
+    one cell-pruned scan.  Covered batch tags are recorded; a probe
+    live-quantizes uncovered append batches (delta-sized) so results stay
+    exact between rebuilds — the kgram/append discipline."""
+    import shutil
+
+    out = os.path.join(eidx.path, "ivf_q8")
+    marker = os.path.join(eidx.path, "_quant.json")
+    if os.path.exists(marker):
+        os.remove(marker)  # marker-last commit (see kgram.py)
+    qscale, q8 = _q8_cols(F.col("ev"))
+    rows = eidx.ivf.select(
+        "vec_id", "cell", "vnorm", qscale.alias("qscale"), q8.alias("q8")
+    )
+    # write-then-swap (compact_embedding_index's discipline): never
+    # overwrite in place — concurrent probes hold the old file listing,
+    # and a crashed rebuild must not leave a half-written live dir
+    tmp = out + "_tmp"
+    rows.repartition("cell").write.mode("overwrite").partitionBy("cell").parquet(tmp)
+    if os.path.isdir(out):
+        old = out + "_old"
+        os.rename(out, old)
+        os.rename(tmp, out)
+        shutil.rmtree(old)
+    else:
+        os.rename(tmp, out)
+    spark.catalog.refreshByPath(out)
+    with open(marker, "w") as f:
+        json.dump({"covered_batches": sorted(eidx.batches)}, f, indent=1)
+
+
+def _quant_meta(path: str) -> dict | None:
+    p = os.path.join(path, "_quant.json")
+    if not os.path.exists(p):
+        return None
+    with open(p) as f:
+        return json.load(f)
+
+
+def ivf_ann_topk_quantized(
+    spark: SparkSession,
+    eidx: EmbeddingIndex,
+    queries: DataFrame,
+    k: int = 10,
+    nprobe: int = 1,
+    oversample: int = 3,
+    q_id: str = "query_id",
+    q_col: str = "query_vec",
+) -> DataFrame:
+    """(query_id, rank, vec_id, cos) — two-stage quantized probe of the
+    persisted inverted file:
+
+      1. CANDIDATES: cell-pruned scan of ivf_q8/ (int8 codes — a quarter
+         of the bytes of ivf/), approximate cosine
+         (qscale/127) * dot(qv, q8) / (|qv| * vnorm), per-query top
+         k*oversample shortlist (rounded 6 dp, vec_id tie-break: the cut
+         is engine-deterministic).
+      2. RESCORE: the shortlist joins back to the full-precision ivf/
+         rows (same cell pruning, shortlist semi-join) and exact cosine
+         re-ranks the final top-k.
+
+    Recall is bounded by quantization error only at the shortlist edge —
+    ``oversample`` is the knob (ES `num_candidates`).  At 100 TB stage 1
+    reads nprobe/|anchors| of the int8 table and stage 2 touches
+    queries x k x oversample rows: the full-precision table is never
+    bulk-scanned."""
+    meta = _quant_meta(eidx.path)
+    if meta is None:
+        raise ValueError(
+            f"no quantized layout at {eidx.path}/ivf_q8 — run "
+            f"build_quantized_layout first (or use ivf_ann_topk_indexed)"
+        )
+    probe = ivf_probe_cells(queries, eidx.anchors, nprobe, q_id=q_id, q_col=q_col)
+    crows = probe.select("cell").distinct().collect()
+    if not crows:
+        return spark.createDataFrame(
+            [], "query_id long, rank int, vec_id long, cos double"
+        )
+    cells = sorted(int(r["cell"]) for r in crows)
+
+    qtab = spark.read.parquet(os.path.join(eidx.path, "ivf_q8")).filter(
+        F.col("cell").isin(cells)
+    )
+    stale = [
+        t for t in eidx.batches if t not in set(meta.get("covered_batches", []))
+    ]
+    if stale:
+        live = None
+        for tag in stale:
+            d = spark.read.parquet(
+                os.path.join(_emb_batches_root(eidx.path), tag, "ivf")
+            )
+            live = d if live is None else live.unionByName(d)
+        qscale, q8 = _q8_cols(F.col("ev"))
+        qtab = qtab.unionByName(
+            live.filter(F.col("cell").isin(cells)).select(
+                "vec_id", "cell", "vnorm", qscale.alias("qscale"), q8.alias("q8")
+            )
+        )
+
+    j = qtab.join(F.broadcast(probe), "cell")
+    approx = (
+        (F.col("qscale") / F.lit(127.0))
+        * dot_col(F.col("qv"), F.col("q8"))
+        / (norm_col(F.col("qv")) * F.col("vnorm"))
+    )
+    wa = Window.partitionBy("query_id").orderBy(
+        F.desc("approx"), F.asc("vec_id")
+    )
+    shortlist = (
+        j.select("query_id", "vec_id", "cell", F.round(approx, 6).alias("approx"))
+        .withColumn("arn", F.row_number().over(wa))
+        .filter(F.col("arn") <= k * oversample)
+        .select("query_id", "vec_id", "cell")
+    )
+
+    full = eidx.ivf.filter(F.col("cell").isin(cells)).select(
+        "vec_id", "ev", "vnorm"
+    )
+    rescored = shortlist.join(full, "vec_id").join(
+        F.broadcast(probe.select("query_id", "qv").dropDuplicates(["query_id"])),
+        "query_id",
+    )
+    cos = dot_col(F.col("qv"), F.col("ev")) / (
+        norm_col(F.col("qv")) * F.col("vnorm")
+    )
+    return _ranked_topk(
+        rescored.select("query_id", "vec_id", F.round(cos, 6).alias("cos")), k
+    )

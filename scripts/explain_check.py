@@ -647,6 +647,33 @@ def main() -> int:
         "BroadcastHashJoin" in lvplan and "CartesianProduct" not in lvplan,
     )
 
+    # 12a. int8-quantized probe (ivf_q8): BOTH stages cell-pruned, and the
+    # candidate scan must read the int8 codes, never the float64 vectors
+    # (column pruning is the 4x IO claim)
+    from igd_spark.embindex import build_quantized_layout, ivf_ann_topk_quantized
+
+    build_quantized_layout(spark, eidx)
+    qplan = fmt(ivf_ann_topk_quantized(spark, eidx, eq, k=5, oversample=3))
+    q_pfs = [
+        m.group(1)
+        for m in re.finditer(r"PartitionFilters: \[([^\]]*)\]", qplan)
+        if "cell" in m.group(1)
+    ]
+    check(
+        "ivf_ann_topk_quantized: cell pruning on BOTH stages (2 pruned scans)",
+        len(q_pfs) >= 2 and all(
+            "IN" in p.upper() or "in(" in p.lower() or re.search(r"cell#\d+ = \d+", p)
+            for p in q_pfs
+        ),
+        f"cell PartitionFilters groups={len(q_pfs)}",
+    )
+    q_schemas = re.findall(r"ReadSchema: struct<([^>]*)>", qplan)
+    check(
+        "ivf_ann_topk_quantized: candidate scan reads q8, not ev (column pruning)",
+        any("q8:" in s and "ev:" not in s for s in q_schemas),
+        f"scanned schemas: {q_schemas}",
+    )
+
     # 12b. k-gram dictionary index (kgram.py): wildcard expansion must be a
     # gbucket-partition-pruned scan of the kgrams table with the gram set
     # pushed to parquet — never a LIKE scan of the whole dictionary

@@ -178,3 +178,83 @@ def test_append_equals_full_build(spark, emb, queries, tmp_path_factory):
     # reopen sees the compacted state identically
     reopened = open_embedding_index(spark, half_path)
     assert reopened.n_vectors == full.n_vectors
+
+
+# ---------------------------------------------------------------------------
+# int8 scalar-quantized probe layout (ivf_q8)
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def qeidx(spark, emb, tmp_path_factory):
+    from igd_spark.embindex import build_quantized_layout
+
+    path = str(tmp_path_factory.mktemp("qembidx") / "eidx")
+    idx = build_embedding_index(spark, emb, path, n_anchors=8)
+    build_quantized_layout(spark, idx)
+    return idx
+
+
+def test_quantized_oversample_limit_is_exact(spark, queries, qeidx):
+    """oversample past the cell size ⇒ the shortlist is the whole cell and
+    the rescore reproduces the exact IVF probe bit-for-bit."""
+    from igd_spark.embindex import ivf_ann_topk_quantized
+
+    exact = ivf_ann_topk_indexed(spark, qeidx, queries, k=10)
+    quant = ivf_ann_topk_quantized(spark, qeidx, queries, k=10, oversample=10_000)
+    assert _rows(exact) == _rows(quant)
+
+
+def test_quantized_rescore_scores_are_exact(spark, queries, qeidx):
+    """Every returned cos is the FULL-precision cosine (stage 2 rescores):
+    any (query, vec) the quantized probe returns must carry the same score
+    the exact probe assigns that pair."""
+    from igd_spark.embindex import ivf_ann_topk_quantized
+
+    exact = {
+        (r["query_id"], r["vec_id"]): r["cos"]
+        for r in ivf_ann_topk_indexed(spark, qeidx, queries, k=100).collect()
+    }
+    for r in ivf_ann_topk_quantized(spark, qeidx, queries, k=10,
+                                    oversample=3).collect():
+        assert exact[(r["query_id"], r["vec_id"])] == r["cos"]
+
+
+def test_quantized_refuses_without_layout(spark, emb, queries, tmp_path):
+    from igd_spark.embindex import ivf_ann_topk_quantized
+
+    idx = build_embedding_index(spark, emb, str(tmp_path / "noq"), n_anchors=8)
+    with pytest.raises(ValueError, match="quantized"):
+        ivf_ann_topk_quantized(spark, idx, queries, k=5)
+
+
+def test_quantized_exact_across_uncovered_append(spark, emb, queries, tmp_path):
+    """An append batch committed AFTER build_quantized_layout is served by
+    live quantization — results equal a rebuilt layout's."""
+    from igd_spark import append_embedding_index
+    from igd_spark.embindex import build_quantized_layout, ivf_ann_topk_quantized
+
+    path = str(tmp_path / "appq")
+    half = emb.filter(F.col("vec_id") < N_VEC // 2)
+    rest = emb.filter(F.col("vec_id") >= N_VEC // 2)
+    idx = build_embedding_index(spark, half, path, n_anchors=8)
+    build_quantized_layout(spark, idx)
+    idx2 = append_embedding_index(spark, path, rest, batch_tag="t1")
+
+    stale = _rows(ivf_ann_topk_quantized(spark, idx2, queries, k=10, oversample=3))
+    build_quantized_layout(spark, idx2)  # re-cover: replaces ivf_q8 wholesale
+    fresh = _rows(ivf_ann_topk_quantized(spark, idx2, queries, k=10, oversample=3))
+    assert stale == fresh
+
+
+def test_quantized_marker_discipline(spark, emb, queries, tmp_path):
+    import json
+
+    from igd_spark.embindex import build_quantized_layout, ivf_ann_topk_quantized
+
+    path = str(tmp_path / "crashq")
+    idx = build_embedding_index(spark, emb, path, n_anchors=8)
+    build_quantized_layout(spark, idx)
+    os.remove(os.path.join(path, "_quant.json"))
+    with pytest.raises(ValueError, match="quantized"):
+        ivf_ann_topk_quantized(spark, idx, queries, k=5)
