@@ -2683,6 +2683,34 @@ def q_top_metrics_agg_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+SIMPLE_QS_SET: list[tuple[int, str]] = [
+    (0, "customer + -slow | merge"),   # (customer AND NOT slow) OR merge
+    (1, "table value"),                # default_operator=or: two groups
+    (2, "table|value + merge"),        # table OR (value AND merge)
+    (3, "customer + zzznotavocab"),    # unsatisfiable AND group -> 0 hits
+    (4, "query + -zzznotavocab"),      # OOV negation vetoes nothing
+]
+
+
+def q_simple_query_string(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # ES simple_query_string: '|' OR / '+' AND / '-' NOT with AND binding
+    # tighter — a DNF evaluator, strictly beyond the flat parsed syntax
+    from igd_spark import simple_query_string_topk
+
+    return simple_query_string_topk(
+        _docs(spark, sf_dir), SIMPLE_QS_SET, k=K, round_dp=6
+    )
+
+
+def q_simple_query_string_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from igd_spark import simple_query_string_topk_indexed
+
+    idx = _built_index(spark, sf_dir)
+    return simple_query_string_topk_indexed(
+        spark, idx, SIMPLE_QS_SET, k=K, round_dp=6
+    )
+
+
 def q_string_stats_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     # ES string_stats metric agg: length stats + character entropy
     from igd_spark import string_stats_agg
@@ -2740,6 +2768,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "string_stats_agg": q_string_stats_agg,
         "string_stats_agg_indexed": q_string_stats_agg_indexed,
         "embedding_ivf_ann_quantized": q_embedding_ivf_ann_quantized,
+        "simple_query_string": q_simple_query_string,
+        "simple_query_string_indexed": q_simple_query_string_indexed,
         "extended_stats_agg": q_extended_stats_agg,
         "extended_stats_agg_indexed": q_extended_stats_agg_indexed,
         "boxplot_agg": q_boxplot_agg,
@@ -5254,6 +5284,47 @@ SELECT s.query_id, count(v)::BIGINT AS n_docs,
 FROM scored s JOIN vals USING (doc_id) GROUP BY 1
 """
     sql["extended_stats_agg_indexed"] = sql["extended_stats_agg"]
+
+    # simple_query_string: the clause table comes from the SAME parser the
+    # operator uses (unit-pinned; the PII_PATTERNS precedent) but the DNF
+    # EVALUATION below is written independently: per (query, group, doc)
+    # every positive atom must match and no negated atom may, the score
+    # sums positive contributions of satisfied groups
+    from igd_spark.queryparse import parse_simple_query as _psq
+
+    _sqs_rows = ", ".join(
+        f"({q}::BIGINT, {gid}, '{term}', {str(neg).upper()})"
+        for q, text in SIMPLE_QS_SET
+        for gid, grp in enumerate(_psq(text))
+        for term, neg in grp
+    )
+    sql["simple_query_string"] = f"""
+WITH {_TL}, {_TOKS}, {_POST}, {_DL}, {_CS}, {_TS},
+cl(query_id, gid, term, neg) AS (VALUES {_sqs_rows}),
+j AS (
+  SELECT cl.query_id, cl.gid, p.doc_id, cl.term, cl.neg, {{_W}} AS w
+  FROM cl JOIN ts USING (term) JOIN post p USING (term)
+  JOIN dl ON p.doc_id = dl.doc_id CROSS JOIN cs),
+g AS (
+  SELECT query_id, gid, doc_id,
+         count(DISTINCT CASE WHEN NOT neg THEN term END) AS pos_matched,
+         max(CASE WHEN neg THEN 1 ELSE 0 END) AS neg_hit,
+         sum(CASE WHEN NOT neg THEN w ELSE 0.0 END) AS gscore
+  FROM j GROUP BY 1, 2, 3),
+nreq AS (SELECT query_id, gid, count(DISTINCT term) AS n_req
+         FROM cl WHERE NOT neg GROUP BY 1, 2),
+sat AS (SELECT g.query_id, g.doc_id, g.gscore
+        FROM g JOIN nreq USING (query_id, gid)
+        WHERE pos_matched = n_req AND neg_hit = 0),
+sc AS (SELECT query_id, doc_id, sum(gscore) AS s FROM sat GROUP BY 1, 2),
+ranked AS (
+  SELECT query_id, doc_id, round(s, 6) AS score,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY round(s, 6) DESC, doc_id ASC)::INT AS rank
+  FROM sc)
+SELECT query_id, rank, doc_id, score FROM ranked WHERE rank <= {K}
+""".replace("{_W}", _W)
+    sql["simple_query_string_indexed"] = sql["simple_query_string"]
 
     # string_stats: length stats + base-2 Shannon entropy over the match
     # set's character distribution (string_split(s,'') splits to chars in

@@ -628,3 +628,190 @@ def percolate(
     if round_dp is not None:
         m = m.withColumn("score", F.round("score", round_dp))
     return m
+
+
+# ---------------------------------------------------------------------------
+# simple_query_string — the ES lenient syntax with explicit boolean
+# structure: '|' OR, '+' AND, '-' NOT, AND binding tighter than OR, so a
+# query is a DISJUNCTION OF CONJUNCTIONS (DNF) — strictly more expressive
+# than the flat must/should/must_not contract parse_query compiles to
+# (e.g. "a + -b | c" = (a AND NOT b) OR c has no flat equivalent).
+# ---------------------------------------------------------------------------
+
+
+def parse_simple_query(
+    s: str, default_operator: str = "or"
+) -> list[list[tuple[str, bool]]]:
+    """Parse one simple_query_string into OR-groups of (term, negated).
+
+    Documented subset: whitespace means ``default_operator`` ('or', the
+    ES default, or 'and'); an explicit ``|`` token (or embedded, a|b) is
+    OR; an explicit ``+`` token is AND; ``-`` prefixes negate one atom;
+    atoms are analyzer terms (multi-word atoms like "can't" connect their
+    parts with the default operator, matching parse_query).  AND binds
+    tighter than OR — left-to-right AND-runs split at OR — which is the
+    whole DNF structure; parentheses are not supported.  Duplicate atoms
+    within a group dedupe (the evaluator counts distinct terms).
+
+    A group with no positive atom ("-foo" alone) would be a match-all
+    corpus scan minus the term — rejected loudly, the parse_query
+    unbounded-scan discipline.
+    """
+    if default_operator not in ("or", "and"):
+        raise ValueError(f"default_operator must be 'or' or 'and'")
+    conn_default = default_operator
+    groups: list[list[tuple[str, bool]]] = []
+    cur: list[tuple[str, bool]] = []
+    pending: str | None = None  # connector before the NEXT atom
+    explicit_and = False
+
+    def _flush() -> None:
+        nonlocal cur
+        if cur:
+            if not any(not neg for _, neg in cur):
+                raise ValueError(
+                    "simple_query_string group with no positive atom "
+                    "(pure negation is an unbounded match-all scan)"
+                )
+            groups.append(cur)
+            cur = []
+
+    for raw in s.lower().split():
+        parts = raw.split("|")
+        for i, p in enumerate(parts):
+            if i > 0:
+                pending = "or"
+            if p == "":
+                continue
+            if p == "+":
+                pending = "and"
+                continue
+            neg = p.startswith("-")
+            if neg:
+                p = p[1:]
+            words = _WORD_RE.findall(p)
+            if not words:
+                continue
+            for w in words:
+                conn = pending if pending is not None else conn_default
+                pending = None
+                if conn == "or" and cur:
+                    _flush()
+                atom = (w, neg)
+                if atom not in cur:
+                    cur.append(atom)
+    _flush()
+    return groups
+
+
+def _sqs_clause_rows(queries, default_operator: str) -> list[tuple]:
+    """(query_id, gid, term, neg) rows — the driver-side parse prologue
+    (query-batch-sized, the search() pattern)."""
+    rows: list[tuple] = []
+    for qid, text in _query_rows(queries):
+        for gid, group in enumerate(parse_simple_query(text, default_operator)):
+            for term, neg in group:
+                rows.append((int(qid), gid, term, bool(neg)))
+    return rows
+
+
+def _sqs_epilogue(
+    j: DataFrame, cl: DataFrame, k: int, round_dp: int | None
+) -> DataFrame:
+    """Shared DNF evaluation over weighted clause-match rows
+    (query_id, gid, doc_id, term, neg, w): a group is satisfied when the
+    doc matches EVERY positive atom and NO negated atom; the score sums
+    the positive contributions of every satisfied group.  Two fine-keyed
+    hash aggs — (query, group, doc) then (query, doc) — both map-side
+    combinable; group count per query is parse-bounded."""
+    g = j.groupBy("query_id", "gid", "doc_id").agg(
+        F.count_distinct(F.when(~F.col("neg"), F.col("term"))).alias("pos_matched"),
+        F.max(F.when(F.col("neg"), 1).otherwise(0)).alias("neg_hit"),
+        F.sum(F.when(~F.col("neg"), F.col("w")).otherwise(0.0)).alias("gscore"),
+    )
+    nreq = (
+        cl.filter(~F.col("neg"))
+        .groupBy("query_id", "gid")
+        .agg(F.count_distinct("term").alias("n_req"))
+    )
+    sat = g.join(F.broadcast(nreq), ["query_id", "gid"]).filter(
+        (F.col("pos_matched") == F.col("n_req")) & (F.col("neg_hit") == 0)
+    )
+    scored = sat.groupBy("query_id", "doc_id").agg(F.sum("gscore").alias("score"))
+    if round_dp is not None:
+        scored = scored.withColumn("score", F.round("score", round_dp))
+    return rank_topk(scored, k)
+
+
+def simple_query_string_topk(
+    docs: DataFrame,
+    queries,
+    k: int = 10,
+    default_operator: str = "or",
+    conf: IndexConf = DEFAULT_CONF,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    round_dp: int | None = None,
+) -> DataFrame:
+    """ES ``simple_query_string`` retrieval: the parsed DNF evaluated
+    set-at-a-time in ONE composed plan — a single postings join feeds the
+    group/doc aggregation for every clause of every query (no per-clause
+    or per-group Spark jobs).  Each positive atom scores exactly like a
+    standalone BM25 term with its own idf; negated atoms contribute
+    nothing, they only veto their group.
+
+    Scale: the clause table is query-batch-sized and broadcast; the one
+    data-sized operation is the postings join, bounded by the clause
+    terms' total df (negated atoms included — their postings are the veto
+    evidence), never the corpus."""
+    from igd_spark.querylang import _corpus_parts
+
+    spark = docs.sparkSession
+    rows = _sqs_clause_rows(queries, default_operator)
+    cl = spark.createDataFrame(
+        rows, "query_id long, gid int, term string, neg boolean"
+    )
+    post, ds, n_docs, avgdl = _corpus_parts(docs, conf, text_col, id_col)
+    probe = cl.join(term_stats(post), "term").withColumn(
+        "idf", idf_col(n_docs, "df")
+    )
+    j = (
+        post.join(F.broadcast(probe), "term")
+        .join(ds, "doc_id")
+        .withColumn(
+            "w",
+            bm25_weight_col(F.col("idf"), "tf", "dl", avgdl, conf.k1, conf.b),
+        )
+        .select("query_id", "gid", "doc_id", "term", "neg", "w")
+    )
+    return _sqs_epilogue(j, cl, k, round_dp)
+
+
+def simple_query_string_topk_indexed(
+    spark,
+    idx,
+    queries,
+    k: int = 10,
+    default_operator: str = "or",
+    round_dp: int | None = None,
+) -> DataFrame:
+    """`simple_query_string_topk` over a persisted index: the clause
+    terms' posting blocks are the only data read (shard partitions +
+    In(term_id) pruning via the shared `_indexed_contrib` seam), per-
+    posting dls ride in the blocks — zero corpus joins.  Rank-identical
+    to the corpus path (same oracle)."""
+    from igd_spark.querylang import _indexed_contrib
+
+    rows = _sqs_clause_rows(queries, default_operator)
+    cl = spark.createDataFrame(
+        rows, "query_id long, gid int, term string, neg boolean"
+    )
+    qterms = cl.select("query_id", "term").distinct()
+    qdummy = cl.select("query_id").distinct().withColumn(
+        "query_text", F.lit("")
+    )
+    contrib = _indexed_contrib(spark, idx, qdummy, qterms=qterms)
+    j = contrib.join(
+        F.broadcast(cl), ["query_id", "term"]
+    ).select("query_id", "gid", "doc_id", "term", "neg", F.col("_w").alias("w"))
+    return _sqs_epilogue(j, cl, k, round_dp)

@@ -284,3 +284,92 @@ def test_compiled_percolator_empty_batch_and_set(spark, docs):
     comp.unpersist()
     empty = compile_percolator(spark, [])
     assert percolate(docs, empty).count() == 0
+
+
+# ---------------------------------------------------------------------------
+# simple_query_string: DNF parser + evaluator
+# ---------------------------------------------------------------------------
+
+
+def test_simple_parser_dnf_shapes():
+    from igd_spark.queryparse import parse_simple_query
+
+    assert parse_simple_query("a + -b | c") == [
+        [("a", False), ("b", True)], [("c", False)]
+    ]
+    assert parse_simple_query("a b", "and") == [[("a", False), ("b", False)]]
+    assert parse_simple_query("a b", "or") == [[("a", False)], [("b", False)]]
+    assert parse_simple_query("a|b + c") == [
+        [("a", False)], [("b", False), ("c", False)]
+    ]
+    # whitespace=or makes each bare atom a group; repeated groups stay
+    # (Lucene repeated-clause: each contributes) — only atoms WITHIN a
+    # group dedupe
+    assert parse_simple_query("a a | a") == [
+        [("a", False)], [("a", False)], [("a", False)]
+    ]
+    assert parse_simple_query("a + a + b") == [[("a", False), ("b", False)]]
+
+
+def test_simple_parser_rejects_pure_negation():
+    from igd_spark.queryparse import parse_simple_query
+
+    with pytest.raises(ValueError, match="positive"):
+        parse_simple_query("-a")
+    with pytest.raises(ValueError, match="positive"):
+        parse_simple_query("a | -b")
+
+
+def test_simple_query_string_matchset_bruteforce(spark, docs):
+    """(t0 AND NOT t1) OR t2 match set equals set algebra over postings."""
+    from igd_spark import simple_query_string_topk
+    from igd_spark.stats import term_stats
+    from igd_spark.tokenizer import postings
+
+    ts = term_stats(postings(docs)).filter(
+        (F.col("df") >= 10) & (F.col("df") <= 60)
+    )
+    t = [r["term"] for r in ts.orderBy("term").limit(3).collect()]
+    post = postings(docs).select("doc_id", "term").toPandas()
+    ids = lambda term: set(post[post.term == term].doc_id)
+    expected = (ids(t[0]) - ids(t[1])) | ids(t[2])
+    got = simple_query_string_topk(
+        docs, [(0, f"{t[0]} + -{t[1]} | {t[2]}")], k=10**6
+    ).toPandas()
+    assert set(got.doc_id) == expected
+    assert len(expected) > 0
+
+
+def test_simple_query_string_indexed_identity(spark, docs, tmp_path):
+    from igd_spark import (
+        IndexConf,
+        build_index,
+        simple_query_string_topk,
+        simple_query_string_topk_indexed,
+    )
+    from igd_spark.stats import term_stats
+    from igd_spark.tokenizer import postings
+
+    ts = term_stats(postings(docs)).filter(
+        (F.col("df") >= 10) & (F.col("df") <= 60)
+    )
+    t = [r["term"] for r in ts.orderBy("term").limit(4).collect()]
+    qs = [
+        (0, f"{t[0]} + -{t[1]} | {t[2]}"),
+        (1, f"{t[0]} {t[3]}"),
+        (2, f"{t[0]}|{t[1]} + {t[2]}"),
+        (3, f"{t[0]} + zzznotavocab"),
+    ]
+    idx = build_index(
+        spark, docs, str(tmp_path / "sqsidx"),
+        conf=IndexConf(block_size=32, n_shards=8),
+    )
+    a = simple_query_string_topk(docs, qs, k=10, round_dp=6)
+    b = simple_query_string_topk_indexed(spark, idx, qs, k=10, round_dp=6)
+
+    def srt(df):
+        return df.toPandas().sort_values(list(df.columns)).reset_index(drop=True)
+
+    pd.testing.assert_frame_equal(srt(a), srt(b), check_dtype=False)
+    # the unsatisfiable AND group matches nothing
+    assert a.filter("query_id = 3").count() == 0
