@@ -2711,6 +2711,30 @@ def q_simple_query_string_indexed(spark: SparkSession, sf_dir: str) -> DataFrame
     )
 
 
+SM_SCRIPT = "sqrt(n_chars) + length(source)"   # shared Spark/DuckDB dialect
+
+
+def q_scripted_metric_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # ES scripted_metric: arbitrary per-doc SQL map expression + an
+    # associative reduce over each query's match set
+    from igd_spark import scripted_metric_agg
+
+    return scripted_metric_agg(
+        _docs(spark, sf_dir), _queries_df(spark), SM_SCRIPT, reduce="avg",
+        round_dp=6,
+    )
+
+
+def q_scripted_metric_agg_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from igd_spark import scripted_metric_agg_indexed
+
+    idx = _built_index(spark, sf_dir)
+    return scripted_metric_agg_indexed(
+        spark, idx, _docs(spark, sf_dir), _queries_df(spark), SM_SCRIPT,
+        reduce="avg", round_dp=6,
+    )
+
+
 def q_string_stats_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     # ES string_stats metric agg: length stats + character entropy
     from igd_spark import string_stats_agg
@@ -2770,6 +2794,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_ivf_ann_quantized": q_embedding_ivf_ann_quantized,
         "simple_query_string": q_simple_query_string,
         "simple_query_string_indexed": q_simple_query_string_indexed,
+        "scripted_metric_agg": q_scripted_metric_agg,
+        "scripted_metric_agg_indexed": q_scripted_metric_agg_indexed,
         "extended_stats_agg": q_extended_stats_agg,
         "extended_stats_agg_indexed": q_extended_stats_agg_indexed,
         "boxplot_agg": q_boxplot_agg,
@@ -5348,6 +5374,17 @@ SELECT b.query_id, n_docs, min_len, max_len, avg_len,
 FROM base b LEFT JOIN ent USING (query_id)
 """
     sql["string_stats_agg_indexed"] = sql["string_stats_agg"]
+
+    # scripted_metric: the IDENTICAL map expression runs in both engines
+    # (the script_score shared-dialect contract); reduce=avg
+    sql["scripted_metric_agg"] = f"""
+WITH {_TL}, {_TOKS}, {_POST}, {_DL}, {_CS}, {_TS}, {_QT}, {_SCORED},
+mapped AS (SELECT doc_id, ({SM_SCRIPT})::DOUBLE AS m FROM documents)
+SELECT s.query_id, round(avg(m), 6) AS value
+FROM scored s JOIN mapped USING (doc_id)
+WHERE m IS NOT NULL GROUP BY 1
+"""
+    sql["scripted_metric_agg_indexed"] = sql["scripted_metric_agg"]
 
     # boxplot: exact linear-interpolated quartiles (quantile_cont ==
     # Spark percentile)

@@ -90,6 +90,8 @@ __all__ = [
     "top_metrics_agg_indexed",
     "string_stats_agg",
     "string_stats_agg_indexed",
+    "scripted_metric_agg",
+    "scripted_metric_agg_indexed",
 ]
 
 
@@ -1911,3 +1913,81 @@ def string_stats_agg_indexed(
     text column is never scanned."""
     m = _indexed_match_set(spark, idx, queries)
     return _string_stats_epilogue(m, _svals(docs, value_col, id_col), round_dp)
+
+
+_SM_REDUCERS = {
+    "sum": F.sum,
+    "avg": F.avg,
+    "min": F.min,
+    "max": F.max,
+}
+
+
+def _scripted_metric_epilogue(
+    m: DataFrame,
+    docs: DataFrame,
+    map_script: str,
+    reduce: str,
+    id_col: str,
+    round_dp: int | None,
+) -> DataFrame:
+    if reduce not in _SM_REDUCERS:
+        raise ValueError(
+            f"reduce must be one of {sorted(_SM_REDUCERS)}, got {reduce!r}"
+        )
+    mapped = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.expr(map_script).cast("double").alias("_m"),
+    ).filter(F.col("_m").isNotNull())
+    out = (
+        m.select("query_id", "doc_id")
+        .join(mapped, "doc_id")
+        .groupBy("query_id")
+        .agg(_SM_REDUCERS[reduce]("_m").alias("value"))
+    )
+    if round_dp is not None:
+        out = out.withColumn("value", F.round("value", round_dp))
+    return out
+
+
+def scripted_metric_agg(
+    docs: DataFrame,
+    queries: DataFrame,
+    map_script: str,
+    reduce: str = "sum",
+    conf: IndexConf = DEFAULT_CONF,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    round_dp: int | None = None,
+) -> DataFrame:
+    """The ES ``scripted_metric`` aggregation, Spark-shaped: ``map_script``
+    is an arbitrary numeric SQL expression evaluated per matched document
+    (the painless map script analog — same ANSI-ish dialect contract as
+    `script_score_topk`, so the identical string runs on the oracle), and
+    ``reduce`` folds the mapped values per query (sum/avg/min/max — the
+    combine+reduce stages; both are associative partial aggregates, which
+    is exactly why ES's map/combine/reduce split exists).  Docs where the
+    expression is NULL are skipped.
+
+    Scale: the expression rides a doc projection Catalyst prunes to its
+    referenced columns; the fold is one map-side-combinable hash agg keyed
+    query_id — the scripted shuffle is queries-sized, never corpus-sized.
+    """
+    m = _match_set(docs, queries, conf, text_col, id_col)
+    return _scripted_metric_epilogue(m, docs, map_script, reduce, id_col, round_dp)
+
+
+def scripted_metric_agg_indexed(
+    spark,
+    idx,
+    docs: DataFrame,
+    queries: DataFrame,
+    map_script: str,
+    reduce: str = "sum",
+    id_col: str = "doc_id",
+    round_dp: int | None = None,
+) -> DataFrame:
+    """`scripted_metric_agg` with the match set from pruned index blocks;
+    ``docs`` appears only as the expression-pruned projection."""
+    m = _indexed_match_set(spark, idx, queries)
+    return _scripted_metric_epilogue(m, docs, map_script, reduce, id_col, round_dp)

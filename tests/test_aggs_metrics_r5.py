@@ -232,3 +232,51 @@ def test_string_stats_indexed_identity(spark, docs, agg_idx):
         return df.toPandas().sort_values(list(df.columns)).reset_index(drop=True)
 
     pd.testing.assert_frame_equal(srt(a), srt(b), check_dtype=False)
+
+
+def test_scripted_metric_bruteforce(spark, docs):
+    from igd_spark import scripted_metric_agg
+
+    term = _mid_term(docs)
+    vals = [v for _, v in _match_vals(docs, term)]
+    for reduce, ref in (
+        ("sum", sum(v * 2 + 1 for v in vals)),
+        ("avg", sum(v * 2 + 1 for v in vals) / len(vals)),
+        ("min", min(v * 2 + 1 for v in vals)),
+        ("max", max(v * 2 + 1 for v in vals)),
+    ):
+        row = scripted_metric_agg(
+            docs, _queries(spark, [(0, term)]), "turn_idx * 2 + 1", reduce=reduce
+        ).collect()[0]
+        assert row["value"] == pytest.approx(ref), reduce
+
+
+def test_scripted_metric_rejects_unknown_reduce(spark, docs):
+    from igd_spark import scripted_metric_agg
+
+    with pytest.raises(ValueError, match="reduce"):
+        scripted_metric_agg(
+            docs, _queries(spark, [(0, "x")]), "turn_idx", reduce="median"
+        ).collect()
+
+
+def test_scripted_metric_indexed_identity(spark, docs, agg_idx):
+    import pandas as pd
+
+    from igd_spark import scripted_metric_agg, scripted_metric_agg_indexed
+
+    term = _mid_term(docs)
+    q = _queries(spark, [(0, term), (1, f"{term} zzznotavocab")])
+    a = scripted_metric_agg(
+        docs, q, "sqrt(turn_idx + 1) + y2", reduce="avg",
+        conf=agg_idx.conf, round_dp=6,
+    )
+    b = scripted_metric_agg_indexed(
+        spark, agg_idx, docs, q, "sqrt(turn_idx + 1) + y2", reduce="avg",
+        round_dp=6,
+    )
+
+    def srt(df):
+        return df.toPandas().sort_values(list(df.columns)).reset_index(drop=True)
+
+    pd.testing.assert_frame_equal(srt(a), srt(b), check_dtype=False)
