@@ -2754,6 +2754,169 @@ def q_string_stats_agg_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+
+# ---- round-5 final tranche: t_test / pipeline script+normalize /
+# significant_text / constant_score / match_bool_prefix / resample_to_mix ----
+
+TT_FILTER_A = "lang = 'en'"
+TT_FILTER_B = "lang <> 'en'"
+BS_SCRIPT = "ln(n_docs + 1)"          # shared Spark/DuckDB dialect
+CS_BOOST = 1.5
+MBP_MAX_EXP = 50
+MBP_QUERY_SET: list[tuple[int, str]] = [
+    (0, "spark jo"),          # literal + prefix
+    (1, "customer quer"),
+    (2, "zzz"),               # expands to nothing -> 0 hits
+    (3, "merge so"),
+    (4, "the tab"),
+]
+MIX_TARGET = {"src0": 0.5, "src1": 0.25, "src3": 0.25}   # exact binary doubles
+MIX_SEED = 11
+
+
+def q_t_test_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # ES t_test metric agg (Welch): n_chars, en vs non-en populations
+    from igd_spark import t_test_agg
+
+    return t_test_agg(
+        _docs(spark, sf_dir), _queries_df(spark), STATS_VALUE_COL,
+        TT_FILTER_A, TT_FILTER_B, typ="heteroscedastic", round_dp=6,
+    )
+
+
+def q_t_test_agg_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from igd_spark import t_test_agg_indexed
+
+    idx = _built_index(spark, sf_dir)
+    return t_test_agg_indexed(
+        spark, idx, _docs(spark, sf_dir), _queries_df(spark), STATS_VALUE_COL,
+        TT_FILTER_A, TT_FILTER_B, typ="heteroscedastic", round_dp=6,
+    )
+
+
+def q_bucket_script_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # ES bucket_script pipeline agg over the date_histogram parent
+    from igd_spark import bucket_script_agg
+
+    out = bucket_script_agg(_dh_buckets(spark, sf_dir), BS_SCRIPT, label="value")
+    return out.withColumn("value", F.round("value", 6))
+
+
+def q_normalize_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # ES normalize pipeline agg: percent_of_sum across each query's series
+    from igd_spark import normalize_agg
+
+    out = normalize_agg(
+        _dh_buckets(spark, sf_dir), metric="n_docs", method="percent_of_sum"
+    )
+    return out.withColumn("normalized", F.round("normalized", 6))
+
+
+def _docs_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic duplicate-text corpus for significant_text's
+    filter_duplicate_text knob: each odd doc carries its even
+    predecessor's text (the table itself has no exact dups)."""
+    d = _docs(spark, sf_dir)
+    e = d.select(
+        F.col("doc_id").alias("_sid"), F.col("text").alias("_stext")
+    )
+    return (
+        d.withColumn("_key", F.col("doc_id") - F.col("doc_id") % 2)
+        .join(e, F.col("_key") == F.col("_sid"))
+        .select("doc_id", F.col("_stext").alias("text"), "lang", "source", "n_chars")
+    )
+
+
+_DUP_INDEX_CACHE: dict[str, object] = {}
+
+
+def _built_dup_index(spark: SparkSession, sf_dir: str):
+    from igd_spark import IndexConf, build_index
+
+    if sf_dir not in _DUP_INDEX_CACHE:
+        path = tempfile.mkdtemp(prefix="igd_dupidx_") + "/idx"
+        conf = IndexConf(block_size=64, n_shards=16, salt_df_threshold=1024,
+                         max_salts=8)
+        _DUP_INDEX_CACHE[sf_dir] = build_index(
+            spark, _docs_dup(spark, sf_dir), path, conf=conf
+        )
+    return _DUP_INDEX_CACHE[sf_dir]
+
+
+def q_significant_text_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # ES significant_text: JLH over deduped-hit re-analysis
+    from igd_spark import significant_text_agg
+
+    return significant_text_agg(
+        _docs_dup(spark, sf_dir), _queries_df(spark),
+        k=SIGTERMS_K, min_fg=SIGTERMS_MIN_FG, round_dp=6,
+    )
+
+
+def q_significant_text_agg_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from igd_spark import significant_text_agg_indexed
+
+    idx = _built_dup_index(spark, sf_dir)
+    return significant_text_agg_indexed(
+        spark, idx, _docs_dup(spark, sf_dir), _queries_df(spark),
+        k=SIGTERMS_K, min_fg=SIGTERMS_MIN_FG, round_dp=6,
+    )
+
+
+def q_constant_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # ES constant_score: every match scores boost; deterministic id order
+    from igd_spark import constant_score_topk
+
+    return constant_score_topk(
+        _docs(spark, sf_dir), _queries_df(spark), boost=CS_BOOST, k=K
+    )
+
+
+def q_constant_score_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from igd_spark import constant_score_topk_indexed
+
+    idx = _built_index(spark, sf_dir)
+    return constant_score_topk_indexed(
+        spark, idx, _queries_df(spark), boost=CS_BOOST, k=K
+    )
+
+
+def _mbp_queries(spark: SparkSession) -> DataFrame:
+    return spark.createDataFrame(
+        [(int(q), t) for q, t in MBP_QUERY_SET], "query_id long, query_text string"
+    )
+
+
+def q_match_bool_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # ES match_bool_prefix: OR terms + capped last-token prefix expansion
+    from igd_spark import match_bool_prefix_topk
+
+    return match_bool_prefix_topk(
+        _docs(spark, sf_dir), _mbp_queries(spark), k=K,
+        max_expansions=MBP_MAX_EXP, round_dp=6,
+    )
+
+
+def q_match_bool_prefix_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from igd_spark import match_bool_prefix_topk_indexed
+
+    idx = _built_index(spark, sf_dir)
+    return match_bool_prefix_topk_indexed(
+        spark, idx, _mbp_queries(spark), k=K,
+        max_expansions=MBP_MAX_EXP, round_dp=6,
+    )
+
+
+def q_resample_to_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # training-data mixing: deterministic downsample to a target source mix
+    from igd_spark import resample_to_mix
+
+    return resample_to_mix(
+        _docs(spark, sf_dir), MIX_TARGET, seed=MIX_SEED, strat_col="source"
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: BM25 top-10 over the sf0.001 documents corpus."""
     return q_bm25_topk(spark, "/root/testdata/sf0.001")
@@ -2765,6 +2928,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # FIRST 50 entries per round, so entries lead in driver-staleness
         # order (never-driver-verified first, then least-recently green).
         # Re-rotate each round from CORRECTNESS_r{N}.json (VERDICT r4 #1).
+        "t_test_agg": q_t_test_agg,
+        "t_test_agg_indexed": q_t_test_agg_indexed,
+        "bucket_script_agg": q_bucket_script_agg,
+        "normalize_agg": q_normalize_agg,
+        "significant_text_agg": q_significant_text_agg,
+        "significant_text_agg_indexed": q_significant_text_agg_indexed,
+        "constant_score": q_constant_score,
+        "constant_score_indexed": q_constant_score_indexed,
+        "match_bool_prefix": q_match_bool_prefix,
+        "match_bool_prefix_indexed": q_match_bool_prefix_indexed,
+        "resample_to_mix": q_resample_to_mix,
         "rank_eval": q_rank_eval,
         "analyze": q_analyze,
         "span_first_match": q_span_first_match,
@@ -5742,5 +5916,155 @@ FROM (SELECT * FROM pinned UNION ALL SELECT * FROM ranked)
 WHERE rank <= {K}
 """.replace("{_W}", _W)
     sql["pinned_bm25_topk_indexed"] = sql["pinned_bm25_topk"]
+
+
+    # ---- round-5 final tranche ----
+
+    # t_test (Welch): conditional partial aggregates over the match set;
+    # the t statistic, not the p-value (no exact Student CDF in either
+    # engine's SQL — disclosed in the operator docstring)
+    sql["t_test_agg"] = f"""
+WITH {_TL}, {_TOKS}, {_POST}, {_DL}, {_CS}, {_TS}, {_QT}, {_SCORED},
+proj AS (SELECT doc_id, "{STATS_VALUE_COL}"::DOUBLE AS v,
+                ({TT_FILTER_A}) AS fa, ({TT_FILTER_B}) AS fb
+         FROM documents WHERE "{STATS_VALUE_COL}" IS NOT NULL),
+g AS (SELECT s.query_id,
+             count(CASE WHEN fa THEN v END)::BIGINT AS n_a,
+             count(CASE WHEN fb THEN v END)::BIGINT AS n_b,
+             avg(CASE WHEN fa THEN v END) AS mean_a,
+             avg(CASE WHEN fb THEN v END) AS mean_b,
+             var_samp(CASE WHEN fa THEN v END) AS va,
+             var_samp(CASE WHEN fb THEN v END) AS vb
+      FROM scored s JOIN proj USING (doc_id) GROUP BY 1)
+SELECT query_id, n_a, n_b, round(mean_a, 6) AS mean_a, round(mean_b, 6) AS mean_b,
+       round(CASE WHEN n_a >= 2 AND n_b >= 2
+                       AND sqrt(va / n_a + vb / n_b) > 0.0
+                  THEN (mean_a - mean_b) / sqrt(va / n_a + vb / n_b) END,
+             6) AS t_stat
+FROM g
+"""
+    sql["t_test_agg_indexed"] = sql["t_test_agg"]
+
+    # bucket_script / normalize: pipeline reshapes of the date_histogram
+    # parent series — the shared-dialect script runs verbatim in both engines
+    sql["bucket_script_agg"] = f"""
+SELECT query_id, bucket, n_docs, round({BS_SCRIPT}, 6) AS value
+FROM {_dh_sub} dh
+"""
+    sql["normalize_agg"] = f"""
+SELECT query_id, bucket, n_docs,
+       round(CASE WHEN sum(n_docs::DOUBLE) OVER (PARTITION BY query_id) <> 0.0
+                  THEN n_docs::DOUBLE
+                       / sum(n_docs::DOUBLE) OVER (PARTITION BY query_id)
+             END, 6) AS normalized
+FROM {_dh_sub} dh
+"""
+
+    # significant_text: significant_terms over the duplicate-injected corpus
+    # with filter_duplicate_text (one representative per (query, md5(text)))
+    _DUPTL = (
+        "dup AS (SELECT d.doc_id, e.text FROM documents d "
+        "JOIN documents e ON e.doc_id = d.doc_id - (d.doc_id % 2)), "
+        "tldocs AS (SELECT doc_id, list_filter(regexp_split_to_array(lower(text), "
+        "'[^a-z0-9]+'), x -> x <> '') AS tl FROM dup)"
+    )
+    sql["significant_text_agg"] = f"""
+WITH {_DUPTL}, {_TOKS}, {_POST}, {_DL}, {_CS}, {_TS}, {_QT}, {_SCORED},
+m0 AS (SELECT DISTINCT query_id, doc_id FROM scored),
+mh AS (SELECT m0.query_id, m0.doc_id,
+              row_number() OVER (PARTITION BY m0.query_id,
+                                              md5(coalesce(dup.text, ''))
+                                 ORDER BY m0.doc_id) AS rn
+       FROM m0 JOIN dup USING (doc_id)),
+m AS (SELECT query_id, doc_id FROM mh WHERE rn = 1),
+sizes AS (SELECT query_id, count(*)::BIGINT AS subset_size FROM m GROUP BY 1),
+fg AS (
+  SELECT m.query_id, p.term, count(*)::BIGINT AS fg_df
+  FROM m JOIN post p USING (doc_id)
+  GROUP BY 1, 2 HAVING count(*) >= {SIGTERMS_MIN_FG}),
+sig AS (
+  SELECT fg.query_id, fg.term, fg.fg_df, ts.df,
+         (fg.fg_df::DOUBLE / sz.subset_size - ts.df::DOUBLE / cs.n_docs)
+         * ((fg.fg_df::DOUBLE / sz.subset_size) / (ts.df::DOUBLE / cs.n_docs)) AS s
+  FROM fg JOIN ts USING (term)
+  JOIN sizes sz ON sz.query_id = fg.query_id CROSS JOIN cs),
+ranked AS (
+  SELECT query_id, term, fg_df, df, round(s, 6) AS score,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY round(s, 6) DESC, term ASC)::INT AS rank
+  FROM sig WHERE s > 0.0)
+SELECT query_id, rank, term, fg_df, df, score FROM ranked WHERE rank <= {SIGTERMS_K}
+"""
+    sql["significant_text_agg_indexed"] = sql["significant_text_agg"]
+
+    # constant_score: match-only retrieval, fixed score, id-order ranking
+    sql["constant_score"] = f"""
+WITH {_TL}, {_TOKS}, {_POST}, {_QT},
+m AS (SELECT DISTINCT qt.query_id, p.doc_id
+      FROM qterms qt JOIN post p USING (term)),
+ranked AS (
+  SELECT query_id, doc_id, {CS_BOOST}::DOUBLE AS score,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY doc_id ASC)::INT AS rank
+  FROM m)
+SELECT query_id, rank, doc_id, score FROM ranked WHERE rank <= {K}
+"""
+    sql["constant_score_indexed"] = sql["constant_score"]
+
+    # match_bool_prefix: literal OR terms + capped last-token expansion,
+    # BM25 with each matched term's own idf
+    _mbpvals = ", ".join(f"({q}::BIGINT, '{t}')" for q, t in MBP_QUERY_SET)
+    sql["match_bool_prefix"] = f"""
+WITH {_TL}, {_TOKS}, {_POST}, {_DL}, {_CS}, {_TS},
+mq(query_id, query_text) AS (VALUES {_mbpvals}),
+qtl AS (SELECT query_id, list_filter(regexp_split_to_array(lower(query_text),
+        '[^a-z0-9]+'), x -> x <> '') AS tl FROM mq),
+pt AS (SELECT query_id, i - 1 AS off, tl[i] AS term, len(tl) AS plen
+       FROM (SELECT query_id, tl, unnest(generate_series(1, len(tl))) AS i FROM qtl)),
+lits AS (SELECT DISTINCT query_id, term FROM pt WHERE off < plen - 1),
+pre AS (SELECT query_id, term AS prefix FROM pt WHERE off = plen - 1),
+vocab AS (SELECT DISTINCT term FROM toks),
+expd AS (SELECT query_id, term FROM (
+           SELECT p.query_id, v.term,
+                  row_number() OVER (PARTITION BY p.query_id
+                                     ORDER BY v.term) AS rn
+           FROM pre p JOIN vocab v ON starts_with(v.term, p.prefix))
+         WHERE rn <= {MBP_MAX_EXP}),
+qe AS (SELECT DISTINCT query_id, term
+       FROM (SELECT * FROM lits UNION ALL SELECT * FROM expd)),
+scored AS (
+  SELECT qe.query_id, p.doc_id, sum({{_W}}) AS s
+  FROM qe JOIN ts USING (term) JOIN post p USING (term)
+  JOIN dl ON p.doc_id = dl.doc_id CROSS JOIN cs
+  GROUP BY 1, 2),
+ranked AS (
+  SELECT query_id, doc_id, round(s, 6) AS score,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY round(s, 6) DESC, doc_id ASC)::INT AS rank
+  FROM scored)
+SELECT query_id, rank, doc_id, score FROM ranked WHERE rank <= {K}
+""".replace("{_W}", _W)
+    sql["match_bool_prefix_indexed"] = sql["match_bool_prefix"]
+
+    # resample_to_mix: fractions derived from counts + target IN SQL with
+    # the identical IEEE-double operation order as mix_fractions (weights
+    # normalised to exact binary doubles, so z == 1.0 drops out exactly)
+    _mixvals = ", ".join(
+        f"('{k}', {repr(v / sum(MIX_TARGET.values()))}::DOUBLE)"
+        for k, v in MIX_TARGET.items()
+    )
+    sql["resample_to_mix"] = f"""
+WITH cnt AS (SELECT source AS s, count(*)::DOUBLE AS n FROM documents
+             WHERE source IS NOT NULL GROUP BY 1),
+w(s, wz) AS (VALUES {_mixvals}),
+t AS (SELECT min(n / wz) AS tt FROM cnt JOIN w USING (s)),
+fr AS (SELECT s, wz * tt / n AS f FROM cnt JOIN w USING (s) CROSS JOIN t),
+thr AS (SELECT s, floor(f * 1152921504606846976.0)::BIGINT AS thr FROM fr),
+base AS (SELECT doc_id, source AS stratum,
+                {_H60.format(expr=f"('{MIX_SEED}:' || doc_id::VARCHAR)")} AS u60
+         FROM documents)
+SELECT b.doc_id, b.stratum, b.u60
+FROM base b JOIN thr ON thr.s = b.stratum WHERE b.u60 < thr.thr
+"""
 
     return sql

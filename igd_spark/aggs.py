@@ -92,6 +92,12 @@ __all__ = [
     "string_stats_agg_indexed",
     "scripted_metric_agg",
     "scripted_metric_agg_indexed",
+    "t_test_agg",
+    "t_test_agg_indexed",
+    "bucket_script_agg",
+    "normalize_agg",
+    "significant_text_agg",
+    "significant_text_agg_indexed",
 ]
 
 
@@ -1991,3 +1997,248 @@ def scripted_metric_agg_indexed(
     ``docs`` appears only as the expression-pruned projection."""
     m = _indexed_match_set(spark, idx, queries)
     return _scripted_metric_epilogue(m, docs, map_script, reduce, id_col, round_dp)
+
+
+# ---------------------------------------------------------------------------
+# t_test / significant_text — the last ES metric/bucket aggs in the
+# transcript-search surface — plus the two remaining pipeline aggs
+# (bucket_script, normalize).
+
+
+def _t_test_epilogue(
+    m: DataFrame,
+    docs: DataFrame,
+    value_col: str,
+    filter_a: str,
+    filter_b: str,
+    typ: str,
+    id_col: str,
+    round_dp: int | None,
+) -> DataFrame:
+    if typ not in ("heteroscedastic", "homoscedastic"):
+        raise ValueError(
+            f"typ must be heteroscedastic|homoscedastic, got {typ!r}"
+        )
+    proj = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.col(value_col).cast("double").alias("_v"),
+        F.expr(filter_a).alias("_fa"),
+        F.expr(filter_b).alias("_fb"),
+    ).filter(F.col("_v").isNotNull())
+    va = F.when(F.col("_fa"), F.col("_v"))
+    vb = F.when(F.col("_fb"), F.col("_v"))
+    g = (
+        m.select("query_id", "doc_id")
+        .join(proj, "doc_id")
+        .groupBy("query_id")
+        .agg(
+            F.count(va).cast("long").alias("n_a"),
+            F.count(vb).cast("long").alias("n_b"),
+            F.avg(va).alias("mean_a"),
+            F.avg(vb).alias("mean_b"),
+            F.var_samp(va).alias("_va"),
+            F.var_samp(vb).alias("_vb"),
+        )
+    )
+    na, nb = F.col("n_a").cast("double"), F.col("n_b").cast("double")
+    if typ == "heteroscedastic":
+        se = F.sqrt(F.col("_va") / na + F.col("_vb") / nb)
+    else:
+        pooled = ((na - 1) * F.col("_va") + (nb - 1) * F.col("_vb")) / (
+            na + nb - 2
+        )
+        se = F.sqrt(pooled * (1.0 / na + 1.0 / nb))
+    t = F.when(
+        (F.col("n_a") >= 2) & (F.col("n_b") >= 2) & (se > 0.0),
+        (F.col("mean_a") - F.col("mean_b")) / se,
+    )
+    out = g.select("query_id", "n_a", "n_b", "mean_a", "mean_b", t.alias("t_stat"))
+    if round_dp is not None:
+        for c in ("mean_a", "mean_b", "t_stat"):
+            out = out.withColumn(c, F.round(c, round_dp))
+    return out
+
+
+def t_test_agg(
+    docs: DataFrame,
+    queries: DataFrame,
+    value_col: str,
+    filter_a: str,
+    filter_b: str,
+    typ: str = "heteroscedastic",
+    conf: IndexConf = DEFAULT_CONF,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    round_dp: int | None = None,
+) -> DataFrame:
+    """The ES ``t_test`` metric aggregation: does ``value_col`` differ
+    between two filtered populations of the match set?  ``filter_a`` /
+    ``filter_b`` are SQL boolean expressions over the document columns
+    (the ES ``a.filter`` / ``b.filter`` form); ``typ`` picks Welch
+    (``heteroscedastic``, the ES default) or pooled-variance
+    (``homoscedastic``) standard error.  Deviation from ES disclosed up
+    front: ES reduces to the p-value; the Student-t CDF is not exactly
+    expressible in either engine's SQL, so this returns the t-STATISTIC
+    with the population sizes and means — everything the CDF consumes —
+    and leaves the final scalar lookup to the caller.  NULL t_stat when
+    either side has n < 2 or the standard error is 0.
+
+    Scale: one conditional hash agg over (match set ⋈ pruned doc
+    projection) — count/avg/var_samp are all mergeable partials, so the
+    shuffle carries six numbers per query, never rows."""
+    m = _match_set(docs, queries, conf, text_col, id_col)
+    return _t_test_epilogue(
+        m, docs, value_col, filter_a, filter_b, typ, id_col, round_dp
+    )
+
+
+def t_test_agg_indexed(
+    spark,
+    idx,
+    docs: DataFrame,
+    queries: DataFrame,
+    value_col: str,
+    filter_a: str,
+    filter_b: str,
+    typ: str = "heteroscedastic",
+    id_col: str = "doc_id",
+    round_dp: int | None = None,
+) -> DataFrame:
+    """`t_test_agg` with the match set from pruned index blocks; the text
+    column is never scanned."""
+    m = _indexed_match_set(spark, idx, queries)
+    return _t_test_epilogue(
+        m, docs, value_col, filter_a, filter_b, typ, id_col, round_dp
+    )
+
+
+def bucket_script_agg(
+    buckets: DataFrame, script: str, label: str = "value"
+) -> DataFrame:
+    """The ES ``bucket_script`` pipeline agg: a new per-bucket metric
+    computed by a SQL expression over the bucket's existing metric columns
+    (the painless ``buckets_path`` script analog, same shared-dialect
+    contract as `scripted_metric_agg`).  Buckets where the expression is
+    NULL keep the row with a NULL metric (``gap_policy: skip``).
+
+    Scale: pure projection over the parent's already-reduced bucket frame
+    — zero corpus work, zero exchanges."""
+    return buckets.withColumn(label, F.expr(script).cast("double"))
+
+
+_NORM_METHODS = ("percent_of_sum", "mean", "rescale_0_1", "z-score")
+
+
+def normalize_agg(
+    buckets: DataFrame,
+    metric: str = "n_docs",
+    method: str = "percent_of_sum",
+    label: str = "normalized",
+) -> DataFrame:
+    """The ES ``normalize`` pipeline agg: rescale a metric across each
+    query's bucket series.  Methods (the ES set minus softmax, whose
+    exp() overflows the shared round-trip contract on large counts):
+    ``percent_of_sum`` (v / Σv), ``mean`` ((v - avg) / (max - min)),
+    ``rescale_0_1`` ((v - min) / (max - min)), ``z-score``
+    ((v - avg) / stddev_pop).  Degenerate series (max == min, or zero
+    stddev/sum) yield NULL.
+
+    Scale: one unordered aggregate window per query over the parent's
+    bucket frame — bounded by the series length, never the corpus."""
+    if method not in _NORM_METHODS:
+        raise ValueError(f"method must be one of {_NORM_METHODS}, got {method!r}")
+    w = Window.partitionBy("query_id")
+    v = F.col(metric).cast("double")
+    if method == "percent_of_sum":
+        tot = F.sum(v).over(w)
+        out = F.when(tot != 0.0, v / tot)
+    elif method == "mean":
+        rng = F.max(v).over(w) - F.min(v).over(w)
+        out = F.when(rng != 0.0, (v - F.avg(v).over(w)) / rng)
+    elif method == "rescale_0_1":
+        rng = F.max(v).over(w) - F.min(v).over(w)
+        out = F.when(rng != 0.0, (v - F.min(v).over(w)) / rng)
+    else:  # z-score
+        sd = F.stddev_pop(v).over(w)
+        out = F.when(sd != 0.0, (v - F.avg(v).over(w)) / sd)
+    return buckets.withColumn(label, out)
+
+
+def _dedup_text_match_set(
+    m: DataFrame, docs: DataFrame, text_col: str, id_col: str
+) -> DataFrame:
+    """ES ``filter_duplicate_text``: within each query's match set keep
+    one representative (min doc_id) per exact text (md5); near-dup boiler-
+    plate stops dominating the foreground counts."""
+    chash = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.md5(F.coalesce(F.col(text_col), F.lit(""))).alias("_chash"),
+    )
+    w = Window.partitionBy("query_id", "_chash").orderBy(F.asc("doc_id"))
+    return (
+        m.select("query_id", "doc_id")
+        .join(chash, "doc_id")
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select("query_id", "doc_id")
+    )
+
+
+def significant_text_agg(
+    docs: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    min_fg: int = 1,
+    filter_duplicate_text: bool = True,
+    conf: IndexConf = DEFAULT_CONF,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    round_dp: int | None = None,
+) -> DataFrame:
+    """The ES ``significant_text`` aggregation: `significant_terms` run by
+    re-analyzing the free-text field of the hits, with the agg's defining
+    knob ``filter_duplicate_text`` — exact-duplicate texts in the match
+    set are counted ONCE (one representative per md5, min doc_id), so
+    mirrored/boilerplate passages can't fake significance.  Background
+    stays the full-corpus df.  Output/ranking contract identical to
+    `significant_terms`.
+
+    Scale: the dedup is one window over the sparse match set joined to a
+    two-column (id, md5(text)) projection; foreground postings are then
+    bounded by the DEDUPED match set — strictly less work than
+    significant_terms on duplicate-heavy corpora (the exact corpora the
+    knob exists for)."""
+    from igd_spark.stats import corpus_stats, doc_stats
+
+    post = postings(docs, text_col=text_col, id_col=id_col, conf=conf)
+    ds = doc_stats(docs, text_col=text_col, id_col=id_col, conf=conf)
+    n_docs = int(corpus_stats(ds).collect()[0]["n_docs"])
+    qt = query_terms(queries)
+    m = post.join(F.broadcast(qt), "term").select("query_id", "doc_id").distinct()
+    if filter_duplicate_text:
+        m = _dedup_text_match_set(m, docs, text_col, id_col)
+    return _sig_epilogue(m, post, term_stats(post), n_docs, k, min_fg, round_dp)
+
+
+def significant_text_agg_indexed(
+    spark,
+    idx,
+    docs: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    min_fg: int = 1,
+    filter_duplicate_text: bool = True,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    round_dp: int | None = None,
+) -> DataFrame:
+    """`significant_text_agg` off a persisted index: match set from pruned
+    blocks, background df from the index dictionary; only the deduped
+    hits are re-analyzed (the ES sampler-over-hits shape)."""
+    m = _indexed_match_set(spark, idx, queries).select("query_id", "doc_id")
+    if filter_duplicate_text:
+        m = _dedup_text_match_set(m, docs, text_col, id_col)
+    mm = m.select(F.col("doc_id").alias("_mid")).distinct()
+    matched_docs = docs.join(mm, docs[id_col] == mm["_mid"], "left_semi")
+    fg_post = postings(matched_docs, text_col=text_col, id_col=id_col, conf=idx.conf)
+    return _sig_epilogue(m, fg_post, idx.dictionary, idx.n_docs, k, min_fg, round_dp)

@@ -3891,3 +3891,137 @@ def random_score_topk_indexed(
 ) -> DataFrame:
     """`random_score_topk` with the match set from pruned index blocks."""
     return _random_score_epilogue(_indexed_scored(spark, idx, queries), seed, k, round_dp)
+
+
+# ---------------------------------------------------------------------------
+# constant_score / match_bool_prefix — the remaining ES query-DSL shapes.
+
+
+def _constant_score_epilogue(
+    m: DataFrame, boost: float, k: int
+) -> DataFrame:
+    hits = m.select("query_id", "doc_id").distinct().withColumn(
+        "score", F.lit(float(boost))
+    )
+    return rank_topk(hits, k)
+
+
+def constant_score_topk(
+    docs: DataFrame,
+    queries: DataFrame,
+    boost: float = 1.0,
+    k: int = 10,
+    conf: IndexConf = DEFAULT_CONF,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """The ES/Lucene ``constant_score`` query: every matched doc scores
+    exactly ``boost`` — scoring machinery (tf, idf, norms) is bypassed.
+    This is the filter-context-as-a-query shape users reach for when
+    relevance must not influence ordering (ranking degrades to the
+    doc_id tie-break, so the result set is a deterministic "first k
+    matches"), and the cacheable building block Lucene rewrites
+    multi-term queries into.
+
+    Scale: matching is the same broadcast term join as BM25 but the plan
+    DROPS the doc-stats join and the weight arithmetic — a match-only
+    semi-join shape; the distinct is the usual sparse fine-keyed agg."""
+    post = postings(docs, text_col=text_col, id_col=id_col, conf=conf)
+    qt = query_terms(queries)
+    m = post.join(F.broadcast(qt), "term")
+    return _constant_score_epilogue(m, boost, k)
+
+
+def constant_score_topk_indexed(
+    spark,
+    idx,
+    queries: DataFrame,
+    boost: float = 1.0,
+    k: int = 10,
+) -> DataFrame:
+    """`constant_score_topk` off pruned posting blocks (match set only —
+    the per-posting BM25 arithmetic in the shared kernel is spent, but no
+    corpus table is touched at all)."""
+    m = _indexed_scored(spark, idx, queries)
+    return _constant_score_epilogue(m, boost, k)
+
+
+def match_bool_prefix_topk(
+    docs: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    max_expansions: int = 50,
+    conf: IndexConf = DEFAULT_CONF,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    round_dp: int | None = None,
+) -> DataFrame:
+    """The ES ``match_bool_prefix`` query — the other search-as-you-type
+    shape: the input's LAST token is a term PREFIX, every earlier token an
+    ordinary OR term clause (``match_phrase_prefix`` without the position
+    constraint).  The prefix expands against the ANALYZED vocabulary
+    capped at ``max_expansions`` in term order (the Lucene TermsEnum
+    contract, shared with match_phrase_prefix); literal terms and
+    expansions score disjunctively, each with its own idf, a term matched
+    both literally and by expansion scoring once.
+
+    Scale: the expansion is the prefix_bm25_topk broadcast-nested-loop
+    over the vocab-sized dictionary; the cap bounds the scoring join's
+    term set at queries × max_expansions rows — broadcastable by
+    construction, unlike the uncapped prefix operator."""
+    from igd_spark.search import _cap_expansions, _phrase_prefix_parts
+    from igd_spark.tokenizer import _analyzer_pred
+
+    post, ds, n_docs, avgdl = _corpus_parts(docs, conf, text_col, id_col)
+    literals, prefixes, _ = _phrase_prefix_parts(queries, conf.token_split_re)
+    pred = _analyzer_pred(conf.stopwords, conf.min_token_len)
+    vocab = post.select("term").filter(pred(F.col("term"))).distinct()
+    exp = _cap_expansions(
+        vocab.join(F.broadcast(prefixes), F.col("term").startswith(F.col("prefix"))),
+        max_expansions,
+    )
+    qterms = (
+        literals.select("query_id", "term")
+        .unionByName(exp.select("query_id", "term"))
+        .dropDuplicates(["query_id", "term"])
+    )
+    qt_idf = qterms.join(term_stats(post), "term").withColumn(
+        "idf", idf_col(n_docs, "df")
+    )
+    return rank_topk(
+        _maybe_round(_score_terms(post, ds, avgdl, qt_idf, conf), round_dp), k
+    )
+
+
+def match_bool_prefix_topk_indexed(
+    spark,
+    idx,
+    queries: DataFrame,
+    k: int = 10,
+    max_expansions: int = 50,
+    round_dp: int | None = None,
+) -> DataFrame:
+    """`match_bool_prefix_topk` over a persisted index: the prefix expands
+    against the index dictionary (vocab-sized scan), then only the literal
+    + expanded terms' blocks are read.  The expansion cap bounds the
+    pruned-scan prologue's driver set at queries × max_expansions rows, so
+    no separate expansion budget is needed."""
+    from igd_spark.search import _cap_expansions, _phrase_prefix_parts
+
+    literals, prefixes, _ = _phrase_prefix_parts(queries, idx.conf.token_split_re)
+    exp = _cap_expansions(
+        idx.dictionary.join(
+            F.broadcast(prefixes), F.col("term").startswith(F.col("prefix"))
+        ).select("query_id", "term", F.col("offset")),
+        max_expansions,
+    )
+    qterms = (
+        literals.select("query_id", "term")
+        .unionByName(exp.select("query_id", "term"))
+        .dropDuplicates(["query_id", "term"])
+    )
+    exp_local = _collect_expansion(
+        spark, qterms, 65_536, "match_bool_prefix"
+    )
+    scored = _indexed_scored(spark, idx, queries, qterms=exp_local)
+    return rank_topk(_maybe_round(scored, round_dp), k)

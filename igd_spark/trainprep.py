@@ -428,3 +428,61 @@ def chunk_documents(
         F.array_join("_ctoks", " ").alias("chunk_text"),
         F.size("_ctoks").cast("int").alias("n_tokens"),
     )
+
+
+def mix_fractions(
+    counts: dict[str, int], target: dict[str, float]
+) -> dict[str, float]:
+    """Per-stratum keep fractions that resample observed ``counts`` to the
+    ``target`` mixture WITHOUT upsampling: with weights normalised to sum
+    1, the largest feasible output size is T = min_s(n_s / w_s) (the
+    stratum that runs out first pins the total), and each stratum keeps
+    f_s = w_s * T / n_s (== 1.0 exactly for the pinning stratum).
+
+    Driver-side pure function so the float arithmetic happens ONCE, in
+    one place, with a fixed operation order — the SQL oracle evaluates
+    the same formula in IEEE double and lands on bit-identical fractions.
+    Strata in ``target`` but absent from ``counts`` are ignored; strata
+    in ``counts`` but not in ``target`` get fraction 0 (dropped)."""
+    tgt = {s: w for s, w in target.items() if s in counts and w > 0}
+    if not tgt:
+        raise ValueError("target must weight at least one present stratum")
+    z = sum(tgt.values())
+    t_total = min(counts[s] / (w / z) for s, w in tgt.items())
+    return {s: (w / z) * t_total / counts[s] for s, w in tgt.items()}
+
+
+def resample_to_mix(
+    docs: DataFrame,
+    target: dict[str, float],
+    seed: int = 42,
+    strat_col: str = "source",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(doc_id, stratum, u60) — deterministic downsampling to a TARGET
+    domain mixture: the data-mixing stage of a pretraining pipeline
+    (rebalance crawl/code/books/reference to prescribed proportions, the
+    DoReMi / Pile-style recipe applied at the corpus level).  ``target``
+    maps stratum value → desired weight (any positive scale — normalised
+    internally); the output is the LARGEST subset achieving those
+    proportions with keep-only sampling (the scarcest stratum is kept
+    in full, everything else thins toward it; no duplication).
+
+    Composition of two existing disciplines: the per-stratum counts are
+    one tiny hash agg (collected — #strata rows), fractions are computed
+    once driver-side (mix_fractions), and the keep decision is
+    `sample_stratified`'s pure h60 row expression — zero shuffles on the
+    corpus path, reproducible across runs, engines, retries, and cluster
+    sizes.  At 100 TB the count agg is map-side-combined to #strata rows
+    and everything else stays embarrassingly parallel."""
+    counts = {
+        r["s"]: r["n"]
+        for r in docs.groupBy(F.col(strat_col).alias("s"))
+        .agg(F.count("*").alias("n"))
+        .collect()
+        if r["s"] is not None
+    }
+    fractions = mix_fractions(counts, target)
+    return sample_stratified(
+        docs, fractions, seed=seed, strat_col=strat_col, id_col=id_col
+    )

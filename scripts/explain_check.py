@@ -748,6 +748,42 @@ def main() -> int:
             f"scanned schemas: {schemas}",
         )
 
+    # 13. round-5 final tranche: scripted_metric / t_test / constant_score /
+    # match_bool_prefix indexed twins keep the no-corpus-text discipline;
+    # significant_text_agg_indexed legitimately re-analyzes matched docs'
+    # text (the ES hits-re-analysis contract) so it only asserts pruning
+    from igd_spark import (
+        constant_score_topk_indexed,
+        match_bool_prefix_topk_indexed,
+        scripted_metric_agg_indexed,
+        significant_text_agg_indexed,
+        t_test_agg_indexed,
+    )
+
+    for label, df in (
+        ("scripted_metric_agg_indexed",
+         scripted_metric_agg_indexed(spark, idx, docs, ql_q, "turn_idx * 2",
+                                     reduce="avg")),
+        ("t_test_agg_indexed",
+         t_test_agg_indexed(spark, idx, docs, ql_q, "turn_idx",
+                            "role = 'user'", "role <> 'user'")),
+        ("constant_score_topk_indexed",
+         constant_score_topk_indexed(spark, idx, ql_q, boost=1.5, k=5)),
+        ("match_bool_prefix_topk_indexed",
+         match_bool_prefix_topk_indexed(spark, idx, ql_q, k=5)),
+    ):
+        plan = fmt(df)
+        assert_pruned_scan(f"{label} scan", plan)
+        schemas = re.findall(r"ReadSchema: struct<([^>]*)>", plan)
+        check(
+            f"{label} never scans the corpus text",
+            bool(schemas) and not any("text:" in s for s in schemas),
+            f"scanned schemas: {schemas}",
+        )
+
+    stplan = fmt(significant_text_agg_indexed(spark, idx, docs, ql_q, k=5))
+    assert_pruned_scan("significant_text_agg_indexed scan", stplan)
+
     n_fail = sum(1 for _, ok, _ in checks if not ok)
     print(f"\n{len(checks) - n_fail}/{len(checks)} plan checks passed")
     return 1 if n_fail else 0
