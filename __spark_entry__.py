@@ -2917,6 +2917,116 @@ def q_resample_to_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+
+SPANC_SPAN = 6
+SPANC_LITTLE = "the"
+SPANC_QUERY_SET: list[tuple[int, str]] = [
+    (0, "spark join"),
+    (1, "table scan"),
+    (2, "slow query"),
+    (3, "zzznotavocab table"),   # no big span -> absent
+    (4, "merge sort"),
+]
+UPD_TERM = "vector"
+UPD_SUFFIX = " zzzupdated"
+UPD_TAG = "gate1"
+
+
+def _spanc_queries(spark: SparkSession) -> DataFrame:
+    return spark.createDataFrame(
+        [(int(q), t) for q, t in SPANC_QUERY_SET], "query_id long, query_text string"
+    )
+
+
+def q_span_containing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Lucene SpanContainingQuery: big ordered pairs holding a little term
+    from igd_spark import span_containing_match
+
+    return span_containing_match(
+        _docs(spark, sf_dir), _spanc_queries(spark), SPANC_LITTLE, span=SPANC_SPAN
+    )
+
+
+def q_span_containing_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from igd_spark import span_containing_match_indexed
+
+    idx = _built_index(spark, sf_dir)
+    return span_containing_match_indexed(
+        spark, idx, _spanc_queries(spark), SPANC_LITTLE, span=SPANC_SPAN
+    )
+
+
+def q_span_within(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # the dual: little-term occurrences inside a big span
+    from igd_spark import span_within_match
+
+    return span_within_match(
+        _docs(spark, sf_dir), _spanc_queries(spark), SPANC_LITTLE, span=SPANC_SPAN
+    )
+
+
+def q_span_within_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from igd_spark import span_within_match_indexed
+
+    idx = _built_index(spark, sf_dir)
+    return span_within_match_indexed(
+        spark, idx, _spanc_queries(spark), SPANC_LITTLE, span=SPANC_SPAN
+    )
+
+
+_UPDATED_INDEX_CACHE: dict[tuple, object] = {}
+
+
+def _updated_index(spark: SparkSession, sf_dir: str, mode: str):
+    """Fresh index -> update_by_query (docs matching UPD_TERM get
+    UPD_SUFFIX appended under new content-addressed ids, originals
+    tombstoned); mode='updated' stops there (both versions weigh in the
+    frozen stats), mode='compacted' force-merges to clean stats."""
+    import tempfile as _tf
+
+    from igd_spark import IndexConf, build_index, compact_index, update_by_query
+
+    key = (sf_dir, mode)
+    if key not in _UPDATED_INDEX_CACHE:
+        path = _tf.mkdtemp(prefix=f"igd_upd_{mode}_") + "/idx"
+        conf = IndexConf(
+            block_size=64, n_shards=16, salt_df_threshold=1024, max_salts=8,
+        )
+        docs = _docs(spark, sf_dir)
+        build_index(spark, docs, path, conf=conf)
+        uq = spark.createDataFrame(
+            [(0, UPD_TERM)], "query_id long, query_text string"
+        )
+        idx = update_by_query(
+            spark, path, uq, {"text": f"text || '{UPD_SUFFIX}'"}, docs,
+            update_tag=UPD_TAG,
+        )
+        if mode == "compacted":
+            idx = compact_index(spark, path)
+        _UPDATED_INDEX_CACHE[key] = idx
+    return _UPDATED_INDEX_CACHE[key]
+
+
+def q_bm25_topk_updated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # ES _update_by_query, pre-merge phase: originals tombstoned, updated
+    # copies appended — BOTH still weigh in idf/avgdl (frozen-stats)
+    from igd_spark import search as _search_mod
+
+    idx = _updated_index(spark, sf_dir, "updated")
+    out = _search_mod(spark, idx, _queries_df(spark), k=K + 15)
+    return _rank_rounded(out.select("query_id", "doc_id", "score"), K)
+
+
+def q_bm25_topk_updated_compacted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # post-merge: stats recomputed over survivors + updated copies only
+    from igd_spark import search as _search_mod
+
+    idx = _updated_index(spark, sf_dir, "compacted")
+    out = _search_mod(spark, idx, _queries_df(spark), k=K + 15)
+    return _rank_rounded(out.select("query_id", "doc_id", "score"), K)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: BM25 top-10 over the sf0.001 documents corpus."""
     return q_bm25_topk(spark, "/root/testdata/sf0.001")
@@ -2939,6 +3049,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "match_bool_prefix": q_match_bool_prefix,
         "match_bool_prefix_indexed": q_match_bool_prefix_indexed,
         "resample_to_mix": q_resample_to_mix,
+        "span_containing": q_span_containing,
+        "span_containing_indexed": q_span_containing_indexed,
+        "span_within": q_span_within,
+        "span_within_indexed": q_span_within_indexed,
+        "bm25_topk_updated": q_bm25_topk_updated,
+        "bm25_topk_updated_compacted": q_bm25_topk_updated_compacted,
         "rank_eval": q_rank_eval,
         "analyze": q_analyze,
         "span_first_match": q_span_first_match,
@@ -6065,6 +6181,87 @@ base AS (SELECT doc_id, source AS stratum,
          FROM documents)
 SELECT b.doc_id, b.stratum, b.u60
 FROM base b JOIN thr ON thr.s = b.stratum WHERE b.u60 < thr.thr
+"""
+
+
+    # span_containing / span_within: big ordered pairs vs little occurrences
+    _scvals = ", ".join(f"({q}::BIGINT, '{t}')" for q, t in SPANC_QUERY_SET)
+    _SC_COMMON = f"""
+pp AS (SELECT doc_id, i - 1 AS pos, tl[i] AS term
+       FROM (SELECT doc_id, tl, unnest(generate_series(1, len(tl))) AS i FROM tldocs)),
+sq(query_id, query_text) AS (VALUES {_scvals}),
+sqtl AS (SELECT query_id, list_filter(regexp_split_to_array(lower(query_text),
+         '[^a-z0-9]+'), x -> x <> '') AS tl FROM sq),
+spt AS (SELECT query_id, i - 1 AS off, tl[i] AS term
+        FROM (SELECT query_id, tl, unnest(generate_series(1, len(tl))) AS i FROM sqtl)),
+b1 AS (SELECT query_id, term FROM spt WHERE off = 0),
+b2 AS (SELECT query_id, term FROM spt WHERE off = 1),
+lt AS (SELECT DISTINCT query_id, '{SPANC_LITTLE}' AS term FROM sq),
+o1 AS (SELECT b1.query_id, pp.doc_id, pp.pos AS p1 FROM pp JOIN b1 USING (term)),
+o2 AS (SELECT b2.query_id, pp.doc_id, pp.pos AS p2 FROM pp JOIN b2 USING (term)),
+ol AS (SELECT lt.query_id, pp.doc_id, pp.pos FROM pp JOIN lt USING (term)),
+spans AS (SELECT o1.query_id, o1.doc_id, o1.p1, o2.p2
+          FROM o1 JOIN o2 ON o2.query_id = o1.query_id
+                         AND o2.doc_id = o1.doc_id
+                         AND o2.p2 > o1.p1
+                         AND o2.p2 <= o1.p1 + {SPANC_SPAN})"""
+    sql["span_containing"] = f"""
+WITH {_TL}, {_SC_COMMON},
+kept AS (SELECT s.query_id, s.doc_id FROM spans s
+         WHERE EXISTS (SELECT 1 FROM ol
+                       WHERE ol.query_id = s.query_id AND ol.doc_id = s.doc_id
+                         AND ol.pos BETWEEN s.p1 AND s.p2))
+SELECT query_id, doc_id, count(*)::BIGINT AS n_hits FROM kept GROUP BY 1, 2
+"""
+    sql["span_containing_indexed"] = sql["span_containing"]
+    sql["span_within"] = f"""
+WITH {_TL}, {_SC_COMMON},
+kept AS (SELECT ol.query_id, ol.doc_id FROM ol
+         WHERE EXISTS (SELECT 1 FROM spans s
+                       WHERE s.query_id = ol.query_id AND s.doc_id = ol.doc_id
+                         AND ol.pos BETWEEN s.p1 AND s.p2))
+SELECT query_id, doc_id, count(*)::BIGINT AS n_hits FROM kept GROUP BY 1, 2
+"""
+    sql["span_within_indexed"] = sql["span_within"]
+
+    # update_by_query: originals tombstoned, updated copies appended under
+    # h60('upd|tag|' || old_id) ids. Pre-merge: BOTH versions weigh in the
+    # stats (tldocs = union), tombstoned ids merely excluded from results.
+    _UPD_NEWID = _H60.format(expr=f"('upd|{UPD_TAG}|' || doc_id::VARCHAR)")
+    _TLU = f"""
+m0 AS (SELECT DISTINCT doc_id FROM (
+         SELECT doc_id, unnest(list_filter(regexp_split_to_array(lower(text),
+                '[^a-z0-9]+'), x -> x <> '')) AS term FROM documents)
+       WHERE term = '{UPD_TERM}'),
+corpus2 AS (SELECT doc_id, text FROM documents
+            UNION ALL
+            SELECT {_UPD_NEWID} AS doc_id, text || '{UPD_SUFFIX}' AS text
+            FROM documents WHERE doc_id IN (SELECT doc_id FROM m0)),
+tldocs AS (SELECT doc_id, list_filter(regexp_split_to_array(lower(text),
+           '[^a-z0-9]+'), x -> x <> '') AS tl FROM corpus2)"""
+    sql["bm25_topk_updated"] = f"""
+WITH {_TLU}, {_TOKS}, {_POST}, {_DL}, {_CS}, {_TS}, {_QT}, {_SCORED},
+ranked AS (
+  SELECT query_id, doc_id, round(s, 6) AS score,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY round(s, 6) DESC, doc_id ASC)::INT AS rank
+  FROM scored WHERE doc_id NOT IN (SELECT doc_id FROM m0))
+SELECT query_id, rank, doc_id, score FROM ranked WHERE rank <= {K}
+"""
+    # post-merge: stats recomputed over survivors + updated copies only
+    _TLUC = _TLU.replace(
+        "corpus2 AS (SELECT doc_id, text FROM documents",
+        "corpus2 AS (SELECT doc_id, text FROM documents "
+        "WHERE doc_id NOT IN (SELECT doc_id FROM m0)",
+    )
+    sql["bm25_topk_updated_compacted"] = f"""
+WITH {_TLUC}, {_TOKS}, {_POST}, {_DL}, {_CS}, {_TS}, {_QT}, {_SCORED},
+ranked AS (
+  SELECT query_id, doc_id, round(s, 6) AS score,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY round(s, 6) DESC, doc_id ASC)::INT AS rank
+  FROM scored)
+SELECT query_id, rank, doc_id, score FROM ranked WHERE rank <= {K}
 """
 
     return sql

@@ -1202,3 +1202,75 @@ def rollover_index(
     set_alias(root, name, new_path)  # atomic swap — writers follow the alias
     out["new_target"] = new_path
     return out
+
+
+def update_by_query(
+    spark: SparkSession,
+    path: str,
+    queries: DataFrame,
+    transform: dict[str, str],
+    docs: DataFrame,
+    update_tag: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_tf: int = 0,
+) -> InvertedIndex:
+    """ES ``_update_by_query``: re-index every doc matching ≥1 query term
+    with ``transform`` applied — a dict of column → SQL expression (the
+    painless ctx._source script analog, same shared-dialect contract as
+    `script_score_topk`).  ``docs`` supplies the matched docs' source
+    columns (the index stores postings, not documents — ES reads
+    _source the same way).
+
+    Copy-on-write identity: ES keeps _id and bumps _version; this
+    engine's doc identity is content-addressed (hash ids), so the updated
+    doc gets the NEW deterministic id h60('upd|<update_tag>|<old_id>')
+    and the original is tombstoned — the mapping is a pure expression any
+    caller (or the oracle) can recompute.  Internally ES update-by-query
+    is itself snapshot + delete + reindex; this is that, made explicit.
+
+    Lucene frozen-stats contract carries over: until `compact_index`,
+    collection statistics still count the tombstoned originals, and the
+    appended copies ADD to them (both versions weigh in idf/avgdl — the
+    exact between-refresh-and-merge state of an ES update); compaction
+    restores clean rebuilt-corpus statistics.
+
+    COMMIT ORDER: the append publishes BEFORE the delete, so a crash
+    between the two leaves both versions visible (the transient state ES
+    itself exposes mid-update), never neither.  Both halves are
+    idempotent under ``update_tag`` — rerunning the same call completes
+    or no-ops; the match set is enumerated from the pre-append snapshot
+    handle, so the freshly appended copies can never self-match into the
+    delete.
+
+    Scale: match enumeration is the pruned-block path (query-sized);
+    the transform is a projection over the matched docs only (left-semi
+    BEFORE any per-column work); one append batch + one tombstone batch,
+    both atomic renames."""
+    from igd_spark.hashing import h60_col
+    from igd_spark.search import match_enumerate
+
+    if not transform:
+        raise ValueError("transform must map at least one column to an expression")
+    idx = open_index(spark, path)  # pre-append snapshot pins the match set
+    me = match_enumerate(spark, idx, queries)
+    if min_tf > 0:
+        me = me.filter(F.col("tf") >= min_tf)
+    ids = me.select("doc_id").distinct()
+    matched = docs.join(
+        ids.withColumnRenamed("doc_id", "_mid"),
+        docs[id_col] == F.col("_mid"),
+        "left_semi",
+    )
+    updated = matched
+    for col, expr in transform.items():
+        updated = updated.withColumn(col, F.expr(expr))
+    updated = updated.withColumn(
+        id_col,
+        h60_col(F.concat(F.lit(f"upd|{update_tag}|"), F.col(id_col).cast("string"))),
+    )
+    append_index(
+        spark, path, updated, text_col=text_col, id_col=id_col,
+        batch_tag=f"updq-{update_tag}",
+    )
+    return delete_docs(spark, path, ids, delete_tag=f"updq-{update_tag}")

@@ -2254,3 +2254,215 @@ def span_not_match_indexed(
         spark, idx, _exclude_queries(queries, exclude)
     ).select("query_id", "doc_id", "pos")
     return _span_not_epilogue(inc, exc, pre, post)
+
+
+# ---------------------------------------------------------------------------
+# span_containing / span_within — the Lucene SpanContainingQuery /
+# SpanWithinQuery pair over (big = ordered two-term span, little = term)
+# shapes, completing the span family (first / not / near-as-NEAR).
+
+
+def _span_pair_parts(
+    queries: DataFrame, split_re: str
+) -> tuple[DataFrame, DataFrame]:
+    """Per query, the BIG span's two clause terms: the first two tokens of
+    ``query_text`` (offsets 0 and 1 — the SpanNear(two clauses) shape this
+    engine's span containment supports; extra tokens are ignored, a
+    one-token query forms no big span and is absent from results)."""
+    pt = _phrase_terms(queries, split_re)
+    b1 = pt.filter(F.col("offset") == 0).select("query_id", "term")
+    b2 = pt.filter(F.col("offset") == 1).select("query_id", "term")
+    return b1, b2
+
+
+def _span_pair_sets(
+    occ: DataFrame,
+    queries: DataFrame,
+    little,
+    span: int,
+    split_re: str,
+) -> tuple[DataFrame, DataFrame]:
+    """(spans, little_occ) from one occurrence stream ``occ`` =
+    (query_id-joinable (term, doc_id, pos) rows): spans are ordered big
+    pairs (p1 < p2 <= p1 + span), little_occ the little terms'
+    occurrences."""
+    if span < 1:
+        raise ValueError(f"span must be >= 1, got {span}")
+    b1, b2 = _span_pair_parts(queries, split_re)
+    o1 = occ.join(F.broadcast(b1), "term").select(
+        "query_id", "doc_id", F.col("pos").alias("p1")
+    )
+    o2 = occ.join(F.broadcast(b2), "term").select(
+        F.col("query_id").alias("_q2"),
+        F.col("doc_id").alias("_d2"),
+        F.col("pos").alias("p2"),
+    )
+    spans = o1.join(
+        o2,
+        (F.col("query_id") == F.col("_q2"))
+        & (F.col("doc_id") == F.col("_d2"))
+        & (F.col("p2") > F.col("p1"))
+        & (F.col("p2") <= F.col("p1") + F.lit(span)),
+    ).select("query_id", "doc_id", "p1", "p2")
+    lt = query_terms(_exclude_queries(queries, little))
+    little_occ = occ.join(F.broadcast(lt), "term").select(
+        "query_id", "doc_id", "pos"
+    )
+    return spans, little_occ
+
+
+def _span_containing_epilogue(
+    spans: DataFrame, little_occ: DataFrame
+) -> DataFrame:
+    lo = little_occ.select(
+        F.col("query_id").alias("_lq"),
+        F.col("doc_id").alias("_ld"),
+        F.col("pos").alias("_lp"),
+    )
+    kept = spans.join(
+        lo,
+        (F.col("query_id") == F.col("_lq"))
+        & (F.col("doc_id") == F.col("_ld"))
+        & (F.col("_lp") >= F.col("p1"))
+        & (F.col("_lp") <= F.col("p2")),
+        "left_semi",
+    )
+    return kept.groupBy("query_id", "doc_id").agg(
+        F.count("*").cast("long").alias("n_hits")
+    )
+
+
+def _span_within_epilogue(
+    spans: DataFrame, little_occ: DataFrame
+) -> DataFrame:
+    sp = spans.select(
+        F.col("query_id").alias("_sq"),
+        F.col("doc_id").alias("_sd"),
+        "p1",
+        "p2",
+    )
+    kept = little_occ.join(
+        sp,
+        (F.col("query_id") == F.col("_sq"))
+        & (F.col("doc_id") == F.col("_sd"))
+        & (F.col("pos") >= F.col("p1"))
+        & (F.col("pos") <= F.col("p2")),
+        "left_semi",
+    )
+    return kept.groupBy("query_id", "doc_id").agg(
+        F.count("*").cast("long").alias("n_hits")
+    )
+
+
+def span_containing_match(
+    docs: DataFrame,
+    queries: DataFrame,
+    little,
+    span: int = 8,
+    conf: IndexConf = DEFAULT_CONF,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """The Lucene SpanContainingQuery surface: per doc, the number of BIG
+    spans (ordered occurrences of the query's first two tokens with end -
+    start <= ``span``) that CONTAIN at least one occurrence of the
+    ``little`` terms — "the pair 'error timeout' with 'fatal' inside it".
+    ``little`` is a string (all queries) or a (query_id, exclude_text)
+    frame.  Output (query_id, doc_id, n_hits); docs with no qualifying
+    containing span are absent.
+
+    Scale: ONE corpus tokenization feeds all three occurrence streams;
+    spans form on the fine (query_id, doc_id) key with the window as a
+    residual (per-pair work bounded by occurrence-list products, never
+    corpus-shaped); the containment test is a semi-join, so little-side
+    fan-out can't duplicate spans."""
+    occ = positional_postings(docs, text_col=text_col, id_col=id_col, conf=conf)
+    spans, lo = _span_pair_sets(occ, queries, little, span, conf.token_split_re)
+    return _span_containing_epilogue(spans, lo)
+
+
+def span_within_match(
+    docs: DataFrame,
+    queries: DataFrame,
+    little,
+    span: int = 8,
+    conf: IndexConf = DEFAULT_CONF,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """The Lucene SpanWithinQuery surface — the dual of
+    `span_containing_match`: per doc, the number of LITTLE-term
+    occurrences that fall INSIDE at least one big span.  Same big-span
+    construction, same output shape."""
+    occ = positional_postings(docs, text_col=text_col, id_col=id_col, conf=conf)
+    spans, lo = _span_pair_sets(occ, queries, little, span, conf.token_split_re)
+    return _span_within_epilogue(spans, lo)
+
+
+def _span_pair_sets_indexed(
+    spark: SparkSession,
+    idx: InvertedIndex,
+    queries,
+    little,
+    span: int,
+) -> tuple[DataFrame, DataFrame]:
+    """Indexed sibling of `_span_pair_sets`: ONE pruned positional
+    enumeration over the union of big and little terms (one shard-pruned
+    In(term_id) scan, one driver prologue), split back per side by a
+    broadcast term join."""
+    if isinstance(queries, (pd.DataFrame, list, tuple)):
+        queries = _materialize_local_queries(spark, queries)
+    if span < 1:
+        raise ValueError(f"span must be >= 1, got {span}")
+    split_re = idx.conf.token_split_re
+    b1, b2 = _span_pair_parts(queries, split_re)
+    lt = query_terms(_exclude_queries(queries, little))
+    all_terms = b1.unionByName(b2).unionByName(lt).dropDuplicates(
+        ["query_id", "term"]
+    )
+    occ = positional_enumerate(spark, idx, queries, terms=all_terms)
+    o1 = occ.join(F.broadcast(b1), ["query_id", "term"]).select(
+        "query_id", "doc_id", F.col("pos").alias("p1")
+    )
+    o2 = occ.join(F.broadcast(b2), ["query_id", "term"]).select(
+        F.col("query_id").alias("_q2"),
+        F.col("doc_id").alias("_d2"),
+        F.col("pos").alias("p2"),
+    )
+    spans = o1.join(
+        o2,
+        (F.col("query_id") == F.col("_q2"))
+        & (F.col("doc_id") == F.col("_d2"))
+        & (F.col("p2") > F.col("p1"))
+        & (F.col("p2") <= F.col("p1") + F.lit(span)),
+    ).select("query_id", "doc_id", "p1", "p2")
+    little_occ = occ.join(F.broadcast(lt), ["query_id", "term"]).select(
+        "query_id", "doc_id", "pos"
+    )
+    return spans, little_occ
+
+
+def span_containing_match_indexed(
+    spark: SparkSession,
+    idx: InvertedIndex,
+    queries,
+    little,
+    span: int = 8,
+) -> DataFrame:
+    """`span_containing_match` off the persisted positional index — one
+    pruned positional scan for big + little terms together; the corpus
+    table is never in the plan."""
+    spans, lo = _span_pair_sets_indexed(spark, idx, queries, little, span)
+    return _span_containing_epilogue(spans, lo)
+
+
+def span_within_match_indexed(
+    spark: SparkSession,
+    idx: InvertedIndex,
+    queries,
+    little,
+    span: int = 8,
+) -> DataFrame:
+    """`span_within_match` off the persisted positional index."""
+    spans, lo = _span_pair_sets_indexed(spark, idx, queries, little, span)
+    return _span_within_epilogue(spans, lo)

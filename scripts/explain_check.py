@@ -784,6 +784,28 @@ def main() -> int:
     stplan = fmt(significant_text_agg_indexed(spark, idx, docs, ql_q, k=5))
     assert_pruned_scan("significant_text_agg_indexed scan", stplan)
 
+    # span_containing / span_within: ONE pruned positional enumeration
+    # feeds big and little sides; the corpus is never in the plan
+    from igd_spark import span_containing_match_indexed, span_within_match_indexed
+
+    sc_q = spark.createDataFrame(
+        [(0, "error timeout")], "query_id long, query_text string"
+    )
+    for label, df in (
+        ("span_containing_match_indexed",
+         span_containing_match_indexed(spark, pidx, sc_q, "the", span=6)),
+        ("span_within_match_indexed",
+         span_within_match_indexed(spark, pidx, sc_q, "the", span=6)),
+    ):
+        plan = fmt(df)
+        assert_pruned_scan(f"{label} scan", plan)
+        schemas = re.findall(r"ReadSchema: struct<([^>]*)>", plan)
+        check(
+            f"{label} never scans the corpus text",
+            bool(schemas) and not any("text:" in s for s in schemas),
+            f"scanned schemas: {schemas}",
+        )
+
     n_fail = sum(1 for _, ok, _ in checks if not ok)
     print(f"\n{len(checks) - n_fail}/{len(checks)} plan checks passed")
     return 1 if n_fail else 0

@@ -40,7 +40,8 @@ def docs(spark, tiny_docs):
 def r5f_idx(spark, docs, tmp_path_factory):
     from igd_spark import IndexConf, build_index
 
-    conf = IndexConf(block_size=32, n_shards=8, salt_df_threshold=64, max_salts=4)
+    conf = IndexConf(block_size=32, n_shards=8, salt_df_threshold=64, max_salts=4,
+                     store_positions=True)
     path = str(tmp_path_factory.mktemp("r5fidx") / "idx")
     return build_index(spark, docs, path, conf=conf)
 
@@ -351,3 +352,148 @@ def test_resample_to_mix_hits_target(spark, docs):
     assert {r["doc_id"] for r in out.collect()} == {
         r["doc_id"] for r in again.collect()
     }
+
+
+# -------------------------------------- span_containing / span_within
+
+
+@pytest.fixture(scope="module")
+def span_docs(spark):
+    from igd_spark.corpus import assign_doc_ids as _aid
+
+    rows = [
+        ("c0", 0, "user", "alpha beta gap gap little end", None, None),
+        ("c1", 0, "user", "alpha little beta trail", None, None),
+        ("c2", 0, "user", "alpha gap gap gap gap gap gap gap gap beta little", None, None),
+        ("c3", 0, "user", "beta alpha little", None, None),
+        ("c4", 0, "user", "little alpha beta", None, None),
+        ("c5", 0, "user", "alpha beta alpha little beta", None, None),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "conv_id string, turn_idx int, role string, text string, "
+        "tool string, ts timestamp",
+    )
+    return _aid(df).cache()
+
+
+def _by_conv(span_docs, out):
+    convs = {r["doc_id"]: r["conv_id"] for r in span_docs.select("doc_id", "conv_id").collect()}
+    return {convs[r["doc_id"]]: r["n_hits"] for r in out.collect()}
+
+
+def test_span_containing_bruteforce(spark, span_docs):
+    from igd_spark import span_containing_match
+
+    q = _queries(spark, [(0, "alpha beta")])
+    got = _by_conv(span_docs, span_containing_match(span_docs, q, "little", span=4))
+    # c0: span (0,1) contains no little (little at pos 4 outside) -> absent
+    # c1: span alpha(0)->beta(2) width 2 contains little(1) -> 1
+    # c2: beta at pos 9 beyond span=4 -> no big span -> absent
+    # c3: beta BEFORE alpha -> no ordered span -> absent
+    # c4: span (1,2), little at 0 outside -> absent
+    # c5: spans (0,1),(0,4),(2,4); (0,4) and (2,4) contain little(3) -> 2
+    assert got == {"c1": 1, "c5": 2}
+
+
+def test_span_within_bruteforce(spark, span_docs):
+    from igd_spark import span_within_match
+
+    q = _queries(spark, [(0, "alpha beta")])
+    got = _by_conv(span_docs, span_within_match(span_docs, q, "little", span=4))
+    # c1: little(1) inside (0,2) -> 1; c5: little(3) inside two spans -> 1
+    assert got == {"c1": 1, "c5": 1}
+
+
+def test_span_pair_indexed_identity(spark, docs, r5f_idx):
+    from igd_spark import (
+        span_containing_match,
+        span_containing_match_indexed,
+        span_within_match,
+        span_within_match_indexed,
+    )
+
+    t1, t2 = "error", "timeout"
+    q = _queries(spark, [(0, f"{t1} {t2}"), (1, "zzznotavocab t00000")])
+    for corpus_fn, idx_fn in (
+        (span_containing_match, span_containing_match_indexed),
+        (span_within_match, span_within_match_indexed),
+    ):
+        a = corpus_fn(docs, q, "the", span=6, conf=r5f_idx.conf)
+        b = idx_fn(spark, r5f_idx, q, "the", span=6)
+        pd.testing.assert_frame_equal(_srt(a), _srt(b), check_dtype=False)
+
+
+# ------------------------------------------------------ update_by_query
+
+
+def test_update_by_query_lifecycle(spark, docs, tmp_path_factory):
+    from igd_spark import (
+        IndexConf,
+        build_index,
+        compact_index,
+        exact_bm25_topk,
+        search,
+        update_by_query,
+    )
+
+    conf = IndexConf(block_size=32, n_shards=8, salt_df_threshold=64, max_salts=4)
+    path = str(tmp_path_factory.mktemp("updq") / "idx")
+    build_index(spark, docs, path, conf=conf)
+    term = _mid_term(docs)
+    old_ids = {
+        r["doc_id"]
+        for r in postings(docs).filter(F.col("term") == term).select("doc_id")
+        .distinct().collect()
+    }
+    uq = _queries(spark, [(0, term)])
+    idx2 = update_by_query(
+        spark, path, uq, {"text": "text || ' zzzupd'"}, docs, update_tag="t1"
+    )
+    # originals tombstoned: searching the term returns only updated copies
+    hits = {r["doc_id"] for r in search(spark, idx2, uq, k=1000).collect()}
+    assert hits and not (hits & old_ids)
+    # every updated copy carries the marker token and is searchable by it
+    marker_hits = {
+        r["doc_id"]
+        for r in search(spark, idx2, _queries(spark, [(0, "zzzupd")]), k=1000).collect()
+    }
+    assert marker_hits == hits and len(marker_hits) == len(old_ids)
+    # idempotent replay: same tag -> same index state (row-for-row)
+    before = sorted(map(tuple, search(spark, idx2, uq, k=1000).collect()))
+    idx3 = update_by_query(
+        spark, path, uq, {"text": "text || ' zzzupd'"}, docs, update_tag="t1"
+    )
+    after = sorted(map(tuple, search(spark, idx3, uq, k=1000).collect()))
+    assert before == after
+    # post-compact: scores equal a clean rebuild over the transformed corpus
+    idxc = compact_index(spark, path)
+    from igd_spark.hashing import h60_col
+
+    survivors = docs.filter(~F.col("doc_id").isin(list(old_ids)))
+    # recompute new ids exactly as update_by_query does
+    updated = (
+        docs.filter(F.col("doc_id").isin(list(old_ids)))
+        .withColumn("text", F.expr("text || ' zzzupd'"))
+        .withColumn(
+            "doc_id",
+            h60_col(F.concat(F.lit("upd|t1|"), F.col("doc_id").cast("string"))),
+        )
+    )
+    corpus2 = survivors.unionByName(updated)
+    q = _queries(spark, [(0, term), (1, "zzzupd")])
+    a = sorted(
+        map(
+            tuple,
+            search(spark, idxc, q, k=10)
+            .select("query_id", "rank", "doc_id").collect(),
+        )
+    )
+    b = sorted(
+        map(
+            tuple,
+            exact_bm25_topk(corpus2, q, k=10, conf=conf)
+            .select("query_id", "rank", "doc_id").collect(),
+        )
+    )
+    assert a == b
