@@ -140,6 +140,8 @@ SPAN_NOT_PRE, SPAN_NOT_POST = 3, 3
 SAMPLER_SIZE = 25             # sampler agg per-query sample size
 DIV_MAX_PER_VALUE = 2         # diversified_sampler per-value cap
 KNN_MIN_SIM = 0.28            # knn similarity cutoff (binds: rank-5 cos ~0.30)
+HYBRID_W_LEX = 0.7            # linear-retriever fusion weights (lexical /
+HYBRID_W_VEC = 0.3            # vector); minmax-normalized per query
 RNDSCORE_SEED = 7             # random_score seed
 PCTR_VALUES = (175.0, 306.0, 419.0)  # percentile_ranks cut points (quartiles)
 RARE_MAX_DC = 21              # rare_terms max_doc_count (binds non-vacuously:
@@ -1183,6 +1185,42 @@ def q_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
         "query_id", F.col("vec_id").alias("doc_id"), "rank"
     )
     return rrf_fuse([lex, vec], k=K, kappa=60.0, round_dp=6)
+
+
+def q_hybrid_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # hybrid retrieval, score-based: min-max-normalized weighted sum of the
+    # lexical BM25 top-k and the vector cosine top-k (the ES `linear`
+    # retriever with normalizer=minmax; weights 0.7 lexical / 0.3 vector)
+    from igd_spark import cosine_topk, linear_fuse
+    from igd_spark.search import bm25_scores
+
+    lex = _rank_rounded(
+        bm25_scores(_docs(spark, sf_dir), _queries_df(spark)), K
+    ).select("query_id", "doc_id", "score")
+    vec = cosine_topk(_emb(spark, sf_dir), _emb_queries(spark, sf_dir), k=K).select(
+        "query_id", F.col("vec_id").alias("doc_id"), F.col("cos").alias("score")
+    )
+    return linear_fuse(
+        [lex, vec], weights=[HYBRID_W_LEX, HYBRID_W_VEC], k=K, round_dp=6
+    )
+
+
+def q_embedding_l2_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # dense-vector l2_norm similarity: score = 1 / (1 + ||q - e||^2)
+    from igd_spark import vector_topk
+
+    return vector_topk(
+        _emb(spark, sf_dir), _emb_queries(spark, sf_dir), metric="l2", k=K
+    )
+
+
+def q_embedding_mip_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # dense-vector max_inner_product similarity: piecewise-positive dot
+    from igd_spark import vector_topk
+
+    return vector_topk(
+        _emb(spark, sf_dir), _emb_queries(spark, sf_dir), metric="mip", k=K
+    )
 
 
 def q_bm25_topk_stopwords(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3038,6 +3076,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # FIRST 50 entries per round, so entries lead in driver-staleness
         # order (never-driver-verified first, then least-recently green).
         # Re-rotate each round from CORRECTNESS_r{N}.json (VERDICT r4 #1).
+        "hybrid_linear": q_hybrid_linear,
+        "embedding_l2_topk": q_embedding_l2_topk,
+        "embedding_mip_topk": q_embedding_mip_topk,
         "t_test_agg": q_t_test_agg,
         "t_test_agg_indexed": q_t_test_agg_indexed,
         "bucket_script_agg": q_bucket_script_agg,
@@ -4891,6 +4932,82 @@ ranked AS (
   FROM fused)
 SELECT query_id, rank, doc_id, score FROM ranked WHERE rank <= {K}
 """.replace("{_W}", _W)
+
+    sql["hybrid_linear"] = f"""
+WITH {_TL}, {_TOKS}, {_POST}, {_DL}, {_CS}, {_TS}, {_QT},
+scored AS (
+  SELECT qt.query_id, p.doc_id, sum({{_W}}) AS s
+  FROM qterms qt JOIN ts USING (term) JOIN post p USING (term)
+  JOIN dl ON p.doc_id = dl.doc_id CROSS JOIN cs
+  GROUP BY 1, 2),
+lex AS (
+  SELECT query_id, doc_id, round(s, 6) AS score,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY round(s, 6) DESC, doc_id ASC)::INT AS rank
+  FROM scored),
+lexk AS (SELECT query_id, doc_id, score FROM lex WHERE rank <= {K}),
+eq AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv FROM embeddings
+       WHERE vec_id < {N_EMB_QUERIES}),
+ee AS (SELECT vec_id, embedding::DOUBLE[] AS ev FROM embeddings),
+vs AS (SELECT query_id, vec_id, {_EMB_COS} AS cos FROM eq CROSS JOIN ee),
+vr AS (SELECT query_id, vec_id AS doc_id, cos AS score,
+              row_number() OVER (PARTITION BY query_id
+                                 ORDER BY cos DESC, vec_id ASC)::INT AS rank
+       FROM vs),
+vk AS (SELECT query_id, doc_id, score FROM vr WHERE rank <= {K}),
+norm AS (
+  SELECT query_id, doc_id, wt * (CASE
+           WHEN max(score) OVER (PARTITION BY query_id, wt)
+              = min(score) OVER (PARTITION BY query_id, wt) THEN 1.0
+           ELSE (score - min(score) OVER (PARTITION BY query_id, wt))
+              / (max(score) OVER (PARTITION BY query_id, wt)
+               - min(score) OVER (PARTITION BY query_id, wt)) END) AS c
+  FROM (SELECT query_id, doc_id, score, {HYBRID_W_LEX} AS wt FROM lexk
+        UNION ALL
+        SELECT query_id, doc_id, score, {HYBRID_W_VEC} AS wt FROM vk)),
+fused AS (
+  SELECT query_id, doc_id, round(sum(c), 6) AS score
+  FROM norm GROUP BY 1, 2),
+ranked AS (
+  SELECT query_id, doc_id, score,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY score DESC, doc_id ASC)::INT AS rank
+  FROM fused)
+SELECT query_id, rank, doc_id, score FROM ranked WHERE rank <= {K}
+""".replace("{_W}", _W)
+
+    sql["embedding_l2_topk"] = f"""
+WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv FROM embeddings
+           WHERE vec_id < {N_EMB_QUERIES}),
+e AS (SELECT vec_id, embedding::DOUBLE[] AS ev FROM embeddings),
+s AS (SELECT query_id, vec_id,
+             round(1.0 / (1.0 + greatest(0.0,
+                 list_dot_product(qv, qv) + list_dot_product(ev, ev)
+                 - 2.0 * list_dot_product(qv, ev))), 6) AS score
+      FROM q CROSS JOIN e),
+r AS (SELECT query_id, vec_id, score,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY score DESC, vec_id ASC)::INT AS rank
+      FROM s)
+SELECT query_id, rank, vec_id, score FROM r WHERE rank <= {K}
+"""
+
+    sql["embedding_mip_topk"] = f"""
+WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv FROM embeddings
+           WHERE vec_id < {N_EMB_QUERIES}),
+e AS (SELECT vec_id, embedding::DOUBLE[] AS ev FROM embeddings),
+d AS (SELECT query_id, vec_id, list_dot_product(qv, ev) AS dp
+      FROM q CROSS JOIN e),
+s AS (SELECT query_id, vec_id,
+             round(CASE WHEN dp < 0 THEN 1.0 / (1.0 - dp)
+                        ELSE dp + 1.0 END, 6) AS score
+      FROM d),
+r AS (SELECT query_id, vec_id, score,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY score DESC, vec_id ASC)::INT AS rank
+      FROM s)
+SELECT query_id, rank, vec_id, score FROM r WHERE rank <= {K}
+"""
 
     sql["explain_scores"] = f"""
 WITH {_TL}, {_TOKS}, {_POST}, {_DL}, {_CS}, {_TS}, {_QT}

@@ -308,6 +308,65 @@ def rrf_fuse(
     return rank_topk(_maybe_round(fused, round_dp), k)
 
 
+def linear_fuse(
+    scored_lists,
+    weights=None,
+    k: int = 10,
+    round_dp: int | None = None,
+) -> DataFrame:
+    """Score-based hybrid fusion with per-query min-max normalization —
+    the ES ``linear`` retriever (``normalizer: minmax``) counterpart to
+    `rrf_fuse`: each input list's scores are rescaled per query to
+    [0, 1] via (s - min) / (max - min), then fused as the weighted sum
+    Σ w_i · norm_i(doc).  A doc absent from a list contributes 0 for
+    that list; when a (query, list) slice has max == min every present
+    doc normalizes to 1.0 (all tied at the top — the convention that keeps a single-doc list from
+    dividing by zero while still outranking absent docs).  Output
+    (query_id, rank, doc_id, score), tie-break score desc / doc_id asc
+    on the rounded score.
+
+    Unlike RRF, linear fusion preserves score GAPS inside each list
+    (a runaway lexical winner stays a runaway after fusion), which is
+    why engines expose both: RRF when the scorers' scales can't be
+    trusted, linear when relative magnitudes matter and weights encode
+    trust.
+
+    Scale: inputs are per-query top-k lists, so the min/max windows,
+    union, and fused agg are all query-sized (k × |queries| rows) —
+    never corpus-sized.
+    """
+    lists = list(scored_lists)
+    if not lists:
+        raise ValueError("linear_fuse needs at least one scored list")
+    if weights is None:
+        weights = [1.0] * len(lists)
+    if len(weights) != len(lists):
+        raise ValueError(
+            f"{len(lists)} lists but {len(weights)} weights"
+        )
+    w = Window.partitionBy("query_id")
+    parts = []
+    for df, wt in zip(lists, weights):
+        s = F.col("score").cast("double")
+        smin = F.min(s).over(w)
+        smax = F.max(s).over(w)
+        norm = F.when(smax == smin, F.lit(1.0)).otherwise(
+            (s - smin) / (smax - smin)
+        )
+        parts.append(
+            df.select("query_id", "doc_id", s.alias("score")).select(
+                "query_id",
+                "doc_id",
+                (F.lit(float(wt)) * norm).alias("_c"),
+            )
+        )
+    u = parts[0]
+    for p in parts[1:]:
+        u = u.unionByName(p)
+    fused = u.groupBy("query_id", "doc_id").agg(F.sum("_c").alias("score"))
+    return rank_topk(_maybe_round(fused, round_dp), k)
+
+
 def boosted_bm25_topk_indexed(
     spark,
     idx,

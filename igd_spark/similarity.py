@@ -105,6 +105,67 @@ def cosine_topk(
     )
 
 
+def vector_topk(
+    emb: DataFrame,
+    queries: DataFrame,
+    metric: str = "l2",
+    k: int = 10,
+    emb_id: str = "vec_id",
+    emb_col: str = "embedding",
+    q_id: str = "query_id",
+    q_col: str = "query_vec",
+) -> DataFrame:
+    """(query_id, rank, vec_id, score) — exact top-k under the non-cosine
+    dense-vector metrics (the ES `dense_vector` ``similarity`` surface;
+    cosine lives in `cosine_topk`):
+
+    * ``l2`` — score = 1 / (1 + ‖q−e‖²), the l2_norm convention (higher
+      is closer, bounded (0, 1]).  ‖q−e‖² is computed as
+      ⟨q,q⟩ + ⟨e,e⟩ − 2⟨q,e⟩ (clamped at 0 against float residue) so the
+      only array kernel is the same dot product the cosine path uses.
+    * ``dot`` — score = (1 + ⟨q,e⟩) / 2, the dot_product convention
+      (callers are expected to feed unit-normalized vectors; the formula
+      is applied as-is either way).
+    * ``mip`` — max_inner_product: ⟨q,e⟩ < 0 → 1/(1−⟨q,e⟩), else
+      ⟨q,e⟩ + 1 — the piecewise map that keeps scores positive without
+      requiring normalized vectors.
+
+    All three are monotone in the underlying distance/product, so rank
+    order equals the exact ANN order; scores are rounded to 6 dp and
+    tie-broken (score desc, vec_id asc) on the rounded value for
+    cross-engine reproducibility.
+
+    Scale: identical shape to `cosine_topk` — queries broadcast, the
+    corpus side streams through one narrow projection, per-query top-k
+    via window.  The same scored column can ride the IVF/LSH probes
+    (cell pruning is metric-agnostic for l2 on normalized vectors; for
+    mip use the raw-dot ordering)."""
+    q = queries.select(F.col(q_id).alias("query_id"), _dvec(q_col).alias("qv"))
+    e = emb.select(F.col(emb_id).alias("vec_id"), _dvec(emb_col).alias("ev"))
+    j = e.crossJoin(F.broadcast(q))
+    dot = dot_col(F.col("qv"), F.col("ev"))
+    if metric == "l2":
+        qq = dot_col(F.col("qv"), F.col("qv"))
+        ee = dot_col(F.col("ev"), F.col("ev"))
+        d2 = F.greatest(qq + ee - F.lit(2.0) * dot, F.lit(0.0))
+        score = F.lit(1.0) / (F.lit(1.0) + d2)
+    elif metric == "dot":
+        score = (F.lit(1.0) + dot) / F.lit(2.0)
+    elif metric == "mip":
+        score = F.when(dot < 0, F.lit(1.0) / (F.lit(1.0) - dot)).otherwise(
+            dot + F.lit(1.0)
+        )
+    else:
+        raise ValueError(f"unknown metric {metric!r} (l2 | dot | mip)")
+    scored = j.select("query_id", "vec_id", F.round(score, 6).alias("score"))
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "vec_id", "score")
+    )
+
+
 def cosine_neardup_pairs(
     emb: DataFrame,
     threshold: float = 0.95,
