@@ -3070,12 +3070,213 @@ def entry(spark: SparkSession) -> DataFrame:
     return q_bm25_topk(spark, "/root/testdata/sf0.001")
 
 
+
+# ---------------------------------------------------------------------------
+# round-5 continuation tranche: value_count/global/date_range aggs, the
+# sibling + moving-percentile + rate + cumulative-cardinality pipeline
+# family, exists/ids filter queries, and span_or.
+
+VC_FIELD = "tool"             # value_count counts the synthetic nullable field
+DR_RANGES = (                 # date_range buckets over the synthetic ts
+    (None, "2026-01-15 00:00:00"),
+    ("2026-01-15 00:00:00", "2026-02-01 00:00:00"),
+    ("2026-02-01 00:00:00", None),
+)
+PCTB_LIST = (25.0, 50.0, 75.0)  # percentiles_bucket cut points
+MVP_WINDOW = 3                # moving_percentiles trailing window (buckets)
+MVP_PCT = 50.0                # moving_percentiles percentile
+RATE_UNIT = "hour"            # rate agg: day buckets re-expressed per hour
+CC_USER_MOD = 97              # synthetic user field: 'u' || (doc_id % 97)
+IDS_SET = tuple(range(0, 203, 7))   # ids query candidate list (29 ids)
+SPANOR_ALTS = "slow fast value"     # span_or alternative terms
+
+
+def _docs_with_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents + ts + a deterministic synthetic user field (cardinality
+    CC_USER_MOD) for cumulative_cardinality — computed identically in the
+    oracle SQL."""
+    return _docs_with_ts(spark, sf_dir).withColumn(
+        "usr", F.expr(f"concat('u', CAST(doc_id % {CC_USER_MOD} AS STRING))")
+    )
+
+
+def q_value_count_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # ES value_count metric agg: non-NULL field values over the match set
+    from igd_spark import value_count_agg
+
+    return value_count_agg(_docs_with_tool(spark, sf_dir), _queries_df(spark), VC_FIELD)
+
+
+def q_value_count_agg_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from igd_spark import value_count_agg_indexed
+
+    return value_count_agg_indexed(
+        spark, _built_index(spark, sf_dir), _docs_with_tool(spark, sf_dir),
+        _queries_df(spark), VC_FIELD,
+    )
+
+
+def q_global_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # ES global bucket agg: match-set size vs whole-corpus count
+    from igd_spark import global_agg
+
+    return global_agg(_docs(spark, sf_dir), _queries_df(spark))
+
+
+def q_date_range_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # ES date_range bucket agg: explicit [from, to) timestamp buckets
+    from igd_spark import date_range_agg
+
+    return date_range_agg(
+        _docs_with_ts(spark, sf_dir), _queries_df(spark), "ts", list(DR_RANGES)
+    )
+
+
+def q_date_range_agg_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from igd_spark import date_range_agg_indexed
+
+    return date_range_agg_indexed(
+        spark, _built_index(spark, sf_dir), _docs_with_ts(spark, sf_dir),
+        _queries_df(spark), "ts", list(DR_RANGES),
+    )
+
+
+def q_stats_bucket_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # ES stats_bucket sibling pipeline agg (subsumes avg/min/max/sum_bucket)
+    from igd_spark import stats_bucket_agg
+
+    return stats_bucket_agg(_dh_buckets(spark, sf_dir))
+
+
+def q_percentiles_bucket_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # ES percentiles_bucket sibling pipeline agg (exact == percentile_cont)
+    from igd_spark import percentiles_bucket_agg
+
+    return percentiles_bucket_agg(
+        _dh_buckets(spark, sf_dir), percents=list(PCTB_LIST), round_dp=6
+    )
+
+
+def q_moving_percentiles_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # ES moving_percentiles pipeline agg (exact variant, moving_fn window)
+    from igd_spark import moving_percentiles_agg
+
+    return moving_percentiles_agg(
+        _dh_buckets(spark, sf_dir), window=MVP_WINDOW, percent=MVP_PCT,
+        round_dp=6,
+    )
+
+
+def q_rate_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # ES rate agg: day-bucket doc counts re-expressed per hour
+    from igd_spark import rate_agg
+
+    return rate_agg(
+        _dh_buckets(spark, sf_dir), interval=DH_INTERVAL, unit=RATE_UNIT,
+        round_dp=6,
+    )
+
+
+def q_cumulative_cardinality_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # ES cumulative_cardinality: distinct users to date per day bucket,
+    # computed exactly via the first-appearance identity
+    from igd_spark import cumulative_cardinality_agg
+
+    return cumulative_cardinality_agg(
+        _docs_with_user(spark, sf_dir), _queries_df(spark), "ts", "usr",
+        interval=DH_INTERVAL,
+    )
+
+
+def q_cumulative_cardinality_agg_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from igd_spark import cumulative_cardinality_agg_indexed
+
+    return cumulative_cardinality_agg_indexed(
+        spark, _built_index(spark, sf_dir), _docs_with_user(spark, sf_dir),
+        _queries_df(spark), "ts", "usr", interval=DH_INTERVAL,
+    )
+
+
+def q_exists_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # ES exists query in filter context: docs whose field is non-NULL
+    from igd_spark import exists_bm25_topk
+
+    return exists_bm25_topk(
+        _docs_with_tool(spark, sf_dir), _queries_df(spark), VC_FIELD, k=K,
+        round_dp=6,
+    )
+
+
+def q_exists_bm25_topk_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from igd_spark import exists_bm25_topk_indexed
+
+    return exists_bm25_topk_indexed(
+        spark, _built_index(spark, sf_dir), _queries_df(spark),
+        _docs_with_tool(spark, sf_dir), VC_FIELD, k=K, round_dp=6,
+    )
+
+
+def q_ids_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # ES ids query in filter context: BM25 re-rank of an explicit shortlist
+    from igd_spark import ids_bm25_topk
+
+    return ids_bm25_topk(
+        _docs(spark, sf_dir), _queries_df(spark), list(IDS_SET), k=K,
+        round_dp=6,
+    )
+
+
+def q_ids_bm25_topk_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from igd_spark import ids_bm25_topk_indexed
+
+    return ids_bm25_topk_indexed(
+        spark, _built_index(spark, sf_dir), _queries_df(spark),
+        list(IDS_SET), k=K, round_dp=6,
+    )
+
+
+def q_span_or_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Lucene SpanOr inside SpanNear: anchor followed by ANY alternative
+    from igd_spark import span_or_match
+
+    return span_or_match(
+        _docs(spark, sf_dir), _spanc_queries(spark), SPANOR_ALTS,
+        span=SPANC_SPAN,
+    )
+
+
+def q_span_or_match_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from igd_spark import span_or_match_indexed
+
+    return span_or_match_indexed(
+        spark, _built_index(spark, sf_dir), _spanc_queries(spark),
+        SPANOR_ALTS, span=SPANC_SPAN,
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # ORDER IS THE DRIVER'S VERIFICATION ROTATION: the gate checks the
         # FIRST 50 entries per round, so entries lead in driver-staleness
         # order (never-driver-verified first, then least-recently green).
         # Re-rotate each round from CORRECTNESS_r{N}.json (VERDICT r4 #1).
+        "value_count_agg": q_value_count_agg,
+        "value_count_agg_indexed": q_value_count_agg_indexed,
+        "global_agg": q_global_agg,
+        "date_range_agg": q_date_range_agg,
+        "date_range_agg_indexed": q_date_range_agg_indexed,
+        "stats_bucket_agg": q_stats_bucket_agg,
+        "percentiles_bucket_agg": q_percentiles_bucket_agg,
+        "moving_percentiles_agg": q_moving_percentiles_agg,
+        "rate_agg": q_rate_agg,
+        "cumulative_cardinality_agg": q_cumulative_cardinality_agg,
+        "cumulative_cardinality_agg_indexed": q_cumulative_cardinality_agg_indexed,
+        "exists_bm25_topk": q_exists_bm25_topk,
+        "exists_bm25_topk_indexed": q_exists_bm25_topk_indexed,
+        "ids_bm25_topk": q_ids_bm25_topk,
+        "ids_bm25_topk_indexed": q_ids_bm25_topk_indexed,
+        "span_or_match": q_span_or_match,
+        "span_or_match_indexed": q_span_or_match_indexed,
         "hybrid_linear": q_hybrid_linear,
         "embedding_l2_topk": q_embedding_l2_topk,
         "embedding_mip_topk": q_embedding_mip_topk,
@@ -6380,5 +6581,165 @@ ranked AS (
   FROM scored)
 SELECT query_id, rank, doc_id, score FROM ranked WHERE rank <= {K}
 """
+
+
+    # ---- round-5 continuation tranche oracles ----
+    _M = ("m AS (SELECT DISTINCT qt.query_id, p.doc_id "
+          "FROM qterms qt JOIN post p USING (term))")
+    _TOOL = (f"t AS (SELECT doc_id, CASE WHEN doc_id % {MISSING_MOD} = 0 "
+             f"THEN NULL ELSE 'tool' || (doc_id % 3)::VARCHAR END AS tool "
+             f"FROM documents)")
+    _TSV = (f"tsv AS (SELECT doc_id, TIMESTAMP '2026-01-01 00:00:00' "
+            f"+ (doc_id % {DH_HOUR_MOD}) * INTERVAL 1 HOUR AS ts FROM documents)")
+
+    sql["value_count_agg"] = f"""
+WITH {_TL}, {_TOKS}, {_POST}, {_QT}, {_M}, {_TOOL}
+SELECT m.query_id, count(t.tool)::BIGINT AS value_count
+FROM m JOIN t USING (doc_id) WHERE t.tool IS NOT NULL GROUP BY 1
+"""
+    sql["value_count_agg_indexed"] = sql["value_count_agg"]
+
+    sql["global_agg"] = f"""
+WITH {_TL}, {_TOKS}, {_POST}, {_QT}, {_M}
+SELECT query_id, count(*)::BIGINT AS n_matched,
+       (SELECT count(*) FROM documents)::BIGINT AS n_global
+FROM m GROUP BY 1
+"""
+
+    _drvals = ", ".join(
+        "("
+        + ("NULL::TIMESTAMP" if lo is None else f"TIMESTAMP '{lo}'")
+        + ", "
+        + ("NULL::TIMESTAMP" if hi is None else f"TIMESTAMP '{hi}'")
+        + ")"
+        for lo, hi in DR_RANGES
+    )
+    sql["date_range_agg"] = f"""
+WITH {_TL}, {_TOKS}, {_POST}, {_QT}, {_M}, {_TSV},
+r(range_from, range_to) AS (VALUES {_drvals}),
+grid AS (SELECT DISTINCT query_id, range_from, range_to FROM q CROSS JOIN r),
+cnt AS (SELECT m.query_id, r.range_from, r.range_to, count(*)::BIGINT AS c
+        FROM m JOIN tsv USING (doc_id) JOIN r
+          ON (r.range_from IS NULL OR tsv.ts >= r.range_from)
+         AND (r.range_to IS NULL OR tsv.ts < r.range_to)
+        GROUP BY 1, 2, 3)
+SELECT g.query_id, g.range_from, g.range_to,
+       coalesce(c.c, 0)::BIGINT AS n_docs
+FROM grid g LEFT JOIN cnt c
+  ON g.query_id = c.query_id
+ AND g.range_from IS NOT DISTINCT FROM c.range_from
+ AND g.range_to IS NOT DISTINCT FROM c.range_to
+"""
+    sql["date_range_agg_indexed"] = sql["date_range_agg"]
+
+    _dh_sub2 = f"({sql['date_histogram_agg']})"
+    sql["stats_bucket_agg"] = f"""
+SELECT query_id, count(*)::BIGINT AS n_buckets,
+       min(n_docs::DOUBLE) AS min_v, max(n_docs::DOUBLE) AS max_v,
+       avg(n_docs::DOUBLE) AS avg_v, sum(n_docs::DOUBLE) AS sum_v
+FROM {_dh_sub2} dh GROUP BY 1
+"""
+    _pctb_parts = " UNION ALL ".join(
+        f"SELECT query_id, {p}::DOUBLE AS pct, "
+        f"round(quantile_cont(n_docs::DOUBLE, {p / 100.0}), 6)::DOUBLE AS value "
+        f"FROM dh GROUP BY query_id"
+        for p in PCTB_LIST
+    )
+    sql["percentiles_bucket_agg"] = f"""
+WITH dh AS {_dh_sub2}
+{_pctb_parts}
+"""
+    sql["moving_percentiles_agg"] = f"""
+SELECT query_id, bucket, n_docs,
+       round(quantile_cont(n_docs::DOUBLE, {MVP_PCT / 100.0})
+             OVER (PARTITION BY query_id ORDER BY bucket
+                   ROWS BETWEEN {MVP_WINDOW} PRECEDING AND 1 PRECEDING),
+             6) AS moving_pct
+FROM {_dh_sub2} dh
+"""
+    sql["rate_agg"] = f"""
+SELECT query_id, bucket, n_docs,
+       round(n_docs::DOUBLE * (3600.0 / 86400.0), 6) AS rate
+FROM {_dh_sub2} dh
+"""
+
+    sql["cumulative_cardinality_agg"] = f"""
+WITH {_TL}, {_TOKS}, {_POST}, {_QT}, {_M}, {_TSV},
+u AS (SELECT doc_id, 'u' || (doc_id % {CC_USER_MOD})::VARCHAR AS fv FROM documents),
+mb AS (SELECT m.query_id, m.doc_id,
+              date_trunc('{DH_INTERVAL}', tsv.ts)::TIMESTAMP AS bucket
+       FROM m JOIN tsv USING (doc_id)),
+parent AS (SELECT query_id, bucket, count(*)::BIGINT AS n_docs
+           FROM mb GROUP BY 1, 2),
+firsts AS (SELECT query_id, fv, min(bucket) AS fb
+           FROM mb JOIN u USING (doc_id) GROUP BY 1, 2),
+news AS (SELECT query_id, fb AS bucket, count(*)::BIGINT AS nn
+         FROM firsts GROUP BY 1, 2)
+SELECT p.query_id, p.bucket, p.n_docs,
+       sum(coalesce(n.nn, 0)) OVER (PARTITION BY p.query_id ORDER BY p.bucket
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT
+           AS cumulative_cardinality
+FROM parent p LEFT JOIN news n
+  ON n.query_id = p.query_id AND n.bucket = p.bucket
+"""
+    sql["cumulative_cardinality_agg_indexed"] = sql["cumulative_cardinality_agg"]
+
+    sql["exists_bm25_topk"] = f"""
+WITH {_TL}, {_TOKS}, {_POST}, {_DL}, {_CS}, {_TS}, {_QT}, {_TOOL},
+scored AS (
+  SELECT qt.query_id, p.doc_id, sum({{_W}}) AS s
+  FROM qterms qt JOIN ts USING (term) JOIN post p USING (term)
+  JOIN dl ON p.doc_id = dl.doc_id CROSS JOIN cs
+  WHERE p.doc_id IN (SELECT doc_id FROM t WHERE tool IS NOT NULL)
+  GROUP BY 1, 2),
+ranked AS (
+  SELECT query_id, doc_id, round(s, 6) AS score,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY round(s, 6) DESC, doc_id ASC)::INT AS rank
+  FROM scored)
+SELECT query_id, rank, doc_id, score FROM ranked WHERE rank <= {K}
+""".replace("{_W}", _W)
+    sql["exists_bm25_topk_indexed"] = sql["exists_bm25_topk"]
+
+    _idslist = ", ".join(str(i) for i in IDS_SET)
+    sql["ids_bm25_topk"] = f"""
+WITH {_TL}, {_TOKS}, {_POST}, {_DL}, {_CS}, {_TS}, {_QT},
+scored AS (
+  SELECT qt.query_id, p.doc_id, sum({{_W}}) AS s
+  FROM qterms qt JOIN ts USING (term) JOIN post p USING (term)
+  JOIN dl ON p.doc_id = dl.doc_id CROSS JOIN cs
+  WHERE p.doc_id IN ({_idslist})
+  GROUP BY 1, 2),
+ranked AS (
+  SELECT query_id, doc_id, round(s, 6) AS score,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY round(s, 6) DESC, doc_id ASC)::INT AS rank
+  FROM scored)
+SELECT query_id, rank, doc_id, score FROM ranked WHERE rank <= {K}
+""".replace("{_W}", _W)
+    sql["ids_bm25_topk_indexed"] = sql["ids_bm25_topk"]
+
+    _soalts = ", ".join(f"'{t}'" for t in SPANOR_ALTS.split())
+    _sovals = ", ".join(f"({q}::BIGINT, '{t}')" for q, t in SPANC_QUERY_SET)
+    sql["span_or_match"] = f"""
+WITH {_TL},
+pp AS (SELECT doc_id, i - 1 AS pos, tl[i] AS term
+       FROM (SELECT doc_id, tl, unnest(generate_series(1, len(tl))) AS i FROM tldocs)),
+sq(query_id, query_text) AS (VALUES {_sovals}),
+sqtl AS (SELECT query_id, list_filter(regexp_split_to_array(lower(query_text),
+         '[^a-z0-9]+'), x -> x <> '') AS tl FROM sq),
+b1 AS (SELECT query_id, tl[1] AS term FROM sqtl WHERE len(tl) >= 1),
+alts AS (SELECT DISTINCT query_id, unnest([{_soalts}]) AS term FROM sq),
+o1 AS (SELECT b1.query_id, pp.doc_id, pp.pos AS p1 FROM pp JOIN b1 USING (term)),
+o2 AS (SELECT alts.query_id, pp.doc_id, pp.pos AS p2 FROM pp JOIN alts USING (term)),
+pairs AS (SELECT o1.query_id, o1.doc_id
+          FROM o1 JOIN o2 ON o2.query_id = o1.query_id
+                         AND o2.doc_id = o1.doc_id
+                         AND o2.p2 > o1.p1
+                         AND o2.p2 <= o1.p1 + {SPANC_SPAN})
+SELECT query_id, doc_id, count(*)::BIGINT AS n_hits FROM pairs GROUP BY 1, 2
+"""
+    sql["span_or_match_indexed"] = sql["span_or_match"]
+
 
     return sql

@@ -98,6 +98,17 @@ __all__ = [
     "normalize_agg",
     "significant_text_agg",
     "significant_text_agg_indexed",
+    "value_count_agg",
+    "value_count_agg_indexed",
+    "global_agg",
+    "date_range_agg",
+    "date_range_agg_indexed",
+    "stats_bucket_agg",
+    "percentiles_bucket_agg",
+    "moving_percentiles_agg",
+    "rate_agg",
+    "cumulative_cardinality_agg",
+    "cumulative_cardinality_agg_indexed",
 ]
 
 
@@ -2242,3 +2253,365 @@ def significant_text_agg_indexed(
     matched_docs = docs.join(mm, docs[id_col] == mm["_mid"], "left_semi")
     fg_post = postings(matched_docs, text_col=text_col, id_col=id_col, conf=idx.conf)
     return _sig_epilogue(m, fg_post, idx.dictionary, idx.n_docs, k, min_fg, round_dp)
+
+
+# ---------------------------------------------------------------------------
+# value_count / global / date_range — the remaining first-order ES aggs.
+
+
+def value_count_agg(
+    docs: DataFrame,
+    queries: DataFrame,
+    field: str,
+    conf: IndexConf = DEFAULT_CONF,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """The ES ``value_count`` metric agg: per query, the number of
+    NON-NULL values of ``field`` across the match set (the companion to
+    `missing_agg`, which counts the NULL side; together they partition the
+    match set).  Output (query_id, value_count).
+
+    Scale: the field rides a two-column pushdown projection with an
+    IS NOT NULL filter the reader prunes on; the count is a map-side
+    partial agg on query_id — no corpus shuffle."""
+    m = _match_set(docs, queries, conf, text_col, id_col)
+    vals = docs.select(
+        F.col(id_col).alias("doc_id"), F.col(field).alias("fv")
+    ).filter(F.col("fv").isNotNull())
+    return (
+        m.join(vals, "doc_id")
+        .groupBy("query_id")
+        .agg(F.count("fv").cast("long").alias("value_count"))
+    )
+
+
+def value_count_agg_indexed(
+    spark,
+    idx,
+    docs: DataFrame,
+    queries: DataFrame,
+    field: str,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """`value_count_agg` with the match set from pruned index blocks."""
+    m = _indexed_match_set(spark, idx, queries)
+    vals = docs.select(
+        F.col(id_col).alias("doc_id"), F.col(field).alias("fv")
+    ).filter(F.col("fv").isNotNull())
+    return (
+        m.join(vals, "doc_id")
+        .groupBy("query_id")
+        .agg(F.count("fv").cast("long").alias("value_count"))
+    )
+
+
+def global_agg(
+    docs: DataFrame,
+    queries: DataFrame,
+    conf: IndexConf = DEFAULT_CONF,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """The ES ``global`` bucket agg: a bucket that IGNORES the query —
+    per query, the match-set size next to the whole-corpus doc count, the
+    "my results vs everything" denominator pair every relevance dashboard
+    computes.  Output (query_id, n_matched, n_global).
+
+    Scale: the global count is one all-NULL-grouping-set aggregate over a
+    zero-column projection (parquet answers it from footer row counts);
+    it enters the per-query frame as a broadcast 1-row cross join, never
+    a per-query rescan."""
+    m = _match_set(docs, queries, conf, text_col, id_col)
+    g = docs.agg(F.count("*").cast("long").alias("n_global"))
+    return (
+        m.groupBy("query_id")
+        .agg(F.count("*").cast("long").alias("n_matched"))
+        .crossJoin(F.broadcast(g))
+    )
+
+
+def _date_range_epilogue(
+    m: DataFrame, tsv: DataFrame, queries: DataFrame, ranges
+) -> DataFrame:
+    """Shared date_range roll-up: ranges is [(from, to), ...] of ISO
+    timestamp strings (None = open bound); from inclusive, to exclusive —
+    the ES contract.  Like `range_agg`, every requested (query, range)
+    bucket is emitted, zero counts included."""
+    if not ranges:
+        raise ValueError("ranges must be a non-empty list of (from, to)")
+    spark = m.sparkSession
+    rdf = spark.createDataFrame(
+        [(lo, hi) for lo, hi in ranges],
+        "range_from string, range_to string",
+    ).select(
+        F.col("range_from").cast("timestamp").alias("range_from"),
+        F.col("range_to").cast("timestamp").alias("range_to"),
+    )
+    j = m.join(tsv, "doc_id")
+    cond = (
+        (F.col("range_from").isNull() | (F.col("ts") >= F.col("range_from")))
+        & (F.col("range_to").isNull() | (F.col("ts") < F.col("range_to")))
+    )
+    counts = (
+        j.join(F.broadcast(rdf), cond)
+        .groupBy("query_id", "range_from", "range_to")
+        .agg(F.count("*").cast("long").alias("_c"))
+        .withColumnRenamed("query_id", "_qid")
+        .withColumnRenamed("range_from", "_rf")
+        .withColumnRenamed("range_to", "_rt")
+    )
+    grid = queries.select("query_id").distinct().crossJoin(F.broadcast(rdf))
+    out = grid.join(
+        counts,
+        (F.col("query_id") == F.col("_qid"))
+        & F.col("range_from").eqNullSafe(F.col("_rf"))
+        & F.col("range_to").eqNullSafe(F.col("_rt")),
+        "left",
+    )
+    return out.select(
+        "query_id", "range_from", "range_to",
+        F.coalesce(F.col("_c"), F.lit(0)).cast("long").alias("n_docs"),
+    )
+
+
+def date_range_agg(
+    docs: DataFrame,
+    queries: DataFrame,
+    ts_col: str,
+    ranges,
+    conf: IndexConf = DEFAULT_CONF,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """The ES ``date_range`` bucket agg: explicit [from, to) timestamp
+    buckets over the match set (the calendar sibling of `range_agg`;
+    ``ranges`` holds ISO strings or None for open bounds).  Output
+    (query_id, range_from, range_to, n_docs) with all requested buckets
+    present.
+
+    Scale: identical shape to `range_agg` — the timestamp rides a narrow
+    projection, the range table is a broadcast handful of rows, and the
+    count is a fine-keyed partial agg."""
+    m = _match_set(docs, queries, conf, text_col, id_col)
+    tsv = docs.select(
+        F.col(id_col).alias("doc_id"), F.col(ts_col).cast("timestamp").alias("ts")
+    )
+    return _date_range_epilogue(m, tsv, queries, ranges)
+
+
+def date_range_agg_indexed(
+    spark,
+    idx,
+    docs: DataFrame,
+    queries: DataFrame,
+    ts_col: str,
+    ranges,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """`date_range_agg` with the match set from pruned index blocks."""
+    m = _indexed_match_set(spark, idx, queries)
+    tsv = docs.select(
+        F.col(id_col).alias("doc_id"), F.col(ts_col).cast("timestamp").alias("ts")
+    )
+    return _date_range_epilogue(m, tsv, queries, ranges)
+
+
+# ---------------------------------------------------------------------------
+# Sibling pipeline aggs (stats_bucket / percentiles_bucket), the moving
+# percentile, the rate agg, and cumulative_cardinality — the rest of the
+# ES pipeline family.  Same contract as the window pipeline aggs above:
+# inputs are PARENT bucket frames (query_id, bucket, <metric>), outputs
+# reshape them; zero corpus work.
+
+
+def stats_bucket_agg(buckets: DataFrame, metric: str = "n_docs") -> DataFrame:
+    """The ES sibling pipeline aggs ``stats_bucket`` (and thereby
+    ``avg_bucket`` / ``min_bucket`` / ``max_bucket`` / ``sum_bucket``,
+    which are its projections): per query, stats of ``metric`` ACROSS the
+    parent's bucket list.  Output (query_id, n_buckets, min_v, max_v,
+    avg_v, sum_v) — one row per query."""
+    v = F.col(metric).cast("double")
+    return buckets.groupBy("query_id").agg(
+        F.count("*").cast("long").alias("n_buckets"),
+        F.min(v).alias("min_v"),
+        F.max(v).alias("max_v"),
+        F.avg(v).alias("avg_v"),
+        F.sum(v).alias("sum_v"),
+    )
+
+
+def percentiles_bucket_agg(
+    buckets: DataFrame,
+    metric: str = "n_docs",
+    percents: list[float] | None = None,
+    round_dp: int | None = None,
+) -> DataFrame:
+    """The ES ``percentiles_bucket`` sibling pipeline agg: exact linear-
+    interpolation percentiles of ``metric`` across the parent's per-query
+    bucket list.  Long-format output (query_id, pct, value), one row per
+    requested percentile."""
+    pcts = [float(p) for p in (percents or [25.0, 50.0, 75.0])]
+    if any(p < 0.0 or p > 100.0 for p in pcts):
+        raise ValueError(f"percents must lie in [0, 100], got {pcts}")
+    fracs = F.array(*[F.lit(p / 100.0) for p in pcts])
+    res = buckets.groupBy("query_id").agg(
+        F.percentile(F.col(metric).cast("double"), fracs).alias("_qs")
+    )
+    pairs = F.arrays_zip(
+        F.array(*[F.lit(p) for p in pcts]).alias("pct"),
+        F.col("_qs").alias("value"),
+    )
+    out = res.select("query_id", F.explode(pairs).alias("_z")).select(
+        "query_id",
+        F.col("_z.pct").cast("double").alias("pct"),
+        F.col("_z.value").cast("double").alias("value"),
+    )
+    if round_dp is not None:
+        out = out.withColumn("value", F.round("value", round_dp))
+    return out
+
+
+def moving_percentiles_agg(
+    buckets: DataFrame,
+    metric: str = "n_docs",
+    window: int = 3,
+    shift: int = 0,
+    percent: float = 50.0,
+    order_col: str = "bucket",
+    round_dp: int | None = None,
+) -> DataFrame:
+    """The ES ``moving_percentiles`` pipeline agg (exact variant): a
+    sliding exact percentile of ``metric`` over the trailing ``window``
+    buckets, with `moving_fn_agg`'s window convention (shift=0 → the
+    ``window`` buckets BEFORE the current one, exclusive; empty window →
+    NULL).  ES computes it over merged TDigests; over the tiny per-query
+    bucket series the exact percentile is both cheaper and deterministic,
+    which is what the oracle needs."""
+    if not 0.0 <= percent <= 100.0:
+        raise ValueError(f"percent must lie in [0, 100], got {percent}")
+    if window < 1:
+        raise ValueError("window must be >= 1")
+    lo, hi = -window + shift, -1 + shift
+    w = _series_window(order_col).rowsBetween(lo, hi)
+    out = buckets.withColumn(
+        "moving_pct",
+        F.percentile(F.col(metric).cast("double"), F.lit(percent / 100.0)).over(w),
+    )
+    if round_dp is not None:
+        out = out.withColumn("moving_pct", F.round("moving_pct", round_dp))
+    return out
+
+
+_RATE_UNIT_SECONDS = {
+    "second": 1.0,
+    "minute": 60.0,
+    "hour": 3600.0,
+    "day": 86400.0,
+    "week": 604800.0,
+}
+
+
+def rate_agg(
+    buckets: DataFrame,
+    interval: str = "day",
+    unit: str = "hour",
+    metric: str = "n_docs",
+    round_dp: int | None = None,
+) -> DataFrame:
+    """The ES ``rate`` agg inside a date_histogram: the bucket's metric
+    re-expressed per ``unit`` of time (docs/hour inside day buckets, etc).
+    Fixed-width intervals only — the ES rate agg itself rejects calendar
+    units without a fixed length (month/quarter/year), and so does this.
+    Adds ``rate`` = metric * unit_seconds / interval_seconds."""
+    for name, val in (("interval", interval), ("unit", unit)):
+        if val not in _RATE_UNIT_SECONDS:
+            raise ValueError(
+                f"{name} must be one of {sorted(_RATE_UNIT_SECONDS)}, got {val!r}"
+            )
+    factor = _RATE_UNIT_SECONDS[unit] / _RATE_UNIT_SECONDS[interval]
+    out = buckets.withColumn(
+        "rate", F.col(metric).cast("double") * F.lit(factor)
+    )
+    if round_dp is not None:
+        out = out.withColumn("rate", F.round("rate", round_dp))
+    return out
+
+
+def _cum_card_epilogue(
+    m: DataFrame, docs: DataFrame, ts_col: str, field: str,
+    interval: str, id_col: str,
+) -> DataFrame:
+    tsb = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.date_trunc(interval, F.col(ts_col)).alias("bucket"),
+    )
+    fv = docs.select(
+        F.col(id_col).alias("doc_id"), F.col(field).alias("fv")
+    ).filter(F.col("fv").isNotNull())
+    mb = m.select("query_id", "doc_id").join(tsb, "doc_id")
+    parent = mb.groupBy("query_id", "bucket").agg(
+        F.count("*").cast("long").alias("n_docs")
+    )
+    firsts = (
+        mb.join(fv, "doc_id")
+        .groupBy("query_id", "fv")
+        .agg(F.min("bucket").alias("_fb"))
+        .groupBy("query_id", F.col("_fb").alias("_b"))
+        .agg(F.count("*").cast("long").alias("_new"))
+    )
+    joined = parent.join(
+        firsts,
+        (parent["query_id"] == firsts["query_id"])
+        & (parent["bucket"] == firsts["_b"]),
+        "left",
+    ).select(parent["query_id"], "bucket", "n_docs", "_new")
+    w = _series_window("bucket").rowsBetween(Window.unboundedPreceding, 0)
+    return joined.withColumn(
+        "cumulative_cardinality",
+        F.sum(F.coalesce(F.col("_new"), F.lit(0))).over(w).cast("long"),
+    ).drop("_new")
+
+
+def cumulative_cardinality_agg(
+    docs: DataFrame,
+    queries: DataFrame,
+    ts_col: str,
+    field: str,
+    interval: str = "day",
+    conf: IndexConf = DEFAULT_CONF,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """The ES ``cumulative_cardinality`` pipeline agg: over a
+    date_histogram parent, the number of DISTINCT ``field`` values seen in
+    buckets <= each bucket ("new users to date").  Computed exactly: each
+    value contributes at its FIRST bucket (a min-bucket agg on the fine
+    (query_id, value) key), and the running sum of first-appearances IS
+    the cumulative distinct count — no per-bucket re-dedup, no growing
+    state.  Output (query_id, bucket, n_docs, cumulative_cardinality).
+
+    Scale: ES merges HLL sketches bucket-by-bucket and answers
+    approximately; the first-appearance identity gives the exact answer
+    with one extra fine-keyed agg, the same trick exact-distinct rollups
+    use at warehouse scale.  The window runs over the tiny per-query
+    bucket series."""
+    m = _match_set(docs, queries, conf, text_col, id_col)
+    return _cum_card_epilogue(m, docs, ts_col, field, interval, id_col)
+
+
+def cumulative_cardinality_agg_indexed(
+    spark,
+    idx,
+    docs: DataFrame,
+    queries: DataFrame,
+    ts_col: str,
+    field: str,
+    interval: str = "day",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """`cumulative_cardinality_agg` with the match set from pruned index
+    blocks (timestamps and the field still ride narrow ``docs``
+    projections — the index stores no attributes)."""
+    m = _indexed_match_set(spark, idx, queries)
+    return _cum_card_epilogue(m, docs, ts_col, field, interval, id_col)

@@ -4084,3 +4084,100 @@ def match_bool_prefix_topk_indexed(
     )
     scored = _indexed_scored(spark, idx, queries, qterms=exp_local)
     return rank_topk(_maybe_round(scored, round_dp), k)
+
+
+def exists_bm25_topk(
+    docs: DataFrame,
+    queries: DataFrame,
+    field: str,
+    k: int = 10,
+    conf: IndexConf = DEFAULT_CONF,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    round_dp: int | None = None,
+) -> DataFrame:
+    """The ES ``exists`` query as a filter context: BM25 top-k restricted
+    to docs whose ``field`` is non-NULL (the "has metadata" guard every
+    structured-search UI puts in front of retrieval).  A special case of
+    `filtered_bm25_topk`, kept as its own surface because engines expose
+    it as its own query type and because IS NOT NULL pushes to the parquet
+    reader as a null-count stats prune — row groups that are all-NULL for
+    the field are skipped without decoding."""
+    return filtered_bm25_topk(
+        docs, queries, F.col(field).isNotNull(), k=k, conf=conf,
+        text_col=text_col, id_col=id_col, round_dp=round_dp,
+    )
+
+
+def exists_bm25_topk_indexed(
+    spark,
+    idx,
+    queries: DataFrame,
+    docs: DataFrame,
+    field: str,
+    k: int = 10,
+    id_col: str = "doc_id",
+    round_dp: int | None = None,
+) -> DataFrame:
+    """`exists_bm25_topk` over a persisted index: scores come from pruned
+    postings blocks; the existence test is a one-column null-pruned scan
+    of ``docs`` semi-joined below the score agg."""
+    return filtered_bm25_topk_indexed(
+        spark, idx, queries, docs, F.col(field).isNotNull(), k=k,
+        id_col=id_col, round_dp=round_dp,
+    )
+
+
+def _ids_frame(spark, ids) -> DataFrame:
+    if isinstance(ids, DataFrame):
+        return ids.select(F.col(ids.columns[0]).cast("long").alias("doc_id"))
+    ids = [int(i) for i in ids]
+    if not ids:
+        raise ValueError("ids must be a non-empty id list")
+    return spark.createDataFrame([(i,) for i in ids], "doc_id long")
+
+
+def ids_bm25_topk(
+    docs: DataFrame,
+    queries: DataFrame,
+    ids,
+    k: int = 10,
+    conf: IndexConf = DEFAULT_CONF,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    round_dp: int | None = None,
+) -> DataFrame:
+    """The ES ``ids`` query in filter context: BM25 top-k over an explicit
+    candidate id list (re-rank a shortlist someone else produced — a
+    vector retriever, an editorial set, a previous page).  ``ids`` is a
+    Python list or a one-column DataFrame.  Corpus statistics stay global,
+    like every filter.
+
+    Scale: the id set broadcasts (it is query-sized by definition) and
+    semi-joins the postings BELOW the score agg, so scoring work is
+    O(|ids| x query terms), independent of corpus size."""
+    allowed = _ids_frame(docs.sparkSession, ids)
+    post, ds, n_docs, avgdl = _corpus_parts(docs, conf, text_col, id_col)
+    qt = query_terms(queries)
+    ts = term_stats(post)
+    qt_idf = qt.join(ts, "term").withColumn("idf", idf_col(n_docs, "df"))
+    post_f = post.join(F.broadcast(allowed), "doc_id", "left_semi")
+    return rank_topk(
+        _maybe_round(_score_terms(post_f, ds, avgdl, qt_idf, conf), round_dp), k
+    )
+
+
+def ids_bm25_topk_indexed(
+    spark,
+    idx,
+    queries: DataFrame,
+    ids,
+    k: int = 10,
+    round_dp: int | None = None,
+) -> DataFrame:
+    """`ids_bm25_topk` over a persisted index — the cheapest indexed
+    filter there is: no docs-table scan at all, just the broadcast id set
+    semi-joined against the pruned blocks."""
+    allowed = _ids_frame(spark, ids)
+    scored = _indexed_scored(spark, idx, queries, allowed=allowed)
+    return rank_topk(_maybe_round(scored, round_dp), k)

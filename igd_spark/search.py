@@ -2466,3 +2466,103 @@ def span_within_match_indexed(
     """`span_within_match` off the persisted positional index."""
     spans, lo = _span_pair_sets_indexed(spark, idx, queries, little, span)
     return _span_within_epilogue(spans, lo)
+
+
+def _alt_queries(queries: DataFrame, alternatives) -> DataFrame:
+    """(query_id, query_text) frame for the OR side of `span_or_match`:
+    a plain string of space-separated alternative terms applies to every
+    query; a DataFrame must carry (query_id, alt_text)."""
+    if isinstance(alternatives, str):
+        return queries.select(
+            "query_id", F.lit(alternatives).alias("query_text")
+        )
+    return alternatives.select(
+        "query_id", F.col("alt_text").alias("query_text")
+    )
+
+
+def _span_or_epilogue(
+    occ: DataFrame, b1: DataFrame, alts: DataFrame, span: int
+) -> DataFrame:
+    """Shared tail of both span_or paths: ordered (anchor, any-alt) pairs
+    within ``span``, counted per (query_id, doc_id).  The alternatives
+    arrive as ONE occurrence stream (the SpanOr union), so a position
+    matched by two alternative terms would pair twice only if two distinct
+    terms occupied one position — impossible in a token stream — making
+    the pair count well-defined without dedup."""
+    cols = ["query_id", "term"] if "query_id" in occ.columns else ["term"]
+    o1 = occ.join(F.broadcast(b1), cols).select(
+        "query_id", "doc_id", F.col("pos").alias("p1")
+    )
+    o2 = occ.join(F.broadcast(alts), cols).select(
+        F.col("query_id").alias("_q2"),
+        F.col("doc_id").alias("_d2"),
+        F.col("pos").alias("p2"),
+    )
+    pairs = o1.join(
+        o2,
+        (F.col("query_id") == F.col("_q2"))
+        & (F.col("doc_id") == F.col("_d2"))
+        & (F.col("p2") > F.col("p1"))
+        & (F.col("p2") <= F.col("p1") + F.lit(span)),
+    )
+    return pairs.groupBy("query_id", "doc_id").agg(
+        F.count("*").cast("long").alias("n_hits")
+    )
+
+
+def span_or_match(
+    docs: DataFrame,
+    queries: DataFrame,
+    alternatives,
+    span: int = 8,
+    conf: IndexConf = DEFAULT_CONF,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """The Lucene SpanOrQuery surface, in its canonical composition — a
+    SpanNear whose second clause is the OR of several terms: per doc, the
+    number of ordered pairs (anchor, alt) where ``anchor`` is the query's
+    first token and ``alt`` is ANY of the ``alternatives`` occurring
+    within ``span`` positions after it ("error followed closely by
+    timeout OR refused OR reset").  ``alternatives`` is a space-separated
+    string (all queries) or a (query_id, alt_text) frame.  Output
+    (query_id, doc_id, n_hits); docs with no pair are absent.
+
+    Scale: the OR union is formed by one broadcast term join over ONE
+    shared occurrence stream — k alternatives add k dictionary rows, not
+    k corpus scans; pairs form on the fine (query_id, doc_id) hash key
+    with the distance test as a residual, per-doc work bounded by the
+    occurrence-list product exactly like the other span operators."""
+    if span < 1:
+        raise ValueError(f"span must be >= 1, got {span}")
+    occ = positional_postings(docs, text_col=text_col, id_col=id_col, conf=conf)
+    b1, _ = _span_pair_parts(queries, conf.token_split_re)
+    alts = query_terms(_alt_queries(queries, alternatives)).dropDuplicates(
+        ["query_id", "term"]
+    )
+    return _span_or_epilogue(occ, b1, alts, span)
+
+
+def span_or_match_indexed(
+    spark: SparkSession,
+    idx: InvertedIndex,
+    queries,
+    alternatives,
+    span: int = 8,
+) -> DataFrame:
+    """`span_or_match` off the persisted positional index: one pruned
+    positional enumeration over anchor + all alternatives together (one
+    shard-pruned In(term_id) scan, one driver prologue); the corpus table
+    is never in the plan."""
+    if isinstance(queries, (pd.DataFrame, list, tuple)):
+        queries = _materialize_local_queries(spark, queries)
+    if span < 1:
+        raise ValueError(f"span must be >= 1, got {span}")
+    b1, _ = _span_pair_parts(queries, idx.conf.token_split_re)
+    alts = query_terms(_alt_queries(queries, alternatives)).dropDuplicates(
+        ["query_id", "term"]
+    )
+    all_terms = b1.unionByName(alts).dropDuplicates(["query_id", "term"])
+    occ = positional_enumerate(spark, idx, queries, terms=all_terms)
+    return _span_or_epilogue(occ, b1, alts, span)
