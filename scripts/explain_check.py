@@ -806,6 +806,95 @@ def main() -> int:
             f"scanned schemas: {schemas}",
         )
 
+    # round-5b tranche: exists/ids filters, span_or, value_count /
+    # date_range / cumulative_cardinality indexed aggs — all must score
+    # from pruned blocks; doc attributes ride narrow corpus projections
+    # (never the text column); span_or reads pruned positional blocks.
+    from pyspark.sql import functions as F
+
+    from igd_spark import (
+        cumulative_cardinality_agg_indexed,
+        date_range_agg_indexed,
+        exists_bm25_topk_indexed,
+        ids_bm25_topk_indexed,
+        span_or_match_indexed,
+        value_count_agg_indexed,
+    )
+
+    docs_attr = docs.withColumn(
+        "tool",
+        F.expr("CASE WHEN doc_id % 7 = 0 THEN NULL ELSE 'tool1' END"),
+    ).withColumn(
+        "ts",
+        F.expr(
+            "timestampadd(HOUR, CAST(abs(doc_id) % 200 AS INT), "
+            "TIMESTAMP'2026-01-01 00:00:00')"
+        ),
+    )
+    explan = fmt(exists_bm25_topk_indexed(spark, idx, ql_q, docs_attr, "tool"))
+    assert_pruned_scan("exists_bm25_topk_indexed scan", explan)
+    ex_schemas = re.findall(r"ReadSchema: struct<([^>]*)>", explan)
+    check(
+        "exists_bm25_topk_indexed never scans the corpus text",
+        bool(ex_schemas) and not any("text:" in s for s in ex_schemas),
+        f"scanned schemas: {ex_schemas}",
+    )
+
+    idplan = fmt(ids_bm25_topk_indexed(spark, idx, ql_q, [1, 2, 3]))
+    assert_pruned_scan("ids_bm25_topk_indexed scan", idplan)
+    id_schemas = re.findall(r"ReadSchema: struct<([^>]*)>", idplan)
+    check(
+        "ids_bm25_topk_indexed touches no docs table at all",
+        bool(id_schemas) and not any("text:" in s for s in id_schemas),
+        f"scanned schemas: {id_schemas}",
+    )
+
+    vcplan = fmt(value_count_agg_indexed(spark, idx, docs_attr, ql_q, "tool"))
+    assert_pruned_scan("value_count_agg_indexed scan", vcplan)
+    vc_schemas = re.findall(r"ReadSchema: struct<([^>]*)>", vcplan)
+    check(
+        "value_count_agg_indexed never scans the corpus text",
+        bool(vc_schemas) and not any("text:" in s for s in vc_schemas),
+        f"scanned schemas: {vc_schemas}",
+    )
+
+    drplan = fmt(date_range_agg_indexed(
+        spark, idx, docs_attr, ql_q, "ts",
+        [(None, "2026-01-05 00:00:00"), ("2026-01-05 00:00:00", None)],
+    ))
+    assert_pruned_scan("date_range_agg_indexed scan", drplan)
+    check(
+        "date_range_agg_indexed: broadcast range grid, no cartesian",
+        "CartesianProduct" not in drplan,
+    )
+
+    ccplan = fmt(cumulative_cardinality_agg_indexed(
+        spark, idx, docs_attr.withColumn("usr", F.expr("'u1'")),
+        ql_q, "ts", "usr",
+    ))
+    assert_pruned_scan("cumulative_cardinality_agg_indexed scan", ccplan)
+    cc_schemas = re.findall(r"ReadSchema: struct<([^>]*)>", ccplan)
+    check(
+        "cumulative_cardinality_agg_indexed never scans the corpus text",
+        bool(cc_schemas) and not any("text:" in s for s in cc_schemas),
+        f"scanned schemas: {cc_schemas}",
+    )
+
+    soplan = fmt(span_or_match_indexed(
+        spark, pidx, sc_q, "refused reset", span=6
+    ))
+    assert_pruned_scan("span_or_match_indexed scan", soplan)
+    so_schemas = re.findall(r"ReadSchema: struct<([^>]*)>", soplan)
+    check(
+        "span_or_match_indexed never scans the corpus text",
+        bool(so_schemas) and not any("text:" in s for s in so_schemas),
+        f"scanned schemas: {so_schemas}",
+    )
+    check(
+        "span_or_match_indexed: pair formation on hash join, no cartesian",
+        "CartesianProduct" not in soplan,
+    )
+
     n_fail = sum(1 for _, ok, _ in checks if not ok)
     print(f"\n{len(checks) - n_fail}/{len(checks)} plan checks passed")
     return 1 if n_fail else 0
