@@ -3254,12 +3254,48 @@ def q_span_or_match_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+PASSAGE_CHUNK = 16            # passage retrieval: token window size
+PASSAGE_OVERLAP = 4           # ... and window overlap (step = 12)
+HOLDOUT_FRAC = 0.05           # train/holdout split fraction
+HOLDOUT_SEED = 11             # ... and hash seed
+
+
+def q_passage_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # max-passage doc ranking: best chunk per doc under chunk-level BM25
+    from igd_spark import passage_bm25_topk
+
+    return passage_bm25_topk(
+        _docs(spark, sf_dir), _queries_df(spark), k=K,
+        chunk_tokens=PASSAGE_CHUNK, overlap=PASSAGE_OVERLAP, round_dp=6,
+    )
+
+
+def q_bigram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # corpus bigram MLE perplexity: the word-order-aware gibberish score
+    from igd_spark import bigram_perplexity
+
+    return bigram_perplexity(_docs(spark, sf_dir), round_dp=6)
+
+
+def q_train_holdout_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # deterministic hash train/holdout assignment (growth-stable)
+    from igd_spark import train_holdout_split
+
+    return train_holdout_split(
+        _docs(spark, sf_dir), holdout_frac=HOLDOUT_FRAC, seed=HOLDOUT_SEED
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # ORDER IS THE DRIVER'S VERIFICATION ROTATION: the gate checks the
         # FIRST 50 entries per round, so entries lead in driver-staleness
         # order (never-driver-verified first, then least-recently green).
         # Re-rotate each round from CORRECTNESS_r{N}.json (VERDICT r4 #1).
+        "passage_bm25_topk": q_passage_bm25_topk,
+        "bigram_perplexity": q_bigram_perplexity,
+        "train_holdout_split": q_train_holdout_split,
         "value_count_agg": q_value_count_agg,
         "value_count_agg_indexed": q_value_count_agg_indexed,
         "global_agg": q_global_agg,
@@ -6740,6 +6776,69 @@ pairs AS (SELECT o1.query_id, o1.doc_id
 SELECT query_id, doc_id, count(*)::BIGINT AS n_hits FROM pairs GROUP BY 1, 2
 """
     sql["span_or_match_indexed"] = sql["span_or_match"]
+
+
+
+    _pstep = PASSAGE_CHUNK - PASSAGE_OVERLAP
+    sql["passage_bm25_topk"] = f"""
+WITH {_TL}, {_QT},
+ch AS (SELECT doc_id, i AS chunk_id,
+              tl[i * {_pstep} + 1 : i * {_pstep} + {PASSAGE_CHUNK}] AS ctl
+       FROM (SELECT doc_id, tl,
+                    unnest(generate_series(0,
+                      CASE WHEN len(tl) <= 0 THEN -1
+                           ELSE ceil(greatest(len(tl) - {PASSAGE_CHUNK}, 0)
+                                     / {_pstep}::DOUBLE)::INT END)) AS i
+             FROM tldocs)),
+cpost AS (SELECT doc_id, chunk_id, term, count(*)::INT AS tf
+          FROM (SELECT doc_id, chunk_id, unnest(ctl) AS term FROM ch)
+          GROUP BY 1, 2, 3),
+cdl AS (SELECT doc_id, chunk_id, len(ctl)::INT AS dl FROM ch),
+ccs AS (SELECT count(*)::BIGINT AS n_chunks,
+               (sum(dl)::DOUBLE / count(*)) AS avgdl FROM cdl),
+cts AS (SELECT term, count(*)::BIGINT AS df FROM cpost GROUP BY 1),
+scored AS (
+  SELECT qt.query_id, p.doc_id, p.chunk_id,
+         sum( ln((ccs.n_chunks - cts.df + 0.5) / (cts.df + 0.5) + 1.0)
+              * p.tf * {K1 + 1.0}
+              / (p.tf + {K1} * (1.0 - {B} + {B} * cdl.dl / ccs.avgdl)) ) AS s
+  FROM qterms qt JOIN cts USING (term) JOIN cpost p USING (term)
+  JOIN cdl ON p.doc_id = cdl.doc_id AND p.chunk_id = cdl.chunk_id
+  CROSS JOIN ccs
+  GROUP BY 1, 2, 3),
+best AS (
+  SELECT query_id, doc_id, chunk_id, round(s, 6) AS score,
+         row_number() OVER (PARTITION BY query_id, doc_id
+                            ORDER BY round(s, 6) DESC, chunk_id ASC) AS rn
+  FROM scored),
+ranked AS (
+  SELECT query_id, doc_id, chunk_id, score,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY score DESC, doc_id ASC)::INT AS rank
+  FROM best WHERE rn = 1)
+SELECT query_id, rank, doc_id, chunk_id, score FROM ranked WHERE rank <= {K}
+"""
+
+    sql["bigram_perplexity"] = f"""
+WITH {_TL},
+bg AS (SELECT doc_id, tl[i] AS w1, tl[i + 1] AS w2
+       FROM (SELECT doc_id, tl, unnest(generate_series(1, len(tl) - 1)) AS i
+             FROM tldocs)),
+c2 AS (SELECT w1, w2, count(*)::BIGINT AS c2 FROM bg GROUP BY 1, 2),
+c1 AS (SELECT w1, sum(c2)::BIGINT AS c1 FROM c2 GROUP BY 1)
+SELECT bg.doc_id, count(*)::BIGINT AS n_bigrams,
+       round(exp(-sum(ln(c2.c2::DOUBLE / c1.c1)) / count(*)), 6)::DOUBLE AS ppl
+FROM bg JOIN c2 USING (w1, w2) JOIN c1 USING (w1)
+GROUP BY 1
+"""
+
+    _ho_thr = int(HOLDOUT_FRAC * float(1 << 60))
+    _ho_h = _H60.format(expr=f"('{HOLDOUT_SEED}:' || doc_id::VARCHAR)")
+    sql["train_holdout_split"] = f"""
+SELECT doc_id,
+       CASE WHEN {_ho_h} < {_ho_thr} THEN 'holdout' ELSE 'train' END AS split
+FROM documents
+"""
 
 
     return sql

@@ -324,3 +324,53 @@ def unigram_perplexity(
         .cast("double").alias("ppl"),
     )
     return out
+
+
+def bigram_perplexity(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    round_dp: int | None = None,
+) -> DataFrame:
+    """Per-document perplexity under the corpus bigram MLE language model
+    — one order up from `unigram_perplexity`, and the better
+    boilerplate/gibberish separator because it scores LOCAL word order
+    (a bag of plausible words in an implausible order is invisible to the
+    unigram model): (doc_id, n_bigrams, ppl) with
+    ppl = exp(-(1/m) Σ ln p(w_i | w_{i-1})), p = c(w_{i-1} w_i) / c1(w_{i-1}),
+    where c counts corpus bigram occurrences and c1(w) counts occurrences
+    of w as a bigram LEFT context (i.e. excluding doc-final positions, so
+    Σ_y c(w, y) = c1(w) and the model normalizes exactly).  MLE has no
+    zeros by construction — every scored bigram was counted.  Docs with
+    fewer than 2 tokens have no bigrams and yield no row.
+
+    Scale: the bigram stream is a zero-shuffle JVM zip of the token array
+    with its own tail; corpus counts are one map-side-combined agg keyed
+    (w1, w2) (bigram-vocab-sized); scoring is a join on the same key plus
+    a doc_id hash agg — the same shuffle class as the unigram scorer, just
+    on a wider key."""
+    toks = nonempty_tokens(F.coalesce(F.col(text_col), F.lit("")))
+    n = F.size(toks)
+    bigrams = F.zip_with(
+        F.slice(toks, 1, F.greatest(n - 1, F.lit(0))),
+        F.slice(toks, 2, F.greatest(n - 1, F.lit(0))),
+        lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+    )
+    bg = (
+        docs.select(F.col(id_col).alias("doc_id"), bigrams.alias("_bgs"))
+        .select("doc_id", F.explode("_bgs").alias("_bg"))
+        .select("doc_id", F.col("_bg.w1").alias("w1"), F.col("_bg.w2").alias("w2"))
+    )
+    c2 = bg.groupBy("w1", "w2").agg(F.count("*").cast("long").alias("c2"))
+    c1 = c2.groupBy("w1").agg(F.sum("c2").cast("long").alias("c1"))
+    j = bg.join(c2, ["w1", "w2"]).join(c1, "w1")
+    scored = j.groupBy("doc_id").agg(
+        F.sum(F.log(F.col("c2") / F.col("c1"))).alias("_lp"),
+        F.count("*").cast("long").alias("n_bigrams"),
+    )
+    ppl = F.exp(-F.col("_lp") / F.col("n_bigrams"))
+    return scored.select(
+        "doc_id", "n_bigrams",
+        (F.round(ppl, round_dp) if round_dp is not None else ppl)
+        .cast("double").alias("ppl"),
+    )

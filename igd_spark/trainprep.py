@@ -486,3 +486,35 @@ def resample_to_mix(
     return sample_stratified(
         docs, fractions, seed=seed, strat_col=strat_col, id_col=id_col
     )
+
+
+def train_holdout_split(
+    docs: DataFrame,
+    holdout_frac: float = 0.01,
+    seed: int = 42,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(doc_id, split) — deterministic train/holdout assignment by hashed
+    doc id: split = 'holdout' iff h60(seed:doc_id) < frac·2^60, else
+    'train'.  The last stage of every pretraining-data pipeline: the
+    holdout must be (a) disjoint, (b) reproducible run-to-run and
+    machine-to-machine (no RNG state, no sampling order dependence — the
+    assignment is a pure function of (seed, doc_id)), and (c) stable
+    under corpus growth: adding new docs never moves an existing doc
+    across the boundary, so yesterday's eval set is still untouched by
+    today's training run.  Change ``seed`` to draw a fresh, independent
+    boundary.
+
+    Scale: one zero-shuffle JVM projection (md5 + compare); no count, no
+    sort, no sampling pass.  Compose with `sample_stratified` when the
+    holdout must hit per-domain quotas instead of a global fraction."""
+    if not 0.0 <= holdout_frac <= 1.0:
+        raise ValueError(f"holdout_frac must lie in [0, 1], got {holdout_frac}")
+    thr = int(holdout_frac * float(1 << 60))
+    u = h60_col(F.concat(F.lit(f"{seed}:"), F.col(id_col).cast("string")))
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.when(u < F.lit(thr), F.lit("holdout"))
+        .otherwise(F.lit("train"))
+        .alias("split"),
+    )

@@ -1,0 +1,109 @@
+"""passage retrieval, bigram perplexity, train/holdout split (round-5b)."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+
+from igd_spark import bigram_perplexity, passage_bm25_topk, train_holdout_split
+
+
+def _queries(spark, rows):
+    return spark.createDataFrame(rows, "query_id long, query_text string")
+
+
+def test_passage_finds_buried_needle_chunk(spark):
+    filler = " ".join(f"w{i % 23}" for i in range(60))
+    needle = "needle haystack needle"
+    docs = spark.createDataFrame(
+        [
+            (1, filler + " " + needle + " " + filler),  # needle at ~pos 60
+            (2, filler + " " + filler),                 # no needle
+            (3, needle),                                # short pure-needle doc
+        ],
+        "doc_id long, text string",
+    )
+    out = passage_bm25_topk(
+        docs, _queries(spark, [(0, "needle")]), k=3, chunk_tokens=16, overlap=4
+    ).collect()
+    got = {r["doc_id"]: r for r in out}
+    assert 2 not in got
+    assert set(got) == {1, 3}
+    # doc 1's winning chunk must be one covering token ~60-62 (step 12)
+    c = got[1]["chunk_id"]
+    lo, hi = c * 12, c * 12 + 16
+    assert lo <= 62 and hi >= 60, f"winning chunk [{lo},{hi}) misses the needle"
+    # the short doc's only chunk is 0
+    assert got[3]["chunk_id"] == 0
+
+
+def test_passage_chunk_stats_not_doc_stats(spark):
+    # two docs, same tf for 'x', but one doc long (needle diluted at the
+    # doc level, not at the chunk level): chunk scoring must not penalize
+    # the long doc's tight chunk for the rest of the doc's length
+    tight = "x x x"
+    docs = spark.createDataFrame(
+        [(1, " ".join(["pad"] * 48) + " " + tight), (2, tight)],
+        "doc_id long, text string",
+    )
+    out = passage_bm25_topk(
+        docs, _queries(spark, [(0, "x")]), k=2, chunk_tokens=4, overlap=0,
+        round_dp=6,
+    ).collect()
+    scores = {r["doc_id"]: r["score"] for r in out}
+    # doc 1 has a chunk that is (pad x x x) or (x x x) -> near doc 2's
+    assert scores[1] == pytest.approx(scores[2], rel=0.35)
+
+
+def test_bigram_perplexity_hand_computed(spark):
+    # corpus: "a b a b" (doc 1), "a b" (doc 2)
+    # bigrams: d1: (a,b),(b,a),(a,b); d2: (a,b)
+    # c2: (a,b)=3, (b,a)=1 ; c1: a=3, b=1
+    # d1: lp = ln(3/3)+ln(1/1)+ln(3/3) = 0 -> ppl = exp(0) = 1
+    # d2: lp = ln(3/3) = 0 -> ppl = 1
+    docs = spark.createDataFrame(
+        [(1, "a b a b"), (2, "a b")], "doc_id long, text string"
+    )
+    out = {r["doc_id"]: r for r in bigram_perplexity(docs).collect()}
+    assert out[1]["n_bigrams"] == 3 and out[2]["n_bigrams"] == 1
+    assert out[1]["ppl"] == pytest.approx(1.0)
+    assert out[2]["ppl"] == pytest.approx(1.0)
+    # now make one bigram rare: "a c" once among a-contexts
+    docs2 = spark.createDataFrame(
+        [(1, "a b a b"), (2, "a c")], "doc_id long, text string"
+    )
+    out2 = {r["doc_id"]: r for r in bigram_perplexity(docs2).collect()}
+    # doc2: p(c|a) = 1/3 -> ppl = exp(ln 3) = 3
+    assert out2[2]["ppl"] == pytest.approx(3.0)
+    # single-token / empty docs yield no row
+    docs3 = spark.createDataFrame(
+        [(1, "solo"), (2, ""), (3, "a b")], "doc_id long, text string"
+    )
+    assert {r["doc_id"] for r in bigram_perplexity(docs3).collect()} == {3}
+
+
+def test_train_holdout_split_properties(spark):
+    docs = spark.createDataFrame(
+        [(i, f"doc {i}") for i in range(400)], "doc_id long, text string"
+    )
+    s1 = {r["doc_id"]: r["split"] for r in
+          train_holdout_split(docs, 0.1, seed=5).collect()}
+    s2 = {r["doc_id"]: r["split"] for r in
+          train_holdout_split(docs, 0.1, seed=5).collect()}
+    assert s1 == s2  # deterministic
+    frac = sum(1 for v in s1.values() if v == "holdout") / len(s1)
+    assert 0.04 < frac < 0.18  # binomial around 0.1 on n=400
+    # growth stability: adding docs never reassigns existing ones
+    bigger = spark.createDataFrame(
+        [(i, f"doc {i}") for i in range(800)], "doc_id long, text string"
+    )
+    s3 = {r["doc_id"]: r["split"] for r in
+          train_holdout_split(bigger, 0.1, seed=5).collect()}
+    assert all(s3[k] == v for k, v in s1.items())
+    # different seed draws an independent boundary
+    s4 = {r["doc_id"]: r["split"] for r in
+          train_holdout_split(docs, 0.1, seed=6).collect()}
+    assert s4 != s1
+    with pytest.raises(ValueError):
+        train_holdout_split(docs, 1.5)
