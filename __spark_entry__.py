@@ -3287,6 +3287,36 @@ def q_train_holdout_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+_PASSAGE_INDEX_CACHE: dict[str, object] = {}
+
+
+def _built_passage_index(spark: SparkSession, sf_dir: str):
+    """Persisted passage layout (chunk-level index + chunkmap), built once
+    per sf_dir with the SAME chunking constants as the corpus entry so the
+    gate enforces rank identity through one shared oracle."""
+    from igd_spark import build_passage_index, open_passage_index
+
+    if sf_dir not in _PASSAGE_INDEX_CACHE:
+        path = tempfile.mkdtemp(prefix="igd_pidx_") + "/pidx"
+        build_passage_index(
+            spark, _docs(spark, sf_dir), path,
+            chunk_tokens=PASSAGE_CHUNK, overlap=PASSAGE_OVERLAP,
+        )
+        _PASSAGE_INDEX_CACHE[sf_dir] = open_passage_index(spark, path)
+    return _PASSAGE_INDEX_CACHE[sf_dir]
+
+
+def q_passage_bm25_topk_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # persisted passage index: pruned chunk blocks + chunkmap join
+    from igd_spark import passage_bm25_topk_indexed
+
+    idx, cmap = _built_passage_index(spark, sf_dir)
+    return passage_bm25_topk_indexed(
+        spark, idx, cmap, _queries_df(spark), k=K, round_dp=6
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # ORDER IS THE DRIVER'S VERIFICATION ROTATION: the gate checks the
@@ -3294,6 +3324,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # order (never-driver-verified first, then least-recently green).
         # Re-rotate each round from CORRECTNESS_r{N}.json (VERDICT r4 #1).
         "passage_bm25_topk": q_passage_bm25_topk,
+        "passage_bm25_topk_indexed": q_passage_bm25_topk_indexed,
         "bigram_perplexity": q_bigram_perplexity,
         "train_holdout_split": q_train_holdout_split,
         "value_count_agg": q_value_count_agg,
@@ -6818,6 +6849,8 @@ ranked AS (
   FROM best WHERE rn = 1)
 SELECT query_id, rank, doc_id, chunk_id, score FROM ranked WHERE rank <= {K}
 """
+
+    sql["passage_bm25_topk_indexed"] = sql["passage_bm25_topk"]
 
     sql["bigram_perplexity"] = f"""
 WITH {_TL},

@@ -4236,11 +4236,19 @@ def passage_bm25_topk(
         parts.getItem(1).cast("int").alias("chunk_id"),
         "score",
     )
+    return _passage_epilogue(split_back, k)
+
+
+def _passage_epilogue(scored: DataFrame, k: int) -> DataFrame:
+    """Shared max-passage tail: (query_id, doc_id, chunk_id, score) chunk
+    scores → best chunk per doc (score desc, chunk_id asc) → doc top-k
+    (score desc, doc_id asc).  Both corpus and indexed passage paths end
+    here, which is what their gate-enforced rank identity rests on."""
     wbest = Window.partitionBy("query_id", "doc_id").orderBy(
         F.desc("score"), F.asc("chunk_id")
     )
     best = (
-        split_back.withColumn("_rn", F.row_number().over(wbest))
+        scored.withColumn("_rn", F.row_number().over(wbest))
         .filter(F.col("_rn") == 1)
         .drop("_rn")
     )
@@ -4252,3 +4260,102 @@ def passage_bm25_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "rank", "doc_id", "chunk_id", "score")
     )
+
+
+def build_passage_index(
+    spark,
+    docs: DataFrame,
+    path: str,
+    chunk_tokens: int = 64,
+    overlap: int = 16,
+    conf: IndexConf = DEFAULT_CONF,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    resume: bool = False,
+):
+    """Persist the passage layout `passage_bm25_topk` defines: chunk the
+    corpus once, give every chunk the content-addressed 60-bit id
+    h60(doc_id#chunk_id), build the standard inverted index over the
+    CHUNK corpus under ``<path>/chunks`` (stage-committed, resumable, the
+    same lineage discipline as any build), and write the (cid, doc_id,
+    chunk_id) mapping under ``<path>/chunkmap``.  Repeated passage
+    workloads then prune posting blocks instead of re-chunking +
+    re-tokenizing the corpus per query batch — the same persist-vs-rescan
+    trade the reference's `.igd` exists for (src/igd_base.c:396-461).
+    Returns the opened chunk-level InvertedIndex."""
+    from igd_spark.hashing import h60_col
+    from igd_spark.index import build_index
+    from igd_spark.trainprep import chunk_documents
+
+    chunks = chunk_documents(
+        docs, chunk_tokens=chunk_tokens, overlap=overlap,
+        text_col=text_col, id_col=id_col,
+    )
+    ck = chunks.select(
+        h60_col(
+            F.concat_ws(
+                "#", F.col("doc_id").cast("string"),
+                F.col("chunk_id").cast("string"),
+            )
+        ).alias("cid"),
+        "doc_id",
+        "chunk_id",
+        "chunk_text",
+    )
+    mpath = f"{path}/chunkmap"
+    if not (resume and _hadoop_exists(spark, mpath)):
+        ck.select("cid", "doc_id", "chunk_id").write.mode("overwrite").parquet(mpath)
+    return build_index(
+        spark, ck, f"{path}/chunks", conf=conf, text_col="chunk_text",
+        id_col="cid", resume=resume,
+    )
+
+
+def _hadoop_exists(spark, path: str) -> bool:
+    import os
+
+    return os.path.exists(path)
+
+
+def open_passage_index(spark, path: str):
+    """(chunk InvertedIndex, chunkmap DataFrame) for a layout written by
+    `build_passage_index`."""
+    from igd_spark.index import open_index
+
+    return open_index(spark, f"{path}/chunks"), spark.read.parquet(
+        f"{path}/chunkmap"
+    )
+
+
+def passage_bm25_topk_indexed(
+    spark,
+    idx,
+    chunkmap: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    round_dp: int | None = None,
+) -> DataFrame:
+    """`passage_bm25_topk` over a persisted passage index
+    (`build_passage_index`): chunk scores come from pruned posting blocks
+    (chunk-level df/dl/avgdl are the index's own stats, by construction),
+    the (cid → doc_id, chunk_id) resolution is one fine-keyed join against
+    the chunkmap table, and the shared max-passage epilogue ranks.  The
+    corpus text is never in the plan.
+
+    Scale: the scored set is match-set-sized (bounded by the query terms'
+    chunk postings); the chunkmap join is a fine-key hash join AQE sizes
+    on its own — at 100 TB the map is chunk-count rows of 3 integers,
+    bucketable by cid if the join ever dominates."""
+    scored = _maybe_round(_indexed_scored(spark, idx, queries), round_dp)
+    cm = chunkmap.select(
+        F.col("cid"),
+        F.col("doc_id").alias("_pdoc"),
+        F.col("chunk_id").alias("_pchunk"),
+    )
+    joined = scored.join(cm, scored["doc_id"] == cm["cid"]).select(
+        "query_id",
+        F.col("_pdoc").alias("doc_id"),
+        F.col("_pchunk").alias("chunk_id"),
+        "score",
+    )
+    return _passage_epilogue(joined, k)

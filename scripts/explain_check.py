@@ -895,6 +895,26 @@ def main() -> int:
         "CartesianProduct" not in soplan,
     )
 
+    # passage index: chunk-level pruned blocks + chunkmap join; the corpus
+    # text is never in the plan
+    from igd_spark import build_passage_index, open_passage_index, passage_bm25_topk_indexed
+
+    ppath2 = tempfile.mkdtemp(prefix="igd_explain_pidx_") + "/pidx"
+    build_passage_index(spark, docs, ppath2, chunk_tokens=16, overlap=4)
+    pxidx, pxmap = open_passage_index(spark, ppath2)
+    pxplan = fmt(passage_bm25_topk_indexed(spark, pxidx, pxmap, ql_q, k=5))
+    assert_pruned_scan("passage_bm25_topk_indexed chunk scan", pxplan)
+    px_schemas = re.findall(r"ReadSchema: struct<([^>]*)>", pxplan)
+    check(
+        "passage_bm25_topk_indexed never scans the corpus text",
+        bool(px_schemas) and not any("text:" in s for s in px_schemas),
+        f"scanned schemas: {px_schemas}",
+    )
+    check(
+        "passage_bm25_topk_indexed: chunkmap resolved by hash join, no cartesian",
+        "CartesianProduct" not in pxplan,
+    )
+
     n_fail = sum(1 for _, ok, _ in checks if not ok)
     print(f"\n{len(checks) - n_fail}/{len(checks)} plan checks passed")
     return 1 if n_fail else 0

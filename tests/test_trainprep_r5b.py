@@ -2,8 +2,6 @@
 
 from __future__ import annotations
 
-import math
-
 import pytest
 
 from igd_spark import bigram_perplexity, passage_bm25_topk, train_holdout_split
@@ -107,3 +105,31 @@ def test_train_holdout_split_properties(spark):
     assert s4 != s1
     with pytest.raises(ValueError):
         train_holdout_split(docs, 1.5)
+
+
+def test_passage_index_rank_identical_to_corpus_path(spark, tmp_path):
+    from igd_spark import (
+        build_passage_index,
+        open_passage_index,
+        passage_bm25_topk_indexed,
+    )
+    from igd_spark.corpus import assign_doc_ids, synth_transcripts
+
+    docs = assign_doc_ids(synth_transcripts(spark, n_convs=60, seed=9)).cache()
+    path = str(tmp_path / "pidx")
+    idx = build_passage_index(spark, docs, path, chunk_tokens=16, overlap=4)
+    idx2, cmap = open_passage_index(spark, path)
+    q = _queries(spark, [(0, "error timeout"), (1, "t00000")])
+    exact = passage_bm25_topk(
+        docs, q, k=7, chunk_tokens=16, overlap=4, round_dp=6
+    ).collect()
+    indexed = passage_bm25_topk_indexed(
+        spark, idx2, cmap, q, k=7, round_dp=6
+    ).collect()
+    key = lambda r: (r["query_id"], r["rank"], r["doc_id"], r["chunk_id"])
+    assert sorted(map(key, exact)) == sorted(map(key, indexed))
+    for a, b in zip(sorted(exact, key=key), sorted(indexed, key=key)):
+        assert a["score"] == pytest.approx(b["score"])
+    # rebuild guard holds for the chunk sub-index too
+    with pytest.raises(FileExistsError):
+        build_passage_index(spark, docs, path, chunk_tokens=16, overlap=4)
