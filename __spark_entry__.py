@@ -3317,6 +3317,29 @@ def q_passage_bm25_topk_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+SPANM_PREFIX = "val"          # span_multi prefix clause (expands in-vocab)
+
+
+def q_span_multi_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Lucene SpanMultiTermQueryWrapper: anchor + prefix-expanded clause
+    from igd_spark import span_multi_match
+
+    return span_multi_match(
+        _docs(spark, sf_dir), _spanc_queries(spark), SPANM_PREFIX,
+        span=SPANC_SPAN,
+    )
+
+
+def q_span_multi_match_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from igd_spark import span_multi_match_indexed
+
+    return span_multi_match_indexed(
+        spark, _built_index(spark, sf_dir), _spanc_queries(spark),
+        SPANM_PREFIX, span=SPANC_SPAN,
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # ORDER IS THE DRIVER'S VERIFICATION ROTATION: the gate checks the
@@ -3343,6 +3366,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ids_bm25_topk": q_ids_bm25_topk,
         "ids_bm25_topk_indexed": q_ids_bm25_topk_indexed,
         "span_or_match": q_span_or_match,
+        "span_multi_match": q_span_multi_match,
+        "span_multi_match_indexed": q_span_multi_match_indexed,
         "span_or_match_indexed": q_span_or_match_indexed,
         "hybrid_linear": q_hybrid_linear,
         "embedding_l2_topk": q_embedding_l2_topk,
@@ -6872,6 +6897,31 @@ SELECT doc_id,
        CASE WHEN {_ho_h} < {_ho_thr} THEN 'holdout' ELSE 'train' END AS split
 FROM documents
 """
+
+
+
+    _smvals = ", ".join(f"({q}::BIGINT, '{t}')" for q, t in SPANC_QUERY_SET)
+    sql["span_multi_match"] = f"""
+WITH {_TL},
+pp AS (SELECT doc_id, i - 1 AS pos, tl[i] AS term
+       FROM (SELECT doc_id, tl, unnest(generate_series(1, len(tl))) AS i FROM tldocs)),
+sq(query_id, query_text) AS (VALUES {_smvals}),
+sqtl AS (SELECT query_id, list_filter(regexp_split_to_array(lower(query_text),
+         '[^a-z0-9]+'), x -> x <> '') AS tl FROM sq),
+b1 AS (SELECT query_id, tl[1] AS term FROM sqtl WHERE len(tl) >= 1),
+vocab AS (SELECT DISTINCT term FROM pp),
+alts AS (SELECT DISTINCT sq.query_id, v.term
+         FROM vocab v CROSS JOIN sq WHERE v.term LIKE '{SPANM_PREFIX}%'),
+o1 AS (SELECT b1.query_id, pp.doc_id, pp.pos AS p1 FROM pp JOIN b1 USING (term)),
+o2 AS (SELECT alts.query_id, pp.doc_id, pp.pos AS p2 FROM pp JOIN alts USING (term)),
+pairs AS (SELECT o1.query_id, o1.doc_id
+          FROM o1 JOIN o2 ON o2.query_id = o1.query_id
+                         AND o2.doc_id = o1.doc_id
+                         AND o2.p2 > o1.p1
+                         AND o2.p2 <= o1.p1 + {SPANC_SPAN})
+SELECT query_id, doc_id, count(*)::BIGINT AS n_hits FROM pairs GROUP BY 1, 2
+"""
+    sql["span_multi_match_indexed"] = sql["span_multi_match"]
 
 
     return sql

@@ -2566,3 +2566,112 @@ def span_or_match_indexed(
     all_terms = b1.unionByName(alts).dropDuplicates(["query_id", "term"])
     occ = positional_enumerate(spark, idx, queries, terms=all_terms)
     return _span_or_epilogue(occ, b1, alts, span)
+
+
+def _prefix_queries(queries: DataFrame, prefix) -> DataFrame:
+    """(query_id, prefix) frame for `span_multi_match`: a plain string
+    applies to every query; a DataFrame must carry (query_id, prefix)."""
+    if isinstance(prefix, str):
+        return queries.select("query_id", F.lit(prefix).alias("prefix"))
+    return prefix.select("query_id", "prefix")
+
+
+def span_multi_match(
+    docs: DataFrame,
+    queries: DataFrame,
+    prefix,
+    span: int = 8,
+    conf: IndexConf = DEFAULT_CONF,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """The Lucene SpanMultiTermQueryWrapper surface — a multi-term query
+    (here: prefix) lifted into a span clause: per doc, ordered pairs of
+    the query's first token followed within ``span`` positions by ANY
+    vocabulary term starting with ``prefix`` ("error followed closely by
+    tim*").  The prefix expands against the corpus vocabulary exactly like
+    `prefix_bm25_topk`, then the pair machinery is `span_or_match`'s.
+    Output (query_id, doc_id, n_hits).
+
+    Scale: expansion is vocab rows × a broadcast prefix list (one pass,
+    no shuffle); the expanded set joins the ONE shared occurrence stream
+    as `span_or_match`'s alternatives do — a hot prefix costs its
+    expansion's total occurrences, the bound every multi-term span
+    accepts."""
+    if span < 1:
+        raise ValueError(f"span must be >= 1, got {span}")
+    occ = positional_postings(docs, text_col=text_col, id_col=id_col, conf=conf)
+    b1, _ = _span_pair_parts(queries, conf.token_split_re)
+    pq = _prefix_queries(queries, prefix)
+    vocab = occ.select("term").distinct()
+    alts = (
+        vocab.join(F.broadcast(pq), F.col("term").startswith(F.col("prefix")))
+        .select("query_id", "term")
+        .dropDuplicates(["query_id", "term"])
+    )
+    # alts is expansion-sized (can be large for hot prefixes): let AQE pick
+    # the join strategy rather than force-broadcasting it
+    cols = ["term"]
+    o1 = occ.join(F.broadcast(b1), cols).select(
+        "query_id", "doc_id", F.col("pos").alias("p1")
+    )
+    o2 = occ.join(alts.withColumnRenamed("query_id", "_q2"), "term").select(
+        "_q2", F.col("doc_id").alias("_d2"), F.col("pos").alias("p2")
+    )
+    pairs = o1.join(
+        o2,
+        (F.col("query_id") == F.col("_q2"))
+        & (F.col("doc_id") == F.col("_d2"))
+        & (F.col("p2") > F.col("p1"))
+        & (F.col("p2") <= F.col("p1") + F.lit(span)),
+    )
+    return pairs.groupBy("query_id", "doc_id").agg(
+        F.count("*").cast("long").alias("n_hits")
+    )
+
+
+def span_multi_match_indexed(
+    spark: SparkSession,
+    idx: InvertedIndex,
+    queries,
+    prefix,
+    span: int = 8,
+    max_expanded_terms: int = 65_536,
+) -> DataFrame:
+    """`span_multi_match` off the persisted positional index: the prefix
+    expands against the index DICTIONARY (vocab scan, no corpus), then ONE
+    pruned positional enumeration reads anchor + expansion together.  The
+    expansion is collected for the prune-list prologue, so
+    ``max_expanded_terms`` bounds driver memory with a loud error (the
+    same cap discipline as prefix_bm25_topk_indexed).
+
+    Analyzer caveat: the dictionary excludes analyzer-filtered terms
+    (stopwords / sub-min-length) while the corpus path expands against the
+    RAW positional vocabulary, so under a filtering analyzer a prefix that
+    matches a stopword expands differently between the two paths — the
+    usual Lucene behavior (multi-term rewrites consult the indexed terms
+    dictionary, which is post-analyzer)."""
+    if isinstance(queries, (pd.DataFrame, list, tuple)):
+        queries = _materialize_local_queries(spark, queries)
+    if span < 1:
+        raise ValueError(f"span must be >= 1, got {span}")
+    b1, _ = _span_pair_parts(queries, idx.conf.token_split_re)
+    pq = _prefix_queries(queries, prefix)
+    exp = (
+        idx.dictionary.join(
+            F.broadcast(pq), F.col("term").startswith(F.col("prefix"))
+        )
+        .select("query_id", "term")
+        .dropDuplicates(["query_id", "term"])
+    )
+    rows = exp.limit(max_expanded_terms + 1).collect()
+    if len(rows) > max_expanded_terms:
+        raise ValueError(
+            f"span_multi prefix expansion exceeds max_expanded_terms="
+            f"{max_expanded_terms}; raise the cap or use the corpus-scan "
+            f"span_multi_match (distributed expansion)"
+        )
+    alts = spark.createDataFrame(rows, exp.schema)
+    all_terms = b1.unionByName(alts).dropDuplicates(["query_id", "term"])
+    occ = positional_enumerate(spark, idx, queries, terms=all_terms)
+    return _span_or_epilogue(occ, b1, alts, span)

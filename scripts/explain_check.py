@@ -915,6 +915,18 @@ def main() -> int:
         "CartesianProduct" not in pxplan,
     )
 
+    # span_multi: dictionary-expanded span clause off pruned positional blocks
+    from igd_spark import span_multi_match_indexed
+
+    smplan = fmt(span_multi_match_indexed(spark, pidx, sc_q, "tim", span=6))
+    assert_pruned_scan("span_multi_match_indexed scan", smplan)
+    sm_schemas = re.findall(r"ReadSchema: struct<([^>]*)>", smplan)
+    check(
+        "span_multi_match_indexed never scans the corpus text",
+        bool(sm_schemas) and not any("text:" in s for s in sm_schemas),
+        f"scanned schemas: {sm_schemas}",
+    )
+
     n_fail = sum(1 for _, ok, _ in checks if not ok)
     print(f"\n{len(checks) - n_fail}/{len(checks)} plan checks passed")
     return 1 if n_fail else 0

@@ -225,3 +225,25 @@ def test_span_or_counts_any_alternative(spark):
     assert out[1] == 1
     assert out[3] == 3
     assert 2 not in out and 4 not in out
+
+
+def test_span_multi_expands_prefix_in_vocab(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "error then timing out"),     # error -> tim* (timing) at d2
+            (2, "error xx yy zz timberwolf"), # distance 4 > span 3
+            (3, "error timid error timer"),   # multiple expansions
+            (4, "timing error"),              # wrong order
+        ],
+        "doc_id long, text string",
+    )
+    from igd_spark import span_multi_match
+
+    q = _queries(spark, [(0, "error anything")])
+    out = {
+        r["doc_id"]: r["n_hits"]
+        for r in span_multi_match(docs, q, "tim", span=3).collect()
+    }
+    # doc3 pairs: (e@0,timid@1),(e@0,timer@3),(e@2,timer@3) = 3
+    assert out[1] == 1 and out[3] == 3
+    assert 2 not in out and 4 not in out
