@@ -3340,6 +3340,28 @@ def q_span_multi_match_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+def q_significant_terms_chisq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # significant_terms with the chi_square heuristic (2x2 contingency,
+    # over-represented terms only)
+    from igd_spark import significant_terms
+
+    return significant_terms(
+        _docs(spark, sf_dir), _queries_df(spark), k=SIGTERMS_K,
+        min_fg=SIGTERMS_MIN_FG, round_dp=6, heuristic="chi_square",
+    )
+
+
+def q_significant_terms_chisq_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from igd_spark import significant_terms_indexed
+
+    return significant_terms_indexed(
+        spark, _built_index(spark, sf_dir), _docs(spark, sf_dir),
+        _queries_df(spark), k=SIGTERMS_K, min_fg=SIGTERMS_MIN_FG,
+        round_dp=6, heuristic="chi_square",
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # ORDER IS THE DRIVER'S VERIFICATION ROTATION: the gate checks the
@@ -3368,6 +3390,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "span_or_match": q_span_or_match,
         "span_multi_match": q_span_multi_match,
         "span_multi_match_indexed": q_span_multi_match_indexed,
+        "significant_terms_chisq": q_significant_terms_chisq,
+        "significant_terms_chisq_indexed": q_significant_terms_chisq_indexed,
         "span_or_match_indexed": q_span_or_match_indexed,
         "hybrid_linear": q_hybrid_linear,
         "embedding_l2_topk": q_embedding_l2_topk,
@@ -6922,6 +6946,41 @@ pairs AS (SELECT o1.query_id, o1.doc_id
 SELECT query_id, doc_id, count(*)::BIGINT AS n_hits FROM pairs GROUP BY 1, 2
 """
     sql["span_multi_match_indexed"] = sql["span_multi_match"]
+
+
+
+    sql["significant_terms_chisq"] = f"""
+WITH {_TL}, {_TOKS}, {_POST}, {_DL}, {_CS}, {_TS}, {_QT}, {_SCORED},
+m AS (SELECT DISTINCT query_id, doc_id FROM scored),
+sizes AS (SELECT query_id, count(*)::BIGINT AS subset_size FROM m GROUP BY 1),
+fg AS (
+  SELECT m.query_id, p.term, count(*)::BIGINT AS fg_df
+  FROM m JOIN post p USING (doc_id)
+  GROUP BY 1, 2 HAVING count(*) >= {SIGTERMS_MIN_FG}),
+cells AS (
+  SELECT fg.query_id, fg.term, fg.fg_df, ts.df,
+         fg.fg_df::DOUBLE AS a,
+         sz.subset_size::DOUBLE - fg.fg_df AS b,
+         ts.df::DOUBLE - fg.fg_df AS c,
+         cs.n_docs::DOUBLE - sz.subset_size - (ts.df::DOUBLE - fg.fg_df) AS d,
+         cs.n_docs::DOUBLE AS nn,
+         fg.fg_df::DOUBLE / sz.subset_size AS fg_pct,
+         ts.df::DOUBLE / cs.n_docs AS bg_pct
+  FROM fg JOIN ts USING (term)
+  JOIN sizes sz ON sz.query_id = fg.query_id CROSS JOIN cs),
+sig AS (
+  SELECT query_id, term, fg_df, df,
+         nn * (a * d - b * c) * (a * d - b * c)
+            / nullif((a + b) * (c + d) * (a + c) * (b + d), 0.0) AS s
+  FROM cells WHERE fg_pct > bg_pct),
+ranked AS (
+  SELECT query_id, term, fg_df, df, round(s, 6) AS score,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY round(s, 6) DESC, term ASC)::INT AS rank
+  FROM sig WHERE s IS NOT NULL)
+SELECT query_id, rank, term, fg_df, df, score FROM ranked WHERE rank <= {SIGTERMS_K}
+"""
+    sql["significant_terms_chisq_indexed"] = sql["significant_terms_chisq"]
 
 
     return sql

@@ -302,10 +302,30 @@ def _sig_epilogue(
     k: int,
     min_fg: int,
     round_dp: int | None,
+    heuristic: str = "jlh",
 ) -> DataFrame:
-    """Shared JLH scoring: ``m`` = (query_id, doc_id) match set, ``fg_post``
-    = (doc_id, term) postings covering at least the matched docs, ``bg`` =
-    (term, df) background model."""
+    """Shared significance scoring: ``m`` = (query_id, doc_id) match set,
+    ``fg_post`` = (doc_id, term) postings covering at least the matched
+    docs, ``bg`` = (term, df) background model.  ``heuristic`` picks the
+    ES scoring family:
+
+    * ``jlh`` (the ES default) — (fg_pct − bg_pct) · (fg_pct / bg_pct).
+    * ``chi_square`` — the 2×2 contingency χ² over (in-subset, has-term)
+      with background_is_superset (out-of-subset term count = df − fg_df)
+      and include_negatives=false: only over-represented terms
+      (fg_pct > bg_pct) are emitted, matching what a "what is this result
+      set about" caller wants.
+    * ``percentage`` — fg_df / df (the ES ``percentage`` heuristic: what
+      fraction of the term's corpus occurrences fall in the subset).
+
+    All heuristics share the same fg/bg plumbing, filters, rounding, and
+    (score desc, term asc) ranking — switching heuristics never changes
+    the plan shape, only the score column expression (the ES design:
+    heuristics are per-bucket arithmetic over the same four counts)."""
+    if heuristic not in ("jlh", "chi_square", "percentage"):
+        raise ValueError(
+            f"heuristic must be jlh|chi_square|percentage, got {heuristic!r}"
+        )
     sizes = m.groupBy("query_id").agg(
         F.count("*").cast("long").alias("subset_size")
     )
@@ -318,12 +338,28 @@ def _sig_epilogue(
     )
     fg_pct = F.col("fg_df").cast("double") / F.col("subset_size")
     bg_pct = F.col("df").cast("double") / F.lit(float(n_docs))
-    scored = (
-        fg.join(bg.select("term", "df"), "term")
-        .join(F.broadcast(sizes), "query_id")
-        .withColumn("score", (fg_pct - bg_pct) * (fg_pct / bg_pct))
-        .filter(F.col("score") > 0.0)
+    joined = fg.join(bg.select("term", "df"), "term").join(
+        F.broadcast(sizes), "query_id"
     )
+    if heuristic == "jlh":
+        scored = joined.withColumn(
+            "score", (fg_pct - bg_pct) * (fg_pct / bg_pct)
+        ).filter(F.col("score") > 0.0)
+    elif heuristic == "percentage":
+        scored = joined.withColumn(
+            "score", F.col("fg_df").cast("double") / F.col("df")
+        )
+    else:  # chi_square over the 2x2 table, over-represented terms only
+        N = F.lit(float(n_docs))
+        a = F.col("fg_df").cast("double")                    # subset & term
+        b = F.col("subset_size").cast("double") - a          # subset & !term
+        c = F.col("df").cast("double") - a                   # !subset & term
+        d = N - F.col("subset_size").cast("double") - c      # !subset & !term
+        denom = (a + b) * (c + d) * (a + c) * (b + d)
+        chi = N * (a * d - b * c) * (a * d - b * c) / F.nullif(denom, F.lit(0.0))
+        scored = joined.withColumn("score", chi).filter(
+            (fg_pct > bg_pct) & F.col("score").isNotNull()
+        )
     if round_dp is not None:
         scored = scored.withColumn("score", F.round("score", round_dp))
     w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("term"))
@@ -473,6 +509,7 @@ def significant_terms(
     text_col: str = "text",
     id_col: str = "doc_id",
     round_dp: int | None = None,
+    heuristic: str = "jlh",
 ) -> DataFrame:
     """The ES ``significant_terms`` aggregation with the JLH heuristic:
     per query, the terms whose document frequency inside the match set
@@ -507,7 +544,8 @@ def significant_terms(
     qt = query_terms(queries)
     m = post.join(F.broadcast(qt), "term").select("query_id", "doc_id").distinct()
     return _sig_epilogue(
-        m, post, term_stats(post), n_docs, k, min_fg, round_dp
+        m, post, term_stats(post), n_docs, k, min_fg, round_dp,
+        heuristic=heuristic,
     )
 
 
@@ -705,6 +743,7 @@ def significant_terms_indexed(
     text_col: str = "text",
     id_col: str = "doc_id",
     round_dp: int | None = None,
+    heuristic: str = "jlh",
 ) -> DataFrame:
     """`significant_terms` off a persisted index: the match set comes from
     pruned blocks and the BACKGROUND model from the index dictionary
@@ -717,7 +756,8 @@ def significant_terms_indexed(
     matched_docs = docs.join(mm, docs[id_col] == mm["_mid"], "left_semi")
     fg_post = postings(matched_docs, text_col=text_col, id_col=id_col, conf=idx.conf)
     return _sig_epilogue(
-        m, fg_post, idx.dictionary, idx.n_docs, k, min_fg, round_dp
+        m, fg_post, idx.dictionary, idx.n_docs, k, min_fg, round_dp,
+        heuristic=heuristic,
     )
 
 

@@ -247,3 +247,33 @@ def test_span_multi_expands_prefix_in_vocab(spark):
     # doc3 pairs: (e@0,timid@1),(e@0,timer@3),(e@2,timer@3) = 3
     assert out[1] == 1 and out[3] == 3
     assert 2 not in out and 4 not in out
+
+
+def test_significant_terms_chi_square_heuristic(spark):
+    from igd_spark import significant_terms
+
+    # 6 docs; query term 'q' matches docs 1-3; 'hot' appears in exactly the
+    # match set (perfect association), 'everywhere' in all docs (no signal)
+    docs = spark.createDataFrame(
+        [
+            (1, "q hot everywhere"),
+            (2, "q hot everywhere"),
+            (3, "q hot everywhere"),
+            (4, "cold everywhere"),
+            (5, "cold everywhere"),
+            (6, "cold everywhere"),
+        ],
+        "doc_id long, text string",
+    )
+    q = _queries(spark, [(0, "q")])
+    out = significant_terms(docs, q, k=10, heuristic="chi_square").collect()
+    by_term = {r["term"]: r for r in out}
+    # 'everywhere' has fg_pct == bg_pct -> not over-represented -> absent
+    assert "everywhere" not in by_term
+    # perfect 2x2 association: chi2 = N = 6 for 'hot' (and 'q' itself)
+    assert by_term["hot"]["score"] == pytest.approx(6.0)
+    # jlh still the default and still ranks hot/q on top
+    jlh = significant_terms(docs, q, k=2).collect()
+    assert {r["term"] for r in jlh} <= {"hot", "q"}
+    with pytest.raises(ValueError):
+        significant_terms(docs, q, heuristic="nope")
