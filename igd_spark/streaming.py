@@ -195,3 +195,63 @@ def conversation_progress(stream_docs: DataFrame) -> DataFrame:
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+DEDUP_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("first_doc_id", T.LongType(), False),
+        T.StructField("n_dupes", T.LongType(), False),
+    ]
+)
+
+DEDUP_OUT_SCHEMA = T.StructType(
+    [
+        T.StructField("content_hash", T.LongType(), False),
+        T.StructField("doc_id", T.LongType(), False),
+    ]
+)
+
+
+def streaming_dedup(stream_docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Exact dedup ACROSS micro-batches — the continuous sibling of
+    `exact_dedup`, the filter every streaming ingest pipeline places in
+    front of index/training sinks (re-crawls and re-drops of the same
+    transcript must not re-enter the corpus): keyed by the 64-bit content
+    hash of the normalized text, state remembers the FIRST doc_id seen per
+    hash; a batch emits one (content_hash, doc_id) row per hash it sees
+    for the first time, and silently absorbs every later copy.  Within one
+    micro-batch the lowest doc_id wins (deterministic under replay —
+    re-running a crashed batch re-elects the same winner).
+
+    State is 16 bytes per DISTINCT document ever seen — exact dedup is
+    unbounded by definition; at production scale either shard the stream
+    by hash range so each instance holds a slice, or accept a TTL
+    (swap NoTimeout for ProcessingTimeTimeout) to trade exactness within
+    the horizon for bounded state, the same trade `dropDuplicates`
+    makes with a watermark."""
+
+    def update(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        batch_ids: list[int] = []
+        for pdf in pdfs:
+            batch_ids.extend(int(x) for x in pdf["doc_id"])
+        if state.exists:
+            first, n = state.get
+            state.update((first, n + len(batch_ids)))
+            return iter(())
+        first = min(batch_ids)
+        state.update((first, len(batch_ids) - 1))
+        yield pd.DataFrame({"content_hash": [key[0]], "doc_id": [first]})
+
+    hashed = stream_docs.select(
+        F.xxhash64(F.lower(F.col(text_col))).alias("content_hash"),
+        F.col("doc_id").cast("long").alias("doc_id"),
+    )
+    return hashed.groupBy("content_hash").applyInPandasWithState(
+        update,
+        outputStructType=DEDUP_OUT_SCHEMA,
+        stateStructType=DEDUP_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -125,3 +125,62 @@ def test_percolate_stream(spark, drops, tmp_path):
         (2, "convA", 0),  # fuzzy spark, no join
         (2, "convB", 0),
     }
+
+
+def test_streaming_dedup_first_wins_across_batches(spark, tmp_path):
+    import pandas as pd
+
+    from igd_spark.corpus import TRANSCRIPT_SCHEMA, assign_doc_ids
+    from igd_spark.streaming import streaming_dedup, transcript_stream
+
+    base = pd.Timestamp("2026-01-01T00:00:00")
+    mk = lambda c, t, txt: (c, t, "user", txt, None, base)
+    # file 1: two distinct texts (one duplicated in-batch);
+    # file 2: re-drop of "alpha beta" (cross-batch dupe) + a new text
+    f1 = pd.DataFrame(
+        [mk("c1", 0, "alpha beta"), mk("c1", 1, "alpha beta"),
+         mk("c2", 0, "gamma delta")],
+        columns=["conv_id", "turn_idx", "role", "text", "tool", "ts"],
+    )
+    f2 = pd.DataFrame(
+        [mk("c3", 0, "alpha beta"), mk("c3", 1, "epsilon zeta")],
+        columns=["conv_id", "turn_idx", "role", "text", "tool", "ts"],
+    )
+    d = str(tmp_path / "drops2")
+    spark.createDataFrame(f1, schema=TRANSCRIPT_SCHEMA).coalesce(1).write.parquet(d)
+    spark.createDataFrame(f2, schema=TRANSCRIPT_SCHEMA).coalesce(1).write.mode(
+        "append"
+    ).parquet(d)
+
+    stream = assign_doc_ids(transcript_stream(spark, d, max_files_per_trigger=1))
+    out = streaming_dedup(stream)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("sdedup")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ck_sd"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql("select * from sdedup").collect()
+    # exactly one winner per distinct text, regardless of batch boundaries
+    assert len(rows) == 3
+    assert len({r["content_hash"] for r in rows}) == 3
+    # the winner for "alpha beta" is the batch-1 minimum doc_id, not the
+    # batch-2 re-drop
+    ids = {
+        r["doc_id"]
+        for r in assign_doc_ids(
+            spark.read.parquet(d).where("text = 'alpha beta'")
+        ).collect()
+    }
+    batch2_id = {
+        r["doc_id"]
+        for r in assign_doc_ids(
+            spark.read.parquet(d).where("conv_id = 'c3' and turn_idx = 0")
+        ).collect()
+    }
+    winners = {r["doc_id"] for r in rows}
+    assert winners & ids
+    assert not (winners & batch2_id) or min(ids) in batch2_id
