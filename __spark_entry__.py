@@ -3362,6 +3362,17 @@ def q_significant_terms_chisq_indexed(spark: SparkSession, sf_dir: str) -> DataF
     )
 
 
+
+CATTEXT_K = 15                # categorize_text top-k templates
+
+
+def q_categorize_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # ES categorize_text surface as a deterministic log-template miner
+    from igd_spark import categorize_text
+
+    return categorize_text(_docs(spark, sf_dir), k=CATTEXT_K)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # ORDER IS THE DRIVER'S VERIFICATION ROTATION: the gate checks the
@@ -3372,6 +3383,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "passage_bm25_topk_indexed": q_passage_bm25_topk_indexed,
         "bigram_perplexity": q_bigram_perplexity,
         "train_holdout_split": q_train_holdout_split,
+        "categorize_text": q_categorize_text,
         "value_count_agg": q_value_count_agg,
         "value_count_agg_indexed": q_value_count_agg_indexed,
         "global_agg": q_global_agg,
@@ -6981,6 +6993,23 @@ ranked AS (
 SELECT query_id, rank, term, fg_df, df, score FROM ranked WHERE rank <= {SIGTERMS_K}
 """
     sql["significant_terms_chisq_indexed"] = sql["significant_terms_chisq"]
+
+
+
+    sql["categorize_text"] = f"""
+WITH {_TL},
+cat AS (SELECT doc_id,
+               array_to_string(list_transform(tl,
+                 t -> CASE WHEN regexp_matches(t, '[0-9]') THEN '*' ELSE t END),
+                 ' ') AS category
+        FROM tldocs),
+g AS (SELECT category, count(*)::BIGINT AS n_docs, min(doc_id) AS example_doc_id
+      FROM cat WHERE category <> '' GROUP BY 1),
+r AS (SELECT category, n_docs, example_doc_id,
+             row_number() OVER (ORDER BY n_docs DESC, category ASC)::INT AS rank
+      FROM g)
+SELECT rank, category, n_docs, example_doc_id FROM r WHERE rank <= {CATTEXT_K}
+"""
 
 
     return sql

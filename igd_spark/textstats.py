@@ -374,3 +374,58 @@ def bigram_perplexity(
         (F.round(ppl, round_dp) if round_dp is not None else ppl)
         .cast("double").alias("ppl"),
     )
+
+
+def categorize_text(
+    docs: DataFrame,
+    k: int | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """The ES ``categorize_text`` aggregation surface as a DETERMINISTIC
+    log-template miner (the Drain-style shape): every token containing a
+    digit is masked to ``*`` (ids, counters, hex, timestamps — the parts
+    that vary between repetitions of one message template), the masked
+    token join IS the category key, and messages group by it.  Output
+    (category, n_docs, example_doc_id) with example = the lowest doc_id in
+    the category (deterministic, unlike ES's first-seen example); ordered
+    top-k by (n_docs desc, category asc) when ``k`` is given, the full
+    category table otherwise — over agent transcripts this is the "what
+    are the recurring tool-error shapes" primitive.
+
+    ES's implementation clusters by token-prefix trees and can merge
+    near-identical templates; the digit-mask rule is the deterministic
+    core of that family (identical masking = identical category), chosen
+    here because reproducibility is what makes the operator usable as a
+    dedup/monitoring KEY at pipeline scale.
+
+    Scale: masking is one JVM array transform per doc (zero shuffle);
+    the group-by is map-side combinable on the template key, output is
+    template-cardinality-sized."""
+    toks = nonempty_tokens(F.coalesce(F.col(text_col), F.lit("")))
+    masked = F.transform(
+        toks,
+        lambda t: F.when(t.rlike("[0-9]"), F.lit("*")).otherwise(t),
+    )
+    cat = (
+        docs.select(
+            F.col(id_col).alias("doc_id"),
+            F.array_join(masked, " ").alias("category"),
+        )
+        .filter(F.col("category") != "")
+        .groupBy("category")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.min("doc_id").alias("example_doc_id"),
+        )
+    )
+    if k is None:
+        return cat
+    from pyspark.sql import Window as _W
+
+    w = _W.orderBy(F.desc("n_docs"), F.asc("category"))
+    return (
+        cat.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= k)
+        .select("rank", "category", "n_docs", "example_doc_id")
+    )

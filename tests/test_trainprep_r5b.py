@@ -133,3 +133,24 @@ def test_passage_index_rank_identical_to_corpus_path(spark, tmp_path):
     # rebuild guard holds for the chunk sub-index too
     with pytest.raises(FileExistsError):
         build_passage_index(spark, docs, path, chunk_tokens=16, overlap=4)
+
+
+def test_categorize_text_masks_variable_tokens(spark):
+    from igd_spark import categorize_text
+
+    docs = spark.createDataFrame(
+        [
+            (1, "error code 500 at step 3"),
+            (2, "error code 404 at step 17"),   # same template as doc 1
+            (3, "error code 500 at step 3"),    # identical
+            (4, "connection refused"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["category"]: r for r in categorize_text(docs).collect()}
+    assert out["error code * at step *"]["n_docs"] == 3
+    assert out["error code * at step *"]["example_doc_id"] == 1
+    assert out["connection refused"]["n_docs"] == 1
+    ranked = categorize_text(docs, k=1).collect()
+    assert ranked[0]["category"] == "error code * at step *"
+    assert ranked[0]["rank"] == 1
