@@ -3373,6 +3373,28 @@ def q_categorize_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     return categorize_text(_docs(spark, sf_dir), k=CATTEXT_K)
 
 
+
+BCORR_IND = tuple(float(i % 7) for i in range(21))  # weekly-shape indicator
+                                                    # (binds: every gate query
+                                                    # has exactly 21 day buckets)
+
+
+def q_extended_stats_bucket_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # ES extended_stats_bucket: extended-stats frame across the bucket list
+    from igd_spark import extended_stats_bucket_agg
+
+    return extended_stats_bucket_agg(_dh_buckets(spark, sf_dir), round_dp=6)
+
+
+def q_bucket_correlation_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # ES bucket_correlation (Pearson core): series vs a known shape
+    from igd_spark import bucket_correlation_agg
+
+    return bucket_correlation_agg(
+        _dh_buckets(spark, sf_dir), list(BCORR_IND), round_dp=6
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # ORDER IS THE DRIVER'S VERIFICATION ROTATION: the gate checks the
@@ -3393,6 +3415,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "percentiles_bucket_agg": q_percentiles_bucket_agg,
         "moving_percentiles_agg": q_moving_percentiles_agg,
         "rate_agg": q_rate_agg,
+        "extended_stats_bucket_agg": q_extended_stats_bucket_agg,
+        "bucket_correlation_agg": q_bucket_correlation_agg,
         "cumulative_cardinality_agg": q_cumulative_cardinality_agg,
         "cumulative_cardinality_agg_indexed": q_cumulative_cardinality_agg_indexed,
         "exists_bm25_topk": q_exists_bm25_topk,
@@ -7009,6 +7033,34 @@ r AS (SELECT category, n_docs, example_doc_id,
              row_number() OVER (ORDER BY n_docs DESC, category ASC)::INT AS rank
       FROM g)
 SELECT rank, category, n_docs, example_doc_id FROM r WHERE rank <= {CATTEXT_K}
+"""
+
+
+
+    sql["extended_stats_bucket_agg"] = f"""
+SELECT query_id, count(*)::BIGINT AS n_buckets,
+       min(n_docs::DOUBLE) AS min_v, max(n_docs::DOUBLE) AS max_v,
+       round(avg(n_docs::DOUBLE), 6) AS avg_v,
+       round(sum(n_docs::DOUBLE), 6) AS sum_v,
+       round(sum(n_docs::DOUBLE * n_docs), 6) AS sum_sq,
+       round(var_pop(n_docs::DOUBLE), 6) AS variance,
+       round(stddev_pop(n_docs::DOUBLE), 6) AS std_dev
+FROM {_dh_sub2} dh GROUP BY 1
+"""
+
+    _bcind = "[" + ", ".join(str(x) for x in BCORR_IND) + "]"
+    sql["bucket_correlation_agg"] = f"""
+WITH dh AS {_dh_sub2},
+p AS (SELECT query_id, n_docs,
+             row_number() OVER (PARTITION BY query_id ORDER BY bucket) AS pos
+      FROM dh),
+j AS (SELECT query_id, n_docs, ({_bcind})[pos] AS ind FROM p),
+a AS (SELECT query_id, count(*)::BIGINT AS n_buckets,
+             corr(n_docs::DOUBLE, ind) AS c
+      FROM j GROUP BY 1)
+SELECT query_id, n_buckets,
+       CASE WHEN n_buckets = {len(BCORR_IND)} THEN round(c, 6) END AS corr
+FROM a
 """
 
 

@@ -109,6 +109,8 @@ __all__ = [
     "rate_agg",
     "cumulative_cardinality_agg",
     "cumulative_cardinality_agg_indexed",
+    "extended_stats_bucket_agg",
+    "bucket_correlation_agg",
 ]
 
 
@@ -2655,3 +2657,85 @@ def cumulative_cardinality_agg_indexed(
     projections — the index stores no attributes)."""
     m = _indexed_match_set(spark, idx, queries)
     return _cum_card_epilogue(m, docs, ts_col, field, interval, id_col)
+
+
+def extended_stats_bucket_agg(
+    buckets: DataFrame, metric: str = "n_docs", round_dp: int | None = None
+) -> DataFrame:
+    """The ES ``extended_stats_bucket`` sibling pipeline agg: the
+    extended-stats frame (count/min/max/avg/sum + sum-of-squares,
+    POPULATION variance and std — the ES convention) of ``metric`` across
+    the parent's per-query bucket list.  One row per query."""
+    v = F.col(metric).cast("double")
+    agg = buckets.groupBy("query_id").agg(
+        F.count("*").cast("long").alias("n_buckets"),
+        F.min(v).alias("min_v"),
+        F.max(v).alias("max_v"),
+        F.avg(v).alias("avg_v"),
+        F.sum(v).alias("sum_v"),
+        F.sum(v * v).alias("sum_sq"),
+        F.var_pop(v).alias("variance"),
+        F.stddev_pop(v).alias("std_dev"),
+    )
+    if round_dp is not None:
+        for c in ("avg_v", "sum_v", "sum_sq", "variance", "std_dev"):
+            agg = agg.withColumn(c, F.round(c, round_dp))
+    return agg
+
+
+def bucket_correlation_agg(
+    buckets: DataFrame,
+    indicator: list[float],
+    metric: str = "n_docs",
+    order_col: str = "bucket",
+    round_dp: int | None = None,
+) -> DataFrame:
+    """The ES ``bucket_correlation`` pipeline agg (count_correlation
+    reduced to its Pearson core): per query, the Pearson correlation of
+    the bucket ``metric`` series — in ``order_col`` order — against a
+    caller-provided ``indicator`` curve of the same length ("does my
+    result volume track this known seasonal/burst shape").  Queries whose
+    series length differs from the indicator yield NULL correlation (the
+    ES agg errors; NULL keeps the batch shape), as do zero-variance
+    series (Pearson undefined).  Output (query_id, n_buckets, corr).
+
+    Scale: the indicator rides along as an array literal; positions come
+    from the same per-query window every pipeline agg uses; corr() is one
+    map-side-combinable aggregate over the query-sized bucket series."""
+    if not indicator:
+        raise ValueError("indicator must be a non-empty list of numbers")
+    ind = F.array(*[F.lit(float(x)) for x in indicator])
+    w = _series_window(order_col)
+    pos = F.row_number().over(w) - 1
+    # F.get is 0-based and NULL on out-of-bounds (element_at would raise
+    # under ANSI mode when the series outruns the indicator)
+    withind = buckets.withColumn("_pos", pos).withColumn(
+        "_ind", F.get(ind, F.col("_pos"))
+    )
+    # Pearson from guarded components: ANSI-mode F.corr raises
+    # DIVIDE_BY_ZERO on a zero-variance side; the ES agg (and this one)
+    # wants NULL there instead
+    y = F.when(F.col("_ind").isNotNull(), F.col(metric).cast("double"))
+    x = F.col("_ind")
+    agg = withind.groupBy("query_id").agg(
+        F.count("*").cast("long").alias("n_buckets"),
+        F.count(x).cast("double").alias("_n"),
+        F.sum(x).alias("_sx"),
+        F.sum(y).alias("_sy"),
+        F.sum(x * y).alias("_sxy"),
+        F.sum(x * x).alias("_sxx"),
+        F.sum(y * y).alias("_syy"),
+    )
+    num = F.col("_n") * F.col("_sxy") - F.col("_sx") * F.col("_sy")
+    den2 = (F.col("_n") * F.col("_sxx") - F.col("_sx") * F.col("_sx")) * (
+        F.col("_n") * F.col("_syy") - F.col("_sy") * F.col("_sy")
+    )
+    pearson = F.when(den2 > 0.0, num / F.sqrt(den2))
+    out = agg.select(
+        "query_id",
+        "n_buckets",
+        F.when(F.col("n_buckets") == F.lit(len(indicator)), pearson).alias("corr"),
+    )
+    if round_dp is not None:
+        out = out.withColumn("corr", F.round("corr", round_dp))
+    return out

@@ -277,3 +277,25 @@ def test_significant_terms_chi_square_heuristic(spark):
     assert {r["term"] for r in jlh} <= {"hot", "q"}
     with pytest.raises(ValueError):
         significant_terms(docs, q, heuristic="nope")
+
+
+def test_extended_stats_bucket_and_correlation(spark, docs_ts):
+    import statistics
+
+    from igd_spark import bucket_correlation_agg, extended_stats_bucket_agg
+
+    term = _mid_term(docs_ts)
+    dh = date_histogram_agg(docs_ts, _queries(spark, [(0, term)]), "ts2", "day")
+    ordered = [r["n_docs"] for r in dh.orderBy("bucket").collect()]
+    es = extended_stats_bucket_agg(dh).collect()[0]
+    assert es["n_buckets"] == len(ordered)
+    assert es["variance"] == pytest.approx(statistics.pvariance(ordered), abs=1e-6)
+    assert es["sum_sq"] == pytest.approx(sum(x * x for x in ordered))
+    # perfect correlation: indicator == the series itself
+    out = bucket_correlation_agg(dh, [float(x) for x in ordered]).collect()[0]
+    assert out["corr"] == pytest.approx(1.0)
+    # length mismatch -> NULL
+    out2 = bucket_correlation_agg(dh, [1.0, 2.0]).collect()[0]
+    assert out2["corr"] is None
+    with pytest.raises(ValueError):
+        bucket_correlation_agg(dh, [])
