@@ -1324,6 +1324,75 @@ class LocalSearcher:
         )
 
 
+    def span_or_n(
+        self, queries: list[tuple[int, str]], alternatives: str, span: int
+    ) -> pd.DataFrame:
+        """(query_id, doc_id, n_hits) — span_or pair counting, zero Spark
+        jobs.  Mirrors search._span_or_epilogue exactly: ordered pairs
+        (anchor occurrence p1, ANY alternative occurrence p2) with
+        p1 < p2 <= p1 + span, counted per doc.  The anchor is each query's
+        FIRST token; ``alternatives`` is the shared space-separated term
+        set.  Per doc the count is two searchsorteds over the doc's sorted
+        alternative positions — no per-anchor Python loop."""
+        alt_terms = sorted(
+            set(_tokenize_ordered(alternatives, self.conf.token_split_re))
+        )
+        anchors: dict[int, str] = {}
+        for qid, text in queries:
+            toks = _tokenize_ordered(text, self.conf.token_split_re)
+            if toks:
+                anchors[qid] = toks[0]
+        if not anchors or not alt_terms:
+            return self._hits_frame([], [], [])
+        lists = self._pos_lists_for_terms(
+            sorted(set(anchors.values()) | set(alt_terms))
+        )
+        # ONE union alternative stream shared by every query, sorted (d, p)
+        alt_parts = [lists[t] for t in alt_terms if lists[t][0].size]
+        if not alt_parts:
+            return self._hits_frame([], [], [])
+        ad = np.concatenate([x[0] for x in alt_parts])
+        ap = np.concatenate([x[1] for x in alt_parts])
+        order = np.lexsort((ap, ad))
+        ad, ap = ad[order], ap[order]
+        abounds = np.concatenate(
+            ([0], np.flatnonzero(ad[1:] != ad[:-1]) + 1, [ad.size])
+        )
+        audocs = ad[abounds[:-1]]
+        out_q, out_d, out_n = [], [], []
+        for qid, aterm in anchors.items():
+            d1, p1 = lists[aterm]
+            if not d1.size:
+                continue
+            o1 = np.lexsort((p1, d1))
+            d1s, p1s = d1[o1], p1[o1]
+            qb = np.concatenate(
+                ([0], np.flatnonzero(d1s[1:] != d1s[:-1]) + 1, [d1s.size])
+            )
+            qdocs = d1s[qb[:-1]]
+            # align anchor doc blocks with alternative doc blocks
+            ai = np.searchsorted(audocs, qdocs)
+            rows_d, rows_n = [], []
+            for bi in range(qdocs.size):
+                j = ai[bi]
+                if j >= audocs.size or audocs[j] != qdocs[bi]:
+                    continue
+                aps = ap[abounds[j]:abounds[j + 1]]
+                p1d = p1s[qb[bi]:qb[bi + 1]]
+                c = np.searchsorted(aps, p1d + span, side="right") - (
+                    np.searchsorted(aps, p1d, side="right")
+                )
+                n = int(c.sum())
+                if n:
+                    rows_d.append(int(qdocs[bi]))
+                    rows_n.append(n)
+            if rows_d:
+                out_q.append(np.full(len(rows_d), qid, dtype=np.int64))
+                out_d.append(np.asarray(rows_d, dtype=np.int64))
+                out_n.append(np.asarray(rows_n, dtype=np.int64))
+        return self._hits_frame(out_q, out_d, out_n)
+
+
 def local_searcher(idx) -> LocalSearcher:
     """Memoized per-handle LocalSearcher (dictionary + decoded-list caches
     survive across calls, like the reference's open handle)."""
@@ -1332,3 +1401,4 @@ def local_searcher(idx) -> LocalSearcher:
         ls = LocalSearcher(idx)
         idx._local_searcher = ls
     return ls
+

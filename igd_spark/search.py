@@ -2550,15 +2550,31 @@ def span_or_match_indexed(
     queries,
     alternatives,
     span: int = 8,
+    engine: str = "auto",
+    telemetry: dict | None = None,
 ) -> DataFrame:
     """`span_or_match` off the persisted positional index: one pruned
     positional enumeration over anchor + all alternatives together (one
     shard-pruned In(term_id) scan, one driver prologue); the corpus table
-    is never in the plan."""
-    if isinstance(queries, (pd.DataFrame, list, tuple)):
-        queries = _materialize_local_queries(spark, queries)
+    is never in the plan.
+
+    engine="auto" first tries the in-process driver route
+    (LocalSearcher.span_or_n — zero Spark jobs, ms-scale warm) when
+    ``alternatives`` is a shared string, admitted by the EXACT term set's
+    parquet-footer occurrence bound (anchors + alternatives — the
+    admission reads no data); "driver" demands it; "spark" forces the
+    distributed plan.  Per-query alternative frames always take the
+    distributed plan (the route's shared-alternative contract keeps the
+    union stream computable once)."""
     if span < 1:
         raise ValueError(f"span must be >= 1, got {span}")
+    routed = _try_span_or_route(
+        spark, idx, queries, alternatives, span, engine, telemetry
+    )
+    if routed is not None:
+        return routed
+    if isinstance(queries, (pd.DataFrame, list, tuple)):
+        queries = _materialize_local_queries(spark, queries)
     b1, _ = _span_pair_parts(queries, idx.conf.token_split_re)
     alts = query_terms(_alt_queries(queries, alternatives)).dropDuplicates(
         ["query_id", "term"]
@@ -2675,3 +2691,77 @@ def span_multi_match_indexed(
     all_terms = b1.unionByName(alts).dropDuplicates(["query_id", "term"])
     occ = positional_enumerate(spark, idx, queries, terms=all_terms)
     return _span_or_epilogue(occ, b1, alts, span)
+
+
+def _try_span_or_route(
+    spark: SparkSession,
+    idx: InvertedIndex,
+    queries,
+    alternatives,
+    span: int,
+    engine: str,
+    telemetry: dict | None = None,
+) -> DataFrame | None:
+    """Driver-route admission for span_or — `_try_positional_route`'s
+    discipline with the operator's EXACT term set (each query's first
+    token + the shared alternatives) instead of the full tokenized text,
+    so admission neither over- nor under-counts the occurrence volume the
+    kernel will actually fault in."""
+    if engine == "spark":
+        return None
+    if engine not in ("auto", "driver"):
+        raise ValueError("engine must be 'auto', 'driver' or 'spark'")
+    from igd_spark.local import _tokenize_ordered, local_searcher
+
+    conf = idx.conf
+    max_q, max_post = _driver_budgets(conf)
+
+    def bail(reason: str) -> None:
+        if engine == "driver":
+            raise ValueError(
+                f"engine='driver' requested but {reason}; use engine='auto' "
+                "or 'spark', or raise IndexConf.driver_search_* budgets"
+            )
+
+    if not isinstance(alternatives, str):
+        bail("per-query alternative frames only run on the distributed plan")
+        return None
+    if not conf.store_positions:
+        bail("the index stores no positions")
+        return None
+    if max_q <= 0 or max_post <= 0:
+        bail("the driver route is disabled (budget <= 0)")
+        return None
+    if isinstance(queries, (pd.DataFrame, list, tuple)):
+        rows = _as_local_rows(queries)
+    else:
+        if not _stats_small_plan(queries, conf):
+            bail("the query batch is not provably driver-local")
+            return None
+        rows = [
+            (int(r["query_id"]), r["query_text"])
+            for r in queries.select("query_id", "query_text").collect()
+        ]
+    t0 = time.perf_counter()
+    if len({qid for qid, _ in rows}) > max_q:
+        bail(f"batch has >{max_q} queries (driver_search_max_queries)")
+        return None
+    anchors = [
+        toks[0]
+        for _, text in rows
+        if (toks := _tokenize_ordered(text, conf.token_split_re))
+    ]
+    alt_terms = _tokenize_ordered(alternatives, conf.token_split_re)
+    ls = local_searcher(idx)
+    ok, bound = ls.pos_terms_cost(sorted(set(anchors) | set(alt_terms)), max_post)
+    if not ok:
+        bail(
+            f"positional footer bound {bound} occurrences > "
+            f"driver_search_max_postings={max_post}"
+        )
+        return None
+    pdf = ls.span_or_n(rows, alternatives, span)
+    if telemetry is not None:
+        telemetry["route_ms"] = 1000 * (time.perf_counter() - t0)
+        telemetry["pos_cost_bound"] = bound
+    return spark.createDataFrame(pdf, "query_id long, doc_id long, n_hits long")

@@ -219,3 +219,24 @@ def test_no_positions_demotes_loudly(spark, tiny_docs, tmp_path):
     ph = _queries(spark, [(0, "the import")])
     with pytest.raises(ValueError, match="positions"):
         phrase_match_indexed(spark, idx, ph, engine="driver")
+
+
+def test_span_or_driver_matches_spark(spark, built):
+    from igd_spark import span_or_match, span_or_match_indexed
+
+    docs, idx = built
+    q = _queries(
+        spark,
+        [(0, "t00001 whatever"), (1, "t00003 zzz"), (2, "zzznotavocab x")],
+    )
+    alts = "t00000 t00002"
+    want = _sorted(span_or_match(docs, q, alts, span=5, conf=CONF))
+    a = _sorted(span_or_match_indexed(spark, idx, q, alts, span=5, engine="driver"))
+    b = _sorted(span_or_match_indexed(spark, idx, q, alts, span=5, engine="spark"))
+    pd.testing.assert_frame_equal(a, want)
+    pd.testing.assert_frame_equal(b, want)
+    assert len(want) > 0
+    # per-query alternative FRAMES must demote (shared-string contract)
+    altf = spark.createDataFrame([(0, "timeout")], "query_id long, alt_text string")
+    with pytest.raises(ValueError, match="distributed plan"):
+        span_or_match_indexed(spark, idx, q, altf, span=5, engine="driver")
