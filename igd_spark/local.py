@@ -1393,6 +1393,112 @@ class LocalSearcher:
         return self._hits_frame(out_q, out_d, out_n)
 
 
+    def span_pair_n(
+        self,
+        queries: list[tuple[int, str]],
+        little: str,
+        span: int,
+        mode: str,
+    ) -> pd.DataFrame:
+        """(query_id, doc_id, n_hits) — span_containing / span_within,
+        zero Spark jobs.  Mirrors search._span_containing_epilogue /
+        _span_within_epilogue exactly: big spans are ordered pairs of each
+        query's FIRST TWO tokens with p1 < p2 <= p1 + span; ``mode``
+        'containing' counts SPANS holding >= 1 ``little`` occurrence in
+        [p1, p2], 'within' counts little OCCURRENCES inside >= 1 span.
+        Per doc both counts reduce to searchsorteds over sorted position
+        arrays — no pair materialization."""
+        if mode not in ("containing", "within"):
+            raise ValueError(f"mode must be containing|within, got {mode!r}")
+        lt_terms = sorted(
+            set(_tokenize_ordered(little, self.conf.token_split_re))
+        )
+        pairs: dict[int, tuple[str, str]] = {}
+        for qid, text in queries:
+            toks = _tokenize_ordered(text, self.conf.token_split_re)
+            if len(toks) >= 2:
+                pairs[qid] = (toks[0], toks[1])
+        if not pairs or not lt_terms:
+            return self._hits_frame([], [], [])
+        need = sorted(
+            set(lt_terms)
+            | {t for ab in pairs.values() for t in ab}
+        )
+        lists = self._pos_lists_for_terms(need)
+
+        def _by_doc(term: str):
+            d, p = lists[term]
+            if not d.size:
+                return None
+            o = np.lexsort((p, d))
+            d, p = d[o], p[o]
+            b = np.concatenate(
+                ([0], np.flatnonzero(d[1:] != d[:-1]) + 1, [d.size])
+            )
+            return d[b[:-1]], p, b
+
+        lt_parts = [lists[t] for t in lt_terms if lists[t][0].size]
+        if not lt_parts:
+            return self._hits_frame([], [], [])
+        ld = np.concatenate([x[0] for x in lt_parts])
+        lp = np.concatenate([x[1] for x in lt_parts])
+        lo_ = np.lexsort((lp, ld))
+        ld, lp = ld[lo_], lp[lo_]
+        lb = np.concatenate(([0], np.flatnonzero(ld[1:] != ld[:-1]) + 1, [ld.size]))
+        ldocs = ld[lb[:-1]]
+
+        out_q, out_d, out_n = [], [], []
+        for qid, (t1, t2) in pairs.items():
+            s1, s2 = _by_doc(t1), _by_doc(t2)
+            if s1 is None or s2 is None:
+                continue
+            d1docs, p1all, b1 = s1
+            d2docs, p2all, b2 = s2
+            # docs where anchor, second clause, AND little all occur
+            common = d1docs[np.isin(d1docs, d2docs, assume_unique=True)]
+            common = common[np.isin(common, ldocs, assume_unique=True)]
+            if not common.size:
+                continue
+            i1 = np.searchsorted(d1docs, common)
+            i2 = np.searchsorted(d2docs, common)
+            il = np.searchsorted(ldocs, common)
+            rows_d, rows_n = [], []
+            for bi in range(common.size):
+                P1 = p1all[b1[i1[bi]]:b1[i1[bi] + 1]]
+                P2 = p2all[b2[i2[bi]]:b2[i2[bi] + 1]]
+                L = lp[lb[il[bi]]:lb[il[bi] + 1]]
+                a = np.searchsorted(P2, P1, side="right")
+                b = np.searchsorted(P2, P1 + span, side="right")
+                if mode == "containing":
+                    # first little >= p1; qualifying p2 must be >= that
+                    li = np.searchsorted(L, P1, side="left")
+                    has = li < L.size
+                    lstar = np.where(has, L[np.minimum(li, L.size - 1)], 0)
+                    c = np.searchsorted(P2, lstar, side="left")
+                    cnt = np.where(has, b - np.maximum(a, c), 0)
+                    n = int(np.maximum(cnt, 0).sum())
+                else:
+                    # interval cover: per anchor with >= 1 p2, [p1, max p2];
+                    # little l covered iff exists p1 <= l with prefixmax >= l
+                    m = b > a
+                    if not m.any():
+                        continue
+                    P1v = P1[m]
+                    mx = P2[b[m] - 1]
+                    pref = np.maximum.accumulate(mx)
+                    j = np.searchsorted(P1v, L, side="right") - 1
+                    ok = (j >= 0) & (pref[np.maximum(j, 0)] >= L)
+                    n = int(ok.sum())
+                if n:
+                    rows_d.append(int(common[bi]))
+                    rows_n.append(n)
+            if rows_d:
+                out_q.append(np.full(len(rows_d), qid, dtype=np.int64))
+                out_d.append(np.asarray(rows_d, dtype=np.int64))
+                out_n.append(np.asarray(rows_n, dtype=np.int64))
+        return self._hits_frame(out_q, out_d, out_n)
+
+
 def local_searcher(idx) -> LocalSearcher:
     """Memoized per-handle LocalSearcher (dictionary + decoded-list caches
     survive across calls, like the reference's open handle)."""

@@ -2448,10 +2448,22 @@ def span_containing_match_indexed(
     queries,
     little,
     span: int = 8,
+    engine: str = "auto",
+    telemetry: dict | None = None,
 ) -> DataFrame:
     """`span_containing_match` off the persisted positional index — one
     pruned positional scan for big + little terms together; the corpus
-    table is never in the plan."""
+    table is never in the plan.
+
+    engine="auto" first tries the in-process driver route
+    (LocalSearcher.span_pair_n) when ``little`` is a shared string,
+    admitted by the exact term set's footer occurrence bound; "driver"
+    demands it; "spark" forces the distributed plan."""
+    routed = _try_span_pair_route(
+        spark, idx, queries, little, span, engine, "containing", telemetry
+    )
+    if routed is not None:
+        return routed
     spans, lo = _span_pair_sets_indexed(spark, idx, queries, little, span)
     return _span_containing_epilogue(spans, lo)
 
@@ -2462,8 +2474,16 @@ def span_within_match_indexed(
     queries,
     little,
     span: int = 8,
+    engine: str = "auto",
+    telemetry: dict | None = None,
 ) -> DataFrame:
-    """`span_within_match` off the persisted positional index."""
+    """`span_within_match` off the persisted positional index — same
+    engine routing as `span_containing_match_indexed`."""
+    routed = _try_span_pair_route(
+        spark, idx, queries, little, span, engine, "within", telemetry
+    )
+    if routed is not None:
+        return routed
     spans, lo = _span_pair_sets_indexed(spark, idx, queries, little, span)
     return _span_within_epilogue(spans, lo)
 
@@ -2761,6 +2781,76 @@ def _try_span_or_route(
         )
         return None
     pdf = ls.span_or_n(rows, alternatives, span)
+    if telemetry is not None:
+        telemetry["route_ms"] = 1000 * (time.perf_counter() - t0)
+        telemetry["pos_cost_bound"] = bound
+    return spark.createDataFrame(pdf, "query_id long, doc_id long, n_hits long")
+
+
+def _try_span_pair_route(
+    spark: SparkSession,
+    idx: InvertedIndex,
+    queries,
+    little,
+    span: int,
+    engine: str,
+    mode: str,
+    telemetry: dict | None = None,
+) -> DataFrame | None:
+    """Driver-route admission for span_containing / span_within — the
+    span_or discipline with the pair operators' exact term set (each
+    query's first TWO tokens + the shared little terms)."""
+    if engine == "spark":
+        return None
+    if engine not in ("auto", "driver"):
+        raise ValueError("engine must be 'auto', 'driver' or 'spark'")
+    from igd_spark.local import _tokenize_ordered, local_searcher
+
+    conf = idx.conf
+    max_q, max_post = _driver_budgets(conf)
+
+    def bail(reason: str) -> None:
+        if engine == "driver":
+            raise ValueError(
+                f"engine='driver' requested but {reason}; use engine='auto' "
+                "or 'spark', or raise IndexConf.driver_search_* budgets"
+            )
+
+    if not isinstance(little, str):
+        bail("per-query little frames only run on the distributed plan")
+        return None
+    if not conf.store_positions:
+        bail("the index stores no positions")
+        return None
+    if max_q <= 0 or max_post <= 0:
+        bail("the driver route is disabled (budget <= 0)")
+        return None
+    if isinstance(queries, (pd.DataFrame, list, tuple)):
+        rows = _as_local_rows(queries)
+    else:
+        if not _stats_small_plan(queries, conf):
+            bail("the query batch is not provably driver-local")
+            return None
+        rows = [
+            (int(r["query_id"]), r["query_text"])
+            for r in queries.select("query_id", "query_text").collect()
+        ]
+    t0 = time.perf_counter()
+    if len({qid for qid, _ in rows}) > max_q:
+        bail(f"batch has >{max_q} queries (driver_search_max_queries)")
+        return None
+    terms: set[str] = set(_tokenize_ordered(little, conf.token_split_re))
+    for _, text in rows:
+        terms.update(_tokenize_ordered(text, conf.token_split_re)[:2])
+    ls = local_searcher(idx)
+    ok, bound = ls.pos_terms_cost(sorted(terms), max_post)
+    if not ok:
+        bail(
+            f"positional footer bound {bound} occurrences > "
+            f"driver_search_max_postings={max_post}"
+        )
+        return None
+    pdf = ls.span_pair_n(rows, little, span, mode)
     if telemetry is not None:
         telemetry["route_ms"] = 1000 * (time.perf_counter() - t0)
         telemetry["pos_cost_bound"] = bound

@@ -240,3 +240,33 @@ def test_span_or_driver_matches_spark(spark, built):
     altf = spark.createDataFrame([(0, "timeout")], "query_id long, alt_text string")
     with pytest.raises(ValueError, match="distributed plan"):
         span_or_match_indexed(spark, idx, q, altf, span=5, engine="driver")
+
+
+def test_span_pair_driver_matches_spark(spark, built):
+    from igd_spark import (
+        span_containing_match,
+        span_containing_match_indexed,
+        span_within_match,
+        span_within_match_indexed,
+    )
+
+    docs, idx = built
+    q = _queries(
+        spark,
+        [(0, "t00000 t00001"), (1, "t00002 t00000"), (2, "zzz t00001")],
+    )
+    little = "t00003"
+    for corpus_fn, idx_fn in (
+        (span_containing_match, span_containing_match_indexed),
+        (span_within_match, span_within_match_indexed),
+    ):
+        want = _sorted(corpus_fn(docs, q, little, span=6, conf=CONF))
+        a = _sorted(idx_fn(spark, idx, q, little, span=6, engine="driver"))
+        b = _sorted(idx_fn(spark, idx, q, little, span=6, engine="spark"))
+        pd.testing.assert_frame_equal(a, want)
+        pd.testing.assert_frame_equal(b, want)
+        assert len(want) > 0
+    # per-query little FRAMES must demote (shared-string contract)
+    lf = spark.createDataFrame([(0, "t00003")], "query_id long, exclude_text string")
+    with pytest.raises(ValueError, match="distributed plan"):
+        span_containing_match_indexed(spark, idx, q, lf, span=6, engine="driver")
