@@ -2673,6 +2673,8 @@ def span_multi_match_indexed(
     prefix,
     span: int = 8,
     max_expanded_terms: int = 65_536,
+    engine: str = "auto",
+    telemetry: dict | None = None,
 ) -> DataFrame:
     """`span_multi_match` off the persisted positional index: the prefix
     expands against the index DICTIONARY (vocab scan, no corpus), then ONE
@@ -2687,10 +2689,16 @@ def span_multi_match_indexed(
     matches a stopword expands differently between the two paths — the
     usual Lucene behavior (multi-term rewrites consult the indexed terms
     dictionary, which is post-analyzer)."""
-    if isinstance(queries, (pd.DataFrame, list, tuple)):
-        queries = _materialize_local_queries(spark, queries)
     if span < 1:
         raise ValueError(f"span must be >= 1, got {span}")
+    routed = _try_span_multi_route(
+        spark, idx, queries, prefix, span, engine, max_expanded_terms,
+        telemetry,
+    )
+    if routed is not None:
+        return routed
+    if isinstance(queries, (pd.DataFrame, list, tuple)):
+        queries = _materialize_local_queries(spark, queries)
     b1, _ = _span_pair_parts(queries, idx.conf.token_split_re)
     pq = _prefix_queries(queries, prefix)
     exp = (
@@ -2851,6 +2859,100 @@ def _try_span_pair_route(
         )
         return None
     pdf = ls.span_pair_n(rows, little, span, mode)
+    if telemetry is not None:
+        telemetry["route_ms"] = 1000 * (time.perf_counter() - t0)
+        telemetry["pos_cost_bound"] = bound
+    return spark.createDataFrame(pdf, "query_id long, doc_id long, n_hits long")
+
+
+def _try_span_multi_route(
+    spark: SparkSession,
+    idx: InvertedIndex,
+    queries,
+    prefix,
+    span: int,
+    engine: str,
+    max_expanded_terms: int,
+    telemetry: dict | None = None,
+) -> DataFrame | None:
+    """Driver-route admission for span_multi — `_try_expand_route`'s
+    vocab/expansion discipline composed with the span_or kernel: (1) the
+    vocab footer count must fit the budget before the prefix probe reads
+    the dictionary, (2) the expansion is capped with the SAME loud error
+    as the distributed path, (3) the anchor + expanded terms' footer
+    occurrence bound must fit the positional budget."""
+    if engine == "spark":
+        return None
+    if engine not in ("auto", "driver"):
+        raise ValueError("engine must be 'auto', 'driver' or 'spark'")
+    from igd_spark.local import _tokenize_ordered, local_searcher
+
+    conf = idx.conf
+    max_q, max_post = _driver_budgets(conf)
+
+    def bail(reason: str) -> None:
+        if engine == "driver":
+            raise ValueError(
+                f"engine='driver' requested but {reason}; use engine='auto' "
+                "or 'spark', or raise IndexConf.driver_search_* budgets"
+            )
+
+    if not isinstance(prefix, str):
+        bail("per-query prefix frames only run on the distributed plan")
+        return None
+    if not conf.store_positions:
+        bail("the index stores no positions")
+        return None
+    if max_q <= 0 or max_post <= 0:
+        bail("the driver route is disabled (budget <= 0)")
+        return None
+    if isinstance(queries, (pd.DataFrame, list, tuple)):
+        rows = _as_local_rows(queries)
+    else:
+        if not _stats_small_plan(queries, conf):
+            bail("the query batch is not provably driver-local")
+            return None
+        rows = [
+            (int(r["query_id"]), r["query_text"])
+            for r in queries.select("query_id", "query_text").collect()
+        ]
+    t0 = time.perf_counter()
+    if len({qid for qid, _ in rows}) > max_q:
+        bail(f"batch has >{max_q} queries (driver_search_max_queries)")
+        return None
+    ls = local_searcher(idx)
+    if (False, prefix) not in getattr(ls, "_expand_cache", {}) and (
+        ls.vocab_rows() > max_post
+    ):
+        bail(
+            f"dictionary has {ls.vocab_rows()} rows > "
+            f"driver_search_max_postings={max_post} (expansion probe budget)"
+        )
+        return None
+    expanded = ls.expand_patterns([prefix], like=False)[prefix]
+    if len(expanded) > max_expanded_terms:
+        raise ValueError(
+            f"span_multi prefix expansion exceeds max_expanded_terms="
+            f"{max_expanded_terms}; raise the cap or use the corpus-scan "
+            f"span_multi_match (distributed expansion)"
+        )
+    if not expanded:
+        return spark.createDataFrame(
+            [], "query_id long, doc_id long, n_hits long"
+        )
+    anchors = [
+        toks[0]
+        for _, text in rows
+        if (toks := _tokenize_ordered(text, conf.token_split_re))
+    ]
+    ok, bound = ls.pos_terms_cost(sorted(set(anchors) | set(expanded)), max_post)
+    if not ok:
+        bail(
+            f"positional footer bound {bound} occurrences > "
+            f"driver_search_max_postings={max_post}"
+        )
+        return None
+    pdf = ls.span_or_n(rows, " ".join(expanded), span)
     if telemetry is not None:
         telemetry["route_ms"] = 1000 * (time.perf_counter() - t0)
         telemetry["pos_cost_bound"] = bound

@@ -270,3 +270,22 @@ def test_span_pair_driver_matches_spark(spark, built):
     lf = spark.createDataFrame([(0, "t00003")], "query_id long, exclude_text string")
     with pytest.raises(ValueError, match="distributed plan"):
         span_containing_match_indexed(spark, idx, q, lf, span=6, engine="driver")
+
+
+def test_span_multi_driver_matches_spark(spark, built):
+    from igd_spark import span_multi_match, span_multi_match_indexed
+
+    docs, idx = built
+    q = _queries(spark, [(0, "t00001 x"), (1, "t00004 y")])
+    want = _sorted(span_multi_match(docs, q, "t0000", span=4, conf=CONF))
+    a = _sorted(span_multi_match_indexed(spark, idx, q, "t0000", span=4,
+                                         engine="driver"))
+    b = _sorted(span_multi_match_indexed(spark, idx, q, "t0000", span=4,
+                                         engine="spark"))
+    pd.testing.assert_frame_equal(a, want)
+    pd.testing.assert_frame_equal(b, want)
+    assert len(want) > 0
+    # the expansion cap stays loud on the driver route too
+    with pytest.raises(ValueError, match="max_expanded_terms"):
+        span_multi_match_indexed(spark, idx, q, "t", span=4,
+                                 max_expanded_terms=2, engine="driver")
