@@ -1499,6 +1499,84 @@ class LocalSearcher:
         return self._hits_frame(out_q, out_d, out_n)
 
 
+    def span_not_n(
+        self,
+        queries: list[tuple[int, str]],
+        exclude: str,
+        pre: int,
+        post: int,
+    ) -> pd.DataFrame:
+        """(query_id, doc_id, n_hits) — span_not occurrence exclusion,
+        zero Spark jobs.  Mirrors search._span_not_epilogue exactly: an
+        include occurrence at ``p`` (any DISTINCT query token) survives
+        iff NO exclusion occurrence lies in [p - pre, p + post] in the
+        same doc; survivors counted per doc.  Per doc the test is two
+        searchsorteds over the doc's sorted exclusion positions."""
+        exc_terms = sorted(
+            set(_tokenize_ordered(exclude, self.conf.token_split_re))
+        )
+        inc_sets: dict[int, list[str]] = {}
+        for qid, text in queries:
+            toks = sorted(set(_tokenize_ordered(text, self.conf.token_split_re)))
+            if toks:
+                inc_sets[qid] = toks
+        if not inc_sets:
+            return self._hits_frame([], [], [])
+        need = sorted(
+            set(exc_terms) | {t for ts in inc_sets.values() for t in ts}
+        )
+        lists = self._pos_lists_for_terms(need)
+        # ONE shared exclusion stream (exclude is the shared string form)
+        exc_parts = [lists[t] for t in exc_terms if lists[t][0].size]
+        if exc_parts:
+            ed = np.concatenate([x[0] for x in exc_parts])
+            ep = np.concatenate([x[1] for x in exc_parts])
+            eo = np.lexsort((ep, ed))
+            ed, ep = ed[eo], ep[eo]
+            eb = np.concatenate(
+                ([0], np.flatnonzero(ed[1:] != ed[:-1]) + 1, [ed.size])
+            )
+            edocs = ed[eb[:-1]]
+        else:
+            edocs = np.empty(0, dtype=np.int64)
+            ep = np.empty(0, dtype=np.int64)
+            eb = np.asarray([0])
+        out_q, out_d, out_n = [], [], []
+        for qid, terms in inc_sets.items():
+            parts = [lists[t] for t in terms if lists[t][0].size]
+            if not parts:
+                continue
+            d = np.concatenate([x[0] for x in parts])
+            p = np.concatenate([x[1] for x in parts])
+            o = np.lexsort((p, d))
+            d, p = d[o], p[o]
+            b = np.concatenate(
+                ([0], np.flatnonzero(d[1:] != d[:-1]) + 1, [d.size])
+            )
+            docs = d[b[:-1]]
+            ei = np.searchsorted(edocs, docs)
+            rows_d, rows_n = [], []
+            for bi in range(docs.size):
+                P = p[b[bi]:b[bi + 1]]
+                j = ei[bi]
+                if j < edocs.size and edocs[j] == docs[bi]:
+                    E = ep[eb[j]:eb[j + 1]]
+                    hits = np.searchsorted(E, P + post, side="right") - (
+                        np.searchsorted(E, P - pre, side="left")
+                    )
+                    n = int((hits == 0).sum())
+                else:
+                    n = int(P.size)
+                if n:
+                    rows_d.append(int(docs[bi]))
+                    rows_n.append(n)
+            if rows_d:
+                out_q.append(np.full(len(rows_d), qid, dtype=np.int64))
+                out_d.append(np.asarray(rows_d, dtype=np.int64))
+                out_n.append(np.asarray(rows_n, dtype=np.int64))
+        return self._hits_frame(out_q, out_d, out_n)
+
+
 def local_searcher(idx) -> LocalSearcher:
     """Memoized per-handle LocalSearcher (dictionary + decoded-list caches
     survive across calls, like the reference's open handle)."""

@@ -2240,11 +2240,24 @@ def span_not_match_indexed(
     exclude,
     pre: int = 0,
     post: int = 0,
+    engine: str = "auto",
+    telemetry: dict | None = None,
 ) -> DataFrame:
     """`span_not_match` off the persisted positional index: two pruned
     positional enumerations (include terms, exclusion terms — shard
     partitions + In(term_id) row-group pruning each), anti-joined; the
-    corpus table is never in the plan."""
+    corpus table is never in the plan.
+
+    engine="auto" first tries the in-process driver route
+    (LocalSearcher.span_not_n) when ``exclude`` is a shared string,
+    admitted by the exact (query tokens + exclusion terms) footer
+    occurrence bound; "driver" demands it; "spark" forces the
+    distributed plan."""
+    routed = _try_span_not_route(
+        spark, idx, queries, exclude, pre, post, engine, telemetry
+    )
+    if routed is not None:
+        return routed
     if isinstance(queries, (pd.DataFrame, list, tuple)):
         queries = _materialize_local_queries(spark, queries)
     inc = positional_enumerate(spark, idx, queries).select(
@@ -2953,6 +2966,78 @@ def _try_span_multi_route(
         )
         return None
     pdf = ls.span_or_n(rows, " ".join(expanded), span)
+    if telemetry is not None:
+        telemetry["route_ms"] = 1000 * (time.perf_counter() - t0)
+        telemetry["pos_cost_bound"] = bound
+    return spark.createDataFrame(pdf, "query_id long, doc_id long, n_hits long")
+
+
+def _try_span_not_route(
+    spark: SparkSession,
+    idx: InvertedIndex,
+    queries,
+    exclude,
+    pre: int,
+    post: int,
+    engine: str,
+    telemetry: dict | None = None,
+) -> DataFrame | None:
+    """Driver-route admission for span_not — the span_or discipline with
+    the operator's exact term set (every distinct query token + the
+    shared exclusion terms)."""
+    if engine == "spark":
+        return None
+    if engine not in ("auto", "driver"):
+        raise ValueError("engine must be 'auto', 'driver' or 'spark'")
+    if pre < 0 or post < 0:
+        raise ValueError("pre and post must be >= 0")
+    from igd_spark.local import _tokenize_ordered, local_searcher
+
+    conf = idx.conf
+    max_q, max_post = _driver_budgets(conf)
+
+    def bail(reason: str) -> None:
+        if engine == "driver":
+            raise ValueError(
+                f"engine='driver' requested but {reason}; use engine='auto' "
+                "or 'spark', or raise IndexConf.driver_search_* budgets"
+            )
+
+    if not isinstance(exclude, str):
+        bail("per-query exclusion frames only run on the distributed plan")
+        return None
+    if not conf.store_positions:
+        bail("the index stores no positions")
+        return None
+    if max_q <= 0 or max_post <= 0:
+        bail("the driver route is disabled (budget <= 0)")
+        return None
+    if isinstance(queries, (pd.DataFrame, list, tuple)):
+        rows = _as_local_rows(queries)
+    else:
+        if not _stats_small_plan(queries, conf):
+            bail("the query batch is not provably driver-local")
+            return None
+        rows = [
+            (int(r["query_id"]), r["query_text"])
+            for r in queries.select("query_id", "query_text").collect()
+        ]
+    t0 = time.perf_counter()
+    if len({qid for qid, _ in rows}) > max_q:
+        bail(f"batch has >{max_q} queries (driver_search_max_queries)")
+        return None
+    terms: set[str] = set(_tokenize_ordered(exclude, conf.token_split_re))
+    for _, text in rows:
+        terms.update(_tokenize_ordered(text, conf.token_split_re))
+    ls = local_searcher(idx)
+    ok, bound = ls.pos_terms_cost(sorted(terms), max_post)
+    if not ok:
+        bail(
+            f"positional footer bound {bound} occurrences > "
+            f"driver_search_max_postings={max_post}"
+        )
+        return None
+    pdf = ls.span_not_n(rows, exclude, pre, post)
     if telemetry is not None:
         telemetry["route_ms"] = 1000 * (time.perf_counter() - t0)
         telemetry["pos_cost_bound"] = bound

@@ -289,3 +289,22 @@ def test_span_multi_driver_matches_spark(spark, built):
     with pytest.raises(ValueError, match="max_expanded_terms"):
         span_multi_match_indexed(spark, idx, q, "t", span=4,
                                  max_expanded_terms=2, engine="driver")
+
+
+def test_span_not_driver_matches_spark(spark, built):
+    from igd_spark import span_not_match, span_not_match_indexed
+
+    docs, idx = built
+    q = _queries(spark, [(0, "t00001 t00002"), (1, "t00004")])
+    exc = "t00000"
+    want = _sorted(span_not_match(docs, q, exc, pre=2, post=2, conf=CONF))
+    a = _sorted(span_not_match_indexed(spark, idx, q, exc, pre=2, post=2,
+                                       engine="driver"))
+    b = _sorted(span_not_match_indexed(spark, idx, q, exc, pre=2, post=2,
+                                       engine="spark"))
+    pd.testing.assert_frame_equal(a, want)
+    pd.testing.assert_frame_equal(b, want)
+    assert len(want) > 0
+    lf = spark.createDataFrame([(0, "t00000")], "query_id long, exclude_text string")
+    with pytest.raises(ValueError, match="distributed plan"):
+        span_not_match_indexed(spark, idx, q, lf, pre=2, post=2, engine="driver")
