@@ -386,7 +386,7 @@ def main() -> int:
     # no cartesian (the proximity window is a residual on the hash join)
     from igd_spark import span_not_match_indexed
 
-    snplan = fmt(span_not_match_indexed(spark, pidx, ql_q, "error", pre=2, post=2))
+    snplan = fmt(span_not_match_indexed(spark, pidx, ql_q, "error", pre=2, post=2, engine="spark"))
     assert_pruned_scan("span_not_match_indexed scan", snplan)
     sn_schemas = re.findall(r"ReadSchema: struct<([^>]*)>", snplan)
     check(
@@ -793,9 +793,9 @@ def main() -> int:
     )
     for label, df in (
         ("span_containing_match_indexed",
-         span_containing_match_indexed(spark, pidx, sc_q, "the", span=6)),
+         span_containing_match_indexed(spark, pidx, sc_q, "the", span=6, engine="spark")),
         ("span_within_match_indexed",
-         span_within_match_indexed(spark, pidx, sc_q, "the", span=6)),
+         span_within_match_indexed(spark, pidx, sc_q, "the", span=6, engine="spark")),
     ):
         plan = fmt(df)
         assert_pruned_scan(f"{label} scan", plan)
@@ -881,7 +881,7 @@ def main() -> int:
     )
 
     soplan = fmt(span_or_match_indexed(
-        spark, pidx, sc_q, "refused reset", span=6
+        spark, pidx, sc_q, "refused reset", span=6, engine="spark"
     ))
     assert_pruned_scan("span_or_match_indexed scan", soplan)
     so_schemas = re.findall(r"ReadSchema: struct<([^>]*)>", soplan)
@@ -918,7 +918,7 @@ def main() -> int:
     # span_multi: dictionary-expanded span clause off pruned positional blocks
     from igd_spark import span_multi_match_indexed
 
-    smplan = fmt(span_multi_match_indexed(spark, pidx, sc_q, "tim", span=6))
+    smplan = fmt(span_multi_match_indexed(spark, pidx, sc_q, "tim", span=6, engine="spark"))
     assert_pruned_scan("span_multi_match_indexed scan", smplan)
     sm_schemas = re.findall(r"ReadSchema: struct<([^>]*)>", smplan)
     check(
