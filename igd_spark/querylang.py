@@ -4212,8 +4212,18 @@ def passage_bm25_topk(
     scored set.  For repeated workloads, build a persisted index over the
     chunk frame (build_index accepts any (id, text) frame) and search that
     — this operator defines the semantics and the one-off path."""
+    from pyspark.sql import types as _T
+
     from igd_spark.trainprep import chunk_documents
 
+    id_type = docs.schema[id_col].dataType
+    if not isinstance(id_type, (_T.LongType, _T.IntegerType, _T.ShortType)):
+        raise ValueError(
+            f"passage_bm25_topk needs an integral {id_col!r} (got "
+            f"{id_type.simpleString()}): doc ids are reconstructed from the "
+            f"composite chunk key with a long cast, which would silently "
+            f"NULL string ids — hash them first (assign_doc_ids)"
+        )
     chunks = chunk_documents(
         docs, chunk_tokens=chunk_tokens, overlap=overlap,
         text_col=text_col, id_col=id_col,
@@ -4302,8 +4312,17 @@ def build_passage_index(
         "chunk_id",
         "chunk_text",
     )
+    import os
+
+    # mirror build_index's existing-db guard BEFORE touching the chunkmap:
+    # a refused rebuild must not leave a new map next to the old index
+    # (stale cid -> (doc, chunk) resolution would be silently wrong)
+    if not resume and os.path.exists(os.path.join(path, "chunks", "_meta.json")):
+        raise FileExistsError(
+            f"passage index already exists at {path}; pass resume=True"
+        )
     mpath = f"{path}/chunkmap"
-    if not (resume and _hadoop_exists(spark, mpath)):
+    if not (resume and _local_exists(mpath)):
         ck.select("cid", "doc_id", "chunk_id").write.mode("overwrite").parquet(mpath)
     return build_index(
         spark, ck, f"{path}/chunks", conf=conf, text_col="chunk_text",
@@ -4311,7 +4330,11 @@ def build_passage_index(
     )
 
 
-def _hadoop_exists(spark, path: str) -> bool:
+def _local_exists(path: str) -> bool:
+    """Local-filesystem existence probe — the same sandbox stand-in the
+    index lineage markers use (index.py documents the parquet +
+    atomic-rename mapping to Iceberg); on an object store, swap for the
+    catalog/FileIO existence check alongside the rest of that mapping."""
     import os
 
     return os.path.exists(path)

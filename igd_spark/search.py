@@ -44,16 +44,28 @@ TOPK_SCHEMA = T.StructType(
 )
 
 
-def query_terms(queries: DataFrame, text_col: str = "query_text") -> DataFrame:
+def query_terms(
+    queries: DataFrame,
+    text_col: str = "query_text",
+    split_re: str | None = None,
+) -> DataFrame:
     """(query_id, term) — distinct terms per query (duplicates score once,
     shared convention with oracle + SQL). The cross-row dropDuplicates also
     covers a query_id appearing on multiple input rows — without it, shared
     terms would double their BM25 contribution. The query side is always
-    tiny relative to the corpus, so the extra shuffle is noise."""
+    tiny relative to the corpus, so the extra shuffle is noise.
+    ``split_re`` overrides the tokenizer regex (operators under a custom
+    analyzer MUST pass their conf's, or clause terms silently miss the
+    conf-tokenized occurrence/posting stream)."""
+    toks = (
+        tokens_col(F.col(text_col))
+        if split_re is None
+        else tokens_col(F.col(text_col), split_re)
+    )
     return (
         queries.select(
             "query_id",
-            F.explode(F.array_distinct(tokens_col(F.col(text_col)))).alias("term"),
+            F.explode(F.array_distinct(toks)).alias("term"),
         )
         .filter(F.col("term") != "")
         .dropDuplicates(["query_id", "term"])
@@ -1904,7 +1916,11 @@ def positional_enumerate(
     conf = idx.conf
     from igd_spark.build import shards_for
 
-    qt = terms.select("query_id", "term") if terms is not None else query_terms(queries)
+    qt = (
+        terms.select("query_id", "term")
+        if terms is not None
+        else query_terms(queries, split_re=idx.conf.token_split_re)
+    )
     # literal resolution (see _literal_pos_qdict): analyzer-filtered query
     # terms still enumerate their raw-stream occurrences
     qdict = _literal_pos_qdict(idx, qt).select(
@@ -1994,7 +2010,11 @@ def match_enumerate(
     expansion passes the dictionary-expanded terms here)."""
     from igd_spark.build import shards_for
 
-    qt = terms.select("query_id", "term") if terms is not None else query_terms(queries)
+    qt = (
+        terms.select("query_id", "term")
+        if terms is not None
+        else query_terms(queries, split_re=idx.conf.token_split_re)
+    )
     qdict = idx.dictionary.join(F.broadcast(qt), "term").select(
         "query_id", "term_id", "n_salts"
     )
@@ -2224,11 +2244,14 @@ def span_not_match(
     reads only the two term sets' positional blocks.
     """
     occ = positional_postings(docs, text_col=text_col, id_col=id_col, conf=conf)
-    inc = occ.join(F.broadcast(query_terms(queries)), "term").select(
-        "query_id", "doc_id", "pos"
-    )
+    inc = occ.join(
+        F.broadcast(query_terms(queries, split_re=conf.token_split_re)), "term"
+    ).select("query_id", "doc_id", "pos")
     exc = occ.join(
-        F.broadcast(query_terms(_exclude_queries(queries, exclude))), "term"
+        F.broadcast(query_terms(
+            _exclude_queries(queries, exclude), split_re=conf.token_split_re
+        )),
+        "term",
     ).select("query_id", "doc_id", "pos")
     return _span_not_epilogue(inc, exc, pre, post)
 
@@ -2317,7 +2340,7 @@ def _span_pair_sets(
         & (F.col("p2") > F.col("p1"))
         & (F.col("p2") <= F.col("p1") + F.lit(span)),
     ).select("query_id", "doc_id", "p1", "p2")
-    lt = query_terms(_exclude_queries(queries, little))
+    lt = query_terms(_exclude_queries(queries, little), split_re=split_re)
     little_occ = occ.join(F.broadcast(lt), "term").select(
         "query_id", "doc_id", "pos"
     )
@@ -2429,7 +2452,7 @@ def _span_pair_sets_indexed(
         raise ValueError(f"span must be >= 1, got {span}")
     split_re = idx.conf.token_split_re
     b1, b2 = _span_pair_parts(queries, split_re)
-    lt = query_terms(_exclude_queries(queries, little))
+    lt = query_terms(_exclude_queries(queries, little), split_re=split_re)
     all_terms = b1.unionByName(b2).unionByName(lt).dropDuplicates(
         ["query_id", "term"]
     )
@@ -2571,9 +2594,9 @@ def span_or_match(
         raise ValueError(f"span must be >= 1, got {span}")
     occ = positional_postings(docs, text_col=text_col, id_col=id_col, conf=conf)
     b1, _ = _span_pair_parts(queries, conf.token_split_re)
-    alts = query_terms(_alt_queries(queries, alternatives)).dropDuplicates(
-        ["query_id", "term"]
-    )
+    alts = query_terms(
+        _alt_queries(queries, alternatives), split_re=conf.token_split_re
+    ).dropDuplicates(["query_id", "term"])
     return _span_or_epilogue(occ, b1, alts, span)
 
 
@@ -2609,9 +2632,9 @@ def span_or_match_indexed(
     if isinstance(queries, (pd.DataFrame, list, tuple)):
         queries = _materialize_local_queries(spark, queries)
     b1, _ = _span_pair_parts(queries, idx.conf.token_split_re)
-    alts = query_terms(_alt_queries(queries, alternatives)).dropDuplicates(
-        ["query_id", "term"]
-    )
+    alts = query_terms(
+        _alt_queries(queries, alternatives), split_re=idx.conf.token_split_re
+    ).dropDuplicates(["query_id", "term"])
     all_terms = b1.unionByName(alts).dropDuplicates(["query_id", "term"])
     occ = positional_enumerate(spark, idx, queries, terms=all_terms)
     return _span_or_epilogue(occ, b1, alts, span)
