@@ -135,6 +135,7 @@ BSORT_SIZE = 5                # bucket_sort per-query truncation
 HC_MIN_CHILDREN = 2           # has_child min_children bound
 LMJM_LAMBDA = 0.3             # LM Jelinek-Mercer smoothing weight
 AUTODH_TARGET = 10            # auto_date_histogram bucket budget
+DUP_SPAN_LEN = 8              # exact-substring dedup window (tokens)
 SPAN_NOT_EXCLUDE = "query"    # span_not exclusion term
 SPAN_NOT_PRE, SPAN_NOT_POST = 3, 3
 SAMPLER_SIZE = 25             # sampler agg per-query sample size
@@ -567,6 +568,29 @@ def q_term_cooccurrence_mintf(spark: SparkSession, sf_dir: str) -> DataFrame:
     from igd_spark import term_cooccurrence
 
     return term_cooccurrence(_docs(spark, sf_dir), min_df=COOC_MINTF_MIN_DF, min_tf=COOC_MIN_TF)
+
+
+def q_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # exact-substring dedup (Lee et al. 2022): maximal token spans covered by
+    # >=2x-occurring DUP_SPAN_LEN-token windows
+    from igd_spark import duplicate_spans
+
+    return duplicate_spans(_docs(spark, sf_dir), min_len=DUP_SPAN_LEN)
+
+
+def q_duplicate_span_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # per-doc duplicated-content profile (all docs, zero-filled)
+    from igd_spark import duplicate_span_stats
+
+    return duplicate_span_stats(_docs(spark, sf_dir), min_len=DUP_SPAN_LEN)
+
+
+def q_remove_duplicate_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Lee et al. removal: non-canonical occurrences of duplicated windows
+    # stripped from the analyzed token stream; canonical copy survives
+    from igd_spark import remove_duplicate_text
+
+    return remove_duplicate_text(_docs(spark, sf_dir), min_len=DUP_SPAN_LEN)
 
 
 def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3401,6 +3425,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # FIRST 50 entries per round, so entries lead in driver-staleness
         # order (never-driver-verified first, then least-recently green).
         # Re-rotate each round from CORRECTNESS_r{N}.json (VERDICT r4 #1).
+        "duplicate_spans": q_duplicate_spans,
+        "duplicate_span_stats": q_duplicate_span_stats,
+        "remove_duplicate_text": q_remove_duplicate_text,
         "passage_bm25_topk": q_passage_bm25_topk,
         "passage_bm25_topk_indexed": q_passage_bm25_topk_indexed,
         "bigram_perplexity": q_bigram_perplexity,
@@ -3900,6 +3927,62 @@ SELECT doc_id,
        count(*) OVER (PARTITION BY chash)::BIGINT AS group_size,
        doc_id = min(doc_id) OVER (PARTITION BY chash) AS is_canonical
 FROM h
+"""
+
+    # exact-substring duplicate spans: fixed-L token windows anchor the
+    # suffix-array semantics (Lee et al. 2022); rn=1 <=> min (doc_id, p) is
+    # the canonical occurrence (same rule as the Spark min(struct))
+    _L = DUP_SPAN_LEN
+    _DUPW = f"""wins AS (
+  SELECT doc_id, i::INT AS p, md5(array_to_string(tl[i:i+{_L}-1], ' ')) AS gh
+  FROM tldocs, unnest(range(1, len(tl) - {_L} + 2)) t(i)
+  WHERE len(tl) >= {_L}),
+occ2 AS (SELECT doc_id, p, count(*) OVER (PARTITION BY gh) AS mult,
+                row_number() OVER (PARTITION BY gh ORDER BY doc_id, p) AS rn
+         FROM wins)"""
+    _DUPSPANS = f"""isl AS (SELECT doc_id, p,
+  CASE WHEN p > coalesce(max(p + {_L} - 1) OVER (PARTITION BY doc_id ORDER BY p
+       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1) + 1
+       THEN 1 ELSE 0 END AS ni FROM cov),
+grp AS (SELECT doc_id, p, sum(ni) OVER (PARTITION BY doc_id ORDER BY p) AS island FROM isl),
+spans AS (SELECT doc_id, min(p)::INT AS span_start, (max(p) + {_L} - 1)::INT AS span_end
+          FROM grp GROUP BY doc_id, island)"""
+
+    sql["duplicate_spans"] = f"""
+WITH {_TL}, {_DUPW},
+cov AS (SELECT doc_id, p FROM occ2 WHERE mult >= 2), {_DUPSPANS}
+SELECT doc_id, span_start, span_end,
+       (span_end - span_start + 1)::INT AS span_len
+FROM spans
+"""
+
+    sql["duplicate_span_stats"] = f"""
+WITH {_TL}, {_DUPW},
+cov AS (SELECT doc_id, p FROM occ2 WHERE mult >= 2), {_DUPSPANS},
+per AS (SELECT doc_id, sum(span_end - span_start + 1)::INT AS dup_tokens,
+               count(*)::INT AS n_spans FROM spans GROUP BY 1)
+SELECT t.doc_id, len(t.tl)::INT AS n_tokens,
+       coalesce(p.dup_tokens, 0)::INT AS dup_tokens,
+       coalesce(p.n_spans, 0)::INT AS n_spans,
+       CASE WHEN len(t.tl) > 0
+            THEN round(coalesce(p.dup_tokens, 0)::DOUBLE / len(t.tl), 6)
+            ELSE 0.0 END AS dup_ratio
+FROM tldocs t LEFT JOIN per p USING (doc_id)
+"""
+
+    sql["remove_duplicate_text"] = f"""
+WITH {_TL}, {_DUPW},
+rem AS (SELECT doc_id, p FROM occ2 WHERE mult >= 2 AND rn > 1),
+rempos AS (SELECT DISTINCT doc_id, p + u AS i FROM rem, unnest(range(0, {_L})) t(u)),
+tokpos AS (SELECT doc_id, unnest(tl) AS term, generate_subscripts(tl, 1) AS i FROM tldocs),
+kept AS (SELECT tp.doc_id, tp.term, tp.i FROM tokpos tp
+         LEFT JOIN rempos r ON tp.doc_id = r.doc_id AND tp.i = r.i
+         WHERE r.doc_id IS NULL),
+agg AS (SELECT doc_id, string_agg(term, ' ' ORDER BY i) AS clean_text,
+               count(*) AS n_kept FROM kept GROUP BY 1)
+SELECT t.doc_id, coalesce(a.clean_text, '') AS clean_text,
+       (len(t.tl) - coalesce(a.n_kept, 0))::INT AS n_removed
+FROM tldocs t LEFT JOIN agg a USING (doc_id)
 """
 
     sql["dedup_ngram_jaccard"] = f"""

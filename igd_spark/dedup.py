@@ -402,3 +402,197 @@ def simhash_dedup_pairs(
         .distinct()
     )
     return pairs.filter(F.col("hamming") <= max_hamming)
+
+
+# ---------------------------------------------------------------------------
+# Exact-substring duplicate spans (Lee et al. 2022, "Deduplicating Training
+# Data Makes Language Models Better" — the suffix-array dedup every large
+# pretraining pipeline runs, here anchored on fixed-L token windows: any
+# duplicated substring of >= min_len tokens is detected exactly, because every
+# L-window inside it is itself duplicated; merging covered windows recovers
+# the maximal duplicated region). The structural analog in the reference is
+# IGD's physical duplication of spanning records into every tile they touch
+# (src/igd_base.c:162-172) with query-time first-tile dedup
+# (src/igd_search.c:496-530): the L-gram windows are the fixed-width tiles of
+# the token axis, and the canonical-occurrence rule below is the same
+# "first bin owns the record" discipline.
+# ---------------------------------------------------------------------------
+
+DEFAULT_DUP_SPAN_LEN = 8  # tokens; web-scale pipelines use ~50 BPE tokens
+
+
+def _window_occurrences(
+    docs: DataFrame, min_len: int, text_col: str, id_col: str
+) -> DataFrame:
+    """(doc_id, p, gh) — every min_len-token window of the analyzed token
+    stream: 1-based start position p and md5 of the space-joined window.
+    Pure JVM expressions (split + transform + md5), no shuffle."""
+    toks = nonempty_tokens(text_col)
+    wins = F.when(
+        F.size(toks) >= min_len,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - (min_len - 1)),
+            lambda i: F.struct(
+                i.alias("p"),
+                F.md5(F.concat_ws(" ", F.slice(toks, i, min_len))).alias("gh"),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<struct<p:int,gh:string>>"))
+    return docs.select(F.col(id_col).alias("doc_id"), F.explode(wins).alias("w")).select(
+        "doc_id", F.col("w.p").alias("p"), F.col("w.gh").alias("gh")
+    )
+
+
+def _dup_occurrences(occ: DataFrame) -> DataFrame:
+    """(doc_id, p, mult, is_canonical) for occurrences of windows whose
+    content appears >= 2 times in the corpus (across docs OR within one).
+    One groupBy(gh) with map-side partial aggregation — the skew-safe shape
+    when a boilerplate gram repeats 10^9 times — then a fine-keyed hash join
+    back on gh (AQE splits residual hot keys). Never all-pairs: multiplicity
+    is counted, not enumerated. Canonical occurrence = lexicographic min
+    (doc_id, p) — the deterministic "first copy owns the content" rule."""
+    agg = (
+        occ.groupBy("gh")
+        .agg(F.count("*").alias("mult"), F.min(F.struct("doc_id", "p")).alias("canon"))
+        .filter(F.col("mult") >= 2)
+    )
+    return (
+        occ.join(agg, "gh")
+        .withColumn(
+            "is_canonical",
+            (F.col("doc_id") == F.col("canon.doc_id")) & (F.col("p") == F.col("canon.p")),
+        )
+        .select("doc_id", "p", "mult", "is_canonical")
+    )
+
+
+def _merge_spans(cov: DataFrame, min_len: int) -> DataFrame:
+    """Gaps-and-islands merge of fixed-length windows [p, p+L-1] into maximal
+    contiguous covered token spans — (doc_id, span_start, span_end, span_len),
+    positions 1-based inclusive. One exchange on doc_id (both windows and the
+    final groupBy reuse it)."""
+    w = Window.partitionBy("doc_id").orderBy("p")
+    prev_end = F.max(F.col("p") + (min_len - 1)).over(
+        w.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    isl = cov.withColumn(
+        "ni", F.when(F.col("p") > F.coalesce(prev_end, F.lit(-1)) + 1, 1).otherwise(0)
+    ).withColumn("island", F.sum("ni").over(w.rowsBetween(Window.unboundedPreceding, 0)))
+    return (
+        isl.groupBy("doc_id", "island")
+        .agg(
+            F.min("p").cast("int").alias("span_start"),
+            (F.max("p") + (min_len - 1)).cast("int").alias("span_end"),
+        )
+        .select(
+            "doc_id",
+            "span_start",
+            "span_end",
+            (F.col("span_end") - F.col("span_start") + 1).cast("int").alias("span_len"),
+        )
+    )
+
+
+def duplicate_spans(
+    docs: DataFrame,
+    min_len: int = DEFAULT_DUP_SPAN_LEN,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(doc_id, span_start, span_end, span_len) — maximal token spans in which
+    every position lies inside some min_len-token window whose content occurs
+    >= 2 times in the corpus (cross-doc or within-doc). Token positions are
+    1-based over the analyzed (lowercased, punctuation-split) token stream.
+
+    Scale: two shuffles (gh agg+join, doc_id window) over the window table —
+    the same asymptotics as tokenization itself; no pairwise enumeration, so
+    a gram shared by 10^6 docs costs 10^6 rows, not 10^12. Returned frame is
+    persisted (callers looping over corpora own .unpersist())."""
+    if min_len < 2:
+        raise ValueError("min_len must be >= 2")
+    occ = _window_occurrences(docs, min_len, text_col, id_col).persist()
+    occ.count()  # materialize before the groupBy/join fan-out
+    spans = _merge_spans(_dup_occurrences(occ).select("doc_id", "p"), min_len)
+    return _materialize_then_unpersist(spans, [occ])
+
+
+def duplicate_span_stats(
+    docs: DataFrame,
+    min_len: int = DEFAULT_DUP_SPAN_LEN,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(doc_id, n_tokens, dup_tokens, n_spans, dup_ratio) for EVERY document
+    (zero-filled when nothing is duplicated) — the per-doc contamination
+    profile used to gate training corpora on duplicated-content fraction."""
+    spans = duplicate_spans(docs, min_len=min_len, text_col=text_col, id_col=id_col)
+    agg = spans.groupBy("doc_id").agg(
+        F.sum("span_len").cast("int").alias("dup_tokens"),
+        F.count("*").cast("int").alias("n_spans"),
+    )
+    base = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.size(nonempty_tokens(text_col)).cast("int").alias("n_tokens"),
+    )
+    out = base.join(agg, "doc_id", "left").select(
+        "doc_id",
+        "n_tokens",
+        F.coalesce("dup_tokens", F.lit(0)).cast("int").alias("dup_tokens"),
+        F.coalesce("n_spans", F.lit(0)).cast("int").alias("n_spans"),
+        F.when(
+            F.col("n_tokens") > 0,
+            F.round(F.coalesce("dup_tokens", F.lit(0)) / F.col("n_tokens"), 6),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("dup_ratio"),
+    )
+    spans.unpersist()  # agg result is tiny; recompute-on-retry is acceptable
+    return out
+
+
+def remove_duplicate_text(
+    docs: DataFrame,
+    min_len: int = DEFAULT_DUP_SPAN_LEN,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(doc_id, clean_text, n_removed) — Lee et al. removal: every occurrence
+    of a duplicated >= min_len-token window EXCEPT the corpus-canonical one
+    (min (doc_id, p)) is removed; the canonical copy survives, so the cleaned
+    corpus still contains each duplicated passage exactly once. clean_text is
+    the ANALYZED token stream re-joined with single spaces (the operator runs
+    on tokens, as the suffix-array original does) — docs with nothing
+    duplicated round-trip to their normalized token text.
+
+    Scale: same two-shuffle shape as duplicate_spans; the final filter is a
+    JVM higher-order function over the token array against the doc's own
+    (few) removal spans — no token-level explode, no Python. The small span
+    side is materialized and the window table unpersisted before the
+    corpus-wide join. Returned frame is lazy; spans it references are
+    persisted until it is consumed."""
+    if min_len < 2:
+        raise ValueError("min_len must be >= 2")
+    occ = _window_occurrences(docs, min_len, text_col, id_col).persist()
+    occ.count()
+    rem = _dup_occurrences(occ).filter(~F.col("is_canonical")).select("doc_id", "p")
+    spans = _materialize_then_unpersist(_merge_spans(rem, min_len), [occ])
+    sp = spans.groupBy("doc_id").agg(
+        F.collect_list(F.struct("span_start", "span_end")).alias("spans")
+    )
+    empty_spans = F.array().cast("array<struct<span_start:int,span_end:int>>")
+    base = docs.select(F.col(id_col).alias("doc_id"), nonempty_tokens(text_col).alias("tl"))
+    j = base.join(sp, "doc_id", "left").withColumn(
+        "spans", F.coalesce("spans", empty_spans)
+    )
+    clean = F.filter(
+        F.col("tl"),
+        lambda t, i: ~F.exists(
+            F.col("spans"),
+            lambda s: (i + 1 >= s["span_start"]) & (i + 1 <= s["span_end"]),
+        ),
+    )
+    return j.select(
+        "doc_id",
+        F.concat_ws(" ", clean).alias("clean_text"),
+        (F.size("tl") - F.size(clean)).cast("int").alias("n_removed"),
+    )
