@@ -252,6 +252,7 @@ def main() -> None:
         "bool_bm25_topk_indexed",
         "near_match_indexed",
         "dedup_clusters",
+        "duplicate_spans",
         "boilerplate_clean",
         "significant_terms",
         "multi_field_bm25_topk",

@@ -310,6 +310,28 @@ def main() -> int:
         f"read {sorted(bcols)}",
     )
 
+    # 6b. exact-substring duplicate spans: join-based (never all-pairs),
+    # all-JVM (no Python eval in the plan), and the removal filter is a
+    # higher-order function over the token array (no token-level explode
+    # feeding the final join)
+    from igd_spark import duplicate_spans, remove_duplicate_text
+
+    dup_docs = spark.read.parquet(docs_on_disk)
+    dsp = duplicate_spans(dup_docs, min_len=8)
+    dplan = fmt(dsp)
+    check(
+        "duplicate_spans: no cartesian, no Python eval",
+        "CartesianProduct" not in dplan and "BatchEvalPython" not in dplan
+        and "ArrowEvalPython" not in dplan,
+    )
+    rplan = fmt(remove_duplicate_text(dup_docs, min_len=8))
+    check(
+        "remove_duplicate_text: no cartesian, no Python eval, span filter stays a JVM lambda",
+        "CartesianProduct" not in rplan and "BatchEvalPython" not in rplan
+        and "ArrowEvalPython" not in rplan,
+    )
+    dsp.unpersist()
+
     # 7. extended query language (querylang.py) -------------------------------
     from igd_spark import bool_bm25_topk, filtered_bm25_topk, prefix_bm25_topk
 
