@@ -136,6 +136,8 @@ HC_MIN_CHILDREN = 2           # has_child min_children bound
 LMJM_LAMBDA = 0.3             # LM Jelinek-Mercer smoothing weight
 AUTODH_TARGET = 10            # auto_date_histogram bucket budget
 DUP_SPAN_LEN = 8              # exact-substring dedup window (tokens)
+FUNNEL_STEPS = ("signup", "click", "purchase")  # funnel step sequence
+FUNNEL_WINDOW_MIN = 1440      # per-hop funnel conversion window (minutes)
 SPAN_NOT_EXCLUDE = "query"    # span_not exclusion term
 SPAN_NOT_PRE, SPAN_NOT_POST = 3, 3
 SAMPLER_SIZE = 25             # sampler agg per-query sample size
@@ -851,6 +853,31 @@ def q_events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = spark.read.parquet(f"{sf_dir}/events.parquet")
     return sessionize(ev, gap_minutes=SESSION_GAP_MIN)
+
+
+def q_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # first-order Markov transition profile of the event stream
+    from igd_spark import event_transitions
+
+    return event_transitions(spark.read.parquet(f"{sf_dir}/events.parquet"))
+
+
+def q_funnel_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # ordered per-hop-windowed funnel over FUNNEL_STEPS
+    from igd_spark import funnel_counts
+
+    return funnel_counts(
+        spark.read.parquet(f"{sf_dir}/events.parquet"),
+        list(FUNNEL_STEPS),
+        window_minutes=FUNNEL_WINDOW_MIN,
+    )
+
+
+def q_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # daily retention triangle (cohort = first active day)
+    from igd_spark import retention_cohorts
+
+    return retention_cohorts(spark.read.parquet(f"{sf_dir}/events.parquet"))
 
 
 def q_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3428,6 +3455,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "duplicate_spans": q_duplicate_spans,
         "duplicate_span_stats": q_duplicate_span_stats,
         "remove_duplicate_text": q_remove_duplicate_text,
+        "event_transitions": q_event_transitions,
+        "funnel_counts": q_funnel_counts,
+        "retention_cohorts": q_retention_cohorts,
         "passage_bm25_topk": q_passage_bm25_topk,
         "passage_bm25_topk_indexed": q_passage_bm25_topk_indexed,
         "bigram_perplexity": q_bigram_perplexity,
@@ -4540,6 +4570,52 @@ sid AS (SELECT *, sum(is_new) OVER (PARTITION BY user_id ORDER BY ts_us, event_i
 SELECT user_id, session_id, min(ts_us)::BIGINT AS start_us, max(ts_us)::BIGINT AS end_us,
        count(*)::BIGINT AS n_events, round(sum(value), 6) AS sum_value
 FROM sid GROUP BY 1, 2
+"""
+
+    sql["event_transitions"] = """
+WITH ev AS (SELECT user_id, event_id, epoch_us(ts) AS ts_us, event_type FROM events),
+p AS (SELECT event_type,
+             lag(event_type) OVER (PARTITION BY user_id ORDER BY ts_us, event_id) AS prev_type
+      FROM ev),
+c AS (SELECT prev_type, event_type, count(*)::BIGINT AS n_transitions
+      FROM p WHERE prev_type IS NOT NULL GROUP BY 1, 2)
+SELECT prev_type, event_type, n_transitions,
+       round(n_transitions::DOUBLE / sum(n_transitions) OVER (PARTITION BY prev_type), 6)
+         AS p_transition
+FROM c
+"""
+
+    _fk = "{'ts_us': e.ts_us, 'event_id': e.event_id}"
+    _fw = FUNNEL_WINDOW_MIN * 60 * 1_000_000
+    sql["funnel_counts"] = f"""
+WITH ev AS (SELECT user_id, event_id, epoch_us(ts) AS ts_us, event_type FROM events),
+s1 AS (SELECT user_id, min({{'ts_us': ts_us, 'event_id': event_id}}) AS k
+       FROM ev WHERE event_type = '{FUNNEL_STEPS[0]}' GROUP BY 1),
+s2 AS (SELECT e.user_id, min({_fk}) AS k FROM ev e JOIN s1 ON e.user_id = s1.user_id
+       WHERE e.event_type = '{FUNNEL_STEPS[1]}' AND {_fk} > s1.k
+         AND e.ts_us <= s1.k.ts_us + {_fw} GROUP BY 1),
+s3 AS (SELECT e.user_id, min({_fk}) AS k FROM ev e JOIN s2 ON e.user_id = s2.user_id
+       WHERE e.event_type = '{FUNNEL_STEPS[2]}' AND {_fk} > s2.k
+         AND e.ts_us <= s2.k.ts_us + {_fw} GROUP BY 1),
+n AS (SELECT 1 AS step_idx, '{FUNNEL_STEPS[0]}' AS event_type,
+             (SELECT count(*) FROM s1)::BIGINT AS n_users
+      UNION ALL SELECT 2, '{FUNNEL_STEPS[1]}', (SELECT count(*) FROM s2)
+      UNION ALL SELECT 3, '{FUNNEL_STEPS[2]}', (SELECT count(*) FROM s3))
+SELECT step_idx::INT AS step_idx, event_type, n_users,
+       CASE WHEN (SELECT count(*) FROM s1) > 0
+            THEN round(n_users::DOUBLE / (SELECT count(*) FROM s1), 6)
+            ELSE 0.0 END AS conversion
+FROM n
+"""
+
+    sql["retention_cohorts"] = """
+WITH act AS (SELECT DISTINCT user_id, date_trunc('day', ts)::DATE AS day FROM events),
+c AS (SELECT user_id, min(day) AS cohort FROM act GROUP BY 1),
+j AS (SELECT a.user_id, strftime(c.cohort, '%Y-%m-%d') AS cohort_day,
+             (a.day - c.cohort)::INT AS day_offset
+      FROM act a JOIN c ON a.user_id = c.user_id)
+SELECT cohort_day, day_offset, count(DISTINCT user_id)::BIGINT AS n_users
+FROM j GROUP BY 1, 2
 """
 
     band_bits = 2  # 8 anchors / 4 bands

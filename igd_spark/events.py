@@ -58,3 +58,147 @@ def sessionize(
         F.count("*").cast("long").alias("n_events"),
         F.round(F.sum("value"), 6).alias("sum_value"),
     )
+
+
+def event_transitions(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """(prev_type, event_type, n_transitions, p_transition) — first-order
+    Markov transition counts over consecutive events of the same user
+    (ordered by ts, then event_id for determinism under ts ties).
+    p_transition = n / Σ n over the same prev_type, rounded to 6 dp — each
+    prev_type row group sums to 1. The flow profile of an event stream
+    (what follows what), same sorted-scan + lag shape as sessionize.
+
+    Scale: one window exchange on user_id, one fine-keyed hash agg on the
+    (prev, next) pair (at most |types|² groups), one tiny window over the
+    aggregated pairs. No joins, no driver state."""
+    ev = events.select(
+        F.col(user_col).alias("user_id"),
+        F.col(id_col).alias("event_id"),
+        F.unix_micros(F.col(ts_col).cast("timestamp")).alias("ts_us"),
+        F.col(type_col).alias("event_type"),
+    )
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    pairs = ev.withColumn("prev_type", F.lag("event_type").over(w)).filter(
+        F.col("prev_type").isNotNull()
+    )
+    counts = pairs.groupBy("prev_type", "event_type").agg(
+        F.count("*").cast("long").alias("n_transitions")
+    )
+    tot = Window.partitionBy("prev_type")
+    return counts.select(
+        "prev_type",
+        "event_type",
+        "n_transitions",
+        F.round(F.col("n_transitions") / F.sum("n_transitions").over(tot), 6).alias(
+            "p_transition"
+        ),
+    )
+
+
+def funnel_counts(
+    events: DataFrame,
+    steps: list[str],
+    window_minutes: int | None = None,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """(step_idx, event_type, n_users, conversion) — ordered funnel: a user
+    completes step k when an event of type steps[k] occurs STRICTLY after
+    their earliest completion of step k-1 ((ts, event_id) lexicographic, so
+    ties are deterministic) — and, when window_minutes is set, no later than
+    window_minutes after it (the per-hop conversion window every funnel tool
+    offers; without it a long-lived stream converts everyone). n_users
+    counts users reaching each step; conversion = n_users / step-1 users,
+    rounded to 6 dp (step 1 row = 1.0).
+
+    Scale: one filtered min-aggregation per step (len(steps) passes, each a
+    map-side-combinable groupBy on user_id) joined user-to-user — no windows
+    over the full stream, no event-to-event joins; the per-step frames
+    shrink monotonically (funnels only narrow)."""
+    if not steps:
+        raise ValueError("steps must be non-empty")
+    window_us = None if window_minutes is None else int(window_minutes) * 60 * 1_000_000
+    ev = events.select(
+        F.col(user_col).alias("user_id"),
+        F.col(id_col).alias("event_id"),
+        F.unix_micros(F.col(ts_col).cast("timestamp")).alias("ts_us"),
+        F.col(type_col).alias("event_type"),
+    )
+    key = F.struct(F.col("ts_us"), F.col("event_id"))
+    reached: list[tuple[int, str, DataFrame]] = []
+    prev: DataFrame | None = None
+    for k, st in enumerate(steps):
+        cand = ev.filter(F.col("event_type") == st)
+        if prev is not None:
+            after_prev = (F.col("ts_us") > F.col("k_ts")) | (
+                (F.col("ts_us") == F.col("k_ts")) & (F.col("event_id") > F.col("k_id"))
+            )
+            if window_us is not None:
+                after_prev = after_prev & (F.col("ts_us") <= F.col("k_ts") + window_us)
+            cand = cand.join(prev, "user_id").filter(after_prev)
+        cur = cand.groupBy("user_id").agg(F.min(key).alias("k"))
+        cur = cur.select(
+            "user_id", F.col("k.ts_us").alias("k_ts"), F.col("k.event_id").alias("k_id")
+        )
+        reached.append((k + 1, st, cur))
+        prev = cur
+    rows = None
+    for k, st, cur in reached:
+        r = cur.agg(F.count("*").cast("long").alias("n_users")).select(
+            F.lit(k).cast("int").alias("step_idx"),
+            F.lit(st).alias("event_type"),
+            "n_users",
+        )
+        rows = r if rows is None else rows.unionByName(r)
+    # denominator via a 1-row broadcast (a constant-partition window would
+    # fold to "no partitioning" and WindowExec warns on every run)
+    base = rows.filter(F.col("step_idx") == 1).select(F.col("n_users").alias("base"))
+    return rows.crossJoin(F.broadcast(base)).select(
+        "step_idx",
+        "event_type",
+        "n_users",
+        F.when(F.col("base") > 0, F.round(F.col("n_users") / F.col("base"), 6))
+        .otherwise(F.lit(0.0))
+        .alias("conversion"),
+    )
+
+
+def retention_cohorts(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """(cohort_day, day_offset, n_users) — daily retention triangle: cohort =
+    the user's first active calendar day (UTC), and for every later day the
+    user is active, one (cohort, offset) credit; n_users = DISTINCT users
+    active exactly day_offset days after their cohort day. cohort_day is a
+    'yyyy-MM-dd' string (the one date rendering Spark and DuckDB share).
+    offset 0 row = cohort size.
+
+    Scale: distinct (user, day) activity (one agg), per-user min day (one
+    agg over that), a user-keyed join, and the final fine-keyed count —
+    no window over raw events, cardinality bounded by users × active days."""
+    act = (
+        events.select(
+            F.col(user_col).alias("user_id"),
+            F.date_trunc("DAY", F.col(ts_col).cast("timestamp")).cast("date").alias("day"),
+        )
+        .distinct()
+    )
+    cohort = act.groupBy("user_id").agg(F.min("day").alias("cohort"))
+    joined = act.join(cohort, "user_id").select(
+        "user_id",
+        F.date_format("cohort", "yyyy-MM-dd").alias("cohort_day"),
+        F.datediff("day", "cohort").cast("int").alias("day_offset"),
+    )
+    return joined.groupBy("cohort_day", "day_offset").agg(
+        F.count_distinct("user_id").cast("long").alias("n_users")
+    )
