@@ -558,8 +558,11 @@ def remove_duplicate_text(
 ) -> DataFrame:
     """(doc_id, clean_text, n_removed) — Lee et al. removal: every occurrence
     of a duplicated >= min_len-token window EXCEPT the corpus-canonical one
-    (min (doc_id, p)) is removed; the canonical copy survives, so the cleaned
-    corpus still contains each duplicated passage exactly once. clean_text is
+    (min (doc_id, p)) contributes removal positions. A canonical occurrence
+    survives whenever its positions are disjoint from the removal windows of
+    OTHER overlapping duplicated grams; when they overlap, parts of the
+    canonical copy go too — the same caveat as byte-range suffix-array
+    removal, which this operator mirrors at token granularity. clean_text is
     the ANALYZED token stream re-joined with single spaces (the operator runs
     on tokens, as the suffix-array original does) — docs with nothing
     duplicated round-trip to their normalized token text.
