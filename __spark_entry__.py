@@ -1800,6 +1800,22 @@ def q_did_you_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
     return did_you_mean(qs, ts, max_edits=FUZZY_MAX_EDITS)
 
 
+def q_phrase_suggest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # ES phrase suggester: SymSpell candidates re-ranked by corpus BIGRAM
+    # support (confidence-gated real-word correction) — the context-aware
+    # step above did_you_mean
+    from igd_spark import phrase_suggest, postings
+    from igd_spark.stats import term_stats
+
+    qs = spark.createDataFrame(
+        [(int(q), t) for q, t in FUZZY_QUERY_SET],
+        "query_id long, query_text string",
+    )
+    docs = _docs(spark, sf_dir)
+    ts = term_stats(postings(docs))
+    return phrase_suggest(qs, docs, ts, max_edits=FUZZY_MAX_EDITS)
+
+
 def q_complete_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     # ES completion suggester at the term layer: prefix → top-n vocab terms
     # by (df desc, term asc); dictionary = term_stats (the index dictionary
@@ -3633,6 +3649,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "complete_terms": q_complete_terms,
         "complete_terms_indexed": q_complete_terms_indexed,
         "did_you_mean": q_did_you_mean,
+        "phrase_suggest": q_phrase_suggest,
         "redact_pii": q_redact_pii,
         "match_count": q_match_count,
         "match_count_indexed": q_match_count_indexed,
@@ -5305,6 +5322,47 @@ corr AS (
 SELECT query_id, string_agg(ct, ' ' ORDER BY pos) AS suggestion,
        sum(ch)::BIGINT AS n_changed
 FROM corr GROUP BY 1
+"""
+
+    sql["phrase_suggest"] = f"""
+WITH {_TL}, {_TOKS}, {_POST}, {_TS},
+fq(query_id, query_text) AS (VALUES {_fqvals}),
+qtl AS (SELECT query_id, list_filter(regexp_split_to_array(lower(query_text),
+  '[^a-z0-9]+'), x -> x <> '') AS tl FROM fq),
+ptoks AS (SELECT query_id, i - 1 AS pos, tl[i] AS qterm
+          FROM (SELECT query_id, tl, unnest(generate_series(1, len(tl))) AS i
+                FROM qtl)),
+ctx AS (SELECT query_id, pos, qterm,
+               lag(qterm) OVER (PARTITION BY query_id ORDER BY pos) AS lft,
+               lead(qterm) OVER (PARTITION BY query_id ORDER BY pos) AS rgt
+        FROM ptoks),
+qt AS (SELECT DISTINCT query_id, qterm FROM ptoks),
+cand AS (
+  SELECT * FROM (
+    SELECT qt.query_id, qt.qterm, ts.term, ts.df,
+           greatest(0.0, 1.0 - levenshtein(ts.term, qt.qterm)::DOUBLE
+                    / least(length(ts.term), length(qt.qterm))) AS boost
+    FROM qt JOIN ts ON levenshtein(ts.term, qt.qterm) <= {FUZZY_MAX_EDITS})
+  WHERE boost > 0),
+bgq AS (SELECT tl[i] AS w1, tl[i + 1] AS w2
+        FROM (SELECT tl, unnest(generate_series(1, len(tl) - 1)) AS i
+              FROM tldocs)),
+c2q AS (SELECT w1, w2, count(*)::BIGINT AS c2 FROM bgq GROUP BY 1, 2),
+pc AS (SELECT ctx.query_id, ctx.pos, ctx.qterm, ctx.lft, ctx.rgt,
+              cand.term, cand.df, cand.boost
+       FROM ctx LEFT JOIN cand
+         ON cand.query_id = ctx.query_id AND cand.qterm = ctx.qterm),
+sc AS (SELECT pc.*, coalesce(l.c2, 0) + coalesce(r.c2, 0) AS sup
+       FROM pc LEFT JOIN c2q l ON l.w1 = pc.lft AND l.w2 = pc.term
+               LEFT JOIN c2q r ON r.w1 = pc.term AND r.w2 = pc.rgt),
+best AS (SELECT query_id, pos, coalesce(term, qterm) AS ct,
+                CASE WHEN coalesce(term, qterm) <> qterm THEN 1 ELSE 0 END AS ch
+         FROM (SELECT *, row_number() OVER (PARTITION BY query_id, pos
+                 ORDER BY sup DESC, boost DESC, df DESC, term ASC) AS rn
+               FROM sc) WHERE rn = 1)
+SELECT query_id, string_agg(ct, ' ' ORDER BY pos) AS suggestion,
+       sum(ch)::BIGINT AS n_changed
+FROM best GROUP BY 1
 """
 
     # parsed query language: the oracle evaluates the SAME clause table the

@@ -3065,6 +3065,115 @@ def did_you_mean(
     )
 
 
+def phrase_suggest(
+    queries: DataFrame,
+    docs: DataFrame,
+    dictionary: DataFrame,
+    max_edits: int = 1,
+    mode: str = "deletes",
+    conf: IndexConf = DEFAULT_CONF,
+    text_col: str = "query_text",
+    doc_text_col: str = "text",
+    doc_id_col: str = "doc_id",
+) -> DataFrame:
+    """Context-aware whole-query correction — the ES phrase suggester's
+    defining step over `did_you_mean`: candidates are re-ranked by corpus
+    BIGRAM support, so real-word errors get fixed ("deploy taemout" →
+    "deploy timeout") and a rare-but-contextually-right word is NOT
+    "corrected" into a frequent neighbour.  Per query-token position,
+    candidates = dictionary terms within ``max_edits`` Levenshtein (an
+    in-vocabulary token is its own candidate at similarity 1.0); the
+    winner maximizes (bigram_support desc, similarity boost desc, df
+    desc, term asc) where bigram_support = c(left_orig, cand) +
+    c(cand, right_orig), the corpus counts of the candidate next to the
+    token's ORIGINAL neighbours (missing neighbour or unseen bigram
+    contributes 0 — a 1-token query degrades to `did_you_mean`'s
+    similarity-then-popularity order).  Because only the token itself can
+    carry similarity 1.0, an in-vocabulary token is replaced only when a
+    neighbour has STRICTLY more bigram support — the confidence≥1 gate of
+    the ES suggester.  A token with no candidate at all passes through.
+    Output one row per query with >=1 analyzed token: (query_id,
+    suggestion, n_changed), tokens rejoined in original order.
+
+    Scale: candidate generation is the SymSpell deletion EQUI-join
+    (`_fuzzy_candidates`, never vocab × queries); bigram scoring is two
+    fine-keyed hash joins of the (positions × candidates)-sized frame
+    against the bigram count table (bigram-vocab-sized, the same agg
+    `bigram_perplexity` runs); the final pick is one query-sized window.
+    All JVM — no Python, no collects.
+    """
+    toks = queries.select(
+        "query_id",
+        F.posexplode(tokens_col(F.col(text_col), conf.token_split_re)).alias(
+            "pos", "qterm"
+        ),
+    ).filter(F.col("qterm") != "")
+    wq = Window.partitionBy("query_id").orderBy("pos")
+    ctx = toks.withColumn("lft", F.lag("qterm").over(wq)).withColumn(
+        "rgt", F.lead("qterm").over(wq)
+    )
+    qt = toks.select("query_id", F.col("qterm").alias("term")).distinct()
+    cand = _fuzzy_candidates(qt, dictionary, max_edits, mode).filter(
+        F.col("boost") > 0.0
+    )
+    pc = ctx.join(cand, ["query_id", "qterm"], "left")
+    # corpus bigram counts over the same analyzed stream every scorer uses
+    dt = F.filter(
+        tokens_col(F.coalesce(F.col(doc_text_col), F.lit("")), conf.token_split_re),
+        lambda t: t != F.lit(""),
+    )
+    nn = F.size(dt)
+    bgs = F.zip_with(
+        F.slice(dt, 1, F.greatest(nn - 1, F.lit(0))),
+        F.slice(dt, 2, F.greatest(nn - 1, F.lit(0))),
+        lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+    )
+    c2 = (
+        docs.select(F.explode(bgs).alias("_bg"))
+        .select(F.col("_bg.w1").alias("w1"), F.col("_bg.w2").alias("w2"))
+        .groupBy("w1", "w2")
+        .agg(F.count("*").cast("long").alias("c2"))
+    )
+    cl = c2.select(
+        F.col("w1").alias("lft"), F.col("w2").alias("term"), F.col("c2").alias("_cl")
+    )
+    cr = c2.select(
+        F.col("w1").alias("term"), F.col("w2").alias("rgt"), F.col("c2").alias("_cr")
+    )
+    scored = (
+        pc.join(cl, ["lft", "term"], "left")
+        .join(cr, ["term", "rgt"], "left")
+        .withColumn(
+            "_sup",
+            F.coalesce("_cl", F.lit(0)) + F.coalesce("_cr", F.lit(0)),
+        )
+    )
+    wp = Window.partitionBy("query_id", "pos").orderBy(
+        F.desc("_sup"), F.desc("boost"), F.desc("df"), F.asc("term")
+    )
+    best = scored.withColumn("_rn", F.row_number().over(wp)).filter(F.col("_rn") == 1)
+    ct = F.coalesce(F.col("term"), F.col("qterm"))
+    return (
+        best.select(
+            "query_id",
+            "pos",
+            ct.alias("_ct"),
+            F.when(ct != F.col("qterm"), 1).otherwise(0).alias("_ch"),
+        )
+        .groupBy("query_id")
+        .agg(
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "_ct"))),
+                    lambda x: x["_ct"],
+                ),
+            ).alias("suggestion"),
+            F.sum("_ch").cast("long").alias("n_changed"),
+        )
+    )
+
+
 def match_count(
     docs: DataFrame,
     queries: DataFrame,

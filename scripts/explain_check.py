@@ -332,6 +332,40 @@ def main() -> int:
     )
     dsp.unpersist()
 
+    # 6c. event-stream analytics: windows only where the docstrings promise
+    # them, user-keyed hash joins (never nested-loop over the stream), and
+    # everything JVM-side
+    from igd_spark import event_transitions, funnel_counts, retention_cohorts
+
+    ev = spark.createDataFrame(
+        [(1, 10, "2024-01-01 00:00:00", "view"), (1, 11, "2024-01-01 00:01:00", "buy")],
+        "user_id long, event_id long, ts string, event_type string",
+    )
+    tplan = fmt(event_transitions(ev))
+    check(
+        "event_transitions: window+agg only — no joins, no Python eval",
+        "Join" not in tplan and "BatchEvalPython" not in tplan
+        and "ArrowEvalPython" not in tplan and "Window" in tplan,
+        f"joins={tplan.count('Join')}",
+    )
+    fplan3 = fmt(funnel_counts(ev, ["view", "buy"], window_minutes=30))
+    check(
+        "funnel_counts: no window over the raw stream, no cartesian",
+        "Window" not in fplan3 and "CartesianProduct" not in fplan3,
+    )
+    n_bnlj = len(re.findall(r"\(\d+\) BroadcastNestedLoopJoin", fplan3))
+    check(
+        "funnel_counts: only the 1-row base denominator rides a nested-loop broadcast",
+        n_bnlj <= 1 and "BatchEvalPython" not in fplan3,
+        f"bnlj nodes={n_bnlj}",
+    )
+    rplan2 = fmt(retention_cohorts(ev))
+    check(
+        "retention_cohorts: keyed joins only, no window, no Python eval",
+        "Window" not in rplan2 and "BroadcastNestedLoopJoin" not in rplan2
+        and "CartesianProduct" not in rplan2 and "BatchEvalPython" not in rplan2,
+    )
+
     # 7. extended query language (querylang.py) -------------------------------
     from igd_spark import bool_bm25_topk, filtered_bm25_topk, prefix_bm25_topk
 
@@ -419,6 +453,22 @@ def main() -> int:
     check(
         "span_not_match_indexed: anti-join, no cartesian",
         "CartesianProduct" not in snplan,
+    )
+
+    # 9b. phrase_suggest: SymSpell deletes equi-join for candidates, keyed
+    # hash joins against the bigram table — never a theta/nested-loop scan
+    from igd_spark import phrase_suggest
+    from igd_spark.stats import term_stats as _term_stats
+    from igd_spark.tokenizer import postings as _postings
+
+    ps_dict = _term_stats(_postings(ql_docs))
+    psplan = fmt(phrase_suggest(ql_q, ql_docs, ps_dict))
+    check(
+        "phrase_suggest: no cartesian, no nested-loop join, no Python eval",
+        "CartesianProduct" not in psplan
+        and "BroadcastNestedLoopJoin" not in psplan
+        and "BatchEvalPython" not in psplan
+        and "ArrowEvalPython" not in psplan,
     )
 
     # 10. fuzzy / wildcard over the index: dictionary expansion still yields
