@@ -3468,6 +3468,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # FIRST 50 entries per round, so entries lead in driver-staleness
         # order (never-driver-verified first, then least-recently green).
         # Re-rotate each round from CORRECTNESS_r{N}.json (VERDICT r4 #1).
+        "phrase_suggest": q_phrase_suggest,
         "duplicate_spans": q_duplicate_spans,
         "duplicate_span_stats": q_duplicate_span_stats,
         "remove_duplicate_text": q_remove_duplicate_text,
@@ -3649,7 +3650,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "complete_terms": q_complete_terms,
         "complete_terms_indexed": q_complete_terms_indexed,
         "did_you_mean": q_did_you_mean,
-        "phrase_suggest": q_phrase_suggest,
         "redact_pii": q_redact_pii,
         "match_count": q_match_count,
         "match_count_indexed": q_match_count_indexed,
