@@ -268,8 +268,13 @@ def main() -> None:
         runs = []
         for _ in range(2):
             t0 = time.perf_counter()
-            cnt = fn(spark, SF_DIR).count()
+            df = fn(spark, SF_DIR)
+            cnt = df.count()
             runs.append(time.perf_counter() - t0)
+            # entries that return persisted frames (the dedup family) must
+            # not serve run 2 from run 1's cache — that recorded a cache
+            # read, not the operator — nor leak storage into later entries
+            df.unpersist(blocking=True)
         timings[name] = min(runs)
         log(f"{name}: {cnt} rows, runs={[round(r, 2) for r in runs]}")
 

@@ -493,6 +493,21 @@ def _merge_spans(cov: DataFrame, min_len: int) -> DataFrame:
     )
 
 
+def _duplicate_spans_plan(
+    docs: DataFrame,
+    min_len: int,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    occ: DataFrame | None = None,
+) -> DataFrame:
+    """Lazy logical plan of duplicate_spans — no persist, no execution.
+    Plan-assertion scripts use this so asserting the shape costs nothing;
+    ``occ`` lets the public wrapper substitute its persisted window table."""
+    if occ is None:
+        occ = _window_occurrences(docs, min_len, text_col, id_col)
+    return _merge_spans(_dup_occurrences(occ).select("doc_id", "p"), min_len)
+
+
 def duplicate_spans(
     docs: DataFrame,
     min_len: int = DEFAULT_DUP_SPAN_LEN,
@@ -512,7 +527,7 @@ def duplicate_spans(
         raise ValueError("min_len must be >= 2")
     occ = _window_occurrences(docs, min_len, text_col, id_col).persist()
     occ.count()  # materialize before the groupBy/join fan-out
-    spans = _merge_spans(_dup_occurrences(occ).select("doc_id", "p"), min_len)
+    spans = _duplicate_spans_plan(docs, min_len, text_col, id_col, occ=occ)
     return _materialize_then_unpersist(spans, [occ])
 
 
@@ -524,7 +539,10 @@ def duplicate_span_stats(
 ) -> DataFrame:
     """(doc_id, n_tokens, dup_tokens, n_spans, dup_ratio) for EVERY document
     (zero-filled when nothing is duplicated) — the per-doc contamination
-    profile used to gate training corpora on duplicated-content fraction."""
+    profile used to gate training corpora on duplicated-content fraction.
+    Returned frame is persisted and materialized (the span table it consumed
+    is released before return); callers looping over corpora own
+    .unpersist()."""
     spans = duplicate_spans(docs, min_len=min_len, text_col=text_col, id_col=id_col)
     agg = spans.groupBy("doc_id").agg(
         F.sum("span_len").cast("int").alias("dup_tokens"),
@@ -546,8 +564,10 @@ def duplicate_span_stats(
         .otherwise(F.lit(0.0))
         .alias("dup_ratio"),
     )
-    spans.unpersist()  # agg result is tiny; recompute-on-retry is acceptable
-    return out
+    # materialize the stats BEFORE releasing the span table: unpersisting
+    # first handed consumers a lazy plan that re-ran the whole dup-span
+    # pipeline from the source on first use (r5 review finding)
+    return _materialize_then_unpersist(out, [spans])
 
 
 def remove_duplicate_text(
@@ -569,19 +589,52 @@ def remove_duplicate_text(
 
     Scale: same two-shuffle shape as duplicate_spans; the final filter is a
     JVM higher-order function over the token array against the doc's own
-    (few) removal spans — no token-level explode, no Python. The small span
-    side is materialized and the window table unpersisted before the
-    corpus-wide join. Returned frame is lazy; spans it references are
-    persisted until it is consumed."""
+    (few) removal spans — no token-level explode, no Python. The per-doc
+    grouped span side is localCheckpoint-ed (eager) and the window table
+    unpersisted before the corpus-wide join: the returned frame is lazy
+    with NO CacheManager entry behind it — the checkpoint blocks are
+    released by the ContextCleaner when the result is garbage-collected
+    (same lifecycle, and same executor-loss caveat, as dedup_clusters'
+    lineage truncation)."""
     if min_len < 2:
         raise ValueError("min_len must be >= 2")
     occ = _window_occurrences(docs, min_len, text_col, id_col).persist()
     occ.count()
     rem = _dup_occurrences(occ).filter(~F.col("is_canonical")).select("doc_id", "p")
-    spans = _materialize_then_unpersist(_merge_spans(rem, min_len), [occ])
-    sp = spans.groupBy("doc_id").agg(
-        F.collect_list(F.struct("span_start", "span_end")).alias("spans")
+    sp = (
+        _merge_spans(rem, min_len)
+        .groupBy("doc_id")
+        .agg(F.collect_list(F.struct("span_start", "span_end")).alias("spans"))
+        .localCheckpoint(eager=True)
     )
+    occ.unpersist()
+    return _apply_span_removal(docs, sp, text_col, id_col)
+
+
+def _remove_duplicate_text_plan(
+    docs: DataFrame,
+    min_len: int,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Lazy logical plan of remove_duplicate_text — no persist, no
+    checkpoint, no execution; for plan-assertion scripts."""
+    occ = _window_occurrences(docs, min_len, text_col, id_col)
+    rem = _dup_occurrences(occ).filter(~F.col("is_canonical")).select("doc_id", "p")
+    sp = (
+        _merge_spans(rem, min_len)
+        .groupBy("doc_id")
+        .agg(F.collect_list(F.struct("span_start", "span_end")).alias("spans"))
+    )
+    return _apply_span_removal(docs, sp, text_col, id_col)
+
+
+def _apply_span_removal(
+    docs: DataFrame, sp: DataFrame, text_col: str, id_col: str
+) -> DataFrame:
+    """Join per-doc removal spans and drop covered token positions with a
+    JVM higher-order filter (shared by the eager wrapper and the lazy
+    plan twin)."""
     empty_spans = F.array().cast("array<struct<span_start:int,span_end:int>>")
     base = docs.select(F.col(id_col).alias("doc_id"), nonempty_tokens(text_col).alias("tl"))
     j = base.join(sp, "doc_id", "left").withColumn(

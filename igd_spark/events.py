@@ -185,19 +185,25 @@ def retention_cohorts(
 
     Scale: distinct (user, day) activity (one agg), per-user min day (one
     agg over that), a user-keyed join, and the final fine-keyed count —
-    no window over raw events, cardinality bounded by users × active days."""
-    act = (
-        events.select(
-            F.col(user_col).alias("user_id"),
-            F.date_trunc("DAY", F.col(ts_col).cast("timestamp")).cast("date").alias("day"),
-        )
-        .distinct()
-    )
-    cohort = act.groupBy("user_id").agg(F.min("day").alias("cohort"))
+    no window over raw events, cardinality bounded by users × active days.
+
+    Day bucketing is epoch-microsecond arithmetic (floor(unix_micros /
+    86.4e9)), NOT date_trunc — date_trunc buckets by
+    spark.sql.session.timeZone, which silently shifts cohort days across
+    midnight-UTC in a non-UTC session (sessionize avoids the same drift
+    the same way). The only residual session-tz dependence is string→
+    timestamp PARSING when ts_col is a string; timestamp-typed inputs
+    (the events table) are instants and bucket identically everywhere."""
+    day_ord = F.floor(
+        F.unix_micros(F.col(ts_col).cast("timestamp")) / F.lit(86_400_000_000)
+    ).cast("int")
+    act = events.select(F.col(user_col).alias("user_id"), day_ord.alias("dord")).distinct()
+    cohort = act.groupBy("user_id").agg(F.min("dord").alias("cord"))
+    epoch = F.lit("1970-01-01").cast("date")
     joined = act.join(cohort, "user_id").select(
         "user_id",
-        F.date_format("cohort", "yyyy-MM-dd").alias("cohort_day"),
-        F.datediff("day", "cohort").cast("int").alias("day_offset"),
+        F.date_format(F.date_add(epoch, F.col("cord")), "yyyy-MM-dd").alias("cohort_day"),
+        (F.col("dord") - F.col("cord")).cast("int").alias("day_offset"),
     )
     return joined.groupBy("cohort_day", "day_offset").agg(
         F.count_distinct("user_id").cast("long").alias("n_users")

@@ -59,6 +59,7 @@ from igd_spark.config import DEFAULT_CONF, IndexConf
 from igd_spark.scoring import bm25_weight_col, idf_col
 from igd_spark.search import bm25_scores, exact_bm25_topk, query_terms, rank_topk
 from igd_spark.stats import corpus_stats, doc_stats, term_stats
+from igd_spark.textstats import bigram_counts
 from igd_spark.tokenizer import postings, tokens_col
 
 
@@ -3117,23 +3118,14 @@ def phrase_suggest(
         F.col("boost") > 0.0
     )
     pc = ctx.join(cand, ["query_id", "qterm"], "left")
-    # corpus bigram counts over the same analyzed stream every scorer uses
+    # corpus bigram counts over the same analyzed stream every scorer uses —
+    # the ONE shared derivation (textstats.bigram_counts), honoring this
+    # conf's analyzer regex via the tokens override
     dt = F.filter(
         tokens_col(F.coalesce(F.col(doc_text_col), F.lit("")), conf.token_split_re),
         lambda t: t != F.lit(""),
     )
-    nn = F.size(dt)
-    bgs = F.zip_with(
-        F.slice(dt, 1, F.greatest(nn - 1, F.lit(0))),
-        F.slice(dt, 2, F.greatest(nn - 1, F.lit(0))),
-        lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
-    )
-    c2 = (
-        docs.select(F.explode(bgs).alias("_bg"))
-        .select(F.col("_bg.w1").alias("w1"), F.col("_bg.w2").alias("w2"))
-        .groupBy("w1", "w2")
-        .agg(F.count("*").cast("long").alias("c2"))
-    )
+    c2 = bigram_counts(docs, doc_text_col, tokens=dt)
     cl = c2.select(
         F.col("w1").alias("lft"), F.col("w2").alias("term"), F.col("c2").alias("_cl")
     )

@@ -42,6 +42,39 @@ def nonempty_tokens(text: Column | str) -> Column:
     return F.filter(tokens_col(c), lambda t: t != F.lit(""))
 
 
+def bigram_structs(toks: Column) -> Column:
+    """array<struct<w1,w2>> of adjacent-token bigrams — a zero-shuffle JVM
+    zip of the token array with its own tail. THE corpus bigram stream:
+    ``bigram_perplexity`` and ``querylang.phrase_suggest`` both derive
+    their counts from this expression so the two can never diverge."""
+    n = F.size(toks)
+    return F.zip_with(
+        F.slice(toks, 1, F.greatest(n - 1, F.lit(0))),
+        F.slice(toks, 2, F.greatest(n - 1, F.lit(0))),
+        lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+    )
+
+
+def bigram_counts(
+    docs: DataFrame, text_col: str = "text", tokens: Column | None = None
+) -> DataFrame:
+    """(w1, w2, c2) — corpus bigram occurrence counts over the analyzed
+    token stream (one map-side-combined agg keyed (w1, w2), bigram-vocab-
+    sized). ``tokens`` overrides the token-array expression for callers
+    with a configurable analyzer (phrase_suggest's ``token_split_re``)."""
+    toks = (
+        tokens
+        if tokens is not None
+        else nonempty_tokens(F.coalesce(F.col(text_col), F.lit("")))
+    )
+    return (
+        docs.select(F.explode(bigram_structs(toks)).alias("_bg"))
+        .select(F.col("_bg.w1").alias("w1"), F.col("_bg.w2").alias("w2"))
+        .groupBy("w1", "w2")
+        .agg(F.count("*").cast("long").alias("c2"))
+    )
+
+
 def quality_col(text_col: Column | str = "text") -> Column:
     """Rounded quality score as a pure expression (composable without a
     join — see pipeline.curate). Spec shared with the DuckDB oracle:
@@ -350,14 +383,8 @@ def bigram_perplexity(
     a doc_id hash agg — the same shuffle class as the unigram scorer, just
     on a wider key."""
     toks = nonempty_tokens(F.coalesce(F.col(text_col), F.lit("")))
-    n = F.size(toks)
-    bigrams = F.zip_with(
-        F.slice(toks, 1, F.greatest(n - 1, F.lit(0))),
-        F.slice(toks, 2, F.greatest(n - 1, F.lit(0))),
-        lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
-    )
     bg = (
-        docs.select(F.col(id_col).alias("doc_id"), bigrams.alias("_bgs"))
+        docs.select(F.col(id_col).alias("doc_id"), bigram_structs(toks).alias("_bgs"))
         .select("doc_id", F.explode("_bgs").alias("_bg"))
         .select("doc_id", F.col("_bg.w1").alias("w1"), F.col("_bg.w2").alias("w2"))
     )

@@ -314,23 +314,23 @@ def main() -> int:
     # all-JVM (no Python eval in the plan), and the removal filter is a
     # higher-order function over the token array (no token-level explode
     # feeding the final join)
-    from igd_spark import duplicate_spans, remove_duplicate_text
+    # lazy plan twins: asserting the shape must not execute the pipeline
+    # (the eager wrappers persist+count; a plan script pays nothing)
+    from igd_spark.dedup import _duplicate_spans_plan, _remove_duplicate_text_plan
 
     dup_docs = spark.read.parquet(docs_on_disk)
-    dsp = duplicate_spans(dup_docs, min_len=8)
-    dplan = fmt(dsp)
+    dplan = fmt(_duplicate_spans_plan(dup_docs, min_len=8))
     check(
         "duplicate_spans: no cartesian, no Python eval",
         "CartesianProduct" not in dplan and "BatchEvalPython" not in dplan
         and "ArrowEvalPython" not in dplan,
     )
-    rplan = fmt(remove_duplicate_text(dup_docs, min_len=8))
+    rplan = fmt(_remove_duplicate_text_plan(dup_docs, min_len=8))
     check(
         "remove_duplicate_text: no cartesian, no Python eval, span filter stays a JVM lambda",
         "CartesianProduct" not in rplan and "BatchEvalPython" not in rplan
         and "ArrowEvalPython" not in rplan,
     )
-    dsp.unpersist()
 
     # 6c. event-stream analytics: windows only where the docstrings promise
     # them, user-keyed hash joins (never nested-loop over the stream), and

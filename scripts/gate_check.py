@@ -62,6 +62,9 @@ def main() -> int:
             sdf = fn(spark, sf_dir)
             scols = sdf.columns
             srows = [tuple(r) for r in sdf.collect()]
+            # entries returning persisted frames (dedup family) must not
+            # accumulate executor storage across a 275-entry sweep
+            sdf.unpersist(blocking=False)
         except Exception as e:
             print(f"FAIL {name}: spark error {type(e).__name__}: {e}")
             fails.append(name)
