@@ -1961,6 +1961,23 @@ def q_bucket_sort_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_change_point_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # ES change_point sibling pipeline agg (Welch t-scan step detector)
+    from igd_spark import change_point_agg
+
+    return change_point_agg(_dh_buckets(spark, sf_dir))
+
+
+def q_change_point_agg_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from igd_spark import change_point_agg, date_histogram_agg_indexed
+
+    dh = date_histogram_agg_indexed(
+        spark, _built_index(spark, sf_dir), _docs_with_ts(spark, sf_dir),
+        _queries_df(spark), "ts", interval=DH_INTERVAL,
+    )
+    return change_point_agg(dh)
+
+
 def _docs_with_conv(spark: SparkSession, sf_dir: str) -> DataFrame:
     """documents + the deterministic synthetic transcript shape (the gate
     table is flat): conv_id = doc_id div TURNS_PER_CONV, turn_idx =
@@ -3468,6 +3485,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # FIRST 50 entries per round, so entries lead in driver-staleness
         # order (never-driver-verified first, then least-recently green).
         # Re-rotate each round from CORRECTNESS_r{N}.json (VERDICT r4 #1).
+        "change_point_agg": q_change_point_agg,
+        "change_point_agg_indexed": q_change_point_agg_indexed,
         "phrase_suggest": q_phrase_suggest,
         "duplicate_spans": q_duplicate_spans,
         "duplicate_span_stats": q_duplicate_span_stats,
@@ -5799,6 +5818,42 @@ WITH ranked AS (
   FROM {_dh_sub} dh)
 SELECT query_id, bucket, n_docs, pos FROM ranked WHERE pos <= {BSORT_SIZE}
 """
+    # change_point: Welch t-scan over the day series; the metric is an
+    # integer count, so the windowed sums are exact in double and every
+    # derived IEEE expression matches Spark's bit-for-bit
+    sql["change_point_agg"] = f"""
+WITH dh AS ({_dh_sub}),
+b AS (
+  SELECT query_id, bucket, n_docs::DOUBLE AS v,
+         row_number() OVER ({_w})::DOUBLE AS k,
+         sum(n_docs::DOUBLE) OVER ({_w}
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS s1,
+         sum(n_docs::DOUBLE * n_docs::DOUBLE) OVER ({_w}
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS s2,
+         count(*) OVER (PARTITION BY query_id)::DOUBLE AS n,
+         sum(n_docs::DOUBLE) OVER (PARTITION BY query_id) AS t1,
+         sum(n_docs::DOUBLE * n_docs::DOUBLE) OVER (PARTITION BY query_id) AS t2,
+         lead(bucket) OVER ({_w}) AS nxt
+  FROM dh),
+sc AS (
+  SELECT query_id, nxt, bucket,
+         s1 / k AS mp, (t1 - s1) / (n - k) AS ms,
+         abs(s1 / k - (t1 - s1) / (n - k))
+           / sqrt( (s2 / k - (s1 / k) * (s1 / k)) / k
+                 + ((t2 - s2) / (n - k)
+                    - ((t1 - s1) / (n - k)) * ((t1 - s1) / (n - k))) / (n - k)
+                 + 1e-9 ) AS t
+  FROM b WHERE k >= 2 AND n - k >= 2),
+r AS (
+  SELECT query_id, nxt AS change_bucket, round(t, 6) AS score,
+         CASE WHEN ms > mp THEN 'increase'
+              WHEN ms < mp THEN 'decrease'
+              ELSE 'stationary' END AS direction,
+         row_number() OVER (PARTITION BY query_id ORDER BY t DESC, bucket ASC) AS rn
+  FROM sc)
+SELECT query_id, change_bucket, score, direction FROM r WHERE rn = 1
+"""
+    sql["change_point_agg_indexed"] = sql["change_point_agg"]
 
     # unigram perplexity under the corpus MLE LM
     sql["unigram_perplexity"] = f"""

@@ -1145,6 +1145,76 @@ def bucket_sort_agg(
     return out
 
 
+def change_point_agg(
+    buckets: DataFrame,
+    metric: str = "n_docs",
+    order_col: str = "bucket",
+    min_side: int = 2,
+) -> DataFrame:
+    """The ES ``change_point`` sibling pipeline agg (8.x, under
+    aggregations/change_point): locate the bucket where the metric's
+    distribution most plausibly shifts.  ES runs a battery of ML detectors;
+    this is the deterministic core of its step-change detector — a Welch
+    t-scan: for every split k of the ordered series (both sides >=
+    ``min_side`` buckets), score |mean(prefix) - mean(suffix)| /
+    sqrt(varp/k + vars/(n-k) + 1e-9) (population variances; the epsilon
+    keeps constant series finite and both engines identical), and report
+    the argmax split per query — (query_id, change_bucket = first suffix
+    bucket, score rounded 6dp, direction increase/decrease/stationary).
+    Ties break on earliest bucket; series shorter than 2*min_side emit no
+    row (the ES "not enough buckets" case).
+
+    Determinism across engines: the metric is an integer count, so the
+    windowed sums and sums-of-squares are exact in double regardless of
+    accumulation order, and every derived quantity is the same IEEE
+    expression on identical operands — the DuckDB oracle hash-matches
+    bit-for-bit.
+
+    Scale: like every sibling pipeline agg, reshapes the parent's output —
+    two window passes over the (query x bucket)-sized series, one
+    partition-wide agg; zero corpus work."""
+    if min_side < 1:
+        raise ValueError("min_side must be >= 1")
+    w = _series_window(order_col)
+    wc = w.rowsBetween(Window.unboundedPreceding, 0)
+    wp = Window.partitionBy("query_id")
+    v = F.col(metric).cast("double")
+    b = (
+        buckets.withColumn("_k", F.row_number().over(w).cast("double"))
+        .withColumn("_s1", F.sum(v).over(wc))
+        .withColumn("_s2", F.sum(v * v).over(wc))
+        .withColumn("_n", F.count("*").over(wp).cast("double"))
+        .withColumn("_t1", F.sum(v).over(wp))
+        .withColumn("_t2", F.sum(v * v).over(wp))
+        .withColumn("_nxt", F.lead(order_col).over(w))
+        .filter((F.col("_k") >= min_side) & (F.col("_n") - F.col("_k") >= min_side))
+    )
+    k, n = F.col("_k"), F.col("_n")
+    mp = F.col("_s1") / k
+    ms = (F.col("_t1") - F.col("_s1")) / (n - k)
+    vp = F.col("_s2") / k - mp * mp
+    vs = (F.col("_t2") - F.col("_s2")) / (n - k) - ms * ms
+    t = F.abs(mp - ms) / F.sqrt(vp / k + vs / (n - k) + F.lit(1e-9))
+    sc = b.select(
+        "query_id",
+        F.col("_nxt").alias("change_bucket"),
+        t.alias("_t"),
+        F.when(ms > mp, F.lit("increase"))
+        .when(ms < mp, F.lit("decrease"))
+        .otherwise(F.lit("stationary"))
+        .alias("direction"),
+        F.col(order_col).alias("_ob"),
+    )
+    wr = Window.partitionBy("query_id").orderBy(F.desc("_t"), F.asc("_ob"))
+    return (
+        sc.withColumn("_rn", F.row_number().over(wr))
+        .filter(F.col("_rn") == 1)
+        .select(
+            "query_id", "change_bucket", F.round("_t", 6).alias("score"), "direction"
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # rare_terms / multi_terms / weighted_avg — the remaining ES bucket/metric
 # aggs a transcript-search user reaches for (long-tail values, tuple

@@ -156,3 +156,42 @@ def test_auto_date_histogram_interval_pick(spark, tiny_docs):
     assert {r["interval"] for r in coarse} == {"month"}
     with pytest.raises(ValueError):
         auto_date_histogram_agg(docs, q, "ts2", target_buckets=0)
+
+
+def test_change_point_step(spark):
+    from igd_spark import change_point_agg
+
+    # query 0: clean step 5,5,5,5 -> 20,20,20,20 at bucket 5; query 1 too
+    # short (3 < 2*min_side); query 2: decreasing step with interior noise
+    rows = (
+        [(0, b, 5) for b in range(1, 5)] + [(0, b, 20) for b in range(5, 9)]
+        + [(1, 1, 3), (1, 2, 9), (1, 3, 3)]
+        + [(2, b, 50) for b in range(1, 4)] + [(2, 3, 51), (2, 4, 2), (2, 5, 3)]
+    )
+    # (2,3) appears twice above — drop the stray dup, keep 51
+    rows = [r for r in rows if r != (2, 3, 50)]
+    buckets = spark.createDataFrame(rows, "query_id long, bucket int, n_docs long")
+    out = {r["query_id"]: r for r in change_point_agg(buckets).collect()}
+    assert set(out) == {0, 2}  # query 1 emits no row (too few buckets)
+    assert out[0]["change_bucket"] == 5
+    assert out[0]["direction"] == "increase"
+    assert out[0]["score"] > 100  # zero-variance sides: eps-bounded, huge
+    assert out[2]["change_bucket"] == 4
+    assert out[2]["direction"] == "decrease"
+
+
+def test_change_point_stationary_and_ties(spark):
+    from igd_spark import change_point_agg
+
+    # constant series: every split scores 0 -> earliest eligible split wins
+    # (k = min_side, change bucket = min_side + 1), direction stationary
+    rows = [(0, b, 7) for b in range(1, 7)]
+    buckets = spark.createDataFrame(rows, "query_id long, bucket int, n_docs long")
+    out = change_point_agg(buckets).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r["direction"] == "stationary"
+    assert r["score"] == 0.0
+    assert r["change_bucket"] == 3
+    with pytest.raises(ValueError):
+        change_point_agg(buckets, min_side=0)
