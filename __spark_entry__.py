@@ -146,6 +146,13 @@ KNN_MIN_SIM = 0.28            # knn similarity cutoff (binds: rank-5 cos ~0.30)
 HYBRID_W_LEX = 0.7            # linear-retriever fusion weights (lexical /
 HYBRID_W_VEC = 0.3            # vector); minmax-normalized per query
 RNDSCORE_SEED = 7             # random_score seed
+VWH_BUCKETS = 5               # variable_width_histogram target bucket count
+FIS_MIN_SUPPORT = 3           # frequent_item_sets min co-occurrence support
+FIS_K = 8                     # frequent_item_sets per-query itemset budget
+DSIR_TARGET = "src3"          # DSIR target domain (documents.source value)
+DSIR_BUCKETS = 2048           # DSIR hashed n-gram feature buckets
+DSIR_ALPHA = 1.0              # DSIR Laplace smoothing
+DSIR_SELECT_N = 50            # DSIR selection budget (top-n docs kept)
 PCTR_VALUES = (175.0, 306.0, 419.0)  # percentile_ranks cut points (quartiles)
 RARE_MAX_DC = 21              # rare_terms max_doc_count (binds non-vacuously:
                               # match-set source counts span 14..25 at sf0.01)
@@ -3479,6 +3486,68 @@ def q_bucket_correlation_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_variable_width_histogram_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # ES variable_width_histogram: largest-gaps value clustering per query
+    from igd_spark import variable_width_histogram_agg
+
+    return variable_width_histogram_agg(
+        _docs(spark, sf_dir), _queries_df(spark), STATS_VALUE_COL,
+        buckets=VWH_BUCKETS, round_dp=6,
+    )
+
+
+def q_variable_width_histogram_agg_indexed(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from igd_spark import variable_width_histogram_agg_indexed
+
+    return variable_width_histogram_agg_indexed(
+        spark, _built_index(spark, sf_dir), _docs(spark, sf_dir),
+        _queries_df(spark), STATS_VALUE_COL, buckets=VWH_BUCKETS, round_dp=6,
+    )
+
+
+def q_frequent_item_sets_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # ES frequent_item_sets: Apriori term combos over each query's hits
+    from igd_spark import frequent_item_sets_agg
+
+    return frequent_item_sets_agg(
+        _docs(spark, sf_dir), _queries_df(spark),
+        min_support=FIS_MIN_SUPPORT, k=FIS_K,
+    )
+
+
+def q_frequent_item_sets_agg_indexed(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from igd_spark import frequent_item_sets_agg_indexed
+
+    return frequent_item_sets_agg_indexed(
+        spark, _built_index(spark, sf_dir), _docs(spark, sf_dir),
+        _queries_df(spark), min_support=FIS_MIN_SUPPORT, k=FIS_K,
+    )
+
+
+def q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # DSIR (Xie et al. 2023): hashed-ngram importance weights vs a target domain
+    from igd_spark import dsir_weights
+
+    return dsir_weights(
+        _docs(spark, sf_dir), DSIR_TARGET, n_buckets=DSIR_BUCKETS,
+        alpha=DSIR_ALPHA, round_dp=6,
+    )
+
+
+def q_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # DSIR selection: deterministic top-n by importance weight
+    from igd_spark import dsir_select
+
+    return dsir_select(
+        _docs(spark, sf_dir), DSIR_TARGET, DSIR_SELECT_N,
+        n_buckets=DSIR_BUCKETS, alpha=DSIR_ALPHA, round_dp=6,
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # ORDER IS THE DRIVER'S VERIFICATION ROTATION: the gate checks the
@@ -3487,6 +3556,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # Re-rotate each round from CORRECTNESS_r{N}.json (VERDICT r4 #1).
         "change_point_agg": q_change_point_agg,
         "change_point_agg_indexed": q_change_point_agg_indexed,
+        "variable_width_histogram_agg": q_variable_width_histogram_agg,
+        "variable_width_histogram_agg_indexed": q_variable_width_histogram_agg_indexed,
+        "frequent_item_sets_agg": q_frequent_item_sets_agg,
+        "frequent_item_sets_agg_indexed": q_frequent_item_sets_agg_indexed,
+        "dsir_weights": q_dsir_weights,
+        "dsir_select": q_dsir_select,
         "phrase_suggest": q_phrase_suggest,
         "duplicate_spans": q_duplicate_spans,
         "duplicate_span_stats": q_duplicate_span_stats,
@@ -7335,5 +7410,99 @@ SELECT query_id, n_buckets,
 FROM a
 """
 
+    sql["variable_width_histogram_agg"] = f"""
+WITH {_TL}, {_TOKS}, {_POST}, {_DL}, {_CS}, {_TS}, {_QT}, {_SCORED},
+vals AS (SELECT doc_id, "{STATS_VALUE_COL}"::DOUBLE AS v FROM documents
+         WHERE "{STATS_VALUE_COL}" IS NOT NULL),
+mv AS (SELECT DISTINCT s.query_id, s.doc_id, v FROM scored s JOIN vals USING (doc_id)),
+dv AS (SELECT query_id, v, count(*)::BIGINT AS n FROM mv GROUP BY 1, 2),
+g AS (SELECT query_id, v, n,
+             v - lag(v) OVER (PARTITION BY query_id ORDER BY v) AS gap
+      FROM dv),
+r AS (SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY gap DESC NULLS LAST, v ASC) AS gr
+      FROM g),
+c AS (SELECT *, CASE WHEN gap IS NOT NULL AND gr <= {VWH_BUCKETS - 1}
+                     THEN 1 ELSE 0 END AS is_cut FROM r),
+cl AS (SELECT *, sum(is_cut) OVER (PARTITION BY query_id ORDER BY v
+                                   ROWS UNBOUNDED PRECEDING) AS cluster
+       FROM c)
+SELECT query_id, round(min(v), 6) AS b_min, round(max(v), 6) AS b_max,
+       round(sum(v * n) / sum(n), 6) AS centroid, sum(n)::BIGINT AS n_docs
+FROM cl GROUP BY query_id, cluster
+"""
+    sql["variable_width_histogram_agg_indexed"] = sql["variable_width_histogram_agg"]
+
+    sql["frequent_item_sets_agg"] = f"""
+WITH {_TL}, {_TOKS}, {_POST}, {_DL}, {_CS}, {_TS}, {_QT}, {_SCORED},
+m AS (SELECT DISTINCT query_id, doc_id FROM scored),
+t AS (SELECT m.query_id, p.doc_id, p.term FROM m JOIN post p USING (doc_id)),
+l1 AS (SELECT query_id, term, count(*)::BIGINT AS support
+       FROM t GROUP BY 1, 2 HAVING count(*) >= {FIS_MIN_SUPPORT}),
+tf AS (SELECT t.query_id, t.doc_id, t.term
+       FROM t JOIN l1 USING (query_id, term)),
+p2d AS (SELECT a.query_id, a.doc_id, a.term AS t1, b.term AS t2
+        FROM tf a JOIN tf b
+          ON a.query_id = b.query_id AND a.doc_id = b.doc_id
+         AND a.term < b.term),
+l2 AS (SELECT query_id, t1, t2, count(*)::BIGINT AS support
+       FROM p2d GROUP BY 1, 2, 3 HAVING count(*) >= {FIS_MIN_SUPPORT}),
+p2f AS (SELECT p2d.query_id, p2d.doc_id, p2d.t1, p2d.t2
+        FROM p2d JOIN l2 USING (query_id, t1, t2)),
+p3d AS (SELECT p.query_id, p.doc_id, p.t1, p.t2, c.term AS t3
+        FROM p2f p JOIN tf c
+          ON p.query_id = c.query_id AND p.doc_id = c.doc_id
+         AND c.term > p.t2),
+l3 AS (SELECT query_id, t1, t2, t3, count(*)::BIGINT AS support
+       FROM p3d GROUP BY 1, 2, 3, 4 HAVING count(*) >= {FIS_MIN_SUPPORT}),
+allsets AS (
+  SELECT query_id, 2 AS size, [t1, t2] AS items, support FROM l2
+  UNION ALL
+  SELECT query_id, 3 AS size, [t1, t2, t3] AS items, support FROM l3),
+ranked AS (
+  SELECT query_id, size, items, support,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY support DESC, size ASC,
+                                     array_to_string(items, ' ') ASC)::INT AS rank
+  FROM allsets)
+SELECT query_id, rank, size, items, support FROM ranked WHERE rank <= {FIS_K}
+"""
+    sql["frequent_item_sets_agg_indexed"] = sql["frequent_item_sets_agg"]
+
+    _dsir_core = f"""
+tldocs AS (SELECT doc_id, source, list_filter(regexp_split_to_array(lower(text),
+  '[^a-z0-9]+'), x -> x <> '') AS tl FROM documents),
+uni AS (SELECT doc_id, source, unnest(tl) AS gram FROM tldocs),
+big AS (SELECT doc_id, source, tl[i] || ' ' || tl[i + 1] AS gram
+        FROM (SELECT doc_id, source, tl,
+                     unnest(generate_series(1, len(tl) - 1)) AS i FROM tldocs)),
+grams AS (SELECT * FROM uni UNION ALL SELECT * FROM big),
+gb AS (SELECT doc_id, (source = '{DSIR_TARGET}') AS is_t,
+              (('0x' || substr(md5(gram), 1, 15))::BIGINT % {DSIR_BUCKETS}) AS bucket
+       FROM grams),
+bc AS (SELECT bucket, count(*)::BIGINT AS c_r,
+              sum(CASE WHEN is_t THEN 1 ELSE 0 END)::BIGINT AS c_t
+       FROM gb GROUP BY 1),
+tot AS (SELECT sum(c_r)::BIGINT AS t_r, sum(c_t)::BIGINT AS t_t FROM bc),
+lr AS (SELECT bucket,
+              ln((c_t + {DSIR_ALPHA}) / (t_t + {DSIR_ALPHA} * {DSIR_BUCKETS}))
+            - ln((c_r + {DSIR_ALPHA}) / (t_r + {DSIR_ALPHA} * {DSIR_BUCKETS})) AS lr
+       FROM bc CROSS JOIN tot),
+w AS (SELECT gb.doc_id, count(*)::BIGINT AS n_feats,
+             round(sum(lr.lr), 6) AS logw
+      FROM gb JOIN lr USING (bucket) GROUP BY 1)"""
+
+    sql["dsir_weights"] = f"""
+WITH {_dsir_core}
+SELECT doc_id, n_feats, logw FROM w
+"""
+
+    sql["dsir_select"] = f"""
+WITH {_dsir_core},
+ranked AS (SELECT doc_id, logw,
+                  row_number() OVER (ORDER BY logw DESC, doc_id ASC)::INT AS rank
+           FROM w)
+SELECT rank, doc_id, logw FROM ranked WHERE rank <= {DSIR_SELECT_N}
+"""
 
     return sql

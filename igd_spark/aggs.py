@@ -38,6 +38,10 @@ from igd_spark.tokenizer import postings
 __all__ = [
     "stats_agg",
     "stats_agg_indexed",
+    "variable_width_histogram_agg",
+    "variable_width_histogram_agg_indexed",
+    "frequent_item_sets_agg",
+    "frequent_item_sets_agg_indexed",
     "histogram_agg",
     "histogram_agg_indexed",
     "date_histogram_agg",
@@ -2809,3 +2813,283 @@ def bucket_correlation_agg(
     if round_dp is not None:
         out = out.withColumn("corr", F.round("corr", round_dp))
     return out
+
+
+# ---------------------------------------------------------------------------
+# variable_width_histogram — the ES clustering histogram, made deterministic.
+
+
+def _vwh_epilogue(
+    m: DataFrame, vals: DataFrame, buckets: int, round_dp: int | None
+) -> DataFrame:
+    """Shared variable-width-histogram roll-up: cluster each query's
+    matched values into at most ``buckets`` contiguous ranges by cutting
+    at the ``buckets - 1`` largest gaps between adjacent DISTINCT values
+    (ties broken toward the smaller value).  ES's one-pass collector is
+    explicitly order-dependent across shards; the engine's contract is
+    reproducibility, so the bucketing is defined as this exact
+    largest-gaps partition — the contiguous k-clustering that maximizes
+    the minimum inter-cluster gap, which is what the ES heuristic
+    approximates."""
+    if buckets <= 0:
+        raise ValueError(f"buckets must be positive, got {buckets}")
+    mv = m.select("query_id", "doc_id").distinct().join(vals, "doc_id")
+    dv = mv.groupBy("query_id", "v").agg(F.count("*").cast("long").alias("n"))
+    wo = Window.partitionBy("query_id").orderBy("v")
+    dv = dv.withColumn("gap", F.col("v") - F.lag("v").over(wo))
+    wg = Window.partitionBy("query_id").orderBy(
+        F.desc_nulls_last("gap"), F.asc("v")
+    )
+    dv = dv.withColumn(
+        "is_cut",
+        (F.col("gap").isNotNull() & (F.row_number().over(wg) <= buckets - 1))
+        .cast("int"),
+    )
+    dv = dv.withColumn(
+        "cluster",
+        F.sum("is_cut").over(wo.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    out = dv.groupBy("query_id", "cluster").agg(
+        F.min("v").alias("b_min"),
+        F.max("v").alias("b_max"),
+        (F.sum(F.col("v") * F.col("n")) / F.sum("n")).alias("centroid"),
+        F.sum("n").cast("long").alias("n_docs"),
+    )
+    if round_dp is not None:
+        for c in ("b_min", "b_max", "centroid"):
+            out = out.withColumn(c, F.round(c, round_dp))
+    return out.select("query_id", "b_min", "b_max", "centroid", "n_docs")
+
+
+def variable_width_histogram_agg(
+    docs: DataFrame,
+    queries: DataFrame,
+    value_col: str,
+    buckets: int = 5,
+    conf: IndexConf = DEFAULT_CONF,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    round_dp: int | None = 6,
+) -> DataFrame:
+    """The ES ``variable_width_histogram`` bucket aggregation: per query,
+    at most ``buckets`` dynamically-sized value clusters over the match
+    set — (query_id, b_min, b_max, centroid, n_docs).  Unlike
+    `histogram_agg` there is no fixed interval; bucket boundaries adapt to
+    where the values actually cluster (see `_vwh_epilogue` for the
+    deterministic definition replacing ES's shard-order-dependent
+    collector).
+
+    Scale: values are first collapsed to DISTINCT (query_id, v) with
+    counts (map-side combinable — the window input is the value DOMAIN,
+    not matched docs), then two windows partitioned BY QUERY order each
+    query's domain independently.  At 100 TB a high-cardinality field
+    should be pre-quantized (e.g. round to the display precision) so the
+    per-query domain stays window-sized; the shuffle key is query_id, one
+    exchange reused by both windows and the final agg."""
+    m = _match_set(docs, queries, conf, text_col, id_col)
+    return _vwh_epilogue(m, _vals(docs, value_col, id_col), buckets, round_dp)
+
+
+def variable_width_histogram_agg_indexed(
+    spark,
+    idx,
+    docs: DataFrame,
+    queries: DataFrame,
+    value_col: str,
+    buckets: int = 5,
+    id_col: str = "doc_id",
+    round_dp: int | None = 6,
+) -> DataFrame:
+    """`variable_width_histogram_agg` with the match set from the
+    persisted index's pruned posting blocks — the corpus text column is
+    never scanned; only the (doc_id, value) projection is."""
+    m = _indexed_match_set(spark, idx, queries)
+    return _vwh_epilogue(m, _vals(docs, value_col, id_col), buckets, round_dp)
+
+
+# ---------------------------------------------------------------------------
+# frequent_item_sets — the ES market-basket aggregation over hit terms.
+
+
+def _fis_epilogue(
+    m: DataFrame,
+    toks: DataFrame,
+    min_support: int,
+    max_size: int,
+    min_set_size: int,
+    k: int,
+) -> DataFrame:
+    """Shared frequent-item-sets mining: ``m`` = (query_id, doc_id) match
+    set, ``toks`` = DISTINCT (doc_id, term) items.  Classic Apriori with
+    doc-level candidate rows: level-1 support prunes the item vocabulary
+    BEFORE any self-join (the anti-monotone bound), pairs join only
+    frequent items, triples extend only frequent pairs.  Itemsets are
+    ranked per query by (support desc, size asc, lexicographic items) —
+    a total, engine-independent order."""
+    if min_support <= 0:
+        raise ValueError(f"min_support must be positive, got {min_support}")
+    if not 1 <= min_set_size <= max_size <= 3:
+        raise ValueError(
+            f"need 1 <= min_set_size <= max_size <= 3, got "
+            f"({min_set_size}, {max_size})"
+        )
+    t = (
+        toks.select("doc_id", "term")
+        .join(m.select("query_id", "doc_id").distinct(), "doc_id")
+        .select("query_id", "doc_id", "term")
+    )
+    l1 = (
+        t.groupBy("query_id", "term")
+        .agg(F.count("*").cast("long").alias("support"))
+        .filter(F.col("support") >= int(min_support))
+    )
+    tf = t.join(
+        l1.select("query_id", "term"), ["query_id", "term"], "left_semi"
+    ).persist()
+    levels = []
+    if min_set_size <= 1:
+        levels.append(
+            l1.select(
+                "query_id",
+                F.lit(1).alias("size"),
+                F.array("term").alias("items"),
+                "support",
+            )
+        )
+    a, b = tf.alias("a"), tf.alias("b")
+    p2d = a.join(
+        b,
+        (F.col("a.query_id") == F.col("b.query_id"))
+        & (F.col("a.doc_id") == F.col("b.doc_id"))
+        & (F.col("a.term") < F.col("b.term")),
+    ).select(
+        F.col("a.query_id").alias("query_id"),
+        F.col("a.doc_id").alias("doc_id"),
+        F.col("a.term").alias("t1"),
+        F.col("b.term").alias("t2"),
+    )
+    if max_size >= 3:
+        p2d = p2d.persist()
+    l2 = (
+        p2d.groupBy("query_id", "t1", "t2")
+        .agg(F.count("*").cast("long").alias("support"))
+        .filter(F.col("support") >= int(min_support))
+    )
+    if min_set_size <= 2:
+        levels.append(
+            l2.select(
+                "query_id",
+                F.lit(2).alias("size"),
+                F.array("t1", "t2").alias("items"),
+                "support",
+            )
+        )
+    if max_size >= 3:
+        p2f = p2d.join(
+            l2.select("query_id", "t1", "t2"),
+            ["query_id", "t1", "t2"],
+            "left_semi",
+        )
+        p, c = p2f.alias("p"), tf.alias("c")
+        p3d = p.join(
+            c,
+            (F.col("p.query_id") == F.col("c.query_id"))
+            & (F.col("p.doc_id") == F.col("c.doc_id"))
+            & (F.col("c.term") > F.col("p.t2")),
+        ).select(
+            F.col("p.query_id").alias("query_id"),
+            F.col("p.doc_id").alias("doc_id"),
+            F.col("p.t1").alias("t1"),
+            F.col("p.t2").alias("t2"),
+            F.col("c.term").alias("t3"),
+        )
+        l3 = (
+            p3d.groupBy("query_id", "t1", "t2", "t3")
+            .agg(F.count("*").cast("long").alias("support"))
+            .filter(F.col("support") >= int(min_support))
+        )
+        levels.append(
+            l3.select(
+                "query_id",
+                F.lit(3).alias("size"),
+                F.array("t1", "t2", "t3").alias("items"),
+                "support",
+            )
+        )
+    allsets = levels[0]
+    for lv in levels[1:]:
+        allsets = allsets.unionByName(lv)
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("support"), F.asc("size"), F.asc(F.concat_ws(" ", F.col("items")))
+    )
+    out = (
+        allsets.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= int(k))
+        .select("query_id", "rank", "size", "items", "support")
+    )
+    from igd_spark.dedup import _materialize_then_unpersist
+
+    staged = [tf] + ([p2d] if max_size >= 3 else [])
+    return _materialize_then_unpersist(out, staged)
+
+
+def frequent_item_sets_agg(
+    docs: DataFrame,
+    queries: DataFrame,
+    min_support: int = 3,
+    max_size: int = 3,
+    min_set_size: int = 2,
+    k: int = 10,
+    conf: IndexConf = DEFAULT_CONF,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """The ES ``frequent_item_sets`` aggregation, mined over the analyzed
+    terms of each query's hits (the significant_text field shape): per
+    query, the top-``k`` sets of 2..3 terms that co-occur in at least
+    ``min_support`` matched documents — (query_id, rank, size, items,
+    support).  The market-basket view of a result set: which term
+    COMBINATIONS characterize the hits, where `significant_terms` only
+    ranks single terms and `term_cooccurrence` counts one global pair
+    matrix rather than per-query ranked itemsets.
+
+    Scale: the Apriori level-1 prune runs BEFORE the self-join, so the
+    pair candidate space is (frequent terms per doc choose 2) — support
+    thresholds are exactly the df caps the dedup family uses
+    (`max_shingle_df` discipline); triples extend only surviving pairs.
+    All joins are equi-joins on (query_id, doc_id); supports are map-side
+    combinable hash aggs on fine term-tuple keys.  At 100 TB raise
+    ``min_support`` with corpus size (it is a FRACTION of the match set
+    that matters), which shrinks the frequent vocabulary and bounds the
+    join fan-out."""
+    toks = postings(docs, text_col=text_col, id_col=id_col, conf=conf).select(
+        "doc_id", "term"
+    )
+    m = _match_set(docs, queries, conf, text_col, id_col)
+    return _fis_epilogue(m, toks, min_support, max_size, min_set_size, k)
+
+
+def frequent_item_sets_agg_indexed(
+    spark,
+    idx,
+    docs: DataFrame,
+    queries: DataFrame,
+    min_support: int = 3,
+    max_size: int = 3,
+    min_set_size: int = 2,
+    k: int = 10,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """`frequent_item_sets_agg` off a persisted index: the match set comes
+    from pruned posting blocks and only the MATCHED documents are
+    re-analyzed for their item sets (the sampler-over-hits shape of
+    `significant_text_agg_indexed`) — the corpus text column is scanned
+    for hit docs only, never the full table."""
+    m = _indexed_match_set(spark, idx, queries).select("query_id", "doc_id")
+    mm = m.select(F.col("doc_id").alias("_mid")).distinct()
+    matched = docs.join(mm, docs[id_col] == mm["_mid"], "left_semi")
+    toks = postings(matched, text_col=text_col, id_col=id_col, conf=idx.conf).select(
+        "doc_id", "term"
+    )
+    return _fis_epilogue(m, toks, min_support, max_size, min_set_size, k)

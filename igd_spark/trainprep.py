@@ -518,3 +518,147 @@ def train_holdout_split(
         .otherwise(F.lit("train"))
         .alias("split"),
     )
+
+
+# ---------------------------------------------------------------------------
+# DSIR — Data Selection via Importance Resampling (Xie et al., NeurIPS 2023).
+# Public algorithm: represent each document by hashed n-gram (unigram +
+# bigram) features, fit bag-of-buckets multinomials over a TARGET corpus
+# (the high-quality distribution you want more of) and the RAW corpus (the
+# web-scale pool being filtered), and weight every raw document by its
+# per-feature log-likelihood ratio.  Selecting the top-weighted documents
+# shifts the training mixture toward the target domain without a learned
+# classifier — the standard cheap data-selection stage between dedup and
+# packing in a pretraining pipeline.
+
+
+def _dsir_grams(toks: Column) -> Column:
+    """Unigrams + space-joined bigrams of a token array (the DSIR feature
+    set).  size<2 must be guarded: Spark's sequence(1, 0) DESCENDS (same
+    pitfall as _span_array)."""
+    bigrams = F.when(
+        F.size(toks) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - 1),
+            lambda i: F.concat_ws(
+                " ", F.element_at(toks, i), F.element_at(toks, i + 1)
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return F.concat(toks, bigrams)
+
+
+def dsir_weights(
+    docs: DataFrame,
+    target_source: str,
+    n_buckets: int = 8192,
+    alpha: float = 1.0,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    source_col: str = "source",
+    round_dp: int | None = 6,
+) -> DataFrame:
+    """(doc_id, n_feats, logw) — per-document DSIR importance weight.
+
+    Features are unigram+bigram tokens hashed into ``n_buckets`` buckets
+    with the engine's cross-engine h60 (deterministic across runs, engines
+    and cluster sizes).  The target multinomial is fit on the documents
+    whose ``source_col`` equals ``target_source``; the raw multinomial on
+    the whole input.  Both are Laplace-smoothed with ``alpha`` so buckets
+    unseen in the target stay finite:
+
+        p[b] = (count[b] + alpha) / (total + alpha * n_buckets)
+        logw(doc) = sum over the doc's feature occurrences of
+                    ln p_target[bucket] - ln p_raw[bucket]
+
+    Documents with zero tokens emit no row (no features, no evidence).
+
+    Scale: the gram table is derived ONCE and persisted (it feeds the
+    bucket-count fit and the per-doc scoring join); the fit is a single
+    hash agg onto at most ``n_buckets`` rows, so the log-ratio table is
+    broadcast-sized BY CONSTRUCTION (n_buckets is a constant, not a
+    data-dependent vocabulary — this is why DSIR hashes instead of
+    interning), and the per-doc score is one map-side-combinable agg on
+    doc_id.  Two passes over the grams, zero corpus self-joins, no
+    Python.  Reference analog: the same fit-then-score two-pass shape as
+    the stats sidecar + scorer (src/igd_create.c:70-111 feeding
+    src/igd_search.c:454-534)."""
+    if n_buckets <= 0:
+        raise ValueError(f"n_buckets must be positive, got {n_buckets}")
+    if alpha <= 0.0:
+        raise ValueError(f"alpha must be positive (Laplace), got {alpha}")
+    toks = nonempty_tokens(F.coalesce(F.col(text_col), F.lit("")))
+    gb = docs.select(
+        F.col(id_col).alias("doc_id"),
+        (F.col(source_col) == F.lit(target_source)).alias("is_t"),
+        F.explode(_dsir_grams(toks)).alias("gram"),
+    ).select(
+        "doc_id",
+        "is_t",
+        F.pmod(h60_col(F.col("gram")), F.lit(n_buckets)).alias("bucket"),
+    )
+    gb = gb.persist()
+    bc = gb.groupBy("bucket").agg(
+        F.count("*").cast("long").alias("c_r"),
+        F.sum(F.col("is_t").cast("long")).alias("c_t"),
+    )
+    denom = F.lit(float(alpha * n_buckets))
+    totals = bc.agg(
+        F.sum("c_r").alias("t_r"), F.sum("c_t").alias("t_t")
+    )
+    lr = bc.crossJoin(F.broadcast(totals)).select(
+        "bucket",
+        (
+            F.log((F.col("c_t") + F.lit(alpha)) / (F.col("t_t") + denom))
+            - F.log((F.col("c_r") + F.lit(alpha)) / (F.col("t_r") + denom))
+        ).alias("lr"),
+    )
+    out = gb.join(F.broadcast(lr), "bucket").groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("n_feats"),
+        F.sum("lr").alias("logw"),
+    )
+    if round_dp is not None:
+        out = out.withColumn("logw", F.round("logw", round_dp))
+    from igd_spark.dedup import _materialize_then_unpersist
+
+    return _materialize_then_unpersist(out, [gb])
+
+
+def dsir_select(
+    docs: DataFrame,
+    target_source: str,
+    n: int,
+    n_buckets: int = 8192,
+    alpha: float = 1.0,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    source_col: str = "source",
+    round_dp: int | None = 6,
+) -> DataFrame:
+    """(rank, doc_id, logw) — the ``n`` documents DSIR keeps: top
+    importance weights, deterministic tie-break (logw desc, doc_id asc).
+    The paper resamples with Gumbel noise; the engine's contract is
+    reproducibility across runs and cluster sizes, so selection is the
+    deterministic top-n of the same weights (set a seeded hash jitter
+    upstream if sampling diversity matters more than determinism).
+
+    Scale: TakeOrderedAndProject top-n over the weight table (no global
+    sort, no single-partition window on the corpus); rank is assigned on
+    the n-row result."""
+    if n <= 0:
+        raise ValueError(f"n must be positive, got {n}")
+    w = dsir_weights(
+        docs,
+        target_source,
+        n_buckets=n_buckets,
+        alpha=alpha,
+        text_col=text_col,
+        id_col=id_col,
+        source_col=source_col,
+        round_dp=round_dp,
+    )
+    top = w.orderBy(F.desc("logw"), F.asc("doc_id")).limit(int(n))
+    rw = Window.orderBy(F.desc("logw"), F.asc("doc_id"))
+    return top.select(
+        F.row_number().over(rw).cast("int").alias("rank"), "doc_id", "logw"
+    )

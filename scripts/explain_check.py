@@ -999,6 +999,39 @@ def main() -> int:
         f"scanned schemas: {sm_schemas}",
     )
 
+    # round-5c tranche: variable_width_histogram rides the pruned match set
+    # + a no-text value projection; frequent_item_sets re-analyzes MATCHED
+    # docs only (the significant_text hits-re-analysis contract, so it
+    # asserts pruning + no cartesian, not no-text).
+    from igd_spark import (
+        frequent_item_sets_agg_indexed,
+        variable_width_histogram_agg_indexed,
+    )
+
+    vwplan = fmt(
+        variable_width_histogram_agg_indexed(
+            spark, idx, docs, ql_q, "turn_idx", buckets=3
+        )
+    )
+    assert_pruned_scan("variable_width_histogram_agg_indexed scan", vwplan)
+    vw_schemas = re.findall(r"ReadSchema: struct<([^>]*)>", vwplan)
+    check(
+        "variable_width_histogram_agg_indexed never scans the corpus text",
+        bool(vw_schemas) and not any("text:" in s for s in vw_schemas),
+        f"scanned schemas: {vw_schemas}",
+    )
+
+    fiplan = fmt(
+        frequent_item_sets_agg_indexed(
+            spark, idx, docs, ql_q, min_support=2, k=5
+        )
+    )
+    assert_pruned_scan("frequent_item_sets_agg_indexed scan", fiplan)
+    check(
+        "frequent_item_sets_agg_indexed: Apriori joins stay equi-joins, no cartesian",
+        "CartesianProduct" not in fiplan,
+    )
+
     n_fail = sum(1 for _, ok, _ in checks if not ok)
     print(f"\n{len(checks) - n_fail}/{len(checks)} plan checks passed")
     return 1 if n_fail else 0

@@ -1,0 +1,214 @@
+"""Round-5 final tranche: DSIR importance resampling, frequent_item_sets,
+variable_width_histogram — brute-force / hand-computed semantics checks."""
+
+from __future__ import annotations
+
+import math
+from collections import Counter
+
+import pytest
+from pyspark.sql import functions as F
+
+from igd_spark import (
+    dsir_select,
+    dsir_weights,
+    frequent_item_sets_agg,
+    variable_width_histogram_agg,
+)
+from igd_spark.hashing import h60_py
+
+
+def _docs_df(spark, rows):
+    # rows: (doc_id, text, source)
+    return spark.createDataFrame(
+        rows, "doc_id long, text string, source string"
+    ).withColumn("n_chars", F.length("text").cast("long"))
+
+
+def _queries(spark, rows):
+    return spark.createDataFrame(rows, "query_id long, query_text string")
+
+
+# ---------------------------------------------------------------------------
+# DSIR
+
+
+def _py_dsir(rows, target, n_buckets, alpha):
+    """Pure-python oracle: tokenize, unigram+bigram grams, h60 buckets,
+    Laplace multinomials, per-doc log-likelihood-ratio sum."""
+    import re
+
+    def toks(t):
+        return [x for x in re.split(r"[^a-z0-9]+", t.lower()) if x]
+
+    doc_buckets, c_r, c_t = {}, Counter(), Counter()
+    for doc_id, text, source in rows:
+        tl = toks(text)
+        grams = tl + [f"{a} {b}" for a, b in zip(tl, tl[1:])]
+        bs = [h60_py(g) % n_buckets for g in grams]
+        doc_buckets[doc_id] = bs
+        for b in bs:
+            c_r[b] += 1
+            if source == target:
+                c_t[b] += 1
+    t_r, t_t = sum(c_r.values()), sum(c_t.values())
+    out = {}
+    for doc_id, bs in doc_buckets.items():
+        if not bs:
+            continue
+        lw = sum(
+            math.log((c_t[b] + alpha) / (t_t + alpha * n_buckets))
+            - math.log((c_r[b] + alpha) / (t_r + alpha * n_buckets))
+            for b in bs
+        )
+        out[doc_id] = (len(bs), round(lw, 6))
+    return out
+
+
+DSIR_ROWS = [
+    (1, "quantum physics lecture notes on entanglement", "quality"),
+    (2, "quantum entanglement and bell inequalities explained", "quality"),
+    (3, "buy cheap pills online discount pharmacy deals", "web"),
+    (4, "discount deals buy now cheap online offers", "web"),
+    (5, "notes on quantum physics and bell tests", "web"),
+    (6, "", "web"),
+]
+
+
+def test_dsir_weights_matches_python_oracle(spark):
+    docs = _docs_df(spark, DSIR_ROWS)
+    got = {
+        r["doc_id"]: (r["n_feats"], r["logw"])
+        for r in dsir_weights(docs, "quality", n_buckets=64, alpha=1.0).collect()
+    }
+    want = _py_dsir(DSIR_ROWS, "quality", 64, 1.0)
+    assert got == want
+
+
+def test_dsir_targetlike_docs_outweigh_spam(spark):
+    docs = _docs_df(spark, DSIR_ROWS)
+    w = {
+        r["doc_id"]: r["logw"]
+        for r in dsir_weights(docs, "quality", n_buckets=64, alpha=1.0).collect()
+    }
+    # doc 5 shares the target's vocabulary; docs 3/4 share none of it
+    assert w[5] > w[3] and w[5] > w[4]
+    # empty doc emits no row
+    assert 6 not in w
+
+
+def test_dsir_select_is_top_n_of_weights(spark):
+    docs = _docs_df(spark, DSIR_ROWS)
+    w = dsir_weights(docs, "quality", n_buckets=64, alpha=1.0).collect()
+    order = sorted(w, key=lambda r: (-r["logw"], r["doc_id"]))
+    sel = dsir_select(docs, "quality", 3, n_buckets=64, alpha=1.0).collect()
+    assert [r["doc_id"] for r in sorted(sel, key=lambda r: r["rank"])] == [
+        r["doc_id"] for r in order[:3]
+    ]
+
+
+def test_dsir_validates_params(spark):
+    docs = _docs_df(spark, DSIR_ROWS)
+    with pytest.raises(ValueError):
+        dsir_weights(docs, "quality", n_buckets=0)
+    with pytest.raises(ValueError):
+        dsir_weights(docs, "quality", alpha=0.0)
+    with pytest.raises(ValueError):
+        dsir_select(docs, "quality", 0)
+
+
+# ---------------------------------------------------------------------------
+# frequent_item_sets
+
+
+FIS_ROWS = [
+    # "alpha beta" co-occur in 3 docs; "alpha beta gamma" in 2
+    (1, "alpha beta gamma", "s"),
+    (2, "alpha beta gamma delta", "s"),
+    (3, "alpha beta epsilon", "s"),
+    (4, "alpha zeta", "s"),
+    (5, "beta eta", "s"),
+    (6, "unrelated words here", "s"),
+]
+
+
+def test_frequent_item_sets_hand_computed(spark):
+    docs = _docs_df(spark, FIS_ROWS)
+    qs = _queries(spark, [(0, "alpha beta")])  # matches docs 1-5
+    out = frequent_item_sets_agg(
+        docs, qs, min_support=2, max_size=3, min_set_size=2, k=10
+    ).collect()
+    sets = {(tuple(r["items"]), r["support"]) for r in out}
+    assert (("alpha", "beta"), 3) in sets
+    assert (("alpha", "gamma"), 2) in sets
+    assert (("beta", "gamma"), 2) in sets
+    assert (("alpha", "beta", "gamma"), 2) in sets
+    # delta/epsilon/zeta/eta all have support 1 -> pruned at level 1
+    assert all("delta" not in s[0] for s in sets)
+    # ranking: support desc, size asc, lexicographic
+    ranked = sorted(out, key=lambda r: r["rank"])
+    assert tuple(ranked[0]["items"]) == ("alpha", "beta")
+    assert ranked[0]["support"] == 3
+
+
+def test_frequent_item_sets_min_support_binds(spark):
+    docs = _docs_df(spark, FIS_ROWS)
+    qs = _queries(spark, [(0, "alpha beta")])
+    out = frequent_item_sets_agg(
+        docs, qs, min_support=3, max_size=3, min_set_size=2, k=10
+    ).collect()
+    assert {tuple(r["items"]) for r in out} == {("alpha", "beta")}
+
+
+def test_frequent_item_sets_validates_params(spark):
+    docs = _docs_df(spark, FIS_ROWS)
+    qs = _queries(spark, [(0, "alpha")])
+    with pytest.raises(ValueError):
+        frequent_item_sets_agg(docs, qs, min_support=0)
+    with pytest.raises(ValueError):
+        frequent_item_sets_agg(docs, qs, min_set_size=3, max_size=2)
+
+
+# ---------------------------------------------------------------------------
+# variable_width_histogram
+
+
+def test_variable_width_histogram_hand_computed(spark):
+    # values 10,11,12 | 50,51 | 100 -> the two largest gaps (50-12=38,
+    # 100-51=49) are the cuts at buckets=3
+    rows = [
+        (1, "common term", "s"),
+        (2, "common term", "s"),
+        (3, "common term", "s"),
+        (4, "common term", "s"),
+        (5, "common term", "s"),
+        (6, "common term", "s"),
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, source string"
+    ).withColumn(
+        "val",
+        F.element_at(
+            F.array(*[F.lit(float(x)) for x in (10, 11, 12, 50, 51, 100)]),
+            F.col("doc_id").cast("int"),
+        ),
+    )
+    qs = _queries(spark, [(0, "common")])
+    out = variable_width_histogram_agg(docs, qs, "val", buckets=3).collect()
+    got = sorted((r["b_min"], r["b_max"], r["n_docs"], r["centroid"]) for r in out)
+    assert got == [
+        (10.0, 12.0, 3, 11.0),
+        (50.0, 51.0, 2, 50.5),
+        (100.0, 100.0, 1, 100.0),
+    ]
+
+
+def test_variable_width_histogram_fewer_values_than_buckets(spark):
+    rows = [(1, "x y", "s"), (2, "x y", "s")]
+    docs = _docs_df(spark, rows)  # n_chars identical for both docs
+    qs = _queries(spark, [(0, "x")])
+    out = variable_width_histogram_agg(docs, qs, "n_chars", buckets=5).collect()
+    assert len(out) == 1 and out[0]["n_docs"] == 2
+
+    with pytest.raises(ValueError):
+        variable_width_histogram_agg(docs, qs, "n_chars", buckets=0)
