@@ -149,10 +149,14 @@ RNDSCORE_SEED = 7             # random_score seed
 VWH_BUCKETS = 5               # variable_width_histogram target bucket count
 FIS_MIN_SUPPORT = 3           # frequent_item_sets min co-occurrence support
 FIS_K = 8                     # frequent_item_sets per-query itemset budget
+FIS_MAX_SUPPORT_FRAC = 0.9    # frequent_item_sets ubiquity ceiling (binds:
+                              # drops the ratio-1.0 items in queries 3/5 at sf0.01)
 DSIR_TARGET = "src3"          # DSIR target domain (documents.source value)
 DSIR_BUCKETS = 2048           # DSIR hashed n-gram feature buckets
 DSIR_ALPHA = 1.0              # DSIR Laplace smoothing
 DSIR_SELECT_N = 50            # DSIR selection budget (top-n docs kept)
+RSMP_P = 0.35                 # random_sampler inclusion probability
+RSMP_SEED = 11                # random_sampler deterministic hash seed
 PCTR_VALUES = (175.0, 306.0, 419.0)  # percentile_ranks cut points (quartiles)
 RARE_MAX_DC = 21              # rare_terms max_doc_count (binds non-vacuously:
                               # match-set source counts span 14..25 at sf0.01)
@@ -3514,6 +3518,7 @@ def q_frequent_item_sets_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     return frequent_item_sets_agg(
         _docs(spark, sf_dir), _queries_df(spark),
         min_support=FIS_MIN_SUPPORT, k=FIS_K,
+        max_support_frac=FIS_MAX_SUPPORT_FRAC,
     )
 
 
@@ -3525,6 +3530,46 @@ def q_frequent_item_sets_agg_indexed(
     return frequent_item_sets_agg_indexed(
         spark, _built_index(spark, sf_dir), _docs(spark, sf_dir),
         _queries_df(spark), min_support=FIS_MIN_SUPPORT, k=FIS_K,
+        max_support_frac=FIS_MAX_SUPPORT_FRAC,
+    )
+
+
+def q_children_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # ES children agg: stats over ALL turns of conversations with a hit
+    from igd_spark import children_agg
+
+    return children_agg(
+        _docs_with_conv(spark, sf_dir), _queries_df(spark), STATS_VALUE_COL,
+        parent_col="conv_id", round_dp=6,
+    )
+
+
+def q_children_agg_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from igd_spark import children_agg_indexed
+
+    return children_agg_indexed(
+        spark, _built_index(spark, sf_dir), _docs_with_conv(spark, sf_dir),
+        _queries_df(spark), STATS_VALUE_COL, parent_col="conv_id", round_dp=6,
+    )
+
+
+def q_random_sampler_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # ES random_sampler: deterministic-hash sample of the match set, scaled
+    from igd_spark import random_sampler_agg
+
+    return random_sampler_agg(
+        _docs(spark, sf_dir), _queries_df(spark), STATS_VALUE_COL,
+        probability=RSMP_P, seed=RSMP_SEED, round_dp=6,
+    )
+
+
+def q_random_sampler_agg_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from igd_spark import random_sampler_agg_indexed
+
+    return random_sampler_agg_indexed(
+        spark, _built_index(spark, sf_dir), _docs(spark, sf_dir),
+        _queries_df(spark), STATS_VALUE_COL,
+        probability=RSMP_P, seed=RSMP_SEED, round_dp=6,
     )
 
 
@@ -3562,6 +3607,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "frequent_item_sets_agg_indexed": q_frequent_item_sets_agg_indexed,
         "dsir_weights": q_dsir_weights,
         "dsir_select": q_dsir_select,
+        "children_agg": q_children_agg,
+        "children_agg_indexed": q_children_agg_indexed,
+        "random_sampler_agg": q_random_sampler_agg,
+        "random_sampler_agg_indexed": q_random_sampler_agg_indexed,
         "phrase_suggest": q_phrase_suggest,
         "duplicate_spans": q_duplicate_spans,
         "duplicate_span_stats": q_duplicate_span_stats,
@@ -7436,9 +7485,13 @@ FROM cl GROUP BY query_id, cluster
     sql["frequent_item_sets_agg"] = f"""
 WITH {_TL}, {_TOKS}, {_POST}, {_DL}, {_CS}, {_TS}, {_QT}, {_SCORED},
 m AS (SELECT DISTINCT query_id, doc_id FROM scored),
+sizes AS (SELECT query_id, count(*)::BIGINT AS msize FROM m GROUP BY 1),
 t AS (SELECT m.query_id, p.doc_id, p.term FROM m JOIN post p USING (doc_id)),
-l1 AS (SELECT query_id, term, count(*)::BIGINT AS support
-       FROM t GROUP BY 1, 2 HAVING count(*) >= {FIS_MIN_SUPPORT}),
+l1f AS (SELECT query_id, term, count(*)::BIGINT AS support
+        FROM t GROUP BY 1, 2 HAVING count(*) >= {FIS_MIN_SUPPORT}),
+l1 AS (SELECT l1f.query_id, term, support
+       FROM l1f JOIN sizes USING (query_id)
+       WHERE support <= {FIS_MAX_SUPPORT_FRAC} * msize),
 tf AS (SELECT t.query_id, t.doc_id, t.term
        FROM t JOIN l1 USING (query_id, term)),
 p2d AS (SELECT a.query_id, a.doc_id, a.term AS t1, b.term AS t2
@@ -7504,5 +7557,37 @@ ranked AS (SELECT doc_id, logw,
            FROM w)
 SELECT rank, doc_id, logw FROM ranked WHERE rank <= {DSIR_SELECT_N}
 """
+
+    sql["children_agg"] = f"""
+WITH {_TL}, {_TOKS}, {_POST}, {_DL}, {_CS}, {_TS}, {_QT}, {_SCORED},
+par AS (SELECT doc_id, doc_id // {TURNS_PER_CONV} AS parent_id FROM documents),
+mp AS (SELECT DISTINCT s.query_id, par.parent_id
+       FROM scored s JOIN par USING (doc_id)),
+children AS (SELECT mp.query_id, par.doc_id
+             FROM mp JOIN par USING (parent_id)),
+vals AS (SELECT doc_id, "{STATS_VALUE_COL}"::DOUBLE AS v FROM documents
+         WHERE "{STATS_VALUE_COL}" IS NOT NULL)
+SELECT c.query_id, count(*)::BIGINT AS n_children,
+       round(sum(v), 6) AS sum_v, round(avg(v), 6) AS avg_v
+FROM children c LEFT JOIN vals USING (doc_id)
+GROUP BY 1
+"""
+    sql["children_agg_indexed"] = sql["children_agg"]
+
+    _rsmp_thr = int(RSMP_P * float(1 << 60))
+    _rsmp_h = _H60.format(expr=f"('{RSMP_SEED}:' || doc_id::VARCHAR)")
+    sql["random_sampler_agg"] = f"""
+WITH {_TL}, {_TOKS}, {_POST}, {_DL}, {_CS}, {_TS}, {_QT}, {_SCORED},
+m AS (SELECT DISTINCT query_id, doc_id FROM scored),
+samp AS (SELECT query_id, doc_id FROM m WHERE {_rsmp_h} < {_rsmp_thr}),
+vals AS (SELECT doc_id, "{STATS_VALUE_COL}"::DOUBLE AS v FROM documents
+         WHERE "{STATS_VALUE_COL}" IS NOT NULL)
+SELECT s.query_id, count(*)::BIGINT AS n_sampled,
+       round(count(*) / {RSMP_P})::BIGINT AS n_docs_est,
+       round(sum(v) / {RSMP_P}, 6) AS sum_v_est, round(avg(v), 6) AS avg_v
+FROM samp s LEFT JOIN vals USING (doc_id)
+GROUP BY 1
+"""
+    sql["random_sampler_agg_indexed"] = sql["random_sampler_agg"]
 
     return sql

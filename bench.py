@@ -259,6 +259,8 @@ def main() -> None:
         "rescore_topk",
         "rank_eval",
         "context_turns_indexed",
+        "dsir_weights",
+        "frequent_item_sets_agg",
     ):
         fn = em.queries()[name]
         # best-of-2 (first run doubles as warm-up): single-shot timings of

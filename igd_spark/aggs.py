@@ -42,6 +42,10 @@ __all__ = [
     "variable_width_histogram_agg_indexed",
     "frequent_item_sets_agg",
     "frequent_item_sets_agg_indexed",
+    "children_agg",
+    "children_agg_indexed",
+    "random_sampler_agg",
+    "random_sampler_agg_indexed",
     "histogram_agg",
     "histogram_agg_indexed",
     "date_histogram_agg",
@@ -2918,6 +2922,7 @@ def _fis_epilogue(
     max_size: int,
     min_set_size: int,
     k: int,
+    max_support_frac: float = 1.0,
 ) -> DataFrame:
     """Shared frequent-item-sets mining: ``m`` = (query_id, doc_id) match
     set, ``toks`` = DISTINCT (doc_id, term) items.  Classic Apriori with
@@ -2925,17 +2930,33 @@ def _fis_epilogue(
     BEFORE any self-join (the anti-monotone bound), pairs join only
     frequent items, triples extend only frequent pairs.  Itemsets are
     ranked per query by (support desc, size asc, lexicographic items) —
-    a total, engine-independent order."""
+    a total, engine-independent order.
+
+    ``max_support_frac`` additionally drops level-1 items present in more
+    than that fraction of the query's match set: a min-support floor alone
+    does NOT bound the pair join, because ubiquitous items (stopwords)
+    are frequent in every doc and the candidate space grows with the
+    SQUARE of the per-doc frequent-item count — the ubiquity ceiling is
+    what keeps the self-join fan-out bounded as the match set grows (the
+    market-basket analog of the dedup family's max_shingle_df)."""
     if min_support <= 0:
         raise ValueError(f"min_support must be positive, got {min_support}")
+    if not 0.0 < max_support_frac <= 1.0:
+        raise ValueError(
+            f"max_support_frac must be in (0, 1], got {max_support_frac}"
+        )
     if not 1 <= min_set_size <= max_size <= 3:
         raise ValueError(
             f"need 1 <= min_set_size <= max_size <= 3, got "
             f"({min_set_size}, {max_size})"
         )
+    md = m.select("query_id", "doc_id").distinct()
+    sizes = md.groupBy("query_id").agg(
+        F.count("*").cast("long").alias("msize")
+    )
     t = (
         toks.select("doc_id", "term")
-        .join(m.select("query_id", "doc_id").distinct(), "doc_id")
+        .join(md, "doc_id")
         .select("query_id", "doc_id", "term")
     )
     l1 = (
@@ -2943,6 +2964,11 @@ def _fis_epilogue(
         .agg(F.count("*").cast("long").alias("support"))
         .filter(F.col("support") >= int(min_support))
     )
+    if max_support_frac < 1.0:
+        l1 = l1.join(F.broadcast(sizes), "query_id").filter(
+            F.col("support")
+            <= F.lit(float(max_support_frac)) * F.col("msize")
+        ).drop("msize")
     tf = t.join(
         l1.select("query_id", "term"), ["query_id", "term"], "left_semi"
     ).persist()
@@ -3040,6 +3066,7 @@ def frequent_item_sets_agg(
     max_size: int = 3,
     min_set_size: int = 2,
     k: int = 10,
+    max_support_frac: float = 1.0,
     conf: IndexConf = DEFAULT_CONF,
     text_col: str = "text",
     id_col: str = "doc_id",
@@ -3066,7 +3093,9 @@ def frequent_item_sets_agg(
         "doc_id", "term"
     )
     m = _match_set(docs, queries, conf, text_col, id_col)
-    return _fis_epilogue(m, toks, min_support, max_size, min_set_size, k)
+    return _fis_epilogue(
+        m, toks, min_support, max_size, min_set_size, k, max_support_frac
+    )
 
 
 def frequent_item_sets_agg_indexed(
@@ -3078,6 +3107,7 @@ def frequent_item_sets_agg_indexed(
     max_size: int = 3,
     min_set_size: int = 2,
     k: int = 10,
+    max_support_frac: float = 1.0,
     text_col: str = "text",
     id_col: str = "doc_id",
 ) -> DataFrame:
@@ -3092,4 +3122,179 @@ def frequent_item_sets_agg_indexed(
     toks = postings(matched, text_col=text_col, id_col=id_col, conf=idx.conf).select(
         "doc_id", "term"
     )
-    return _fis_epilogue(m, toks, min_support, max_size, min_set_size, k)
+    return _fis_epilogue(
+        m, toks, min_support, max_size, min_set_size, k, max_support_frac
+    )
+
+
+# ---------------------------------------------------------------------------
+# children / random_sampler — the remaining ES bucket-context aggs.
+
+
+def _children_epilogue(
+    m: DataFrame,
+    parents: DataFrame,
+    vals: DataFrame,
+    round_dp: int | None,
+) -> DataFrame:
+    """Shared children roll-up: ``m`` = (query_id, doc_id) match set,
+    ``parents`` = (doc_id, parent_id) the full child→parent map, ``vals``
+    = (doc_id, v).  Matched docs select their parents; the agg then runs
+    over ALL children of those parents (the ES join-field context
+    switch)."""
+    mp = (
+        m.select("query_id", "doc_id")
+        .join(parents, "doc_id")
+        .select("query_id", "parent_id")
+        .distinct()
+    )
+    children = mp.join(parents, "parent_id").select("query_id", "doc_id")
+    agg = (
+        children.join(vals, "doc_id", "left")
+        .groupBy("query_id")
+        .agg(
+            F.count("*").cast("long").alias("n_children"),
+            F.sum("v").alias("sum_v"),
+            F.avg("v").alias("avg_v"),
+        )
+    )
+    if round_dp is not None:
+        for c in ("sum_v", "avg_v"):
+            agg = agg.withColumn(c, F.round(c, round_dp))
+    return agg
+
+
+def children_agg(
+    docs: DataFrame,
+    queries: DataFrame,
+    value_col: str,
+    parent_col: str = "conv_id",
+    conf: IndexConf = DEFAULT_CONF,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    round_dp: int | None = 6,
+) -> DataFrame:
+    """The ES ``children`` aggregation: per query, switch from the matched
+    documents to ALL documents sharing their parents and aggregate there —
+    (query_id, n_children, sum_v, avg_v).  For transcripts: "across every
+    conversation with a matching turn, how many turns are there and what
+    does ``value_col`` sum/average to over all of them" — the aggregation
+    mirror of `has_child_topk` (which ranks the parents) and
+    `context_turns` (which retrieves the siblings).
+
+    Scale: the parent set is query-bounded (distinct parents of matched
+    docs); children come back through one equi-join on the parent key
+    against a two-column (doc_id, parent) projection — the corpus text is
+    never touched, and the final agg is a map-side-combinable hash agg on
+    query_id."""
+    m = _match_set(docs, queries, conf, text_col, id_col)
+    parents = docs.select(
+        F.col(id_col).alias("doc_id"), F.col(parent_col).alias("parent_id")
+    )
+    return _children_epilogue(m, parents, _vals(docs, value_col, id_col), round_dp)
+
+
+def children_agg_indexed(
+    spark,
+    idx,
+    docs: DataFrame,
+    queries: DataFrame,
+    value_col: str,
+    parent_col: str = "conv_id",
+    id_col: str = "doc_id",
+    round_dp: int | None = 6,
+) -> DataFrame:
+    """`children_agg` with the match set from the persisted index's pruned
+    posting blocks; parents and values ride narrow no-text projections."""
+    m = _indexed_match_set(spark, idx, queries)
+    parents = docs.select(
+        F.col(id_col).alias("doc_id"), F.col(parent_col).alias("parent_id")
+    )
+    return _children_epilogue(m, parents, _vals(docs, value_col, id_col), round_dp)
+
+
+def _rsmp_epilogue(
+    m: DataFrame,
+    vals: DataFrame,
+    probability: float,
+    seed: int,
+    round_dp: int | None,
+) -> DataFrame:
+    """Shared random-sampler roll-up: deterministic h60 inclusion (the
+    engine's cross-engine sampling hash — the same doc is in or out on
+    every run, engine, and cluster size), counts and sums scaled back by
+    1/probability (the ES contract: the agg REPORTS corpus-scale
+    estimates, not sample-scale counts)."""
+    from igd_spark.hashing import h60_col
+
+    if not 0.0 < probability <= 1.0:
+        raise ValueError(f"probability must be in (0, 1], got {probability}")
+    thr = int(probability * float(1 << 60))
+    keep = h60_col(
+        F.concat(F.lit(f"{seed}:"), F.col("doc_id").cast("string"))
+    ) < F.lit(thr)
+    sampled = m.select("query_id", "doc_id").distinct().filter(keep)
+    agg = (
+        sampled.join(vals, "doc_id", "left")
+        .groupBy("query_id")
+        .agg(
+            F.count("*").cast("long").alias("n_sampled"),
+            F.round(F.count("*") / F.lit(probability)).cast("long").alias("n_docs_est"),
+            (F.sum("v") / F.lit(probability)).alias("sum_v_est"),
+            F.avg("v").alias("avg_v"),
+        )
+    )
+    if round_dp is not None:
+        for c in ("sum_v_est", "avg_v"):
+            agg = agg.withColumn(c, F.round(c, round_dp))
+    return agg
+
+
+def random_sampler_agg(
+    docs: DataFrame,
+    queries: DataFrame,
+    value_col: str,
+    probability: float = 0.25,
+    seed: int = 42,
+    conf: IndexConf = DEFAULT_CONF,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    round_dp: int | None = 6,
+) -> DataFrame:
+    """The ES ``random_sampler`` aggregation: run the inner metric over a
+    probabilistic sample of the match set and report scaled estimates —
+    (query_id, n_sampled, n_docs_est, sum_v_est, avg_v).  ES samples to
+    trade accuracy for latency on huge match sets; the engine replaces
+    ES's per-shard RNG with the deterministic h60 inclusion hash so the
+    estimate is reproducible (same docs sampled on every run and at every
+    cluster size — the property ES explicitly does NOT give).  A query
+    whose sample is empty yields no row.
+
+    Scale: the filter is a pure JVM hash-compare BEFORE the value join, so
+    only ~probability of the match set is joined and aggregated; at 100 TB
+    set probability so the sample is ~10^5-10^6 docs per query (ES
+    guidance) and the agg cost becomes independent of match-set size."""
+    m = _match_set(docs, queries, conf, text_col, id_col)
+    return _rsmp_epilogue(
+        m, _vals(docs, value_col, id_col), probability, seed, round_dp
+    )
+
+
+def random_sampler_agg_indexed(
+    spark,
+    idx,
+    docs: DataFrame,
+    queries: DataFrame,
+    value_col: str,
+    probability: float = 0.25,
+    seed: int = 42,
+    id_col: str = "doc_id",
+    round_dp: int | None = 6,
+) -> DataFrame:
+    """`random_sampler_agg` with the match set from the persisted index's
+    pruned posting blocks — sampling prunes before the (doc_id, value)
+    projection join; no corpus text in the plan."""
+    m = _indexed_match_set(spark, idx, queries)
+    return _rsmp_epilogue(
+        m, _vals(docs, value_col, id_col), probability, seed, round_dp
+    )

@@ -1032,6 +1032,34 @@ def main() -> int:
         "CartesianProduct" not in fiplan,
     )
 
+    # children / random_sampler indexed twins: parents and values ride
+    # narrow no-text projections; the sampler filter is a pure hash compare
+    from igd_spark import children_agg_indexed, random_sampler_agg_indexed
+
+    chplan = fmt(
+        children_agg_indexed(spark, idx, docs, ql_q, "turn_idx",
+                             parent_col="conv_id")
+    )
+    assert_pruned_scan("children_agg_indexed scan", chplan)
+    ch_schemas = re.findall(r"ReadSchema: struct<([^>]*)>", chplan)
+    check(
+        "children_agg_indexed never scans the corpus text",
+        bool(ch_schemas) and not any("text:" in s for s in ch_schemas),
+        f"scanned schemas: {ch_schemas}",
+    )
+
+    rsplan = fmt(
+        random_sampler_agg_indexed(spark, idx, docs, ql_q, "turn_idx",
+                                   probability=0.5, seed=3)
+    )
+    assert_pruned_scan("random_sampler_agg_indexed scan", rsplan)
+    rs_schemas = re.findall(r"ReadSchema: struct<([^>]*)>", rsplan)
+    check(
+        "random_sampler_agg_indexed never scans the corpus text",
+        bool(rs_schemas) and not any("text:" in s for s in rs_schemas),
+        f"scanned schemas: {rs_schemas}",
+    )
+
     n_fail = sum(1 for _, ok, _ in checks if not ok)
     print(f"\n{len(checks) - n_fail}/{len(checks)} plan checks passed")
     return 1 if n_fail else 0

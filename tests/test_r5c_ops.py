@@ -212,3 +212,76 @@ def test_variable_width_histogram_fewer_values_than_buckets(spark):
 
     with pytest.raises(ValueError):
         variable_width_histogram_agg(docs, qs, "n_chars", buckets=0)
+
+
+# ---------------------------------------------------------------------------
+# children_agg / random_sampler_agg
+
+
+def test_children_agg_hand_computed(spark):
+    from igd_spark import children_agg
+
+    # conv 0 = docs 1,2 (one hit), conv 1 = docs 3,4 (no hits)
+    rows = [
+        (1, "alpha term", "s"),
+        (2, "beta filler", "s"),
+        (3, "gamma other", "s"),
+        (4, "delta other", "s"),
+    ]
+    docs = _docs_df(spark, rows).withColumn(
+        "conv_id", (F.col("doc_id") - 1) / F.lit(2)
+    ).withColumn("conv_id", F.floor("conv_id"))
+    docs = docs.withColumn("val", F.col("doc_id").cast("double"))
+    qs = _queries(spark, [(0, "alpha")])
+    out = children_agg(docs, qs, "val", parent_col="conv_id").collect()
+    # the one matched doc (1) pulls in its whole conversation (docs 1+2)
+    assert len(out) == 1
+    r = out[0]
+    assert r["n_children"] == 2 and r["sum_v"] == 3.0 and r["avg_v"] == 1.5
+
+
+def test_random_sampler_agg_deterministic_and_scaled(spark):
+    from igd_spark import random_sampler_agg
+    from igd_spark.hashing import h60_py
+
+    rows = [(i, "common token text", "s") for i in range(1, 41)]
+    docs = _docs_df(spark, rows).withColumn("val", F.lit(1.0))
+    qs = _queries(spark, [(0, "common")])
+    p, seed = 0.5, 11
+    out = random_sampler_agg(docs, qs, "val", probability=p, seed=seed).collect()
+    expected = [i for i in range(1, 41) if h60_py(f"{seed}:{i}") < p * (1 << 60)]
+    assert len(out) == 1
+    r = out[0]
+    assert r["n_sampled"] == len(expected)
+    assert r["n_docs_est"] == round(len(expected) / p)
+    assert r["sum_v_est"] == round(len(expected) / p, 6)
+    # identical on a second run (deterministic hash, no RNG state)
+    out2 = random_sampler_agg(docs, qs, "val", probability=p, seed=seed).collect()
+    assert out2[0]["n_sampled"] == r["n_sampled"]
+
+    with pytest.raises(ValueError):
+        random_sampler_agg(docs, qs, "val", probability=0.0)
+    with pytest.raises(ValueError):
+        random_sampler_agg(docs, qs, "val", probability=1.5)
+
+
+def test_frequent_item_sets_ubiquity_cap_binds(spark):
+    # "alpha" is in every matched doc; with a 0.8 ceiling it is excluded
+    # from itemsets even though it is maximally frequent
+    docs = _docs_df(spark, FIS_ROWS)
+    qs = _queries(spark, [(0, "alpha beta")])  # match set = docs 1-5
+    capped = frequent_item_sets_agg(
+        docs, qs, min_support=2, max_size=3, min_set_size=2, k=10,
+        max_support_frac=0.8,
+    ).collect()
+    # alpha appears in 4/5 matched docs (0.8 exactly -> kept); beta in 4/5
+    # too; gamma 2/5. Lower the ceiling below 0.8 and alpha/beta vanish.
+    tight = frequent_item_sets_agg(
+        docs, qs, min_support=2, max_size=3, min_set_size=2, k=10,
+        max_support_frac=0.5,
+    ).collect()
+    assert any("alpha" in r["items"] for r in capped)
+    assert not any("alpha" in r["items"] or "beta" in r["items"] for r in tight)
+
+    with pytest.raises(ValueError):
+        frequent_item_sets_agg(docs, qs, max_support_frac=0.0)
