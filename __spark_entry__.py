@@ -151,6 +151,8 @@ FIS_MIN_SUPPORT = 3           # frequent_item_sets min co-occurrence support
 FIS_K = 8                     # frequent_item_sets per-query itemset budget
 FIS_MAX_SUPPORT_FRAC = 0.9    # frequent_item_sets ubiquity ceiling (binds:
                               # drops the ratio-1.0 items in queries 3/5 at sf0.01)
+FIS_MIN_SUPPORT_FRAC = 0.05   # fractional support floor (classic Apriori:
+                              # support is a FRACTION, so pruning survives growth)
 DSIR_TARGET = "src3"          # DSIR target domain (documents.source value)
 DSIR_BUCKETS = 2048           # DSIR hashed n-gram feature buckets
 DSIR_ALPHA = 1.0              # DSIR Laplace smoothing
@@ -3519,6 +3521,7 @@ def q_frequent_item_sets_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         _docs(spark, sf_dir), _queries_df(spark),
         min_support=FIS_MIN_SUPPORT, k=FIS_K,
         max_support_frac=FIS_MAX_SUPPORT_FRAC,
+        min_support_frac=FIS_MIN_SUPPORT_FRAC,
     )
 
 
@@ -3531,6 +3534,7 @@ def q_frequent_item_sets_agg_indexed(
         spark, _built_index(spark, sf_dir), _docs(spark, sf_dir),
         _queries_df(spark), min_support=FIS_MIN_SUPPORT, k=FIS_K,
         max_support_frac=FIS_MAX_SUPPORT_FRAC,
+        min_support_frac=FIS_MIN_SUPPORT_FRAC,
     )
 
 
@@ -7485,29 +7489,37 @@ FROM cl GROUP BY query_id, cluster
     sql["frequent_item_sets_agg"] = f"""
 WITH {_TL}, {_TOKS}, {_POST}, {_DL}, {_CS}, {_TS}, {_QT}, {_SCORED},
 m AS (SELECT DISTINCT query_id, doc_id FROM scored),
-sizes AS (SELECT query_id, count(*)::BIGINT AS msize FROM m GROUP BY 1),
+sizes AS (SELECT query_id, count(*)::BIGINT AS msize,
+                 greatest({FIS_MIN_SUPPORT},
+                          ceil({FIS_MIN_SUPPORT_FRAC} * count(*))::BIGINT) AS floorv
+          FROM m GROUP BY 1),
 t AS (SELECT m.query_id, p.doc_id, p.term FROM m JOIN post p USING (doc_id)),
 l1f AS (SELECT query_id, term, count(*)::BIGINT AS support
-        FROM t GROUP BY 1, 2 HAVING count(*) >= {FIS_MIN_SUPPORT}),
+        FROM t GROUP BY 1, 2),
 l1 AS (SELECT l1f.query_id, term, support
        FROM l1f JOIN sizes USING (query_id)
-       WHERE support <= {FIS_MAX_SUPPORT_FRAC} * msize),
+       WHERE support >= floorv
+         AND support <= {FIS_MAX_SUPPORT_FRAC} * msize),
 tf AS (SELECT t.query_id, t.doc_id, t.term
        FROM t JOIN l1 USING (query_id, term)),
 p2d AS (SELECT a.query_id, a.doc_id, a.term AS t1, b.term AS t2
         FROM tf a JOIN tf b
           ON a.query_id = b.query_id AND a.doc_id = b.doc_id
          AND a.term < b.term),
-l2 AS (SELECT query_id, t1, t2, count(*)::BIGINT AS support
-       FROM p2d GROUP BY 1, 2, 3 HAVING count(*) >= {FIS_MIN_SUPPORT}),
+l2 AS (SELECT g.query_id, t1, t2, support
+       FROM (SELECT query_id, t1, t2, count(*)::BIGINT AS support
+             FROM p2d GROUP BY 1, 2, 3) g
+       JOIN sizes USING (query_id) WHERE support >= floorv),
 p2f AS (SELECT p2d.query_id, p2d.doc_id, p2d.t1, p2d.t2
         FROM p2d JOIN l2 USING (query_id, t1, t2)),
 p3d AS (SELECT p.query_id, p.doc_id, p.t1, p.t2, c.term AS t3
         FROM p2f p JOIN tf c
           ON p.query_id = c.query_id AND p.doc_id = c.doc_id
          AND c.term > p.t2),
-l3 AS (SELECT query_id, t1, t2, t3, count(*)::BIGINT AS support
-       FROM p3d GROUP BY 1, 2, 3, 4 HAVING count(*) >= {FIS_MIN_SUPPORT}),
+l3 AS (SELECT g.query_id, t1, t2, t3, support
+       FROM (SELECT query_id, t1, t2, t3, count(*)::BIGINT AS support
+             FROM p3d GROUP BY 1, 2, 3, 4) g
+       JOIN sizes USING (query_id) WHERE support >= floorv),
 allsets AS (
   SELECT query_id, 2 AS size, [t1, t2] AS items, support FROM l2
   UNION ALL

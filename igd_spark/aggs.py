@@ -2923,27 +2923,49 @@ def _fis_epilogue(
     min_set_size: int,
     k: int,
     max_support_frac: float = 1.0,
+    min_support_frac: float = 0.0,
 ) -> DataFrame:
     """Shared frequent-item-sets mining: ``m`` = (query_id, doc_id) match
-    set, ``toks`` = DISTINCT (doc_id, term) items.  Classic Apriori with
-    doc-level candidate rows: level-1 support prunes the item vocabulary
-    BEFORE any self-join (the anti-monotone bound), pairs join only
-    frequent items, triples extend only frequent pairs.  Itemsets are
-    ranked per query by (support desc, size asc, lexicographic items) —
-    a total, engine-independent order.
+    set, ``toks`` = DISTINCT (doc_id, term) items.  Level-1 support
+    prunes the item vocabulary first (the anti-monotone Apriori bound);
+    pair and triple candidates are then enumerated IN-ROW from each doc's
+    sorted frequent-item array with codegen higher-order functions
+    (`transform`/`slice`/`flatten`) — no self-joins, no doc-level
+    intermediates to persist — and counted by one map-side-combinable
+    hash agg whose key space is itemsets, not doc incidences.  Explicit
+    pair-level Apriori pruning before triples is unnecessary FOR THE
+    RESULT: support(t1,t2,t3) <= support of every sub-pair, so any triple
+    passing the floor implies its pairs did too — the floors alone give
+    the identical answer the join-pipeline produced.  Itemsets are ranked
+    per query by (support desc, size asc, lexicographic items) — a total,
+    engine-independent order.
 
-    ``max_support_frac`` additionally drops level-1 items present in more
-    than that fraction of the query's match set: a min-support floor alone
-    does NOT bound the pair join, because ubiquitous items (stopwords)
-    are frequent in every doc and the candidate space grows with the
-    SQUARE of the per-doc frequent-item count — the ubiquity ceiling is
-    what keeps the self-join fan-out bounded as the match set grows (the
-    market-basket analog of the dedup family's max_shingle_df)."""
+    Two scale guards, both RELATIVE to the match set (an absolute floor
+    stops pruning the moment the corpus grows — classic Apriori states
+    support as a fraction for exactly this reason):
+
+    * ``min_support_frac`` — the per-query support floor is
+      max(min_support, ceil(frac · match_set_size)), so the frequent set
+      stays "items in ≥ frac of the hits" at every corpus size; every
+      level (items, pairs, triples) is held to it, which is what keeps
+      the triple expansion from enumerating C(vocab, 3) as match sets
+      grow.
+    * ``max_support_frac`` — drops level-1 items present in MORE than
+      that fraction of the match set: ubiquitous items (stopwords) are
+      frequent in every doc and the candidate space grows with the
+      SQUARE of the per-doc frequent-item count — the ubiquity ceiling
+      bounds the self-join fan-out (the market-basket analog of the
+      dedup family's max_shingle_df)."""
     if min_support <= 0:
         raise ValueError(f"min_support must be positive, got {min_support}")
     if not 0.0 < max_support_frac <= 1.0:
         raise ValueError(
             f"max_support_frac must be in (0, 1], got {max_support_frac}"
+        )
+    if not 0.0 <= min_support_frac <= max_support_frac:
+        raise ValueError(
+            f"need 0 <= min_support_frac <= max_support_frac, got "
+            f"({min_support_frac}, {max_support_frac})"
         )
     if not 1 <= min_set_size <= max_size <= 3:
         raise ValueError(
@@ -2954,6 +2976,10 @@ def _fis_epilogue(
     sizes = md.groupBy("query_id").agg(
         F.count("*").cast("long").alias("msize")
     )
+    floor_col = F.greatest(
+        F.lit(int(min_support)).cast("long"),
+        F.ceil(F.lit(float(min_support_frac)) * F.col("msize")).cast("long"),
+    )
     t = (
         toks.select("doc_id", "term")
         .join(md, "doc_id")
@@ -2962,15 +2988,22 @@ def _fis_epilogue(
     l1 = (
         t.groupBy("query_id", "term")
         .agg(F.count("*").cast("long").alias("support"))
-        .filter(F.col("support") >= int(min_support))
+        .join(F.broadcast(sizes), "query_id")
+        .filter(F.col("support") >= floor_col)
     )
     if max_support_frac < 1.0:
-        l1 = l1.join(F.broadcast(sizes), "query_id").filter(
+        l1 = l1.filter(
             F.col("support")
             <= F.lit(float(max_support_frac)) * F.col("msize")
-        ).drop("msize")
+        )
+    l1 = l1.drop("msize")
     tf = t.join(
         l1.select("query_id", "term"), ["query_id", "term"], "left_semi"
+    )
+    # one tiny row per (query, matched doc): its sorted frequent items —
+    # the base every candidate level enumerates from, in-row, no joins
+    fa = tf.groupBy("query_id", "doc_id").agg(
+        F.sort_array(F.collect_set("term")).alias("items_arr")
     ).persist()
     levels = []
     if min_set_size <= 1:
@@ -2982,24 +3015,18 @@ def _fis_epilogue(
                 "support",
             )
         )
-    a, b = tf.alias("a"), tf.alias("b")
-    p2d = a.join(
-        b,
-        (F.col("a.query_id") == F.col("b.query_id"))
-        & (F.col("a.doc_id") == F.col("b.doc_id"))
-        & (F.col("a.term") < F.col("b.term")),
-    ).select(
-        F.col("a.query_id").alias("query_id"),
-        F.col("a.doc_id").alias("doc_id"),
-        F.col("a.term").alias("t1"),
-        F.col("b.term").alias("t2"),
+    pair_combos = F.expr(
+        "flatten(transform(items_arr, (x, i) -> "
+        "  transform(slice(items_arr, i + 2, size(items_arr)), "
+        "            y -> struct(x AS t1, y AS t2))))"
     )
-    if max_size >= 3:
-        p2d = p2d.persist()
     l2 = (
-        p2d.groupBy("query_id", "t1", "t2")
+        fa.select("query_id", F.explode(pair_combos).alias("c"))
+        .groupBy("query_id", F.col("c.t1").alias("t1"), F.col("c.t2").alias("t2"))
         .agg(F.count("*").cast("long").alias("support"))
-        .filter(F.col("support") >= int(min_support))
+        .join(F.broadcast(sizes), "query_id")
+        .filter(F.col("support") >= floor_col)
+        .drop("msize")
     )
     if min_set_size <= 2:
         levels.append(
@@ -3011,28 +3038,24 @@ def _fis_epilogue(
             )
         )
     if max_size >= 3:
-        p2f = p2d.join(
-            l2.select("query_id", "t1", "t2"),
-            ["query_id", "t1", "t2"],
-            "left_semi",
-        )
-        p, c = p2f.alias("p"), tf.alias("c")
-        p3d = p.join(
-            c,
-            (F.col("p.query_id") == F.col("c.query_id"))
-            & (F.col("p.doc_id") == F.col("c.doc_id"))
-            & (F.col("c.term") > F.col("p.t2")),
-        ).select(
-            F.col("p.query_id").alias("query_id"),
-            F.col("p.doc_id").alias("doc_id"),
-            F.col("p.t1").alias("t1"),
-            F.col("p.t2").alias("t2"),
-            F.col("c.term").alias("t3"),
+        triple_combos = F.expr(
+            "flatten(transform(items_arr, (x, i) -> "
+            "  flatten(transform(slice(items_arr, i + 2, size(items_arr)), (y, j) -> "
+            "    transform(slice(items_arr, i + j + 3, size(items_arr)), "
+            "              z -> struct(x AS t1, y AS t2, z AS t3))))))"
         )
         l3 = (
-            p3d.groupBy("query_id", "t1", "t2", "t3")
+            fa.select("query_id", F.explode(triple_combos).alias("c"))
+            .groupBy(
+                "query_id",
+                F.col("c.t1").alias("t1"),
+                F.col("c.t2").alias("t2"),
+                F.col("c.t3").alias("t3"),
+            )
             .agg(F.count("*").cast("long").alias("support"))
-            .filter(F.col("support") >= int(min_support))
+            .join(F.broadcast(sizes), "query_id")
+            .filter(F.col("support") >= floor_col)
+            .drop("msize")
         )
         levels.append(
             l3.select(
@@ -3055,8 +3078,7 @@ def _fis_epilogue(
     )
     from igd_spark.dedup import _materialize_then_unpersist
 
-    staged = [tf] + ([p2d] if max_size >= 3 else [])
-    return _materialize_then_unpersist(out, staged)
+    return _materialize_then_unpersist(out, [fa])
 
 
 def frequent_item_sets_agg(
@@ -3067,6 +3089,7 @@ def frequent_item_sets_agg(
     min_set_size: int = 2,
     k: int = 10,
     max_support_frac: float = 1.0,
+    min_support_frac: float = 0.0,
     conf: IndexConf = DEFAULT_CONF,
     text_col: str = "text",
     id_col: str = "doc_id",
@@ -3094,7 +3117,8 @@ def frequent_item_sets_agg(
     )
     m = _match_set(docs, queries, conf, text_col, id_col)
     return _fis_epilogue(
-        m, toks, min_support, max_size, min_set_size, k, max_support_frac
+        m, toks, min_support, max_size, min_set_size, k,
+        max_support_frac, min_support_frac,
     )
 
 
@@ -3108,6 +3132,7 @@ def frequent_item_sets_agg_indexed(
     min_set_size: int = 2,
     k: int = 10,
     max_support_frac: float = 1.0,
+    min_support_frac: float = 0.0,
     text_col: str = "text",
     id_col: str = "doc_id",
 ) -> DataFrame:
@@ -3123,7 +3148,8 @@ def frequent_item_sets_agg_indexed(
         "doc_id", "term"
     )
     return _fis_epilogue(
-        m, toks, min_support, max_size, min_set_size, k, max_support_frac
+        m, toks, min_support, max_size, min_set_size, k,
+        max_support_frac, min_support_frac,
     )
 
 
