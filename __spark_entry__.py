@@ -3557,6 +3557,31 @@ def q_children_agg_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_parent_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # ES parent agg: distinct conversations spanned by the hits + a
+    # conversation-level metric (parent frame = first turns, the
+    # has_parent convention)
+    from igd_spark import parent_agg
+
+    docs = _docs_with_conv(spark, sf_dir)
+    parent_docs = docs.filter(F.expr(f"doc_id % {TURNS_PER_CONV} = 0"))
+    return parent_agg(
+        docs, _queries_df(spark), parent_docs, STATS_VALUE_COL,
+        parent_col="conv_id", round_dp=6,
+    )
+
+
+def q_parent_agg_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from igd_spark import parent_agg_indexed
+
+    docs = _docs_with_conv(spark, sf_dir)
+    parent_docs = docs.filter(F.expr(f"doc_id % {TURNS_PER_CONV} = 0"))
+    return parent_agg_indexed(
+        spark, _built_index(spark, sf_dir), docs, _queries_df(spark),
+        parent_docs, STATS_VALUE_COL, parent_col="conv_id", round_dp=6,
+    )
+
+
 def q_random_sampler_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     # ES random_sampler: deterministic-hash sample of the match set, scaled
     from igd_spark import random_sampler_agg
@@ -3613,6 +3638,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dsir_select": q_dsir_select,
         "children_agg": q_children_agg,
         "children_agg_indexed": q_children_agg_indexed,
+        "parent_agg": q_parent_agg,
+        "parent_agg_indexed": q_parent_agg_indexed,
         "random_sampler_agg": q_random_sampler_agg,
         "random_sampler_agg_indexed": q_random_sampler_agg_indexed,
         "phrase_suggest": q_phrase_suggest,
@@ -7585,6 +7612,23 @@ FROM children c LEFT JOIN vals USING (doc_id)
 GROUP BY 1
 """
     sql["children_agg_indexed"] = sql["children_agg"]
+
+    sql["parent_agg"] = f"""
+WITH {_TL}, {_TOKS}, {_POST}, {_DL}, {_CS}, {_TS}, {_QT}, {_SCORED},
+par AS (SELECT doc_id, doc_id // {TURNS_PER_CONV} AS parent_id FROM documents),
+mp AS (SELECT DISTINCT s.query_id, par.parent_id
+       FROM scored s JOIN par USING (doc_id)),
+pvals AS (SELECT doc_id // {TURNS_PER_CONV} AS parent_id,
+                 "{STATS_VALUE_COL}"::DOUBLE AS v
+          FROM documents
+          WHERE doc_id % {TURNS_PER_CONV} = 0
+            AND "{STATS_VALUE_COL}" IS NOT NULL)
+SELECT mp.query_id, count(*)::BIGINT AS n_parents,
+       round(sum(v), 6) AS sum_v, round(avg(v), 6) AS avg_v
+FROM mp LEFT JOIN pvals USING (parent_id)
+GROUP BY 1
+"""
+    sql["parent_agg_indexed"] = sql["parent_agg"]
 
     _rsmp_thr = int(RSMP_P * float(1 << 60))
     _rsmp_h = _H60.format(expr=f"('{RSMP_SEED}:' || doc_id::VARCHAR)")

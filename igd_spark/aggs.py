@@ -44,6 +44,8 @@ __all__ = [
     "frequent_item_sets_agg_indexed",
     "children_agg",
     "children_agg_indexed",
+    "parent_agg",
+    "parent_agg_indexed",
     "random_sampler_agg",
     "random_sampler_agg_indexed",
     "histogram_agg",
@@ -3324,3 +3326,95 @@ def random_sampler_agg_indexed(
     return _rsmp_epilogue(
         m, _vals(docs, value_col, id_col), probability, seed, round_dp
     )
+
+
+def _parent_epilogue(
+    m: DataFrame,
+    parents: DataFrame,
+    pvals: DataFrame,
+    round_dp: int | None,
+) -> DataFrame:
+    """Shared parent roll-up: ``m`` = (query_id, doc_id) match set over
+    CHILD docs, ``parents`` = (doc_id, parent_id) child→parent map,
+    ``pvals`` = (parent_id, v) the parent-level values.  Each matched
+    child selects its parent ONCE (distinct before the agg — a parent
+    with many matching children still counts once, the ES single-bucket
+    contract)."""
+    mp = (
+        m.select("query_id", "doc_id")
+        .join(parents, "doc_id")
+        .select("query_id", "parent_id")
+        .distinct()
+    )
+    agg = (
+        mp.join(pvals, "parent_id", "left")
+        .groupBy("query_id")
+        .agg(
+            F.count("*").cast("long").alias("n_parents"),
+            F.sum("v").alias("sum_v"),
+            F.avg("v").alias("avg_v"),
+        )
+    )
+    if round_dp is not None:
+        for c in ("sum_v", "avg_v"):
+            agg = agg.withColumn(c, F.round(c, round_dp))
+    return agg
+
+
+def parent_agg(
+    docs: DataFrame,
+    queries: DataFrame,
+    parent_docs: DataFrame,
+    value_col: str,
+    parent_col: str = "conv_id",
+    conf: IndexConf = DEFAULT_CONF,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    round_dp: int | None = 6,
+) -> DataFrame:
+    """The ES ``parent`` aggregation — the reverse of `children_agg`: from
+    the matched CHILD documents, switch to their distinct parents and
+    aggregate a PARENT-level field there — (query_id, n_parents, sum_v,
+    avg_v).  ``parent_docs`` is the parent frame keyed by ``parent_col``
+    (the same conversation-level table `has_parent_topk` scores: first
+    turn, title, rolling summary).  For transcripts: "how many distinct
+    conversations do these hits span, and what does the conversation-level
+    field average over them".
+
+    Scale: matched children dedupe to parents BEFORE the value join (the
+    distinct is on the sparse match set); parent values ride a two-column
+    (parent, value) projection; one fine-keyed hash agg on query_id."""
+    m = _match_set(docs, queries, conf, text_col, id_col)
+    parents = docs.select(
+        F.col(id_col).alias("doc_id"), F.col(parent_col).alias("parent_id")
+    )
+    pvals = parent_docs.select(
+        F.col(parent_col).alias("parent_id"),
+        F.col(value_col).cast("double").alias("v"),
+    ).filter(F.col("v").isNotNull())
+    return _parent_epilogue(m, parents, pvals, round_dp)
+
+
+def parent_agg_indexed(
+    spark,
+    idx,
+    docs: DataFrame,
+    queries: DataFrame,
+    parent_docs: DataFrame,
+    value_col: str,
+    parent_col: str = "conv_id",
+    id_col: str = "doc_id",
+    round_dp: int | None = 6,
+) -> DataFrame:
+    """`parent_agg` with the match set from the persisted index's pruned
+    posting blocks; the child→parent map and parent values ride narrow
+    no-text projections."""
+    m = _indexed_match_set(spark, idx, queries)
+    parents = docs.select(
+        F.col(id_col).alias("doc_id"), F.col(parent_col).alias("parent_id")
+    )
+    pvals = parent_docs.select(
+        F.col(parent_col).alias("parent_id"),
+        F.col(value_col).cast("double").alias("v"),
+    ).filter(F.col("v").isNotNull())
+    return _parent_epilogue(m, parents, pvals, round_dp)

@@ -1048,6 +1048,23 @@ def main() -> int:
         f"scanned schemas: {ch_schemas}",
     )
 
+    from igd_spark import parent_agg_indexed
+
+    paplan = fmt(
+        parent_agg_indexed(
+            spark, idx, docs, ql_q,
+            docs.filter(F.col("turn_idx") == 0), "turn_idx",
+            parent_col="conv_id",
+        )
+    )
+    assert_pruned_scan("parent_agg_indexed scan", paplan)
+    pa_schemas = re.findall(r"ReadSchema: struct<([^>]*)>", paplan)
+    check(
+        "parent_agg_indexed never scans the corpus text",
+        bool(pa_schemas) and not any("text:" in s for s in pa_schemas),
+        f"scanned schemas: {pa_schemas}",
+    )
+
     rsplan = fmt(
         random_sampler_agg_indexed(spark, idx, docs, ql_q, "turn_idx",
                                    probability=0.5, seed=3)

@@ -285,3 +285,28 @@ def test_frequent_item_sets_ubiquity_cap_binds(spark):
 
     with pytest.raises(ValueError):
         frequent_item_sets_agg(docs, qs, max_support_frac=0.0)
+
+
+def test_parent_agg_hand_computed(spark):
+    from igd_spark import parent_agg
+
+    # conv 0 = docs 1,2 (two hits -> parent counted ONCE), conv 1 = docs
+    # 3,4 (one hit); parent frame = first turn of each conv
+    rows = [
+        (1, "alpha one", "s"),
+        (2, "alpha two", "s"),
+        (3, "alpha three", "s"),
+        (4, "other text", "s"),
+    ]
+    docs = _docs_df(spark, rows).withColumn(
+        "conv_id", F.floor((F.col("doc_id") - 1) / F.lit(2))
+    )
+    parent_docs = docs.filter(F.col("doc_id") % 2 == 1).withColumn(
+        "pval", F.col("doc_id").cast("double") * 10
+    )
+    qs = _queries(spark, [(0, "alpha")])
+    out = parent_agg(docs, qs, parent_docs, "pval", parent_col="conv_id").collect()
+    assert len(out) == 1
+    r = out[0]
+    # parents 0 and 1, values 10 and 30
+    assert r["n_parents"] == 2 and r["sum_v"] == 40.0 and r["avg_v"] == 20.0
