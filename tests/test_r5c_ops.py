@@ -310,3 +310,85 @@ def test_parent_agg_hand_computed(spark):
     r = out[0]
     # parents 0 and 1, values 10 and 30
     assert r["n_parents"] == 2 and r["sum_v"] == 40.0 and r["avg_v"] == 20.0
+
+
+# ---------------------------------------------------------------------------
+# randomized brute-force cross-checks (the guard for the in-row enumeration)
+
+
+def _py_fis(doc_terms, match_docs, min_support, max_support_frac,
+            min_support_frac, k):
+    """Pure-python frequent-item-sets oracle: brute-force combinations."""
+    from itertools import combinations
+
+    msize = len(match_docs)
+    floor = max(min_support, math.ceil(min_support_frac * msize))
+    ceil_s = max_support_frac * msize
+    sets = [sorted(doc_terms[d]) for d in match_docs]
+    item_support = Counter(t for s in sets for t in set(s))
+    freq = {t for t, c in item_support.items() if floor <= c <= ceil_s}
+    out = []
+    for size in (2, 3):
+        cnt = Counter()
+        for s in sets:
+            fs = sorted(set(s) & freq)
+            for combo in combinations(fs, size):
+                cnt[combo] += 1
+        for combo, c in cnt.items():
+            if c >= floor:
+                out.append((size, list(combo), c))
+    out.sort(key=lambda r: (-r[2], r[0], " ".join(r[1])))
+    return [(i + 1, sz, items, sup) for i, (sz, items, sup) in enumerate(out[:k])]
+
+
+def test_frequent_item_sets_random_vs_bruteforce(spark):
+    import random
+
+    for seed in (3, 17, 99):
+        rng = random.Random(seed)
+        vocab = [f"w{i}" for i in range(12)]
+        rows = []
+        for d in range(1, 41):
+            n = rng.randint(0, 8)
+            terms = rng.sample(vocab, n) if n else []
+            # repeated tokens exercise the DISTINCT-items contract
+            text = " ".join(terms + terms[:2])
+            rows.append((d, text if text else "zzfiller", "s"))
+        docs = _docs_df(spark, rows)
+        # query on the hottest word so the match set is non-trivial
+        qterm = max(
+            Counter(t for _, tx, _ in rows for t in set(tx.split())).items(),
+            key=lambda kv: kv[1],
+        )[0]
+        qs = _queries(spark, [(0, qterm)])
+        got = sorted(
+            (r["rank"], r["size"], list(r["items"]), r["support"])
+            for r in frequent_item_sets_agg(
+                docs, qs, min_support=2, k=15,
+                max_support_frac=0.9, min_support_frac=0.1,
+            ).collect()
+        )
+        doc_terms = {d: set(tx.split()) for d, tx, _ in rows}
+        match = [d for d, tx, _ in rows if qterm in doc_terms[d]]
+        want = sorted(_py_fis(doc_terms, match, 2, 0.9, 0.1, 15))
+        assert got == want, f"seed={seed}: {got} != {want}"
+
+
+def test_dsir_random_vs_python_oracle(spark):
+    import random
+
+    for seed in (5, 23):
+        rng = random.Random(seed)
+        vocab = [f"t{i}" for i in range(30)]
+        rows = []
+        for d in range(1, 31):
+            n = rng.randint(0, 12)
+            text = " ".join(rng.choice(vocab) for _ in range(n))
+            rows.append((d, text, rng.choice(["tgt", "raw", "raw"])))
+        docs = _docs_df(spark, rows)
+        got = {
+            r["doc_id"]: (r["n_feats"], r["logw"])
+            for r in dsir_weights(docs, "tgt", n_buckets=32, alpha=0.5).collect()
+        }
+        want = _py_dsir(rows, "tgt", 32, 0.5)
+        assert got == want, f"seed={seed}"
