@@ -159,6 +159,9 @@ DSIR_ALPHA = 1.0              # DSIR Laplace smoothing
 DSIR_SELECT_N = 50            # DSIR selection budget (top-n docs kept)
 RSMP_P = 0.35                 # random_sampler inclusion probability
 RSMP_SEED = 11                # random_sampler deterministic hash seed
+PRF_FB_DOCS = 5               # pseudo-relevance feedback: assumed-relevant docs
+PRF_FB_TERMS = 5              # expansion terms kept from the relevance model
+PRF_ORIG_W = 0.6              # RM3 interpolation weight on the original query
 PCTR_VALUES = (175.0, 306.0, 419.0)  # percentile_ranks cut points (quartiles)
 RARE_MAX_DC = 21              # rare_terms max_doc_count (binds non-vacuously:
                               # match-set source counts span 14..25 at sf0.01)
@@ -3602,6 +3605,26 @@ def q_random_sampler_agg_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_stemmed_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # BM25 over the S-stemmed analyzer chain (Harman 1991)
+    from igd_spark import stemmed_bm25_topk
+
+    return stemmed_bm25_topk(
+        _docs(spark, sf_dir), _queries_df(spark), k=K, round_dp=6
+    )
+
+
+def q_prf_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # RM3-style pseudo-relevance feedback: expand from the top hits, rescore
+    from igd_spark import prf_bm25_topk
+
+    return prf_bm25_topk(
+        _docs(spark, sf_dir), _queries_df(spark), k=K,
+        fb_docs=PRF_FB_DOCS, fb_terms=PRF_FB_TERMS,
+        orig_weight=PRF_ORIG_W, round_dp=6,
+    )
+
+
 def q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     # DSIR (Xie et al. 2023): hashed-ngram importance weights vs a target domain
     from igd_spark import dsir_weights
@@ -3640,6 +3663,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "children_agg_indexed": q_children_agg_indexed,
         "parent_agg": q_parent_agg,
         "parent_agg_indexed": q_parent_agg_indexed,
+        "stemmed_bm25_topk": q_stemmed_bm25_topk,
+        "prf_bm25_topk": q_prf_bm25_topk,
         "random_sampler_agg": q_random_sampler_agg,
         "random_sampler_agg_indexed": q_random_sampler_agg_indexed,
         "phrase_suggest": q_phrase_suggest,
@@ -7629,6 +7654,88 @@ FROM mp LEFT JOIN pvals USING (parent_id)
 GROUP BY 1
 """
     sql["parent_agg_indexed"] = sql["parent_agg"]
+
+    _SSTEM_CASE = (
+        "CASE WHEN length(t) < 4 THEN t "
+        "WHEN t LIKE '%ies' AND t NOT LIKE '%eies' AND t NOT LIKE '%aies' "
+        "THEN substr(t, 1, length(t) - 3) || 'y' "
+        "WHEN t LIKE '%es' AND t NOT LIKE '%aes' AND t NOT LIKE '%ees' "
+        "AND t NOT LIKE '%oes' THEN substr(t, 1, length(t) - 1) "
+        "WHEN t LIKE '%s' AND t NOT LIKE '%us' AND t NOT LIKE '%ss' "
+        "THEN substr(t, 1, length(t) - 1) ELSE t END"
+    )
+    _STEM_TL = (
+        "tldocs AS (SELECT doc_id, list_transform(list_filter("
+        "regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> ''), "
+        f"t -> {_SSTEM_CASE}) AS tl FROM documents)"
+    )
+    _STEM_QT = (
+        f"q(query_id, query_text) AS (VALUES {_QVALUES}), "
+        "qterms AS (SELECT DISTINCT query_id, unnest(list_transform(list_filter("
+        "regexp_split_to_array(lower(query_text), '[^a-z0-9]+'), x -> x <> ''), "
+        f"t -> {_SSTEM_CASE})) AS term FROM q)"
+    )
+    sql["stemmed_bm25_topk"] = f"""
+WITH {_STEM_TL}, {_TOKS}, {_POST}, {_DL}, {_CS}, {_TS}, {_STEM_QT},
+scored AS (
+  SELECT qt.query_id, p.doc_id, sum({_W}) AS s
+  FROM qterms qt JOIN ts USING (term) JOIN post p USING (term)
+  JOIN dl ON p.doc_id = dl.doc_id CROSS JOIN cs
+  GROUP BY 1, 2),
+ranked AS (
+  SELECT query_id, doc_id, round(s, 6) AS score,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY round(s, 6) DESC, doc_id ASC)::INT AS rank
+  FROM scored)
+SELECT query_id, rank, doc_id, score FROM ranked WHERE rank <= {K}
+"""
+
+    sql["prf_bm25_topk"] = f"""
+WITH {_TL}, {_TOKS}, {_POST}, {_DL}, {_CS}, {_TS}, {_QT},
+s1 AS (
+  SELECT qt.query_id, p.doc_id, round(sum({_W}), 6) AS s
+  FROM qterms qt JOIN ts USING (term) JOIN post p USING (term)
+  JOIN dl ON p.doc_id = dl.doc_id CROSS JOIN cs
+  GROUP BY 1, 2),
+fb AS (
+  SELECT query_id, doc_id FROM (
+    SELECT query_id, doc_id,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY s DESC, doc_id ASC) AS rn
+    FROM s1) WHERE rn <= {PRF_FB_DOCS}),
+rm AS (
+  SELECT fb.query_id, p.term, round(sum(p.tf::DOUBLE / dl.dl), 9) AS w
+  FROM fb JOIN post p USING (doc_id) JOIN dl ON p.doc_id = dl.doc_id
+  GROUP BY 1, 2),
+rmx AS (
+  SELECT rm.query_id, rm.term, rm.w
+  FROM rm ANTI JOIN qterms USING (query_id, term)),
+sel AS (
+  SELECT query_id, term, w FROM (
+    SELECT query_id, term, w,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY w DESC, term ASC) AS rn
+    FROM rmx) WHERE rn <= {PRF_FB_TERMS}),
+fbw AS (
+  SELECT query_id, term,
+         {1.0 - PRF_ORIG_W} * w / sum(w) OVER (PARTITION BY query_id) AS weight
+  FROM sel),
+nq AS (SELECT query_id, count(*)::BIGINT AS nq FROM qterms GROUP BY 1),
+ow AS (SELECT qterms.query_id, term, {PRF_ORIG_W} / nq.nq AS weight
+       FROM qterms JOIN nq USING (query_id)),
+expq AS (SELECT * FROM ow UNION ALL SELECT * FROM fbw),
+s2 AS (
+  SELECT e.query_id, p.doc_id, round(sum(({_W}) * e.weight), 6) AS score
+  FROM expq e JOIN ts USING (term) JOIN post p USING (term)
+  JOIN dl ON p.doc_id = dl.doc_id CROSS JOIN cs
+  GROUP BY 1, 2),
+ranked AS (
+  SELECT query_id, doc_id, score,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY score DESC, doc_id ASC)::INT AS rank
+  FROM s2)
+SELECT query_id, rank, doc_id, score FROM ranked WHERE rank <= {K}
+"""
 
     _rsmp_thr = int(RSMP_P * float(1 << 60))
     _rsmp_h = _H60.format(expr=f"('{RSMP_SEED}:' || doc_id::VARCHAR)")

@@ -4483,3 +4483,162 @@ def passage_bm25_topk_indexed(
         "score",
     )
     return _passage_epilogue(joined, k)
+
+
+# ---------------------------------------------------------------------------
+# Analyzer-variant retrieval + pseudo-relevance feedback.
+
+
+def stemmed_bm25_topk(
+    docs: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    conf: IndexConf = DEFAULT_CONF,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    round_dp: int | None = None,
+) -> DataFrame:
+    """BM25 over the S-stemmed analyzer chain (Harman 1991): plural
+    variants conflate into one index term ('table'/'tables' → 'table',
+    'query'/'queries' → 'query'), so a query matches every inflection and
+    df/dl/idf are computed over the STEMMED vocabulary — the Lucene
+    analyzer contract (one analyzer, applied to both the corpus and the
+    query side).
+
+    Implementation: both sides' text is normalized to its stemmed token
+    stream (`tokenizer.stem_text_col`) and handed to the unchanged exact
+    scorer — stemmed tokens re-tokenize to themselves, so this IS BM25
+    over stemmed postings with zero changes to the scoring kernel, the
+    same seam the stopword analyzer uses.  Scale: adds one projection
+    (per-token `when` chain, whole-stage codegen) ahead of the standard
+    one-shuffle scoring plan."""
+    from igd_spark.tokenizer import stem_text_col
+
+    sd = docs.withColumn(text_col, stem_text_col(text_col))
+    sq = queries.select(
+        "query_id", stem_text_col("query_text").alias("query_text")
+    )
+    scored = bm25_scores(sd, sq, conf=conf, text_col=text_col, id_col=id_col)
+    if round_dp is not None:
+        scored = scored.withColumn("score", F.round("score", round_dp))
+    return rank_topk(scored, k)
+
+
+def prf_bm25_topk(
+    docs: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    fb_docs: int = 5,
+    fb_terms: int = 5,
+    orig_weight: float = 0.6,
+    conf: IndexConf = DEFAULT_CONF,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    round_dp: int | None = None,
+) -> DataFrame:
+    """Pseudo-relevance feedback (the RM3 shape, Lavrenko & Croft 2001 /
+    Abdul-Jaleel et al. 2004): run the query, assume the top ``fb_docs``
+    are relevant, estimate a relevance model from them, and re-score with
+    the interpolated expanded query.
+
+    Deterministic spec (everything tie-broken and rounded so two engines
+    agree):
+
+    1. First pass: exact BM25; feedback set = top ``fb_docs`` per query
+       on (round(score, 6) desc, doc_id asc).
+    2. Relevance model: w(t|q) = Σ_{d ∈ fb} tf(t, d) / dl(d) (the uniform-
+       prior MLE over the feedback docs).  Original query terms are
+       excluded; the top ``fb_terms`` survive on (w desc, term asc) and
+       are normalized to Σ = 1.
+    3. Expanded query: each ORIGINAL term carries weight
+       orig_weight / |q_terms|; each feedback term carries
+       (1 − orig_weight) · w_norm.  Second pass scores
+       Σ_t weight_t · bm25_t(d) over the expanded term set and ranks
+       top-k on the rounded score.
+
+    Output (query_id, rank, doc_id, score).  A query with no feedback
+    docs (zero first-pass hits) produces no rows — no hits means no
+    evidence to expand from.
+
+    Scale: two passes of the standard sparse scoring plan (postings ⋈
+    broadcast query terms); the feedback-doc set is (queries × fb_docs)
+    rows and the expanded term table (queries × (|q| + fb_terms)) rows —
+    both broadcast-sized by construction; the relevance-model estimation
+    joins postings against the TINY feedback-doc set (semi-join-shaped,
+    never corpus-wide)."""
+    if fb_docs <= 0 or fb_terms < 0:
+        raise ValueError(
+            f"need fb_docs > 0 and fb_terms >= 0, got ({fb_docs}, {fb_terms})"
+        )
+    if not 0.0 < orig_weight <= 1.0:
+        raise ValueError(f"orig_weight must be in (0, 1], got {orig_weight}")
+    post = postings(docs, text_col=text_col, id_col=id_col, conf=conf)
+    ds = doc_stats(docs, text_col=text_col, id_col=id_col, conf=conf)
+    cs = corpus_stats(ds).collect()[0]
+    n_docs, avgdl = int(cs["n_docs"]), float(cs["avgdl"])
+    ts = term_stats(post)
+    qt = query_terms(queries)
+
+    def _pass(qterms: DataFrame) -> DataFrame:
+        """(query_id, term, weight) → weighted per-doc BM25 sum."""
+        qd = qterms.join(ts, "term").withColumn("idf", idf_col(n_docs, "df"))
+        sc = (
+            post.join(
+                F.broadcast(qd.select("query_id", "term", "idf", "weight")),
+                "term",
+            )
+            .join(ds, "doc_id")
+        )
+        w = bm25_weight_col(
+            F.col("idf"), "tf", "dl", avgdl, conf.k1, conf.b
+        )
+        return sc.groupBy("query_id", "doc_id").agg(
+            F.sum(w * F.col("weight")).alias("score")
+        )
+
+    # pass 1: uniform weights (plain BM25), rounded rank, feedback set
+    s1 = _pass(qt.withColumn("weight", F.lit(1.0))).withColumn(
+        "score", F.round("score", 6)
+    )
+    wfb = Window.partitionBy("query_id").orderBy(
+        F.desc("score"), F.asc("doc_id")
+    )
+    fb = (
+        s1.withColumn("rn", F.row_number().over(wfb))
+        .filter(F.col("rn") <= int(fb_docs))
+        .select("query_id", "doc_id")
+    )
+    # relevance model over the feedback docs, original terms excluded
+    rm = (
+        post.join(fb, "doc_id")
+        .join(ds, "doc_id")
+        .groupBy("query_id", "term")
+        # rounded to 9 dp before ranking: the sum's association order is
+        # engine-dependent and the fb_terms cutoff must not flip on a ulp
+        .agg(F.round(F.sum(F.col("tf") / F.col("dl")), 9).alias("w"))
+        .join(qt.withColumn("orig", F.lit(1)), ["query_id", "term"], "left_anti")
+    )
+    wrm = Window.partitionBy("query_id").orderBy(F.desc("w"), F.asc("term"))
+    sel = (
+        rm.withColumn("rn", F.row_number().over(wrm))
+        .filter(F.col("rn") <= int(fb_terms))
+    )
+    wsum = Window.partitionBy("query_id")
+    fb_terms_df = sel.select(
+        "query_id",
+        "term",
+        (
+            F.lit(1.0 - orig_weight) * F.col("w") / F.sum("w").over(wsum)
+        ).alias("weight"),
+    )
+    n_orig = qt.groupBy("query_id").agg(F.count("*").alias("nq"))
+    orig_terms_df = qt.join(F.broadcast(n_orig), "query_id").select(
+        "query_id",
+        "term",
+        (F.lit(float(orig_weight)) / F.col("nq")).alias("weight"),
+    )
+    expanded = orig_terms_df.unionByName(fb_terms_df)
+    s2 = _pass(expanded)
+    if round_dp is not None:
+        s2 = s2.withColumn("score", F.round("score", round_dp))
+    return rank_topk(s2, k)

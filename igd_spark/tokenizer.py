@@ -276,3 +276,46 @@ def analyze(
     return occ.filter(pred(F.col("term"))).select(
         "doc_id", "pos", F.col("term").alias("token")
     )
+
+
+def sstem_token(t: Column) -> Column:
+    """Harman (1991) S-stemmer for one token: the three suffix rules that
+    conflate English plurals, applied in order, first match wins —
+    deterministic, no dictionary, exactly reproducible in DuckDB SQL and
+    pure python (the cross-engine analyzer contract every gate oracle
+    relies on).  Tokens shorter than 4 chars pass through (don't mangle
+    'is', 'as', 'its').
+
+      ...ies -> ...y   unless ...eies / ...aies
+      ...es  -> ...e   unless ...aes / ...ees / ...oes
+      ...s   -> ...    unless ...us / ...ss
+    """
+    n = F.length(t)
+    ies = (
+        t.endswith("ies") & ~t.endswith("eies") & ~t.endswith("aies")
+    )
+    es = (
+        t.endswith("es")
+        & ~t.endswith("aes") & ~t.endswith("ees") & ~t.endswith("oes")
+    )
+    s = t.endswith("s") & ~t.endswith("us") & ~t.endswith("ss")
+    return (
+        F.when(n < 4, t)
+        .when(ies, F.concat(F.substring(t, F.lit(1), n - 3), F.lit("y")))
+        .when(es, F.substring(t, F.lit(1), n - 1))
+        .when(s, F.substring(t, F.lit(1), n - 1))
+        .otherwise(t)
+    )
+
+
+def stem_text_col(text: Column | str, split_re: str = TOKEN_SPLIT_RE) -> Column:
+    """The document text re-rendered as its S-stemmed token stream
+    (space-joined).  Stemmed tokens contain no separators, so the result
+    re-tokenizes to exactly the stemmed tokens — which lets any scorer in
+    the engine run over the stemmed vocabulary by normalizing the text
+    column, with zero changes to the scoring kernels (df/dl/idf all fall
+    out of the stemmed stream, the Lucene one-analyzer-both-sides
+    contract)."""
+    c = F.col(text) if isinstance(text, str) else text
+    toks = F.filter(tokens_col(c, split_re), lambda t: t != F.lit(""))
+    return F.array_join(F.transform(toks, sstem_token), " ")

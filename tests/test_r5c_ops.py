@@ -392,3 +392,86 @@ def test_dsir_random_vs_python_oracle(spark):
         }
         want = _py_dsir(rows, "tgt", 32, 0.5)
         assert got == want, f"seed={seed}"
+
+
+# ---------------------------------------------------------------------------
+# S-stemmer / stemmed BM25 / pseudo-relevance feedback
+
+
+def _py_sstem(t):
+    if len(t) < 4:
+        return t
+    if t.endswith("ies") and not t.endswith(("eies", "aies")):
+        return t[:-3] + "y"
+    if t.endswith("es") and not t.endswith(("aes", "ees", "oes")):
+        return t[:-1]
+    if t.endswith("s") and not (t.endswith("us") or t.endswith("ss")):
+        return t[:-1]
+    return t
+
+
+def test_sstem_token_matches_python(spark):
+    from igd_spark.tokenizer import sstem_token
+
+    words = [
+        "tables", "queries", "bodies", "indexes", "trees", "toes",
+        "agrees", "pass", "gas", "us", "its", "is", "series", "bus",
+        "classes", "buses", "flies", "goes", "shoes", "aliases", "table",
+    ]
+    df = spark.createDataFrame([(w,) for w in words], "w string")
+    got = {
+        r["w"]: r["s"]
+        for r in df.select("w", sstem_token(F.col("w")).alias("s")).collect()
+    }
+    assert got == {w: _py_sstem(w) for w in words}
+
+
+def test_stemmed_bm25_conflates_plurals(spark):
+    from igd_spark import stemmed_bm25_topk
+    from igd_spark.search import exact_bm25_topk
+
+    rows = [
+        (1, "the table holds rows", "s"),
+        (2, "many tables hold many rows", "s"),
+        (3, "unrelated content here", "s"),
+    ]
+    docs = _docs_df(spark, rows)
+    qs = _queries(spark, [(0, "tables")])
+    plain = {r["doc_id"] for r in exact_bm25_topk(docs, qs, k=10).collect()}
+    stemmed = {r["doc_id"] for r in stemmed_bm25_topk(docs, qs, k=10).collect()}
+    assert plain == {2}            # literal match only
+    assert stemmed == {1, 2}       # 'tables' ~ 'table' after stemming
+
+
+def test_prf_expands_to_cooccurring_terms(spark):
+    from igd_spark import prf_bm25_topk
+    from igd_spark.search import exact_bm25_topk
+
+    # 'alpha' docs also contain 'omega'; doc 4 has ONLY 'omega' — plain
+    # BM25 can never return it for query 'alpha', PRF can
+    rows = [
+        (1, "alpha omega one", "s"),
+        (2, "alpha omega two", "s"),
+        (3, "alpha omega three", "s"),
+        (4, "omega four entirely", "s"),
+        (5, "unrelated filler text", "s"),
+    ]
+    docs = _docs_df(spark, rows)
+    qs = _queries(spark, [(0, "alpha")])
+    plain = {r["doc_id"] for r in exact_bm25_topk(docs, qs, k=10).collect()}
+    assert 4 not in plain
+    prf = {
+        r["doc_id"]
+        for r in prf_bm25_topk(
+            docs, qs, k=10, fb_docs=3, fb_terms=3, orig_weight=0.6
+        ).collect()
+    }
+    assert 4 in prf
+    # zero-hit query -> no feedback evidence -> no rows
+    qz = _queries(spark, [(1, "zzznotaword")])
+    assert prf_bm25_topk(docs, qz, k=10, fb_docs=3, fb_terms=3).count() == 0
+
+    with pytest.raises(ValueError):
+        prf_bm25_topk(docs, qs, fb_docs=0)
+    with pytest.raises(ValueError):
+        prf_bm25_topk(docs, qs, orig_weight=0.0)
