@@ -162,6 +162,7 @@ RSMP_SEED = 11                # random_sampler deterministic hash seed
 PRF_FB_DOCS = 5               # pseudo-relevance feedback: assumed-relevant docs
 PRF_FB_TERMS = 5              # expansion terms kept from the relevance model
 PRF_ORIG_W = 0.6              # RM3 interpolation weight on the original query
+PROX_W = 2.0                  # MinDist proximity boost weight
 PCTR_VALUES = (175.0, 306.0, 419.0)  # percentile_ranks cut points (quartiles)
 RARE_MAX_DC = 21              # rare_terms max_doc_count (binds non-vacuously:
                               # match-set source counts span 14..25 at sf0.01)
@@ -3625,6 +3626,16 @@ def q_prf_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_proximity_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # MinDist proximity-boosted BM25 (Tao & Zhai 2007)
+    from igd_spark import proximity_bm25_topk
+
+    return proximity_bm25_topk(
+        _docs(spark, sf_dir), _queries_df(spark), k=K,
+        prox_weight=PROX_W, round_dp=6,
+    )
+
+
 def q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     # DSIR (Xie et al. 2023): hashed-ngram importance weights vs a target domain
     from igd_spark import dsir_weights
@@ -3665,6 +3676,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "parent_agg_indexed": q_parent_agg_indexed,
         "stemmed_bm25_topk": q_stemmed_bm25_topk,
         "prf_bm25_topk": q_prf_bm25_topk,
+        "proximity_bm25_topk": q_proximity_bm25_topk,
         "random_sampler_agg": q_random_sampler_agg,
         "random_sampler_agg_indexed": q_random_sampler_agg_indexed,
         "phrase_suggest": q_phrase_suggest,
@@ -7686,6 +7698,38 @@ ranked AS (
   SELECT query_id, doc_id, round(s, 6) AS score,
          row_number() OVER (PARTITION BY query_id
                             ORDER BY round(s, 6) DESC, doc_id ASC)::INT AS rank
+  FROM scored)
+SELECT query_id, rank, doc_id, score FROM ranked WHERE rank <= {K}
+"""
+
+    sql["proximity_bm25_topk"] = f"""
+WITH {_TL}, {_TOKS}, {_POST}, {_DL}, {_CS}, {_TS}, {_QT},
+base AS (
+  SELECT qt.query_id, p.doc_id, sum({_W}) AS s
+  FROM qterms qt JOIN ts USING (term) JOIN post p USING (term)
+  JOIN dl ON p.doc_id = dl.doc_id CROSS JOIN cs
+  GROUP BY 1, 2),
+pp AS (SELECT doc_id, i - 1 AS pos, tl[i] AS term
+       FROM (SELECT doc_id, tl, unnest(generate_series(1, len(tl))) AS i
+             FROM tldocs)),
+qpos AS (SELECT qt.query_id, pp.doc_id, pp.term, pp.pos
+         FROM pp JOIN qterms qt USING (term)),
+dmin AS (
+  SELECT a.query_id, a.doc_id, a.term AS t1, b.term AS t2,
+         min(abs(a.pos - b.pos)) AS dmin
+  FROM qpos a JOIN qpos b
+    ON a.query_id = b.query_id AND a.doc_id = b.doc_id AND a.term < b.term
+  GROUP BY 1, 2, 3, 4),
+prox AS (SELECT query_id, doc_id, sum(1.0 / (1.0 + dmin)) AS prox
+         FROM dmin GROUP BY 1, 2),
+scored AS (
+  SELECT base.query_id, base.doc_id,
+         round(base.s + {PROX_W} * coalesce(prox.prox, 0.0), 6) AS score
+  FROM base LEFT JOIN prox USING (query_id, doc_id)),
+ranked AS (
+  SELECT query_id, doc_id, score,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY score DESC, doc_id ASC)::INT AS rank
   FROM scored)
 SELECT query_id, rank, doc_id, score FROM ranked WHERE rank <= {K}
 """

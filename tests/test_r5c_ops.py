@@ -475,3 +475,31 @@ def test_prf_expands_to_cooccurring_terms(spark):
         prf_bm25_topk(docs, qs, fb_docs=0)
     with pytest.raises(ValueError):
         prf_bm25_topk(docs, qs, orig_weight=0.0)
+
+
+def test_proximity_boost_reorders_bag_of_words_ties(spark):
+    from igd_spark import proximity_bm25_topk
+    from igd_spark.search import exact_bm25_topk
+
+    # identical bags of words, different adjacency: BM25 ties them;
+    # proximity must rank the adjacent one first
+    rows = [
+        (1, "alpha beta filler filler filler filler", "s"),
+        (2, "alpha filler filler filler filler beta", "s"),
+        (3, "no relevant words at all here", "s"),
+    ]
+    docs = _docs_df(spark, rows)
+    qs = _queries(spark, [(0, "alpha beta")])
+    plain = exact_bm25_topk(docs, qs, k=10).collect()
+    s = {r["doc_id"]: round(r["score"], 6) for r in plain}
+    assert s[1] == s[2]  # pure BM25 cannot separate them
+    prox = sorted(
+        proximity_bm25_topk(docs, qs, k=10, prox_weight=2.0).collect(),
+        key=lambda r: r["rank"],
+    )
+    assert [r["doc_id"] for r in prox[:2]] == [1, 2]
+    # adjacent pair: dmin=1 -> boost 2*(1/2)=1.0; far pair: dmin=5 -> 2/6
+    assert prox[0]["score"] - prox[1]["score"] == pytest.approx(1.0 - 2.0 / 6.0, abs=1e-6)
+
+    with pytest.raises(ValueError):
+        proximity_bm25_topk(docs, qs, prox_weight=-1.0)
