@@ -3636,6 +3636,15 @@ def q_proximity_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_proximity_bm25_topk_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from igd_spark import proximity_bm25_topk_indexed
+
+    return proximity_bm25_topk_indexed(
+        spark, _built_index(spark, sf_dir), _queries_df(spark), k=K,
+        prox_weight=PROX_W, round_dp=6,
+    )
+
+
 def q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     # DSIR (Xie et al. 2023): hashed-ngram importance weights vs a target domain
     from igd_spark import dsir_weights
@@ -3677,6 +3686,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stemmed_bm25_topk": q_stemmed_bm25_topk,
         "prf_bm25_topk": q_prf_bm25_topk,
         "proximity_bm25_topk": q_proximity_bm25_topk,
+        "proximity_bm25_topk_indexed": q_proximity_bm25_topk_indexed,
         "random_sampler_agg": q_random_sampler_agg,
         "random_sampler_agg_indexed": q_random_sampler_agg_indexed,
         "phrase_suggest": q_phrase_suggest,
@@ -7733,6 +7743,8 @@ ranked AS (
   FROM scored)
 SELECT query_id, rank, doc_id, score FROM ranked WHERE rank <= {K}
 """
+
+    sql["proximity_bm25_topk_indexed"] = sql["proximity_bm25_topk"]
 
     sql["prf_bm25_topk"] = f"""
 WITH {_TL}, {_TOKS}, {_POST}, {_DL}, {_CS}, {_TS}, {_QT},

@@ -4687,6 +4687,19 @@ def proximity_bm25_topk(
     qpos = pp.join(
         F.broadcast(qt.select("query_id", "term").distinct()), "term"
     ).select("query_id", "doc_id", "term", "pos")
+    return _prox_epilogue(base, qpos, prox_weight, k, round_dp)
+
+
+def _prox_epilogue(
+    base: DataFrame,
+    qpos: DataFrame,
+    prox_weight: float,
+    k: int,
+    round_dp: int | None,
+) -> DataFrame:
+    """Shared MinDist boost: ``base`` = (query_id, doc_id, score) BM25,
+    ``qpos`` = (query_id, doc_id, term, pos) positions of QUERY terms
+    only — identical arithmetic for the corpus and indexed paths."""
     a, b = qpos.alias("a"), qpos.alias("b")
     dmin = (
         a.join(
@@ -4717,3 +4730,29 @@ def proximity_bm25_topk(
     if round_dp is not None:
         out = out.withColumn("score", F.round("score", round_dp))
     return rank_topk(out, k)
+
+
+def proximity_bm25_topk_indexed(
+    spark,
+    idx,
+    queries: DataFrame,
+    k: int = 10,
+    prox_weight: float = 2.0,
+    round_dp: int | None = None,
+) -> DataFrame:
+    """`proximity_bm25_topk` off the persisted index: BM25 from pruned
+    posting blocks (`_indexed_scored`) and positions from the pruned
+    positional blocks (`positional_enumerate`) — only the query terms'
+    blocks are read on either side; the corpus text is never in the
+    plan."""
+    from igd_spark.search import positional_enumerate
+    from igd_spark.search import query_terms as _qt
+
+    if prox_weight < 0.0:
+        raise ValueError(f"prox_weight must be >= 0, got {prox_weight}")
+    base = _indexed_scored(spark, idx, queries)
+    qt = _qt(queries)
+    qpos = positional_enumerate(spark, idx, queries, terms=qt).select(
+        "query_id", "doc_id", "term", "pos"
+    )
+    return _prox_epilogue(base, qpos, prox_weight, k, round_dp)

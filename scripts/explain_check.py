@@ -1077,6 +1077,21 @@ def main() -> int:
         f"scanned schemas: {rs_schemas}",
     )
 
+    # proximity: BM25 from pruned posting blocks + positions from pruned
+    # positional blocks — no corpus text on either side
+    from igd_spark import proximity_bm25_topk_indexed
+
+    pxbplan = fmt(
+        proximity_bm25_topk_indexed(spark, pidx, ql_q, k=5, prox_weight=2.0)
+    )
+    assert_pruned_scan("proximity_bm25_topk_indexed scan", pxbplan)
+    pxb_schemas = re.findall(r"ReadSchema: struct<([^>]*)>", pxbplan)
+    check(
+        "proximity_bm25_topk_indexed never scans the corpus text",
+        bool(pxb_schemas) and not any("text:" in s for s in pxb_schemas),
+        f"scanned schemas: {pxb_schemas}",
+    )
+
     n_fail = sum(1 for _, ok, _ in checks if not ok)
     print(f"\n{len(checks) - n_fail}/{len(checks)} plan checks passed")
     return 1 if n_fail else 0

@@ -503,3 +503,23 @@ def test_proximity_boost_reorders_bag_of_words_ties(spark):
 
     with pytest.raises(ValueError):
         proximity_bm25_topk(docs, qs, prox_weight=-1.0)
+
+
+def test_proximity_indexed_rank_identical(spark, tmp_path):
+    from igd_spark import (IndexConf, assign_doc_ids, build_index,
+                           proximity_bm25_topk, proximity_bm25_topk_indexed)
+    from igd_spark.corpus import synth_transcripts
+
+    conf = IndexConf(block_size=32, n_shards=8, store_positions=True)
+    docs = assign_doc_ids(synth_transcripts(spark, n_convs=80, seed=4), conf)
+    idx = build_index(spark, docs, str(tmp_path / "pidx"), conf=conf)
+    qs = _queries(spark, [(0, "error timeout"), (1, "merge sort"), (2, "zz")])
+    a = sorted(
+        (r["query_id"], r["rank"], r["doc_id"], r["score"])
+        for r in proximity_bm25_topk(docs, qs, k=7, round_dp=6).collect()
+    )
+    b = sorted(
+        (r["query_id"], r["rank"], r["doc_id"], r["score"])
+        for r in proximity_bm25_topk_indexed(spark, idx, qs, k=7, round_dp=6).collect()
+    )
+    assert a == b and len(a) > 0
