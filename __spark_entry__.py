@@ -3636,6 +3636,41 @@ def q_proximity_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_STEM_INDEX_CACHE: dict[str, object] = {}
+
+
+def _built_stemmed_index(spark: SparkSession, sf_dir: str):
+    """Index over the S-stemmed token stream — the analyzer applied at
+    BUILD time (the Lucene way), so the persisted vocabulary is stemmed
+    and queries stem at parse time.  The normalization seam is the text
+    column itself (tokenizer.stem_text_col): stemmed tokens re-tokenize
+    to themselves, so the standard build/search kernels run unchanged."""
+    from igd_spark import IndexConf, build_index
+    from igd_spark.tokenizer import stem_text_col
+
+    if sf_dir not in _STEM_INDEX_CACHE:
+        path = tempfile.mkdtemp(prefix="igd_sidx_") + "/idx"
+        conf = IndexConf(block_size=64, n_shards=16, salt_df_threshold=1024,
+                         max_salts=8)
+        sd = _docs(spark, sf_dir).withColumn("text", stem_text_col("text"))
+        _STEM_INDEX_CACHE[sf_dir] = build_index(spark, sd, path, conf=conf)
+    return _STEM_INDEX_CACHE[sf_dir]
+
+
+def q_stemmed_bm25_topk_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # the stemmed analyzer applied at BUILD time; rank-identical to the
+    # corpus-scan stemmed path, hence the same oracle
+    from igd_spark import search as _search_mod
+    from igd_spark.tokenizer import stem_text_col
+
+    idx = _built_stemmed_index(spark, sf_dir)
+    sq = _queries_df(spark).select(
+        "query_id", stem_text_col("query_text").alias("query_text")
+    )
+    out = _search_mod(spark, idx, sq, k=K + 15)
+    return _rank_rounded(out.select("query_id", "doc_id", "score"), K)
+
+
 def q_proximity_bm25_topk_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     from igd_spark import proximity_bm25_topk_indexed
 
@@ -3684,6 +3719,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "parent_agg": q_parent_agg,
         "parent_agg_indexed": q_parent_agg_indexed,
         "stemmed_bm25_topk": q_stemmed_bm25_topk,
+        "stemmed_bm25_topk_indexed": q_stemmed_bm25_topk_indexed,
         "prf_bm25_topk": q_prf_bm25_topk,
         "proximity_bm25_topk": q_proximity_bm25_topk,
         "proximity_bm25_topk_indexed": q_proximity_bm25_topk_indexed,
@@ -7745,6 +7781,7 @@ SELECT query_id, rank, doc_id, score FROM ranked WHERE rank <= {K}
 """
 
     sql["proximity_bm25_topk_indexed"] = sql["proximity_bm25_topk"]
+    sql["stemmed_bm25_topk_indexed"] = sql["stemmed_bm25_topk"]
 
     sql["prf_bm25_topk"] = f"""
 WITH {_TL}, {_TOKS}, {_POST}, {_DL}, {_CS}, {_TS}, {_QT},
