@@ -3626,6 +3626,16 @@ def q_prf_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_prf_bm25_topk_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from igd_spark import prf_bm25_topk_indexed
+
+    return prf_bm25_topk_indexed(
+        spark, _built_index(spark, sf_dir), _docs(spark, sf_dir),
+        _queries_df(spark), k=K, fb_docs=PRF_FB_DOCS,
+        fb_terms=PRF_FB_TERMS, orig_weight=PRF_ORIG_W, round_dp=6,
+    )
+
+
 def q_proximity_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # MinDist proximity-boosted BM25 (Tao & Zhai 2007)
     from igd_spark import proximity_bm25_topk
@@ -3721,6 +3731,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stemmed_bm25_topk": q_stemmed_bm25_topk,
         "stemmed_bm25_topk_indexed": q_stemmed_bm25_topk_indexed,
         "prf_bm25_topk": q_prf_bm25_topk,
+        "prf_bm25_topk_indexed": q_prf_bm25_topk_indexed,
         "proximity_bm25_topk": q_proximity_bm25_topk,
         "proximity_bm25_topk_indexed": q_proximity_bm25_topk_indexed,
         "random_sampler_agg": q_random_sampler_agg,
@@ -7829,6 +7840,7 @@ ranked AS (
   FROM s2)
 SELECT query_id, rank, doc_id, score FROM ranked WHERE rank <= {K}
 """
+    sql["prf_bm25_topk_indexed"] = sql["prf_bm25_topk"]
 
     _rsmp_thr = int(RSMP_P * float(1 << 60))
     _rsmp_h = _H60.format(expr=f"('{RSMP_SEED}:' || doc_id::VARCHAR)")

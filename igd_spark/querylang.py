@@ -4756,3 +4756,98 @@ def proximity_bm25_topk_indexed(
         "query_id", "doc_id", "term", "pos"
     )
     return _prox_epilogue(base, qpos, prox_weight, k, round_dp)
+
+
+def prf_bm25_topk_indexed(
+    spark,
+    idx,
+    docs: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    fb_docs: int = 5,
+    fb_terms: int = 5,
+    orig_weight: float = 0.6,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    round_dp: int | None = None,
+) -> DataFrame:
+    """`prf_bm25_topk` off the persisted index.  Pass 1 scores from
+    pruned posting blocks (`_indexed_scored`); the relevance model
+    re-analyzes ONLY the feedback documents (queries × fb_docs rows —
+    the significant_text hits-re-analysis contract, so the corpus text
+    is read for feedback docs alone); pass 2 re-scores through the same
+    pruned-block join with the RM3 interpolation weights folded into the
+    per-(query, term) idf (the `qidf` seam — sound because the BM25
+    summand is linear in idf).  Rank-identical to the corpus variant by
+    construction: same floors, same 9-dp relevance-model rounding, same
+    tie-breaks."""
+    from igd_spark.stats import doc_stats as _ds_fn
+
+    if fb_docs <= 0 or fb_terms < 0:
+        raise ValueError(
+            f"need fb_docs > 0 and fb_terms >= 0, got ({fb_docs}, {fb_terms})"
+        )
+    if not 0.0 < orig_weight <= 1.0:
+        raise ValueError(f"orig_weight must be in (0, 1], got {orig_weight}")
+    qt = query_terms(queries)
+    s1 = _indexed_scored(spark, idx, queries).withColumn(
+        "score", F.round("score", 6)
+    )
+    wfb = Window.partitionBy("query_id").orderBy(
+        F.desc("score"), F.asc("doc_id")
+    )
+    fb = (
+        s1.withColumn("rn", F.row_number().over(wfb))
+        .filter(F.col("rn") <= int(fb_docs))
+        .select("query_id", "doc_id")
+    )
+    fb_ids = fb.select("doc_id").distinct()
+    fbd = docs.join(
+        fb_ids.withColumnRenamed("doc_id", "_fid"),
+        docs[id_col] == F.col("_fid"),
+        "left_semi",
+    )
+    post_fb = postings(fbd, text_col=text_col, id_col=id_col, conf=idx.conf)
+    ds_fb = _ds_fn(fbd, text_col=text_col, id_col=id_col, conf=idx.conf)
+    rm = (
+        post_fb.join(fb, "doc_id")
+        .join(ds_fb.select("doc_id", "dl"), "doc_id")
+        .groupBy("query_id", "term")
+        .agg(F.round(F.sum(F.col("tf") / F.col("dl")), 9).alias("w"))
+        .join(qt, ["query_id", "term"], "left_anti")
+    )
+    wrm = Window.partitionBy("query_id").orderBy(F.desc("w"), F.asc("term"))
+    sel = rm.withColumn("rn", F.row_number().over(wrm)).filter(
+        F.col("rn") <= int(fb_terms)
+    )
+    wsum = Window.partitionBy("query_id")
+    fbw = sel.select(
+        "query_id",
+        "term",
+        (F.lit(1.0 - orig_weight) * F.col("w") / F.sum("w").over(wsum)).alias(
+            "weight"
+        ),
+    )
+    n_orig = qt.groupBy("query_id").agg(F.count("*").alias("nq"))
+    ow = qt.join(F.broadcast(n_orig), "query_id").select(
+        "query_id",
+        "term",
+        (F.lit(float(orig_weight)) / F.col("nq")).alias("weight"),
+    )
+    expanded = ow.unionByName(fbw)
+    qidf = (
+        idx.dictionary.join(
+            F.broadcast(expanded), "term"
+        ).select(
+            "query_id",
+            "term",
+            (idf_col(idx.n_docs, "df") * F.col("weight")).alias("idf"),
+        )
+    )
+    s2 = _indexed_scored(
+        spark, idx, queries,
+        qterms=expanded.select("query_id", "term"), qidf=qidf,
+    )
+    if round_dp is not None:
+        s2 = s2.withColumn("score", F.round("score", round_dp))
+    return rank_topk(s2, k)

@@ -1092,6 +1092,21 @@ def main() -> int:
         f"scanned schemas: {pxb_schemas}",
     )
 
+    # PRF: both scoring passes ride pruned blocks; the corpus text appears
+    # only for the re-analyzed FEEDBACK docs (the significant_text
+    # contract) — assert pruning + no cartesian
+    from igd_spark import prf_bm25_topk_indexed
+
+    prfplan = fmt(
+        prf_bm25_topk_indexed(spark, idx, docs, ql_q, k=5, fb_docs=3,
+                              fb_terms=3)
+    )
+    assert_pruned_scan("prf_bm25_topk_indexed scan", prfplan)
+    check(
+        "prf_bm25_topk_indexed: no cartesian product",
+        "CartesianProduct" not in prfplan,
+    )
+
     n_fail = sum(1 for _, ok, _ in checks if not ok)
     print(f"\n{len(checks) - n_fail}/{len(checks)} plan checks passed")
     return 1 if n_fail else 0

@@ -523,3 +523,27 @@ def test_proximity_indexed_rank_identical(spark, tmp_path):
         for r in proximity_bm25_topk_indexed(spark, idx, qs, k=7, round_dp=6).collect()
     )
     assert a == b and len(a) > 0
+
+
+def test_prf_indexed_rank_identical(spark, tmp_path):
+    from igd_spark import (IndexConf, assign_doc_ids, build_index,
+                           prf_bm25_topk, prf_bm25_topk_indexed)
+    from igd_spark.corpus import synth_transcripts
+
+    conf = IndexConf(block_size=32, n_shards=8)
+    docs = assign_doc_ids(synth_transcripts(spark, n_convs=80, seed=4), conf)
+    idx = build_index(spark, docs, str(tmp_path / "prfidx"), conf=conf)
+    qs = _queries(spark, [(0, "error timeout"), (1, "merge sort"), (2, "zz")])
+    a = sorted(
+        (r["query_id"], r["rank"], r["doc_id"], r["score"])
+        for r in prf_bm25_topk(
+            docs, qs, k=7, fb_docs=4, fb_terms=4, round_dp=6
+        ).collect()
+    )
+    b = sorted(
+        (r["query_id"], r["rank"], r["doc_id"], r["score"])
+        for r in prf_bm25_topk_indexed(
+            spark, idx, docs, qs, k=7, fb_docs=4, fb_terms=4, round_dp=6
+        ).collect()
+    )
+    assert a == b and len(a) > 0
