@@ -134,6 +134,9 @@ BSEL_MIN_DOCS = 22            # bucket_selector keep-threshold (binds: drops ~ha
 BSORT_SIZE = 5                # bucket_sort per-query truncation
 HC_MIN_CHILDREN = 2           # has_child min_children bound
 LMJM_LAMBDA = 0.3             # LM Jelinek-Mercer smoothing weight
+DFR_C = 1.0                   # DFR/IB H2 length-normalization strength
+INV_LN2 = 1.4426950408889634  # shared log2 literal (querylang._INV_LN2)
+TWO_PI = 6.283185307179586    # shared 2π literal (querylang._TWO_PI)
 AUTODH_TARGET = 10            # auto_date_histogram bucket budget
 DUP_SPAN_LEN = 8              # exact-substring dedup window (tokens)
 FUNNEL_STEPS = ("signup", "click", "purchase")  # funnel step sequence
@@ -2205,6 +2208,57 @@ def q_lm_jm_topk_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dfi_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # divergence-from-independence (Lucene DFISimilarity, standardized)
+    from igd_spark import dfi_topk
+
+    return dfi_topk(_docs(spark, sf_dir), _queries_df(spark), k=K, round_dp=6)
+
+
+def q_dfi_topk_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from igd_spark import dfi_topk_indexed
+
+    return dfi_topk_indexed(
+        spark, _built_index(spark, sf_dir), _queries_df(spark), k=K, round_dp=6
+    )
+
+
+def q_dfr_pl2_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # DFR PL2 (Poisson / Laplace / H2 — the Terrier default)
+    from igd_spark import dfr_pl2_topk
+
+    return dfr_pl2_topk(
+        _docs(spark, sf_dir), _queries_df(spark), c=DFR_C, k=K, round_dp=6
+    )
+
+
+def q_dfr_pl2_topk_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from igd_spark import dfr_pl2_topk_indexed
+
+    return dfr_pl2_topk_indexed(
+        spark, _built_index(spark, sf_dir), _queries_df(spark),
+        c=DFR_C, k=K, round_dp=6,
+    )
+
+
+def q_ib_ll_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # information-based, log-logistic (Lucene IBSimilarity LL/df/H2)
+    from igd_spark import ib_ll_topk
+
+    return ib_ll_topk(
+        _docs(spark, sf_dir), _queries_df(spark), c=DFR_C, k=K, round_dp=6
+    )
+
+
+def q_ib_ll_topk_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from igd_spark import ib_ll_topk_indexed
+
+    return ib_ll_topk_indexed(
+        spark, _built_index(spark, sf_dir), _queries_df(spark),
+        c=DFR_C, k=K, round_dp=6,
+    )
+
+
 def q_rare_terms_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     # ES rare_terms: long-tail source values (<= RARE_MAX_DC matching docs)
     from igd_spark import rare_terms_agg
@@ -3716,6 +3770,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # FIRST 50 entries per round, so entries lead in driver-staleness
         # order (never-driver-verified first, then least-recently green).
         # Re-rotate each round from CORRECTNESS_r{N}.json (VERDICT r4 #1).
+        "dfi_topk": q_dfi_topk,
+        "dfi_topk_indexed": q_dfi_topk_indexed,
+        "dfr_pl2_topk": q_dfr_pl2_topk,
+        "dfr_pl2_topk_indexed": q_dfr_pl2_topk_indexed,
+        "ib_ll_topk": q_ib_ll_topk,
+        "ib_ll_topk_indexed": q_ib_ll_topk_indexed,
         "change_point_agg": q_change_point_agg,
         "change_point_agg_indexed": q_change_point_agg_indexed,
         "variable_width_histogram_agg": q_variable_width_histogram_agg,
@@ -6154,6 +6214,79 @@ ranked AS (
 SELECT query_id, rank, doc_id, score FROM ranked WHERE rank <= {K}
 """
     sql["lm_jm_topk_indexed"] = sql["lm_jm_topk"]
+
+    # DFI (standardized): e = (cf+1)·dl/(total+1); contrib log2(1+(tf−e)/√e)
+    # only when tf > e.  Same 1/ln2 literal as the Spark plan.
+    sql["dfi_topk"] = f"""
+WITH {_TL}, {_TOKS}, {_POST}, {_DL}, {_QT},
+cf AS (SELECT term, sum(tf)::BIGINT AS cf FROM post GROUP BY 1),
+tot AS (SELECT sum(dl)::BIGINT AS total FROM dl),
+hits AS (
+  SELECT qt.query_id, p.doc_id, p.tf,
+         (cf.cf + 1.0) * dl.dl / (tot.total + 1) AS e
+  FROM qterms qt JOIN post p USING (term) JOIN cf USING (term)
+  JOIN dl ON p.doc_id = dl.doc_id CROSS JOIN tot),
+scored AS (
+  SELECT query_id, doc_id,
+         sum(CASE WHEN tf > e
+             THEN {INV_LN2!r} * ln(1.0 + (tf - e) / sqrt(e))
+             ELSE 0.0 END) AS s
+  FROM hits GROUP BY 1, 2),
+ranked AS (
+  SELECT query_id, doc_id, round(s, 6) AS score,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY round(s, 6) DESC, doc_id ASC)::INT AS rank
+  FROM scored)
+SELECT query_id, rank, doc_id, score FROM ranked WHERE rank <= {K}
+"""
+    sql["dfi_topk_indexed"] = sql["dfi_topk"]
+
+    # DFR PL2: tfn = tf·log2(1 + c·avgdl/dl), λ = cf/N, per-term weight
+    # (tfn·log2(tfn/λ) + (λ−tfn)·log2(e) + ½log2(2π·tfn)) / (tfn+1), clamped ≥0
+    sql["dfr_pl2_topk"] = f"""
+WITH {_TL}, {_TOKS}, {_POST}, {_DL}, {_CS}, {_QT},
+cf AS (SELECT term, sum(tf)::BIGINT AS cf FROM post GROUP BY 1),
+hits AS (
+  SELECT qt.query_id, p.doc_id,
+         p.tf * {INV_LN2!r} * ln(1.0 + {DFR_C!r} * cs.avgdl / dl.dl) AS tfn,
+         cf.cf / cs.n_docs AS lam
+  FROM qterms qt JOIN post p USING (term) JOIN cf USING (term)
+  JOIN dl ON p.doc_id = dl.doc_id CROSS JOIN cs),
+scored AS (
+  SELECT query_id, doc_id,
+         sum(greatest(0.0,
+             {INV_LN2!r} * (tfn * ln(tfn / lam) + (lam - tfn)
+                            + 0.5 * ln({TWO_PI!r} * tfn)) / (tfn + 1.0))) AS s
+  FROM hits GROUP BY 1, 2),
+ranked AS (
+  SELECT query_id, doc_id, round(s, 6) AS score,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY round(s, 6) DESC, doc_id ASC)::INT AS rank
+  FROM scored)
+SELECT query_id, rank, doc_id, score FROM ranked WHERE rank <= {K}
+"""
+    sql["dfr_pl2_topk_indexed"] = sql["dfr_pl2_topk"]
+
+    # IB log-logistic: λ = (df+1)/(N+1), contrib = log2(1 + tfn/λ)
+    sql["ib_ll_topk"] = f"""
+WITH {_TL}, {_TOKS}, {_POST}, {_DL}, {_CS}, {_TS}, {_QT},
+hits AS (
+  SELECT qt.query_id, p.doc_id,
+         p.tf * {INV_LN2!r} * ln(1.0 + {DFR_C!r} * cs.avgdl / dl.dl) AS tfn,
+         (ts.df + 1.0) / (cs.n_docs + 1) AS lam
+  FROM qterms qt JOIN post p USING (term) JOIN ts USING (term)
+  JOIN dl ON p.doc_id = dl.doc_id CROSS JOIN cs),
+scored AS (
+  SELECT query_id, doc_id, sum({INV_LN2!r} * ln(1.0 + tfn / lam)) AS s
+  FROM hits GROUP BY 1, 2),
+ranked AS (
+  SELECT query_id, doc_id, round(s, 6) AS score,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY round(s, 6) DESC, doc_id ASC)::INT AS rank
+  FROM scored)
+SELECT query_id, rank, doc_id, score FROM ranked WHERE rank <= {K}
+"""
+    sql["ib_ll_topk_indexed"] = sql["ib_ll_topk"]
 
     # rare_terms: long-tail source values over the match set
     sql["rare_terms_agg"] = f"""

@@ -43,6 +43,12 @@ import pandas as pd
 from igd_spark import codec
 from igd_spark.build import shards_for
 
+# Same shared double literals as querylang (_INV_LN2/_TWO_PI there): every
+# engine expresses log2 as ln·(1/ln2) with this exact constant so 6-dp
+# rounding never straddles an engine-specific log2.
+_INV_LN2 = 1.4426950408889634
+_TWO_PI = 6.283185307179586
+
 _EMPTY_BATCH = pd.DataFrame(
     {
         "query_id": pd.Series(dtype="int64"),
@@ -566,14 +572,20 @@ class LocalSearcher:
     ) -> pd.DataFrame:
         """(query_id, rank, doc_id, score) — exact top-k under an
         alternative similarity, in-process.  ``model``: "tfidf" (Lucene
-        ClassicSimilarity: sqrt(tf)·(1+ln(N/(df+1)))²/√dl) or "lm_jm"
-        (Jelinek-Mercer: ln(1 + ((1−λ)tf/dl)/(λ·cf/total))).  df and cf
-        are computed FROM the decoded (tombstone-filtered) lists — the
+        ClassicSimilarity: sqrt(tf)·(1+ln(N/(df+1)))²/√dl), "lm_jm"
+        (Jelinek-Mercer: ln(1 + ((1−λ)tf/dl)/(λ·cf/total))), "dfi"
+        (divergence from independence, standardized), "pl2" (DFR
+        Poisson/Laplace/H2 — ``lam`` carries the H2 strength c), or
+        "ib_ll" (information-based, log-logistic, ``lam`` = c).  df and
+        cf are computed FROM the decoded (tombstone-filtered) lists — the
         same statistics the cluster twin derives from enumerated pruned
-        blocks, so rank identity holds under deletes; N and total tokens
-        come from the frozen corpus metadata, like the cluster path.
-        These models have no block-max bound, so the full match map is
-        scored (that is exactly what the admission budget priced)."""
+        blocks, so rank identity holds under deletes; N, avgdl and total
+        tokens come from the frozen corpus metadata, like the cluster
+        path.  The numpy expressions mirror querylang's Catalyst trees
+        operation-for-operation (same shared 1/ln2 and 2π literals, same
+        grouping) so 6-dp rounding never straddles engines.  These models
+        have no block-max bound, so the full match map is scored (that is
+        exactly what the admission budget priced)."""
         conf = self.conf
         per_q: dict[int, set[str]] = {}
         for qid, text in queries:
@@ -595,14 +607,20 @@ class LocalSearcher:
         if not tmap:
             return empty
         self._ensure_lists(tmap)
-        if model == "lm_jm":
-            if not (0.0 < lam < 1.0):
+        total = 0.0
+        if model in ("lm_jm", "dfi"):
+            if model == "lm_jm" and not (0.0 < lam < 1.0):
                 raise ValueError(f"lambda must be in (0, 1), got {lam}")
             total = float(self.idx.meta["corpus"].get("sum_dl", 0))
             if total <= 0:
                 raise ValueError("index metadata lacks exact sum_dl")
+        elif model in ("pl2", "ib_ll"):
+            avgdl = float(self.idx.meta["corpus"]["avgdl"])
+            c_avgdl = lam * avgdl  # folded exactly like querylang._h2_tfn
         elif model != "tfidf":
-            raise ValueError(f"model must be tfidf|lm_jm, got {model!r}")
+            raise ValueError(
+                f"model must be tfidf|lm_jm|dfi|pl2|ib_ll, got {model!r}"
+            )
         contrib: dict[str, tuple[np.ndarray, np.ndarray]] = {}
         for t, (tid, _df_dict, _) in tmap.items():
             d, tf, dl = self._list_cache[tid]
@@ -611,9 +629,34 @@ class LocalSearcher:
             if model == "tfidf":
                 idf = 1.0 + np.log(self.n_docs / (d.size + 1.0))
                 w = np.sqrt(tf) * (idf * idf) / np.sqrt(dl)
-            else:
+            elif model == "lm_jm":
                 cf = float(tf.sum())
                 w = np.log1p(((1.0 - lam) * tf / dl) / (lam * cf / total))
+            elif model == "dfi":
+                cf = float(tf.sum())
+                e = (cf + 1.0) * dl / float(total + 1)
+                mask = tf > e
+                w = np.zeros(d.size, dtype=np.float64)
+                # masked: log(1+m) is only defined where tf > e (m > 0)
+                m = (tf[mask] - e[mask]) / np.sqrt(e[mask])
+                w[mask] = _INV_LN2 * np.log(1.0 + m)
+            elif model == "pl2":
+                tfn = tf * _INV_LN2 * np.log(1.0 + c_avgdl / dl)
+                lamt = float(tf.sum()) / float(self.n_docs)
+                w = np.maximum(
+                    0.0,
+                    _INV_LN2
+                    * (
+                        tfn * np.log(tfn / lamt)
+                        + (lamt - tfn)
+                        + 0.5 * np.log(_TWO_PI * tfn)
+                    )
+                    / (tfn + 1.0),
+                )
+            else:  # ib_ll
+                tfn = tf * _INV_LN2 * np.log(1.0 + c_avgdl / dl)
+                lamt = (d.size + 1.0) / float(self.n_docs + 1)
+                w = _INV_LN2 * np.log(1.0 + tfn / lamt)
             contrib[t] = (d, w)
         rows = []
         for qid in sorted(per_q):

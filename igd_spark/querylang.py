@@ -4004,6 +4004,279 @@ def lm_jelinek_mercer_topk_indexed(
     return rank_topk(_maybe_round(_lmjm_scored(hits, lam, total), round_dp), k)
 
 
+# 1/ln2 and 2π as SHARED double literals: every engine (Catalyst, DuckDB,
+# the numpy kernel) expresses log2 as ln·_INV_LN2 with this exact constant,
+# so the gate's 6-dp rounding never straddles an engine-specific log2.
+_INV_LN2 = 1.4426950408889634
+_TWO_PI = 6.283185307179586
+
+
+def _sim_corpus_hits(
+    docs: DataFrame,
+    queries: DataFrame,
+    conf: IndexConf,
+    text_col: str,
+    id_col: str,
+) -> tuple[DataFrame, int, float, int]:
+    """Shared corpus-path prologue of the alternative-similarity scorers:
+    (hits, n_docs, avgdl, total_tokens) where hits is EVERY posting of
+    every matched query term joined with document length (that
+    completeness is what makes the per-(query, term) window sums below
+    the true collection statistics), and the three scalars come from ONE
+    stats job."""
+    post = postings(docs, text_col=text_col, id_col=id_col, conf=conf)
+    ds = doc_stats(docs, text_col=text_col, id_col=id_col, conf=conf)
+    row = corpus_stats(ds).collect()[0]
+    qt = query_terms(queries)
+    hits = (
+        post.join(F.broadcast(qt), "term")
+        .join(ds, "doc_id")
+        .select("query_id", "term", "doc_id", "tf", "dl")
+    )
+    return hits, int(row["n_docs"]), float(row["avgdl"]), int(row["sum_dl"])
+
+
+def _dfi_scored(hits: DataFrame, total_tokens: int) -> DataFrame:
+    """Shared DFI epilogue of both paths (Lucene DFISimilarity with the
+    standardized independence measure; Kocabaş, Dinçer & Karaoğlan 2014):
+    e = (cf+1)·dl/(total+1) is the expected tf under term-document
+    independence (Lucene's +1-smoothed expectation), and the per-term
+    contribution is log2(1 + (tf−e)/√e) when tf > e, else 0 — terms no
+    more frequent than chance contribute nothing, which doubles as the
+    non-negativity clamp that keeps the sum order-independent.  cf via
+    the same complete-postings window as LM-Dirichlet."""
+    wcf = Window.partitionBy("query_id", "term")
+    h = hits.withColumn("cf", F.sum("tf").over(wcf))
+    e = (
+        (F.col("cf") + F.lit(1.0))
+        * F.col("dl")
+        / F.lit(float(total_tokens + 1))
+    )
+    m = (F.col("tf") - e) / F.sqrt(e)
+    contrib = F.when(
+        F.col("tf") > e, F.lit(_INV_LN2) * F.log(F.lit(1.0) + m)
+    ).otherwise(F.lit(0.0))
+    return h.groupBy("query_id", "doc_id").agg(F.sum(contrib).alias("score"))
+
+
+def _h2_tfn(c_avgdl: float) -> Column:
+    """DFR/IB normalization H2: tfn = tf·log2(1 + c·avgdl/dl) — the
+    within-document frequency normalized to the expected frequency in a
+    document of average length (Amati & van Rijsbergen 2002).  c·avgdl is
+    folded to one Python double so both engines see one literal."""
+    return (
+        F.col("tf")
+        * F.lit(_INV_LN2)
+        * F.log(F.lit(1.0) + F.lit(c_avgdl) / F.col("dl"))
+    )
+
+
+def _pl2_scored(
+    hits: DataFrame, n_docs: int, avgdl: float, c: float
+) -> DataFrame:
+    """Shared DFR-PL2 epilogue of both paths (Poisson basic model, Laplace
+    after-effect, H2 normalization — the Terrier default DFR instance):
+    tfn = tf·log2(1 + c·avgdl/dl), λ = cf/N, per-term weight
+    (tfn·log2(tfn/λ) + (λ−tfn)·log2(e) + ½·log2(2π·tfn)) / (tfn+1),
+    clamped at 0 per TERM (the clamp keeps the sum order-independent; a
+    term as dense in the collection as in the document carries no
+    information).  Written in natural logs with the shared 1/ln2 literal."""
+    wcf = Window.partitionBy("query_id", "term")
+    h = hits.withColumn("cf", F.sum("tf").over(wcf))
+    tfn = _h2_tfn(c * avgdl)
+    lam = F.col("cf") / F.lit(float(n_docs))
+    w = (
+        F.lit(_INV_LN2)
+        * (
+            tfn * F.log(tfn / lam)
+            + (lam - tfn)
+            + F.lit(0.5) * F.log(F.lit(_TWO_PI) * tfn)
+        )
+        / (tfn + F.lit(1.0))
+    )
+    contrib = F.greatest(F.lit(0.0), w)
+    return h.groupBy("query_id", "doc_id").agg(F.sum(contrib).alias("score"))
+
+
+def _ib_ll_scored(
+    hits: DataFrame, n_docs: int, avgdl: float, c: float
+) -> DataFrame:
+    """Shared IB epilogue of both paths (Lucene IBSimilarity with the
+    log-logistic distribution, λ from document frequency, H2
+    normalization — Clinchant & Gaussier 2010): tfn as in PL2,
+    λ = (df+1)/(N+1), per-term contribution −log2(λ/(λ+tfn)) =
+    log2(1 + tfn/λ), always ≥ 0 for tf ≥ 1.  df is the per-(query, term)
+    window COUNT over the complete matched postings — the same statistic
+    the indexed path derives from enumerated pruned blocks, so rank
+    identity holds under deletes."""
+    wdf = Window.partitionBy("query_id", "term")
+    h = hits.withColumn("dfm", F.count("*").over(wdf))
+    tfn = _h2_tfn(c * avgdl)
+    lam = (F.col("dfm") + F.lit(1.0)) / F.lit(float(n_docs + 1))
+    contrib = F.lit(_INV_LN2) * F.log(F.lit(1.0) + tfn / lam)
+    return h.groupBy("query_id", "doc_id").agg(F.sum(contrib).alias("score"))
+
+
+def dfi_topk(
+    docs: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    conf: IndexConf = DEFAULT_CONF,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    round_dp: int | None = None,
+) -> DataFrame:
+    """Divergence-from-independence retrieval (Lucene DFISimilarity,
+    standardized independence): score = Σ_t [tf > e]·log2(1+(tf−e)/√e),
+    e = (cf+1)·dl/(total+1).  Parameter-free — the recommended similarity
+    when no tuning data exists; unlike BM25 it needs no k1/b and
+    penalizes nothing below the independence expectation.
+
+    Scale: identical plan to `lm_dirichlet_topk` — postings ⋈ broadcast
+    query terms ⋈ doc_stats, one window exchange on (query_id, term) for
+    cf over the matched postings, no vocab-sized side agg."""
+    hits, _, _, total = _sim_corpus_hits(docs, queries, conf, text_col, id_col)
+    return rank_topk(_maybe_round(_dfi_scored(hits, total), round_dp), k)
+
+
+def dfi_topk_indexed(
+    spark,
+    idx,
+    queries: DataFrame,
+    k: int = 10,
+    round_dp: int | None = None,
+    engine: str = "auto",
+) -> DataFrame:
+    """`dfi_topk` over a persisted index — enumerated pruned blocks supply
+    tf/dl/cf, metadata the exact total token count.  Same engine routing
+    as `tfidf_topk_indexed`."""
+    if engine != "spark":
+        routed = _try_sim_route(
+            spark, idx, queries, engine, "dfi", k, 0.0, round_dp
+        )
+        if routed is not None:
+            return routed
+    from igd_spark.search import match_enumerate
+
+    total = int(idx.meta["corpus"].get("sum_dl", 0))
+    if total <= 0:
+        raise ValueError(
+            "index metadata lacks exact sum_dl (pre-v2 layout?) — rebuild "
+            "or use dfi_topk (corpus-scan path)"
+        )
+    me = match_enumerate(spark, idx, queries, with_dl=True)
+    hits = me.select("query_id", "term", "doc_id", "tf", "dl")
+    return rank_topk(_maybe_round(_dfi_scored(hits, total), round_dp), k)
+
+
+def dfr_pl2_topk(
+    docs: DataFrame,
+    queries: DataFrame,
+    c: float = 1.0,
+    k: int = 10,
+    conf: IndexConf = DEFAULT_CONF,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    round_dp: int | None = None,
+) -> DataFrame:
+    """DFR PL2 retrieval (divergence from randomness: Poisson model,
+    Laplace after-effect, H2 length normalization — Amati & van
+    Rijsbergen 2002, the Terrier default).  ``c`` is the H2 length-
+    normalization strength (1.0 standard).
+
+    Scale: same plan as `lm_dirichlet_topk` — one (query_id, term) window
+    exchange for cf over the matched postings."""
+    hits, n_docs, avgdl, _ = _sim_corpus_hits(
+        docs, queries, conf, text_col, id_col
+    )
+    return rank_topk(
+        _maybe_round(_pl2_scored(hits, n_docs, avgdl, c), round_dp), k
+    )
+
+
+def dfr_pl2_topk_indexed(
+    spark,
+    idx,
+    queries: DataFrame,
+    c: float = 1.0,
+    k: int = 10,
+    round_dp: int | None = None,
+    engine: str = "auto",
+) -> DataFrame:
+    """`dfr_pl2_topk` over a persisted index — enumerated pruned blocks
+    supply tf/dl/cf; N and avgdl from the frozen corpus metadata.  Same
+    engine routing as `tfidf_topk_indexed`."""
+    if engine != "spark":
+        routed = _try_sim_route(
+            spark, idx, queries, engine, "pl2", k, c, round_dp
+        )
+        if routed is not None:
+            return routed
+    from igd_spark.search import match_enumerate
+
+    n_docs = int(idx.meta["corpus"]["n_docs"])
+    avgdl = float(idx.meta["corpus"]["avgdl"])
+    me = match_enumerate(spark, idx, queries, with_dl=True)
+    hits = me.select("query_id", "term", "doc_id", "tf", "dl")
+    return rank_topk(
+        _maybe_round(_pl2_scored(hits, n_docs, avgdl, c), round_dp), k
+    )
+
+
+def ib_ll_topk(
+    docs: DataFrame,
+    queries: DataFrame,
+    c: float = 1.0,
+    k: int = 10,
+    conf: IndexConf = DEFAULT_CONF,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    round_dp: int | None = None,
+) -> DataFrame:
+    """Information-based retrieval (Lucene IBSimilarity: log-logistic
+    distribution, λ from document frequency, H2 normalization — Clinchant
+    & Gaussier, SIGIR 2010): score = Σ_t log2(1 + tfn/λ) with
+    tfn = tf·log2(1 + c·avgdl/dl) and λ = (df+1)/(N+1).
+
+    Scale: same plan shape; the window statistic is a COUNT instead of a
+    SUM — still one (query_id, term) exchange over matched postings."""
+    hits, n_docs, avgdl, _ = _sim_corpus_hits(
+        docs, queries, conf, text_col, id_col
+    )
+    return rank_topk(
+        _maybe_round(_ib_ll_scored(hits, n_docs, avgdl, c), round_dp), k
+    )
+
+
+def ib_ll_topk_indexed(
+    spark,
+    idx,
+    queries: DataFrame,
+    c: float = 1.0,
+    k: int = 10,
+    round_dp: int | None = None,
+    engine: str = "auto",
+) -> DataFrame:
+    """`ib_ll_topk` over a persisted index — enumerated pruned blocks
+    supply tf/dl/df; N and avgdl from the frozen corpus metadata.  Same
+    engine routing as `tfidf_topk_indexed`."""
+    if engine != "spark":
+        routed = _try_sim_route(
+            spark, idx, queries, engine, "ib_ll", k, c, round_dp
+        )
+        if routed is not None:
+            return routed
+    from igd_spark.search import match_enumerate
+
+    n_docs = int(idx.meta["corpus"]["n_docs"])
+    avgdl = float(idx.meta["corpus"]["avgdl"])
+    me = match_enumerate(spark, idx, queries, with_dl=True)
+    hits = me.select("query_id", "term", "doc_id", "tf", "dl")
+    return rank_topk(
+        _maybe_round(_ib_ll_scored(hits, n_docs, avgdl, c), round_dp), k
+    )
+
+
 def _random_score_epilogue(
     m: DataFrame, seed: int, k: int, round_dp: int | None
 ) -> DataFrame:

@@ -12,6 +12,12 @@ from pyspark.sql import functions as F
 from igd_spark import (
     IndexConf,
     build_index,
+    dfi_topk,
+    dfi_topk_indexed,
+    dfr_pl2_topk,
+    dfr_pl2_topk_indexed,
+    ib_ll_topk,
+    ib_ll_topk_indexed,
     lm_jelinek_mercer_topk,
     lm_jelinek_mercer_topk_indexed,
     tfidf_topk,
@@ -121,3 +127,108 @@ def test_similarity_driver_route_rank_identity(spark, docs, sim_idx):
         ls.sim_topk_n(rows, model="bm11")
     with pytest.raises(ValueError):
         ls.sim_topk_n(rows, model="lm_jm", lam=1.5)
+
+
+_INV_LN2 = 1.4426950408889634
+_TWO_PI = 6.283185307179586
+
+
+def test_dfi_bruteforce(spark, docs):
+    post, ds, cs, ts = _stats(docs)
+    total = sum(ds.values())
+    out = dfi_topk(docs, _queries(spark, [(0, "error timeout")]), k=5).collect()
+    assert out and out[0]["rank"] == 1
+    cf = {
+        t: sum(tf for (tt, _), tf in post.items() if tt == t)
+        for t in ("error", "timeout")
+    }
+    for r in out:
+        expect = 0.0
+        for t in ("error", "timeout"):
+            tf = post.get((t, r["doc_id"]))
+            if tf:
+                e = (cf[t] + 1.0) * ds[r["doc_id"]] / (total + 1)
+                if tf > e:
+                    expect += _INV_LN2 * math.log(1.0 + (tf - e) / math.sqrt(e))
+        assert r["score"] == pytest.approx(expect, rel=1e-9)
+
+
+def test_dfr_pl2_bruteforce(spark, docs):
+    post, ds, cs, ts = _stats(docs)
+    c = 1.0
+    out = dfr_pl2_topk(
+        docs, _queries(spark, [(0, "error timeout")]), c=c, k=5
+    ).collect()
+    assert out and out[0]["rank"] == 1
+    cf = {
+        t: sum(tf for (tt, _), tf in post.items() if tt == t)
+        for t in ("error", "timeout")
+    }
+    for r in out:
+        expect = 0.0
+        for t in ("error", "timeout"):
+            tf = post.get((t, r["doc_id"]))
+            if tf:
+                tfn = tf * _INV_LN2 * math.log(
+                    1.0 + c * cs["avgdl"] / ds[r["doc_id"]]
+                )
+                lam = cf[t] / cs["n_docs"]
+                w = (
+                    _INV_LN2
+                    * (
+                        tfn * math.log(tfn / lam)
+                        + (lam - tfn)
+                        + 0.5 * math.log(_TWO_PI * tfn)
+                    )
+                    / (tfn + 1.0)
+                )
+                expect += max(0.0, w)
+        assert r["score"] == pytest.approx(expect, rel=1e-9)
+
+
+def test_ib_ll_bruteforce(spark, docs):
+    post, ds, cs, ts = _stats(docs)
+    c = 1.0
+    out = ib_ll_topk(
+        docs, _queries(spark, [(0, "error timeout")]), c=c, k=5
+    ).collect()
+    assert out and out[0]["rank"] == 1
+    for r in out:
+        expect = 0.0
+        for t in ("error", "timeout"):
+            tf = post.get((t, r["doc_id"]))
+            if tf:
+                tfn = tf * _INV_LN2 * math.log(
+                    1.0 + c * cs["avgdl"] / ds[r["doc_id"]]
+                )
+                lam = (ts[t] + 1.0) / (cs["n_docs"] + 1)
+                expect += _INV_LN2 * math.log(1.0 + tfn / lam)
+        assert r["score"] == pytest.approx(expect, rel=1e-9)
+
+
+def test_dfr_family_indexed_identity(spark, docs, sim_idx):
+    q = _queries(spark, [(0, "error timeout"), (1, "deploy")])
+    pairs = (
+        (lambda **kw: dfi_topk(docs, q, **kw),
+         lambda **kw: dfi_topk_indexed(spark, sim_idx, q, **kw)),
+        (lambda **kw: dfr_pl2_topk(docs, q, c=1.0, **kw),
+         lambda **kw: dfr_pl2_topk_indexed(spark, sim_idx, q, c=1.0, **kw)),
+        (lambda **kw: ib_ll_topk(docs, q, c=1.0, **kw),
+         lambda **kw: ib_ll_topk_indexed(spark, sim_idx, q, c=1.0, **kw)),
+    )
+    for corpus_fn, indexed_fn in pairs:
+        a = corpus_fn(k=8, round_dp=6, conf=sim_idx.conf).collect()
+        b = indexed_fn(k=8, round_dp=6).collect()
+        assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+
+def test_dfr_family_driver_route_rank_identity(spark, docs, sim_idx):
+    q = _queries(spark, [(0, "error timeout"), (1, "deploy")])
+    for fn, kw in (
+        (dfi_topk_indexed, {}),
+        (dfr_pl2_topk_indexed, {"c": 1.0}),
+        (ib_ll_topk_indexed, {"c": 1.0}),
+    ):
+        a = fn(spark, sim_idx, q, k=8, round_dp=6, engine="spark", **kw).collect()
+        b = fn(spark, sim_idx, q, k=8, round_dp=6, engine="driver", **kw).collect()
+        assert sorted(map(tuple, a)) == sorted(map(tuple, b)), fn.__name__
