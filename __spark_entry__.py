@@ -135,6 +135,8 @@ BSORT_SIZE = 5                # bucket_sort per-query truncation
 HC_MIN_CHILDREN = 2           # has_child min_children bound
 LMJM_LAMBDA = 0.3             # LM Jelinek-Mercer smoothing weight
 DFR_C = 1.0                   # DFR/IB H2 length-normalization strength
+AX_K = 0.35                   # Axiomatic F2EXP growth exponent (Lucene default)
+AX_S = 0.5                    # Axiomatic F2 length-normalization constant
 INV_LN2 = 1.4426950408889634  # shared log2 literal (querylang._INV_LN2)
 TWO_PI = 6.283185307179586    # shared 2π literal (querylang._TWO_PI)
 AUTODH_TARGET = 10            # auto_date_histogram bucket budget
@@ -2259,6 +2261,44 @@ def q_ib_ll_topk_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_axiomatic_f2exp_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Axiomatic F2EXP (Fang & Zhai 2005; Lucene AxiomaticF2EXP)
+    from igd_spark import axiomatic_topk
+
+    return axiomatic_topk(
+        _docs(spark, sf_dir), _queries_df(spark),
+        variant="f2exp", k_exp=AX_K, k=K, round_dp=6,
+    )
+
+
+def q_axiomatic_f2exp_topk_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from igd_spark import axiomatic_topk_indexed
+
+    return axiomatic_topk_indexed(
+        spark, _built_index(spark, sf_dir), _queries_df(spark),
+        variant="f2exp", k_exp=AX_K, k=K, round_dp=6,
+    )
+
+
+def q_axiomatic_f2log_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Axiomatic F2LOG (ln growth instead of the power law)
+    from igd_spark import axiomatic_topk
+
+    return axiomatic_topk(
+        _docs(spark, sf_dir), _queries_df(spark),
+        variant="f2log", k=K, round_dp=6,
+    )
+
+
+def q_axiomatic_f2log_topk_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from igd_spark import axiomatic_topk_indexed
+
+    return axiomatic_topk_indexed(
+        spark, _built_index(spark, sf_dir), _queries_df(spark),
+        variant="f2log", k=K, round_dp=6,
+    )
+
+
 def q_rare_terms_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     # ES rare_terms: long-tail source values (<= RARE_MAX_DC matching docs)
     from igd_spark import rare_terms_agg
@@ -3770,6 +3810,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # FIRST 50 entries per round, so entries lead in driver-staleness
         # order (never-driver-verified first, then least-recently green).
         # Re-rotate each round from CORRECTNESS_r{N}.json (VERDICT r4 #1).
+        "axiomatic_f2exp_topk": q_axiomatic_f2exp_topk,
+        "axiomatic_f2exp_topk_indexed": q_axiomatic_f2exp_topk_indexed,
+        "axiomatic_f2log_topk": q_axiomatic_f2log_topk,
+        "axiomatic_f2log_topk_indexed": q_axiomatic_f2log_topk_indexed,
         "dfi_topk": q_dfi_topk,
         "dfi_topk_indexed": q_dfi_topk_indexed,
         "dfr_pl2_topk": q_dfr_pl2_topk,
@@ -6287,6 +6331,32 @@ ranked AS (
 SELECT query_id, rank, doc_id, score FROM ranked WHERE rank <= {K}
 """
     sql["ib_ll_topk_indexed"] = sql["ib_ll_topk"]
+
+    # Axiomatic F2 (Fang & Zhai 2005): tf/(tf + s + s·dl/avgdl) · growth,
+    # growth = ((N+1)/df)^k for F2EXP, ln((N+1)/df) for F2LOG
+    _AX_TFPART = (
+        f"p.tf / (p.tf + {AX_S!r} + {AX_S!r} * dl.dl / cs.avgdl)"
+    )
+    for _axv, _axgrowth in (
+        ("f2exp", f"pow((cs.n_docs + 1) / ts.df, {AX_K!r})"),
+        ("f2log", "ln((cs.n_docs + 1) / ts.df)"),
+    ):
+        sql[f"axiomatic_{_axv}_topk"] = f"""
+WITH {_TL}, {_TOKS}, {_POST}, {_DL}, {_CS}, {_TS}, {_QT},
+scored AS (
+  SELECT qt.query_id, p.doc_id,
+         sum({_AX_TFPART} * {_axgrowth}) AS s
+  FROM qterms qt JOIN post p USING (term) JOIN ts USING (term)
+  JOIN dl ON p.doc_id = dl.doc_id CROSS JOIN cs
+  GROUP BY 1, 2),
+ranked AS (
+  SELECT query_id, doc_id, round(s, 6) AS score,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY round(s, 6) DESC, doc_id ASC)::INT AS rank
+  FROM scored)
+SELECT query_id, rank, doc_id, score FROM ranked WHERE rank <= {K}
+"""
+        sql[f"axiomatic_{_axv}_topk_indexed"] = sql[f"axiomatic_{_axv}_topk"]
 
     # rare_terms: long-tail source values over the match set
     sql["rare_terms_agg"] = f"""

@@ -48,6 +48,7 @@ from igd_spark.build import shards_for
 # rounding never straddles an engine-specific log2.
 _INV_LN2 = 1.4426950408889634
 _TWO_PI = 6.283185307179586
+_AX_S = 0.5  # Axiomatic F2 length-normalization constant (querylang._AX_S)
 
 _EMPTY_BATCH = pd.DataFrame(
     {
@@ -617,9 +618,12 @@ class LocalSearcher:
         elif model in ("pl2", "ib_ll"):
             avgdl = float(self.idx.meta["corpus"]["avgdl"])
             c_avgdl = lam * avgdl  # folded exactly like querylang._h2_tfn
+        elif model in ("ax_f2exp", "ax_f2log"):
+            avgdl = float(self.idx.meta["corpus"]["avgdl"])
         elif model != "tfidf":
             raise ValueError(
-                f"model must be tfidf|lm_jm|dfi|pl2|ib_ll, got {model!r}"
+                "model must be tfidf|lm_jm|dfi|pl2|ib_ll|ax_f2exp|ax_f2log, "
+                f"got {model!r}"
             )
         contrib: dict[str, tuple[np.ndarray, np.ndarray]] = {}
         for t, (tid, _df_dict, _) in tmap.items():
@@ -653,10 +657,15 @@ class LocalSearcher:
                     )
                     / (tfn + 1.0),
                 )
-            else:  # ib_ll
+            elif model == "ib_ll":
                 tfn = tf * _INV_LN2 * np.log(1.0 + c_avgdl / dl)
                 lamt = (d.size + 1.0) / float(self.n_docs + 1)
                 w = _INV_LN2 * np.log(1.0 + tfn / lamt)
+            else:  # ax_f2exp / ax_f2log (Fang & Zhai; s=0.5, lam slot = k)
+                tf_part = tf / (tf + _AX_S + _AX_S * dl / avgdl)
+                ratio = float(self.n_docs + 1) / d.size
+                idf = ratio**lam if model == "ax_f2exp" else np.log(ratio)
+                w = tf_part * idf
             contrib[t] = (d, w)
         rows = []
         for qid in sorted(per_q):

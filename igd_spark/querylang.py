@@ -4277,6 +4277,110 @@ def ib_ll_topk_indexed(
     )
 
 
+# Axiomatic s: the length-normalization constant shared by F2EXP and F2LOG
+# (Fang & Zhai 2005 fix s=0.5; Lucene's AxiomaticF2EXP/F2LOG default).
+# Fixed rather than a parameter so the driver-route seam (one scalar slot)
+# carries the variant-specific knob (F2EXP's k) instead.
+_AX_S = 0.5
+
+
+def _axiomatic_scored(
+    hits: DataFrame, n_docs: int, avgdl: float, variant: str, k_exp: float
+) -> DataFrame:
+    """Shared Axiomatic epilogue of both paths (Fang & Zhai, SIGIR 2005;
+    Lucene AxiomaticF2EXP / AxiomaticF2LOG): the within-document part is
+    tf/(tf + s + s·dl/avgdl) (the F2 primitive weighting — saturating in
+    tf, linear length penalty), and the growth function is
+    ((N+1)/df)^k for F2EXP (k=0.35 standard) or ln((N+1)/df) for F2LOG.
+    df via the same per-(query, term) COUNT window over the complete
+    matched postings as IB — deletes-consistent across paths."""
+    if variant not in ("f2exp", "f2log"):
+        raise ValueError(f"variant must be f2exp|f2log, got {variant!r}")
+    wdf = Window.partitionBy("query_id", "term")
+    h = hits.withColumn("dfm", F.count("*").over(wdf))
+    tf_part = F.col("tf") / (
+        F.col("tf")
+        + F.lit(_AX_S)
+        + F.lit(_AX_S) * F.col("dl") / F.lit(float(avgdl))
+    )
+    ratio = F.lit(float(n_docs + 1)) / F.col("dfm")
+    idf = (
+        F.pow(ratio, F.lit(float(k_exp)))
+        if variant == "f2exp"
+        else F.log(ratio)
+    )
+    contrib = tf_part * idf
+    return h.groupBy("query_id", "doc_id").agg(F.sum(contrib).alias("score"))
+
+
+def axiomatic_topk(
+    docs: DataFrame,
+    queries: DataFrame,
+    variant: str = "f2exp",
+    k_exp: float = 0.35,
+    k: int = 10,
+    conf: IndexConf = DEFAULT_CONF,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    round_dp: int | None = None,
+) -> DataFrame:
+    """Axiomatic retrieval (Fang & Zhai 2005): score = Σ_t
+    tf/(tf + s + s·dl/avgdl) · growth(N, df) with s=0.5;
+    ``variant``: "f2exp" → growth = ((N+1)/df)^k_exp (0.35 standard),
+    "f2log" → growth = ln((N+1)/df).  The similarity derived from
+    retrieval axioms rather than a probabilistic model — Lucene's
+    AxiomaticF2EXP / AxiomaticF2LOG.
+
+    Scale: same plan as `ib_ll_topk` — one (query_id, term) window COUNT
+    exchange over the matched postings, no vocab-sized side agg."""
+    hits, n_docs, avgdl, _ = _sim_corpus_hits(
+        docs, queries, conf, text_col, id_col
+    )
+    return rank_topk(
+        _maybe_round(
+            _axiomatic_scored(hits, n_docs, avgdl, variant, k_exp), round_dp
+        ),
+        k,
+    )
+
+
+def axiomatic_topk_indexed(
+    spark,
+    idx,
+    queries: DataFrame,
+    variant: str = "f2exp",
+    k_exp: float = 0.35,
+    k: int = 10,
+    round_dp: int | None = None,
+    engine: str = "auto",
+) -> DataFrame:
+    """`axiomatic_topk` over a persisted index — enumerated pruned blocks
+    supply tf/dl/df; N and avgdl from the frozen corpus metadata.  Same
+    engine routing as `tfidf_topk_indexed` (the scalar slot carries
+    F2EXP's k; F2LOG ignores it)."""
+    if variant not in ("f2exp", "f2log"):
+        raise ValueError(f"variant must be f2exp|f2log, got {variant!r}")
+    if engine != "spark":
+        routed = _try_sim_route(
+            spark, idx, queries, engine, f"ax_{variant}", k, k_exp, round_dp
+        )
+        if routed is not None:
+            return routed
+    from igd_spark.search import match_enumerate
+
+    n_docs = int(idx.meta["corpus"]["n_docs"])
+    avgdl = float(idx.meta["corpus"]["avgdl"])
+    me = match_enumerate(spark, idx, queries, with_dl=True)
+    hits = me.select("query_id", "term", "doc_id", "tf", "dl")
+    return rank_topk(
+        _maybe_round(
+            _axiomatic_scored(hits, n_docs, avgdl, variant, k_exp),
+            round_dp,
+        ),
+        k,
+    )
+
+
 def _random_score_epilogue(
     m: DataFrame, seed: int, k: int, round_dp: int | None
 ) -> DataFrame:

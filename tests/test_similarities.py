@@ -232,3 +232,46 @@ def test_dfr_family_driver_route_rank_identity(spark, docs, sim_idx):
         a = fn(spark, sim_idx, q, k=8, round_dp=6, engine="spark", **kw).collect()
         b = fn(spark, sim_idx, q, k=8, round_dp=6, engine="driver", **kw).collect()
         assert sorted(map(tuple, a)) == sorted(map(tuple, b)), fn.__name__
+
+
+def test_axiomatic_bruteforce(spark, docs):
+    from igd_spark import axiomatic_topk
+
+    post, ds, cs, ts = _stats(docs)
+    s, kx = 0.5, 0.35
+    for variant in ("f2exp", "f2log"):
+        out = axiomatic_topk(
+            docs, _queries(spark, [(0, "error timeout")]),
+            variant=variant, k_exp=kx, k=5,
+        ).collect()
+        assert out and out[0]["rank"] == 1
+        for r in out:
+            expect = 0.0
+            for t in ("error", "timeout"):
+                tf = post.get((t, r["doc_id"]))
+                if tf:
+                    tf_part = tf / (tf + s + s * ds[r["doc_id"]] / cs["avgdl"])
+                    ratio = (cs["n_docs"] + 1) / ts[t]
+                    idf = ratio**kx if variant == "f2exp" else math.log(ratio)
+                    expect += tf_part * idf
+            assert r["score"] == pytest.approx(expect, rel=1e-9), variant
+    with pytest.raises(ValueError):
+        axiomatic_topk(docs, _queries(spark, [(0, "x")]), variant="f3exp")
+
+
+def test_axiomatic_indexed_and_driver_identity(spark, docs, sim_idx):
+    from igd_spark import axiomatic_topk, axiomatic_topk_indexed
+
+    q = _queries(spark, [(0, "error timeout"), (1, "deploy")])
+    for variant in ("f2exp", "f2log"):
+        a = axiomatic_topk(
+            docs, q, variant=variant, k=8, round_dp=6, conf=sim_idx.conf
+        ).collect()
+        b = axiomatic_topk_indexed(
+            spark, sim_idx, q, variant=variant, k=8, round_dp=6, engine="spark"
+        ).collect()
+        c = axiomatic_topk_indexed(
+            spark, sim_idx, q, variant=variant, k=8, round_dp=6, engine="driver"
+        ).collect()
+        assert sorted(map(tuple, a)) == sorted(map(tuple, b)), variant
+        assert sorted(map(tuple, b)) == sorted(map(tuple, c)), variant
