@@ -1107,6 +1107,37 @@ def main() -> int:
         "CartesianProduct" not in prfplan,
     )
 
+    # alternative similarities: every indexed twin rides the same pruned
+    # block enumeration — shard partition pruning + In(term_id) pushdown,
+    # corpus text never scanned
+    from igd_spark import (
+        axiomatic_topk_indexed,
+        dfi_topk_indexed,
+        dfr_pl2_topk_indexed,
+        ib_ll_topk_indexed,
+    )
+
+    for simtag, simfn in (
+        ("dfi_topk_indexed", lambda: dfi_topk_indexed(
+            spark, idx, ql_q, k=5, engine="spark")),
+        ("dfr_pl2_topk_indexed", lambda: dfr_pl2_topk_indexed(
+            spark, idx, ql_q, c=1.0, k=5, engine="spark")),
+        ("ib_ll_topk_indexed", lambda: ib_ll_topk_indexed(
+            spark, idx, ql_q, c=1.0, k=5, engine="spark")),
+        ("axiomatic_f2exp_topk_indexed", lambda: axiomatic_topk_indexed(
+            spark, idx, ql_q, variant="f2exp", k=5, engine="spark")),
+        ("axiomatic_f2log_topk_indexed", lambda: axiomatic_topk_indexed(
+            spark, idx, ql_q, variant="f2log", k=5, engine="spark")),
+    ):
+        simplan = fmt(simfn())
+        assert_pruned_scan(f"{simtag} scan", simplan)
+        sim_schemas = re.findall(r"ReadSchema: struct<([^>]*)>", simplan)
+        check(
+            f"{simtag} never scans the corpus text",
+            bool(sim_schemas) and not any("text:" in s for s in sim_schemas),
+            f"scanned schemas: {sim_schemas}",
+        )
+
     n_fail = sum(1 for _, ok, _ in checks if not ok)
     print(f"\n{len(checks) - n_fail}/{len(checks)} plan checks passed")
     return 1 if n_fail else 0
