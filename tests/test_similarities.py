@@ -275,3 +275,46 @@ def test_axiomatic_indexed_and_driver_identity(spark, docs, sim_idx):
         ).collect()
         assert sorted(map(tuple, a)) == sorted(map(tuple, b)), variant
         assert sorted(map(tuple, b)) == sorted(map(tuple, c)), variant
+
+
+def test_sim_family_deletes_consistency(spark, docs, tmp_path_factory):
+    """After delete_by_query, every alternative-similarity indexed twin
+    must (a) stop returning tombstoned docs and (b) stay rank-identical
+    between the distributed plan and the driver-route kernel — both
+    derive df/cf from the tombstone-filtered postings."""
+    from igd_spark import axiomatic_topk_indexed, build_index, delete_by_query
+    from igd_spark.index import open_index
+
+    conf = IndexConf(block_size=32, n_shards=8, salt_df_threshold=64)
+    path = str(tmp_path_factory.mktemp("simdel") / "idx")
+    build_index(spark, docs, path, conf=conf)
+    delete_by_query(
+        spark, path, _queries(spark, [(0, "deploy")]), delete_tag="t1"
+    )
+    idx = open_index(spark, path)
+    gone = {
+        r["doc_id"]
+        for r in idx.tombstones.collect()
+    }
+    assert gone
+    q = _queries(spark, [(0, "error timeout"), (1, "deploy rollback")])
+    fns = (
+        lambda eng: tfidf_topk_indexed(spark, idx, q, k=20, round_dp=6, engine=eng),
+        lambda eng: lm_jelinek_mercer_topk_indexed(
+            spark, idx, q, lam=0.3, k=20, round_dp=6, engine=eng),
+        lambda eng: dfi_topk_indexed(spark, idx, q, k=20, round_dp=6, engine=eng),
+        lambda eng: dfr_pl2_topk_indexed(
+            spark, idx, q, c=1.0, k=20, round_dp=6, engine=eng),
+        lambda eng: ib_ll_topk_indexed(
+            spark, idx, q, c=1.0, k=20, round_dp=6, engine=eng),
+        lambda eng: axiomatic_topk_indexed(
+            spark, idx, q, variant="f2exp", k=20, round_dp=6, engine=eng),
+        lambda eng: axiomatic_topk_indexed(
+            spark, idx, q, variant="f2log", k=20, round_dp=6, engine=eng),
+    )
+    for fn in fns:
+        a = fn("spark").collect()
+        b = fn("driver").collect()
+        assert a, "spark path returned no rows"
+        assert not ({r["doc_id"] for r in a} & gone)
+        assert sorted(map(tuple, a)) == sorted(map(tuple, b))
