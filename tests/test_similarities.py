@@ -318,3 +318,51 @@ def test_sim_family_deletes_consistency(spark, docs, tmp_path_factory):
         assert a, "spark path returned no rows"
         assert not ({r["doc_id"] for r in a} & gone)
         assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+
+def test_sim_family_randomized_engine_identity(spark, docs, sim_idx):
+    """Randomized query batches (vocabulary draws + OOV + duplicates)
+    across every similarity model: the driver-route kernel must be
+    row-identical to the distributed pruned-block plan at 6-dp rounding.
+    Seeded — deterministic across runs."""
+    import random
+
+    from igd_spark.stats import term_stats
+    from igd_spark.tokenizer import postings
+
+    vocab = [r["term"] for r in term_stats(postings(docs)).collect()]
+    rng = random.Random(1234)
+    rows = []
+    for qid in range(12):
+        n = rng.randint(1, 4)
+        terms = [rng.choice(vocab) for _ in range(n)]
+        if qid % 4 == 0:
+            terms.append(f"zz-oov-{qid}")
+        if qid % 5 == 0 and terms:
+            terms.append(terms[0])  # duplicate term in the query text
+        rows.append((qid, " ".join(terms)))
+    q = _queries(spark, rows)
+    fns = (
+        lambda eng: tfidf_topk_indexed(spark, sim_idx, q, k=7, round_dp=6, engine=eng),
+        lambda eng: lm_jelinek_mercer_topk_indexed(
+            spark, sim_idx, q, lam=0.3, k=7, round_dp=6, engine=eng),
+        lambda eng: dfi_topk_indexed(spark, sim_idx, q, k=7, round_dp=6, engine=eng),
+        lambda eng: dfr_pl2_topk_indexed(
+            spark, sim_idx, q, c=1.2, k=7, round_dp=6, engine=eng),
+        lambda eng: ib_ll_topk_indexed(
+            spark, sim_idx, q, c=0.8, k=7, round_dp=6, engine=eng),
+    )
+    for fn in fns:
+        a = fn("spark").collect()
+        b = fn("driver").collect()
+        assert a and sorted(map(tuple, a)) == sorted(map(tuple, b))
+    from igd_spark import axiomatic_topk_indexed
+
+    for variant in ("f2exp", "f2log"):
+        a = axiomatic_topk_indexed(
+            spark, sim_idx, q, variant=variant, k=7, round_dp=6, engine="spark"
+        ).collect()
+        b = axiomatic_topk_indexed(
+            spark, sim_idx, q, variant=variant, k=7, round_dp=6, engine="driver"
+        ).collect()
+        assert a and sorted(map(tuple, a)) == sorted(map(tuple, b))
