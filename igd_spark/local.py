@@ -616,6 +616,8 @@ class LocalSearcher:
             if total <= 0:
                 raise ValueError("index metadata lacks exact sum_dl")
         elif model in ("pl2", "ib_ll"):
+            if not lam > 0.0:  # the lam slot carries the H2 strength c
+                raise ValueError(f"H2 normalization c must be > 0, got {lam}")
             avgdl = float(self.idx.meta["corpus"]["avgdl"])
             c_avgdl = lam * avgdl  # folded exactly like querylang._h2_tfn
         elif model in ("ax_f2exp", "ax_f2log"):

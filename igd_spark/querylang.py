@@ -4063,12 +4063,23 @@ def _h2_tfn(c_avgdl: float) -> Column:
     """DFR/IB normalization H2: tfn = tf·log2(1 + c·avgdl/dl) — the
     within-document frequency normalized to the expected frequency in a
     document of average length (Amati & van Rijsbergen 2002).  c·avgdl is
-    folded to one Python double so both engines see one literal."""
+    folded to one Python double so both engines see one literal.
+    c ≤ 0 collapses tfn to 0 and the downstream logs to NaN, so the
+    callers validate it (`_require_h2_c`)."""
     return (
         F.col("tf")
         * F.lit(_INV_LN2)
         * F.log(F.lit(1.0) + F.lit(c_avgdl) / F.col("dl"))
     )
+
+
+def _require_h2_c(c: float) -> None:
+    """PL2/IB share the H2 normalization; a non-positive strength makes
+    tfn ≤ 0 and every log NaN — fail loudly instead of ranking on NaNs
+    (NaN-scored rows would silently sort to the bottom on some engines
+    and the top on others)."""
+    if not c > 0.0:
+        raise ValueError(f"H2 normalization c must be > 0, got {c}")
 
 
 def _pl2_scored(
@@ -4186,6 +4197,7 @@ def dfr_pl2_topk(
 
     Scale: same plan as `lm_dirichlet_topk` — one (query_id, term) window
     exchange for cf over the matched postings."""
+    _require_h2_c(c)
     hits, n_docs, avgdl, _ = _sim_corpus_hits(
         docs, queries, conf, text_col, id_col
     )
@@ -4206,6 +4218,7 @@ def dfr_pl2_topk_indexed(
     """`dfr_pl2_topk` over a persisted index — enumerated pruned blocks
     supply tf/dl/cf; N and avgdl from the frozen corpus metadata.  Same
     engine routing as `tfidf_topk_indexed`."""
+    _require_h2_c(c)
     if engine != "spark":
         routed = _try_sim_route(
             spark, idx, queries, engine, "pl2", k, c, round_dp
@@ -4240,6 +4253,7 @@ def ib_ll_topk(
 
     Scale: same plan shape; the window statistic is a COUNT instead of a
     SUM — still one (query_id, term) exchange over matched postings."""
+    _require_h2_c(c)
     hits, n_docs, avgdl, _ = _sim_corpus_hits(
         docs, queries, conf, text_col, id_col
     )
@@ -4260,6 +4274,7 @@ def ib_ll_topk_indexed(
     """`ib_ll_topk` over a persisted index — enumerated pruned blocks
     supply tf/dl/df; N and avgdl from the frozen corpus metadata.  Same
     engine routing as `tfidf_topk_indexed`."""
+    _require_h2_c(c)
     if engine != "spark":
         routed = _try_sim_route(
             spark, idx, queries, engine, "ib_ll", k, c, round_dp

@@ -366,3 +366,17 @@ def test_sim_family_randomized_engine_identity(spark, docs, sim_idx):
             spark, sim_idx, q, variant=variant, k=7, round_dp=6, engine="driver"
         ).collect()
         assert a and sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+
+def test_h2_c_validation(spark, docs, sim_idx):
+    for bad in (0.0, -1.0):
+        with pytest.raises(ValueError):
+            dfr_pl2_topk(docs, _queries(spark, [(0, "x")]), c=bad)
+        with pytest.raises(ValueError):
+            ib_ll_topk_indexed(
+                spark, sim_idx, _queries(spark, [(0, "x")]), c=bad
+            )
+    from igd_spark.local import local_searcher
+
+    with pytest.raises(ValueError):
+        local_searcher(sim_idx).sim_topk_n([(0, "error")], model="pl2", lam=0.0)
