@@ -134,8 +134,23 @@ def get_spark(
         cores = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     if shuffle_partitions is None:
         shuffle_partitions = max(cores, 8)
+    # $IGD_SPARK_MASTER overrides the default local[N] — used by the
+    # executor-JVM-isolated scaling evidence (local-cluster[K,1,mem]
+    # spawns one JVM + python-worker pool per executor, the closest
+    # sandbox analog to a real multi-executor cluster; kernel_parallelism
+    # correctly treats it as a cluster master and keeps natural
+    # partition counts).
+    master = os.environ.get("IGD_SPARK_MASTER", f"local[{cores}]")
+    b = SparkSession.builder.master(master)
+    if master.startswith("local-cluster"):
+        # worker slots are sized by the master string (MB); the executor
+        # JVM must request less than the worker offers
+        b = b.config(
+            "spark.executor.memory",
+            os.environ.get("IGD_SPARK_EXECUTOR_MEM", "4g"),
+        )
     b = (
-        SparkSession.builder.master(f"local[{cores}]")
+        b
         .appName(app)
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
