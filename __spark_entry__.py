@@ -137,6 +137,10 @@ LMJM_LAMBDA = 0.3             # LM Jelinek-Mercer smoothing weight
 DFR_C = 1.0                   # DFR/IB H2 length-normalization strength
 AX_K = 0.35                   # Axiomatic F2EXP growth exponent (Lucene default)
 AX_S = 0.5                    # Axiomatic F2 length-normalization constant
+BM25P_DELTA = 1.0             # BM25+ per-match floor (Lv & Zhai default)
+BM25L_DELTA = 0.5             # BM25L saturation shift (Lv & Zhai default)
+BM25_K1 = 1.2                 # IndexConf defaults (BASELINE-fixed)
+BM25_B = 0.75
 INV_LN2 = 1.4426950408889634  # shared log2 literal (querylang._INV_LN2)
 TWO_PI = 6.283185307179586    # shared 2π literal (querylang._TWO_PI)
 AUTODH_TARGET = 10            # auto_date_histogram bucket budget
@@ -2299,6 +2303,44 @@ def q_axiomatic_f2log_topk_indexed(spark: SparkSession, sf_dir: str) -> DataFram
     )
 
 
+def q_bm25_plus_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # BM25+ (Lv & Zhai 2011): per-match contribution floor delta
+    from igd_spark import bm25_variant_topk
+
+    return bm25_variant_topk(
+        _docs(spark, sf_dir), _queries_df(spark),
+        variant="plus", delta=BM25P_DELTA, k=K, round_dp=6,
+    )
+
+
+def q_bm25_plus_topk_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from igd_spark import bm25_variant_topk_indexed
+
+    return bm25_variant_topk_indexed(
+        spark, _built_index(spark, sf_dir), _queries_df(spark),
+        variant="plus", delta=BM25P_DELTA, k=K, round_dp=6,
+    )
+
+
+def q_bm25_l_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # BM25L (Lv & Zhai 2011): shifted saturation for very long documents
+    from igd_spark import bm25_variant_topk
+
+    return bm25_variant_topk(
+        _docs(spark, sf_dir), _queries_df(spark),
+        variant="l", delta=BM25L_DELTA, k=K, round_dp=6,
+    )
+
+
+def q_bm25_l_topk_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from igd_spark import bm25_variant_topk_indexed
+
+    return bm25_variant_topk_indexed(
+        spark, _built_index(spark, sf_dir), _queries_df(spark),
+        variant="l", delta=BM25L_DELTA, k=K, round_dp=6,
+    )
+
+
 def q_rare_terms_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     # ES rare_terms: long-tail source values (<= RARE_MAX_DC matching docs)
     from igd_spark import rare_terms_agg
@@ -3810,6 +3852,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # FIRST 50 entries per round, so entries lead in driver-staleness
         # order (never-driver-verified first, then least-recently green).
         # Re-rotate each round from CORRECTNESS_r{N}.json (VERDICT r4 #1).
+        "bm25_plus_topk": q_bm25_plus_topk,
+        "bm25_plus_topk_indexed": q_bm25_plus_topk_indexed,
+        "bm25_l_topk": q_bm25_l_topk,
+        "bm25_l_topk_indexed": q_bm25_l_topk_indexed,
         "axiomatic_f2exp_topk": q_axiomatic_f2exp_topk,
         "axiomatic_f2exp_topk_indexed": q_axiomatic_f2exp_topk_indexed,
         "axiomatic_f2log_topk": q_axiomatic_f2log_topk,
@@ -6331,6 +6377,37 @@ ranked AS (
 SELECT query_id, rank, doc_id, score FROM ranked WHERE rank <= {K}
 """
     sql["ib_ll_topk_indexed"] = sql["ib_ll_topk"]
+
+    # BM25+ / BM25L (Lv & Zhai 2011): lower-bounded tf saturation over the
+    # engine's own idf; tfn = tf/(1−b+b·dl/avgdl), k1/b BASELINE-fixed
+    _BM25V_IDF = (
+        "ln((cs.n_docs - ts.df + 0.5) / (ts.df + 0.5) + 1.0)"
+    )
+    _BM25V_TFN = (
+        f"p.tf / ({1.0 - BM25_B!r} + {BM25_B!r} * dl.dl / cs.avgdl)"
+    )
+    for _bv, _bexpr in (
+        ("plus", f"({BM25_K1 + 1.0!r} * tfn / ({BM25_K1!r} + tfn) + {BM25P_DELTA!r})"),
+        ("l", f"({BM25_K1 + 1.0!r} * (tfn + {BM25L_DELTA!r}) / ({BM25_K1!r} + tfn + {BM25L_DELTA!r}))"),
+    ):
+        sql[f"bm25_{_bv}_topk"] = f"""
+WITH {_TL}, {_TOKS}, {_POST}, {_DL}, {_CS}, {_TS}, {_QT},
+hits AS (
+  SELECT qt.query_id, p.doc_id,
+         {_BM25V_IDF} AS idf, {_BM25V_TFN} AS tfn
+  FROM qterms qt JOIN post p USING (term) JOIN ts USING (term)
+  JOIN dl ON p.doc_id = dl.doc_id CROSS JOIN cs),
+scored AS (
+  SELECT query_id, doc_id, sum(idf * {_bexpr}) AS s
+  FROM hits GROUP BY 1, 2),
+ranked AS (
+  SELECT query_id, doc_id, round(s, 6) AS score,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY round(s, 6) DESC, doc_id ASC)::INT AS rank
+  FROM scored)
+SELECT query_id, rank, doc_id, score FROM ranked WHERE rank <= {K}
+"""
+        sql[f"bm25_{_bv}_topk_indexed"] = sql[f"bm25_{_bv}_topk"]
 
     # Axiomatic F2 (Fang & Zhai 2005): tf/(tf + s + s·dl/avgdl) · growth,
     # growth = ((N+1)/df)^k for F2EXP, ln((N+1)/df) for F2LOG

@@ -622,10 +622,14 @@ class LocalSearcher:
             c_avgdl = lam * avgdl  # folded exactly like querylang._h2_tfn
         elif model in ("ax_f2exp", "ax_f2log"):
             avgdl = float(self.idx.meta["corpus"]["avgdl"])
+        elif model in ("bm25_plus", "bm25_l"):
+            if not lam >= 0.0:  # the lam slot carries delta
+                raise ValueError(f"delta must be >= 0, got {lam}")
+            avgdl = float(self.idx.meta["corpus"]["avgdl"])
         elif model != "tfidf":
             raise ValueError(
-                "model must be tfidf|lm_jm|dfi|pl2|ib_ll|ax_f2exp|ax_f2log, "
-                f"got {model!r}"
+                "model must be tfidf|lm_jm|dfi|pl2|ib_ll|ax_f2exp|ax_f2log|"
+                f"bm25_plus|bm25_l, got {model!r}"
             )
         contrib: dict[str, tuple[np.ndarray, np.ndarray]] = {}
         for t, (tid, _df_dict, _) in tmap.items():
@@ -663,11 +667,24 @@ class LocalSearcher:
                 tfn = tf * _INV_LN2 * np.log(1.0 + c_avgdl / dl)
                 lamt = (d.size + 1.0) / float(self.n_docs + 1)
                 w = _INV_LN2 * np.log(1.0 + tfn / lamt)
-            else:  # ax_f2exp / ax_f2log (Fang & Zhai; s=0.5, lam slot = k)
+            elif model in ("ax_f2exp", "ax_f2log"):
+                # Fang & Zhai axiomatic; s=0.5, lam slot = F2EXP's k
                 tf_part = tf / (tf + _AX_S + _AX_S * dl / avgdl)
                 ratio = float(self.n_docs + 1) / d.size
                 idf = ratio**lam if model == "ax_f2exp" else np.log(ratio)
                 w = tf_part * idf
+            else:  # bm25_plus / bm25_l (Lv & Zhai 2011; lam slot = delta)
+                k1, b = conf.k1, conf.b
+                idf = np.log1p(
+                    (self.n_docs - d.size + 0.5) / (d.size + 0.5)
+                )
+                tfn = tf / ((1.0 - b) + b * dl / avgdl)
+                if model == "bm25_plus":
+                    w = idf * ((k1 + 1.0) * tfn / (k1 + tfn) + lam)
+                else:
+                    w = idf * (
+                        (k1 + 1.0) * (tfn + lam) / (k1 + tfn + lam)
+                    )
             contrib[t] = (d, w)
         rows = []
         for qid in sorted(per_q):

@@ -4396,6 +4396,123 @@ def axiomatic_topk_indexed(
     )
 
 
+# Paper defaults (Lv & Zhai 2011): BM25+ delta = 1.0, BM25L delta = 0.5
+_BM25_VARIANT_DELTA = {"plus": 1.0, "l": 0.5}
+
+
+def _bm25v_scored(
+    hits: DataFrame,
+    n_docs: int,
+    avgdl: float,
+    conf: IndexConf,
+    variant: str,
+    delta: float,
+) -> DataFrame:
+    """Shared BM25+/BM25L epilogue of both paths (Lv & Zhai, CIKM/SIGIR
+    2011 — the lower-bounding fixes for BM25's over-penalization of very
+    long documents): tfn = tf/(1−b+b·dl/avgdl) (the document-length-
+    normalized tf the classic denominator factors out), then
+      BM25+ : idf · ((k1+1)·tfn/(k1+tfn) + δ)      (δ floors every match)
+      BM25L : idf · (k1+1)·(tfn+δ)/(k1+tfn+δ)      (δ shifts the saturation)
+    with the engine's own idf (scoring.idf_col — the same expression the
+    flagship scorer and the DuckDB oracle share) and the BASELINE-fixed
+    k1/b from IndexConf.  df via the per-(query, term) COUNT window over
+    the complete matched postings — deletes-consistent across paths."""
+    if variant not in _BM25_VARIANT_DELTA:
+        raise ValueError(f"variant must be plus|l, got {variant!r}")
+    if not delta >= 0.0:
+        raise ValueError(f"delta must be >= 0, got {delta}")
+    k1, b = conf.k1, conf.b
+    wdf = Window.partitionBy("query_id", "term")
+    h = hits.withColumn("dfm", F.count("*").over(wdf))
+    idf = idf_col(int(n_docs), F.col("dfm"))
+    tfn = F.col("tf") / (
+        F.lit(1.0 - b) + F.lit(b) * F.col("dl") / F.lit(float(avgdl))
+    )
+    if variant == "plus":
+        w = idf * (
+            F.lit(k1 + 1.0) * tfn / (F.lit(k1) + tfn) + F.lit(delta)
+        )
+    else:
+        w = idf * (
+            F.lit(k1 + 1.0)
+            * (tfn + F.lit(delta))
+            / (F.lit(k1) + tfn + F.lit(delta))
+        )
+    return h.groupBy("query_id", "doc_id").agg(F.sum(w).alias("score"))
+
+
+def bm25_variant_topk(
+    docs: DataFrame,
+    queries: DataFrame,
+    variant: str = "plus",
+    delta: float | None = None,
+    k: int = 10,
+    conf: IndexConf = DEFAULT_CONF,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    round_dp: int | None = None,
+) -> DataFrame:
+    """BM25+ / BM25L retrieval (Lv & Zhai 2011).  ``variant``: "plus"
+    (per-match contribution floor δ, default 1.0 — fixes BM25 scoring a
+    long document with one match below a short document with none) or
+    "l" (saturation shift δ, default 0.5).  k1/b come from ``conf``
+    (BASELINE-fixed, same as the flagship scorer).
+
+    Scale: same plan as `ib_ll_topk` — one (query_id, term) window COUNT
+    exchange over the matched postings."""
+    if delta is None:
+        delta = _BM25_VARIANT_DELTA.get(variant, 1.0)
+    hits, n_docs, avgdl, _ = _sim_corpus_hits(
+        docs, queries, conf, text_col, id_col
+    )
+    return rank_topk(
+        _maybe_round(
+            _bm25v_scored(hits, n_docs, avgdl, conf, variant, delta), round_dp
+        ),
+        k,
+    )
+
+
+def bm25_variant_topk_indexed(
+    spark,
+    idx,
+    queries: DataFrame,
+    variant: str = "plus",
+    delta: float | None = None,
+    k: int = 10,
+    round_dp: int | None = None,
+    engine: str = "auto",
+) -> DataFrame:
+    """`bm25_variant_topk` over a persisted index — enumerated pruned
+    blocks supply tf/dl/df; N and avgdl from the frozen corpus metadata;
+    k1/b from the index's own conf.  Same engine routing as
+    `tfidf_topk_indexed` (the scalar slot carries δ)."""
+    if variant not in _BM25_VARIANT_DELTA:
+        raise ValueError(f"variant must be plus|l, got {variant!r}")
+    if delta is None:
+        delta = _BM25_VARIANT_DELTA[variant]
+    if engine != "spark":
+        routed = _try_sim_route(
+            spark, idx, queries, engine, f"bm25_{variant}", k, delta, round_dp
+        )
+        if routed is not None:
+            return routed
+    from igd_spark.search import match_enumerate
+
+    n_docs = int(idx.meta["corpus"]["n_docs"])
+    avgdl = float(idx.meta["corpus"]["avgdl"])
+    me = match_enumerate(spark, idx, queries, with_dl=True)
+    hits = me.select("query_id", "term", "doc_id", "tf", "dl")
+    return rank_topk(
+        _maybe_round(
+            _bm25v_scored(hits, n_docs, avgdl, idx.conf, variant, delta),
+            round_dp,
+        ),
+        k,
+    )
+
+
 def _random_score_epilogue(
     m: DataFrame, seed: int, k: int, round_dp: int | None
 ) -> DataFrame:

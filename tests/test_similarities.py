@@ -380,3 +380,54 @@ def test_h2_c_validation(spark, docs, sim_idx):
 
     with pytest.raises(ValueError):
         local_searcher(sim_idx).sim_topk_n([(0, "error")], model="pl2", lam=0.0)
+
+
+def test_bm25_variants_bruteforce(spark, docs):
+    from igd_spark import bm25_variant_topk
+
+    post, ds, cs, ts = _stats(docs)
+    k1, b = 1.2, 0.75
+    for variant, delta in (("plus", 1.0), ("l", 0.5)):
+        out = bm25_variant_topk(
+            docs, _queries(spark, [(0, "error timeout")]),
+            variant=variant, delta=delta, k=5,
+        ).collect()
+        assert out and out[0]["rank"] == 1
+        for r in out:
+            expect = 0.0
+            for t in ("error", "timeout"):
+                tf = post.get((t, r["doc_id"]))
+                if tf:
+                    idf = math.log1p(
+                        (cs["n_docs"] - ts[t] + 0.5) / (ts[t] + 0.5)
+                    )
+                    tfn = tf / ((1.0 - b) + b * ds[r["doc_id"]] / cs["avgdl"])
+                    if variant == "plus":
+                        expect += idf * ((k1 + 1.0) * tfn / (k1 + tfn) + delta)
+                    else:
+                        expect += idf * (
+                            (k1 + 1.0) * (tfn + delta) / (k1 + tfn + delta)
+                        )
+            assert r["score"] == pytest.approx(expect, rel=1e-9), variant
+    with pytest.raises(ValueError):
+        bm25_variant_topk(docs, _queries(spark, [(0, "x")]), variant="okapi")
+    with pytest.raises(ValueError):
+        bm25_variant_topk(docs, _queries(spark, [(0, "x")]), delta=-0.1)
+
+
+def test_bm25_variants_engine_identity(spark, docs, sim_idx):
+    from igd_spark import bm25_variant_topk, bm25_variant_topk_indexed
+
+    q = _queries(spark, [(0, "error timeout"), (1, "deploy")])
+    for variant in ("plus", "l"):
+        a = bm25_variant_topk(
+            docs, q, variant=variant, k=8, round_dp=6, conf=sim_idx.conf
+        ).collect()
+        b = bm25_variant_topk_indexed(
+            spark, sim_idx, q, variant=variant, k=8, round_dp=6, engine="spark"
+        ).collect()
+        c = bm25_variant_topk_indexed(
+            spark, sim_idx, q, variant=variant, k=8, round_dp=6, engine="driver"
+        ).collect()
+        assert sorted(map(tuple, a)) == sorted(map(tuple, b)), variant
+        assert sorted(map(tuple, b)) == sorted(map(tuple, c)), variant
