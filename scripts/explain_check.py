@@ -1128,6 +1128,10 @@ def main() -> int:
             spark, idx, ql_q, variant="f2exp", k=5, engine="spark")),
         ("axiomatic_f2log_topk_indexed", lambda: axiomatic_topk_indexed(
             spark, idx, ql_q, variant="f2log", k=5, engine="spark")),
+        ("bm25_plus_topk_indexed", lambda: __import__("igd_spark").bm25_variant_topk_indexed(
+            spark, idx, ql_q, variant="plus", k=5, engine="spark")),
+        ("bm25_l_topk_indexed", lambda: __import__("igd_spark").bm25_variant_topk_indexed(
+            spark, idx, ql_q, variant="l", k=5, engine="spark")),
     ):
         simplan = fmt(simfn())
         assert_pruned_scan(f"{simtag} scan", simplan)
