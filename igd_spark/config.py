@@ -9,7 +9,7 @@ doesn't need (it is single-process).
 from __future__ import annotations
 
 import re
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 
 
 @dataclass(frozen=True)

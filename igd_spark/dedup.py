@@ -16,10 +16,10 @@ oracle. Everything is pyspark.sql built-ins — no Python UDFs.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from igd_spark.hashing import h60_col, h60_seeded_col
+from igd_spark.hashing import h60_col
 from igd_spark.textstats import hamming64, nonempty_tokens, simhash
 
 DEFAULT_SHINGLE_N = 5

@@ -3000,6 +3000,68 @@ def complete_terms_indexed(
     return complete_terms(queries, idx.dictionary, n=n)
 
 
+def terms_enum(
+    queries: DataFrame,
+    dictionary: DataFrame,
+    size: int = 10,
+    text_col: str = "query_text",
+    after_col: str | None = None,
+) -> DataFrame:
+    """The ES ``_terms_enum`` API: for each query (whose text is a field
+    prefix), up to ``size`` index terms with that prefix in ALPHABETICAL
+    order — (query_id, rank, term), term asc.  Distinct from
+    `complete_terms` (the completion suggester), which ranks by
+    popularity (df desc): terms_enum is the paging enumeration shape —
+    deterministic lexicographic order plus a ``search_after`` cursor so
+    a caller can walk an arbitrarily large matching set size rows at a
+    time.  ``after_col`` names an optional per-query cursor column in
+    ``queries``: only terms STRICTLY AFTER that value are returned
+    (NULL/absent = from the start), mirroring the request's
+    ``search_after`` field.  Empty/NULL prefixes yield no rows rather
+    than the whole vocabulary (same guard as `complete_terms`).
+
+    Scale: one broadcast of the (tiny) prefix set against the
+    vocab-sized dictionary + a per-query window — never a corpus scan;
+    the per-page cost is independent of how many pages were already
+    read (keyset pagination, the `search_after_topk` discipline applied
+    to the vocabulary).
+    """
+    cols = ["query_id", F.lower(F.trim(F.col(text_col))).alias("_prefix")]
+    if after_col is not None:
+        cols.append(F.col(after_col).alias("_after"))
+    pre = queries.select(*cols).filter(
+        F.col("_prefix").isNotNull() & (F.col("_prefix") != "")
+    )
+    m = dictionary.select("term").join(
+        F.broadcast(pre), F.col("term").startswith(F.col("_prefix"))
+    )
+    if after_col is not None:
+        m = m.filter(F.col("_after").isNull() | (F.col("term") > F.col("_after")))
+    w = Window.partitionBy("query_id").orderBy(F.asc("term"))
+    return (
+        m.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= int(size))
+        .select("query_id", "rank", "term")
+    )
+
+
+def terms_enum_indexed(
+    spark,
+    idx,
+    queries: DataFrame,
+    size: int = 10,
+    after_col: str | None = None,
+) -> DataFrame:
+    """`terms_enum` over a persisted index's dictionary (delta-folded
+    view) — identical output to the corpus-dictionary path by
+    construction (same vocabulary, same term-asc order).  Reads ONLY the
+    dictionary sidecar: zero posting-block or corpus IO, so a page costs
+    one vocab-pruned scan regardless of index size."""
+    return terms_enum(
+        queries, idx.dictionary, size=size, after_col=after_col
+    )
+
+
 def did_you_mean(
     queries: DataFrame,
     dictionary: DataFrame,

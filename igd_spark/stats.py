@@ -54,6 +54,73 @@ def term_stats(postings_df: DataFrame) -> DataFrame:
     return postings_df.groupBy("term").agg(F.count("*").cast("long").alias("df"))
 
 
+def field_caps(
+    docs: DataFrame,
+    text_col: str = "text",
+) -> DataFrame:
+    """The ES ``_field_caps`` API over a transcripts/documents table: one
+    row per column — (field, es_type, searchable, aggregatable,
+    non_null_count), field asc.  The mapping mirrors ES semantics: the
+    analyzed body column (``text_col``) is type ``text`` (searchable,
+    NOT aggregatable — ES refuses to aggregate analyzed text); every
+    other string column is a ``keyword`` (searchable AND aggregatable —
+    the filter/facet/collapse fields); numeric, boolean and timestamp
+    columns map to their ES scalar type (aggregatable, not
+    full-text-searchable).  ``non_null_count`` is the per-field doc
+    coverage — what the `exists` query would match, the data-dependent
+    half ES surfaces via ``index_filter``.
+
+    Scale: ONE corpus pass computing every column's count(col) in a
+    single map-side-combinable aggregate row (no per-field jobs, no
+    shuffle beyond the 1-row final combine); the schema half is pure
+    driver-side reflection.
+    """
+    def es_type(dt: str, name: str) -> str:
+        if name == text_col:
+            return "text"
+        if dt == "string":
+            return "keyword"
+        if dt in ("int", "integer"):
+            return "integer"
+        if dt in ("bigint", "long"):
+            return "long"
+        if dt == "double":
+            return "double"
+        if dt == "float":
+            return "float"
+        if dt == "boolean":
+            return "boolean"
+        if dt.startswith("timestamp"):
+            return "date"
+        return dt
+
+    fields = sorted(
+        (f.name, es_type(f.dataType.simpleString(), f.name))
+        for f in docs.schema.fields
+    )
+    counts = docs.agg(
+        *[F.count(F.col(name)).cast("long").alias(name) for name, _ in fields]
+    )
+    # unpivot the 1-row aggregate (ONE corpus pass total), then attach the
+    # driver-known type mapping as literal CASE branches — no re-aggregation
+    pairs: list = []
+    for name, _ in fields:
+        pairs.extend([F.lit(name), F.col(name)])
+    long = counts.select(
+        F.explode(F.create_map(*pairs)).alias("field", "non_null_count")
+    )
+    et_col = F.lit(None).cast("string")
+    for name, et in reversed(fields):
+        et_col = F.when(F.col("field") == name, F.lit(et)).otherwise(et_col)
+    return long.select(
+        "field",
+        et_col.alias("es_type"),
+        et_col.isin("text", "keyword").alias("searchable"),
+        (et_col != "text").alias("aggregatable"),
+        F.col("non_null_count").cast("long").alias("non_null_count"),
+    ).orderBy("field")
+
+
 def term_vectors(
     docs: DataFrame,
     doc_ids: DataFrame,

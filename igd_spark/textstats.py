@@ -16,7 +16,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from igd_spark.hashing import h60_col
-from igd_spark.tokenizer import token_count_col, tokens_col
+from igd_spark.tokenizer import tokens_col
 
 # Language marker stopwords (disjoint across languages so votes are
 # unambiguous). The heuristic is deterministic, not a classifier: argmax of

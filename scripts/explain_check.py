@@ -1142,6 +1142,45 @@ def main() -> int:
             f"scanned schemas: {sim_schemas}",
         )
 
+    # terms_enum_indexed: dictionary-sidecar-only — no posting blocks, no
+    # corpus text; the prefix set is broadcast against the vocab
+    te_q = spark.createDataFrame(
+        [(0, "t", None)], "query_id long, query_text string, after_term string"
+    )
+    te_plan = fmt(
+        __import__("igd_spark").terms_enum_indexed(
+            spark, idx, te_q, size=5, after_col="after_term"
+        )
+    )
+    te_schemas = re.findall(r"ReadSchema: struct<([^>]*)>", te_plan)
+    check(
+        "terms_enum_indexed reads only the dictionary (no text, no blocks)",
+        bool(te_schemas)
+        and not any("text:" in s or "postings:" in s or "block" in s for s in te_schemas),
+        f"scanned schemas: {te_schemas}",
+    )
+    check(
+        "terms_enum_indexed broadcasts the prefix set",
+        "BroadcastExchange" in te_plan or "BroadcastNestedLoopJoin" in te_plan,
+        "no broadcast in plan",
+    )
+
+    # field_caps: ONE aggregate pass (a single multi-count row unpivoted by
+    # explode) — exactly one scan of the docs source in the plan
+    fc_plan = fmt(__import__("igd_spark").field_caps(docs))
+    # ONE pass = one partial+final aggregate pair over one source (the
+    # broken per-field-union shape would repeat the whole chain N times);
+    # a cached source legitimately shows InMemoryTableScan + its nested
+    # provider, so count exchanges/aggregates, not raw scan nodes
+    n_exch = len(re.findall(r"\(\d+\) Exchange", fc_plan))
+    n_aggs = len(re.findall(r"\(\d+\) HashAggregate", fc_plan))
+    n_unions = len(re.findall(r"\(\d+\) Union", fc_plan))
+    check(
+        "field_caps is one corpus pass (one agg pair, no union)",
+        n_exch == 1 and n_aggs == 2 and n_unions == 0,
+        f"{n_exch} exchanges, {n_aggs} aggregates, {n_unions} unions",
+    )
+
     n_fail = sum(1 for _, ok, _ in checks if not ok)
     print(f"\n{len(checks) - n_fail}/{len(checks)} plan checks passed")
     return 1 if n_fail else 0

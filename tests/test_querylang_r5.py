@@ -942,3 +942,72 @@ def test_random_score_deterministic_and_uniform(spark, tiny_docs):
             h60_seeded_py(3, str(r["doc_id"])) / 2**60, rel=1e-12
         )
         assert 0.0 <= r["score"] < 1.0
+
+
+# ---------------------------------------------------------------------------
+# terms_enum / field_caps (ES _terms_enum and _field_caps APIs)
+# ---------------------------------------------------------------------------
+
+
+def test_terms_enum_alphabetical_and_pagination(spark, docs):
+    """Alphabetical order, size cap, strictly-after cursor; two size-3 pages
+    walked with the keyset cursor must equal the first 6 alphabetical
+    matches (the ES search_after contract)."""
+    from igd_spark import terms_enum
+
+    ts = term_stats(postings(docs))
+    vocab = sorted(r["term"] for r in ts.select("term").collect())
+    # pick the first letter with the most matches so the cursor walk has room
+    prefix = max({t[0] for t in vocab},
+                 key=lambda c: sum(t.startswith(c) for t in vocab))
+    matches = [t for t in vocab if t.startswith(prefix)]
+    assert len(matches) >= 4, "fixture vocab too small for the walk"
+
+    q = _queries(spark, [(0, prefix), (1, "zzzzzzz"), (2, "")])
+    out = terms_enum(q, ts, size=3).toPandas()
+    got = out[out["query_id"] == 0].sort_values("rank")
+    assert list(got["term"]) == matches[:3]          # alphabetical page 1
+    assert (out["query_id"] != 1).all()              # no-match prefix: nothing
+    assert (out["query_id"] != 2).all()              # empty prefix: nothing
+
+    # page 2 via the cursor — strictly after page 1's last term
+    q2 = spark.createDataFrame(
+        [(0, prefix, matches[2])],
+        "query_id long, query_text string, after_term string",
+    )
+    page2 = terms_enum(q2, ts, size=3, after_col="after_term").toPandas()
+    assert list(page2.sort_values("rank")["term"]) == matches[3:6]
+
+
+def test_terms_enum_indexed_identity(spark, docs, r5_idx):
+    """The persisted-index dictionary enumerates identically to the
+    corpus-derived term_stats (same vocabulary, same order)."""
+    from igd_spark import terms_enum, terms_enum_indexed
+
+    ts = term_stats(postings(docs, conf=r5_idx.conf))
+    prefix = sorted(r["term"] for r in ts.select("term").collect())[0][:1]
+    q = _queries(spark, [(0, prefix), (1, prefix[:1])])
+    a = _sorted(terms_enum(q, ts, size=5))
+    b = _sorted(terms_enum_indexed(spark, r5_idx, q, size=5))
+    pd.testing.assert_frame_equal(a, b, check_dtype=False)
+
+
+def test_field_caps_schema_and_counts(spark, tiny_docs):
+    """One row per column; the analyzed text column is searchable but not
+    aggregatable; other strings are keywords; non_null_count matches
+    pandas' notna() per column."""
+    from igd_spark import field_caps
+    from igd_spark.corpus import assign_doc_ids
+
+    docs = assign_doc_ids(tiny_docs)
+    pdf = docs.toPandas()
+    out = field_caps(docs).toPandas().set_index("field")
+    assert sorted(out.index) == sorted(pdf.columns)
+    assert out.loc["text", "es_type"] == "text"
+    assert bool(out.loc["text", "searchable"]) is True
+    assert bool(out.loc["text", "aggregatable"]) is False
+    for name in pdf.columns:
+        assert out.loc[name, "non_null_count"] == int(pdf[name].notna().sum()), name
+        if name != "text" and str(pdf[name].dtype) == "object":
+            assert out.loc[name, "es_type"] == "keyword"
+            assert bool(out.loc[name, "aggregatable"]) is True
