@@ -193,6 +193,28 @@ def main() -> None:
     extra["search_1000q_engine"] = btel.get("engine", "?")
     log(f"1000-query batch: runs={[round(r,2) for r in runs]}; engine={btel.get('engine')}")
 
+    # --- 100× batch (opt-in, scaling runs): throughput with the fixed
+    # per-batch cost amortized.  The 1000q wall at K executors fits
+    # T(K) = f + p/K with f ≈ 5 s of parallelism-independent driver floor
+    # (64% of the 8-executor wall at sf0.1) — a BATCH cost, independent of
+    # query count, so the N→4N ratio of the 1000q number measures the
+    # floor as much as the plan.  At the 10^12-turn target a throughput
+    # claim is steady-state (the floor amortizes over minutes-long
+    # batches); a 10k-query batch reproduces that regime at sandbox scale.
+    if os.environ.get("IGD_BENCH_BIGQ", "") == "1":
+        n_10k = 10 * N_BIG_QUERIES
+        big10 = spark.createDataFrame(
+            make_query_set(n_10k, seed=43), "query_id long, query_text string"
+        )
+        runs = []
+        for _ in range(2):
+            t0 = time.perf_counter()
+            search(spark, idx, big10, k=10, engine=bench_engine).count()
+            runs.append(time.perf_counter() - t0)
+        timings["bm25_search_10kq"] = min(runs)
+        extra["search_qps_10kq"] = n_10k / timings["bm25_search_10kq"]
+        log(f"10k-query batch: runs={[round(r,2) for r in runs]}")
+
     if HEADLINE_ONLY:
         _emit(timings, extra, sf, n_turns, t_all)
         return
@@ -373,6 +395,7 @@ def _emit(timings: dict, extra: dict, sf: float, n_turns: int, t_all: float) -> 
         "search_qps": round(extra["search_qps"], 2),
         "search_qps_localq": round(extra.get("search_qps_localq", 0.0), 2),
         "search_qps_1000q": round(extra.get("search_qps_1000q", 0.0), 2),
+        "search_qps_10kq": round(extra.get("search_qps_10kq", 0.0), 2),
         "search_one_p50_ms": round(extra.get("search_one_p50_ms", 0.0), 1),
         "search_one_warm_p50_ms": round(extra.get("search_one_warm_p50_ms", 0.0), 2),
         "phrase_indexed_spark_sec": round(extra.get("phrase_indexed_spark_sec", 0.0), 3),
