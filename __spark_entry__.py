@@ -1910,6 +1910,24 @@ def q_terms_enum_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_validate_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # ES _validate/query: parse verdict per query string WITHOUT executing —
+    # lenient drops counted (n_dropped), the clause-count cap rejected
+    # (valid=false, the too_many_clauses analog).  Expected rows are
+    # hand-derived from the documented grammar (queryparse.py module
+    # docstring) and pinned in the oracle as literals.
+    from igd_spark import validate_query
+
+    qs = [
+        (0, '+"table scan" quer~1 tab* -slow'),  # 4 clause kinds
+        (1, "spark join"),                       # 2 plain terms
+        (2, '!!! ?* ""'),                        # 3 lexemes, all dropped
+        (3, ""),                                 # empty string: 0/0
+        (4, " ".join(f"t{i}" for i in range(10_001))),  # over the cap
+    ]
+    return validate_query(spark, qs)
+
+
 def q_field_caps(spark: SparkSession, sf_dir: str) -> DataFrame:
     # ES _field_caps: per-field type/searchable/aggregatable + non-NULL doc
     # coverage, ONE corpus pass (a single multi-count aggregate row unpivoted)
@@ -3901,6 +3919,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "terms_enum": q_terms_enum,
         "terms_enum_indexed": q_terms_enum_indexed,
         "field_caps": q_field_caps,
+        "validate_query": q_validate_query,
         "bm25_plus_topk": q_bm25_plus_topk,
         "bm25_plus_topk_indexed": q_bm25_plus_topk_indexed,
         "bm25_l_topk": q_bm25_l_topk,
@@ -6685,6 +6704,19 @@ SELECT * FROM (
   UNION ALL SELECT 'source', 'keyword', true, true, count(source)::BIGINT FROM documents
   UNION ALL SELECT 'text', 'text', true, false, count(text)::BIGINT FROM documents
 ) ORDER BY field
+"""
+
+    # validate_query: the expected parse verdicts are hand-derived from the
+    # documented grammar and pinned as literals — the oracle's job here is
+    # regression-pinning the parser's contract, not re-deriving it
+    sql["validate_query"] = """
+SELECT * FROM (VALUES
+  (0::BIGINT, true,  4::INT, 0::INT, NULL::VARCHAR),
+  (1::BIGINT, true,  2::INT, 0::INT, NULL::VARCHAR),
+  (2::BIGINT, true,  0::INT, 3::INT, NULL::VARCHAR),
+  (3::BIGINT, true,  0::INT, 0::INT, NULL::VARCHAR),
+  (4::BIGINT, false, 0::INT, 0::INT, 'query has 10001 clauses (max 10000)')
+) AS t(query_id, valid, n_clauses, n_dropped, error)
 """
 
     sql["significant_terms"] = f"""

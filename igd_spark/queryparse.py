@@ -118,6 +118,44 @@ def parse_query(s: str) -> list[Clause]:
     return clauses
 
 
+def validate_query(spark, queries) -> DataFrame:
+    """The ES ``_validate/query`` API: check each query string against the
+    parser WITHOUT executing it — (query_id, valid, n_clauses, n_dropped,
+    error), query_id asc.  ``valid`` is False only when the parse
+    REJECTS the query (the clause-count cap — ES's ``too_many_clauses``
+    analog); the parser is otherwise lenient, so malformed lexemes
+    (pure punctuation, empty phrases, bare wildcards with no literal
+    characters) are counted in ``n_dropped`` rather than failing —
+    exactly the feedback ``explain=true`` gives a user whose query
+    "succeeds" but matches nothing.  ``error`` is NULL for valid
+    queries.  ``queries`` takes the same driver-native shapes as
+    `parsed_bm25_topk` (Spark/pandas DataFrame or (id, text) pairs).
+
+    Scale: parsing is driver-side over the (small) query batch — the
+    same disclosed bound as every parse prologue in this module; nothing
+    touches the corpus or the index."""
+    rows = []
+    for qid, text in _query_rows(queries):
+        s = text or ""
+        dropped = 0
+        for m in _TOKEN_RE.finditer(s.lower()):
+            lexeme = m.group(0)
+            try:
+                if not parse_query(lexeme):
+                    dropped += 1
+            except ValueError:
+                pass  # counted by the full-parse verdict below
+        try:
+            clauses = parse_query(s)
+            rows.append((int(qid), True, len(clauses), dropped, None))
+        except ValueError as exc:
+            rows.append((int(qid), False, 0, dropped, str(exc)))
+    return spark.createDataFrame(
+        sorted(rows),
+        "query_id long, valid boolean, n_clauses int, n_dropped int, error string",
+    )
+
+
 def _query_rows(queries) -> list[tuple]:
     """(query_id, query_text) rows from a Spark DF, pandas DF, or iterable
     of pairs — the same driver-native input flexibility as `search()`."""

@@ -373,3 +373,37 @@ def test_simple_query_string_indexed_identity(spark, docs, tmp_path):
     pd.testing.assert_frame_equal(srt(a), srt(b), check_dtype=False)
     # the unsatisfiable AND group matches nothing
     assert a.filter("query_id = 3").count() == 0
+
+
+# ---------------------------------------------------------------------------
+# validate_query (the ES _validate/query API)
+# ---------------------------------------------------------------------------
+
+
+def test_validate_query_verdicts(spark):
+    """Valid queries report their clause count; lenient drops are counted
+    not failed; the clause-count cap rejects with valid=false and the
+    error message; every driver-native input shape works."""
+    from igd_spark import validate_query
+    from igd_spark.queryparse import _MAX_CLAUSES, parse_query
+
+    qs = [
+        (0, '+"table scan" quer~1 tab* -slow'),
+        (1, "spark join"),
+        (2, '!!! ?* ""'),          # three lexemes, all normalize to nothing
+        (3, ""),
+        (4, " ".join(f"t{i}" for i in range(_MAX_CLAUSES + 1))),
+    ]
+    rows = {r["query_id"]: r for r in validate_query(spark, qs).collect()}
+    # n_clauses agrees with parse_query itself on the valid ones
+    for qid, text in qs[:4]:
+        assert rows[qid]["valid"] is True
+        assert rows[qid]["n_clauses"] == len(parse_query(text))
+        assert rows[qid]["error"] is None
+    assert rows[2]["n_dropped"] == 3 and rows[2]["n_clauses"] == 0
+    assert rows[4]["valid"] is False and "clauses" in rows[4]["error"]
+    # pandas input shape gives the identical frame
+    pdf = pd.DataFrame(qs[:2], columns=["query_id", "query_text"])
+    a = validate_query(spark, qs[:2]).collect()
+    b = validate_query(spark, pdf).collect()
+    assert [tuple(r) for r in a] == [tuple(r) for r in b]
