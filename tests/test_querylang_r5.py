@@ -1011,3 +1011,39 @@ def test_field_caps_schema_and_counts(spark, tiny_docs):
         if name != "text" and str(pdf[name].dtype) == "object":
             assert out.loc[name, "es_type"] == "keyword"
             assert bool(out.loc[name, "aggregatable"]) is True
+
+
+def test_terms_enum_random_cursor_property(spark, docs):
+    """Randomized cursor property vs a pure-python enumeration: for any
+    prefix and any cursor (including mid-vocabulary strings that are not
+    themselves terms), the page equals the python-sorted matches strictly
+    after the cursor, capped at size."""
+    import random
+
+    from igd_spark import terms_enum
+
+    ts = term_stats(postings(docs))
+    vocab = sorted(r["term"] for r in ts.select("term").collect())
+    rng = random.Random(7)
+    cases = []
+    for qid in range(12):
+        t = rng.choice(vocab)
+        prefix = t[: rng.randint(1, min(3, len(t)))]
+        after = rng.choice(
+            [None, t, t[:-1], prefix, vocab[rng.randrange(len(vocab))]]
+        )
+        cases.append((qid, prefix, after))
+    q = spark.createDataFrame(
+        cases, "query_id long, query_text string, after_term string"
+    )
+    size = 4
+    out = terms_enum(q, ts, size=size, after_col="after_term").toPandas()
+    for qid, prefix, after in cases:
+        expect = [
+            t for t in vocab
+            if t.startswith(prefix) and (after is None or t > after)
+        ][:size]
+        got = list(
+            out[out["query_id"] == qid].sort_values("rank")["term"]
+        )
+        assert got == expect, (qid, prefix, after)
