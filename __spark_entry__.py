@@ -127,6 +127,7 @@ COMPLETE_N = 5                # completion-suggester fan-out
 COMPLETE_QUERY_SET: list[tuple[int, str]] = [
     (0, "tab"), (1, "cust"), (2, "zzz"), (3, "sl"), (4, "merge"),
 ]
+REINDEX_WHERE = "lang = 'en'"  # the _reindex body's query (subset filter)
 TE_SIZE = 7                   # terms_enum page size
 # (query_id, prefix, search_after cursor or None) — q2 exercises keyset
 # pagination (terms after 'sl'), q3 an empty expansion
@@ -1908,6 +1909,31 @@ def q_terms_enum_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark, _built_index(spark, sf_dir), _te_queries(spark),
         size=TE_SIZE, after_col="after_term",
     )
+
+
+_REINDEX_CACHE: dict[str, object] = {}
+
+
+def q_bm25_topk_reindexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # ES _reindex: fresh index over the WHERE-selected subset; BM25 over it
+    # scores with SUBSET statistics (df/N/avgdl from the selection — reindex
+    # copies documents, not collection stats), unlike filtered_bm25_topk
+    # which filters the match set under corpus-global stats.  The oracle
+    # recomputes everything from the filtered token lists.
+    from igd_spark import IndexConf, reindex
+    from igd_spark import search as _search_mod
+
+    if sf_dir not in _REINDEX_CACHE:
+        path = tempfile.mkdtemp(prefix="igd_reidx_") + "/idx"
+        conf = IndexConf(
+            block_size=64, n_shards=8, salt_df_threshold=1024, max_salts=8
+        )
+        _REINDEX_CACHE[sf_dir] = reindex(
+            spark, _docs(spark, sf_dir), path, where=REINDEX_WHERE, conf=conf
+        )
+    idx = _REINDEX_CACHE[sf_dir]
+    out = _search_mod(spark, idx, _queries_df(spark), k=K + 15)
+    return _rank_rounded(out.select("query_id", "doc_id", "score"), K)
 
 
 def q_validate_query(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3920,6 +3946,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "terms_enum_indexed": q_terms_enum_indexed,
         "field_caps": q_field_caps,
         "validate_query": q_validate_query,
+        "bm25_topk_reindexed": q_bm25_topk_reindexed,
         "bm25_plus_topk": q_bm25_plus_topk,
         "bm25_plus_topk_indexed": q_bm25_plus_topk_indexed,
         "bm25_l_topk": q_bm25_l_topk,
@@ -4352,6 +4379,13 @@ def oracle_sql() -> dict[str, str]:
     sql["term_stats"] = f"WITH {_TL}, {_TOKS}, {_POST}, {_TS} SELECT term, df FROM ts"
 
     sql["bm25_topk"] = _bm25_sql()
+    # reindex: SUBSET statistics — every CTE derives from the filtered
+    # token lists, so df/N/avgdl are the selection's own
+    sql["bm25_topk_reindexed"] = _bm25_sql(tl=(
+        "tldocs AS (SELECT doc_id, list_filter(regexp_split_to_array("
+        "lower(text), '[^a-z0-9]+'), x -> x <> '') AS tl FROM documents "
+        "WHERE lang = 'en')"
+    ))
     sql["bm25_topk_mintf"] = _bm25_sql(min_tf=MIN_TF)
     sql["bm25_topk_indexed"] = _bm25_sql()  # must equal the index-free path
     # reshard (16 → 5 shards) must be invisible to ranking

@@ -1105,6 +1105,48 @@ def reshard_index(
     return open_index(spark, dest)
 
 
+def reindex(
+    spark: SparkSession,
+    docs: DataFrame,
+    dest: str,
+    where: str | None = None,
+    transform=None,
+    conf: "IndexConf | None" = None,
+) -> InvertedIndex:
+    """The ES ``_reindex`` API: build a FRESH index at ``dest`` from the
+    source corpus, optionally restricted by ``where`` (the reindex body's
+    ``query``, a SQL predicate pushed into the corpus scan) and/or
+    reshaped by ``transform`` (the ``script``: a DataFrame -> DataFrame
+    callable applied after the filter).  The source index — and its
+    corpus table — stay untouched and serveable; swap the serving alias
+    (`set_alias`) when the copy is ready, exactly the ES zero-downtime
+    pattern.
+
+    Semantics note (the reason reindex ≠ `filtered_bm25_topk`): the new
+    index's statistics (df, N, avgdl) come from the SELECTED subset, so
+    BM25 over the reindexed copy scores with subset idf — ES behaves the
+    same way, because _reindex copies documents, not collection stats.
+    `filtered_bm25_topk` is the other contract (filter the MATCH SET,
+    keep corpus-global stats); both are gate-verified.
+
+    This engine stores no ``_source`` (the corpus table IS the source of
+    record — the Iceberg analog of _source), so reindex reads the corpus
+    table rather than the index, which is strictly cheaper: predicate
+    pushdown prunes the scan (`where` reaches the parquet reader), where
+    ES must scroll the whole source index.  Cost is O(selected corpus) —
+    one standard build over the selection, same plan shape as
+    `build_index` (reference analog: `igd create` over a restricted file
+    list, src/igd_create.c:130-166)."""
+    src = docs
+    if where:
+        src = src.filter(where)
+    if transform is not None:
+        src = transform(src)
+        if "doc_id" not in src.columns:
+            raise ValueError("transform must preserve the doc_id column")
+    return build_index(spark, src, dest, conf=conf or DEFAULT_CONF)
+
+
 def _dir_bytes(path: str) -> int:
     total = 0
     for root, _dirs, files in os.walk(path):

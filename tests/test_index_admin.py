@@ -165,3 +165,38 @@ def test_rollover_lifecycle(spark, docs, tmp_path):
     # condition validation
     with pytest.raises(ValueError):
         rollover_index(spark, root, "logs-write")
+
+
+def test_reindex_subset_stats_and_transform(spark, docs, tmp_path):
+    """reindex == build_index over the selection (same ranks+scores, i.e.
+    SUBSET statistics); the source stays serveable; transform applies and
+    must preserve doc_id."""
+    from igd_spark import reindex
+
+    conf = IndexConf(block_size=32, n_shards=4, salt_df_threshold=64)
+    q = _queries(spark, [(0, "error timeout"), (1, "deploy")])
+
+    # filter path: identical to building over the filtered frame
+    a_idx = reindex(spark, docs, str(tmp_path / "re1"), where="role = 'user'",
+                    conf=conf)
+    b_idx = build_index(spark, docs.filter("role = 'user'"),
+                        str(tmp_path / "b1"), conf=conf)
+    a = [(r.query_id, r.rank, r.doc_id, round(r.score, 9))
+         for r in search(spark, a_idx, q, k=5).collect()]
+    b = [(r.query_id, r.rank, r.doc_id, round(r.score, 9))
+         for r in search(spark, b_idx, q, k=5).collect()]
+    assert sorted(a) == sorted(b) and a
+    # subset stats differ from the full corpus (df/N changed) — the reindex
+    # semantics, not a filtered match set
+    full_idx = build_index(spark, docs, str(tmp_path / "full"), conf=conf)
+    full = {(r.query_id, r.doc_id): round(r.score, 9)
+            for r in search(spark, full_idx, q, k=10_000).collect()}
+    assert any(full.get((qid, d)) not in (None, s) for qid, _rk, d, s in a)
+
+    # transform path: drop a column is fine, dropping doc_id raises
+    t_idx = reindex(spark, docs, str(tmp_path / "re2"),
+                    transform=lambda d: d.drop("tool"), conf=conf)
+    assert search(spark, t_idx, q, k=5).count() > 0
+    with pytest.raises(ValueError):
+        reindex(spark, docs, str(tmp_path / "re3"),
+                transform=lambda d: d.drop("doc_id"), conf=conf)
