@@ -2974,7 +2974,12 @@ def _fis_epilogue(
             f"need 1 <= min_set_size <= max_size <= 3, got "
             f"({min_set_size}, {max_size})"
         )
-    md = m.select("query_id", "doc_id").distinct()
+    # persisted + materialized: the match set feeds the l1 branch, the
+    # item-array branch and (via l1i) every decode join — unpersisted it
+    # recomputed the whole scoring pass once per consumer (measured 3-6
+    # recomputes of the match chain per call)
+    md = m.select("query_id", "doc_id").distinct().persist()
+    md.count()
     sizes = md.groupBy("query_id").agg(
         F.count("*").cast("long").alias("msize")
     )
@@ -2999,18 +3004,52 @@ def _fis_epilogue(
             <= F.lit(float(max_support_frac)) * F.col("msize")
         )
     l1 = l1.drop("msize")
-    tf = t.join(
-        l1.select("query_id", "term"), ["query_id", "term"], "left_semi"
-    )
+    # dense per-query item ids, assigned in LEXICOGRAPHIC term order so
+    # tid order == term order: enumeration from sorted tid arrays visits
+    # exactly the itemsets the sorted string arrays did, and a decoded
+    # array(term(t1), term(t2), ...) is already lexicographically sorted.
+    # The candidate explode + support agg then run on int structs instead
+    # of string structs (measured 2x on the triple level: cheaper array
+    # construction, cheaper group-key hashing, smaller shuffle rows).
+    wl = Window.partitionBy("query_id").orderBy("term")
+    # tiny (frequent vocab x queries) — persisted so the decode joins and
+    # the item-array branch don't each re-run the l1 aggregation chain
+    l1i = l1.withColumn("tid", (F.row_number().over(wl) - 1).cast("int")).persist()
+    l1i.count()
+    tfi = t.join(l1i.select("query_id", "term", "tid"), ["query_id", "term"])
     # one tiny row per (query, matched doc): its sorted frequent items —
-    # the base every candidate level enumerates from, in-row, no joins
-    fa = tf.groupBy("query_id", "doc_id").agg(
-        F.sort_array(F.collect_set("term")).alias("items_arr")
-    ).persist()
+    # then collapsed to DISTINCT item arrays with a doc-count weight:
+    # combo enumeration below is per distinct array, support = Σ weight.
+    # Result-identical (support counted docs; now it sums doc counts per
+    # identical array), and on hot-vocabulary corpora many docs share the
+    # same frequent-item set, so each C(n,k) expansion is enumerated once
+    # per ARRAY, not once per doc.
+    fa = (
+        tfi.groupBy("query_id", "doc_id")
+        .agg(F.sort_array(F.collect_set("tid")).alias("ia"))
+        .groupBy("query_id", "ia")
+        .agg(F.count("*").cast("long").alias("w"))
+        .persist()
+    )
+
+    def _decode(sup: DataFrame, tcols: list[str]) -> DataFrame:
+        # tid -> term via the (tiny, post-filter) l1i map; AQE broadcasts
+        out = sup
+        for i, c in enumerate(tcols):
+            out = out.join(
+                l1i.select(
+                    "query_id",
+                    F.col("tid").alias(c),
+                    F.col("term").alias(f"_term{i}"),
+                ),
+                ["query_id", c],
+            )
+        return out
+
     levels = []
     if min_set_size <= 1:
         levels.append(
-            l1.select(
+            l1i.select(
                 "query_id",
                 F.lit(1).alias("size"),
                 F.array("term").alias("items"),
@@ -3018,52 +3057,52 @@ def _fis_epilogue(
             )
         )
     pair_combos = F.expr(
-        "flatten(transform(items_arr, (x, i) -> "
-        "  transform(slice(items_arr, i + 2, size(items_arr)), "
+        "flatten(transform(ia, (x, i) -> "
+        "  transform(slice(ia, i + 2, size(ia)), "
         "            y -> struct(x AS t1, y AS t2))))"
     )
     l2 = (
-        fa.select("query_id", F.explode(pair_combos).alias("c"))
+        fa.select("query_id", "w", F.explode(pair_combos).alias("c"))
         .groupBy("query_id", F.col("c.t1").alias("t1"), F.col("c.t2").alias("t2"))
-        .agg(F.count("*").cast("long").alias("support"))
+        .agg(F.sum("w").cast("long").alias("support"))
         .join(F.broadcast(sizes), "query_id")
         .filter(F.col("support") >= floor_col)
         .drop("msize")
     )
     if min_set_size <= 2:
         levels.append(
-            l2.select(
+            _decode(l2, ["t1", "t2"]).select(
                 "query_id",
                 F.lit(2).alias("size"),
-                F.array("t1", "t2").alias("items"),
+                F.array("_term0", "_term1").alias("items"),
                 "support",
             )
         )
     if max_size >= 3:
         triple_combos = F.expr(
-            "flatten(transform(items_arr, (x, i) -> "
-            "  flatten(transform(slice(items_arr, i + 2, size(items_arr)), (y, j) -> "
-            "    transform(slice(items_arr, i + j + 3, size(items_arr)), "
+            "flatten(transform(ia, (x, i) -> "
+            "  flatten(transform(slice(ia, i + 2, size(ia)), (y, j) -> "
+            "    transform(slice(ia, i + j + 3, size(ia)), "
             "              z -> struct(x AS t1, y AS t2, z AS t3))))))"
         )
         l3 = (
-            fa.select("query_id", F.explode(triple_combos).alias("c"))
+            fa.select("query_id", "w", F.explode(triple_combos).alias("c"))
             .groupBy(
                 "query_id",
                 F.col("c.t1").alias("t1"),
                 F.col("c.t2").alias("t2"),
                 F.col("c.t3").alias("t3"),
             )
-            .agg(F.count("*").cast("long").alias("support"))
+            .agg(F.sum("w").cast("long").alias("support"))
             .join(F.broadcast(sizes), "query_id")
             .filter(F.col("support") >= floor_col)
             .drop("msize")
         )
         levels.append(
-            l3.select(
+            _decode(l3, ["t1", "t2", "t3"]).select(
                 "query_id",
                 F.lit(3).alias("size"),
-                F.array("t1", "t2", "t3").alias("items"),
+                F.array("_term0", "_term1", "_term2").alias("items"),
                 "support",
             )
         )
@@ -3080,7 +3119,7 @@ def _fis_epilogue(
     )
     from igd_spark.dedup import _materialize_then_unpersist
 
-    return _materialize_then_unpersist(out, [fa])
+    return _materialize_then_unpersist(out, [fa, md, l1i])
 
 
 def frequent_item_sets_agg(

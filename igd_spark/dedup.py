@@ -44,6 +44,8 @@ def shingles(docs: DataFrame, n: int = DEFAULT_SHINGLE_N,
              text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """(doc_id, shingle) — DISTINCT word n-grams per document (space-joined).
     Docs with fewer than n tokens produce zero shingles."""
+    from igd_spark.session import spread_small_scan
+
     toks = nonempty_tokens(text_col)
     # guard: sequence(1, 0) in Spark is DESCENDING [1, 0], so docs shorter
     # than n tokens must short-circuit to an empty array, not an empty range
@@ -54,10 +56,11 @@ def shingles(docs: DataFrame, n: int = DEFAULT_SHINGLE_N,
             lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
         ),
     ).otherwise(F.array().cast("array<string>"))
-    return (
-        docs.select(F.col(id_col).alias("doc_id"), F.explode(sh).alias("shingle"))
-        .distinct()
-    )
+    # per-doc dedup is LOCAL (array_distinct inside the row) — the output
+    # rows are then unique by construction, so no corpus-wide DISTINCT
+    # shuffle is needed (was a full exchange of the shingle table)
+    src = spread_small_scan(docs.select(F.col(id_col).alias("doc_id"), F.col(text_col)))
+    return src.select("doc_id", F.explode(F.array_distinct(sh)).alias("shingle"))
 
 
 def _materialize_then_unpersist(result: DataFrame, staged: list[DataFrame]) -> DataFrame:
@@ -128,6 +131,33 @@ def ngram_jaccard_pairs(
     return _materialize_then_unpersist(j.filter(F.col("jaccard") >= threshold), [sh])
 
 
+def _minhash_sig_arrays(
+    docs: DataFrame,
+    n_hashes: int = DEFAULT_N_HASHES,
+    n: int = DEFAULT_SHINGLE_N,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(doc_id, sig array<long>) — per-doc MinHash signature in seed order:
+    sig[s] = min over the doc's shingles of h60('<s>|' + shingle).
+
+    The wide-agg formulation: each seed is ONE map-side-combinable min
+    aggregate, so the only shuffle carries n_hashes longs per doc — the
+    long-format explode it replaces shuffled n_hashes ROWS per (doc,
+    shingle) through the same exchange (16x the rows, measured ~2x the
+    wall on the bench corpus)."""
+    sh = shingles(docs, n=n, text_col=text_col, id_col=id_col)
+    mins = [
+        F.min(
+            h60_col(F.concat(F.lit(f"{s}|"), F.col("shingle")))
+        ).alias(f"_mh{s}")
+        for s in range(n_hashes)
+    ]
+    return sh.groupBy("doc_id").agg(*mins).select(
+        "doc_id", F.array(*[F.col(f"_mh{s}") for s in range(n_hashes)]).alias("sig")
+    )
+
+
 def minhash_signatures(
     docs: DataFrame,
     n_hashes: int = DEFAULT_N_HASHES,
@@ -137,17 +167,13 @@ def minhash_signatures(
 ) -> DataFrame:
     """(doc_id, seed, mh) — long-format MinHash: mh = min over the doc's
     shingles of h60('<seed>|' + shingle). Domain-separated seeding keeps the
-    oracle SQL arithmetic-free (no int64-overflowing mixers)."""
-    sh = shingles(docs, n=n, text_col=text_col, id_col=id_col)
-    seeded = sh.select(
-        "doc_id",
-        F.explode(F.sequence(F.lit(0), F.lit(n_hashes - 1))).alias("seed"),
-        "shingle",
-    ).select(
-        "doc_id", "seed",
-        h60_col(F.concat(F.col("seed").cast("string"), F.lit("|"), F.col("shingle"))).alias("hv"),
+    oracle SQL arithmetic-free (no int64-overflowing mixers). Computed via
+    the wide per-doc signature (one shuffle) and posexploded back to rows —
+    identical output, 1/n_hashes-th the shuffled rows."""
+    sigs = _minhash_sig_arrays(
+        docs, n_hashes=n_hashes, n=n, text_col=text_col, id_col=id_col
     )
-    return seeded.groupBy("doc_id", "seed").agg(F.min("hv").alias("mh"))
+    return sigs.select("doc_id", F.posexplode("sig").alias("seed", "mh"))
 
 
 def lsh_candidate_pairs(
@@ -194,23 +220,57 @@ def minhash_dedup_pairs(
     filtered at `threshold`. Scale path of ngram_jaccard_pairs (candidate
     count is bucket-bounded, not shingle-df-bounded).
 
-    The signature table is persisted + materialized: it feeds the band join
-    and both estimate join sides — unpersisted, the expensive
-    shingle→seed-explode→min aggregation re-runs up to 3×."""
-    sigs = minhash_signatures(docs, n_hashes=n_hashes, n=n, text_col=text_col, id_col=id_col)
+    The signature table (wide per-doc arrays) is persisted + materialized:
+    it feeds the band join and both estimate join sides — unpersisted, the
+    expensive shingle→min aggregation re-runs up to 3×. Band keys are
+    sliced from the array in-row and the agreement estimate is one
+    zip_with over the two arrays — no seed-level row expansion anywhere
+    (the long-format pipeline this replaces shuffled 16 rows per doc into
+    the band groupBy and 16 rows per candidate side into the estimate
+    join)."""
+    sigs = _minhash_sig_arrays(
+        docs, n_hashes=n_hashes, n=n, text_col=text_col, id_col=id_col
+    )
     sigs = sigs.persist()
     sigs.count()  # materialize before fan-out
-    cand = lsh_candidate_pairs(sigs, band_rows=band_rows)
-    sa = sigs.select(F.col("doc_id").alias("doc_a"), "seed", F.col("mh").alias("mh_a"))
-    sb = sigs.select(F.col("doc_id").alias("doc_b"), "seed", F.col("mh").alias("mh_b"))
+    n_bands = -(-n_hashes // band_rows)
+    # band key = comma-joined mh values in seed order — byte-identical to
+    # the long-format array_sort(collect_list(struct(seed, mh))) key
+    band_arr = F.transform(
+        F.sequence(F.lit(0), F.lit(n_bands - 1)),
+        lambda b: F.array_join(
+            F.transform(
+                F.slice(F.col("sig"), b * band_rows + 1, band_rows),
+                lambda x: x.cast("string"),
+            ),
+            ",",
+        ),
+    )
+    bands = sigs.select(
+        "doc_id", F.posexplode(band_arr).alias("band_id", "band_sig")
+    )
+    a = bands.select(F.col("doc_id").alias("doc_a"), "band_id", "band_sig")
+    b = bands.select(F.col("doc_id").alias("doc_b"), "band_id", "band_sig")
+    cand = (
+        a.join(b, ["band_id", "band_sig"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    sa = sigs.select(F.col("doc_id").alias("doc_a"), F.col("sig").alias("sig_a"))
+    sb = sigs.select(F.col("doc_id").alias("doc_b"), F.col("sig").alias("sig_b"))
+    agree = F.size(
+        F.filter(
+            F.zip_with("sig_a", "sig_b", lambda x, y: x == y), lambda m: m
+        )
+    )
     est = (
         cand.join(sa, "doc_a")
-        .join(sb, ["doc_b", "seed"])
-        .groupBy("doc_a", "doc_b")
-        .agg(
-            F.round(
-                F.sum(F.when(F.col("mh_a") == F.col("mh_b"), 1).otherwise(0)) / F.count("*"), 6
-            ).alias("est_jaccard")
+        .join(sb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(agree / F.lit(n_hashes), 6).alias("est_jaccard"),
         )
     )
     return _materialize_then_unpersist(est.filter(F.col("est_jaccard") >= threshold), [sigs])
@@ -425,8 +485,12 @@ def _window_occurrences(
     docs: DataFrame, min_len: int, text_col: str, id_col: str
 ) -> DataFrame:
     """(doc_id, p, gh) — every min_len-token window of the analyzed token
-    stream: 1-based start position p and md5 of the space-joined window.
-    Pure JVM expressions (split + transform + md5), no shuffle."""
+    stream: 1-based start position p and the md5 digest (16-byte binary —
+    hex is injective so grouping semantics are exactly the hex-string
+    form's, at half the shuffle bytes) of the space-joined window.
+    Pure JVM expressions (split + transform + md5)."""
+    from igd_spark.session import spread_small_scan
+
     toks = nonempty_tokens(text_col)
     wins = F.when(
         F.size(toks) >= min_len,
@@ -434,11 +498,12 @@ def _window_occurrences(
             F.sequence(F.lit(1), F.size(toks) - (min_len - 1)),
             lambda i: F.struct(
                 i.alias("p"),
-                F.md5(F.concat_ws(" ", F.slice(toks, i, min_len))).alias("gh"),
+                F.unhex(F.md5(F.concat_ws(" ", F.slice(toks, i, min_len)))).alias("gh"),
             ),
         ),
-    ).otherwise(F.array().cast("array<struct<p:int,gh:string>>"))
-    return docs.select(F.col(id_col).alias("doc_id"), F.explode(wins).alias("w")).select(
+    ).otherwise(F.array().cast("array<struct<p:int,gh:binary>>"))
+    src = spread_small_scan(docs.select(F.col(id_col).alias("doc_id"), F.col(text_col)))
+    return src.select("doc_id", F.explode(wins).alias("w")).select(
         "doc_id", F.col("w.p").alias("p"), F.col("w.gh").alias("gh")
     )
 

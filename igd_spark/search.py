@@ -1211,20 +1211,21 @@ def positional_postings(
     position in the token stream. The positional sibling of postings():
     posexplode keeps the coordinate the tf aggregation throws away, which
     is exactly the reference's start-coordinate axis (records carry their
-    position, src/igd_base.h:40-46) transplanted to token space."""
-    toks = tokens_col(F.col(text_col), conf.token_split_re)
-    exploded = docs.select(
-        F.col(id_col).alias("doc_id"),
-        F.posexplode(toks).alias("rawpos", "term"),
-    ).filter(F.col("term") != "")
-    # rawpos counts empty split artifacts; recompute dense position by
-    # ranking occurrences within the doc (rawpos preserves order)
-    w = Window.partitionBy("doc_id").orderBy("rawpos")
-    return exploded.select(
-        "doc_id",
-        "term",
-        (F.row_number().over(w) - 1).cast("int").alias("pos"),
+    position, src/igd_base.h:40-46) transplanted to token space.
+
+    Positions are dense BY CONSTRUCTION: empty split artifacts are
+    filtered from the token array BEFORE posexplode, so the generator's
+    own index is the analyzed position — no per-doc window (the
+    row_number re-rank this replaces cost a full shuffle + sort of every
+    token occurrence)."""
+    toks = F.filter(
+        tokens_col(F.col(text_col), conf.token_split_re),
+        lambda t: t != F.lit(""),
     )
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(toks).alias("pos", "term"),
+    ).select("doc_id", "term", F.col("pos").cast("int").alias("pos"))
 
 
 def _phrase_terms(phrases: DataFrame, split_re: str) -> DataFrame:

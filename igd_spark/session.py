@@ -124,6 +124,39 @@ def balance_kernel_input(df, waves: int = 3):
     return df
 
 
+def spread_small_scan(df, factor: int = 1):
+    """Repartition a small (few-split) input before CPU-heavy per-row
+    expansion (shingle/gram/window generators, token explodes).
+
+    The bench/gate corpora are SINGLE small parquet files with one row
+    group — an unsplittable scan (guide: input skew, "one huge
+    unsplittable file ... repartition immediately after the read"), so
+    every generator downstream runs one task while the other N-1 slots
+    idle; measured 11 s → ~1 s on the DSIR gram explode at local[32].
+    Policy is scale-adaptive, not a local[32] constant:
+
+    - input already fills the slots (n_in >= parallelism): NO-OP — a
+      100 TB table has millions of natural splits and never shuffles here.
+    - otherwise round-robin repartition to factor x parallelism (explicit
+      count, so AQE does not re-coalesce it): row-balanced tasks; the
+      shuffled bytes are by construction small (the input could not fill
+      the slots). Applied ONLY ahead of expensive per-row generators
+      (md5 shingles/windows/grams) — for cheap token explodes the extra
+      exchange + task overhead exceeds the parallelism win (measured).
+
+    Round-robin repartition is retry-deterministic (sortBeforeRepartition
+    stays at its default), so no duplicated/lost rows under speculation.
+    $IGD_SPREAD_SCAN=0 disables (A/B escape hatch)."""
+    if os.environ.get("IGD_SPREAD_SCAN", "1") == "0":
+        return df
+    spark = df.sparkSession
+    cores = local_cores(spark)
+    para = cores if cores is not None else spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() >= para:
+        return df
+    return df.repartition(factor * para)
+
+
 def get_spark(
     cores: int | None = None,
     app: str = "igd_spark",

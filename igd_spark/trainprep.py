@@ -587,8 +587,13 @@ def dsir_weights(
         raise ValueError(f"n_buckets must be positive, got {n_buckets}")
     if alpha <= 0.0:
         raise ValueError(f"alpha must be positive (Laplace), got {alpha}")
+    from igd_spark.session import spread_small_scan
+
     toks = nonempty_tokens(F.coalesce(F.col(text_col), F.lit("")))
-    gb = docs.select(
+    src = spread_small_scan(
+        docs.select(F.col(id_col), F.col(source_col), F.col(text_col))
+    )
+    gb = src.select(
         F.col(id_col).alias("doc_id"),
         (F.col(source_col) == F.lit(target_source)).alias("is_t"),
         F.explode(_dsir_grams(toks)).alias("gram"),
