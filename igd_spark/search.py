@@ -639,6 +639,7 @@ def _try_driver_route(
     stats_small,
     local_rows: list[tuple[int, str]] | None = None,
     runner=None,
+    carry: dict | None = None,
 ) -> DataFrame | None:
     """Route a small batch to the in-process kernel (LocalSearcher.search_n —
     zero Spark jobs, erases the ~2.5-3 s per-batch scheduling floor, the
@@ -681,6 +682,10 @@ def _try_driver_route(
             for r in queries.select("query_id", "query_text").collect()
         ]
     )
+    # a demoted batch hands its collected rows to the spark-small prologue
+    # (carry) so the distributed path never re-collects the query frame
+    if carry is not None:
+        carry["rows"] = rows
     n_q = len({qid for qid, _ in rows})
     if n_q > max_q:
         bail(f"batch has {n_q} queries > driver_search_max_queries={max_q}")
@@ -1057,6 +1062,7 @@ def search(
         return _stats_small_plan(df, conf)
 
     # --- driver route (engine auto/driver): in-process kernel, zero jobs ---
+    carry_rows: list[tuple[int, str]] | None = None
     if engine != "spark" and n_buckets is None:
         local_rows = None
         if is_local_input:
@@ -1075,37 +1081,72 @@ def search(
                     "or raise IndexConf.driver_search_* budgets"
                 )
         if local_rows is not None or not is_local_input:
+            carry: dict = {}
             routed = _try_driver_route(
                 spark, idx, queries, k, min_tf, engine, telemetry,
-                _stats_small, local_rows=local_rows,
+                _stats_small, local_rows=local_rows, carry=carry,
             )
             if routed is not None:
                 return routed
+            carry_rows = carry.get("rows")
+    if carry_rows is None and is_local_input:
+        # local input always takes the driver-derived prologue below —
+        # its rows are already in driver memory
+        carry_rows = _as_local_rows(queries)
     if is_local_input:
         queries = _materialize_local_queries(spark, queries)
 
     # --- distributed plan ---------------------------------------------------
     t_prologue = time.perf_counter()
-    qt = query_terms(queries)
-    qdict = (
-        idx.dictionary.join(F.broadcast(qt), "term")
-        .withColumn("idf", idf_col(idx.n_docs, "df"))
-        .select("query_id", "term_id", "idf", "n_salts", "df")
-    )
     seg = idx.segments
     if _stats_small(queries):
-        qrows = qdict.collect()
+        # small-batch fast path: the prologue is fully driver-derived.
+        # Query rows come from the demoted driver-route attempt (carry) or
+        # ONE collect; the dictionary slice comes from the LocalSearcher's
+        # footer/row-group-pruned parquet reads with its per-handle term
+        # cache — no Spark job, where the broadcast-join + collect this
+        # replaces cost a full dictionary-scan job per batch (~0.5-1 s of
+        # the measured 1000q batch floor). idf replicates idf_col's
+        # expression order in doubles; ln() drift vs the JVM is absorbed
+        # by the engine-wide round-before-rank discipline (same tolerance
+        # the DuckDB oracles already rely on).
+        from igd_spark.local import _tokenize_one, local_searcher
+
+        if carry_rows is None:
+            carry_rows = [
+                (int(r["query_id"]), r["query_text"])
+                for r in queries.select("query_id", "query_text").collect()
+            ]
+        per_q: dict[int, set] = {}
+        for qid, text in carry_rows:
+            per_q.setdefault(int(qid), set()).update(
+                _tokenize_one(text, conf.token_split_re)
+            )
+        union_terms = sorted(set().union(*per_q.values())) if per_q else []
+        ls = local_searcher(idx)
+        tmap = ls._lookup_terms(union_terms)
+        import math
+
+        n_corpus = idx.n_docs
+        # (query_id, term_id, idf, n_salts, df) — the old qdict.collect rows
+        qrows = [
+            (qid, info[0],
+             math.log((n_corpus - info[1] + 0.5) / (info[1] + 0.5) + 1.0),
+             info[2], info[1])
+            for qid in sorted(per_q)
+            for t in sorted(per_q[qid])
+            if (info := tmap.get(t)) is not None
+        ]
         if not qrows:
             return spark.createDataFrame([], TOPK_SCHEMA)
-        # small-batch fast path: ONE collect, everything else driver-derived
         if n_buckets is None:
-            n_buckets = pick_buckets(len({int(r["query_id"]) for r in qrows}))
-        term_ids = sorted({int(r["term_id"]) for r in qrows})
+            n_buckets = pick_buckets(len({q for q, *_ in qrows}))
+        term_ids = sorted({tid for _, tid, *_ in qrows})
         shards = sorted(
             {
                 s
-                for r in qrows
-                for s in shards_for(int(r["term_id"]), int(r["n_salts"]), conf.n_shards)
+                for _, tid, _, ns, _ in qrows
+                for s in shards_for(tid, ns, conf.n_shards)
             }
         )
         # cost-aware bucket assignment (LPT): qid % n_buckets leaves Zipf
@@ -1121,8 +1162,8 @@ def search(
         import heapq
 
         qcost: dict[int, int] = {}
-        for r in qrows:
-            qcost[int(r["query_id"])] = qcost.get(int(r["query_id"]), 0) + int(r["df"])
+        for qid, _, _, _, df in qrows:
+            qcost[qid] = qcost.get(qid, 0) + df
         heap = [(0, b) for b in range(n_buckets)]
         assign: dict[int, int] = {}
         for qid in sorted(qcost, key=lambda q: (-qcost[q], q)):
@@ -1145,20 +1186,25 @@ def search(
             seg = seg.filter(
                 F.col("shard").isin(shards) & F.col("term_id").isin(term_ids)
             )
+        # pandas-backed frames become LocalRelations (Arrow conversion):
+        # broadcasting/joining them runs NO python-rdd evaluation job —
+        # the list form parallelized pickled rows and cost a 32-task
+        # python round-trip per use (measured ~0.4 s each at local[32])
+        bt_rows = sorted({(assign[q], tid) for q, tid, *_ in qrows})
         bt = spark.createDataFrame(
-            sorted({(assign[int(r["query_id"])], int(r["term_id"])) for r in qrows}),
+            pd.DataFrame(bt_rows, columns=["bucket", "term_id"]),
             "bucket int, term_id long",
         )
         # the cogroup's query map is already driver-resident in qrows —
-        # re-deriving it from qdict would rescan the dictionary and rerun
+        # re-deriving it from the dictionary would rescan it and rerun
         # the broadcast join (a whole extra stage chain of per-batch fixed
-        # cost, ~0.5 s at 1000q). Collected idf doubles round-trip exactly,
-        # so rank-identity with the recomputed form is preserved.
+        # cost, ~0.5 s at 1000q).
+        qmap_rows = sorted(
+            (assign[q], q, tid, idf) for q, tid, idf, _, _ in qrows
+        )
         qmap = spark.createDataFrame(
-            sorted(
-                (assign[int(r["query_id"])], int(r["query_id"]),
-                 int(r["term_id"]), float(r["idf"]))
-                for r in qrows
+            pd.DataFrame(
+                qmap_rows, columns=["bucket", "query_id", "term_id", "idf"]
             ),
             "bucket int, query_id long, term_id long, idf double",
         )
@@ -1173,6 +1219,12 @@ def search(
             )
     else:
         # unbounded path: no per-query driver state, pruning via the join
+        qt = query_terms(queries)
+        qdict = (
+            idx.dictionary.join(F.broadcast(qt), "term")
+            .withColumn("idf", idf_col(idx.n_docs, "df"))
+            .select("query_id", "term_id", "idf", "n_salts", "df")
+        )
         if n_buckets is None:
             n_buckets = pick_buckets(qt.select("query_id").distinct().count())
         bt = qdict.select(
