@@ -213,18 +213,27 @@ def build_segments(salted: DataFrame, conf: IndexConf, avgdl: float) -> DataFram
     repartition on shard, partition sort on (term_id, salt, doc_id) — Spark's
     external sort plays the reference's per-tile radix sort
     (src/igd_base.h:199-249) with spill handled by Tungsten."""
-    from igd_spark.session import kernel_parallelism
-
     with_keys = salted.withColumn("term_id", F.xxhash64("term")).withColumn(
         "shard", shard_col(F.col("term_id"), F.col("salt"), conf.n_shards)
     )
-    # partition count for the pack stage: n_shards on a cluster; capped on a
-    # local master (single memory bus — see session.kernel_parallelism). A
-    # (term_id, salt) group maps to exactly one shard, so hashing several
-    # shards into one partition keeps every group contiguous under the
-    # partition sort, and the partitionBy("shard") write still emits
-    # shard-pure files with intact term_id runs for row-group pruning.
-    n_parts = kernel_parallelism(salted.sparkSession, conf.n_shards)
+    # partition count for the pack stage: n_shards on a cluster; on a local
+    # master, min(n_shards, cores). The sort+pack stage is Tungsten-sort +
+    # varint-pack bound, not DRAM-copy bound like the decode/score kernels,
+    # so the kernel_parallelism DRAM-knee cap (10) that previously applied
+    # here UNDER-parallelized it: measured at 349k turns on local[32], the
+    # shuffle+sort alone runs 8.4 s at 10 partitions vs 4.6 s at 32, and
+    # the full segment stage 14.9 s vs 10.9 s. A (term_id, salt) group maps
+    # to exactly one shard, so hashing several shards into one partition
+    # keeps every group contiguous under the partition sort, and the
+    # partitionBy("shard") write still emits shard-pure files with intact
+    # term_id runs for row-group pruning. $IGD_PACK_PARTS overrides.
+    import os as _os
+
+    from igd_spark.session import local_cores
+
+    _cores = local_cores(salted.sparkSession)
+    n_parts = conf.n_shards if _cores is None else max(1, min(conf.n_shards, _cores))
+    n_parts = int(_os.environ.get("IGD_PACK_PARTS", n_parts))
     stream = with_keys.repartition(n_parts, "shard").sortWithinPartitions(
         "term_id", "salt", "doc_id"
     )
