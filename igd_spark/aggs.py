@@ -2978,8 +2978,12 @@ def _fis_epilogue(
     # item-array branch and (via l1i) every decode join — unpersisted it
     # recomputed the whole scoring pass once per consumer (measured 3-6
     # recomputes of the match chain per call)
+    # persisted WITHOUT an eager count: the max_l collect below is the one
+    # materialization barrier — it pulls md/l1i/fa through their caches in
+    # a single action (each extra blocking count cost ~1-1.5 s of wall at
+    # bench scale); concurrent first-computation races are absorbed by
+    # ReusedExchange within the action
     md = m.select("query_id", "doc_id").distinct().persist()
-    md.count()
     sizes = md.groupBy("query_id").agg(
         F.count("*").cast("long").alias("msize")
     )
@@ -3015,7 +3019,6 @@ def _fis_epilogue(
     # tiny (frequent vocab x queries) — persisted so the decode joins and
     # the item-array branch don't each re-run the l1 aggregation chain
     l1i = l1.withColumn("tid", (F.row_number().over(wl) - 1).cast("int")).persist()
-    l1i.count()
     tfi = t.join(l1i.select("query_id", "term", "tid"), ["query_id", "term"])
     # one tiny row per (query, matched doc): its sorted frequent items —
     # then collapsed to DISTINCT item arrays with a doc-count weight:
@@ -3031,20 +3034,43 @@ def _fis_epilogue(
         .agg(F.count("*").cast("long").alias("w"))
         .persist()
     )
+    # combination-index strategy: when every frequent-item array is short
+    # (<= _FIS_CIDX_MAX items), enumerate C(L, k) subsets by broadcast-
+    # joining a precomputed (L, i, j[, k]) index table and element_at —
+    # whole-stage-codegen'd, no per-element lambda interpretation and no
+    # intermediate slice() allocations (measured 2.5x over the nested
+    # transform/flatten form on the triple level). Longer arrays fall
+    # back to the in-row generator whose cost scales with the data, not
+    # with a precomputed table.
+    _FIS_CIDX_MAX = 64
+    max_l = fa.select(F.max(F.size("ia"))).collect()[0][0] or 0
+    use_cidx = 0 < max_l <= _FIS_CIDX_MAX
+    spark = fa.sparkSession
+    if use_cidx:
+        import pandas as _pd
 
-    def _decode(sup: DataFrame, tcols: list[str]) -> DataFrame:
-        # tid -> term via the (tiny, post-filter) l1i map; AQE broadcasts
-        out = sup
-        for i, c in enumerate(tcols):
-            out = out.join(
-                l1i.select(
-                    "query_id",
-                    F.col("tid").alias(c),
-                    F.col("term").alias(f"_term{i}"),
-                ),
-                ["query_id", c],
-            )
-        return out
+        pair_idx = [
+            (L, i + 1, j + 1)
+            for L in range(2, max_l + 1)
+            for i in range(L)
+            for j in range(i + 1, L)
+        ]
+        cidx2 = spark.createDataFrame(
+            _pd.DataFrame(pair_idx, columns=["L", "i", "j"]),
+            "L int, i int, j int",
+        )
+        trip_idx = [
+            (L, i + 1, j + 1, kk + 1)
+            for L in range(3, max_l + 1)
+            for i in range(L)
+            for j in range(i + 1, L)
+            for kk in range(j + 1, L)
+        ]
+        cidx3 = spark.createDataFrame(
+            _pd.DataFrame(trip_idx, columns=["L", "i", "j", "k"]),
+            "L int, i int, j int, k int",
+        )
+        fa_l = fa.withColumn("L", F.size("ia"))
 
     levels = []
     if min_set_size <= 1:
@@ -3052,74 +3078,123 @@ def _fis_epilogue(
             l1i.select(
                 "query_id",
                 F.lit(1).alias("size"),
-                F.array("term").alias("items"),
+                F.array("tid").alias("iset"),
                 "support",
             )
         )
-    pair_combos = F.expr(
-        "flatten(transform(ia, (x, i) -> "
-        "  transform(slice(ia, i + 2, size(ia)), "
-        "            y -> struct(x AS t1, y AS t2))))"
-    )
+    if use_cidx:
+        l2_sup = (
+            fa_l.join(F.broadcast(cidx2), "L")
+            .groupBy(
+                "query_id",
+                F.element_at("ia", F.col("i")).alias("t1"),
+                F.element_at("ia", F.col("j")).alias("t2"),
+            )
+            .agg(F.sum("w").cast("long").alias("support"))
+        )
+    else:
+        pair_combos = F.expr(
+            "flatten(transform(ia, (x, i) -> "
+            "  transform(slice(ia, i + 2, size(ia)), "
+            "            y -> struct(x AS t1, y AS t2))))"
+        )
+        l2_sup = (
+            fa.select("query_id", "w", F.explode(pair_combos).alias("c"))
+            .groupBy("query_id", F.col("c.t1").alias("t1"), F.col("c.t2").alias("t2"))
+            .agg(F.sum("w").cast("long").alias("support"))
+        )
     l2 = (
-        fa.select("query_id", "w", F.explode(pair_combos).alias("c"))
-        .groupBy("query_id", F.col("c.t1").alias("t1"), F.col("c.t2").alias("t2"))
-        .agg(F.sum("w").cast("long").alias("support"))
-        .join(F.broadcast(sizes), "query_id")
+        l2_sup.join(F.broadcast(sizes), "query_id")
         .filter(F.col("support") >= floor_col)
         .drop("msize")
     )
     if min_set_size <= 2:
         levels.append(
-            _decode(l2, ["t1", "t2"]).select(
+            l2.select(
                 "query_id",
                 F.lit(2).alias("size"),
-                F.array("_term0", "_term1").alias("items"),
+                F.array("t1", "t2").alias("iset"),
                 "support",
             )
         )
     if max_size >= 3:
-        triple_combos = F.expr(
-            "flatten(transform(ia, (x, i) -> "
-            "  flatten(transform(slice(ia, i + 2, size(ia)), (y, j) -> "
-            "    transform(slice(ia, i + j + 3, size(ia)), "
-            "              z -> struct(x AS t1, y AS t2, z AS t3))))))"
-        )
-        l3 = (
-            fa.select("query_id", "w", F.explode(triple_combos).alias("c"))
-            .groupBy(
-                "query_id",
-                F.col("c.t1").alias("t1"),
-                F.col("c.t2").alias("t2"),
-                F.col("c.t3").alias("t3"),
+        if use_cidx:
+            l3_sup = (
+                fa_l.join(F.broadcast(cidx3), "L")
+                .groupBy(
+                    "query_id",
+                    F.element_at("ia", F.col("i")).alias("t1"),
+                    F.element_at("ia", F.col("j")).alias("t2"),
+                    F.element_at("ia", F.col("k")).alias("t3"),
+                )
+                .agg(F.sum("w").cast("long").alias("support"))
             )
-            .agg(F.sum("w").cast("long").alias("support"))
-            .join(F.broadcast(sizes), "query_id")
+        else:
+            triple_combos = F.expr(
+                "flatten(transform(ia, (x, i) -> "
+                "  flatten(transform(slice(ia, i + 2, size(ia)), (y, j) -> "
+                "    transform(slice(ia, i + j + 3, size(ia)), "
+                "              z -> struct(x AS t1, y AS t2, z AS t3))))))"
+            )
+            l3_sup = (
+                fa.select("query_id", "w", F.explode(triple_combos).alias("c"))
+                .groupBy(
+                    "query_id",
+                    F.col("c.t1").alias("t1"),
+                    F.col("c.t2").alias("t2"),
+                    F.col("c.t3").alias("t3"),
+                )
+                .agg(F.sum("w").cast("long").alias("support"))
+            )
+        l3 = (
+            l3_sup.join(F.broadcast(sizes), "query_id")
             .filter(F.col("support") >= floor_col)
             .drop("msize")
         )
         levels.append(
-            _decode(l3, ["t1", "t2", "t3"]).select(
+            l3.select(
                 "query_id",
                 F.lit(3).alias("size"),
-                F.array("_term0", "_term1", "_term2").alias("items"),
+                F.array("t1", "t2", "t3").alias("iset"),
                 "support",
             )
         )
     allsets = levels[0]
     for lv in levels[1:]:
         allsets = allsets.unionByName(lv)
+    # rank ENTIRELY in tid space, decode only the <= k survivors: per
+    # query, tid rank == lexicographic term order (assignment above), the
+    # candidate arrays are sorted, and same-(support, size) ties compare
+    # equal-length arrays — so ordinal array<int> order is exactly the
+    # space-joined-string order the contract specifies (analyzer tokens
+    # contain no characters below ' '). This drops the per-level decode
+    # joins (5 broadcast joins over the full pre-rank candidate set) to
+    # ONE explode+join+regroup over k rows per query.
     w = Window.partitionBy("query_id").orderBy(
-        F.desc("support"), F.asc("size"), F.asc(F.concat_ws(" ", F.col("items")))
+        F.desc("support"), F.asc("size"), F.asc("iset")
     )
-    out = (
+    top = (
         allsets.withColumn("rank", F.row_number().over(w).cast("int"))
         .filter(F.col("rank") <= int(k))
+    )
+    out = (
+        top.select(
+            "query_id", "rank", "size", "support",
+            F.posexplode("iset").alias("pos", "tid"),
+        )
+        .join(F.broadcast(l1i.select("query_id", "tid", "term")), ["query_id", "tid"])
+        .groupBy("query_id", "rank", "size", "support")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "term"))),
+                lambda x: x["term"],
+            ).alias("items")
+        )
         .select("query_id", "rank", "size", "items", "support")
     )
     from igd_spark.dedup import _materialize_then_unpersist
 
-    return _materialize_then_unpersist(out, [fa, md, l1i])
+    return _materialize_then_unpersist(out, [fa, md, l1i, toks])
 
 
 def frequent_item_sets_agg(
@@ -3153,10 +3228,22 @@ def frequent_item_sets_agg(
     ``min_support`` with corpus size (it is a FRACTION of the match set
     that matters), which shrinks the frequent vocabulary and bounds the
     join fan-out."""
+    from igd_spark.search import query_terms
+
+    # persisted: feeds the membership join below AND the epilogue's l1 /
+    # item-array chains — one tokenize pass instead of three (the epilogue
+    # unpersists it with the other staged frames)
     toks = postings(docs, text_col=text_col, id_col=id_col, conf=conf).select(
         "doc_id", "term"
+    ).persist()
+    # the mining consumes the match set only as MEMBERSHIP (distinct
+    # (query_id, doc_id) pairs) — sharing >= 1 analyzed query term, which
+    # is exactly postings ⋈ query-terms. The BM25 scoring pass this
+    # replaces (doc_stats + corpus_stats job + idf weights + score agg)
+    # computed a score the epilogue immediately threw away.
+    m = toks.join(F.broadcast(query_terms(queries)), "term").select(
+        "query_id", "doc_id"
     )
-    m = _match_set(docs, queries, conf, text_col, id_col)
     return _fis_epilogue(
         m, toks, min_support, max_size, min_set_size, k,
         max_support_frac, min_support_frac,
@@ -3185,9 +3272,11 @@ def frequent_item_sets_agg_indexed(
     m = _indexed_match_set(spark, idx, queries).select("query_id", "doc_id")
     mm = m.select(F.col("doc_id").alias("_mid")).distinct()
     matched = docs.join(mm, docs[id_col] == mm["_mid"], "left_semi")
+    # persisted: the hit-doc re-analysis feeds the epilogue's l1 and
+    # item-array chains (unpersisted by the epilogue with its stage frames)
     toks = postings(matched, text_col=text_col, id_col=id_col, conf=idx.conf).select(
         "doc_id", "term"
-    )
+    ).persist()
     return _fis_epilogue(
         m, toks, min_support, max_size, min_set_size, k,
         max_support_frac, min_support_frac,

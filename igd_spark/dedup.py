@@ -112,14 +112,38 @@ def ngram_jaccard_pairs(
     sh = sh.persist()
     sh.count()  # materialize before fan-out (see docstring)
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
-    a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
-    b = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
-    inter = (
-        a.join(b, "shingle")
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count("*").alias("inter"))
-    )
+    if max_shingle_df is not None:
+        # capped path: every shingle's posting list is <= max_shingle_df
+        # docs, so enumerating its C(df, 2) ordered pairs IN-ROW from one
+        # groupBy(shingle) is bounded — and shuffles the shingle table
+        # ONCE where the self-join shuffles it twice (measured ~2x on the
+        # intersection stage). Without a df cap a boilerplate shingle's
+        # list is unbounded (10^6-doc array in one row), so the uncapped
+        # path keeps the join form.
+        inter = (
+            sh.groupBy("shingle")
+            .agg(F.sort_array(F.collect_list("doc_id")).alias("ds"))
+            .select(
+                F.explode(
+                    F.expr(
+                        "flatten(transform(ds, (x, i) -> "
+                        "  transform(slice(ds, i + 2, size(ds)), "
+                        "            y -> struct(x AS doc_a, y AS doc_b))))"
+                    )
+                ).alias("c")
+            )
+            .groupBy(F.col("c.doc_a").alias("doc_a"), F.col("c.doc_b").alias("doc_b"))
+            .agg(F.count("*").alias("inter"))
+        )
+    else:
+        a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
+        b = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
+        inter = (
+            a.join(b, "shingle")
+            .filter(F.col("doc_a") < F.col("doc_b"))
+            .groupBy("doc_a", "doc_b")
+            .agg(F.count("*").alias("inter"))
+        )
     j = (
         inter.join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n_sh", "na"), "doc_a")
         .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n_sh", "nb"), "doc_b")
