@@ -109,25 +109,32 @@ def salted_postings(post: DataFrame, hot: DataFrame, conf: IndexConf) -> DataFra
 
 
 def _pack_blocks(
-    complete: pd.DataFrame,
+    complete,
     gstarts: np.ndarray,
     k1: float,
     b: float,
     bs: int,
     avgdl: float,
-) -> pd.DataFrame:
-    """Vectorized block packer: given a (term_id, salt, doc_id)-sorted slice
-    and the start index of every (term_id, salt) group, emits ALL block
-    rows in one shot — block boundaries via a run-relative arange, block
-    aggregates via np.{maximum,minimum}.reduceat, and ONE whole-slice
-    varint stream per column sliced into per-block buffers by byte offset
-    (codec.varint_encode_offsets). Replaces a per-group/per-block python
-    loop that made ~9k small codec calls per partition (overhead-bound:
-    the 4-core pack stage dropped ~2x)."""
-    n = len(complete)
-    d = complete["doc_id"].to_numpy(dtype=np.int64)
-    t = complete["tf"].to_numpy(dtype=np.int64)
-    dl = complete["dl"].to_numpy(dtype=np.int64)
+):
+    """Vectorized block packer: given a (term_id, salt, doc_id)-sorted Arrow
+    table slice and the start index of every (term_id, salt) group, emits
+    ALL block rows as ONE Arrow record batch — block boundaries via a
+    run-relative arange, block aggregates via np.{maximum,minimum}.reduceat,
+    and ONE whole-slice varint stream per column exposed as per-block
+    binary cells by building the Arrow binary column DIRECTLY over the
+    stream buffer with block-boundary offsets (zero per-block byte copies;
+    consecutive blocks are adjacent in the stream by construction).
+    Arrow-native end to end: the pandas round-trip this replaces
+    materialized every posting row — including 12M python string objects
+    for the term column per bench build — to hand numpy the same buffers
+    Arrow already held."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    n = complete.num_rows
+    d = complete.column("doc_id").to_numpy()
+    t = complete.column("tf").to_numpy().astype(np.int64)
+    dl = complete.column("dl").to_numpy().astype(np.int64)
     gsizes = np.diff(np.concatenate((gstarts, [n])))
     rel = np.arange(n, dtype=np.int64) - np.repeat(gstarts, gsizes)
     bstarts = np.flatnonzero(rel % bs == 0)
@@ -149,26 +156,40 @@ def _pack_blocks(
     tstream, toff = codec.varint_encode_offsets(t.astype(np.uint64))
     lstream, loff = codec.varint_encode_offsets(dl.astype(np.uint64))
     w = t * (k1 + 1.0) / (t + k1 * (1.0 - b + b * dl.astype(np.float64) / avgdl))
-    terms = complete["term"].to_numpy()
-    return pd.DataFrame(
-        {
-            "term": terms[bstarts],
-            "term_id": complete["term_id"].to_numpy(dtype=np.int64)[bstarts],
-            "shard": complete["shard"].to_numpy(dtype=np.int32)[bstarts],
-            "salt": complete["salt"].to_numpy(dtype=np.int32)[bstarts],
-            "block_id": (rel[bstarts] // bs).astype(np.int32),
-            "n": (bends - bstarts).astype(np.int32),
-            "first_doc": d[bstarts],
-            "last_doc": d[bends - 1],
-            "doc_ids": [dstream[s:e] for s, e in zip(doff[bstarts], doff[bends])],
-            "tfs": [tstream[s:e] for s, e in zip(toff[bstarts], toff[bends])],
-            "dls": [lstream[s:e] for s, e in zip(loff[bstarts], loff[bends])],
-            "max_tf": np.maximum.reduceat(t, bstarts).astype(np.int32),
-            "min_dl": np.minimum.reduceat(dl, bstarts).astype(np.int32),
-            "ub_tf_dl": np.maximum.reduceat(w, bstarts),
-            "b_avgdl": np.full(bstarts.size, float(avgdl)),
-        }
-    )
+    bnd = np.append(bstarts, n)
+
+    def _bin(stream: bytes, off: np.ndarray) -> pa.Array:
+        # binary column = (offsets at block boundaries, the shared stream):
+        # blocks' byte ranges are adjacent, so the whole column is two
+        # buffers and zero copies. Offsets are int32 — a partition batch
+        # is bounded (one Arrow batch + one <= salt_df_threshold group),
+        # far under 2 GiB of varint stream.
+        return pa.Array.from_buffers(
+            pa.binary(),
+            bstarts.size,
+            [None, pa.py_buffer(off[bnd].astype(np.int32).tobytes()),
+             pa.py_buffer(stream)],
+        )
+
+    arrs = [
+        pc.take(complete.column("term"), pa.array(bstarts)).combine_chunks(),
+        pa.array(complete.column("term_id").to_numpy()[bstarts], pa.int64()),
+        pa.array(complete.column("shard").to_numpy()[bstarts], pa.int32()),
+        pa.array(complete.column("salt").to_numpy()[bstarts], pa.int32()),
+        pa.array((rel[bstarts] // bs).astype(np.int32), pa.int32()),
+        pa.array((bends - bstarts).astype(np.int32), pa.int32()),
+        pa.array(d[bstarts], pa.int64()),
+        pa.array(d[bends - 1], pa.int64()),
+        _bin(dstream, doff),
+        _bin(tstream, toff),
+        _bin(lstream, loff),
+        pa.array(np.maximum.reduceat(t, bstarts).astype(np.int32), pa.int32()),
+        pa.array(np.minimum.reduceat(dl, bstarts).astype(np.int32), pa.int32()),
+        pa.array(np.maximum.reduceat(w, bstarts), pa.float64()),
+        pa.array(np.full(bstarts.size, float(avgdl)), pa.float64()),
+    ]
+    names = [f.name for f in BLOCK_SCHEMA.fields]
+    return pa.record_batch(arrs, names=names)
 
 
 def _pack_stream_kernel(conf: IndexConf, avgdl: float):
@@ -180,14 +201,18 @@ def _pack_stream_kernel(conf: IndexConf, avgdl: float):
     k1, b, bs = conf.k1, conf.b, conf.block_size
     cols = ["term", "term_id", "shard", "salt", "doc_id", "tf", "dl"]
 
-    def kernel(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        pending: pd.DataFrame | None = None
-        for pdf in it:
-            if not len(pdf):
+    def kernel(it):
+        import pyarrow as pa
+
+        pending = None
+        for rb in it:
+            if rb.num_rows == 0:
                 continue
-            cur = pdf[cols] if pending is None else pd.concat([pending, pdf[cols]])
-            tid = cur["term_id"].to_numpy()
-            salt = cur["salt"].to_numpy()
+            tb = pa.Table.from_batches([rb]).select(cols)
+            cur = tb if pending is None else pa.concat_tables([pending, tb])
+            cur = cur.combine_chunks()
+            tid = cur.column("term_id").to_numpy()
+            salt = cur.column("salt").to_numpy()
             # start index of the last (term_id, salt) group — held back as
             # the next batch may continue it
             change = np.flatnonzero((tid[1:] != tid[:-1]) | (salt[1:] != salt[:-1])) + 1
@@ -195,15 +220,15 @@ def _pack_stream_kernel(conf: IndexConf, avgdl: float):
                 pending = cur
                 continue
             last_start = int(change[-1])
-            complete, pending = cur.iloc[:last_start], cur.iloc[last_start:]
+            complete, pending = cur.slice(0, last_start), cur.slice(last_start)
             gstarts = np.concatenate(([0], change[:-1])).astype(np.int64)
             yield _pack_blocks(complete, gstarts, k1, b, bs, avgdl)
-        if pending is not None and len(pending):
-            tid = pending["term_id"].to_numpy()
-            salt = pending["salt"].to_numpy()
+        if pending is not None and pending.num_rows:
+            tid = pending.column("term_id").to_numpy()
+            salt = pending.column("salt").to_numpy()
             change = np.flatnonzero((tid[1:] != tid[:-1]) | (salt[1:] != salt[:-1])) + 1
             gstarts = np.concatenate(([0], change)).astype(np.int64)
-            yield _pack_blocks(pending, gstarts, k1, b, bs, avgdl)
+            yield _pack_blocks(pending.combine_chunks(), gstarts, k1, b, bs, avgdl)
 
     return kernel
 
@@ -237,7 +262,7 @@ def build_segments(salted: DataFrame, conf: IndexConf, avgdl: float) -> DataFram
     stream = with_keys.repartition(n_parts, "shard").sortWithinPartitions(
         "term_id", "salt", "doc_id"
     )
-    packed = stream.mapInPandas(_pack_stream_kernel(conf, avgdl), schema=BLOCK_SCHEMA)
+    packed = stream.mapInArrow(_pack_stream_kernel(conf, avgdl), schema=BLOCK_SCHEMA)
     # block rows are tiny (~|postings|/block_size); order them so the
     # partitioned write's required ordering on `shard` is satisfied by a
     # sort that keeps (term_id, salt, block_id) runs intact for row-group
