@@ -12,9 +12,39 @@ hashes are stable across Spark/DuckDB summation-order differences.
 
 from __future__ import annotations
 
+import atexit
 import os
-import tempfile
+import shutil as _shutil
+import tempfile as _tempfile
 from collections.abc import Callable
+
+
+class _ScratchTempfile:
+    """tempfile facade whose mkdtemp registers the dir for atexit removal:
+    the per-sf_dir index caches (_INDEX_CACHE, _RESHARD_CACHE,
+    _REINDEX_CACHE, ...) otherwise leak one scratch index directory per
+    cache key per gate process (r5 ADVICE item)."""
+
+    _DIRS: list[str] = []
+
+    @classmethod
+    def mkdtemp(cls, prefix: str = "tmp") -> str:
+        d = _tempfile.mkdtemp(prefix=prefix)
+        cls._DIRS.append(d)
+        return d
+
+    @classmethod
+    def gettempdir(cls) -> str:
+        return _tempfile.gettempdir()
+
+    @classmethod
+    def _cleanup(cls) -> None:
+        for d in cls._DIRS:
+            _shutil.rmtree(d, ignore_errors=True)
+
+
+atexit.register(_ScratchTempfile._cleanup)
+tempfile = _ScratchTempfile
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F

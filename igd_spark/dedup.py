@@ -327,11 +327,18 @@ def connected_components(
     edges = pairs.select(F.col(a_col).alias("a"), F.col(b_col).alias("b"))
     # symmetrize: propagation must flow both directions of each pair
     edges = edges.union(edges.select(F.col("b").alias("a"), F.col("a").alias("b"))).distinct()
-    edges = edges.persist()
+    # pre-partition on the join key: every round joins labels on b, so a
+    # keyed persisted layout lets each round reuse this exchange instead
+    # of re-shuffling the (static) edge table per iteration
+    edges = edges.repartition("b").persist()
+    # lazy checkpoints: the convergence agg below is the action that
+    # materializes each round's labels, so checkpoint + agg cost ONE job
+    # per round (eager=True ran a separate materialization job first —
+    # half of every round's wall at small graph sizes)
     labels = (
         edges.select(F.col("a").alias("doc_id")).distinct()
         .withColumn("component_id", F.col("doc_id"))
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     # decimal(38,0) sum: with 63-bit hash doc ids (the default id scheme)
     # a long sum overflows within a handful of labels, and Spark 4's
@@ -358,7 +365,7 @@ def connected_components(
                     F.col("component_id"), F.coalesce(F.col("min_nbr"), F.col("component_id"))
                 ).alias("component_id"),
             )
-            .localCheckpoint()
+            .localCheckpoint(eager=False)
         )
         cur_sum = labels.agg(_label_sum).collect()[0][0]
         if cur_sum == prev_sum:

@@ -3017,8 +3017,14 @@ def terms_enum(
     time.  ``after_col`` names an optional per-query cursor column in
     ``queries``: only terms STRICTLY AFTER that value are returned
     (NULL/absent = from the start), mirroring the request's
-    ``search_after`` field.  Empty/NULL prefixes yield no rows rather
-    than the whole vocabulary (same guard as `complete_terms`).
+    ``search_after`` field.  The cursor is compared VERBATIM (binary
+    collation, no lower/trim normalization — unlike the prefix): pass
+    back exactly the last term of the previous page, as the ES keyset
+    contract does; an uppercase or padded cursor compares below the
+    lowercase vocabulary and silently restarts from page 1
+    (property-pinned in tests/test_querylang_r5.py).  Empty/NULL
+    prefixes yield no rows rather than the whole vocabulary (same guard
+    as `complete_terms`).
 
     Scale: one broadcast of the (tiny) prefix set against the
     vocab-sized dictionary + a per-query window — never a corpus scan;
