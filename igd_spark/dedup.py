@@ -96,34 +96,36 @@ def ngram_jaccard_pairs(
     so jaccard stays a true Jaccard over the reduced space (standard
     stopword-shingle treatment; deterministic, oracle-expressible).
 
-    The shingle table is persisted + materialized: it feeds three plan
-    branches (sizes, both join sides), and broadcast-thread races otherwise
-    recompute the explode up to 3×.
+    Capped path (max_shingle_df set): ONE groupBy(shingle) produces the
+    sorted doc list, the df (the cap filter), and — by re-exploding the
+    kept lists — the per-doc kept-shingle sizes; ordered pairs are
+    enumerated in-row from each (bounded, <= cap) list. One shuffle of the
+    shingle table total, where the join formulation shuffled it three
+    times (df-cap semi-join, both self-join sides) plus a persisted
+    materialization pass. The grouped table (one row per kept shingle) is
+    what gets persisted. Without a cap a shingle's list is unbounded (the
+    10^6-doc-array scale-killer), so the uncapped path keeps the
+    join-generated form over the persisted exploded table.
     """
     sh = shingles(docs, n=n, text_col=text_col, id_col=id_col)
     if max_shingle_df is not None:
-        keep = (
+        g = (
             sh.groupBy("shingle")
-            .agg(F.count("*").alias("sdf"))
+            .agg(
+                F.sort_array(F.collect_list("doc_id")).alias("ds"),
+                F.count("*").alias("sdf"),
+            )
             .filter(F.col("sdf") <= max_shingle_df)
-            .select("shingle")
+            .persist()
         )
-        sh = sh.join(keep, "shingle")
-    sh = sh.persist()
-    sh.count()  # materialize before fan-out (see docstring)
-    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
-    if max_shingle_df is not None:
-        # capped path: every shingle's posting list is <= max_shingle_df
-        # docs, so enumerating its C(df, 2) ordered pairs IN-ROW from one
-        # groupBy(shingle) is bounded — and shuffles the shingle table
-        # ONCE where the self-join shuffles it twice (measured ~2x on the
-        # intersection stage). Without a df cap a boilerplate shingle's
-        # list is unbounded (10^6-doc array in one row), so the uncapped
-        # path keeps the join form.
+        g.count()  # materialize before fan-out
+        sizes = (
+            g.select(F.explode("ds").alias("doc_id"))
+            .groupBy("doc_id")
+            .agg(F.count("*").alias("n_sh"))
+        )
         inter = (
-            sh.groupBy("shingle")
-            .agg(F.sort_array(F.collect_list("doc_id")).alias("ds"))
-            .select(
+            g.select(
                 F.explode(
                     F.expr(
                         "flatten(transform(ds, (x, i) -> "
@@ -135,7 +137,11 @@ def ngram_jaccard_pairs(
             .groupBy(F.col("c.doc_a").alias("doc_a"), F.col("c.doc_b").alias("doc_b"))
             .agg(F.count("*").alias("inter"))
         )
+        staged = [g]
     else:
+        sh = sh.persist()
+        sh.count()  # materialize before fan-out (sizes + both join sides)
+        sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
         a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
         b = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
         inter = (
@@ -144,6 +150,7 @@ def ngram_jaccard_pairs(
             .groupBy("doc_a", "doc_b")
             .agg(F.count("*").alias("inter"))
         )
+        staged = [sh]
     j = (
         inter.join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n_sh", "na"), "doc_a")
         .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n_sh", "nb"), "doc_b")
@@ -152,7 +159,7 @@ def ngram_jaccard_pairs(
             F.round(F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter")), 6).alias("jaccard"),
         )
     )
-    return _materialize_then_unpersist(j.filter(F.col("jaccard") >= threshold), [sh])
+    return _materialize_then_unpersist(j.filter(F.col("jaccard") >= threshold), staged)
 
 
 def _minhash_sig_arrays(
